@@ -1,0 +1,91 @@
+"""Text-analysis operators for the training-data pipeline surface.
+
+All pure Column expressions (JVM-side, whole-stage codegen) — no Python
+UDFs. Each helper has an exact DuckDB restatement in the oracle registry
+so the driver's differential gate covers it. This is the
+"beyond-parity" surface SURVEY §2.6 calls out: the reference has no
+analytics operators at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_PATTERN = "[a-z0-9]+"
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+# tiny per-language stopword profiles for the n-gram/heuristic lang-id
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "es": ("el", "que", "de", "los", "es"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased alnum tokens (the whitespace+regex tokenizer)."""
+    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_PATTERN), 0)
+
+
+def token_count(toks: Column) -> Column:
+    return F.size(toks)
+
+
+def char_count_tokens(toks: Column) -> Column:
+    """Total characters across tokens (exact integer arithmetic)."""
+    return F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+
+
+def stopword_count(toks: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    quoted = ", ".join(f"'{s}'" for s in stopwords)
+    return F.size(F.filter(toks, lambda x: x.isin(*stopwords)))
+
+
+def stopword_ratio(toks: Column) -> Column:
+    return stopword_count(toks).cast("double") / F.nullif(F.size(toks), F.lit(0))
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic length/stopword/character-class quality heuristic.
+
+    score = 0.4 * min(1, n_tokens/100)            (length prior)
+          + 0.3 * (1 - stop_ratio)                (informativeness)
+          + 0.3 * alnum_ratio                     (junk penalty)
+    Fixed double-op order so any engine computes bit-identical values.
+    """
+    toks = tokens(text)
+    n = F.size(toks).cast("double")
+    stop = stopword_count(toks).cast("double") / F.nullif(F.size(toks), F.lit(0))
+    alnum = F.length(F.regexp_replace(F.lower(text), "[^a-z0-9]", "")).cast(
+        "double"
+    ) / F.nullif(F.length(text), F.lit(0))
+    return (
+        F.lit(0.4) * F.least(F.lit(1.0), n / F.lit(100.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.coalesce(stop, F.lit(0.0)))
+        + F.lit(0.3) * F.coalesce(alnum, F.lit(0.0))
+    )
+
+
+def lang_guess(toks: Column) -> Column:
+    """Stopword-profile language ID: argmax of per-language hit counts
+    with a fixed precedence (en, de, fr, es) on ties; 'und' when no
+    profile hits at all."""
+    hits = {lang: stopword_count(toks, words) for lang, words in LANG_PROFILES.items()}
+    best = F.greatest(*hits.values())
+    out = F.when(best == 0, F.lit("und"))
+    for lang in ("en", "de", "fr", "es"):
+        out = out.when(hits[lang] == best, F.lit(lang))
+    return out
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text.
+
+    md5 is engine-portable (identical hex in Spark and DuckDB), which is
+    why it backs fingerprinting/minhash here instead of Spark-internal
+    xxhash64 — the values themselves become comparable fixtures.
+    """
+    return F.md5(F.trim(F.regexp_replace(F.lower(text), "\\s+", " ")))

@@ -1,0 +1,51 @@
+"""Table loading helpers over the driver-provided parquet fixtures."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a fixture table. Parquet TIMESTAMP(NANOS) columns (which Spark
+    rejects / reads as long under ``legacy.parquet.nanosAsLong``) are
+    converted to micros TimestampType by truncation — the same ns->us
+    truncation DuckDB applies on scan, keeping oracle comparisons exact."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    nanos_cols = [
+        f.name
+        for f in pq.read_schema(path)
+        if str(f.type) == "timestamp[ns]"
+    ]
+    if nanos_cols:
+        # runtime SQL conf so it also works on driver-provided sessions
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos_cols:
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` DIV 1000)"))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view (mirrors the driver's
+    DuckDB-side view registration, so SQL text can be shared)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,154 @@
+"""Change application: the merge core of the engine (reference A1-A10).
+
+The reference applies changes row-by-row over a MySQL connection:
+REPLACE INTO upserts (/root/reference/driver/mysql/sql/builder.go:161-229),
+keyed deletes (builder.go:86-159), update = delete(before)+replace(after)
+(applier_incr.go:747-790), MTS logical-clock parallelism
+(applier_mts.go:30-264), and gtid-based idempotence
+(applier_incr.go:290-313).
+
+Spark-first restatement: a micro-batch of change rows is reduced to the
+**latest surviving image per key** with one window, then merged against
+the target with one join. Parallelism comes from hash-partitioning on
+the key — the same conflict-free property the reference's writeset
+scheduler (A8) computes per transaction, achieved structurally:
+rows of the same key land in the same partition, cross-key order is
+irrelevant, so the whole batch applies in parallel with zero
+coordination. At 100 TB the join is a shuffle on the unique key (or a
+broadcast when the batch is small — Catalyst/AQE picks), which scales
+linearly with executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dtle_spark.model import OP_DELETE, OP_INSERT, OP_UPDATE
+
+
+def dedupe_redelivered(changes: DataFrame) -> DataFrame:
+    """A10 idempotence: drop re-delivered transactions by (sid, gno).
+
+    The reference records applied GTIDs in ``dtle.gtid_executed_v4`` and
+    skips duplicates (applier_incr.go:290-313). Within a batch we keep
+    one copy of each (sid, gno, seq) event row; across batches the
+    streaming checkpoint plays the gtid-set role (streaming/pipeline.py).
+    """
+    return changes.dropDuplicates(["sid", "gno", "seq"])
+
+
+def latest_image_per_key(changes: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Collapse a change batch to one terminal row per unique key.
+
+    Semantics must respect PK-changing updates (A3: update applies as
+    delete(before)+replace(after)): an update row acts on **two** keys
+    when images disagree on the key. So:
+      1. explode each change into (key, action, image, seq) effects:
+         insert -> (after.key, upsert), delete -> (before.key, delete),
+         update -> (before.key, delete) + (after.key, upsert)
+         [one effect when the key is unchanged]
+      2. keep the max-seq effect per key (window, dense in one shuffle).
+
+    Returns columns: key cols + ``__action`` ('upsert'|'delete') +
+    ``row`` (struct, the after-image for upserts).
+    """
+    key_expr = lambda img: [F.col(f"{img}.{k}").alias(k) for k in key_cols]  # noqa: E731
+
+    upserts = (
+        changes.filter(F.col("op").isin(OP_INSERT, OP_UPDATE))
+        .select(*key_expr("after"), F.lit("upsert").alias("__action"),
+                F.col("after").alias("row"), F.col("seq"))
+    )
+    deletes = (
+        changes.filter(F.col("op") == OP_DELETE)
+        .select(*key_expr("before"), F.lit("delete").alias("__action"),
+                F.lit(None).alias("row"), F.col("seq"))
+    )
+    # update whose before-key != after-key also deletes the old key
+    key_changed = F.lit(False)
+    for k in key_cols:
+        key_changed = key_changed | ~(
+            F.col(f"before.{k}").eqNullSafe(F.col(f"after.{k}"))
+        )
+    update_deletes = (
+        changes.filter((F.col("op") == OP_UPDATE) & F.col("before").isNotNull() & key_changed)
+        .select(*key_expr("before"), F.lit("delete").alias("__action"),
+                F.lit(None).alias("row"), F.col("seq"))
+    )
+    effects = upserts.unionByName(deletes).unionByName(
+        update_deletes, allowMissingColumns=False
+    )
+
+    # A7's ordering invariant, restated per key: the reference replays
+    # transactions in (last_committed, seq) clock order; we only need the
+    # per-key winner, which one row_number window provides. The window
+    # shuffle partitions by key — same layout the subsequent merge join
+    # needs, so AQE reuses the exchange.
+    w = Window.partitionBy(*key_cols).orderBy(F.col("seq").desc())
+    return (
+        effects.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "seq")
+    )
+
+
+def merge_into(target: DataFrame, net: DataFrame, key_cols: list[str]) -> DataFrame:
+    """A1/A2/A3 as one set operation: MERGE emulated without Delta.
+
+    target rows whose key has no effect  -> kept
+    effect 'upsert'                      -> after-image (insert or replace)
+    effect 'delete'                      -> dropped
+
+    REPLACE INTO semantics (builder.go:161-229) fall out: an upsert wins
+    over an existing row by key. The anti-join + union is the classic
+    lake MERGE emulation; with Delta/Iceberg on the cluster this becomes
+    a native MERGE INTO (sinks/table_sink.py chooses).
+    """
+    untouched = target.join(net.select(*key_cols), on=key_cols, how="left_anti")
+    new_rows = net.filter(F.col("__action") == "upsert").select("row.*")
+    return untouched.unionByName(new_rows)
+
+
+def apply_changes(target: DataFrame, changes: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Full batch apply: dedupe re-delivery -> net effect per key -> merge."""
+    net = latest_image_per_key(dedupe_redelivered(changes), key_cols)
+    return merge_into(target, net, key_cols)
+
+
+def apply_changes_no_pk(target: DataFrame, changes: DataFrame) -> DataFrame:
+    """A2 no-unique-key path: full-row matching, delete removes exactly
+    one duplicate (reference emits ``DELETE ... WHERE all-cols LIMIT 1``,
+    sql/builder.go:152-155).
+
+    Spark restatement: count copies per full row on each side;
+    final copies = target_copies + inserts - deletes (floor 0), rebuilt
+    with posexplode. One groupBy per side, one join on the full row —
+    no window over the whole table.
+    """
+    cols = target.columns
+    t_counts = target.groupBy(*cols).agg(F.count(F.lit(1)).alias("__t"))
+
+    ins = (
+        changes.filter(F.col("op").isin(OP_INSERT, OP_UPDATE))
+        .select("after.*")
+        .groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    dels = (
+        changes.filter(F.col("op").isin(OP_DELETE, OP_UPDATE))
+        .select("before.*")
+        .groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("__d"))
+    )
+    merged = (
+        t_counts.join(ins, on=cols, how="full_outer")
+        .join(dels, on=cols, how="full_outer")
+        .fillna(0, subset=["__t", "__i", "__d"])
+        .withColumn("__n", F.greatest(F.col("__t") + F.col("__i") - F.col("__d"), F.lit(0)))
+        .filter(F.col("__n") > 0)
+    )
+    return (
+        merged.select(*cols, F.explode(F.sequence(F.lit(1), F.col("__n"))).alias("__copy"))
+        .drop("__copy")
+    )

@@ -1,0 +1,186 @@
+"""Deterministic CDC scenarios derived from the fixture tables.
+
+The driver's correctness gate compares Spark results to DuckDB SQL over
+the same parquet views, so the change streams here are **derived from
+the fixture tables by pure expressions** — both engines can rebuild the
+identical stream. The scenario shapes follow FIXTURES.md F-6: inserts
+(incl. re-delivered duplicates of the same (sid, gno, seq)), updates,
+PK-changing updates, deletes, and cross-key interleaving.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dtle_spark.io import load_table
+from dtle_spark.model import OP_DELETE, OP_INSERT, OP_UPDATE
+
+SID_A = "11111111-1111-1111-1111-111111111111"
+
+
+def _as_change(
+    df: DataFrame,
+    op: str,
+    before: Column | None,
+    after: Column | None,
+    gno: Column,
+    seq: Column,
+    row_type: T.StructType,
+    table: str,
+    sid: str = SID_A,
+) -> DataFrame:
+    null_row = F.lit(None).cast(row_type)
+    return df.select(
+        F.lit(sid).alias("sid"),
+        gno.cast("long").alias("gno"),
+        seq.cast("long").alias("seq"),
+        F.lit(0).cast("long").alias("lc"),
+        F.lit(op).alias("op"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit("db1").alias("schema_name"),
+        F.lit(table).alias("table_name"),
+        (before if before is not None else null_row).alias("before"),
+        (after if after is not None else null_row).alias("after"),
+        F.lit(None).cast("string").alias("query"),
+    )
+
+
+def orders_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot state: orders except keys ≡ 0 (mod 5) — those arrive later
+    as stream inserts."""
+    return load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 != 0)
+
+
+def orders_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scripted change stream over ``orders`` (PK = o_orderkey):
+
+    - inserts   : keys ≡0 (mod 5), seq = k*10+1
+    - updates   : keys ≡0 (mod 7), o_totalprice doubled, seq = k*10+2
+    - deletes   : keys ≡0 (mod 11), seq = k*10+3
+    - PK moves  : keys ≡0 (mod 17), key += 10_000_000, seq = k*10+4
+    - re-delivery: inserts with key ≡0 (mod 10) duplicated verbatim
+      (same (sid, gno, seq) — must be dropped by A10 dedupe)
+
+    Overlaps are intentional: a key ≡0 (mod 35) is inserted then updated;
+    ≡0 (mod 77) updated then deleted; the per-key seq winner decides.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    row_type = T.StructType(o.schema.fields)
+    k = F.col("o_orderkey")
+    row = F.struct(*[F.col(c) for c in o.columns])
+    updated_row = F.struct(
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.col("o_orderdate"),
+        F.col("o_orderpriority"),
+    )
+    moved_row = F.struct(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice"),
+        F.col("o_orderdate"),
+        F.col("o_orderpriority"),
+    )
+
+    ins = _as_change(o.filter(k % 5 == 0), OP_INSERT, None, row, k, k * 10 + 1, row_type, "orders")
+    upd = _as_change(o.filter(k % 7 == 0), OP_UPDATE, row, updated_row, k, k * 10 + 2, row_type, "orders")
+    dels = _as_change(o.filter(k % 11 == 0), OP_DELETE, row, None, k, k * 10 + 3, row_type, "orders")
+    mov = _as_change(o.filter(k % 17 == 0), OP_UPDATE, row, moved_row, k, k * 10 + 4, row_type, "orders")
+    redelivered = _as_change(
+        o.filter(k % 10 == 0), OP_INSERT, None, row, k, k * 10 + 1, row_type, "orders"
+    )
+    return ins.unionByName(upd).unionByName(dels).unionByName(mov).unionByName(redelivered)
+
+
+# DuckDB restatement of orders_base + orders_changes + key-latest apply
+# (shared by the oracle registry and tests).
+ORDERS_CDC_ORACLE = """
+WITH base AS (SELECT * FROM orders WHERE o_orderkey % 5 <> 0),
+eff AS (
+  SELECT o_orderkey AS k, o_orderkey*10+1 AS seq, 'upsert' AS action,
+         o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderkey*10+2, 'upsert',
+         o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_orderkey*10+4, 'upsert',
+         o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 17 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderkey*10+3, 'delete', NULL, NULL, NULL, NULL, NULL, NULL
+  FROM orders WHERE o_orderkey % 11 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderkey*10+4, 'delete', NULL, NULL, NULL, NULL, NULL, NULL
+  FROM orders WHERE o_orderkey % 17 = 0
+),
+winner AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn FROM eff
+  ) WHERE rn = 1
+)
+SELECT b.* FROM base b
+WHERE NOT EXISTS (SELECT 1 FROM winner w WHERE w.k = b.o_orderkey)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+FROM winner WHERE action = 'upsert'
+"""
+
+
+CUSTOMER_WHERE = "c_acctbal > 1000.0 AND lower(c_mktsegment) <> 'machinery'"
+
+
+def customer_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change stream for the F3 update-pair filter scenario: every
+    customer row gets an update (+4000 acctbal — crosses the Where
+    threshold for some), keys ≡0 (mod 3) an insert (−2000), keys ≡0
+    (mod 4) a delete."""
+    c = load_table(spark, sf_dir, "customer")
+    row_type = T.StructType(c.schema.fields)
+    k = F.col("c_custkey")
+    row = F.struct(*[F.col(col) for col in c.columns])
+
+    def shifted(delta: float) -> Column:
+        return F.struct(
+            F.col("c_custkey"),
+            F.col("c_name"),
+            F.col("c_nationkey"),
+            (F.col("c_acctbal") + delta).alias("c_acctbal"),
+            F.col("c_mktsegment"),
+        )
+
+    upd = _as_change(c, OP_UPDATE, row, shifted(4000.0), k, k * 10 + 1, row_type, "customer")
+    ins = _as_change(
+        c.filter(k % 3 == 0), OP_INSERT, None, shifted(-2000.0), k, k * 10 + 2, row_type, "customer"
+    )
+    dels = _as_change(c.filter(k % 4 == 0), OP_DELETE, row, None, k, k * 10 + 3, row_type, "customer")
+    return upd.unionByName(ins).unionByName(dels)
+
+
+CUSTOMER_FILTER_ORACLE = """
+WITH cu AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+upd AS (
+  SELECT c_custkey, c_custkey*10+1 AS seq,
+    (c_acctbal > 1000.0 AND lower(c_mktsegment) <> 'machinery') AS bp,
+    (c_acctbal + 4000.0 > 1000.0 AND lower(c_mktsegment) <> 'machinery') AS ap
+  FROM cu),
+ins AS (
+  SELECT c_custkey, c_custkey*10+2 AS seq,
+    (c_acctbal - 2000.0 > 1000.0 AND lower(c_mktsegment) <> 'machinery') AS ap
+  FROM cu WHERE c_custkey % 3 = 0),
+del AS (
+  SELECT c_custkey, c_custkey*10+3 AS seq,
+    (c_acctbal > 1000.0 AND lower(c_mktsegment) <> 'machinery') AS bp
+  FROM cu WHERE c_custkey % 4 = 0)
+SELECT c_custkey, seq,
+       CASE WHEN bp AND ap THEN 'u' WHEN ap THEN 'i' WHEN bp THEN 'd' END AS op
+FROM upd WHERE bp OR ap
+UNION ALL SELECT c_custkey, seq, 'i' FROM ins WHERE ap
+UNION ALL SELECT c_custkey, seq, 'd' FROM del WHERE bp
+"""

@@ -1,0 +1,465 @@
+"""Query registry: every implemented operator exposed as a
+(spark_fn, duckdb_oracle_sql) pair.
+
+This is the engine's correctness gate surface: the driver (and
+tests/test_oracle_parity.py) runs each Spark query and its oracle SQL on
+the same parquet fixtures and hash-compares values.
+
+Cross-engine determinism rules used throughout (documented once here):
+
+- **No raw double aggregation.** A double SUM's value depends on
+  accumulation order, which differs between engines (and between Spark
+  runs!). Nor double->decimal casts: Spark rounds the shortest-repr
+  string (BigDecimal.valueOf) while DuckDB rounds the exact binary
+  value — they disagree per-row (observed empirically at scales 10 and
+  4). Instead: the fixture money columns are exactly 2-decimal, so
+  convert to integer cents (``round(x*100)`` — deterministic, inputs are
+  ~1e-10 from integers, never near a .5 boundary), do all arithmetic and
+  SUMs in longs (exact, order-free), and divide once at the end.
+- **Averages / rescales** = CAST(exact_sum AS DOUBLE) / constant /
+  COUNT — identical IEEE divisions of identical operands, same order.
+- **Ties**: every ORDER BY ... LIMIT has a unique-key tiebreaker.
+- **md5** (identical hex output in both engines) backs all hashing —
+  never Spark-internal hash/xxhash64.
+- **Regex**: patterns restricted to the syntax subset where Java regex
+  (Spark) and RE2 (DuckDB) agree; DuckDB regexp_replace needs the 'g'
+  flag to match Spark's replace-all default.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dtle_spark.functions import textstats as tx
+from dtle_spark.io import load_table
+from dtle_spark.operators.apply import apply_changes
+from dtle_spark.operators.filters import apply_where_to_changes, snapshot_filter
+from dtle_spark.operators.projection import column_map
+from dtle_spark.plans import cdc_demo
+from dtle_spark.sources.snapshot import snapshot_chunk
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QueryPair:
+    spark_fn: SparkQuery
+    oracle: str | None  # DuckDB SQL; None -> rows-only check
+
+
+REGISTRY: dict[str, QueryPair] = {}
+
+
+def query(name: str, oracle: str | None):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        REGISTRY[name] = QueryPair(fn, oracle)
+        return fn
+
+    return deco
+
+
+def _cents(col) -> F.Column:
+    """Exact integer representation of a 2-decimal money/percent column."""
+    return F.round(col * 100).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Core relational queries (the analytics surface the reference lacks,
+# SURVEY §2.6 — groupBy/join/window come from Catalyst)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    """
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus,
+        CAST(round(l_quantity) AS BIGINT) AS qty,
+        CAST(round(l_extendedprice * 100) AS BIGINT) AS ep,
+        CAST(round(l_discount * 100) AS BIGINT) AS db,
+        CAST(round(l_tax * 100) AS BIGINT) AS tb
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    )
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(qty) AS DOUBLE) AS sum_qty,
+      CAST(SUM(ep) AS DOUBLE) / 100.0 AS sum_base_price,
+      CAST(SUM(ep * (100 - db)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+      CAST(SUM(ep * (100 - db) * (100 + tb)) AS DOUBLE) / 1000000.0 AS sum_charge,
+      CAST(SUM(qty) AS DOUBLE) / COUNT(*) AS avg_qty,
+      CAST(SUM(ep) AS DOUBLE) / 100.0 / COUNT(*) AS avg_price,
+      CAST(SUM(db) AS DOUBLE) / 100.0 / COUNT(*) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM c GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape. Scan-heavy group-by: at 100 TB this is a pure
+    map-side-partial + 6-group final agg — no risk; the win is column
+    pruning (only 7 of 11 columns read) and pushdown of the date filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cnt = F.count(F.lit(1))
+    qty, ep = F.col("qty"), F.col("ep")
+    disc = ep * (100 - F.col("db"))
+    charge = disc * (100 + F.col("tb"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.round(F.col("l_quantity")).cast("long").alias("qty"),
+            _cents(F.col("l_extendedprice")).alias("ep"),
+            _cents(F.col("l_discount")).alias("db"),
+            _cents(F.col("l_tax")).alias("tb"),
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            (F.sum(ep).cast("double") / F.lit(100.0)).alias("sum_base_price"),
+            (F.sum(disc).cast("double") / F.lit(10000.0)).alias("sum_disc_price"),
+            (F.sum(charge).cast("double") / F.lit(1000000.0)).alias("sum_charge"),
+            (F.sum(qty).cast("double") / cnt).alias("avg_qty"),
+            (F.sum(ep).cast("double") / F.lit(100.0) / cnt).alias("avg_price"),
+            (F.sum(F.col("db")).cast("double") / F.lit(100.0) / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+      CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
+      o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape. customer is ~1/6000 of lineitem -> explicit
+    broadcast; orders⋈lineitem shuffles on the join key. At 100 TB both
+    dims of this star stay broadcast-able (customer sf-scaled ~15 GB
+    would not — AQE would pick SMJ; the hint is advisory, not load-bearing)."""
+    cu = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            (
+                F.sum(_cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount"))))
+                .cast("double")
+                / F.lit(10000.0)
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "topk_per_group",
+    """
+    SELECT event_type, event_id, value, rk FROM (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rk
+      FROM events
+    ) WHERE rk <= 5
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via ranking window. At scale: the window shuffles
+    once on event_type; skewed group sizes are handled by AQE. For huge
+    K-extraction prefer groupBy + min_by/top-k agg to avoid full sort."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("event_type", "event_id", "value", "rk")
+    )
+
+
+@query(
+    "sessionize",
+    """
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+    g AS (
+      SELECT *, CASE WHEN tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+                          > 1800000000 THEN 1 ELSE 0 END AS brk
+      FROM e),
+    s AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g)
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(tsu) AS t_start, MAX(tsu) AS t_end
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min): lag + running sum windows.
+    Streaming twin: session_window(ts, '30 minutes') in
+    streaming/pipeline.py. Exact integer (epoch-micros) arithmetic."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("tsu")
+    )
+    w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    brk = F.when(F.col("tsu") - F.lag("tsu").over(w) > 1_800_000_000, 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("tsu", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        ev.withColumn("brk", brk)
+        .withColumn("session_id", F.sum("brk").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("tsu").alias("t_start"),
+            F.max("tsu").alias("t_end"),
+        )
+    )
+
+
+@query(
+    "event_rollup_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def event_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup, batch form of the streaming windowed agg
+    (streaming/pipeline.py uses window(ts, '1 hour') + watermark)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(_cents(F.col("value"))).cast("double") / F.lit(100.0)).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dtle parity surface: snapshot scan, filters, projections, CDC apply
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "where_filter",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
+           sqrt(l_quantity) AS q_sqrt,
+           replace(lower(l_returnflag), 'a', 'z') AS flag_repl
+    FROM lineitem
+    WHERE l_quantity > 30 AND pow(l_discount, 2) < 0.0025
+      AND length(l_returnflag) = 1 AND lower(l_linestatus) = 'o'
+    """,
+)
+def where_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2: the per-row Where expression (reference qlbridge VM,
+    tabletypes.go:151-235) as one Catalyst expr — the function registry
+    (pow/sqrt/replace/char_length/lower..., tabletypes.go:15-27) maps
+    to Spark built-ins. Pushed into the parquet scan on the snapshot path."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = snapshot_filter(
+        li,
+        "l_quantity > 30 AND pow(l_discount, 2) < 0.0025 "
+        "AND char_length(l_returnflag) = 1 AND lower(l_linestatus) = 'o'",
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_discount",
+        F.sqrt("l_quantity").alias("q_sqrt"),
+        F.replace(F.lower("l_returnflag"), F.lit("a"), F.lit("z")).alias("flag_repl"),
+    )
+
+
+@query(
+    "column_map",
+    "SELECT c_custkey AS id, c_mktsegment AS segment, c_name AS name FROM customer",
+)
+def column_map_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8/F9 ColumnMap: projection + reorder + rename
+    (dumper.go:227-236, binlog_reader.go:1985-1998). Catalyst prunes the
+    dropped columns out of the scan."""
+    cu = load_table(spark, sf_dir, "customer")
+    return column_map(cu, ["c_custkey", "c_mktsegment", "c_name"], ["id", "segment", "name"])
+
+
+@query(
+    "snapshot_chunk",
+    """
+    SELECT * FROM lineitem
+    WHERE ((l_orderkey > 37) OR (l_orderkey = 37 AND l_linenumber > 3))
+      AND l_discount > 0.02
+    ORDER BY l_orderkey, l_linenumber
+    LIMIT 2000
+    """,
+)
+def snapshot_chunk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 keyset-paginated snapshot chunk over a composite unique key,
+    with the user Where pushed into the scan (dumper.go:106-156).
+    ChunkSize=2000 is the reference default (taskconfig.go:13)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return snapshot_chunk(li, ["l_orderkey", "l_linenumber"], [37, 3], 2000, "l_discount > 0.02")
+
+
+@query("cdc_apply_orders", cdc_demo.ORDERS_CDC_ORACLE)
+def cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2/A3/A7/A10 end-to-end: scripted change stream (inserts incl.
+    re-delivered duplicates, updates, PK-moving updates, deletes) applied
+    onto the snapshot via redelivery-dedupe -> per-key latest image ->
+    merge. The heart of the engine; see operators/apply.py."""
+    base = cdc_demo.orders_base(spark, sf_dir)
+    changes = cdc_demo.orders_changes(spark, sf_dir)
+    return apply_changes(base, changes, ["o_orderkey"])
+
+
+@query("update_pair_filter", cdc_demo.CUSTOMER_FILTER_ORACLE)
+def update_pair_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 update-pair Where semantics (binlog_reader.go:1927-1983):
+    before/after evaluated independently; updates degrade to pure
+    insert/delete when one image fails; both-fail rows drop."""
+    changes = cdc_demo.customer_changes(spark, sf_dir)
+    filtered = apply_where_to_changes(changes, cdc_demo.CUSTOMER_WHERE)
+    return filtered.select(
+        F.coalesce(F.col("after.c_custkey"), F.col("before.c_custkey")).alias("c_custkey"),
+        "seq",
+        "op",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline surface: dedup + text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text hash-groupBy. At 100 TB: group on
+    the 128-bit digest, not the text — the shuffle carries 16 bytes + ids
+    per row instead of documents."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", tx.doc_fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@query(
+    "token_stats",
+    """
+    WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+               FROM documents)
+    SELECT doc_id,
+      len(toks) AS n_tokens,
+      CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS n_token_chars,
+      CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        / nullif(len(toks), 0) AS stop_ratio
+    FROM t
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + stopword ratio (functions/textstats.py) — pure
+    codegen expressions, no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        tx.token_count(toks).alias("n_tokens"),
+        tx.char_count_tokens(toks).alias("n_token_chars"),
+        tx.stopword_ratio(toks).alias("stop_ratio"),
+    )
+
+
+@query(
+    "lang_id",
+    """
+    WITH t AS (SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+               FROM documents),
+    h AS (SELECT doc_id, lang,
+      len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS h_en,
+      len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS h_de,
+      len(list_filter(toks, x -> x IN ('le','la','et','les','est'))) AS h_fr,
+      len(list_filter(toks, x -> x IN ('el','que','de','los','es'))) AS h_es
+      FROM t)
+    SELECT doc_id, lang,
+      CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+           WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+           WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+           WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+           ELSE 'es' END AS lang_guess
+    FROM h
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID via stopword-profile hit counts
+    (functions/textstats.py: fixed argmax precedence on ties)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", tx.lang_guess(tx.tokens(F.col("text"))).alias("lang_guess"))
+
+
+@query(
+    "quality_score",
+    """
+    WITH t AS (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+               FROM documents)
+    SELECT doc_id,
+      0.4 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+      + 0.3 * (1.0 - coalesce(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / nullif(len(toks), 0), 0.0))
+      + 0.3 * coalesce(CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / nullif(length(text), 0), 0.0)
+      AS quality
+    FROM t
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/stopword/charclass quality heuristic with a fixed double-op
+    order (see functions/textstats.quality_score)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.quality_score(F.col("text")).alias("quality"))
+
+
+def queries() -> dict[str, SparkQuery]:
+    return {name: pair.spark_fn for name, pair in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: pair.oracle for name, pair in REGISTRY.items() if pair.oracle is not None}
