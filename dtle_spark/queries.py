@@ -319,19 +319,22 @@ def column_map_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "snapshot_chunk",
     """
-    SELECT * FROM lineitem
-    WHERE ((l_orderkey > 37) OR (l_orderkey = 37 AND l_linenumber > 3))
-      AND l_discount > 0.02
-    ORDER BY l_orderkey, l_linenumber
+    SELECT * FROM orders
+    WHERE ((o_custkey > 50) OR (o_custkey = 50 AND o_orderkey > 300))
+      AND o_totalprice > 50000
+    ORDER BY o_custkey, o_orderkey
     LIMIT 2000
     """,
 )
 def snapshot_chunk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1 keyset-paginated snapshot chunk over a composite unique key,
-    with the user Where pushed into the scan (dumper.go:106-156).
-    ChunkSize=2000 is the reference default (taskconfig.go:13)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return snapshot_chunk(li, ["l_orderkey", "l_linenumber"], [37, 3], 2000, "l_discount > 0.02")
+    """S1 keyset-paginated snapshot chunk over a composite unique key
+    (o_custkey, o_orderkey), with the user Where pushed into the scan
+    (dumper.go:106-156). ChunkSize=2000 is the reference default
+    (taskconfig.go:13). The chunk key must be a total order for
+    deterministic LIMIT boundaries — same requirement the reference's
+    GetCandidateUniqueKeys enforces (base/utils.go:609-712)."""
+    o = load_table(spark, sf_dir, "orders")
+    return snapshot_chunk(o, ["o_custkey", "o_orderkey"], [50, 300], 2000, "o_totalprice > 50000")
 
 
 @query("cdc_apply_orders", cdc_demo.ORDERS_CDC_ORACLE)

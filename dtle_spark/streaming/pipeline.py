@@ -1,0 +1,195 @@
+"""Streaming replication pipeline: the reference's extractor->applier
+loop as one Structured Streaming query.
+
+Reference shape (SURVEY §3.3): binlog reader -> DataEntry stream ->
+group by size/timeout -> NATS -> applier MTS workers -> MySQL.
+Spark shape: ``readStream`` over ChangeRecord rows -> per-table
+transform (origin filter F11/A11, Where filter F1/F3, column map F8/F9)
+-> ``foreachBatch``: dedupe + per-key-latest merge into the target
+table (operators/apply.py) -> checkpoint.
+
+Guarantees (documented relaxation of the reference's per-tx atomicity,
+SURVEY §7 hard part (b)): each micro-batch applies atomically per
+table via staged directory swap; replays after failure are idempotent
+because merge is keyed and re-delivery is deduped (A10) — the
+streaming checkpoint plays the gtid-set role. Cross-table atomicity
+within a source tx is NOT preserved inside a batch boundary (the
+reference holds it per tx); tx-grouped mode would buffer by (sid, gno)
+— future work, noted in SCALE.md.
+
+The transport layer the reference built on NATS (64MB segmentation,
+gob+gzip, ack flow control — extractor.go:626-681) has no Spark
+equivalent because Spark moves the data itself; the micro-batch
+trigger is the GroupMaxSize/GroupTimeout analogue
+(extractor.go:979-1058).
+
+At scale: the target should be Delta/Iceberg (native MERGE INTO,
+optimistic concurrency); the parquet directory-swap here is the
+jar-free local stand-in behind the same TableSink interface.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dtle_spark.model import JobConfig, TableConfig, change_schema
+from dtle_spark.operators.apply import apply_changes, apply_changes_no_pk
+from dtle_spark.operators.filters import (
+    apply_where_to_changes,
+    origin_filter,
+    table_filter,
+)
+from dtle_spark.operators.projection import map_changes
+
+
+class ParquetTableTarget:
+    """Merge target over plain parquet with atomic directory swap.
+
+    Stand-in for Delta/Iceberg MERGE INTO (jars unavailable here);
+    write path: read current -> merge -> write staged -> atomic swap.
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def path(self, schema_name: str, table_name: str) -> str:
+        return os.path.join(self.root, schema_name, table_name)
+
+    def read(self, spark: SparkSession, schema_name: str, table_name: str) -> DataFrame | None:
+        p = self.path(schema_name, table_name)
+        if not os.path.exists(p):
+            return None
+        return spark.read.parquet(p)
+
+    def overwrite(self, df: DataFrame, schema_name: str, table_name: str) -> None:
+        p = self.path(schema_name, table_name)
+        staged = f"{p}.staged-{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(staged)
+        old = f"{p}.old-{uuid.uuid4().hex[:8]}"
+        if os.path.exists(p):
+            os.rename(p, old)
+        os.rename(staged, p)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+
+
+def transform_changes(changes: DataFrame, cfg: TableConfig, local_sid: str | None) -> DataFrame:
+    """The full per-table transform chain, shared by batch and stream:
+    table select (F4) -> origin filter (A11) -> Where with update-pair
+    semantics (F1/F3) -> rename + column map (F8/F9)."""
+    out = table_filter(changes, cfg.schema_name, cfg.table_name)
+    out = origin_filter(out, local_sid)
+    out = apply_where_to_changes(out, cfg.where)
+    return map_changes(out, cfg)
+
+
+def apply_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    job: JobConfig,
+    target: ParquetTableTarget,
+) -> None:
+    """foreachBatch body: route the batch to each configured table and
+    merge. Cache the batch once — every table's transform scans it."""
+    batch.persist()
+    try:
+        for cfg in job.tables:
+            tchanges = transform_changes(batch, cfg, job.local_sid)
+            row_type = tchanges.schema["after"].dataType
+            current = target.read(spark, cfg.target_schema, cfg.target_table)
+            if current is None:
+                current = spark.createDataFrame([], row_type)
+            if cfg.unique_key:
+                merged = apply_changes(current, tchanges, cfg.unique_key)
+            else:
+                merged = apply_changes_no_pk(current, tchanges)
+            target.overwrite(merged, cfg.target_schema, cfg.target_table)
+    finally:
+        batch.unpersist()
+
+
+class ReplicationJob:
+    """Job lifecycle over a StreamingQuery handle — the Spark
+    restatement of the reference's HTTP v2 control surface
+    (api/handler/v2/job.go: create/pause/resume/position) without a
+    control plane: Consul/Nomad/NATS state collapses into the
+    streaming checkpoint + StreamingQuery object."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        job: JobConfig,
+        source_dir: str,
+        target_root: str,
+        checkpoint_dir: str,
+        row_type: T.StructType,
+        max_files_per_trigger: int = 10,
+    ):
+        self.spark = spark
+        self.job = job
+        self.source_dir = source_dir
+        self.target = ParquetTableTarget(target_root)
+        self.checkpoint_dir = checkpoint_dir
+        self.row_type = row_type
+        self.max_files_per_trigger = max_files_per_trigger
+        self.query = None
+
+    def start(self) -> "ReplicationJob":
+        stream = (
+            self.spark.readStream.schema(change_schema(self.row_type))
+            .option("maxFilesPerTrigger", self.max_files_per_trigger)
+            .parquet(self.source_dir)
+        )
+        self.query = (
+            stream.writeStream.outputMode("update")
+            .option("checkpointLocation", self.checkpoint_dir)
+            .foreachBatch(
+                lambda df, epoch: apply_batch(self.spark, df, self.job, self.target)
+            )
+            .trigger(processingTime=f"{self.job.trigger_seconds} seconds")
+            .start()
+        )
+        return self
+
+    def process_available(self) -> None:
+        """Synchronously drain everything currently in the source
+        (test/snapshot-catchup path)."""
+        assert self.query is not None
+        self.query.processAllAvailable()
+
+    def pause(self) -> None:
+        """Pause = stop the query; the checkpoint keeps the position
+        (reference pause keeps gtid in Consul, store.go:40-446)."""
+        if self.query is not None:
+            self.query.stop()
+            self.query = None
+
+    def resume(self) -> "ReplicationJob":
+        """Resume from the checkpointed offsets — same as start; the
+        checkpoint is the position."""
+        if self.query is None:
+            self.start()
+        return self
+
+    def position(self) -> dict:
+        """Stream position (reference: Gtid/BinlogFilePos query API).
+        Exposes the last progress' source offsets + timing."""
+        if self.query is None or self.query.lastProgress is None:
+            return {}
+        p = self.query.lastProgress
+        return {
+            "batch_id": p.get("batchId") if isinstance(p, dict) else p["batchId"],
+            "sources": p.get("sources") if isinstance(p, dict) else p["sources"],
+        }
+
+    def stats(self) -> dict:
+        """TaskStatistics analogue (common/models.go:69-88)."""
+        if self.query is None:
+            return {"active": False}
+        return {"active": self.query.isActive, "status": self.query.status}

@@ -1,0 +1,182 @@
+"""Unit tests for operator semantics (golden-style, mirroring the
+reference's table-driven tests — SURVEY §5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dtle_spark.model import change_schema
+from dtle_spark.operators.apply import apply_changes, apply_changes_no_pk
+from dtle_spark.operators.filters import apply_where_to_changes, origin_filter
+from dtle_spark.operators.projection import column_map
+from dtle_spark.sources.snapshot import keyset_predicate, snapshot_chunk, snapshot_offset
+
+ROW = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("amount", T.DoubleType()),
+    ]
+)
+
+
+def _chg(spark, rows):
+    return spark.createDataFrame(rows, change_schema(ROW))
+
+
+def _r(id, name, amount):
+    return {"id": id, "name": name, "amount": amount}
+
+
+def _base(sid="s1", gno=1, seq=1, op="i", before=None, after=None):
+    return {
+        "sid": sid, "gno": gno, "seq": seq, "lc": 0, "op": op, "ts": None,
+        "schema_name": "db1", "table_name": "t", "before": before,
+        "after": after, "query": None,
+    }
+
+
+class TestUpdatePairFilter:
+    """F3 golden cases (binlog_reader.go:1927-1983): the four
+    before/after Where outcomes of an update."""
+
+    WHERE = "amount > 100.0"
+
+    def run(self, spark, before_amt, after_amt):
+        changes = _chg(
+            spark,
+            [_base(op="u", before=_r(1, "a", before_amt), after=_r(1, "a", after_amt))],
+        )
+        out = apply_where_to_changes(changes, self.WHERE).collect()
+        return out
+
+    def test_both_pass_stays_update(self, spark):
+        out = self.run(spark, 150.0, 200.0)
+        assert len(out) == 1 and out[0]["op"] == "u"
+        assert out[0]["before"] is not None and out[0]["after"] is not None
+
+    def test_after_only_degrades_to_insert(self, spark):
+        out = self.run(spark, 50.0, 200.0)
+        assert len(out) == 1 and out[0]["op"] == "i"
+        assert out[0]["before"] is None and out[0]["after"]["amount"] == 200.0
+
+    def test_before_only_degrades_to_delete(self, spark):
+        out = self.run(spark, 150.0, 50.0)
+        assert len(out) == 1 and out[0]["op"] == "d"
+        assert out[0]["after"] is None and out[0]["before"]["amount"] == 150.0
+
+    def test_both_fail_drops(self, spark):
+        assert self.run(spark, 50.0, 60.0) == []
+
+    def test_insert_delete_single_image(self, spark):
+        changes = _chg(
+            spark,
+            [
+                _base(seq=1, op="i", after=_r(1, "a", 150.0)),
+                _base(seq=2, op="i", after=_r(2, "b", 50.0)),
+                _base(seq=3, op="d", before=_r(3, "c", 150.0)),
+                _base(seq=4, op="d", before=_r(4, "d", 50.0)),
+            ],
+        )
+        out = apply_where_to_changes(changes, self.WHERE).collect()
+        assert sorted((r["op"], (r["after"] or r["before"])["id"]) for r in out) == [
+            ("d", 3),
+            ("i", 1),
+        ]
+
+
+class TestApplyChanges:
+    def test_pk_move_and_redelivery(self, spark):
+        target = spark.createDataFrame([Row(**_r(1, "a", 1.0)), Row(**_r(2, "b", 2.0))], ROW)
+        changes = _chg(
+            spark,
+            [
+                # PK-changing update 1 -> 10
+                _base(gno=1, seq=10, op="u", before=_r(1, "a", 1.0), after=_r(10, "a", 1.5)),
+                # redelivered twice: applies once
+                _base(gno=2, seq=20, op="i", after=_r(3, "c", 3.0)),
+                _base(gno=2, seq=20, op="i", after=_r(3, "c", 3.0)),
+                # delete then re-insert same key: latest seq wins
+                _base(gno=3, seq=30, op="d", before=_r(2, "b", 2.0)),
+                _base(gno=4, seq=40, op="i", after=_r(2, "b2", 2.5)),
+            ],
+        )
+        out = {r["id"]: r for r in apply_changes(target, changes, ["id"]).collect()}
+        assert set(out) == {10, 3, 2}
+        assert out[10]["amount"] == 1.5
+        assert out[2]["name"] == "b2"
+
+    def test_delete_missing_row_is_ignorable(self, spark):
+        """A12: deleting a non-existent key is a no-op, not an error."""
+        target = spark.createDataFrame([Row(**_r(1, "a", 1.0))], ROW)
+        changes = _chg(spark, [_base(op="d", before=_r(99, "x", 0.0))])
+        out = apply_changes(target, changes, ["id"]).collect()
+        assert len(out) == 1 and out[0]["id"] == 1
+
+
+class TestApplyNoPk:
+    def test_delete_removes_exactly_one_duplicate(self, spark):
+        """A2 no-PK: full-row matched delete takes one copy (the
+        reference's DELETE ... LIMIT 1, sql/builder.go:152-155)."""
+        target = spark.createDataFrame(
+            [Row(**_r(1, "dup", 5.0))] * 3 + [Row(**_r(2, "x", 1.0))], ROW
+        )
+        changes = _chg(spark, [_base(op="d", before=_r(1, "dup", 5.0))])
+        out = apply_changes_no_pk(target, changes).collect()
+        assert sorted(r["id"] for r in out) == [1, 1, 2]
+
+    def test_update_moves_one_copy(self, spark):
+        target = spark.createDataFrame([Row(**_r(1, "dup", 5.0))] * 2, ROW)
+        changes = _chg(
+            spark, [_base(op="u", before=_r(1, "dup", 5.0), after=_r(1, "dup", 6.0))]
+        )
+        out = sorted(r["amount"] for r in apply_changes_no_pk(target, changes).collect())
+        assert out == [5.0, 6.0]
+
+
+class TestSnapshot:
+    def test_keyset_predicate_pushdown(self, spark):
+        o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        chunk = snapshot_chunk(o, ["o_custkey", "o_orderkey"], [50, 300], 100)
+        plan = chunk._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [" in plan and "o_custkey" in plan
+
+    def test_chunks_are_disjoint_and_ordered(self, spark):
+        o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        c1 = snapshot_chunk(o, ["o_custkey", "o_orderkey"], None, 500).collect()
+        last = [c1[-1]["o_custkey"], c1[-1]["o_orderkey"]]
+        c2 = snapshot_chunk(o, ["o_custkey", "o_orderkey"], last, 500).collect()
+        keys1 = {(r["o_custkey"], r["o_orderkey"]) for r in c1}
+        keys2 = {(r["o_custkey"], r["o_orderkey"]) for r in c2}
+        assert len(keys1) == 500 and len(keys2) == 500 and not (keys1 & keys2)
+        assert max(keys1) < min(keys2)
+
+    def test_offset_mode_partitions_table(self, spark):
+        sup = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+        n = sup.count()
+        parts = []
+        i = 0
+        while True:
+            rows = snapshot_offset(sup, 40, i).collect()
+            if not rows:
+                break
+            parts.extend(rows)
+            i += 1
+        assert len(parts) == n
+
+    def test_origin_filter(self, spark):
+        changes = _chg(
+            spark,
+            [_base(sid="s1", op="i", after=_r(1, "a", 1.0)),
+             _base(sid="s2", op="i", after=_r(2, "b", 2.0))],
+        )
+        out = origin_filter(changes, "s1").collect()
+        assert [r["sid"] for r in out] == ["s2"]
+
+    def test_column_map_length_mismatch(self, spark):
+        df = spark.createDataFrame([Row(a=1, b=2)])
+        with pytest.raises(ValueError):
+            column_map(df, ["a", "b"], ["x"])

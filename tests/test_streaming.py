@@ -1,0 +1,86 @@
+"""End-to-end streaming replication: scripted change stream (3 micro-
+batches) applied onto a snapshot — final table state must equal the
+DuckDB oracle applying the same logical operations (FIXTURES.md t2)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dtle_spark.model import JobConfig, TableConfig
+from dtle_spark.plans import cdc_demo
+from dtle_spark.streaming.pipeline import ParquetTableTarget, ReplicationJob
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+
+@pytest.fixture()
+def job_dirs(tmp_path):
+    return {
+        "source": str(tmp_path / "changes"),
+        "target": str(tmp_path / "target"),
+        "checkpoint": str(tmp_path / "ckpt"),
+    }
+
+
+def test_stream_apply_matches_oracle(spark, duck, job_dirs):
+    base = cdc_demo.orders_base(spark, SF_DIR)
+    changes = cdc_demo.orders_changes(spark, SF_DIR)
+    row_type = changes.schema["after"].dataType
+
+    # split the stream into 3 files by seq range -> 3 micro-batches,
+    # arriving in seq order (per-key order across batches holds)
+    os.makedirs(job_dirs["source"])
+    bounds = [(0, 5000), (5000, 10000), (10000, 10**18)]
+    for i, (lo, hi) in enumerate(bounds):
+        part = changes.filter((F.col("seq") >= lo) & (F.col("seq") < hi))
+        part.coalesce(1).write.parquet(os.path.join(job_dirs["source"], f"batch{i}"))
+
+    cfg = TableConfig("db1", "orders", unique_key=["o_orderkey"])
+    job = JobConfig(name="t", tables=[cfg])
+    target = ParquetTableTarget(job_dirs["target"])
+    target.overwrite(base, "db1", "orders")
+
+    rj = ReplicationJob(
+        spark, job, os.path.join(job_dirs["source"], "*"), job_dirs["target"],
+        job_dirs["checkpoint"], row_type, max_files_per_trigger=1,
+    ).start()
+    rj.process_available()
+    rj.pause()
+
+    final = target.read(spark, "db1", "orders")
+    assert_matches_oracle(final, duck, cdc_demo.ORDERS_CDC_ORACLE)
+
+
+def test_pause_resume_continues_from_checkpoint(spark, duck, job_dirs):
+    base = cdc_demo.orders_base(spark, SF_DIR)
+    changes = cdc_demo.orders_changes(spark, SF_DIR)
+    row_type = changes.schema["after"].dataType
+
+    os.makedirs(job_dirs["source"])
+    first = changes.filter(F.col("seq") < 7000)
+    second = changes.filter(F.col("seq") >= 7000)
+    first.coalesce(1).write.parquet(os.path.join(job_dirs["source"], "b0"))
+
+    cfg = TableConfig("db1", "orders", unique_key=["o_orderkey"])
+    job = JobConfig(name="t2", tables=[cfg])
+    target = ParquetTableTarget(job_dirs["target"])
+    target.overwrite(base, "db1", "orders")
+
+    rj = ReplicationJob(
+        spark, job, os.path.join(job_dirs["source"], "*"), job_dirs["target"],
+        job_dirs["checkpoint"], row_type,
+    ).start()
+    rj.process_available()
+    rj.pause()
+
+    # new data arrives while paused; resume must pick up from checkpoint
+    second.coalesce(1).write.parquet(os.path.join(job_dirs["source"], "b1"))
+    rj.resume()
+    rj.process_available()
+    assert rj.position()["batch_id"] >= 1
+    rj.pause()
+
+    final = target.read(spark, "db1", "orders")
+    assert_matches_oracle(final, duck, cdc_demo.ORDERS_CDC_ORACLE)
