@@ -1,0 +1,108 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, both pure Column expressions (portable + oracle-checkable):
+
+- brute-force cosine top-k: the exactness baseline. O(|Q| * N) — fine
+  for bounded query sets; the per-pair work is a fold over the dims.
+- sign-LSH bucketed top-k: the scale path. Vectors bucket by the sign
+  pattern of their leading dims (a fixed random-hyperplane LSH with
+  axis-aligned planes); queries probe only their own bucket, so the
+  join is equi on the bucket key — shuffle-partitionable at 100 TB.
+  Production extension: multi-probe (flip one bit) and a trained IVF
+  centroid table instead of sign planes; the plan shape is identical.
+
+Determinism: element products are CAST(float AS DOUBLE) then folded
+sequentially (aggregate in Spark == list_reduce over a prepended 0.0
+in DuckDB) — identical IEEE operation order, bit-identical cosines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: str, b: str) -> str:
+    """Sequential-fold dot product of two float-array columns (SQL text)."""
+    prods = (
+        f"transform(sequence(1, size({a})),"
+        f" k -> CAST(element_at({a}, k) AS DOUBLE) * CAST(element_at({b}, k) AS DOUBLE))"
+    )
+    return f"aggregate({prods}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+
+
+def cosine_expr(a: str, b: str) -> Column:
+    return F.expr(
+        f"({dot_expr(a, b)}) / (sqrt({dot_expr(a, a)}) * sqrt({dot_expr(b, b)}))"
+    )
+
+
+def sign_bucket_expr(vec_col: str, planes: int = 8) -> Column:
+    """Sign-pattern bucket key over the leading `planes` dims."""
+    bits = [
+        f"(CASE WHEN CAST(element_at({vec_col}, {k}) AS DOUBLE) >= 0 THEN '1' ELSE '0' END)"
+        for k in range(1, planes + 1)
+    ]
+    return F.expr("concat(" + ", ".join(bits) + ")")
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank, cosine).
+
+    The query side is broadcast (bounded query sets); the corpus streams
+    through one stage — no corpus-wide shuffle at any scale.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_expr("q_vec", "n_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def lsh_bucket_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k probing only the query's sign-LSH bucket."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        sign_bucket_expr(vec_col, planes).alias("bucket"),
+    )
+    c = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("n_vec"),
+        sign_bucket_expr(vec_col, planes).alias("bucket"),
+    )
+    scored = (
+        c.join(q, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_expr("q_vec", "n_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "bucket", "neighbor_id", "rank", "cosine")
+    )

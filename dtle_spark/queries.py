@@ -466,3 +466,200 @@ def queries() -> dict[str, SparkQuery]:
 
 def oracle_sql() -> dict[str, str]:
     return {name: pair.oracle for name, pair in REGISTRY.items() if pair.oracle is not None}
+
+
+# ---------------------------------------------------------------------------
+# Dedup + similarity surface (functions/dedup.py, functions/similarity.py).
+# The DuckDB oracles are generated from the same constants so both engines
+# compute the identical md5-lane / sign-bucket formulas.
+# ---------------------------------------------------------------------------
+
+from dtle_spark.functions import dedup as dd  # noqa: E402
+from dtle_spark.functions import similarity as sim  # noqa: E402
+
+
+def _duck_toks(text_col: str = "text") -> str:
+    return f"regexp_extract_all(lower({text_col}), '{dd.TOKEN_PATTERN}')"
+
+
+def _duck_shingles(text_col: str = "text", n: int = dd.SHINGLE_N) -> str:
+    t = _duck_toks(text_col)
+    return (
+        f"list_distinct(list_transform(generate_series(1, greatest(len({t}) - {n} + 1, 1)),"
+        f" i -> array_to_string(list_slice({t}, i, i + {n} - 1), ' ')))"
+    )
+
+
+def _duck_minhash_sql() -> str:
+    lanes = ", ".join(
+        f"list_min(list_transform(sh, s -> md5(concat('{i}:', s))))"
+        for i in range(dd.NUM_HASHES)
+    )
+    bands = " UNION ALL ".join(
+        f"(SELECT doc_id, sh, {b} AS band_idx,"
+        f" md5(array_to_string(list_slice(sig, {b * dd.ROWS_PER_BAND + 1},"
+        f" {b * dd.ROWS_PER_BAND + dd.ROWS_PER_BAND}), '|')) AS band_digest FROM sigs)"
+        for b in range(dd.BANDS)
+    )
+    inter = "len(list_intersect(a.sh, b.sh))"
+    return f"""
+    WITH docs AS (SELECT doc_id, {_duck_shingles()} AS sh FROM documents),
+    sigs AS (SELECT doc_id, sh, [{lanes}] AS sig FROM docs),
+    buckets AS ({bands}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+      FROM buckets a JOIN buckets b
+        ON a.band_idx = b.band_idx AND a.band_digest = b.band_digest
+       AND a.doc_id < b.doc_id
+    )
+    SELECT id_1, id_2,
+           CAST({inter} AS DOUBLE) / (len(a.sh) + len(b.sh) - {inter}) AS jaccard
+    FROM cand JOIN docs a ON cand.id_1 = a.doc_id JOIN docs b ON cand.id_2 = b.doc_id
+    WHERE CAST({inter} AS DOUBLE) / (len(a.sh) + len(b.sh) - {inter}) >= 0.5
+    """
+
+
+def _duck_simhash_expr(text_col: str = "text") -> str:
+    t = _duck_toks(text_col)
+    hexpos = "strpos('0123456789abcdef', substr(md5(x), {p}, 1)) - 1"
+    h = (
+        f"(({hexpos.format(p=1)}) * 4096 + ({hexpos.format(p=2)}) * 256"
+        f" + ({hexpos.format(p=3)}) * 16 + ({hexpos.format(p=4)}))"
+    )
+    bits = []
+    for b in range(16):
+        cnt = f"len(list_filter({t}, x -> ({h} // {1 << b}) % 2 = 1))"
+        bits.append(f"(CASE WHEN 2 * {cnt} > len({t}) THEN {1 << b} ELSE 0 END)")
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
+def _duck_dot(a: str, b: str) -> str:
+    prods = (
+        f"list_transform(generate_series(1, len({a})),"
+        f" k -> CAST({a}[k] AS DOUBLE) * CAST({b}[k] AS DOUBLE))"
+    )
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), {prods}), (acc, x) -> acc + x)"
+    )
+
+
+def _duck_cosine(a: str, b: str) -> str:
+    return f"({_duck_dot(a, b)}) / (sqrt({_duck_dot(a, a)}) * sqrt({_duck_dot(b, b)}))"
+
+
+def _duck_sign_bucket(vec: str, planes: int = 8) -> str:
+    bits = ", ".join(
+        f"(CASE WHEN CAST({vec}[{k}] AS DOUBLE) >= 0 THEN '1' ELSE '0' END)"
+        for k in range(1, planes + 1)
+    )
+    return f"concat({bits})"
+
+
+@query("dedup_minhash_lsh", _duck_minhash_sql())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs, exact-Jaccard-verified at 0.5
+    (functions/dedup.py: 24 md5 lanes, 12 bands x 2 rows)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.minhash_dedup_pairs(d, "doc_id", "text", threshold=0.5)
+
+
+@query(
+    "dedup_simhash",
+    f"SELECT doc_id, {_duck_simhash_expr()} AS simhash FROM documents",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signatures (integer-exact, engine-portable)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.simhash_signatures(d, "doc_id", "text")
+
+
+@query(
+    "dedup_simhash_pairs",
+    f"""
+    WITH s AS (SELECT doc_id, {_duck_simhash_expr()} AS simhash FROM documents),
+    halves AS (
+      SELECT doc_id, simhash, 0 AS h, simhash % 256 AS v FROM s
+      UNION ALL
+      SELECT doc_id, simhash, 1 AS h, simhash // 256 AS v FROM s
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2,
+             a.simhash AS sh_1, b.simhash AS sh_2
+      FROM halves a JOIN halves b ON a.h = b.h AND a.v = b.v AND a.doc_id < b.doc_id
+    )
+    SELECT id_1, id_2, bit_count(xor(sh_1, sh_2)) AS distance
+    FROM cand WHERE bit_count(xor(sh_1, sh_2)) <= 3
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-pairs (hamming <= 3) via byte-half pigeonhole
+    bucketing — no O(n^2) cross join."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.simhash_near_pairs(d, "doc_id", "text", max_distance=3)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH t AS (SELECT doc_id, source AS block, {_duck_shingles()} AS sh FROM documents)
+    SELECT a.block, a.doc_id AS id_1, b.doc_id AS id_2,
+      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+    FROM t a JOIN t b ON a.block = b.block AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.3
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact blocked n-gram Jaccard within `source` blocks — the exact
+    counterpart of MinHash (quadratic per block; LSH is the scale path)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(d, "doc_id", "text", "source", threshold=0.3)
+
+
+_ANN_BRUTE_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding AS n_vec FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {_duck_cosine('q_vec', 'n_vec')} AS cosine
+  FROM c, q WHERE query_id <> neighbor_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored)
+SELECT query_id, neighbor_id, rnk, cosine FROM r WHERE rnk <= 10
+"""
+
+
+@query("ann_topk_bruteforce", _ANN_BRUTE_ORACLE)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for the query set (vec_id % 50 = 0) —
+    broadcast queries, stream corpus, fold-based deterministic dot
+    products (functions/similarity.py)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    out = sim.brute_force_topk(e, q, k=10)
+    return out.withColumnRenamed("rank", "rnk")
+
+
+_ANN_LSH_ORACLE = f"""
+WITH v AS (SELECT vec_id, embedding, {_duck_sign_bucket('embedding')} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS q_vec, bucket FROM v WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding AS n_vec, bucket FROM v),
+scored AS (
+  SELECT query_id, c.bucket, neighbor_id, {_duck_cosine('q_vec', 'n_vec')} AS cosine
+  FROM c JOIN q ON c.bucket = q.bucket AND query_id <> neighbor_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored)
+SELECT query_id, bucket, neighbor_id, rnk, cosine FROM r WHERE rnk <= 5
+"""
+
+
+@query("ann_topk_lsh", _ANN_LSH_ORACLE)
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed approximate top-5: queries probe only their
+    own bucket — the equi-join scale path for ANN at 100 TB."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    out = sim.lsh_bucket_topk(e, q, k=5)
+    return out.withColumnRenamed("rank", "rnk")
