@@ -1,0 +1,76 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video travel as ``binary`` columns with metadata; decode /
+feature-extraction runs as Arrow-batched ``mapInPandas`` over bounded
+batches. The actual codec calls are STUBBED (no image/audio libs in
+this container) behind ``NotImplementedError`` — the deterministic
+text-payload path exercises the real Spark plumbing: schema contract,
+batch iteration, partition sizing.
+
+Scale notes: payloads dominate row size, so (a) never shuffle the
+payload column — extract features first, then join features back by id
+if needed; (b) cap ``spark.sql.files.maxPartitionBytes`` /
+``maxRecordsPerBatch`` so an Arrow batch of payloads fits executor
+memory; (c) push payload-free predicates before the decode stage so
+column pruning keeps the scan light.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_COLUMNS = "payload binary, mime string"
+FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, checksum string, width int, height int"
+)
+
+
+def attach_fake_payload(docs: DataFrame) -> DataFrame:
+    """Demo media table: utf-8 text bytes as the opaque payload."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("text/plain").alias("mime"),
+    )
+
+
+def _decode_stub(payload: bytes, mime: str) -> dict:
+    """Deterministic fake 'decode': real decoders (PIL/ffmpeg) plug in
+    here per mime type. Raises for media types whose codec is absent —
+    clearly-marked stub, not silent wrong output."""
+    if mime.startswith(("image/", "audio/", "video/")):
+        raise NotImplementedError(
+            f"codec for {mime} not available in this environment; "
+            "plug PIL/ffmpeg decode here"
+        )
+    digest = hashlib.md5(payload).hexdigest()
+    hexpos = "0123456789abcdef"
+    return {
+        "n_bytes": len(payload),
+        "checksum": digest,
+        # fake dimensions derived from the digest (stands in for the
+        # decoded image's width/height)
+        "width": hexpos.index(digest[0]) * 16 + hexpos.index(digest[1]),
+        "height": hexpos.index(digest[2]) * 16 + hexpos.index(digest[3]),
+    }
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over the payload column —
+    Arrow-batched, schema-declared, partition-parallel."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _decode_stub(bytes(p), m) for p, m in zip(pdf["payload"], pdf["mime"])
+            ]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return media.mapInPandas(op, schema=FEATURE_SCHEMA)

@@ -663,3 +663,106 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") % 50 == 0)
     out = sim.lsh_bucket_topk(e, q, k=5)
     return out.withColumnRenamed("rank", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# Kafka/Debezium envelope sink (sinks/debezium.py) + multimodal plumbing
+# (functions/multimodal.py)
+# ---------------------------------------------------------------------------
+
+from dtle_spark.functions import multimodal as mm  # noqa: E402
+from dtle_spark.sinks import debezium as dz  # noqa: E402
+
+
+def _duck_orders_row_json(key: str, price: str) -> str:
+    """DuckDB mirror of the envelope's encoded after/before image."""
+    days = "(CAST(o_orderdate AS DATE) - DATE '1970-01-01')"
+    return (
+        "'{\"o_orderkey\":' || " + key + " || "
+        "',\"price_cents\":' || CAST(round((" + price + ") * 100) AS BIGINT) || "
+        "',\"orderdate_days\":' || " + days + " || "
+        "',\"status\":\"' || o_orderstatus || '\"}'"
+    )
+
+
+def _duck_envelope(before_json: str, after_json: str, op: str, seq: str, gno: str) -> str:
+    src = (
+        "'{\"name\":\"dtle_spark\",\"db\":\"db1\",\"table\":\"orders\","
+        "\"snapshot\":false,\"server_id\":\"" + cdc_demo.SID_A + "\",\"gno\":' || "
+        + gno
+        + " || '}'"
+    )
+    return (
+        "'{\"before\":' || " + before_json + " || ',\"after\":' || " + after_json
+        + " || ',\"source\":' || " + src + " || ',\"op\":\"" + op + "\",\"ts_ms\":' || "
+        + seq + " || '}'"
+    )
+
+
+def _duck_debezium_sql() -> str:
+    key_json = "'{\"o_orderkey\":' || o_orderkey || '}'"
+    key_json_moved = "'{\"o_orderkey\":' || (o_orderkey + 10000000) || '}'"
+    row = _duck_orders_row_json("o_orderkey", "o_totalprice")
+    row2 = _duck_orders_row_json("o_orderkey", "o_totalprice * 2")
+    row_moved = _duck_orders_row_json("(o_orderkey + 10000000)", "o_totalprice")
+    null_json = "'null'"
+    ins_env = _duck_envelope(null_json, row, "c", "o_orderkey*10+1", "o_orderkey")
+    upd_env = _duck_envelope(row, row2, "u", "o_orderkey*10+2", "o_orderkey")
+    mov_env = _duck_envelope(row, row_moved, "u", "o_orderkey*10+4", "o_orderkey")
+    del_env = _duck_envelope(row, null_json, "d", "o_orderkey*10+3", "o_orderkey")
+    parts = []
+    # inserts (twice for keys %10=0: the sink does NOT dedupe re-delivery)
+    for flt in ["o_orderkey % 5 = 0", "o_orderkey % 10 = 0"]:
+        parts.append(
+            f"SELECT 'dtle.db1.orders' AS topic, {key_json} AS key, "
+            f"{ins_env} AS value FROM orders WHERE {flt}"
+        )
+    parts.append(
+        f"SELECT 'dtle.db1.orders', {key_json}, {upd_env} "
+        f"FROM orders WHERE o_orderkey % 7 = 0"
+    )
+    parts.append(
+        f"SELECT 'dtle.db1.orders', {key_json_moved}, {mov_env} "
+        f"FROM orders WHERE o_orderkey % 17 = 0"
+    )
+    parts.append(
+        f"SELECT 'dtle.db1.orders', {key_json}, {del_env} "
+        f"FROM orders WHERE o_orderkey % 11 = 0"
+    )
+    return " UNION ALL ".join(parts)
+
+
+@query("debezium_envelope", _duck_debezium_sql())
+def debezium_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2/K3: Debezium-style (topic, key, value) frames for the demo
+    change stream — epoch-days dates, scaled-int money, explicit nulls
+    (sinks/debezium.py; reference kafka2.go:135-331, kafka3.go:867-1063)."""
+    changes = cdc_demo.orders_changes(spark, sf_dir)
+    fields = [
+        ("o_orderkey", lambda w: F.col(f"{w}.o_orderkey")),
+        ("price_cents", lambda w: F.round(F.col(f"{w}.o_totalprice") * 100).cast("long")),
+        ("orderdate_days", lambda w: dz.encode_date_epoch_days(F.col(f"{w}.o_orderdate"))),
+        ("status", lambda w: F.col(f"{w}.o_orderstatus")),
+    ]
+    return dz.envelope(changes, ["o_orderkey"], fields, topic_prefix="dtle")
+
+
+@query(
+    "multimodal_features",
+    """
+    SELECT doc_id,
+      octet_length(encode(text)) AS n_bytes,
+      md5(text) AS checksum,
+      CAST((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS INTEGER) AS width,
+      CAST((strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1) AS INTEGER) AS height
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction through the real mapInPandas
+    plumbing (Arrow batches, declared schema); the decode itself is the
+    documented deterministic stub (functions/multimodal.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return mm.extract_features(mm.attach_fake_payload(d))

@@ -1,0 +1,139 @@
+"""Kafka sink: Debezium-style change envelopes (reference K2/K3).
+
+The reference emits one JSON envelope per row change —
+{schema, payload: {before, after, source, op: c/u/d, ts_ms}} — keyed by
+the PK row, to topic ``<prefix>.<schema>.<table>``
+(/root/reference/driver/kafka/kafka3.go:684-865 snapshot, :867-1063 DML;
+envelope builders kafka/kafka2.go:135-331; TopicWithSchemaTable default
+driver/driver.go:181-183).
+
+Spark restatement: column expressions build (key, value, topic) string
+columns; ``writeStream.format("kafka")`` ships them (kafka jars absent
+locally — the frame contract is tested, the transport is config).
+
+Type encodings (K3, kafka2.go:339-601):
+- DATE        -> epoch days            (``encode_date_epoch_days``)
+- DATETIME    -> epoch millis          (``encode_datetime_millis``)
+- TIME        -> signed micros int64   (``encode_time_micros``)
+- DECIMAL     -> base64 big-endian unscaled bytes (``encode_decimal_bytes``)
+- BINARY      -> base64
+- op mapping  -> i/u/d -> c/u/d; snapshot rows are op=c + snapshot:true
+"""
+
+from __future__ import annotations
+
+import base64
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dtle_spark.model import OP_DELETE, OP_INSERT, OP_UPDATE
+
+SOURCE_NAME = "dtle_spark"
+
+
+def op_code(op_col: Column) -> Column:
+    """DML op -> Debezium op code (kafka2.go insert/update/delete consts)."""
+    return (
+        F.when(op_col == OP_INSERT, F.lit("c"))
+        .when(op_col == OP_UPDATE, F.lit("u"))
+        .when(op_col == OP_DELETE, F.lit("d"))
+    )
+
+
+def encode_date_epoch_days(col: Column) -> Column:
+    """DATE -> int32 epoch days (kafka2.go:456-492 Date schema)."""
+    return F.datediff(col.cast("date"), F.lit("1970-01-01").cast("date"))
+
+
+def encode_datetime_millis(col: Column) -> Column:
+    """DATETIME -> int64 epoch millis (kafka2.go Timestamp schema)."""
+    return (F.unix_micros(col) / 1000).cast("long")
+
+
+def encode_time_micros(hours: Column, minutes: Column, seconds: Column, micros: Column, negative: Column) -> Column:
+    """MySQL TIME (signed interval!) -> signed int64 microseconds
+    (kafka2.go:397-454 — the reference emits negative values for
+    negative intervals; Spark has no TIME type so components come in
+    as columns)."""
+    total = ((hours * 3600 + minutes * 60 + seconds) * 1_000_000 + micros).cast("long")
+    return F.when(negative, -total).otherwise(total)
+
+
+@F.pandas_udf(T.StringType())
+def encode_decimal_bytes(unscaled: pd.Series) -> pd.Series:
+    """DECIMAL -> base64(big-endian two's-complement unscaled bytes)
+    (kafka2.go:339-381). Input is the unscaled integer (value * 10^scale).
+    Arrow-batched: the wire encoding is the one spot where Python is
+    justified — it is not in any scan/join hot path."""
+
+    def enc(v) -> str | None:
+        if v is None or pd.isna(v):
+            return None
+        v = int(v)
+        length = max(1, (v.bit_length() + 8) // 8)  # room for sign bit
+        return base64.b64encode(v.to_bytes(length, "big", signed=True)).decode()
+
+    return unscaled.map(enc)
+
+
+def encode_binary_base64(col: Column) -> Column:
+    return F.base64(col)
+
+
+def envelope(
+    changes: DataFrame,
+    pk_cols: list[str],
+    image_fields: list[tuple[str, Column]],
+    topic_prefix: str = "dtle",
+    snapshot: bool = False,
+) -> DataFrame:
+    """Build (topic, key, value) Kafka frames from a change stream.
+
+    ``image_fields`` is the encoded projection applied to both images:
+    [(field_name, builder(prefix) -> Column)] where the builder receives
+    "before"/"after". Key = PK fields of the surviving image. Envelope
+    nulls are kept (ignoreNullFields=false) to match Debezium's explicit
+    before:null / after:null."""
+    img = lambda which: F.when(  # noqa: E731
+        F.col(which).isNotNull(),
+        F.struct(*[b(which).alias(n) for n, b in image_fields]),
+    ).otherwise(F.lit(None))
+
+    key_src = F.coalesce(F.col("after"), F.col("before"))
+    key = F.to_json(F.struct(*[key_src.getField(k).alias(k) for k in pk_cols]))
+    source = F.struct(
+        F.lit(SOURCE_NAME).alias("name"),
+        F.col("schema_name").alias("db"),
+        F.col("table_name").alias("table"),
+        F.lit(snapshot).alias("snapshot"),
+        F.col("sid").alias("server_id"),
+        F.col("gno").alias("gno"),
+    )
+    value = F.to_json(
+        F.struct(
+            img("before").alias("before"),
+            img("after").alias("after"),
+            source.alias("source"),
+            (F.lit("c") if snapshot else op_code(F.col("op"))).alias("op"),
+            F.col("seq").alias("ts_ms"),
+        ),
+        {"ignoreNullFields": "false"},
+    )
+    topic = F.concat_ws(".", F.lit(topic_prefix), F.col("schema_name"), F.col("table_name"))
+    return changes.filter(F.col("op") != "ddl").select(
+        topic.alias("topic"), key.alias("key"), value.alias("value")
+    )
+
+
+def write_kafka_stream(frames: DataFrame, bootstrap: str, checkpoint: str):
+    """Ship envelope frames to Kafka (requires spark-sql-kafka jars on
+    the cluster; locally unavailable — kept behind this seam)."""
+    return (
+        frames.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -38,7 +38,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from dtle_spark.model import JobConfig, TableConfig, change_schema
+from dtle_spark.catalog import DdlAction, SchemaCatalog, parse_ddl
+from dtle_spark.model import JobConfig, TableConfig
 from dtle_spark.operators.apply import apply_changes, apply_changes_no_pk
 from dtle_spark.operators.filters import (
     apply_where_to_changes,
@@ -46,6 +47,7 @@ from dtle_spark.operators.filters import (
     table_filter,
 )
 from dtle_spark.operators.projection import map_changes
+from dtle_spark.streaming.wire import WIRE_SCHEMA, from_wire
 
 
 class ParquetTableTarget:
@@ -89,27 +91,97 @@ def transform_changes(changes: DataFrame, cfg: TableConfig, local_sid: str | Non
     return map_changes(out, cfg)
 
 
+def _merge_segment(
+    spark: SparkSession,
+    typed: DataFrame,
+    cfg: TableConfig,
+    job: JobConfig,
+    target: ParquetTableTarget,
+    row_type,
+) -> None:
+    tchanges = transform_changes(typed, cfg, job.local_sid)
+    current = target.read(spark, cfg.target_schema, cfg.target_table)
+    if current is None:
+        current = spark.createDataFrame([], row_type)
+    if cfg.unique_key:
+        merged = apply_changes(current, tchanges, cfg.unique_key)
+    else:
+        merged = apply_changes_no_pk(current, tchanges)
+    target.overwrite(merged, cfg.target_schema, cfg.target_table)
+
+
+def apply_ddl_to_target(
+    spark: SparkSession, target: ParquetTableTarget, cfg: TableConfig, action: DdlAction
+) -> None:
+    """D2 on the physical table: evolve the parquet target (on a lake
+    deployment these are native ALTER TABLE/schema-evolution commits)."""
+    cur = target.read(spark, cfg.target_schema, cfg.target_table)
+    if action.kind == "add_column":
+        if cur is not None:
+            target.overwrite(
+                cur.withColumn(action.column, F.lit(None).cast(action.dtype)),
+                cfg.target_schema,
+                cfg.target_table,
+            )
+    elif action.kind == "drop_column":
+        if cur is not None:
+            target.overwrite(cur.drop(action.column), cfg.target_schema, cfg.target_table)
+    elif action.kind == "rename_column":
+        if cur is not None:
+            target.overwrite(
+                cur.withColumnRenamed(action.column, action.new_name),
+                cfg.target_schema,
+                cfg.target_table,
+            )
+    elif action.kind == "truncate":
+        if cur is not None:
+            target.overwrite(cur.limit(0), cfg.target_schema, cfg.target_table)
+    elif action.kind in ("create_schema", "create_table", "drop_table", "drop_schema", "rename_table"):
+        pass  # catalog-level; physical dir managed lazily by merge/reads
+    else:
+        raise ValueError(f"unhandled DDL action {action.kind}")
+
+
 def apply_batch(
     spark: SparkSession,
     batch: DataFrame,
     job: JobConfig,
     target: ParquetTableTarget,
+    catalog: SchemaCatalog,
 ) -> None:
-    """foreachBatch body: route the batch to each configured table and
-    merge. Cache the batch once — every table's transform scans it."""
+    """foreachBatch body: route the wire-form batch to each configured
+    table; DML merges in seq order segmented around DDL barriers.
+
+    The reference serializes DDL with a WaitForAllCommitted barrier
+    (applier_incr.go:375-386); segmenting the micro-batch by the DDL's
+    seq reproduces that ordering. Images are parsed from JSON with the
+    catalog schema current *for that segment* (streaming/wire.py).
+    Cache the batch once — every table's transform scans it."""
     batch.persist()
     try:
         for cfg in job.tables:
-            tchanges = transform_changes(batch, cfg, job.local_sid)
-            row_type = tchanges.schema["after"].dataType
-            current = target.read(spark, cfg.target_schema, cfg.target_table)
-            if current is None:
-                current = spark.createDataFrame([], row_type)
-            if cfg.unique_key:
-                merged = apply_changes(current, tchanges, cfg.unique_key)
-            else:
-                merged = apply_changes_no_pk(current, tchanges)
-            target.overwrite(merged, cfg.target_schema, cfg.target_table)
+            rows = table_filter(batch, cfg.schema_name, cfg.table_name)
+            ddls = sorted(
+                rows.filter(F.col("op") == "ddl").select("seq", "query").collect(),
+                key=lambda r: r["seq"],
+            )
+            dml = rows.filter(F.col("op") != "ddl")
+            lo = None
+            for ddl_row in ddls + [None]:
+                hi = ddl_row["seq"] if ddl_row is not None else None
+                seg = dml
+                if lo is not None:
+                    seg = seg.filter(F.col("seq") > lo)
+                if hi is not None:
+                    seg = seg.filter(F.col("seq") < hi)
+                meta = catalog.get(cfg.schema_name, cfg.table_name)
+                typed = from_wire(seg, meta.schema)
+                _merge_segment(spark, typed, cfg, job, target, meta.schema)
+                if ddl_row is not None:
+                    action = parse_ddl(ddl_row["query"], default_schema=cfg.schema_name)
+                    catalog.apply(action)
+                    apply_ddl_to_target(spark, target, cfg, action)
+                    lo = hi
     finally:
         batch.unpersist()
 
@@ -128,7 +200,7 @@ class ReplicationJob:
         source_dir: str,
         target_root: str,
         checkpoint_dir: str,
-        row_type: T.StructType,
+        catalog: SchemaCatalog,
         max_files_per_trigger: int = 10,
     ):
         self.spark = spark
@@ -136,13 +208,13 @@ class ReplicationJob:
         self.source_dir = source_dir
         self.target = ParquetTableTarget(target_root)
         self.checkpoint_dir = checkpoint_dir
-        self.row_type = row_type
+        self.catalog = catalog
         self.max_files_per_trigger = max_files_per_trigger
         self.query = None
 
     def start(self) -> "ReplicationJob":
         stream = (
-            self.spark.readStream.schema(change_schema(self.row_type))
+            self.spark.readStream.schema(WIRE_SCHEMA)
             .option("maxFilesPerTrigger", self.max_files_per_trigger)
             .parquet(self.source_dir)
         )
@@ -150,7 +222,9 @@ class ReplicationJob:
             stream.writeStream.outputMode("update")
             .option("checkpointLocation", self.checkpoint_dir)
             .foreachBatch(
-                lambda df, epoch: apply_batch(self.spark, df, self.job, self.target)
+                lambda df, epoch: apply_batch(
+                    self.spark, df, self.job, self.target, self.catalog
+                )
             )
             .trigger(processingTime=f"{self.job.trigger_seconds} seconds")
             .start()

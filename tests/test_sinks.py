@@ -1,0 +1,75 @@
+"""Golden tests for Debezium type encodings (the reference's
+kafka2_test.go / kafka3_test.go analogues, values derived from the
+documented encodings — not copied) and multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dtle_spark.functions import multimodal as mm
+from dtle_spark.sinks import debezium as dz
+
+
+def test_decimal_base64_bytes(spark):
+    """DECIMAL -> base64(big-endian two's-complement unscaled bytes)
+    (kafka2.go:339-381 semantics). 123.45 scale 2 -> 12345 -> 0x3039."""
+    df = spark.createDataFrame(
+        [Row(u=12345), Row(u=-1), Row(u=0), Row(u=None), Row(u=255)]
+    )
+    out = [r["b"] for r in df.select(dz.encode_decimal_bytes("u").alias("b")).collect()]
+    # 12345 = 0x3039 -> bytes 30 39 -> "MDk="; -1 -> 0xff -> "/w==";
+    # 0 -> 0x00 -> "AA=="; 255 needs a sign byte -> 0x00ff -> "AP8="
+    assert out == ["MDk=", "/w==", "AA==", None, "AP8="]
+
+
+def test_time_micros_signed(spark):
+    """MySQL TIME is a signed interval; -01:02:03.000004 must encode as
+    negative total micros (kafka2.go:397-454)."""
+    df = spark.createDataFrame([Row(h=1, m=2, s=3, us=4, neg=True), Row(h=1, m=2, s=3, us=4, neg=False)])
+    out = [
+        r["t"]
+        for r in df.select(
+            dz.encode_time_micros(F.col("h"), F.col("m"), F.col("s"), F.col("us"), F.col("neg")).alias("t")
+        ).collect()
+    ]
+    expect = (1 * 3600 + 2 * 60 + 3) * 1_000_000 + 4
+    assert out == [-expect, expect]
+
+
+def test_date_and_datetime_encodings(spark):
+    df = spark.createDataFrame([Row(d="1970-01-02", ts="1970-01-01 00:00:01.5")])
+    out = df.select(
+        dz.encode_date_epoch_days(F.col("d").cast("date")).alias("days"),
+        dz.encode_datetime_millis(F.col("ts").cast("timestamp")).alias("ms"),
+    ).collect()[0]
+    assert out["days"] == 1 and out["ms"] == 1500
+
+
+def test_envelope_snapshot_flag(spark):
+    """Snapshot rows emit op=c with snapshot:true (kafka3.go:684-865)."""
+    from dtle_spark.plans import cdc_demo
+
+    changes = cdc_demo.orders_changes(spark, "/root/testdata/sf0.001").limit(5)
+    fields = [("o_orderkey", lambda w: F.col(f"{w}.o_orderkey"))]
+    out = dz.envelope(changes, ["o_orderkey"], fields, snapshot=True).collect()
+    assert all('"snapshot":true' in r["value"] and '"op":"c"' in r["value"] for r in out)
+
+
+def test_multimodal_image_mime_is_stubbed(spark):
+    """Real media decode must fail loudly, not fake silently."""
+    media = spark.createDataFrame([Row(doc_id=1, payload=b"\x89PNG", mime="image/png")])
+    with pytest.raises(Exception) as e:
+        mm.extract_features(media).collect()
+    assert "NotImplementedError" in str(e.value) or isinstance(
+        e.value, NotImplementedError
+    )
+
+
+def test_multimodal_batch_shape(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    out = mm.extract_features(mm.attach_fake_payload(docs))
+    assert out.columns == ["doc_id", "n_bytes", "checksum", "width", "height"]
+    rows = out.collect()
+    assert len(rows) == 20 and all(0 <= r["width"] < 256 for r in rows)

@@ -9,10 +9,18 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
+from dtle_spark.catalog import SchemaCatalog
 from dtle_spark.model import JobConfig, TableConfig
 from dtle_spark.plans import cdc_demo
 from dtle_spark.streaming.pipeline import ParquetTableTarget, ReplicationJob
+from dtle_spark.streaming.wire import to_wire
 from tests.conftest import SF_DIR, assert_matches_oracle
+
+
+def _orders_catalog(changes) -> SchemaCatalog:
+    cat = SchemaCatalog()
+    cat.register("db1", "orders", changes.schema["after"].dataType, ["o_orderkey"])
+    return cat
 
 
 @pytest.fixture()
@@ -27,14 +35,13 @@ def job_dirs(tmp_path):
 def test_stream_apply_matches_oracle(spark, duck, job_dirs):
     base = cdc_demo.orders_base(spark, SF_DIR)
     changes = cdc_demo.orders_changes(spark, SF_DIR)
-    row_type = changes.schema["after"].dataType
 
     # split the stream into 3 files by seq range -> 3 micro-batches,
     # arriving in seq order (per-key order across batches holds)
     os.makedirs(job_dirs["source"])
     bounds = [(0, 5000), (5000, 10000), (10000, 10**18)]
     for i, (lo, hi) in enumerate(bounds):
-        part = changes.filter((F.col("seq") >= lo) & (F.col("seq") < hi))
+        part = to_wire(changes.filter((F.col("seq") >= lo) & (F.col("seq") < hi)))
         part.coalesce(1).write.parquet(os.path.join(job_dirs["source"], f"batch{i}"))
 
     cfg = TableConfig("db1", "orders", unique_key=["o_orderkey"])
@@ -44,7 +51,7 @@ def test_stream_apply_matches_oracle(spark, duck, job_dirs):
 
     rj = ReplicationJob(
         spark, job, os.path.join(job_dirs["source"], "*"), job_dirs["target"],
-        job_dirs["checkpoint"], row_type, max_files_per_trigger=1,
+        job_dirs["checkpoint"], _orders_catalog(changes), max_files_per_trigger=1,
     ).start()
     rj.process_available()
     rj.pause()
@@ -56,11 +63,10 @@ def test_stream_apply_matches_oracle(spark, duck, job_dirs):
 def test_pause_resume_continues_from_checkpoint(spark, duck, job_dirs):
     base = cdc_demo.orders_base(spark, SF_DIR)
     changes = cdc_demo.orders_changes(spark, SF_DIR)
-    row_type = changes.schema["after"].dataType
 
     os.makedirs(job_dirs["source"])
-    first = changes.filter(F.col("seq") < 7000)
-    second = changes.filter(F.col("seq") >= 7000)
+    first = to_wire(changes.filter(F.col("seq") < 7000))
+    second = to_wire(changes.filter(F.col("seq") >= 7000))
     first.coalesce(1).write.parquet(os.path.join(job_dirs["source"], "b0"))
 
     cfg = TableConfig("db1", "orders", unique_key=["o_orderkey"])
@@ -70,7 +76,7 @@ def test_pause_resume_continues_from_checkpoint(spark, duck, job_dirs):
 
     rj = ReplicationJob(
         spark, job, os.path.join(job_dirs["source"], "*"), job_dirs["target"],
-        job_dirs["checkpoint"], row_type,
+        job_dirs["checkpoint"], _orders_catalog(changes),
     ).start()
     rj.process_available()
     rj.pause()
