@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from dtle_spark.util import spread
+
 TOKEN_PATTERN = "[a-z0-9]+"
 
 # MinHash parameters: 24 lanes in 12 bands of 2 rows -> P(catch) at
@@ -28,7 +30,44 @@ TOKEN_PATTERN = "[a-z0-9]+"
 NUM_HASHES = 24
 BANDS = 12
 ROWS_PER_BAND = 2
-SHINGLE_N = 2
+# 3-gram shingles: same recall on true near-dups as 2-grams on these
+# fixtures, but the background jaccard of unrelated docs drops ~26x
+# (0.027 -> 0.001), which collapses LSH false-positive candidates from
+# ~1% of all pairs to ~zero — the candidate set stays O(true pairs)
+SHINGLE_N = 3
+
+# Two-base-hash lane construction (one md5 per shingle instead of one
+# per lane — 24x fewer digests): base hashes x, y are the md5's first
+# two 40-bit hex windows; lane i = (A[i]*x + B[i]*y) mod 2^40. The mod
+# wrap is what de-monotonizes the lanes (without it every lane would
+# share one argmin). Constants from a fixed LCG — odd, < 2^13, so the
+# products stay within int64 in both engines.
+_LANE_MOD = 1 << 40
+
+
+def _lane_constants(n: int = NUM_HASHES) -> list[tuple[int, int]]:
+    state, out = 42, []
+    for _ in range(n):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = ((state >> 33) % (1 << 12)) * 2 + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = ((state >> 33) % (1 << 12)) * 2 + 1
+        out.append((a, b))
+    return out
+
+
+LANE_CONSTANTS = _lane_constants()
+
+
+def hex_window_sql(operand: str, start: int, dialect: str, width: int = 10) -> str:
+    """Portable hex->int parse of a digest window, one native call per
+    engine (Spark ``conv(..., 16, 10)``, DuckDB ``'0x...'::BIGINT``) —
+    verified to agree bit-for-bit."""
+    if dialect == "spark":
+        return f"CAST(conv(substr({operand}, {start}, {width}), 16, 10) AS BIGINT)"
+    if dialect == "duckdb":
+        return f"CAST('0x' || substr({operand}, {start}, {width}) AS BIGINT)"
+    raise ValueError(dialect)
 
 
 def _toks(text_col: str) -> str:
@@ -44,15 +83,27 @@ def shingles_expr(text_col: str, n: int = SHINGLE_N) -> Column:
     )
 
 
-def minhash_signature(shingle_col: str = "sh", num_hashes: int = NUM_HASHES) -> Column:
-    """MinHash signature: lane i keeps min(md5('i:' || shingle)).
+def base_hash_columns(df: DataFrame, shingle_col: str = "sh") -> DataFrame:
+    """One md5 per shingle -> two 40-bit base-hash int arrays (hx, hy).
+    The digest array is materialized first so each md5 runs once."""
+    return (
+        df.withColumn("__mh", F.expr(f"transform({shingle_col}, s -> md5(s))"))
+        .withColumn("hx", F.expr(f"transform(__mh, m -> {hex_window_sql('m', 1, 'spark')})"))
+        .withColumn("hy", F.expr(f"transform(__mh, m -> {hex_window_sql('m', 11, 'spark')})"))
+        .drop("__mh")
+    )
 
-    Min over fixed-length hex strings == min over the 128-bit values,
-    so the signature is a plain array<string> and stays portable.
-    """
+
+def minhash_signature(hx_col: str = "hx", hy_col: str = "hy") -> Column:
+    """MinHash signature from the base-hash arrays: lane i keeps
+    min((A[i]*x + B[i]*y) mod 2^40), serialized as decimal strings so
+    band digests concat portably."""
     lanes = [
-        F.expr(f"array_min(transform({shingle_col}, s -> md5(concat('{i}:', s))))")
-        for i in range(num_hashes)
+        F.expr(
+            f"CAST(array_min(zip_with({hx_col}, {hy_col},"
+            f" (x, y) -> ({a} * x + {b} * y) % {_LANE_MOD})) AS STRING)"
+        )
+        for a, b in LANE_CONSTANTS
     ]
     return F.array(*lanes)
 
@@ -72,75 +123,98 @@ def lsh_bands(sig_col: str = "sig", bands: int = BANDS, rows: int = ROWS_PER_BAN
     )
 
 
+def doc_hash_sets(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, hx, hy): per-doc 40-bit hashed shingle arrays. Downstream
+    set operations (jaccard verify) run on the int arrays, never on the
+    shingle strings — integer compares and a ~10x lighter shuffle
+    footprint; the 115^2/2^40 within-pair collision odds are noise and
+    identical in both engines."""
+    return base_hash_columns(
+        spread(docs).select(id_col, shingles_expr(text_col).alias("sh"))
+    ).drop("sh")
+
+
 def minhash_buckets(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, band_idx, band_digest, sh) — the LSH bucket assignment."""
+    """(id, band_idx, band_digest) — the LSH bucket assignment. Carries
+    only the 16-byte digest + id through the explode/shuffle."""
     return (
-        docs.select(id_col, shingles_expr(text_col).alias("sh"))
-        .withColumn("sig", minhash_signature("sh"))
-        .select(id_col, "sh", F.explode(lsh_bands("sig")).alias("band"))
-        .select(id_col, "sh", "band.band_idx", "band.band_digest")
+        doc_hash_sets(docs, id_col, text_col)
+        .withColumn("sig", minhash_signature())
+        .select(id_col, F.explode(lsh_bands("sig")).alias("band"))
+        .select(id_col, "band.band_idx", "band.band_digest")
     )
 
 
-def jaccard_expr(a: str, b: str) -> Column:
-    inter = f"size(array_intersect({a}, {b}))"
-    return F.expr(
-        f"CAST({inter} AS DOUBLE) / (size({a}) + size({b}) - {inter})"
-    )
+def with_jaccard(pairs: DataFrame, a: str = "hs_1", b: str = "hs_2") -> DataFrame:
+    """Jaccard over hashed shingle sets; the intersection size is
+    materialized once (it appears in numerator and denominator)."""
+    return pairs.withColumn(
+        "__inter", F.expr(f"size(array_intersect({a}, {b}))")
+    ).withColumn(
+        "jaccard",
+        F.expr(f"CAST(__inter AS DOUBLE) / (size({a}) + size({b}) - __inter)"),
+    ).drop("__inter")
 
 
 def minhash_dedup_pairs(
     docs: DataFrame, id_col: str, text_col: str, threshold: float = 0.5
 ) -> DataFrame:
-    """Near-duplicate pairs: LSH candidates verified by exact Jaccard.
+    """Near-duplicate pairs: LSH candidates verified by exact Jaccard
+    over the hashed shingle sets.
 
     Returns (id_1, id_2, jaccard) with id_1 < id_2, jaccard >= threshold.
     At production scale add a bucket-size cap before the self-join
     (hot boilerplate buckets produce O(k^2) candidates).
     """
     b = minhash_buckets(docs, id_col, text_col)
-    left = b.select(
-        F.col(id_col).alias("id_1"), F.col("sh").alias("sh_1"), "band_idx", "band_digest"
-    )
-    right = b.select(
-        F.col(id_col).alias("id_2"), F.col("sh").alias("sh_2"), "band_idx", "band_digest"
-    )
     cand = (
-        left.join(right, ["band_idx", "band_digest"])
+        b.select(F.col(id_col).alias("id_1"), "band_idx", "band_digest")
+        .join(
+            b.select(F.col(id_col).alias("id_2"), "band_idx", "band_digest"),
+            ["band_idx", "band_digest"],
+        )
         .filter(F.col("id_1") < F.col("id_2"))
-        .select("id_1", "id_2", "sh_1", "sh_2")
+        .select("id_1", "id_2")
         .dropDuplicates(["id_1", "id_2"])
     )
+    sets = doc_hash_sets(docs, id_col, text_col).select(id_col, F.col("hx").alias("hs"))
+    verified = (
+        cand.join(sets.select(F.col(id_col).alias("id_1"), F.col("hs").alias("hs_1")), "id_1")
+        .join(sets.select(F.col(id_col).alias("id_2"), F.col("hs").alias("hs_2")), "id_2")
+    )
     return (
-        cand.withColumn("jaccard", jaccard_expr("sh_1", "sh_2"))
+        with_jaccard(verified)
         .filter(F.col("jaccard") >= threshold)
         .select("id_1", "id_2", "jaccard")
     )
 
 
-def simhash16_expr(text_col: str) -> Column:
-    """16-bit SimHash over token frequency, pure integer expressions.
-
-    Token hash = first 4 hex chars of md5 parsed positionally (instr
-    into the hex alphabet — portable; no engine-specific hex-to-int).
-    Bit b of the signature is set when more tokens have bit b set than
-    clear (sum of +-1 > 0 <=> 2*count_set > n_tokens).
-    """
-    t = _toks(text_col)
-    hexpos = "instr('0123456789abcdef', substr(md5(x), {p}, 1)) - 1"
-    h = (
-        f"(({hexpos.format(p=1)}) * 4096 + ({hexpos.format(p=2)}) * 256"
-        f" + ({hexpos.format(p=3)}) * 16 + ({hexpos.format(p=4)}))"
-    )
+def simhash_bits_expr(hash_col: str = "th") -> Column:
+    """SimHash bits from a pre-computed token-hash int array: bit b is
+    set when more tokens have bit b set than clear (sum of +-1 > 0
+    <=> 2*count_set > n_tokens)."""
     bits = []
     for b in range(16):
-        cnt = f"size(filter({t}, x -> ({h} DIV {1 << b}) % 2 = 1))"
-        bits.append(f"(CASE WHEN 2 * {cnt} > size({t}) THEN {1 << b} ELSE 0 END)")
+        cnt = f"size(filter({hash_col}, h -> (h DIV {1 << b}) % 2 = 1))"
+        bits.append(f"(CASE WHEN 2 * {cnt} > size({hash_col}) THEN {1 << b} ELSE 0 END)")
     return F.expr(" + ".join(bits)).cast("long")
 
 
 def simhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    return docs.select(id_col, simhash16_expr(text_col).alias("simhash"))
+    """16-bit SimHash over token frequency, pure integer expressions.
+
+    Two-phase: token hashes (first 4 md5 hex chars, positional parse —
+    portable, one digest per token) materialize once, then 16 cheap
+    integer bit-count passes read the array.
+    """
+    h = hex_window_sql("m", 1, "spark", width=4)
+    base = spread(docs).select(
+        id_col,
+        F.expr(
+            f"transform(transform({_toks(text_col)}, x -> md5(x)), m -> {h})"
+        ).alias("th"),
+    )
+    return base.select(id_col, simhash_bits_expr("th").alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -188,15 +262,31 @@ def ngram_jaccard_pairs(
     (e.g. source/partition key). The exact counterpart to MinHash —
     quadratic per block, so blocks must be bounded; LSH is the
     unblocked scale path."""
-    t = docs.select(
-        F.col(id_col), F.col(block_col).alias("block"), shingles_expr(text_col, n).alias("sh")
+    t = spread(docs).select(
+        F.col(id_col),
+        F.col(block_col).alias("block"),
+        shingles_expr(text_col, n).alias("sh"),
     )
-    a = t.select(F.col(id_col).alias("id_1"), "block", F.col("sh").alias("sh_1"))
-    b = t.select(F.col(id_col).alias("id_2"), "block", F.col("sh").alias("sh_2"))
+    t = base_hash_columns(t).select(id_col, "block", F.col("hx").alias("hs"))
+    # few distinct blocks = few join partitions -> salt the left side by
+    # id and replicate the right across salts: same pair set, SALTS x
+    # the parallelism (the classic skew/low-cardinality join fix)
+    salts = 16
+    a = t.select(
+        F.col(id_col).alias("id_1"),
+        "block",
+        F.col("hs").alias("hs_1"),
+        (F.col(id_col) % salts).alias("salt"),
+    )
+    b = t.select(
+        F.col(id_col).alias("id_2"),
+        "block",
+        F.col("hs").alias("hs_2"),
+        F.explode(F.expr(f"sequence(0, {salts - 1})")).alias("salt"),
+    )
+    pairs = a.join(b, ["block", "salt"]).filter(F.col("id_1") < F.col("id_2"))
     return (
-        a.join(b, "block")
-        .filter(F.col("id_1") < F.col("id_2"))
-        .withColumn("jaccard", jaccard_expr("sh_1", "sh_2"))
+        with_jaccard(pairs)
         .filter(F.col("jaccard") >= threshold)
         .select("block", "id_1", "id_2", "jaccard")
     )

@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dtle_spark.util import spread
+
 MEDIA_COLUMNS = "payload binary, mime string"
 FEATURE_SCHEMA = (
     "doc_id long, n_bytes long, checksum string, width int, height int"
@@ -73,4 +75,6 @@ def extract_features(media: DataFrame) -> DataFrame:
             out.insert(0, "doc_id", pdf["doc_id"].values)
             yield out
 
+    # NOTE: real codec decode is CPU-bound -> spread(media) first; the
+    # deterministic stub is cheap enough that worker startup would dominate
     return media.mapInPandas(op, schema=FEATURE_SCHEMA)

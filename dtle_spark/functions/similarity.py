@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+
 def dot_expr(a: str, b: str) -> str:
     """Sequential-fold dot product of two float-array columns (SQL text)."""
     prods = (

@@ -492,19 +492,27 @@ def _duck_shingles(text_col: str = "text", n: int = dd.SHINGLE_N) -> str:
 
 def _duck_minhash_sql() -> str:
     lanes = ", ".join(
-        f"list_min(list_transform(sh, s -> md5(concat('{i}:', s))))"
-        for i in range(dd.NUM_HASHES)
+        f"CAST(list_min(list_transform(generate_series(1, len(hx)),"
+        f" k -> ({a} * hx[k] + {b} * hy[k]) % {dd._LANE_MOD})) AS VARCHAR)"
+        for a, b in dd.LANE_CONSTANTS
     )
     bands = " UNION ALL ".join(
-        f"(SELECT doc_id, sh, {b} AS band_idx,"
+        f"(SELECT doc_id, {b} AS band_idx,"
         f" md5(array_to_string(list_slice(sig, {b * dd.ROWS_PER_BAND + 1},"
         f" {b * dd.ROWS_PER_BAND + dd.ROWS_PER_BAND}), '|')) AS band_digest FROM sigs)"
         for b in range(dd.BANDS)
     )
-    inter = "len(list_intersect(a.sh, b.sh))"
+    inter = "len(list_intersect(a.hx, b.hx))"
+    px = dd.hex_window_sql("m", 1, "duckdb")
+    py = dd.hex_window_sql("m", 11, "duckdb")
     return f"""
     WITH docs AS (SELECT doc_id, {_duck_shingles()} AS sh FROM documents),
-    sigs AS (SELECT doc_id, sh, [{lanes}] AS sig FROM docs),
+    digests AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS mh FROM docs),
+    hashed AS (SELECT doc_id,
+        list_transform(mh, m -> {px}) AS hx,
+        list_transform(mh, m -> {py}) AS hy
+      FROM digests),
+    sigs AS (SELECT doc_id, [{lanes}] AS sig FROM hashed),
     buckets AS ({bands}),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
@@ -513,24 +521,26 @@ def _duck_minhash_sql() -> str:
        AND a.doc_id < b.doc_id
     )
     SELECT id_1, id_2,
-           CAST({inter} AS DOUBLE) / (len(a.sh) + len(b.sh) - {inter}) AS jaccard
-    FROM cand JOIN docs a ON cand.id_1 = a.doc_id JOIN docs b ON cand.id_2 = b.doc_id
-    WHERE CAST({inter} AS DOUBLE) / (len(a.sh) + len(b.sh) - {inter}) >= 0.5
+           CAST({inter} AS DOUBLE) / (len(a.hx) + len(b.hx) - {inter}) AS jaccard
+    FROM cand JOIN hashed a ON cand.id_1 = a.doc_id JOIN hashed b ON cand.id_2 = b.doc_id
+    WHERE CAST({inter} AS DOUBLE) / (len(a.hx) + len(b.hx) - {inter}) >= 0.5
     """
 
 
-def _duck_simhash_expr(text_col: str = "text") -> str:
+def _duck_simhash_sql(text_col: str = "text") -> str:
+    """Two-stage SimHash: token-hash array CTE, then 16 bit-count passes."""
     t = _duck_toks(text_col)
-    hexpos = "strpos('0123456789abcdef', substr(md5(x), {p}, 1)) - 1"
-    h = (
-        f"(({hexpos.format(p=1)}) * 4096 + ({hexpos.format(p=2)}) * 256"
-        f" + ({hexpos.format(p=3)}) * 16 + ({hexpos.format(p=4)}))"
-    )
+    h4 = dd.hex_window_sql("m", 1, "duckdb", width=4)
+    th = f"list_transform(list_transform({t}, x -> md5(x)), m -> {h4})"
     bits = []
     for b in range(16):
-        cnt = f"len(list_filter({t}, x -> ({h} // {1 << b}) % 2 = 1))"
-        bits.append(f"(CASE WHEN 2 * {cnt} > len({t}) THEN {1 << b} ELSE 0 END)")
-    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+        cnt = f"len(list_filter(th, h -> (h // {1 << b}) % 2 = 1))"
+        bits.append(f"(CASE WHEN 2 * {cnt} > len(th) THEN {1 << b} ELSE 0 END)")
+    sig = "CAST(" + " + ".join(bits) + " AS BIGINT)"
+    return (
+        f"SELECT doc_id, {sig} AS simhash FROM "
+        f"(SELECT doc_id, {th} AS th FROM documents)"
+    )
 
 
 def _duck_dot(a: str, b: str) -> str:
@@ -563,10 +573,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_dedup_pairs(d, "doc_id", "text", threshold=0.5)
 
 
-@query(
-    "dedup_simhash",
-    f"SELECT doc_id, {_duck_simhash_expr()} AS simhash FROM documents",
-)
+@query("dedup_simhash", _duck_simhash_sql())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash signatures (integer-exact, engine-portable)."""
     d = load_table(spark, sf_dir, "documents")
@@ -576,7 +583,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_simhash_pairs",
     f"""
-    WITH s AS (SELECT doc_id, {_duck_simhash_expr()} AS simhash FROM documents),
+    WITH s AS ({_duck_simhash_sql()}),
     halves AS (
       SELECT doc_id, simhash, 0 AS h, simhash % 256 AS v FROM s
       UNION ALL
@@ -601,13 +608,17 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_ngram_jaccard",
     f"""
-    WITH t AS (SELECT doc_id, source AS block, {_duck_shingles()} AS sh FROM documents)
+    WITH t0 AS (SELECT doc_id, source AS block, {_duck_shingles()} AS sh FROM documents),
+    t AS (SELECT doc_id, block,
+          list_transform(list_transform(sh, s -> md5(s)),
+                         m -> {dd.hex_window_sql('m', 1, 'duckdb')}) AS hs
+          FROM t0)
     SELECT a.block, a.doc_id AS id_1, b.doc_id AS id_2,
-      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+        / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS jaccard
     FROM t a JOIN t b ON a.block = b.block AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.3
+    WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+        / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) >= 0.3
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
