@@ -13,6 +13,8 @@ are registered as aliases by :func:`register_compat_functions`.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -108,8 +110,6 @@ def _rewrite_ident(expr: str, name: str, repl: str) -> str:
     not protected (acceptable for the reference's filter grammar, which
     the docs show as simple column/function expressions).
     """
-    import re
-
     return re.sub(rf"(?<![\w.`']){re.escape(name)}(?![\w.`'])", repl, expr)
 
 
@@ -148,4 +148,35 @@ def table_filter(changes: DataFrame, schema_name: str, table_name: str) -> DataF
     at job-config build time, not per row)."""
     return changes.filter(
         (F.col("schema_name") == schema_name) & (F.col("table_name") == table_name)
+    )
+
+
+SYSTEM_SCHEMAS = ("mysql", "sys", "information_schema", "performance_schema", "dtle")
+
+
+def system_schema_filter(changes: DataFrame, expand_syntax_support: bool = False) -> DataFrame:
+    """F5: always skip internal schemas (binlog_reader.go:1276-1330);
+    `mysql` passes through only under ExpandSyntaxSupport."""
+    skip = [s for s in SYSTEM_SCHEMAS if not (expand_syntax_support and s == "mysql")]
+    return changes.filter(~F.lower(F.col("schema_name")).isin(skip))
+
+
+_SKIP_QUERY_RE = re.compile(
+    r"^\s*create\s+(definer\s*=\s*\S+\s+)?"
+    r"(trigger|function|procedure|event)\b|^\s*(grant|revoke|flush)\b",
+    re.I,
+)
+
+
+def is_skip_query(query: str) -> bool:
+    """F7: trigger/event/procedure/grant DDL is never replicated
+    (regex skip, binlog_reader.go:1228-1265)."""
+    return bool(_SKIP_QUERY_RE.match(query or ""))
+
+
+def skip_query_filter(changes: DataFrame) -> DataFrame:
+    """F7 applied to a change stream's DDL rows (non-DDL rows pass)."""
+    pattern = r"(?i)^\s*(create\s+(definer\s*=\s*\S+\s+)?(trigger|function|procedure|event)|grant|revoke|flush)\b"
+    return changes.filter(
+        (F.col("op") != OP_DDL) | ~F.coalesce(F.col("query"), F.lit("")).rlike(pattern)
     )

@@ -1,0 +1,81 @@
+"""CDC ingest bridges (reference S6/S7): how binlog events become the
+wire-form change stream the engine consumes.
+
+Binlog parsing is outside Spark (BASELINE.json notes this explicitly);
+the reference runs a go-mysql BinlogSyncer in-process. The Spark-native
+topology is a small bridge process that publishes wire-form records
+(streaming/wire.py schema) to a staging directory or Kafka topic, and
+the engine's ``readStream`` picks them up. Three bridges:
+
+- FileBridge (implemented): append wire-form parquet files to a dir —
+  the relay-log analogue (S7); used by every streaming test.
+- KafkaBridge (config-only here): ``readStream.format("kafka")`` over a
+  Debezium-ish topic; needs the spark-sql-kafka jars on the cluster.
+- MySQLBinlogBridge (import-gated): the python-mysql-replication
+  BinlogStreamReader loop -> wire rows; the lib isn't in this
+  environment, so construction raises with instructions.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dtle_spark.streaming.wire import WIRE_SCHEMA, to_wire
+
+
+class FileBridge:
+    """Publish change batches as wire-form parquet files (relay log)."""
+
+    def __init__(self, source_dir: str):
+        self.source_dir = source_dir
+        os.makedirs(source_dir, exist_ok=True)
+
+    def publish(self, changes: DataFrame, typed: bool = True) -> str:
+        """Append one batch (typed ChangeRecords by default)."""
+        out = to_wire(changes) if typed else changes
+        path = os.path.join(self.source_dir, f"batch-{uuid.uuid4().hex[:12]}")
+        out.write.parquet(path)
+        return path
+
+    def read_stream(self, spark: SparkSession, max_files_per_trigger: int = 10):
+        return (
+            spark.readStream.schema(WIRE_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(os.path.join(self.source_dir, "*"))
+        )
+
+
+def kafka_stream(spark: SparkSession, bootstrap: str, topic: str):
+    """Kafka-topic bridge: value column carries the wire JSON. Requires
+    spark-sql-kafka jars (cluster deployment; not in this image)."""
+    from pyspark.sql import functions as F
+
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .load()
+    )
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), WIRE_SCHEMA).alias("c")
+    ).select("c.*")
+    return parsed
+
+
+class MySQLBinlogBridge:
+    """GTID-positioned MySQL binlog tail -> wire rows (reference S6,
+    binlog_reader.go:242-415). Needs python-mysql-replication, which is
+    not in this environment — the class exists as the documented seam.
+    """
+
+    def __init__(self, *a, **kw):
+        try:
+            import pymysqlreplication  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "python-mysql-replication not installed; deploy the bridge "
+                "next to the MySQL source and publish via FileBridge/Kafka"
+            ) from e

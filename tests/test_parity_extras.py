@@ -1,0 +1,166 @@
+"""Tests for the remaining parity surface: F5/F7 skips, F11 timezone,
+S4/S5 snapshot orchestration, S9 Oracle values, §2.7 job manager."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dtle_spark.catalog import SchemaCatalog
+from dtle_spark.model import JobConfig, TableConfig, change_schema
+from dtle_spark.operators.filters import (
+    is_skip_query,
+    skip_query_filter,
+    system_schema_filter,
+)
+from dtle_spark.operators.projection import to_utc
+from dtle_spark.plans import cdc_demo
+from dtle_spark.sources.cdc_bridge import FileBridge, MySQLBinlogBridge
+from dtle_spark.sources.oracle_values import parse_oracle_value
+from dtle_spark.sources.snapshot_job import consistent_barrier, run_snapshot
+from dtle_spark.streaming.jobs import JobManager
+from dtle_spark.streaming.pipeline import ParquetTableTarget
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+ROW = T.StructType([T.StructField("id", T.LongType())])
+
+
+def _chg(spark, rows):
+    return spark.createDataFrame(rows, change_schema(ROW))
+
+
+def _base(schema="db1", op="i", query=None, after=None):
+    return {
+        "sid": "s1", "gno": 1, "seq": 1, "lc": 0, "op": op, "ts": None,
+        "schema_name": schema, "table_name": "t", "before": None,
+        "after": after, "query": query,
+    }
+
+
+class TestSkips:
+    def test_system_schema_filter(self, spark):
+        rows = [_base(schema=s, after={"id": 1}) for s in
+                ["db1", "mysql", "sys", "information_schema", "performance_schema", "dtle"]]
+        out = system_schema_filter(_chg(spark, rows)).collect()
+        assert [r["schema_name"] for r in out] == ["db1"]
+        out2 = system_schema_filter(_chg(spark, rows), expand_syntax_support=True).collect()
+        assert sorted(r["schema_name"] for r in out2) == ["db1", "mysql"]
+
+    @pytest.mark.parametrize(
+        "q,skip",
+        [
+            ("CREATE TRIGGER trg BEFORE INSERT ON t FOR EACH ROW SET @x=1", True),
+            ("CREATE DEFINER=`u`@`%` PROCEDURE p() BEGIN END", True),
+            ("CREATE EVENT e ON SCHEDULE EVERY 1 DAY DO SELECT 1", True),
+            ("GRANT ALL ON *.* TO 'x'", True),
+            ("CREATE TABLE t (id int)", False),
+            ("ALTER TABLE t ADD COLUMN c int", False),
+        ],
+    )
+    def test_is_skip_query(self, q, skip):
+        assert is_skip_query(q) is skip
+
+    def test_skip_query_filter_keeps_dml(self, spark):
+        rows = [
+            _base(op="i", after={"id": 1}),
+            _base(op="ddl", query="CREATE TRIGGER x BEFORE INSERT ON t FOR EACH ROW SET @a=1"),
+            _base(op="ddl", query="ALTER TABLE t ADD COLUMN c int"),
+        ]
+        out = skip_query_filter(_chg(spark, rows)).collect()
+        assert len(out) == 2
+        assert sorted((r["op"], (r["query"] or "")[:5]) for r in out) == [
+            ("ddl", "ALTER"), ("i", "")]
+
+
+def test_timezone_conversion(spark):
+    """F11: convert_tz(col, tz, '+00:00') analogue."""
+    df = spark.createDataFrame([Row(ts="2024-06-01 12:00:00")]).select(
+        F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = to_utc(df, ["ts"], "Asia/Shanghai").collect()[0]["ts"]
+    assert out == datetime(2024, 6, 1, 4, 0, 0)
+
+
+class TestOracleValues:
+    """S9 value-converter corpus (reference sql_parse_test.go:7 shapes;
+    values re-derived from the documented semantics)."""
+
+    @pytest.mark.parametrize(
+        "text,expected",
+        [
+            ("TO_DATE('2023-01-05 10:20:30','YYYY-MM-DD HH24:MI:SS')",
+             datetime(2023, 1, 5, 10, 20, 30)),
+            ("TO_TIMESTAMP('2023-01-05 10:20:30.123456','YYYY-MM-DD HH24:MI:SS.FF6')",
+             datetime(2023, 1, 5, 10, 20, 30, 123456)),
+            ("HEXTORAW('ff01')", b"\xff\x01"),
+            ("UNISTR('\\4E2D')", "中"),
+            ("EMPTY_BLOB()", b""),
+            ("EMPTY_CLOB()", ""),
+            ("NULL", None),
+            ("'it''s'", "it's"),
+            ("42", 42),
+            ("3.5", 3.5),
+        ],
+    )
+    def test_values(self, text, expected):
+        assert parse_oracle_value(text) == expected
+
+
+def test_binlog_bridge_is_gated():
+    with pytest.raises(NotImplementedError):
+        MySQLBinlogBridge()
+
+
+def test_snapshot_then_stream_handoff(spark, duck, tmp_path):
+    """S4/S5 + handoff: snapshot under the barrier, then stream from the
+    watermark; overlap healed by idempotent merge — final state matches
+    the all-at-once oracle."""
+    src = str(tmp_path / "src")
+    bridge = FileBridge(src)
+    changes = cdc_demo.orders_changes(spark, SF_DIR)
+
+    # phase 1: some changes already in the log before snapshot
+    bridge.publish(changes.filter(F.col("seq") < 6000))
+
+    cfg = TableConfig("db1", "orders", unique_key=["o_orderkey"])
+    job = JobConfig(name="snapjob", tables=[cfg])
+    target = ParquetTableTarget(str(tmp_path / "tgt"))
+
+    # barrier + snapshot: snapshot state = base ⊕ (seq < 6000) applied —
+    # emulate a source table that already absorbed those changes
+    from dtle_spark.operators.apply import apply_changes
+
+    absorbed = apply_changes(
+        cdc_demo.orders_base(spark, SF_DIR),
+        changes.filter(F.col("seq") < 6000),
+        ["o_orderkey"],
+    )
+    res = run_snapshot(spark, job, {"orders": absorbed}, target, os.path.join(src, "*"))
+    assert res.watermark_seq < 6000 or res.watermark_seq >= 5999
+
+    # phase 2: the rest of the stream arrives (plus an overlapping
+    # redelivery of an already-absorbed range — idempotence heals it)
+    bridge.publish(changes.filter(F.col("seq") >= 5000))
+
+    cat = SchemaCatalog()
+    cat.register("db1", "orders", changes.schema["after"].dataType, ["o_orderkey"])
+    mgr = JobManager(spark)
+    rj = mgr.create(
+        job, os.path.join(src, "*"), str(tmp_path / "tgt"),
+        str(tmp_path / "ckpt"), cat, start=False,
+    )
+    rj.start()
+    rj.process_available()
+    assert mgr.list()["snapjob"]["active"]
+    mgr.pause("snapjob")
+    assert not mgr.list()["snapjob"]["active"]
+
+    final = target.read(spark, "db1", "orders")
+    assert_matches_oracle(final, duck, cdc_demo.ORDERS_CDC_ORACLE)
+    mgr.delete("snapjob")
+    assert mgr.list() == {}
