@@ -777,3 +777,188 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented deterministic stub (functions/multimodal.py)."""
     d = load_table(spark, sf_dir, "documents")
     return mm.extract_features(mm.attach_fake_payload(d))
+
+
+# ---------------------------------------------------------------------------
+# Analytics surface, batch 2: multi-join, set ops, grouping sets, pivot,
+# existential joins — the groupBy/join algebra SURVEY §2.6 notes the
+# reference lacks entirely.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q5_region_revenue",
+    """
+    SELECT r_name,
+      CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
+      COUNT(*) AS n_items
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN supplier ON s_nationkey = n_nationkey
+    JOIN lineitem ON l_suppkey = s_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY r_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: a 5-table star join. region/nation/supplier are
+    tiny -> broadcast chain; the only shuffle joins lineitem⋈orders on
+    the orderkey. At 100 TB: orders and lineitem co-bucketed on orderkey
+    would kill that shuffle too (bucketBy in the lake layout)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            (
+                F.sum(_cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount"))))
+                .cast("double") / F.lit(10000.0)
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q6_revenue_delta",
+    """
+    SELECT
+      CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 10000.0 AS forecast_revenue,
+      COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter+agg — entirely pushdown + one-stage
+    partial agg; the canonical 'did the filters reach the scan' check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (
+                F.sum(_cents(F.col("l_extendedprice")) * _cents(F.col("l_discount")))
+                .cast("double") / F.lit(10000.0)
+            ).alias("forecast_revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "set_ops_customers",
+    """
+    WITH buyers AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    big_buyers AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 200000),
+    all_cust AS (SELECT c_custkey AS k FROM customer)
+    SELECT 'never_ordered' AS cohort, k FROM (SELECT k FROM all_cust EXCEPT SELECT k FROM buyers)
+    UNION ALL
+    SELECT 'small_only', k FROM (SELECT k FROM buyers EXCEPT SELECT k FROM big_buyers)
+    UNION ALL
+    SELECT 'big', k FROM (SELECT k FROM buyers INTERSECT SELECT k FROM big_buyers)
+    """,
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra (EXCEPT/INTERSECT/UNION) — customer cohorts."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    o = load_table(spark, sf_dir, "orders")
+    buyers = o.select(F.col("o_custkey").alias("k")).distinct()
+    big = o.filter(F.col("o_totalprice") > 200000).select(F.col("o_custkey").alias("k")).distinct()
+    never = c.exceptAll(buyers).distinct().select(F.lit("never_ordered").alias("cohort"), "k")
+    small = buyers.exceptAll(big).distinct().select(F.lit("small_only").alias("cohort"), "k")
+    bigc = buyers.intersect(big).select(F.lit("big").alias("cohort"), "k")
+    return never.unionByName(small).unionByName(bigc)
+
+
+@query(
+    "rollup_order_stats",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP lattice (status, priority) -> one-pass multi-level agg."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(_cents(F.col("o_totalprice"))).cast("double") / F.lit(100.0)).alias("total"),
+    )
+
+
+@query(
+    "pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+      COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+      COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+      COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with a fixed column set (portable as conditional counts)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("O", F.lit(0)).alias("status_o"),
+            F.coalesce("F", F.lit(0)).alias("status_f"),
+            F.coalesce("P", F.lit(0)).alias("status_p"),
+        )
+    )
+
+
+@query(
+    "exists_semi_anti",
+    """
+    SELECT
+      (SELECT COUNT(*) FROM part p WHERE EXISTS
+        (SELECT 1 FROM lineitem WHERE l_partkey = p.p_partkey AND l_quantity > 45)) AS parts_with_bulk,
+      (SELECT COUNT(*) FROM part p WHERE NOT EXISTS
+        (SELECT 1 FROM lineitem WHERE l_partkey = p.p_partkey)) AS parts_never_sold
+    """,
+)
+def exists_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS semantics in ONE declarative plan: lineitem
+    pre-aggregates to per-part flags (one shuffle on partkey), then a
+    single left join + conditional counts — no driver-side actions, no
+    double scan."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    flags = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.max((F.col("l_quantity") > 45).cast("int")).alias("has_bulk")
+    )
+    joined = p.join(flags, p.p_partkey == F.col("k"), "left")
+    return joined.agg(
+        F.sum(F.coalesce(F.col("has_bulk"), F.lit(0))).alias("parts_with_bulk"),
+        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("parts_never_sold"),
+    )

@@ -1,0 +1,107 @@
+"""Streaming analytics: watermark windows, session windows, custom
+stateful operator — driven through real streaming queries (file source
++ memory sink + processAllAvailable)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dtle_spark.io import load_table
+from dtle_spark.streaming.aggregates import running_totals, session_windows, windowed_counts
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def event_stream(spark, tmp_path):
+    src = str(tmp_path / "events")
+    ev = load_table(spark, SF_DIR, "events")
+    ev.coalesce(1).write.parquet(src + "/b0")
+    schema = spark.read.parquet(src + "/b0").schema
+    return spark.readStream.schema(schema).parquet(src + "/*"), ev
+
+
+def _run_to_memory(df, name, mode):
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_windowed_counts_match_batch(spark, event_stream):
+    # complete mode: append would hold back windows the watermark hasn't
+    # closed, and a finite drain never closes the last ones
+    stream, batch = event_stream
+    _run_to_memory(windowed_counts(stream), "wc_out", "complete")
+    got = {
+        (r["w_start"], r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM wc_out").collect()
+    }
+    expected = {
+        (r["w"], r["event_type"]): r["n"]
+        for r in batch.groupBy(
+            F.date_trunc("hour", "ts").alias("w"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_session_windows_run(spark, event_stream):
+    stream, batch = event_stream
+    _run_to_memory(session_windows(stream), "sw_out", "complete")
+    rows = spark.sql("SELECT * FROM sw_out").collect()
+    assert len(rows) > 0
+    # session count should match the batch sessionizer's session count
+    from dtle_spark.queries import REGISTRY
+
+    n_batch_sessions = REGISTRY["sessionize"].spark_fn(spark, SF_DIR).count()
+    assert len(rows) == n_batch_sessions
+
+
+def test_running_totals_stateful(spark, tmp_path):
+    """applyInPandasWithState accumulates across micro-batches."""
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+    ev = load_table(spark, SF_DIR, "events")
+    half1 = ev.filter(F.col("event_id") % 2 == 0)
+    half2 = ev.filter(F.col("event_id") % 2 == 1)
+    half1.coalesce(1).write.parquet(src + "/b0")
+
+    schema = ev.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        running_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("rt_out")
+        .start()
+    )
+    q.processAllAvailable()
+    half2.coalesce(1).write.parquet(src + "/b1")
+    q.processAllAvailable()
+    q.stop()
+
+    # latest state per key must equal the full batch totals
+    latest = {
+        r["user_id"]: r["n_total"]
+        for r in spark.sql(
+            """SELECT user_id, n_total FROM (
+                 SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_total DESC) rn
+                 FROM rt_out) WHERE rn = 1"""
+        ).collect()
+    }
+    expected = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert latest == expected
