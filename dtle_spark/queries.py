@@ -962,3 +962,96 @@ def exists_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.coalesce(F.col("has_bulk"), F.lit(0))).alias("parts_with_bulk"),
         F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("parts_never_sold"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom operators Spark lacks natively: as-of join, range join,
+# iterative connected-components dedup clustering
+# ---------------------------------------------------------------------------
+
+from dtle_spark.functions.graph import connected_components  # noqa: E402
+from dtle_spark.operators.asof import asof_join_backward, range_join_bucketed  # noqa: E402
+
+
+@query(
+    "asof_click_attribution",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+           c.event_id AS r_event_id, epoch_us(c.ts) AS r_ts_us
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each purchase attributed to the
+    user's latest click at-or-before it — the union-window composition;
+    oracle is DuckDB's native ASOF JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    c = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    out = asof_join_backward(p, c, key="user_id", ts="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("r_event_id"),
+        F.unix_micros("r_ts").alias("r_ts_us"),
+    )
+
+
+@query(
+    "range_join_value_tiers",
+    """
+    WITH tiers(tier, lo, hi) AS (VALUES
+      ('micro', 0.0, 25.0), ('small', 25.0, 75.0),
+      ('mid', 75.0, 150.0), ('large', 150.0, 400.0))
+    SELECT tier, COUNT(*) AS n,
+      CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+    FROM events JOIN tiers ON value >= lo AND value < hi
+    GROUP BY tier
+    """,
+)
+def range_join_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/asof.py): interval membership as a
+    bucket-equi join + residual filter instead of a nested loop."""
+    ev = load_table(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        [("micro", 0.0, 25.0), ("small", 25.0, 75.0), ("mid", 75.0, 150.0), ("large", 150.0, 400.0)],
+        "tier string, lo double, hi double",
+    )
+    joined = range_join_bucketed(ev, tiers, "value")
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(_cents(F.col("value"))).cast("double") / F.lit(100.0)).alias("total_value"),
+    )
+
+
+def _duck_cc_sql() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS ({_duck_minhash_sql()}),
+    edges AS (
+      SELECT id_1 AS a, id_2 AS b FROM pairs
+      UNION SELECT id_2, id_1 FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT re.node, e.b FROM reach re JOIN edges e ON re.r = e.a
+    )
+    SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+    """
+
+
+@query("dedup_clusters", _duck_cc_sql())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative operator: connected components over the verified
+    near-dup pairs -> duplicate groups with a canonical representative
+    (functions/graph.py min-label propagation; oracle = DuckDB
+    recursive-CTE transitive closure)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_dedup_pairs(d, "doc_id", "text", threshold=0.5)
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )

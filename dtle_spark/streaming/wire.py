@@ -34,10 +34,15 @@ WIRE_SCHEMA = T.StructType(
 )
 
 
+# default to_json truncates timestamps to milliseconds; MySQL DATETIME(6)
+# carries microseconds (type map §1.3) — force a micros format both ways
+_JSON_OPTS = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
+
+
 def to_wire(changes: DataFrame) -> DataFrame:
     """Typed change stream -> wire form (struct images to JSON text)."""
-    return changes.withColumn("before", F.to_json("before")).withColumn(
-        "after", F.to_json("after")
+    return changes.withColumn("before", F.to_json("before", _JSON_OPTS)).withColumn(
+        "after", F.to_json("after", _JSON_OPTS)
     )
 
 
@@ -46,6 +51,6 @@ def from_wire(wire: DataFrame, row_schema: T.StructType) -> DataFrame:
     table schema. Columns added by later DDL are absent from older
     JSON and parse as null; columns dropped later are ignored — the
     exact forward/backward tolerance in-band schema evolution needs."""
-    return wire.withColumn("before", F.from_json("before", row_schema)).withColumn(
-        "after", F.from_json("after", row_schema)
-    )
+    return wire.withColumn(
+        "before", F.from_json("before", row_schema, _JSON_OPTS)
+    ).withColumn("after", F.from_json("after", row_schema, _JSON_OPTS))

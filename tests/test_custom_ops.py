@@ -1,0 +1,100 @@
+"""Edge cases for the custom operators (as-of, range join, connected
+components) + the F-2-style type-matrix wire round trip."""
+
+from __future__ import annotations
+
+from datetime import datetime
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dtle_spark.functions.graph import connected_components
+from dtle_spark.operators.asof import asof_join_backward, range_join_bucketed
+from dtle_spark.streaming.wire import from_wire, to_wire
+
+
+class TestAsof:
+    def test_backward_match_tie_and_miss(self, spark):
+        left = spark.createDataFrame(
+            [(1, 10, "p1"), (1, 20, "p2"), (2, 5, "p3")], "k long, ts long, name string"
+        )
+        right = spark.createDataFrame(
+            [(1, 10, "c1"), (1, 15, "c2"), (1, 25, "c3")], "k long, ts long, tag string"
+        )
+        out = {r["name"]: r["r_tag"] for r in
+               asof_join_backward(left, right, key="k", ts="ts").collect()}
+        # tie (ts=10) matches; 20 takes latest<=20 (c2); key 2 has no right -> null
+        assert out == {"p1": "c1", "p2": "c2", "p3": None}
+
+
+class TestRangeJoin:
+    def test_boundaries_half_open(self, spark):
+        facts = spark.createDataFrame([(0.0,), (24.99,), (25.0,), (399.0,), (400.0,)], "value double")
+        iv = spark.createDataFrame(
+            [("a", 0.0, 25.0), ("b", 25.0, 400.0)], "tier string, lo double, hi double"
+        )
+        out = sorted(
+            (r["value"], r["tier"]) for r in range_join_bucketed(facts, iv, "value").collect()
+        )
+        # 400.0 falls outside every interval (half-open hi)
+        assert out == [(0.0, "a"), (24.99, "a"), (25.0, "b"), (399.0, "b")]
+
+
+class TestConnectedComponents:
+    def test_chain_and_islands(self, spark):
+        # chain 1-2-3-4 (diameter forces multiple rounds) + island 7-8
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (7, 8)], "id_1 long, id_2 long"
+        )
+        out = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+        assert out == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
+
+
+TYPES_ROW = T.StructType(
+    [
+        T.StructField("c_long", T.LongType()),
+        T.StructField("c_int", T.IntegerType()),
+        T.StructField("c_short", T.ShortType()),
+        T.StructField("c_byte", T.ByteType()),
+        T.StructField("c_double", T.DoubleType()),
+        T.StructField("c_float", T.FloatType()),
+        T.StructField("c_dec", T.DecimalType(20, 0)),  # unsigned-bigint carrier
+        T.StructField("c_str", T.StringType()),
+        T.StructField("c_bin", T.BinaryType()),
+        T.StructField("c_bool", T.BooleanType()),
+        T.StructField("c_date", T.DateType()),
+        T.StructField("c_ts", T.TimestampType()),
+    ]
+)
+
+
+def test_type_matrix_wire_roundtrip(spark):
+    """§1.3 fidelity: every mapped Spark type survives the JSON wire
+    form (to_wire -> from_wire), including unsigned-bigint-as-decimal
+    > int64 max, empty-string vs NULL, and binary."""
+    from dtle_spark.model import change_schema
+
+    row = {
+        "c_long": -(2**62), "c_int": 2**31 - 1, "c_short": -32768, "c_byte": 127,
+        "c_double": 1.5e300, "c_float": 2.5,
+        "c_dec": Decimal(2**64 - 1),  # > int64: the bigint-unsigned edge
+        "c_str": "", "c_bin": b"\x00\xff", "c_bool": True,
+        "c_date": datetime(2024, 5, 1).date(), "c_ts": datetime(2024, 5, 1, 12, 30, 0, 123456),
+    }
+    null_row = {k: None for k in row}
+    changes = spark.createDataFrame(
+        [
+            {"sid": "s", "gno": 1, "seq": 1, "lc": 0, "op": "i", "ts": None,
+             "schema_name": "d", "table_name": "t", "before": None, "after": row, "query": None},
+            {"sid": "s", "gno": 2, "seq": 2, "lc": 0, "op": "i", "ts": None,
+             "schema_name": "d", "table_name": "t", "before": None, "after": null_row, "query": None},
+        ],
+        change_schema(TYPES_ROW),
+    )
+    back = from_wire(to_wire(changes), TYPES_ROW).orderBy("seq").collect()
+    got = back[0]["after"].asDict()
+    assert got == row
+    assert all(v is None for v in back[1]["after"].asDict().values())
