@@ -53,3 +53,15 @@ def to_utc(df: DataFrame, ts_cols: list[str], source_tz: str) -> DataFrame:
     for c in ts_cols:
         df = df.withColumn(c, F.to_utc_timestamp(F.col(c), source_tz))
     return df
+
+
+def charset_to_utf8(df: DataFrame, col_charsets: dict[str, str]) -> DataFrame:
+    """F10 charset conversion: per-column decode of legacy-charset bytes
+    to UTF-8 strings (reference mysqlconfig/types.go:87-113 converts at
+    row-decode time; here the binary column decodes via JVM charsets).
+    Spark 4 whitelists a few charsets by default; MySQL sources need the
+    full Java set (gbk/latin1/...)."""
+    df.sparkSession.conf.set("spark.sql.legacy.javaCharsets", "true")
+    for c, cs in col_charsets.items():
+        df = df.withColumn(c, F.decode(F.col(c), cs))
+    return df

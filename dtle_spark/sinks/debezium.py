@@ -137,3 +137,33 @@ def write_kafka_stream(frames: DataFrame, bootstrap: str, checkpoint: str):
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def encode_enum_label(index_col: Column, labels: list[str]) -> Column:
+    """ENUM index (1-based; 0 = invalid/empty) -> label string
+    (kafka3.go:1110-1120 semantics)."""
+    expr = F.when(index_col <= 0, F.lit(""))
+    for i, label in enumerate(labels, start=1):
+        expr = expr.when(index_col == i, F.lit(label))
+    return expr.otherwise(F.lit(None))
+
+
+def encode_set_csv(mask_col: Column, labels: list[str]) -> Column:
+    """SET bitmask -> comma-joined member labels (kafka3.go:1176-1191)."""
+    members = [
+        F.when((mask_col.bitwiseAND(F.lit(1 << i))) != 0, F.lit(label)).otherwise(F.lit(None))
+        for i, label in enumerate(labels)
+    ]
+    return F.concat_ws(",", *members)
+
+
+def encode_bit_reversed(col_name: str) -> Column:
+    """BIT(n>1) -> reversed byte order (kafka3.go:1208-1226: the wire
+    carries little-endian byte order of the bit value). Spark has no
+    binary reverse; rebuilt from the hex pairs back-to-front. Takes the
+    column NAME (SQL-expression based)."""
+    c = col_name
+    return F.expr(
+        f"unhex(aggregate(sequence(CAST(length({c}) AS INT), 1, -1), '', "
+        f"(acc, i) -> concat(acc, substr(hex({c}), (i - 1) * 2 + 1, 2))))"
+    )

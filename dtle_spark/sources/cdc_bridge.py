@@ -79,3 +79,22 @@ class MySQLBinlogBridge:
                 "python-mysql-replication not installed; deploy the bridge "
                 "next to the MySQL source and publish via FileBridge/Kafka"
             ) from e
+
+
+class OracleLogMinerBridge:
+    """Oracle redo-log source (reference S8: DBMS_LOGMNR add/start +
+    v$logmnr_contents polled by SCN window, per-tx commit/rollback cache
+    — log_miner.go:36-618). The redo SQL -> value conversion half lives
+    in sources/oracle_values.py; the DB-side poll loop needs an oracle
+    client, absent here — the class is the documented seam.
+    """
+
+    def __init__(self, *a, **kw):
+        try:
+            import oracledb  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "oracledb client not installed; deploy the LogMiner bridge "
+                "next to the Oracle source and publish via FileBridge/Kafka "
+                "(value conversion: dtle_spark.sources.oracle_values)"
+            ) from e

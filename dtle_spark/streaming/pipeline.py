@@ -69,10 +69,24 @@ class ParquetTableTarget:
             return None
         return spark.read.parquet(p)
 
-    def overwrite(self, df: DataFrame, schema_name: str, table_name: str) -> None:
+    def overwrite(
+        self, df: DataFrame, schema_name: str, table_name: str, retries: int = 5
+    ) -> None:
+        """Write-retry mirrors the reference's deadlock retry
+        (RetryTxLimit=5, applier.go:966-977/driver.go:172-173) — on a
+        lake target this is the optimistic-concurrency retry loop."""
         p = self.path(schema_name, table_name)
         staged = f"{p}.staged-{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(staged)
+        last_err = None
+        for _ in range(retries):
+            try:
+                df.write.mode("overwrite").parquet(staged)
+                last_err = None
+                break
+            except Exception as e:  # transient executor/file races
+                last_err = e
+        if last_err is not None:
+            raise last_err
         old = f"{p}.old-{uuid.uuid4().hex[:8]}"
         if os.path.exists(p):
             os.rename(p, old)

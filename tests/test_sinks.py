@@ -73,3 +73,30 @@ def test_multimodal_batch_shape(spark):
     assert out.columns == ["doc_id", "n_bytes", "checksum", "width", "height"]
     rows = out.collect()
     assert len(rows) == 20 and all(0 <= r["width"] < 256 for r in rows)
+
+
+def test_enum_set_bit_charset_encodings(spark):
+    """K3 remainder: enum index->label, set bitmask->CSV, bit byte
+    reversal; F10 charset decode (gbk -> utf-8)."""
+    from dtle_spark.operators.projection import charset_to_utf8
+
+    df = spark.createDataFrame(
+        [Row(e=2, s=5, b=b"\x01\x02", g="中文".encode("gbk"))]
+    )
+    out = df.select(
+        dz.encode_enum_label(F.col("e"), ["a", "b", "c"]).alias("enum"),
+        dz.encode_set_csv(F.col("s"), ["x", "y", "z"]).alias("set"),
+        dz.encode_bit_reversed("b").alias("bit"),
+    ).collect()[0]
+    assert out["enum"] == "b"
+    assert out["set"] == "x,z"  # mask 5 = bits 0 and 2
+    assert bytes(out["bit"]) == b"\x02\x01"
+
+    decoded = charset_to_utf8(df.select("g"), {"g": "gbk"}).collect()[0]["g"]
+    assert decoded == "中文"
+
+
+def test_enum_zero_and_invalid(spark):
+    df = spark.createDataFrame([Row(e=0), Row(e=99)])
+    out = [r["x"] for r in df.select(dz.encode_enum_label(F.col("e"), ["a"]).alias("x")).collect()]
+    assert out == ["", None]
