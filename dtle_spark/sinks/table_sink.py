@@ -1,0 +1,119 @@
+"""Bucketed merge target: the scale path for continuous apply.
+
+``ParquetTableTarget`` (streaming/pipeline.py) rewrites the whole table
+per micro-batch — fine for tests, quadratic-ish over time at scale.
+``BucketedTableTarget`` hash-partitions the table into N key buckets
+(directory per bucket, the lake ``bucketBy`` analogue) and each merge:
+
+  1. computes the batch's net changes (already keyed),
+  2. derives the set of AFFECTED buckets (distinct hash of change keys
+     — for CDC batches this is usually a small fraction of N),
+  3. reads ONLY those bucket dirs, merges, swaps ONLY those dirs.
+
+Merge cost becomes O(affected buckets) instead of O(table) — at 100 TB
+with N=8192 buckets and a 1M-row batch, a merge touches ≲1M/N-ish of
+the table. Bucket routing uses ``pmod(xxhash64(key), N)`` (engine-
+internal only — never oracle-compared, so Spark-native hashing is fine
+here). On Delta/Iceberg the same role is played by partition/file
+pruning on the merge key + deletion vectors.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dtle_spark.operators.apply import dedupe_redelivered, latest_image_per_key, merge_into
+
+
+def _bucket_expr(key_cols: list[str], n_buckets: int):
+    return F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(n_buckets)).cast("int")
+
+
+class BucketedTableTarget:
+    def __init__(self, root: str, n_buckets: int = 32):
+        self.root = root
+        self.n_buckets = n_buckets
+
+    def table_dir(self, schema_name: str, table_name: str) -> str:
+        return os.path.join(self.root, schema_name, table_name)
+
+    def _bucket_dir(self, schema_name: str, table_name: str, b: int) -> str:
+        return os.path.join(self.table_dir(schema_name, table_name), f"bucket={b}")
+
+    def read(self, spark: SparkSession, schema_name: str, table_name: str) -> DataFrame | None:
+        p = self.table_dir(schema_name, table_name)
+        if not os.path.exists(p):
+            return None
+        return spark.read.parquet(os.path.join(p, "*"))
+
+    def seed(self, df: DataFrame, schema_name: str, table_name: str, key_cols: list[str]) -> None:
+        """Initial (snapshot) load: write every bucket partition."""
+        bucketed = df.withColumn("__b", _bucket_expr(key_cols, self.n_buckets))
+        staged = self.table_dir(schema_name, table_name) + f".staged-{uuid.uuid4().hex[:8]}"
+        (
+            bucketed.repartition(self.n_buckets, "__b")
+            .write.partitionBy("__b")
+            .mode("overwrite")
+            .parquet(staged)
+        )
+        final = self.table_dir(schema_name, table_name)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.makedirs(os.path.dirname(final), exist_ok=True)
+        os.rename(staged, final)
+        # normalize partition dir names (__b=K -> bucket=K)
+        for d in os.listdir(final):
+            if d.startswith("__b="):
+                os.rename(os.path.join(final, d), os.path.join(final, "bucket=" + d[4:]))
+
+    def merge(
+        self,
+        spark: SparkSession,
+        changes: DataFrame,
+        schema_name: str,
+        table_name: str,
+        key_cols: list[str],
+    ) -> list[int]:
+        """Merge one change batch; returns the buckets touched."""
+        net = latest_image_per_key(dedupe_redelivered(changes), key_cols)
+        net = net.withColumn("__b", _bucket_expr(key_cols, self.n_buckets)).persist()
+        try:
+            touched = sorted(r["__b"] for r in net.select("__b").distinct().collect())
+            if not touched:
+                return []
+            # read ONLY affected buckets
+            dirs = [
+                self._bucket_dir(schema_name, table_name, b)
+                for b in touched
+                if os.path.exists(self._bucket_dir(schema_name, table_name, b))
+            ]
+            if dirs:
+                current = spark.read.parquet(*dirs)
+            else:
+                current = spark.createDataFrame([], net.schema["row"].dataType)
+            merged = merge_into(current, net.drop("__b"), key_cols).withColumn(
+                "__b", _bucket_expr(key_cols, self.n_buckets)
+            )
+            staged = self.table_dir(schema_name, table_name) + f".merge-{uuid.uuid4().hex[:8]}"
+            merged.repartition(len(touched), "__b").write.partitionBy("__b").mode(
+                "overwrite"
+            ).parquet(staged)
+            # swap only the touched bucket dirs
+            for b in touched:
+                src = os.path.join(staged, f"__b={b}")
+                dst = self._bucket_dir(schema_name, table_name, b)
+                if os.path.exists(dst):
+                    shutil.rmtree(dst)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                if os.path.exists(src):
+                    os.rename(src, dst)
+                # a bucket whose rows were all deleted ends up absent — fine
+            shutil.rmtree(staged, ignore_errors=True)
+            return touched
+        finally:
+            net.unpersist()

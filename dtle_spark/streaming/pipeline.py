@@ -110,10 +110,16 @@ def _merge_segment(
     typed: DataFrame,
     cfg: TableConfig,
     job: JobConfig,
-    target: ParquetTableTarget,
+    target,
     row_type,
 ) -> None:
+    from dtle_spark.sinks.table_sink import BucketedTableTarget
+
     tchanges = transform_changes(typed, cfg, job.local_sid)
+    if isinstance(target, BucketedTableTarget) and cfg.unique_key:
+        # scale path: merge rewrites only the buckets the batch touches
+        target.merge(spark, tchanges, cfg.target_schema, cfg.target_table, cfg.unique_key)
+        return
     current = target.read(spark, cfg.target_schema, cfg.target_table)
     if current is None:
         current = spark.createDataFrame([], row_type)
@@ -216,11 +222,14 @@ class ReplicationJob:
         checkpoint_dir: str,
         catalog: SchemaCatalog,
         max_files_per_trigger: int = 10,
+        target=None,
     ):
         self.spark = spark
         self.job = job
         self.source_dir = source_dir
-        self.target = ParquetTableTarget(target_root)
+        # default whole-table target; pass a BucketedTableTarget for the
+        # affected-buckets-only merge path (sinks/table_sink.py)
+        self.target = target if target is not None else ParquetTableTarget(target_root)
         self.checkpoint_dir = checkpoint_dir
         self.catalog = catalog
         self.max_files_per_trigger = max_files_per_trigger
