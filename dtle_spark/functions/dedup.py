@@ -166,7 +166,15 @@ def minhash_dedup_pairs(
     At production scale add a bucket-size cap before the self-join
     (hot boilerplate buckets produce O(k^2) candidates).
     """
-    b = minhash_buckets(docs, id_col, text_col)
+    # one materialization of the tokenize/shingle/hash pipeline — the
+    # bucket branch and both verify joins all read it (it is small:
+    # id + two int arrays per doc)
+    base = doc_hash_sets(docs, id_col, text_col).localCheckpoint()
+    b = (
+        base.withColumn("sig", minhash_signature())
+        .select(id_col, F.explode(lsh_bands("sig")).alias("band"))
+        .select(id_col, "band.band_idx", "band.band_digest")
+    )
     cand = (
         b.select(F.col(id_col).alias("id_1"), "band_idx", "band_digest")
         .join(
@@ -177,7 +185,7 @@ def minhash_dedup_pairs(
         .select("id_1", "id_2")
         .dropDuplicates(["id_1", "id_2"])
     )
-    sets = doc_hash_sets(docs, id_col, text_col).select(id_col, F.col("hx").alias("hs"))
+    sets = base.select(id_col, F.col("hx").alias("hs"))
     verified = (
         cand.join(sets.select(F.col(id_col).alias("id_1"), F.col("hs").alias("hs_1")), "id_1")
         .join(sets.select(F.col(id_col).alias("id_2"), F.col("hs").alias("hs_2")), "id_2")

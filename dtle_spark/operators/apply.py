@@ -111,8 +111,15 @@ def merge_into(target: DataFrame, net: DataFrame, key_cols: list[str]) -> DataFr
 
 
 def apply_changes(target: DataFrame, changes: DataFrame, key_cols: list[str]) -> DataFrame:
-    """Full batch apply: dedupe re-delivery -> net effect per key -> merge."""
-    net = latest_image_per_key(dedupe_redelivered(changes), key_cols)
+    """Full batch apply: net effect per key -> merge.
+
+    No separate dedupe shuffle: re-delivered rows are verbatim copies
+    (same sid/gno/seq/images), so the per-key row_number window keeps
+    exactly one of them — interchangeable winners, identical result —
+    and A10 costs zero extra shuffles on the keyed path. (The counting
+    no-PK path is NOT insensitive to duplicates; it dedupes explicitly.)
+    """
+    net = latest_image_per_key(changes, key_cols)
     return merge_into(target, net, key_cols)
 
 
@@ -129,6 +136,8 @@ def apply_changes_no_pk(target: DataFrame, changes: DataFrame) -> DataFrame:
     cols = target.columns
     t_counts = target.groupBy(*cols).agg(F.count(F.lit(1)).alias("__t"))
 
+    # counting semantics double-apply verbatim duplicates -> dedupe here
+    changes = dedupe_redelivered(changes)
     ins = (
         changes.filter(F.col("op").isin(OP_INSERT, OP_UPDATE))
         .select("after.*")

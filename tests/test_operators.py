@@ -180,3 +180,19 @@ class TestSnapshot:
         df = spark.createDataFrame([Row(a=1, b=2)])
         with pytest.raises(ValueError):
             column_map(df, ["a", "b"], ["x"])
+
+
+class TestNoPkRedelivery:
+    def test_duplicate_delivery_not_double_counted(self, spark):
+        """A10 on the counting path: verbatim re-delivered inserts apply
+        once (the keyed path is window-insensitive; counting is not)."""
+        target = spark.createDataFrame([Row(**_r(1, "a", 1.0))], ROW)
+        changes = _chg(
+            spark,
+            [
+                _base(gno=1, seq=10, op="i", after=_r(2, "b", 2.0)),
+                _base(gno=1, seq=10, op="i", after=_r(2, "b", 2.0)),  # redelivered
+            ],
+        )
+        out = apply_changes_no_pk(target, changes).collect()
+        assert sorted(r["id"] for r in out) == [1, 2]
