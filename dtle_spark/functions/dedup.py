@@ -298,3 +298,40 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("block", "id_1", "id_2", "jaccard")
     )
+
+
+WINNOW_WINDOW = 4
+
+
+def winnowing_fingerprints(
+    docs: DataFrame, id_col: str, text_col: str, window: int = WINNOW_WINDOW
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken
+    MOSS scheme): rolling k-gram hashes, keep the minimum of every
+    `window` consecutive hashes, distinct per doc -> (id, fp) rows.
+    Guarantees any shared substring of length >= k + window - 1 shares
+    a fingerprint; the sampled set is ~2/(window+1) of all hashes —
+    sublinear storage for corpus-scale overlap detection.
+
+    Rolling hash = the shingle base hash (md5 40-bit window) — the same
+    portable construction the MinHash lanes use; ordering (not just
+    set membership) is preserved by winnowing over hash POSITIONS.
+    """
+    base = base_hash_columns(
+        spread(docs).select(id_col, shingles_ordered_expr(text_col).alias("sh"))
+    )
+    fps = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(hx) - {window} + 1, 1)),"
+        f" j -> array_min(slice(hx, j, {window}))))"
+    )
+    return base.select(id_col, F.explode(fps).alias("fp"))
+
+
+def shingles_ordered_expr(text_col: str, n: int = SHINGLE_N) -> Column:
+    """Positional (non-distinct) n-gram shingles — winnowing needs the
+    rolling ORDER, unlike the set-semantics shingles_expr."""
+    t = _toks(text_col)
+    return F.expr(
+        f"transform(sequence(1, greatest(size({t}) - {n} + 1, 1)),"
+        f" i -> concat_ws(' ', slice({t}, i, {n})))"
+    )

@@ -107,3 +107,30 @@ def lsh_bucket_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "bucket", "neighbor_id", "rank", "cosine")
     )
+
+
+def neardup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within sign-LSH buckets:
+    the vector-space member of the dedup family (brief: 'embedding-
+    cosine near-dup'). Only bucket-mates are compared — the same
+    candidate-generation economics as MinHash-LSH for text."""
+    v = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        sign_bucket_expr(vec_col, planes).alias("bucket"),
+    )
+    a = v.select(F.col("id").alias("id_1"), F.col("vec").alias("v1"), "bucket")
+    b = v.select(F.col("id").alias("id_2"), F.col("vec").alias("v2"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .withColumn("cosine", cosine_expr("v1", "v2"))
+        .filter(F.col("cosine") >= threshold)
+        .select("bucket", "id_1", "id_2", "cosine")
+    )

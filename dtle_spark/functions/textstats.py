@@ -89,3 +89,15 @@ def doc_fingerprint(text: Column) -> Column:
     xxhash64 — the values themselves become comparable fixtures.
     """
     return F.md5(F.trim(F.regexp_replace(F.lower(text), "\\s+", " ")))
+
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation
+# marks — the shape GPT-style byte-pair pre-tokenization produces
+# before merges (whitespace handled by exclusion)
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def bpe_piece_count(text: Column) -> Column:
+    """Token count under the BPE-ish pre-tokenizer (cost estimation
+    for LLM-pipeline budgeting)."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_PATTERN), 0))

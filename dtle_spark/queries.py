@@ -1055,3 +1055,108 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data surface, batch 2: embedding near-dup, BPE-ish token
+# counting, winnowing fingerprints; plus a correlated-subquery shape
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_neardup",
+    f"""
+    WITH v AS (SELECT vec_id, embedding, {_duck_sign_bucket('embedding')} AS bucket FROM embeddings),
+    p AS (
+      SELECT a.bucket, a.vec_id AS id_1, b.vec_id AS id_2,
+             {_duck_cosine('a.embedding', 'b.embedding')} AS cosine
+      FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT bucket, id_1, id_2, cosine FROM p WHERE cosine >= 0.3
+    """,
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within sign-LSH buckets
+    (functions/similarity.neardup_pairs)."""
+    e2 = load_table(spark, sf_dir, "embeddings")
+    return sim.neardup_pairs(e2, threshold=0.3)
+
+
+@query(
+    "token_count_bpe",
+    """
+    SELECT doc_id,
+      len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_pieces,
+      len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words
+    FROM documents
+    """,
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting under a BPE-ish pre-tokenizer vs plain words
+    (functions/textstats.bpe_piece_count) — the LLM-budget estimator."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.bpe_piece_count(F.col("text")).alias("n_pieces"),
+        tx.token_count(tx.tokens(F.col("text"))).alias("n_words"),
+    )
+
+
+def _duck_winnow_sql() -> str:
+    n, w = dd.SHINGLE_N, dd.WINNOW_WINDOW
+    t = _duck_toks()
+    sh = (
+        f"list_transform(generate_series(1, greatest(len({t}) - {n} + 1, 1)),"
+        f" i -> array_to_string(list_slice({t}, i, i + {n} - 1), ' '))"
+    )
+    px = dd.hex_window_sql("m", 1, "duckdb")
+    return f"""
+    WITH s AS (SELECT doc_id, {sh} AS sh FROM documents),
+    h AS (SELECT doc_id, list_transform(list_transform(sh, s -> md5(s)), m -> {px}) AS hx FROM s),
+    fps AS (SELECT doc_id,
+      list_distinct(list_transform(generate_series(1, greatest(len(hx) - {w} + 1, 1)),
+                    j -> list_min(list_slice(hx, j, j + {w} - 1)))) AS fp_set
+      FROM h)
+    SELECT doc_id, unnest(fp_set) AS fp FROM fps
+    """
+
+
+@query("winnowing_fingerprints", _duck_winnow_sql())
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (MOSS scheme) — sublinear
+    document fingerprint sets for corpus overlap detection
+    (functions/dedup.winnowing_fingerprints)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.winnowing_fingerprints(d, "doc_id", "text")
+
+
+@query(
+    "price_above_brand_avg",
+    """
+    WITH stats AS (
+      SELECT p_partkey, p_brand, p_retailprice,
+        CAST(SUM(CAST(round(p_retailprice * 100) AS BIGINT)) OVER (PARTITION BY p_brand) AS DOUBLE)
+          / 100.0 / COUNT(*) OVER (PARTITION BY p_brand) AS brand_avg
+      FROM part)
+    SELECT p_partkey, p_brand, p_retailprice, brand_avg
+    FROM stats WHERE p_retailprice > brand_avg
+    """,
+)
+def price_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery shape (price > group average) as one
+    window pass — no re-scan per row, the decorrelated plan Catalyst
+    would produce for the subquery form."""
+    from pyspark.sql import Window
+
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand")
+    brand_avg = (
+        F.sum(_cents(F.col("p_retailprice"))).over(w).cast("double")
+        / F.lit(100.0)
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        p.withColumn("brand_avg", brand_avg)
+        .filter(F.col("p_retailprice") > F.col("brand_avg"))
+        .select("p_partkey", "p_brand", "p_retailprice", "brand_avg")
+    )
