@@ -30,14 +30,30 @@ from pyspark.sql import functions as F
 from dtle_spark.operators.apply import dedupe_redelivered, latest_image_per_key, merge_into
 
 
-def _bucket_expr(key_cols: list[str], n_buckets: int):
+def hash_bucket(key_cols: list[str], n_buckets: int):
+    """Uniform hash routing: best when updates spread across the key
+    space evenly (every batch touches many buckets regardless)."""
     return F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(n_buckets)).cast("int")
 
 
+def range_bucket(key_col: str, width: int):
+    """Range routing on a numeric key: CDC activity is usually
+    key-LOCAL (auto-increment PKs -> recent rows cluster), so a
+    contiguous batch maps to a handful of buckets — this is where
+    bucket-selective merging actually pays. The lake analogue is
+    partitioning the table by a key/date prefix."""
+
+    def expr(key_cols: list[str], n_buckets: int):
+        return F.floor(F.col(key_col) / width).cast("int")
+
+    return expr
+
+
 class BucketedTableTarget:
-    def __init__(self, root: str, n_buckets: int = 32):
+    def __init__(self, root: str, n_buckets: int = 32, bucket_fn=None):
         self.root = root
         self.n_buckets = n_buckets
+        self._bucket_fn = bucket_fn or hash_bucket
 
     def table_dir(self, schema_name: str, table_name: str) -> str:
         return os.path.join(self.root, schema_name, table_name)
@@ -53,7 +69,7 @@ class BucketedTableTarget:
 
     def seed(self, df: DataFrame, schema_name: str, table_name: str, key_cols: list[str]) -> None:
         """Initial (snapshot) load: write every bucket partition."""
-        bucketed = df.withColumn("__b", _bucket_expr(key_cols, self.n_buckets))
+        bucketed = df.withColumn("__b", self._bucket_fn(key_cols, self.n_buckets))
         staged = self.table_dir(schema_name, table_name) + f".staged-{uuid.uuid4().hex[:8]}"
         (
             bucketed.repartition(self.n_buckets, "__b")
@@ -81,7 +97,7 @@ class BucketedTableTarget:
     ) -> list[int]:
         """Merge one change batch; returns the buckets touched."""
         net = latest_image_per_key(dedupe_redelivered(changes), key_cols)
-        net = net.withColumn("__b", _bucket_expr(key_cols, self.n_buckets)).persist()
+        net = net.withColumn("__b", self._bucket_fn(key_cols, self.n_buckets)).persist()
         try:
             touched = sorted(r["__b"] for r in net.select("__b").distinct().collect())
             if not touched:
@@ -97,7 +113,7 @@ class BucketedTableTarget:
             else:
                 current = spark.createDataFrame([], net.schema["row"].dataType)
             merged = merge_into(current, net.drop("__b"), key_cols).withColumn(
-                "__b", _bucket_expr(key_cols, self.n_buckets)
+                "__b", self._bucket_fn(key_cols, self.n_buckets)
             )
             staged = self.table_dir(schema_name, table_name) + f".merge-{uuid.uuid4().hex[:8]}"
             merged.repartition(len(touched), "__b").write.partitionBy("__b").mode(

@@ -78,3 +78,27 @@ def test_streaming_job_with_bucketed_target(spark, duck, tmp_path):
     rj.pause()
 
     assert_matches_oracle(target.read(spark, "db1", "orders"), duck, cdc_demo.ORDERS_CDC_ORACLE)
+
+
+def test_range_bucketed_key_local_batch(spark, duck, tmp_path):
+    """Range routing: a key-local batch (the realistic CDC shape —
+    auto-increment activity) touches few buckets; full apply still
+    matches the oracle."""
+    from dtle_spark.sinks.table_sink import range_bucket
+
+    base = cdc_demo.orders_base(spark, SF_DIR)
+    changes = cdc_demo.orders_changes(spark, SF_DIR)
+    t = BucketedTableTarget(
+        str(tmp_path / "tgt"), n_buckets=64, bucket_fn=range_bucket("o_orderkey", 50)
+    )
+    t.seed(base, "db1", "orders", ["o_orderkey"])
+
+    local = changes.filter((F.col("gno") >= 100) & (F.col("gno") < 300))
+    touched = t.merge(spark, local, "db1", "orders", ["o_orderkey"])
+    # keys 100-300 span <=5 width-50 buckets; PK-moving updates (%17)
+    # relocate to key+10M and legitimately touch ~4 far buckets too
+    assert len(touched) <= 10
+
+    rest = changes.filter((F.col("gno") < 100) | (F.col("gno") >= 300))
+    t.merge(spark, rest, "db1", "orders", ["o_orderkey"])
+    assert_matches_oracle(t.read(spark, "db1", "orders"), duck, cdc_demo.ORDERS_CDC_ORACLE)
