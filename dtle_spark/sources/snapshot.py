@@ -102,3 +102,41 @@ def snapshot_offset(df: DataFrame, chunk_size: int, index: int, where: str | Non
 def count_table_rows(df: DataFrame, where: str | None = None) -> int:
     """Progress denominator (CountTableRows, extractor.go:859-879)."""
     return (df.filter(F.expr(where)) if where else df).count()
+
+
+def jdbc_snapshot_reader(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 32,
+    where: str | None = None,
+    fetch_size: int = 2000,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """S1 against a live MySQL/JDBC source: the parallel-snapshot
+    configuration the reference's chunked dump maps onto when Spark owns
+    the connection. ``partitionColumn`` parallelizes a numeric single
+    column; composite keys use the driver-side ``snapshot_chunks`` loop
+    with ``keyset_predicate`` pushed into the ``dbtable`` subquery.
+    fetch_size mirrors the reference's ChunkSize=2000 default
+    (taskconfig.go:13). Untestable here (no database) — the documented
+    seam a MySQL deployment fills in."""
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", f"(SELECT * FROM {table}" + (f" WHERE {where}" if where else "") + ") s")
+        .option("fetchsize", str(fetch_size))
+    )
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()

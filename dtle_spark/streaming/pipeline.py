@@ -69,10 +69,11 @@ class ParquetTableTarget:
             return None
         return spark.read.parquet(p)
 
-    def overwrite(
+    def stage(
         self, df: DataFrame, schema_name: str, table_name: str, retries: int = 5
-    ) -> None:
-        """Write-retry mirrors the reference's deadlock retry
+    ) -> str:
+        """Write the new table image to a staging dir (not yet visible).
+        Write-retry mirrors the reference's deadlock retry
         (RetryTxLimit=5, applier.go:966-977/driver.go:172-173) — on a
         lake target this is the optimistic-concurrency retry loop."""
         p = self.path(schema_name, table_name)
@@ -87,12 +88,20 @@ class ParquetTableTarget:
                 last_err = e
         if last_err is not None:
             raise last_err
+        return staged
+
+    def commit(self, staged: str, schema_name: str, table_name: str) -> None:
+        """Swap a staged image in — two renames, no data movement."""
+        p = self.path(schema_name, table_name)
         old = f"{p}.old-{uuid.uuid4().hex[:8]}"
         if os.path.exists(p):
             os.rename(p, old)
         os.rename(staged, p)
         if os.path.exists(old):
             shutil.rmtree(old)
+
+    def overwrite(self, df: DataFrame, schema_name: str, table_name: str) -> None:
+        self.commit(self.stage(df, schema_name, table_name), schema_name, table_name)
 
 
 def transform_changes(changes: DataFrame, cfg: TableConfig, local_sid: str | None) -> DataFrame:
@@ -112,6 +121,7 @@ def _merge_segment(
     job: JobConfig,
     target,
     row_type,
+    deferred_commits: list | None = None,
 ) -> None:
     from dtle_spark.sinks.table_sink import BucketedTableTarget
 
@@ -127,7 +137,14 @@ def _merge_segment(
         merged = apply_changes(current, tchanges, cfg.unique_key)
     else:
         merged = apply_changes_no_pk(current, tchanges)
-    target.overwrite(merged, cfg.target_schema, cfg.target_table)
+    if deferred_commits is not None:
+        # A6 cross-table atomicity: stage now, swap with the rest of the
+        # batch's tables at the end — a reader never observes table A's
+        # new state next to table B's old one within a micro-batch
+        staged = target.stage(merged, cfg.target_schema, cfg.target_table)
+        deferred_commits.append((staged, cfg.target_schema, cfg.target_table))
+    else:
+        target.overwrite(merged, cfg.target_schema, cfg.target_table)
 
 
 def apply_ddl_to_target(
@@ -176,9 +193,18 @@ def apply_batch(
     (applier_incr.go:375-386); segmenting the micro-batch by the DDL's
     seq reproduces that ordering. Images are parsed from JSON with the
     catalog schema current *for that segment* (streaming/wire.py).
-    Cache the batch once — every table's transform scans it."""
+
+    A6 cross-table atomicity: when the batch contains no DDL (the
+    overwhelmingly common case) every table's new image is staged
+    first and then all are swapped in a tight rename loop — a reader
+    cannot observe a half-applied batch across tables. DDL batches
+    fall back to per-segment commits (the DDL barrier itself is the
+    serialization point). Cache the batch once — every table's
+    transform scans it."""
     batch.persist()
     try:
+        has_ddl = batch.filter(F.col("op") == "ddl").limit(1).count() > 0
+        deferred: list | None = [] if (not has_ddl and hasattr(target, "stage")) else None
         for cfg in job.tables:
             rows = table_filter(batch, cfg.schema_name, cfg.table_name)
             ddls = sorted(
@@ -196,12 +222,15 @@ def apply_batch(
                     seg = seg.filter(F.col("seq") < hi)
                 meta = catalog.get(cfg.schema_name, cfg.table_name)
                 typed = from_wire(seg, meta.schema)
-                _merge_segment(spark, typed, cfg, job, target, meta.schema)
+                _merge_segment(spark, typed, cfg, job, target, meta.schema, deferred)
                 if ddl_row is not None:
                     action = parse_ddl(ddl_row["query"], default_schema=cfg.schema_name)
                     catalog.apply(action)
                     apply_ddl_to_target(spark, target, cfg, action)
                     lo = hi
+        if deferred:
+            for staged, s, t in deferred:
+                target.commit(staged, s, t)
     finally:
         batch.unpersist()
 

@@ -98,3 +98,36 @@ def test_type_matrix_wire_roundtrip(spark):
     got = back[0]["after"].asDict()
     assert got == row
     assert all(v is None for v in back[1]["after"].asDict().values())
+
+
+def test_mysql_type_map_covers_reference_enum():
+    """§1.3: the 27-type MySQL enumeration (mysqlconfig/types.go:24-57)
+    all resolve, with the documented widenings and edge rules."""
+    from pyspark.sql import types as T
+
+    from dtle_spark.model import mysql_type_to_spark
+
+    cases = {
+        "tinyint": T.ByteType(), "tinyint unsigned": T.ShortType(),
+        "smallint": T.ShortType(), "smallint unsigned": T.IntegerType(),
+        "mediumint": T.IntegerType(), "mediumint unsigned": T.IntegerType(),
+        "int": T.IntegerType(), "int unsigned": T.LongType(),
+        "bigint": T.LongType(), "bigint unsigned": T.DecimalType(20, 0),
+        "float": T.FloatType(), "double": T.DoubleType(),
+        "char": T.StringType(), "varchar": T.StringType(),
+        "text": T.StringType(), "tinytext": T.StringType(),
+        "binary": T.BinaryType(), "varbinary": T.BinaryType(),
+        "blob": T.BinaryType(), "date": T.DateType(),
+        "datetime": T.TimestampNTZType(), "timestamp": T.TimestampType(),
+        "time": T.LongType(), "year": T.IntegerType(),
+        "enum": T.StringType(), "set": T.StringType(), "json": T.StringType(),
+    }
+    for name, expected in cases.items():
+        assert mysql_type_to_spark(name) == expected, name
+    assert mysql_type_to_spark("decimal", 18, 4) == T.DecimalType(18, 4)
+    assert mysql_type_to_spark("bit", 1) == T.BooleanType()
+    assert mysql_type_to_spark("bit", 17) == T.BinaryType()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mysql_type_to_spark("geometry")

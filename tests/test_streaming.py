@@ -90,3 +90,48 @@ def test_pause_resume_continues_from_checkpoint(spark, duck, job_dirs):
 
     final = target.read(spark, "db1", "orders")
     assert_matches_oracle(final, duck, cdc_demo.ORDERS_CDC_ORACLE)
+
+
+def test_multi_table_interleaved_tx(spark, job_dirs):
+    """FIXTURES F-6: one transaction interleaving two tables — both
+    tables' changes land, committed via the cross-table staged swap
+    (A6: no half-applied batch across tables)."""
+    from pyspark.sql import Row, types as T
+
+    from dtle_spark.catalog import SchemaCatalog
+    from dtle_spark.streaming.wire import WIRE_SCHEMA
+
+    os.makedirs(job_dirs["source"])
+    rows = [
+        # tx gno=1 touches t1 then t2 then t1 again
+        Row(sid="s1", gno=1, seq=1, lc=0, op="i", ts=None, schema_name="db1",
+            table_name="t1", before=None, after='{"id":1,"v":10}', query=None),
+        Row(sid="s1", gno=1, seq=2, lc=0, op="i", ts=None, schema_name="db1",
+            table_name="t2", before=None, after='{"k":7,"w":"x"}', query=None),
+        Row(sid="s1", gno=1, seq=3, lc=0, op="u", ts=None, schema_name="db1",
+            table_name="t1", before='{"id":1,"v":10}', after='{"id":1,"v":11}', query=None),
+    ]
+    spark.createDataFrame(rows, WIRE_SCHEMA).coalesce(1).write.parquet(
+        os.path.join(job_dirs["source"], "b0")
+    )
+
+    t1_schema = T.StructType([T.StructField("id", T.LongType()), T.StructField("v", T.LongType())])
+    t2_schema = T.StructType([T.StructField("k", T.LongType()), T.StructField("w", T.StringType())])
+    cat = SchemaCatalog()
+    cat.register("db1", "t1", t1_schema, ["id"])
+    cat.register("db1", "t2", t2_schema, ["k"])
+    job = JobConfig(
+        "multi",
+        [TableConfig("db1", "t1", unique_key=["id"]), TableConfig("db1", "t2", unique_key=["k"])],
+    )
+    rj = ReplicationJob(
+        spark, job, os.path.join(job_dirs["source"], "*"), job_dirs["target"],
+        job_dirs["checkpoint"], cat,
+    ).start()
+    rj.process_available()
+    rj.pause()
+
+    target = ParquetTableTarget(job_dirs["target"])
+    t1 = {r["id"]: r["v"] for r in target.read(spark, "db1", "t1").collect()}
+    t2 = {r["k"]: r["w"] for r in target.read(spark, "db1", "t2").collect()}
+    assert t1 == {1: 11} and t2 == {7: "x"}
