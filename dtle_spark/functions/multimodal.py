@@ -78,3 +78,52 @@ def extract_features(media: DataFrame) -> DataFrame:
     # NOTE: real codec decode is CPU-bound -> spread(media) first; the
     # deterministic stub is cheap enough that worker startup would dominate
     return media.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = "doc_id long, width int, height int, payload binary"
+FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_payload binary"
+
+
+def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Image resize stage: schema/batching plumbing is real, the pixel
+    work is the stubbed codec (PIL.thumbnail here in production)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload, mime in zip(pdf["doc_id"], pdf["payload"], pdf["mime"]):
+                feats = _decode_stub(bytes(payload), mime)
+                scale = min(1.0, max_side / max(feats["width"], feats["height"], 1))
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": int(feats["width"] * scale),
+                        "height": int(feats["height"] * scale),
+                        "payload": bytes(payload),  # real impl: re-encoded pixels
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(op, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """Video frame sampling stage: one output row per sampled frame
+    (explode shape). The deterministic fake 'frame' is a payload slice;
+    production plugs ffmpeg keyframe extraction into the same contract."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, mime in zip(pdf["doc_id"], pdf["payload"], pdf["mime"]):
+                if mime.startswith("video/"):
+                    raise NotImplementedError("ffmpeg frame extraction not available here")
+                data = bytes(payload)
+                for i in range(0, max(len(data), 1), every_n_bytes):
+                    rows.append(
+                        {"doc_id": doc_id, "frame_idx": i // every_n_bytes,
+                         "frame_payload": data[i : i + every_n_bytes]}
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(op, schema=FRAMES_SCHEMA)

@@ -100,3 +100,24 @@ def test_enum_zero_and_invalid(spark):
     df = spark.createDataFrame([Row(e=0), Row(e=99)])
     out = [r["x"] for r in df.select(dz.encode_enum_label(F.col("e"), ["a"]).alias("x")).collect()]
     assert out == ["", None]
+
+
+def test_multimodal_resize_and_frames(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(10)
+    media = mm.attach_fake_payload(docs)
+    resized = mm.resize_images(media, max_side=64).collect()
+    assert len(resized) == 10 and all(
+        max(r["width"], r["height"]) <= 64 for r in resized
+    )
+    frames = mm.sample_frames(media, every_n_bytes=100).collect()
+    assert len(frames) > 10  # multi-frame explode shape
+    by_doc = {}
+    for f in frames:
+        by_doc.setdefault(f["doc_id"], []).append(f)
+    # frames reassemble to the original payload
+    sample = resized[0]["doc_id"]
+    reassembled = b"".join(
+        bytes(f["frame_payload"]) for f in sorted(by_doc[sample], key=lambda x: x["frame_idx"])
+    )
+    orig = [bytes(r["payload"]) for r in media.collect() if r["doc_id"] == sample][0]
+    assert reassembled == orig
