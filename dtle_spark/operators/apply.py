@@ -84,8 +84,10 @@ def latest_image_per_key(changes: DataFrame, key_cols: list[str]) -> DataFrame:
     # transactions in (last_committed, seq) clock order; we only need the
     # per-key winner, which one row_number window provides. The window
     # shuffle partitions by key — same layout the subsequent merge join
-    # needs, so AQE reuses the exchange.
-    w = Window.partitionBy(*key_cols).orderBy(F.col("seq").desc())
+    # needs, so AQE reuses the exchange. Sources must make seq a total
+    # order per key (the bridges derive it from binlog position); the
+    # __action tie-break only pins determinism if a source violates that.
+    w = Window.partitionBy(*key_cols).orderBy(F.col("seq").desc(), F.col("__action"))
     return (
         effects.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -1259,3 +1259,26 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(100.0) * promo.cast("double") / F.sum("rev").cast("double")).alias("promo_share"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+from dtle_spark.operators.filters import statement_class_filter  # noqa: E402
+
+
+@query(
+    "statement_class_filter",
+    """
+    WITH cu AS (SELECT c_custkey FROM customer)
+    SELECT c_custkey, c_custkey*10+1 AS seq, 'u' AS op FROM cu
+    UNION ALL SELECT c_custkey, c_custkey*10+2, 'i' FROM cu WHERE c_custkey % 3 = 0
+    """,
+)
+def statement_class_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 SqlFilter: NoDMLDelete drops the delete class from the demo
+    stream (binlog_reader.go:110-178 statement-class policy)."""
+    changes = cdc_demo.customer_changes(spark, sf_dir)
+    filtered = statement_class_filter(changes, no_dml_delete=True)
+    return filtered.select(
+        F.coalesce(F.col("after.c_custkey"), F.col("before.c_custkey")).alias("c_custkey"),
+        "seq",
+        "op",
+    )
