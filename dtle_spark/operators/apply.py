@@ -55,13 +55,16 @@ def latest_image_per_key(changes: DataFrame, key_cols: list[str]) -> DataFrame:
     """
     key_expr = lambda img: [F.col(f"{img}.{k}").alias(k) for k in key_cols]  # noqa: E731
 
+    # null-image guards: an upsert without an after-image (or delete
+    # without before) is malformed input — drop rather than propagate
+    # null-keyed effects into the merge
     upserts = (
-        changes.filter(F.col("op").isin(OP_INSERT, OP_UPDATE))
+        changes.filter(F.col("op").isin(OP_INSERT, OP_UPDATE) & F.col("after").isNotNull())
         .select(*key_expr("after"), F.lit("upsert").alias("__action"),
                 F.col("after").alias("row"), F.col("seq"))
     )
     deletes = (
-        changes.filter(F.col("op") == OP_DELETE)
+        changes.filter((F.col("op") == OP_DELETE) & F.col("before").isNotNull())
         .select(*key_expr("before"), F.lit("delete").alias("__action"),
                 F.lit(None).alias("row"), F.col("seq"))
     )
@@ -141,13 +144,13 @@ def apply_changes_no_pk(target: DataFrame, changes: DataFrame) -> DataFrame:
     # counting semantics double-apply verbatim duplicates -> dedupe here
     changes = dedupe_redelivered(changes)
     ins = (
-        changes.filter(F.col("op").isin(OP_INSERT, OP_UPDATE))
+        changes.filter(F.col("op").isin(OP_INSERT, OP_UPDATE) & F.col("after").isNotNull())
         .select("after.*")
         .groupBy(*cols)
         .agg(F.count(F.lit(1)).alias("__i"))
     )
     dels = (
-        changes.filter(F.col("op").isin(OP_DELETE, OP_UPDATE))
+        changes.filter(F.col("op").isin(OP_DELETE, OP_UPDATE) & F.col("before").isNotNull())
         .select("before.*")
         .groupBy(*cols)
         .agg(F.count(F.lit(1)).alias("__d"))
