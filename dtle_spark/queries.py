@@ -1282,3 +1282,71 @@ def statement_class_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seq",
         "op",
     )
+
+
+@query(
+    "user_value_trend",
+    """
+    SELECT user_id, event_id,
+      CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100.0 AS moving_sum_7,
+      lag(event_id, 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_event,
+      ntile(4) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS quartile
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth: 7-row moving sum (exact cents), lag,
+    ntile — one shuffle on user_id serves all three frames."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("tsu"), "value"
+    )
+    order = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    w7 = order.rowsBetween(-6, 0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.sum(_cents(F.col("value"))).over(w7).cast("double") / F.lit(100.0)).alias("moving_sum_7"),
+        F.lag("event_id", 1).over(order).alias("prev_event"),
+        F.ntile(4).over(order).alias("quartile"),
+    )
+
+
+@query(
+    "dedup_materialize",
+    f"""
+    WITH RECURSIVE pairs AS ({_duck_minhash_sql()}),
+    edges AS (
+      SELECT id_1 AS a, id_2 AS b FROM pairs
+      UNION SELECT id_2, id_1 FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT re.node, e.b FROM reach re JOIN edges e ON re.r = e.a
+    ),
+    clusters AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+    losers AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+    """,
+)
+def dedup_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline end-product: the deduplicated corpus — drop every
+    non-canonical member of each near-dup cluster (keep min doc_id),
+    via one anti-join. This is the operation a 100 TB training-data
+    run actually ships."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_dedup_pairs(d, "doc_id", "text", threshold=0.5)
+    losers = (
+        connected_components(pairs)
+        .filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    return d.join(F.broadcast(losers), "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
