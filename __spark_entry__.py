@@ -10,11 +10,19 @@ Implementation lives in ``dtle_spark.queries``; this file only adapts.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from dtle_spark import queries as _q
+# the driver may import this file by path from another cwd; make the
+# package importable regardless
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from dtle_spark import queries as _q  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

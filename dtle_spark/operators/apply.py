@@ -94,7 +94,7 @@ def latest_image_per_key(changes: DataFrame, key_cols: list[str]) -> DataFrame:
     return (
         effects.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn", "seq")
+        .drop("__rn")
     )
 
 
@@ -109,10 +109,86 @@ def merge_into(target: DataFrame, net: DataFrame, key_cols: list[str]) -> DataFr
     over an existing row by key. The anti-join + union is the classic
     lake MERGE emulation; with Delta/Iceberg on the cluster this becomes
     a native MERGE INTO (sinks/table_sink.py chooses).
+
+    NOTE: batch-order-wins semantics — correct only when per-key seq is
+    monotone across batches (in-order delivery). For sources that may
+    split or reorder delivery use :func:`merge_into_versioned`.
     """
     untouched = target.join(net.select(*key_cols), on=key_cols, how="left_anti")
     new_rows = net.filter(F.col("__action") == "upsert").select("row.*")
     return untouched.unionByName(new_rows)
+
+
+SEQ_COL = "__seq"
+DELETED_COL = "__deleted"
+
+
+def merge_into_versioned(
+    versioned_target: DataFrame, net: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Seq-versioned MERGE: an effect applies only if its seq beats the
+    stored row's — last-write-wins BY SEQ, not by arrival order, so
+    delivery may be split or reordered across micro-batches freely
+    (multi-file sources, repartitioned streams, replays).
+
+    The versioned table carries two internal columns: ``__seq`` (the
+    winning effect's seq) and ``__deleted`` (tombstone — required so a
+    stale pre-delete change arriving late cannot resurrect the row).
+    External reads filter tombstones and strip internals
+    (ParquetTableTarget.read). Tombstone GC = drop tombstones older
+    than the source's max re-delivery horizon (compaction job; the
+    reference's gtid_executed cleanup is the same chore).
+    This is the semantics Delta CDF merges express with a sequence
+    column; here it is one full-outer join.
+    """
+    data_cols = [c for c in versioned_target.columns if c not in (SEQ_COL, DELETED_COL)]
+    cur = versioned_target.select(
+        *[F.col(k) for k in key_cols],
+        F.struct(*[F.col(c) for c in data_cols]).alias("__cur_row"),
+        F.col(SEQ_COL).alias("__cur_seq"),
+        F.col(DELETED_COL).alias("__cur_del"),
+    )
+    eff = net.select(
+        *[F.col(k) for k in key_cols],
+        F.col("__action"),
+        F.col("row").alias("__new_row"),
+        F.col("seq").alias("__new_seq"),
+    )
+    j = cur.join(eff, on=key_cols, how="full_outer")
+    # effect wins iff present and newer than the stored version
+    effect_wins = F.col("__new_seq").isNotNull() & (
+        F.col("__cur_seq").isNull() | (F.col("__new_seq") > F.col("__cur_seq"))
+    )
+    row = F.when(effect_wins, F.col("__new_row")).otherwise(F.col("__cur_row"))
+    seq = F.when(effect_wins, F.col("__new_seq")).otherwise(F.col("__cur_seq"))
+    deleted = F.when(effect_wins, F.col("__action") == "delete").otherwise(
+        F.coalesce(F.col("__cur_del"), F.lit(False))
+    )
+    out = j.select(
+        *[F.col(k) for k in key_cols],
+        row.alias("__row"),
+        seq.alias(SEQ_COL),
+        deleted.alias(DELETED_COL),
+    )
+    # tombstones keep only the key columns (row image nulled)
+    return out.select(
+        *[
+            F.when(~F.col(DELETED_COL), F.col(f"__row.{c}")).otherwise(
+                F.col(c) if c in key_cols else F.lit(None)
+            ).alias(c)
+            for c in data_cols
+        ],
+        SEQ_COL,
+        DELETED_COL,
+    )
+
+
+def with_version_columns(df: DataFrame, seq: int = -1) -> DataFrame:
+    """Prepare a snapshot table for versioned merging (seq -1 = 'before
+    every change')."""
+    return df.withColumn(SEQ_COL, F.lit(seq).cast("long")).withColumn(
+        DELETED_COL, F.lit(False)
+    )
 
 
 def apply_changes(target: DataFrame, changes: DataFrame, key_cols: list[str]) -> DataFrame:

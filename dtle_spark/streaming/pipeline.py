@@ -63,11 +63,23 @@ class ParquetTableTarget:
     def path(self, schema_name: str, table_name: str) -> str:
         return os.path.join(self.root, schema_name, table_name)
 
-    def read(self, spark: SparkSession, schema_name: str, table_name: str) -> DataFrame | None:
+    def read_internal(self, spark: SparkSession, schema_name: str, table_name: str) -> DataFrame | None:
+        """Raw stored form — may carry __seq/__deleted version columns."""
         p = self.path(schema_name, table_name)
         if not os.path.exists(p):
             return None
         return spark.read.parquet(p)
+
+    def read(self, spark: SparkSession, schema_name: str, table_name: str) -> DataFrame | None:
+        """External view: tombstones filtered, version columns stripped."""
+        from dtle_spark.operators.apply import DELETED_COL, SEQ_COL
+
+        df = self.read_internal(spark, schema_name, table_name)
+        if df is None:
+            return None
+        if DELETED_COL in df.columns:
+            df = df.filter(~F.col(DELETED_COL)).drop(SEQ_COL, DELETED_COL)
+        return df
 
     def stage(
         self, df: DataFrame, schema_name: str, table_name: str, retries: int = 5
@@ -123,19 +135,37 @@ def _merge_segment(
     row_type,
     deferred_commits: list | None = None,
 ) -> None:
+    from dtle_spark.operators.apply import (
+        DELETED_COL,
+        latest_image_per_key,
+        merge_into_versioned,
+        with_version_columns,
+    )
     from dtle_spark.sinks.table_sink import BucketedTableTarget
 
     tchanges = transform_changes(typed, cfg, job.local_sid)
     if isinstance(target, BucketedTableTarget) and cfg.unique_key:
         # scale path: merge rewrites only the buckets the batch touches
+        # (batch-ordered semantics — bridge must deliver in order)
         target.merge(spark, tchanges, cfg.target_schema, cfg.target_table, cfg.unique_key)
         return
-    current = target.read(spark, cfg.target_schema, cfg.target_table)
-    if current is None:
-        current = spark.createDataFrame([], row_type)
     if cfg.unique_key:
-        merged = apply_changes(current, tchanges, cfg.unique_key)
+        # seq-versioned merge: correct under split/reordered delivery
+        # across micro-batches (multi-file sources); tombstones guard
+        # late stale changes (operators/apply.merge_into_versioned)
+        current = target.read_internal(spark, cfg.target_schema, cfg.target_table)
+        if current is None:
+            current = with_version_columns(spark.createDataFrame([], row_type))
+        elif DELETED_COL not in current.columns:
+            current = with_version_columns(current)  # freshly-seeded snapshot
+        net = latest_image_per_key(tchanges, cfg.unique_key)
+        merged = merge_into_versioned(current, net, cfg.unique_key)
     else:
+        # counting semantics have no key to version on: requires
+        # in-order delivery (same constraint the reference has)
+        current = target.read(spark, cfg.target_schema, cfg.target_table)
+        if current is None:
+            current = spark.createDataFrame([], row_type)
         merged = apply_changes_no_pk(current, tchanges)
     if deferred_commits is not None:
         # A6 cross-table atomicity: stage now, swap with the rest of the
@@ -151,8 +181,9 @@ def apply_ddl_to_target(
     spark: SparkSession, target: ParquetTableTarget, cfg: TableConfig, action: DdlAction
 ) -> None:
     """D2 on the physical table: evolve the parquet target (on a lake
-    deployment these are native ALTER TABLE/schema-evolution commits)."""
-    cur = target.read(spark, cfg.target_schema, cfg.target_table)
+    deployment these are native ALTER TABLE/schema-evolution commits).
+    Operates on the INTERNAL form so version columns/tombstones survive."""
+    cur = target.read_internal(spark, cfg.target_schema, cfg.target_table)
     if action.kind == "add_column":
         if cur is not None:
             target.overwrite(
