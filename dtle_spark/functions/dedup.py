@@ -156,15 +156,29 @@ def with_jaccard(pairs: DataFrame, a: str = "hs_1", b: str = "hs_2") -> DataFram
     ).drop("__inter")
 
 
+MAX_BUCKET = 64
+
+
 def minhash_dedup_pairs(
-    docs: DataFrame, id_col: str, text_col: str, threshold: float = 0.5
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH candidates verified by exact Jaccard
     over the hashed shingle sets.
 
     Returns (id_1, id_2, jaccard) with id_1 < id_2, jaccard >= threshold.
-    At production scale add a bucket-size cap before the self-join
-    (hot boilerplate buckets produce O(k^2) candidates).
+
+    Skew guard: buckets larger than `max_bucket` are dropped before the
+    self-join — a hot boilerplate bucket of k docs would otherwise emit
+    O(k^2) candidate pairs (one stuck straggler task at corpus scale).
+    Recall is preserved for genuinely near-dup CLUSTERS by the other
+    BANDS-1 bands (a cluster hot in one band is hot in all its bands
+    only when the docs are full duplicates — catch those upstream with
+    exact dedup). The count runs as a window over the same key the join
+    shuffles on, so AQE reuses one exchange.
     """
     # one materialization of the tokenize/shingle/hash pipeline — the
     # bucket branch and both verify joins all read it (it is small:
@@ -174,6 +188,12 @@ def minhash_dedup_pairs(
         base.withColumn("sig", minhash_signature())
         .select(id_col, F.explode(lsh_bands("sig")).alias("band"))
         .select(id_col, "band.band_idx", "band.band_digest")
+    )
+    bw = Window.partitionBy("band_idx", "band_digest")
+    b = (
+        b.withColumn("__bn", F.count(F.lit(1)).over(bw))
+        .filter(F.col("__bn") <= max_bucket)
+        .drop("__bn")
     )
     cand = (
         b.select(F.col(id_col).alias("id_1"), "band_idx", "band_digest")
@@ -197,25 +217,31 @@ def minhash_dedup_pairs(
     )
 
 
-def simhash_bits_expr(hash_col: str = "th") -> Column:
+SIMHASH_BITS = 60  # 15 md5 hex chars parse into a signed BIGINT safely
+SIMHASH_CHUNKS = 6  # 6 x 10-bit chunks: pigeonhole-exact for distance <= 5
+
+
+def simhash_bits_expr(hash_col: str = "th", bits: int = SIMHASH_BITS) -> Column:
     """SimHash bits from a pre-computed token-hash int array: bit b is
     set when more tokens have bit b set than clear (sum of +-1 > 0
     <=> 2*count_set > n_tokens)."""
-    bits = []
-    for b in range(16):
+    terms = []
+    for b in range(bits):
         cnt = f"size(filter({hash_col}, h -> (h DIV {1 << b}) % 2 = 1))"
-        bits.append(f"(CASE WHEN 2 * {cnt} > size({hash_col}) THEN {1 << b} ELSE 0 END)")
-    return F.expr(" + ".join(bits)).cast("long")
+        terms.append(f"(CASE WHEN 2 * {cnt} > size({hash_col}) THEN {1 << b} ELSE 0 END)")
+    return F.expr(" + ".join(terms)).cast("long")
 
 
 def simhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """16-bit SimHash over token frequency, pure integer expressions.
+    """60-bit SimHash over token frequency, pure integer expressions.
 
-    Two-phase: token hashes (first 4 md5 hex chars, positional parse —
-    portable, one digest per token) materialize once, then 16 cheap
-    integer bit-count passes read the array.
+    Two-phase: token hashes (first 15 md5 hex chars = 60 bits,
+    positional parse — portable, one digest per token) materialize
+    once, then 60 cheap integer bit-count passes read the array.
+    60 not 64: the hex window must parse into a SIGNED 64-bit int in
+    both engines, so the top nibble is left clear.
     """
-    h = hex_window_sql("m", 1, "spark", width=4)
+    h = hex_window_sql("m", 1, "spark", width=15)
     base = spread(docs).select(
         id_col,
         F.expr(
@@ -226,23 +252,36 @@ def simhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
 
 
 def simhash_near_pairs(
-    docs: DataFrame, id_col: str, text_col: str, max_distance: int = 3
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_distance: int = 3,
+    chunks: int = SIMHASH_CHUNKS,
 ) -> DataFrame:
-    """Hamming-near pairs via bucketing on the signature's two bytes:
-    a pair within distance d<=7 must agree exactly on at least one byte
-    half (pigeonhole) -> join on each half, then exact bit_count filter.
-    Avoids the O(n^2) cross join the naive form needs."""
+    """Hamming-near pairs via chunk bucketing: split the 60-bit
+    signature into `chunks` equal windows; a pair within distance
+    d <= chunks-1 must agree exactly on at least one window
+    (pigeonhole) -> equi-join per window, then exact bit_count filter.
+    Exact (no misses) for max_distance <= chunks-1; avoids the O(n^2)
+    cross join. Scale: the join key is (window_idx, window_value) —
+    candidate generation touches only bucket-mates, same economics as
+    MinHash-LSH band joins."""
+    if max_distance > chunks - 1:
+        raise ValueError(f"max_distance {max_distance} needs >= {max_distance + 1} chunks")
+    width = SIMHASH_BITS // chunks
     s = simhash_signatures(docs, id_col, text_col)
-    halves = s.select(
-        id_col,
-        "simhash",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("h"), (F.col("simhash") % 256).alias("v")),
-                F.struct(F.lit(1).alias("h"), F.expr("simhash DIV 256").alias("v")),
+    windows = F.array(
+        *[
+            F.struct(
+                F.lit(h).alias("h"),
+                F.expr(f"(simhash DIV {1 << (width * h)}) % {1 << width}").alias("v"),
             )
-        ).alias("half"),
-    ).select(id_col, "simhash", "half.h", "half.v")
+            for h in range(chunks)
+        ]
+    )
+    halves = s.select(id_col, "simhash", F.explode(windows).alias("w")).select(
+        id_col, "simhash", "w.h", "w.v"
+    )
     a = halves.select(F.col(id_col).alias("id_1"), F.col("simhash").alias("sh_1"), "h", "v")
     b2 = halves.select(F.col(id_col).alias("id_2"), F.col("simhash").alias("sh_2"), "h", "v")
     return (

@@ -109,6 +109,80 @@ def lsh_bucket_topk(
     )
 
 
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 3,
+    centroid_stride: int = 25,
+) -> DataFrame:
+    """IVF-Flat approximate top-k: a coarse centroid table partitions
+    the corpus into cells; queries probe only their `nprobe` nearest
+    cells. The FAISS IVF plan re-expressed as DataFrame ops.
+
+    Centroids here are a deterministic corpus sample (id % stride) —
+    the cheap-init stand-in for a k-means train step; the search plan
+    is identical either way (oracle determinism forbids the mean step:
+    averaging doubles is order-dependent across engines).
+
+    Scale shape — the whole search is shuffle-free over the corpus:
+    - the centroid table folds into ONE array row, broadcast; cell
+      assignment is `array_max(transform(...))` per corpus row — a
+      map-only stage, no per-centroid row explosion, no window.
+    - query probing runs on the bounded query set (windowed top-nprobe
+      over |Q| x |C| rows — tiny).
+    - probes broadcast into the assigned corpus: equi-join on cell,
+      map-only again. Only the final per-query top-k windows a small
+      intermediate (|Q| x avg cell size).
+    Struct-max ties (duplicate vectors) break to the highest cell id —
+    verified identical in Spark `array_max` and DuckDB `list_max`.
+    """
+    cent = vectors.filter(F.col(id_col) % centroid_stride == 1).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("c_vec")
+    )
+    cents_arr = cent.agg(
+        F.expr("sort_array(collect_list(struct(cent_id, c_vec)))").alias("cents")
+    )
+    def _best(vec: str) -> str:
+        # argmax over centroids: the row's own norm is a constant
+        # factor, so score = dot / |centroid| picks the same cell as
+        # full cosine with one fewer fold per centroid
+        score = f"({dot_expr(vec, 'c.c_vec')}) / sqrt({dot_expr('c.c_vec', 'c.c_vec')})"
+        return (
+            f"array_max(transform(cents, c -> struct({score} AS cos, c.cent_id AS cell))).cell"
+        )
+
+    assigned = (
+        vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"))
+        .crossJoin(F.broadcast(cents_arr))
+        .withColumn("cell", F.expr(_best("vec")))
+        .select("neighbor_id", F.col("vec").alias("n_vec"), "cell")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    qscored = q.crossJoin(F.broadcast(cent)).withColumn(
+        "c_cos", cosine_expr("q_vec", "c_vec")
+    )
+    qw = Window.partitionBy("query_id").orderBy(F.col("c_cos").desc(), F.col("cent_id"))
+    probes = (
+        qscored.withColumn("__r", F.row_number().over(qw))
+        .filter(F.col("__r") <= nprobe)
+        .select("query_id", "q_vec", F.col("cent_id").alias("cell"))
+    )
+    hits = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_expr("q_vec", "n_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cell", "neighbor_id", "rank", "cosine")
+    )
+
+
 def neardup_pairs(
     vectors: DataFrame,
     id_col: str = "vec_id",

@@ -514,9 +514,15 @@ def _duck_minhash_sql() -> str:
       FROM digests),
     sigs AS (SELECT doc_id, [{lanes}] AS sig FROM hashed),
     buckets AS ({bands}),
+    capped AS (
+      SELECT doc_id, band_idx, band_digest FROM (
+        SELECT *, count(*) OVER (PARTITION BY band_idx, band_digest) AS bn
+        FROM buckets
+      ) WHERE bn <= {dd.MAX_BUCKET}
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
-      FROM buckets a JOIN buckets b
+      FROM capped a JOIN capped b
         ON a.band_idx = b.band_idx AND a.band_digest = b.band_digest
        AND a.doc_id < b.doc_id
     )
@@ -528,18 +534,27 @@ def _duck_minhash_sql() -> str:
 
 
 def _duck_simhash_sql(text_col: str = "text") -> str:
-    """Two-stage SimHash: token-hash array CTE, then 16 bit-count passes."""
+    """Two-stage SimHash: token-hash array CTE, then 60 bit-count passes."""
     t = _duck_toks(text_col)
-    h4 = dd.hex_window_sql("m", 1, "duckdb", width=4)
-    th = f"list_transform(list_transform({t}, x -> md5(x)), m -> {h4})"
+    h15 = dd.hex_window_sql("m", 1, "duckdb", width=15)
+    th = f"list_transform(list_transform({t}, x -> md5(x)), m -> {h15})"
     bits = []
-    for b in range(16):
+    for b in range(dd.SIMHASH_BITS):
         cnt = f"len(list_filter(th, h -> (h // {1 << b}) % 2 = 1))"
         bits.append(f"(CASE WHEN 2 * {cnt} > len(th) THEN {1 << b} ELSE 0 END)")
     sig = "CAST(" + " + ".join(bits) + " AS BIGINT)"
     return (
         f"SELECT doc_id, {sig} AS simhash FROM "
         f"(SELECT doc_id, {th} AS th FROM documents)"
+    )
+
+
+def _duck_simhash_windows() -> str:
+    width = dd.SIMHASH_BITS // dd.SIMHASH_CHUNKS
+    return " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {h} AS h,"
+        f" (simhash // {1 << (width * h)}) % {1 << width} AS v FROM s"
+        for h in range(dd.SIMHASH_CHUNKS)
     )
 
 
@@ -568,14 +583,15 @@ def _duck_sign_bucket(vec: str, planes: int = 8) -> str:
 @query("dedup_minhash_lsh", _duck_minhash_sql())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs, exact-Jaccard-verified at 0.5
-    (functions/dedup.py: 24 md5 lanes, 12 bands x 2 rows)."""
+    (functions/dedup.py: 24 md5 lanes, 12 bands x 2 rows, hot-bucket
+    cap at 64)."""
     d = load_table(spark, sf_dir, "documents")
     return dd.minhash_dedup_pairs(d, "doc_id", "text", threshold=0.5)
 
 
 @query("dedup_simhash", _duck_simhash_sql())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash signatures (integer-exact, engine-portable)."""
+    """60-bit SimHash signatures (integer-exact, engine-portable)."""
     d = load_table(spark, sf_dir, "documents")
     return dd.simhash_signatures(d, "doc_id", "text")
 
@@ -585,9 +601,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH s AS ({_duck_simhash_sql()}),
     halves AS (
-      SELECT doc_id, simhash, 0 AS h, simhash % 256 AS v FROM s
-      UNION ALL
-      SELECT doc_id, simhash, 1 AS h, simhash // 256 AS v FROM s
+      {_duck_simhash_windows()}
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2,
@@ -599,8 +613,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-pairs (hamming <= 3) via byte-half pigeonhole
-    bucketing — no O(n^2) cross join."""
+    """SimHash near-pairs (hamming <= 3 of 60 bits) via 6x10-bit chunk
+    pigeonhole bucketing — exact for d <= 5, no O(n^2) cross join."""
     d = load_table(spark, sf_dir, "documents")
     return dd.simhash_near_pairs(d, "doc_id", "text", max_distance=3)
 
@@ -673,6 +687,53 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 50 == 0)
     out = sim.lsh_bucket_topk(e, q, k=5)
+    return out.withColumnRenamed("rank", "rnk")
+
+
+def _duck_ivf_assign_score() -> str:
+    """Mirror of ivf_topk's cell-assignment score (dot / |centroid|)."""
+    return (
+        f"({_duck_dot('embedding', 'c.c_vec')})"
+        f" / sqrt({_duck_dot('c.c_vec', 'c.c_vec')})"
+    )
+
+
+_ANN_IVF_ORACLE = f"""
+WITH cent AS (SELECT vec_id AS cent_id, embedding AS c_vec FROM embeddings WHERE vec_id % 25 = 1),
+cents AS (SELECT list({{'cent_id': cent_id, 'c_vec': c_vec}} ORDER BY cent_id) AS cents FROM cent),
+assigned AS (
+  SELECT vec_id AS neighbor_id, embedding AS n_vec,
+         list_max(list_transform(cents.cents,
+           c -> {{'cos': {_duck_ivf_assign_score()}, 'cell': c.cent_id}})).cell AS cell
+  FROM embeddings, cents
+),
+q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id % 50 = 0),
+qs AS (SELECT query_id, q_vec, cent_id, {_duck_cosine('q_vec', 'c_vec')} AS c_cos FROM q, cent),
+probes AS (
+  SELECT query_id, q_vec, cent_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY c_cos DESC, cent_id) AS r FROM qs
+  ) WHERE r <= 8
+),
+hits AS (
+  SELECT query_id, p.cell AS cell, neighbor_id, {_duck_cosine('q_vec', 'n_vec')} AS cosine
+  FROM assigned a JOIN probes p ON a.cell = p.cell AND query_id <> neighbor_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM hits)
+SELECT query_id, cell, neighbor_id, rnk, cosine FROM r WHERE rnk <= 5
+"""
+
+
+@query("ann_topk_ivf", _ANN_IVF_ORACLE)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate top-5: broadcast centroid table, map-only
+    cell assignment (array_max fold — no corpus shuffle), queries probe
+    their 8 nearest cells (functions/similarity.py ivf_topk; the
+    fixture embeddings are isotropic-random, so recall ~= probed
+    fraction — nprobe tunes the recall/cost point)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    out = sim.ivf_topk(e, q, k=5, nprobe=8, centroid_stride=25)
     return out.withColumnRenamed("rank", "rnk")
 
 

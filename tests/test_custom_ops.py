@@ -131,3 +131,97 @@ def test_mysql_type_map_covers_reference_enum():
 
     with _pytest.raises(ValueError):
         mysql_type_to_spark("geometry")
+
+
+class TestSimhashChunkBucketing:
+    def test_pairs_match_bruteforce_within_guarantee(self, spark):
+        """6x10-bit pigeonhole is EXACT for hamming distance <= 5: the
+        bucketed join must find the identical pair set a full cross
+        join finds (sf0.001 documents corpus)."""
+        from dtle_spark.functions.dedup import simhash_near_pairs, simhash_signatures
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        got = sorted(
+            (r["id_1"], r["id_2"], r["distance"])
+            for r in simhash_near_pairs(docs, "doc_id", "text", max_distance=5).collect()
+        )
+        s = simhash_signatures(docs, "doc_id", "text")
+        a = s.select(F.col("doc_id").alias("id_1"), F.col("simhash").alias("sh_1"))
+        b = s.select(F.col("doc_id").alias("id_2"), F.col("simhash").alias("sh_2"))
+        brute = sorted(
+            (r["id_1"], r["id_2"], r["distance"])
+            for r in a.join(b, F.col("id_1") < F.col("id_2"))
+            .withColumn("distance", F.expr("bit_count(sh_1 ^ sh_2)"))
+            .filter("distance <= 5")
+            .collect()
+        )
+        assert got == brute and len(brute) > 0
+
+    def test_distance_beyond_guarantee_rejected(self, spark):
+        from dtle_spark.functions.dedup import simhash_near_pairs
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        with pytest.raises(ValueError, match="chunks"):
+            simhash_near_pairs(docs, "doc_id", "text", max_distance=6)
+
+
+class TestMinhashBucketCap:
+    def test_hot_bucket_dropped(self, spark):
+        """A boilerplate cluster larger than the cap must not produce
+        O(k^2) candidates: every band bucket of the identical docs is
+        hot, so the capped join drops them all (exact dedup upstream is
+        the designed catch for full duplicates)."""
+        from dtle_spark.functions.dedup import minhash_dedup_pairs
+
+        boiler = [(i, "the same boilerplate legal disclaimer text repeated verbatim "
+                      "across every document in this hot cluster") for i in range(80)]
+        distinct = [(100, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+                    (101, "alpha beta gamma delta epsilon zeta eta theta iota lambda")]
+        docs = spark.createDataFrame(boiler + distinct, "doc_id long, text string")
+        out = minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5, max_bucket=64)
+        pairs = {(r["id_1"], r["id_2"]) for r in out.collect()}
+        assert (100, 101) in pairs
+        assert not any(i < 80 and j < 80 for i, j in pairs)
+        # with the cap lifted the hot cluster floods back in
+        flood = minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5, max_bucket=10**6)
+        assert flood.count() >= 80 * 79 // 2
+
+
+class TestIvfTopk:
+    def test_ivf_recall_against_bruteforce(self, spark):
+        """IVF probing 8 of ~20 cells must recover most exact top-5
+        neighbors. The fixture embeddings are isotropic-random (no
+        cluster structure — measured), so recall ~= probed fraction;
+        0.5 at a 0.4 probe fraction is the honest bar."""
+        from dtle_spark.functions.similarity import brute_force_topk, ivf_topk
+
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = e.filter(F.col("vec_id") % 50 == 0)
+        exact = {(r["query_id"], r["neighbor_id"])
+                 for r in brute_force_topk(e, q, k=5).collect()}
+        approx = {(r["query_id"], r["neighbor_id"])
+                  for r in ivf_topk(e, q, k=5, nprobe=8, centroid_stride=25).collect()}
+        assert len(approx & exact) / len(exact) >= 0.5
+        # every reported neighbor carries its true cosine rank ordering
+        by_q = {}
+        for r in ivf_topk(e, q, k=5, nprobe=8, centroid_stride=25).collect():
+            by_q.setdefault(r["query_id"], []).append((r["rnk"] if "rnk" in r else r["rank"], r["cosine"]))
+        for ranks in by_q.values():
+            ordered = sorted(ranks)
+            assert all(ordered[i][1] >= ordered[i + 1][1] for i in range(len(ordered) - 1))
+
+    def test_ivf_plan_is_corpus_shuffle_free(self, spark):
+        """The assignment stage must not shuffle the corpus: no Exchange
+        between the embeddings scan and the cell assignment (broadcast
+        centroid array + array_max fold)."""
+        from dtle_spark.functions.similarity import ivf_topk
+
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = e.filter(F.col("vec_id") % 50 == 0)
+        plan = ivf_topk(e, q, k=5)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in plan
+        # the only hash shuffles allowed are the tiny windowed stages
+        # (query probing / final top-k), both keyed by query_id
+        import re
+        hash_exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+        assert all(x.startswith("query_id") for x in hash_exchanges), hash_exchanges
