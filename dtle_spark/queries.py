@@ -1411,3 +1411,179 @@ def dedup_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.join(F.broadcast(losers), "doc_id", "left_anti").select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+# ---------------------------------------------------------------------------
+# Analytics batch 4: the remaining classic decorrelation shapes (Q2,
+# Q13, Q17, Q18, Q22) adapted to the fixture schema. Money math is
+# integer-cents; avg comparisons are integer cross-multiplies (never a
+# float divide inside a predicate) per the determinism rules.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q2_best_supplier_per_nation",
+    """
+    WITH mx AS (SELECT s_nationkey, max(s_acctbal) AS best FROM supplier GROUP BY s_nationkey)
+    SELECT r_name, n_name, s_name, s_acctbal
+    FROM supplier JOIN mx ON supplier.s_nationkey = mx.s_nationkey AND s_acctbal = best
+    JOIN nation ON n_nationkey = supplier.s_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    """,
+)
+def q2_best_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated max subquery decorrelated into a
+    grouped max re-joined on (key, max) — ties return every witness,
+    exactly the correlated-subquery semantics. Dim chain broadcast
+    (max of doubles is order-independent — safe to compare exactly)."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    mx = (
+        s.groupBy("s_nationkey")
+        .agg(F.max("s_acctbal").alias("best"))
+        .withColumnRenamed("s_nationkey", "nk")
+    )
+    return (
+        s.join(F.broadcast(mx), (s.s_nationkey == F.col("nk")) & (s.s_acctbal == F.col("best")))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("r_name", "n_name", "s_name", "s_acctbal")
+    )
+
+
+@query(
+    "q13_order_count_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON o_custkey = c_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join with a join-level filter, per-key
+    count (zeros preserved), then the distribution of counts — two
+    aggregations, the second over tiny cardinality."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q17_small_quantity_revenue",
+    """
+    WITH pa AS (
+      SELECT l_partkey, COUNT(*) AS cnt,
+             SUM(CAST(round(l_quantity) AS BIGINT)) AS sq
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 700.0
+             AS avg_yearly,
+           COUNT(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey JOIN pa USING (l_partkey)
+    WHERE p_brand = 'Brand#23'
+      AND 5 * CAST(round(l_quantity) AS BIGINT) * cnt < sq
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: per-part avg-quantity threshold. The correlated
+    avg decorrelates into a grouped (count, sum) joined back; the
+    `qty < 0.2 * avg` predicate becomes the integer cross-multiply
+    5*qty*cnt < sum — no float division inside a predicate. One double
+    conversion at the very end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    pa = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum(qty).alias("sq")
+    )
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(pa, "l_partkey")
+        .filter(5 * qty * F.col("cnt") < F.col("sq"))
+    )
+    return j.agg(
+        (F.sum(_cents(F.col("l_extendedprice"))).cast("double") / F.lit(700.0)).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q18_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey, SUM(CAST(round(l_quantity) AS BIGINT)) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 300
+    )
+    SELECT c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+    FROM big JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN-subquery on a grouped HAVING -> the group
+    result joins the fact directly (semi-join made total: the grouped
+    side IS the filter). Quantity sums stay integer-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
+
+
+@query(
+    "q22_idle_rich_customers",
+    """
+    WITH t AS (
+      SELECT SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS s, COUNT(*) AS n
+      FROM customer WHERE c_acctbal > 0
+    ),
+    urgent AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    SELECT c_mktsegment, COUNT(*) AS numcust,
+           SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS totacctbal_cents
+    FROM customer, t
+    WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n > s
+      AND c_custkey NOT IN (SELECT o_custkey FROM urgent)
+    GROUP BY c_mktsegment
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery average threshold (integer
+    cross-multiply: cents*n > sum_cents) + NOT IN anti-join, grouped
+    totals kept in cents. The scalar (sum, count) broadcast-crosses
+    into the scan — no shuffle on the big side before the filter."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    t = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(_cents(F.col("c_acctbal"))).alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .filter(_cents(F.col("c_acctbal")) * F.col("n") > F.col("s"))
+        .join(urgent, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_cents(F.col("c_acctbal"))).alias("totacctbal_cents"),
+        )
+    )
