@@ -691,16 +691,17 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_ivf_assign_score() -> str:
-    """Mirror of ivf_topk's cell-assignment score (dot / |centroid|)."""
-    return (
-        f"({_duck_dot('embedding', 'c.c_vec')})"
-        f" / sqrt({_duck_dot('c.c_vec', 'c.c_vec')})"
-    )
+    """Mirror of ivf_topk's cell-assignment score: dot / precomputed
+    centroid norm (the norm is computed once per centroid by the same
+    sqrt-of-fold both engines use — identical doubles)."""
+    return f"({_duck_dot('embedding', 'c.c_vec')}) / c.c_norm"
 
 
 _ANN_IVF_ORACLE = f"""
-WITH cent AS (SELECT vec_id AS cent_id, embedding AS c_vec FROM embeddings WHERE vec_id % 25 = 1),
-cents AS (SELECT list({{'cent_id': cent_id, 'c_vec': c_vec}} ORDER BY cent_id) AS cents FROM cent),
+WITH cent AS (SELECT vec_id AS cent_id, embedding AS c_vec,
+                     sqrt({_duck_dot('embedding', 'embedding')}) AS c_norm
+              FROM embeddings WHERE vec_id % 25 = 1),
+cents AS (SELECT list({{'cent_id': cent_id, 'c_vec': c_vec, 'c_norm': c_norm}} ORDER BY cent_id) AS cents FROM cent),
 assigned AS (
   SELECT vec_id AS neighbor_id, embedding AS n_vec,
          list_max(list_transform(cents.cents,
@@ -1587,3 +1588,59 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_cents(F.col("c_acctbal"))).alias("totacctbal_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus assembly (functions/corpus.py): deterministic stratified
+# sampling and sequence packing — the steps that turn the cleaned pool
+# into training input.
+# ---------------------------------------------------------------------------
+
+from dtle_spark.functions import corpus as cp  # noqa: E402
+
+# language mixing weights: integers only (num, denom)
+_MIX_RATES = {"en": (3, 4), "de": (1, 2), "fr": (1, 2), "ja": (1, 4)}
+
+
+@query(
+    "stratified_sample",
+    f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {cp.stratified_sample_sql(_MIX_RATES, default_rate=(1, 10))}
+    """,
+)
+def stratified_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling (mixing weights): keep
+    iff hash40(doc_id)*denom < num*2^40 — integer cross-multiply, no
+    floats, map-only, and stable under corpus growth (same doc always
+    draws the same uniform)."""
+    d = load_table(spark, sf_dir, "documents")
+    return cp.stratified_sample(d, _MIX_RATES, default_rate=(1, 10)).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@query(
+    "pack_sequences",
+    """
+    WITH t AS (
+      SELECT source AS part, doc_id AS id,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT *, coalesce(SUM(n_tokens) OVER (
+        PARTITION BY part ORDER BY id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      FROM t
+    )
+    SELECT part, id, n_tokens, cum // 2048 AS bin, cum % 2048 AS bin_offset FROM c
+    """,
+)
+def pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing into 2048-token bins, windowed
+    per source (parallel across sources; shard-local packing is the
+    single-giant-source extension — functions/corpus.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return cp.pack_sequences(d, budget=2048)

@@ -225,3 +225,41 @@ class TestIvfTopk:
         import re
         hash_exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
         assert all(x.startswith("query_id") for x in hash_exchanges), hash_exchanges
+
+
+class TestCorpusAssembly:
+    def test_pack_sequences_invariants(self, spark):
+        """Packing is a permutation of the corpus; offsets advance by
+        n_tokens within a partition; bin ids are contiguous from 0."""
+        from dtle_spark.functions.corpus import pack_sequences
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = pack_sequences(docs, budget=1024).collect()
+        assert len(out) == docs.count()
+        by_part = {}
+        for r in out:
+            by_part.setdefault(r["part"], []).append(r)
+        for rows in by_part.values():
+            rows.sort(key=lambda r: r["id"])
+            cum = 0
+            for r in rows:
+                assert r["bin"] == cum // 1024 and r["bin_offset"] == cum % 1024
+                cum += r["n_tokens"]
+
+    def test_stratified_sample_deterministic_and_proportional(self, spark):
+        from dtle_spark.functions.corpus import stratified_sample
+
+        docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        rates = {"en": (1, 2), "de": (1, 4)}
+        a = {r["doc_id"] for r in stratified_sample(docs, rates).collect()}
+        b = {r["doc_id"] for r in stratified_sample(docs, rates).collect()}
+        assert a == b  # same draw every run
+        langs = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", "lang").collect()}
+        n_en = sum(1 for d, l in langs.items() if l == "en")
+        k_en = sum(1 for d in a if langs[d] == "en")
+        assert abs(k_en / n_en - 0.5) < 0.15
+        assert not any(langs[d] not in rates for d in a)  # default rate 0 drops others
+        # growth stability: sampling a subset picks exactly the subset's survivors
+        half = docs.filter("doc_id % 2 = 0")
+        c = {r["doc_id"] for r in stratified_sample(half, rates).collect()}
+        assert c == {d for d in a if d % 2 == 0}
