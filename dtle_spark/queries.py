@@ -1470,10 +1470,13 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations, the second over tiny cardinality."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
-    per = (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+    # pre-aggregate orders per custkey BEFORE the outer join (partial
+    # agg runs map-side): the join then moves one row per customer
+    # instead of one per order — result-identical, and the shuffle
+    # shrinks from |orders| to |distinct custkeys|
+    ocnt = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("__n"))
+    per = c.join(ocnt, c.c_custkey == ocnt.o_custkey, "left").select(
+        F.coalesce(F.col("__n"), F.lit(0)).alias("c_count")
     )
     return per.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
 
@@ -1503,14 +1506,16 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
     qty = F.round(F.col("l_quantity")).cast("long")
-    pa = li.groupBy("l_partkey").agg(
+    # brand-filter lineitem BEFORE the per-part aggregate: the grouped
+    # (cnt, sum) is only consumed joined back to the brand's rows, so
+    # restricting it first is result-identical but shuffles ~brand
+    # share of lineitem instead of all of it (the decisive difference
+    # at 100 TB). The oracle keeps the unrestricted form — same rows.
+    jf = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    pa = jf.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("cnt"), F.sum(qty).alias("sq")
     )
-    j = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(pa, "l_partkey")
-        .filter(5 * qty * F.col("cnt") < F.col("sq"))
-    )
+    j = jf.join(pa, "l_partkey").filter(5 * qty * F.col("cnt") < F.col("sq"))
     return j.agg(
         (F.sum(_cents(F.col("l_extendedprice"))).cast("double") / F.lit(700.0)).alias("avg_yearly"),
         F.count(F.lit(1)).alias("n"),

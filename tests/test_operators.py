@@ -257,3 +257,57 @@ class TestVersionedMerge:
                 tuple(r) for r in cur.filter("NOT __deleted").drop("__seq", "__deleted").collect()
             )
             assert got == expected, perm
+
+
+class TestVersionedMergeConvergence:
+    """Property: for ANY partition of a change stream into batches and
+    ANY delivery order of those batches, the versioned merge converges
+    to the in-order apply_changes result (seeded-random trials over
+    multi-key streams with inserts/updates/deletes/PK-moves)."""
+
+    def test_random_streams_converge(self, spark):
+        import random
+
+        from dtle_spark.operators.apply import (
+            latest_image_per_key,
+            merge_into_versioned,
+            with_version_columns,
+        )
+
+        rng = random.Random(20260813)
+        for trial in range(4):
+            # random per-key op streams; PK moves via update before/after
+            events, seq = [], 0
+            alive = {}
+            for _ in range(12):
+                seq += 1
+                k = rng.choice([1, 2, 3, 4])
+                if k not in alive:
+                    alive[k] = f"v{seq}"
+                    events.append(_base(gno=seq, seq=seq, op="i", after=_r(k, alive[k], float(seq))))
+                elif rng.random() < 0.3:
+                    events.append(_base(gno=seq, seq=seq, op="d", before=_r(k, alive[k], 0.0)))
+                    del alive[k]
+                else:
+                    old = alive[k]; alive[k] = f"v{seq}"
+                    events.append(_base(gno=seq, seq=seq, op="u",
+                                        before=_r(k, old, 0.0), after=_r(k, alive[k], float(seq))))
+            expected = sorted(
+                tuple(r) for r in apply_changes(
+                    spark.createDataFrame([], ROW), _chg(spark, events), ["id"]
+                ).collect()
+            )
+            # random batch partition + random delivery order
+            batches, i = [], 0
+            while i < len(events):
+                j = i + rng.randint(1, 4)
+                batches.append(events[i:j]); i = j
+            rng.shuffle(batches)
+            cur = with_version_columns(spark.createDataFrame([], ROW))
+            for b in batches:
+                net = latest_image_per_key(_chg(spark, b), ["id"])
+                cur = merge_into_versioned(cur, net, ["id"])
+            got = sorted(
+                tuple(r) for r in cur.filter("NOT __deleted").drop("__seq", "__deleted").collect()
+            )
+            assert got == expected, f"trial {trial}"
