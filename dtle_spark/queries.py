@@ -1649,3 +1649,95 @@ def pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-giant-source extension — functions/corpus.py)."""
     d = load_table(spark, sf_dir, "documents")
     return cp.pack_sequences(d, budget=2048)
+
+
+# ---------------------------------------------------------------------------
+# Analytics batch 5: exact discrete percentiles (manual window
+# construction — engine-built-in quantile functions interpolate
+# differently across engines, so both sides compute the SAME
+# row_number/count method) and CUBE totals.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "order_value_percentiles",
+    """
+    WITH v AS (
+      SELECT o_orderpriority AS pri,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    r AS (
+      SELECT pri, cents,
+             row_number() OVER (PARTITION BY pri ORDER BY cents) AS rn,
+             count(*) OVER (PARTITION BY pri) AS n
+      FROM v
+    )
+    SELECT pri,
+           MIN(CASE WHEN rn * 100 >= 50 * n THEN cents END) AS p50_cents,
+           MIN(CASE WHEN rn * 100 >= 90 * n THEN cents END) AS p90_cents,
+           MIN(CASE WHEN rn * 100 >= 99 * n THEN cents END) AS p99_cents,
+           MAX(cents) AS max_cents
+    FROM r GROUP BY pri
+    """,
+)
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles (p50/p90/p99) of order value per
+    priority: rank-threshold as an integer cross-multiply
+    (rn*100 >= p*n) over integer cents — no interpolation, no floats,
+    so both engines agree bit-for-bit. Ties in `cents` make equal-rank
+    rows interchangeable: the selected VALUE is unique even though
+    row_number order among ties is not."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(
+        F.col("o_orderpriority").alias("pri"),
+        _cents(F.col("o_totalprice")).alias("cents"),
+    )
+    w = Window.partitionBy("pri").orderBy("cents")
+    r = v.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("pri"))
+    )
+
+    def pick(p: int):
+        return F.min(F.when(F.col("rn") * 100 >= p * F.col("n"), F.col("cents")))
+
+    return r.groupBy("pri").agg(
+        pick(50).alias("p50_cents"),
+        pick(90).alias("p90_cents"),
+        pick(99).alias("p99_cents"),
+        F.max("cents").alias("max_cents"),
+    )
+
+
+@query(
+    "cube_order_totals",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all four grouping-set combinations
+    in one pass (partial-aggregable — one shuffle of group keys, not
+    four scans). NULL markers coalesce to 'ALL' (fixture columns are
+    never null, so the marker is unambiguous)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents(F.col("o_totalprice"))).alias("total_cents"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n",
+            "total_cents",
+        )
+    )
