@@ -135,3 +135,34 @@ def test_multi_table_interleaved_tx(spark, job_dirs):
     t1 = {r["id"]: r["v"] for r in target.read(spark, "db1", "t1").collect()}
     t2 = {r["k"]: r["w"] for r in target.read(spark, "db1", "t2").collect()}
     assert t1 == {1: 11} and t2 == {7: "x"}
+
+
+def test_out_of_order_batch_delivery_converges(spark, duck, job_dirs):
+    """Seq-versioned merge end-to-end: the SAME change stream delivered
+    in reverse batch order (newest seq range first) must converge to
+    the same final state as in-order delivery — each file is written
+    only after the previous micro-batch fully applied, so arrival
+    order is pinned newest-first."""
+    base = cdc_demo.orders_base(spark, SF_DIR)
+    changes = cdc_demo.orders_changes(spark, SF_DIR)
+
+    cfg = TableConfig("db1", "orders", unique_key=["o_orderkey"])
+    job = JobConfig(name="t", tables=[cfg])
+    target = ParquetTableTarget(job_dirs["target"])
+    target.overwrite(base, "db1", "orders")
+
+    os.makedirs(job_dirs["source"])
+    rj = ReplicationJob(
+        spark, job, os.path.join(job_dirs["source"], "*"), job_dirs["target"],
+        job_dirs["checkpoint"], _orders_catalog(changes), max_files_per_trigger=1,
+    ).start()
+
+    bounds = [(10000, 10**18), (5000, 10000), (0, 5000)]  # newest first
+    for i, (lo, hi) in enumerate(bounds):
+        part = to_wire(changes.filter((F.col("seq") >= lo) & (F.col("seq") < hi)))
+        part.coalesce(1).write.parquet(os.path.join(job_dirs["source"], f"batch{i}"))
+        rj.process_available()
+    rj.pause()
+
+    final = target.read(spark, "db1", "orders")
+    assert_matches_oracle(final, duck, cdc_demo.ORDERS_CDC_ORACLE)
