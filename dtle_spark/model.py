@@ -149,6 +149,10 @@ class JobConfig:
     # skip transactions originated by this server id (two-way sync cycle
     # prevention, applier_incr.go:292-294)
     local_sid: str | None = None
+    # per-tx atomicity across micro-batch boundaries: hold back each
+    # source's frontier (possibly still-incomplete) tx in a spool until
+    # a later gno proves it committed (streaming/pipeline.py TxSpool)
+    tx_atomic: bool = False
 
     def table(self, schema_name: str, table_name: str) -> TableConfig | None:
         for t in self.tables:

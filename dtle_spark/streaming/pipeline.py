@@ -8,14 +8,15 @@ transform (origin filter F11/A11, Where filter F1/F3, column map F8/F9)
 -> ``foreachBatch``: dedupe + per-key-latest merge into the target
 table (operators/apply.py) -> checkpoint.
 
-Guarantees (documented relaxation of the reference's per-tx atomicity,
-SURVEY §7 hard part (b)): each micro-batch applies atomically per
-table via staged directory swap; replays after failure are idempotent
-because merge is keyed and re-delivery is deduped (A10) — the
-streaming checkpoint plays the gtid-set role. Cross-table atomicity
-within a source tx is NOT preserved inside a batch boundary (the
-reference holds it per tx); tx-grouped mode would buffer by (sid, gno)
-— future work, noted in SCALE.md.
+Guarantees (SURVEY §7 hard part (b)): each micro-batch applies
+atomically per table via staged directory swap; replays after failure
+are idempotent because merge is seq-versioned and re-delivery is
+deduped (A10) — the streaming checkpoint plays the gtid-set role.
+DDL-free batches commit cross-table atomically (A6 staged swaps), and
+with ``job.tx_atomic`` the TxSpool holds back each source's frontier
+tx until a later gno proves its commit — batches become tx-aligned,
+upgrading the A6 swap to per-TX atomicity across tables (the
+reference's guarantee, reached by inference instead of XID markers).
 
 The transport layer the reference built on NATS (64MB segmentation,
 gob+gzip, ack flow control — extractor.go:626-681) has no Spark
@@ -114,6 +115,67 @@ class ParquetTableTarget:
 
     def overwrite(self, df: DataFrame, schema_name: str, table_name: str) -> None:
         self.commit(self.stage(df, schema_name, table_name), schema_name, table_name)
+
+
+class TxSpool:
+    """Carry-over store for the tx-spanning-batch case (SURVEY §7 hard
+    part (b), the reference's per-tx atomicity): wire-form rows of each
+    source's FRONTIER transaction — the max gno seen so far, whose
+    commit is not yet proven — wait here instead of applying.
+
+    The completeness rule needs no commit marker: bridges append in log
+    order per sid, so the moment any row of gno N+1 arrives, tx N is
+    fully delivered (binlog events of a later tx only follow the
+    earlier tx's XID). Holding exactly the frontier makes every applied
+    batch tx-aligned, and the A6 staged-swap then upgrades batch
+    atomicity to per-tx atomicity ACROSS tables.
+
+    Crash safety: the spool is swapped atomically before the batch
+    applies; a replayed batch unions with the spool and dedupes on
+    (sid, gno, seq), so the effective row set is identical. State is
+    O(one tx per source), not O(history)."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        if not os.path.exists(self.root):
+            return None
+        return spark.read.schema(WIRE_SCHEMA).parquet(self.root)
+
+    def write(self, df: DataFrame) -> None:
+        staged = f"{self.root}.staged-{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(staged)
+        old = f"{self.root}.old-{uuid.uuid4().hex[:8]}"
+        if os.path.exists(self.root):
+            os.rename(self.root, old)
+        os.rename(staged, self.root)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+
+
+def split_complete_txs(
+    spark: SparkSession, batch: DataFrame, spool: TxSpool
+) -> DataFrame:
+    """Union the spool into the batch, hold back each sid's frontier
+    gno, return the provably-complete remainder for application."""
+    prev = spool.read(spark)
+    eff = batch if prev is None else prev.unionByName(batch)
+    eff = eff.dropDuplicates(["sid", "gno", "seq"]).persist()
+    # bounded driver-side state: one row per source server, like the
+    # reference's per-source gtid bookkeeping
+    frontier = eff.groupBy("sid").agg(F.max("gno").alias("g")).collect()
+    cond = F.lit(False)
+    for r in frontier:
+        cond = cond | ((F.col("sid") == r["sid"]) & (F.col("gno") == r["g"]))
+    # materialize (lineage-free) BEFORE the spool swap: `complete`'s
+    # lineage reads the OLD spool files, which the swap deletes — an
+    # evicted cache would otherwise recompute against the new spool and
+    # silently drop the rows that just graduated from it
+    complete = eff.filter(~cond).localCheckpoint()
+    spool.write(eff.filter(cond))
+    eff.unpersist()
+    return complete
 
 
 def transform_changes(changes: DataFrame, cfg: TableConfig, local_sid: str | None) -> DataFrame:
@@ -216,6 +278,7 @@ def apply_batch(
     job: JobConfig,
     target: ParquetTableTarget,
     catalog: SchemaCatalog,
+    spool: TxSpool | None = None,
 ) -> None:
     """foreachBatch body: route the wire-form batch to each configured
     table; DML merges in seq order segmented around DDL barriers.
@@ -231,7 +294,13 @@ def apply_batch(
     cannot observe a half-applied batch across tables. DDL batches
     fall back to per-segment commits (the DDL barrier itself is the
     serialization point). Cache the batch once — every table's
-    transform scans it."""
+    transform scans it.
+
+    With a TxSpool (job.tx_atomic), the batch is first reduced to
+    provably-complete transactions (frontier held back), which makes
+    the A6 swap per-TX atomic, not merely per-batch."""
+    if spool is not None:
+        batch = split_complete_txs(spark, batch, spool)
     batch.persist()
     try:
         has_ddl = batch.filter(F.col("op") == "ddl").limit(1).count() > 0
@@ -294,6 +363,9 @@ class ReplicationJob:
         self.catalog = catalog
         self.max_files_per_trigger = max_files_per_trigger
         self.query = None
+        self.spool = (
+            TxSpool(os.path.join(checkpoint_dir, "txspool")) if job.tx_atomic else None
+        )
 
     def start(self) -> "ReplicationJob":
         stream = (
@@ -306,13 +378,26 @@ class ReplicationJob:
             .option("checkpointLocation", self.checkpoint_dir)
             .foreachBatch(
                 lambda df, epoch: apply_batch(
-                    self.spark, df, self.job, self.target, self.catalog
+                    self.spark, df, self.job, self.target, self.catalog,
+                    spool=self.spool,
                 )
             )
             .trigger(processingTime=f"{self.job.trigger_seconds} seconds")
             .start()
         )
         return self
+
+    def flush_spool(self) -> None:
+        """Apply the held frontier tx unconditionally — the operator's
+        quiesce step (call only when the stream is paused and the
+        source is known to end on a tx boundary; the reference's
+        shutdown drain is the same judgement call)."""
+        if self.spool is None:
+            return
+        held = self.spool.read(self.spark)
+        if held is not None and held.limit(1).count() > 0:
+            apply_batch(self.spark, held, self.job, self.target, self.catalog)
+            self.spool.write(held.limit(0))
 
     def process_available(self) -> None:
         """Synchronously drain everything currently in the source

@@ -166,3 +166,72 @@ def test_out_of_order_batch_delivery_converges(spark, duck, job_dirs):
 
     final = target.read(spark, "db1", "orders")
     assert_matches_oracle(final, duck, cdc_demo.ORDERS_CDC_ORACLE)
+
+
+def test_tx_spanning_batch_atomicity(spark, job_dirs):
+    """job.tx_atomic: a tx split across two files must NOT be partially
+    visible after the first file; it applies (atomically, across both
+    tables) only once a later gno proves its commit. The new frontier
+    tx waits in the spool until flush."""
+    from pyspark.sql import Row, types as T
+
+    from dtle_spark.catalog import SchemaCatalog
+    from dtle_spark.streaming.wire import WIRE_SCHEMA
+
+    def wrow(gno, seq, table, after):
+        return Row(sid="s1", gno=gno, seq=seq, lc=0, op="i", ts=None,
+                   schema_name="db1", table_name=table, before=None,
+                   after=after, query=None)
+
+    # tx1 complete in file0; tx2 interleaves t1/t2 and SPANS file0/file1;
+    # tx3 (in file1) proves tx2's commit, then itself waits in the spool
+    file0 = [
+        wrow(1, 1, "t1", '{"id":1,"v":10}'),
+        wrow(2, 2, "t1", '{"id":2,"v":20}'),
+        wrow(2, 3, "t2", '{"k":2,"w":"a"}'),
+    ]
+    file1 = [
+        wrow(2, 4, "t1", '{"id":3,"v":30}'),
+        wrow(3, 5, "t2", '{"k":9,"w":"z"}'),
+    ]
+
+    t1_schema = T.StructType([T.StructField("id", T.LongType()), T.StructField("v", T.LongType())])
+    t2_schema = T.StructType([T.StructField("k", T.LongType()), T.StructField("w", T.StringType())])
+    cat = SchemaCatalog()
+    cat.register("db1", "t1", t1_schema, ["id"])
+    cat.register("db1", "t2", t2_schema, ["k"])
+    job = JobConfig(
+        "txatomic",
+        [TableConfig("db1", "t1", unique_key=["id"]), TableConfig("db1", "t2", unique_key=["k"])],
+        tx_atomic=True,
+    )
+    os.makedirs(job_dirs["source"])
+    rj = ReplicationJob(
+        spark, job, os.path.join(job_dirs["source"], "*"), job_dirs["target"],
+        job_dirs["checkpoint"], cat, max_files_per_trigger=1,
+    ).start()
+    target = rj.target
+
+    def t1_state():
+        df = target.read(spark, "db1", "t1")
+        return {} if df is None else {r["id"]: r["v"] for r in df.collect()}
+
+    def t2_state():
+        df = target.read(spark, "db1", "t2")
+        return {} if df is None else {r["k"]: r["w"] for r in df.collect()}
+
+    spark.createDataFrame(file0, WIRE_SCHEMA).coalesce(1).write.parquet(
+        os.path.join(job_dirs["source"], "f0"))
+    rj.process_available()
+    # tx2 is s1's frontier: none of its rows (in EITHER table) visible
+    assert t1_state() == {1: 10} and t2_state() == {}
+
+    spark.createDataFrame(file1, WIRE_SCHEMA).coalesce(1).write.parquet(
+        os.path.join(job_dirs["source"], "f1"))
+    rj.process_available()
+    # gno 3 proves tx2 committed -> tx2 fully applied; tx3 now held
+    assert t1_state() == {1: 10, 2: 20, 3: 30} and t2_state() == {2: "a"}
+
+    rj.pause()
+    rj.flush_spool()
+    assert t2_state() == {2: "a", 9: "z"}
