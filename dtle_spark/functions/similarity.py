@@ -112,6 +112,56 @@ def lsh_bucket_topk(
     )
 
 
+def train_centroids(
+    vectors: DataFrame,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    centroid_stride: int = 25,
+) -> DataFrame:
+    """Spherical k-means refinement of the sampled centroid init:
+    Lloyd iterations as plain DataFrame aggregations — assign each
+    vector to its best cell (same argmax fold ivf_topk uses), then the
+    new centroid is the per-cell mean, renormalized (spherical variant:
+    direction is what cosine search cares about).
+
+    Returns (cent_id, c_vec) with cent_id relabeled 0..k'-1 (cells that
+    lose every member drop out — standard k-means shrinkage).
+
+    NOT oracle-gated by design: the mean step averages doubles, whose
+    value depends on aggregation order — fine for a trainer (any
+    near-mean works), fatal for a hash-compared gate. The SEARCH path
+    stays deterministic given whatever centroid table it receives.
+    Scale: each iteration is one map-only assignment + one groupBy of
+    |corpus| rows into k cells; for 100 TB train on a sample (k-means
+    only needs a representative subset)."""
+    cent = vectors.filter(F.col(id_col) % centroid_stride == 1).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("c_vec")
+    )
+    v = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    for _ in range(iters):
+        cent_n = cent.withColumn("c_norm", F.expr(f"sqrt({dot_expr('c_vec', 'c_vec')})"))
+        cents_arr = cent_n.agg(
+            F.expr("sort_array(collect_list(struct(cent_id, c_vec, c_norm)))").alias("cents")
+        )
+        score = f"({dot_expr('vec', 'c.c_vec')}) / c.c_norm"
+        assigned = v.crossJoin(F.broadcast(cents_arr)).withColumn(
+            "cell",
+            F.expr(f"array_max(transform(cents, c -> struct({score} AS cos, c.cent_id AS cell))).cell"),
+        )
+        mean = assigned.groupBy("cell").agg(
+            F.array(*[F.avg(F.col("vec")[i]) for i in range(dim)]).alias("m")
+        )
+        # renormalize the mean direction (spherical k-means step)
+        cent = mean.select(
+            F.col("cell").alias("cent_id"),
+            F.expr(f"transform(m, x -> CAST(x / sqrt({dot_expr('m', 'm')}) AS FLOAT))").alias("c_vec"),
+        ).localCheckpoint()
+    w = Window.orderBy("cent_id")
+    return cent.withColumn("cent_id", F.row_number().over(w) - 1)
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -120,6 +170,7 @@ def ivf_topk(
     k: int = 5,
     nprobe: int = 3,
     centroid_stride: int = 25,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-Flat approximate top-k: a coarse centroid table partitions
     the corpus into cells; queries probe only their `nprobe` nearest
@@ -141,10 +192,17 @@ def ivf_topk(
       intermediate (|Q| x avg cell size).
     Struct-max ties (duplicate vectors) break to the highest cell id —
     verified identical in Spark `array_max` and DuckDB `list_max`.
+
+    Pass `centroids` (cent_id, c_vec) to search against a trained
+    table (train_centroids) instead of the sampled default — the plan
+    is identical either way.
     """
-    cent = vectors.filter(F.col(id_col) % centroid_stride == 1).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("c_vec")
-    )
+    if centroids is not None:
+        cent = centroids.select("cent_id", "c_vec")
+    else:
+        cent = vectors.filter(F.col(id_col) % centroid_stride == 1).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("c_vec")
+        )
     # centroid norms precompute ONCE into the broadcast array — the
     # assignment fold then does one dot + one divide per centroid
     # instead of re-deriving |centroid| per (row, centroid) pair

@@ -263,3 +263,41 @@ class TestCorpusAssembly:
         half = docs.filter("doc_id % 2 = 0")
         c = {r["doc_id"] for r in stratified_sample(half, rates).collect()}
         assert c == {d for d in a if d % 2 == 0}
+
+
+class TestTrainedIvf:
+    def test_train_and_search(self, spark):
+        """Lloyd refinement: centroid table stays well-formed (unit
+        directions, contiguous ids), the k-means objective (mean best
+        cosine to a centroid direction) does not degrade, and ivf_topk
+        accepts the trained table."""
+        from dtle_spark.functions.similarity import (
+            cosine_expr, ivf_topk, train_centroids,
+        )
+
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+        def objective(cent):
+            v = e.selectExpr("embedding AS vec")
+            arr = cent.agg(F.expr(
+                "sort_array(collect_list(struct(cent_id, c_vec)))").alias("cents"))
+            from dtle_spark.functions.similarity import dot_expr
+            score = (f"({dot_expr('vec', 'c.c_vec')}) / "
+                     f"(sqrt({dot_expr('vec', 'vec')}) * sqrt({dot_expr('c.c_vec', 'c.c_vec')}))")
+            best = f"array_max(transform(cents, c -> {score}))"
+            return v.crossJoin(F.broadcast(arr)).selectExpr(f"{best} AS b") \
+                    .agg(F.avg("b")).collect()[0][0]
+
+        init = e.filter("vec_id % 25 = 1").selectExpr(
+            "vec_id AS cent_id", "embedding AS c_vec")
+        trained = train_centroids(e, iters=2).localCheckpoint()
+        rows = trained.collect()
+        assert 0 < len(rows) <= 20
+        assert sorted(r["cent_id"] for r in rows) == list(range(len(rows)))
+        for r in rows:
+            n = sum(x * x for x in r["c_vec"])
+            assert abs(n - 1.0) < 1e-3  # unit direction
+        assert objective(trained) >= objective(init) - 1e-9
+        out = ivf_topk(e, e.filter("vec_id % 50 = 0"), k=5, nprobe=8,
+                       centroids=trained).collect()
+        assert len(out) > 0 and all(r["rank"] <= 5 for r in out)
