@@ -1741,3 +1741,96 @@ def cube_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_cents",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Analytics batch 6: event-sequence shapes — conversion funnel (ordered
+# min-timestamp chaining) and weekly cohort retention (all-integer
+# week arithmetic).
+# ---------------------------------------------------------------------------
+
+
+_FUNNEL_WINDOW_US = 86400 * 1000000  # 1-day conversion window per stage
+
+
+@query(
+    "funnel_view_click_purchase",
+    f"""
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+    v AS (SELECT user_id, min(t) AS tv FROM e WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(t) AS tc FROM e JOIN v ON e.user_id = v.user_id
+          WHERE event_type = 'click' AND t > tv AND t <= tv + {_FUNNEL_WINDOW_US}
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(t) AS tp FROM e JOIN c ON e.user_id = c.user_id
+          WHERE event_type = 'purchase' AND t > tc AND t <= tc + {_FUNNEL_WINDOW_US}
+          GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM v) AS viewed,
+           (SELECT count(*) FROM c) AS clicked_after_view,
+           (SELECT count(*) FROM p) AS purchased_after_click
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: each stage
+    is min-timestamp-after-previous-stage within a 1-day conversion
+    window (strict event ordering, not mere co-occurrence). Timestamps
+    compare as epoch-micros longs. Three user_id-keyed aggregations —
+    one shuffle key throughout, so the exchanges stack on the same
+    partitioning."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("unix_micros(ts)").alias("t")
+    )
+    win = _FUNNEL_WINDOW_US
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("t").alias("tv"))
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("t") > F.col("tv")) & (F.col("t") <= F.col("tv") + win))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("tc"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("t") > F.col("tc")) & (F.col("t") <= F.col("tc") + win))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("tp"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("clicked_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("purchased_after_click")))
+    )
+
+
+_WEEK_US = 7 * 86400 * 1000000
+
+
+@query(
+    "cohort_weekly_retention",
+    f"""
+    WITH e AS (SELECT user_id, epoch_us(ts) // {_WEEK_US} AS wk FROM events),
+    f AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY user_id),
+    j AS (SELECT DISTINCT e.user_id, cohort, wk - cohort AS k
+          FROM e JOIN f ON e.user_id = f.user_id)
+    SELECT cohort, k, count(*) AS n_users
+    FROM j WHERE k <= 3 GROUP BY cohort, k
+    """,
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: cohort = epoch-week of a user's first
+    event; n_users = distinct users active k weeks later (k 0..3).
+    Entirely integer week arithmetic — no date-function dialect drift."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"unix_micros(ts) DIV {_WEEK_US}").alias("wk")
+    )
+    f = ev.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    j = (
+        ev.join(f, "user_id")
+        .select("user_id", "cohort", (F.col("wk") - F.col("cohort")).alias("k"))
+        .distinct()
+    )
+    return (
+        j.filter(F.col("k") <= 3)
+        .groupBy("cohort", "k")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
