@@ -1834,3 +1834,34 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort", "k")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "json_props_stats",
+    """
+    WITH e AS (SELECT event_type,
+                      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+               FROM events)
+    SELECT event_type, COUNT(*) AS n, SUM(k) AS sum_k,
+           MIN(k) AS min_k, MAX(k) AS max_k,
+           COUNT(DISTINCT k) AS distinct_k
+    FROM e GROUP BY event_type
+    """,
+)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: JSON path into the `props` payload
+    column (Spark get_json_object / DuckDB json_extract_string — both
+    produce the string form, cast to BIGINT so every aggregate is
+    integer-exact). The extraction is a per-row expression — scan-bound,
+    pushes nothing but prunes to the two needed columns."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.countDistinct("k").alias("distinct_k"),
+    )
