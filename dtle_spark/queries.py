@@ -1865,3 +1865,41 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").alias("max_k"),
         F.countDistinct("k").alias("distinct_k"),
     )
+
+
+_DAY_US = 86400 * 1000000
+
+
+@query(
+    "moving_revenue_7d",
+    f"""
+    WITH d AS (
+      SELECT epoch_us(ts) // {_DAY_US} AS day,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS rev_cents
+      FROM events WHERE event_type = 'purchase' GROUP BY day
+    )
+    SELECT day, rev_cents,
+           SUM(rev_cents) OVER (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+             AS rev_7d_cents
+    FROM d
+    """,
+)
+def moving_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame moving aggregate: daily purchase revenue and its
+    trailing-7-day sum. The frame is a VALUE range over integer day
+    keys (gap days genuinely absent from the window), not a row count
+    — the window family ROWS frames cannot express. Scale: the
+    per-day pre-aggregation shrinks the window input to one row per
+    day; the global-order window then runs on ~hundreds of rows, so
+    the unpartitioned sort is a non-issue (partition by month/year if
+    day cardinality ever grows)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    d = ev.groupBy(
+        F.expr(f"unix_micros(ts) DIV {_DAY_US}").alias("day")
+    ).agg(F.sum(_cents(F.col("value"))).alias("rev_cents"))
+    w = Window.orderBy("day").rangeBetween(-6, 0)
+    return d.select(
+        "day", "rev_cents", F.sum("rev_cents").over(w).alias("rev_7d_cents")
+    )
