@@ -1903,3 +1903,66 @@ def moving_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "day", "rev_cents", F.sum("rev_cents").over(w).alias("rev_7d_cents")
     )
+
+
+@query(
+    "unpivot_part_metrics",
+    """
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS BIGINT) AS val FROM part
+    UNION ALL
+    SELECT p_partkey, 'retail_cents', CAST(round(p_retailprice * 100) AS BIGINT) FROM part
+    """,
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long): per-part metrics as (key, metric, val)
+    rows via stack() — one generator expression per input row, no
+    shuffle; the oracle's UNION ALL is the same relation."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.expr(
+            "stack(2, 'size', CAST(p_size AS BIGINT),"
+            " 'retail_cents', CAST(round(p_retailprice * 100) AS BIGINT))"
+        ).alias("metric", "val"),
+    )
+
+
+@query(
+    "fuzzy_part_name_pairs",
+    """
+    WITH t AS (SELECT p_partkey, p_name,
+                      split_part(p_name, ' ', 2) AS noun FROM part)
+    SELECT a.p_partkey AS id_1, b.p_partkey AS id_2,
+           a.p_name AS name_1, b.p_name AS name_2,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM t a JOIN t b ON a.noun = b.noun AND a.p_partkey < b.p_partkey
+    WHERE abs(length(a.p_name) - length(b.p_name)) <= 1
+      AND levenshtein(a.p_name, b.p_name) <= 1 AND a.p_name <> b.p_name
+    """,
+)
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching: candidate pairs share a blocking key
+    (the name's noun) so the quadratic edit-distance compare runs only
+    within blocks — the record-linkage plan shape (block -> compare ->
+    threshold). A length-gap prefilter (|len diff| <= max dist, sound
+    because edit distance >= length difference) skips the DP for most
+    pairs; levenshtein is the classic integer DP in both engines."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", F.expr("split_part(p_name, ' ', 2)").alias("noun")
+    )
+    a = p.select(
+        F.col("p_partkey").alias("id_1"), F.col("p_name").alias("name_1"), "noun"
+    )
+    b = p.select(
+        F.col("p_partkey").alias("id_2"), F.col("p_name").alias("name_2"), "noun"
+    )
+    return (
+        a.join(b, "noun")
+        .filter(
+            (F.col("id_1") < F.col("id_2"))
+            & (F.abs(F.length("name_1") - F.length("name_2")) <= 1)
+        )
+        .withColumn("dist", F.levenshtein("name_1", "name_2"))
+        .filter((F.col("dist") <= 1) & (F.col("name_1") != F.col("name_2")))
+        .select("id_1", "id_2", "name_1", "name_2", "dist")
+    )
