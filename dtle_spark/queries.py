@@ -1931,7 +1931,8 @@ def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fuzzy_part_name_pairs",
     """
     WITH t AS (SELECT p_partkey, p_name,
-                      split_part(p_name, ' ', 2) AS noun FROM part)
+                      split_part(p_name, ' ', 2) AS noun FROM part
+               WHERE p_partkey % 5 = 0)
     SELECT a.p_partkey AS id_1, b.p_partkey AS id_2,
            a.p_name AS name_1, b.p_name AS name_2,
            levenshtein(a.p_name, b.p_name) AS dist
@@ -1946,18 +1947,33 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     within blocks — the record-linkage plan shape (block -> compare ->
     threshold). A length-gap prefilter (|len diff| <= max dist, sound
     because edit distance >= length difference) skips the DP for most
-    pairs; levenshtein is the classic integer DP in both engines."""
-    p = load_table(spark, sf_dir, "part").select(
-        "p_partkey", "p_name", F.expr("split_part(p_name, ' ', 2)").alias("noun")
+    pairs; levenshtein is the classic integer DP in both engines.
+    Scoped to a fifth of the catalog: the synthetic name vocabulary is
+    so small that most same-noun names sit within one edit — the full
+    cross product is result-degenerate, not a plan problem."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 5 == 0)
+        .select("p_partkey", "p_name", F.expr("split_part(p_name, ' ', 2)").alias("noun"))
     )
+    # ~20 distinct nouns = ~20 join partitions -> the quadratic compare
+    # would pile onto a few tasks; salt the left by id and replicate the
+    # right across salts (same fix as ngram_jaccard_pairs)
+    salts = 16
     a = p.select(
-        F.col("p_partkey").alias("id_1"), F.col("p_name").alias("name_1"), "noun"
+        F.col("p_partkey").alias("id_1"),
+        F.col("p_name").alias("name_1"),
+        "noun",
+        (F.col("p_partkey") % salts).alias("salt"),
     )
     b = p.select(
-        F.col("p_partkey").alias("id_2"), F.col("p_name").alias("name_2"), "noun"
+        F.col("p_partkey").alias("id_2"),
+        F.col("p_name").alias("name_2"),
+        "noun",
+        F.explode(F.expr(f"sequence(0, {salts - 1})")).alias("salt"),
     )
     return (
-        a.join(b, "noun")
+        a.join(b, ["noun", "salt"])
         .filter(
             (F.col("id_1") < F.col("id_2"))
             & (F.abs(F.length("name_1") - F.length("name_2")) <= 1)
