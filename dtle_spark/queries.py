@@ -211,8 +211,8 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                           > 1800000000 THEN 1 ELSE 0 END AS brk
       FROM e),
     s AS (
-      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_id
+      SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM g)
     SELECT user_id, session_id, COUNT(*) AS n_events,
            MIN(tsu) AS t_start, MAX(tsu) AS t_end
@@ -460,12 +460,43 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", tx.quality_score(F.col("text")).alias("quality"))
 
 
+def _registry_order() -> list[str]:
+    """Order the registry so the driver's 50-query correctness cap
+    rotates through every entry: queries with the fewest historical
+    green rows (never-checked or previously hash-failed) sort first,
+    ties broken by definition order. Reads the accumulated
+    CORRECTNESS_r*.json files at the repo root; falls back to plain
+    definition order when none exist (e.g. fresh clone)."""
+    import glob
+    import json
+    import os
+
+    names = list(REGISTRY.keys())
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    greens: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and row.get("hash_match") and row.get("rows_match"):
+                greens[name] = greens.get(name, 0) + 1
+    idx = {n: i for i, n in enumerate(names)}
+    return sorted(names, key=lambda n: (greens.get(n, 0), idx[n]))
+
+
 def queries() -> dict[str, SparkQuery]:
-    return {name: pair.spark_fn for name, pair in REGISTRY.items()}
+    return {name: REGISTRY[name].spark_fn for name in _registry_order()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: pair.oracle for name, pair in REGISTRY.items() if pair.oracle is not None}
+    return {
+        name: REGISTRY[name].oracle
+        for name in _registry_order()
+        if REGISTRY[name].oracle is not None
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -1260,8 +1291,8 @@ def q4_priority_with_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_split",
     """
     SELECT l_returnflag,
-      SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_count,
-      SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_count
+      CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+      CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -1526,7 +1557,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_large_orders",
     """
     WITH big AS (
-      SELECT l_orderkey, SUM(CAST(round(l_quantity) AS BIGINT)) AS total_qty
+      SELECT l_orderkey, CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
       FROM lineitem GROUP BY l_orderkey
       HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 300
     )
@@ -1563,7 +1594,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     urgent AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
     SELECT c_mktsegment, COUNT(*) AS numcust,
-           SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS totacctbal_cents
+           CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_cents
     FROM customer, t
     WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n > s
       AND c_custkey NOT IN (SELECT o_custkey FROM urgent)
@@ -1635,9 +1666,9 @@ def stratified_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     c AS (
-      SELECT *, coalesce(SUM(n_tokens) OVER (
+      SELECT *, CAST(coalesce(SUM(n_tokens) OVER (
         PARTITION BY part ORDER BY id
-        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
       FROM t
     )
     SELECT part, id, n_tokens, cum // 2048 AS bin, cum % 2048 AS bin_offset FROM c
@@ -1717,7 +1748,7 @@ def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(o_orderstatus, 'ALL') AS status,
            coalesce(o_orderpriority, 'ALL') AS priority,
            COUNT(*) AS n,
-           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -1842,7 +1873,7 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (SELECT event_type,
                       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
                FROM events)
-    SELECT event_type, COUNT(*) AS n, SUM(k) AS sum_k,
+    SELECT event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
            MIN(k) AS min_k, MAX(k) AS max_k,
            COUNT(DISTINCT k) AS distinct_k
     FROM e GROUP BY event_type
@@ -1875,12 +1906,12 @@ _DAY_US = 86400 * 1000000
     f"""
     WITH d AS (
       SELECT epoch_us(ts) // {_DAY_US} AS day,
-             SUM(CAST(round(value * 100) AS BIGINT)) AS rev_cents
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev_cents
       FROM events WHERE event_type = 'purchase' GROUP BY day
     )
     SELECT day, rev_cents,
-           SUM(rev_cents) OVER (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
-             AS rev_7d_cents
+           CAST(SUM(rev_cents) OVER (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS rev_7d_cents
     FROM d
     """,
 )
