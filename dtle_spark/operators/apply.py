@@ -209,36 +209,62 @@ def apply_changes_no_pk(target: DataFrame, changes: DataFrame) -> DataFrame:
     one duplicate (reference emits ``DELETE ... WHERE all-cols LIMIT 1``,
     sql/builder.go:152-155).
 
-    Spark restatement: count copies per full row on each side;
-    final copies = target_copies + inserts - deletes (floor 0), rebuilt
-    with posexplode. One groupBy per side, one join on the full row —
-    no window over the whole table.
+    Spark restatement: count copies per full-row fingerprint on each
+    side; final copies = target_copies + inserts - deletes (floor 0),
+    rebuilt with explode. One groupBy per side, one join — no window
+    over the whole table.
+
+    NULL handling: the reference compares no-PK rows with ``col IS
+    NULL`` predicates (builder.go:107-112), i.e. NULL matches NULL. A
+    plain ``on=cols`` join is null-UNSAFE (a NULL field never matches,
+    so deletes of such rows no-op and updates duplicate). We group and
+    join on ``md5(to_json(struct(cols), ignoreNullFields=false))``: the
+    JSON form keeps null fields explicitly, so NULL==NULL like the
+    reference, and the join shuffles one 32-char key instead of every
+    column.
     """
     cols = target.columns
-    t_counts = target.groupBy(*cols).agg(F.count(F.lit(1)).alias("__t"))
+
+    def fp(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "__fp",
+            F.md5(
+                F.to_json(
+                    F.struct(*[F.col(c) for c in cols]),
+                    {"ignoreNullFields": "false"},
+                )
+            ),
+        )
+
+    t_counts = fp(target).groupBy("__fp").agg(
+        F.first(F.struct(*cols)).alias("__trow"), F.count(F.lit(1)).alias("__t")
+    )
 
     # counting semantics double-apply verbatim duplicates -> dedupe here
     changes = dedupe_redelivered(changes)
     ins = (
-        changes.filter(F.col("op").isin(OP_INSERT, OP_UPDATE) & F.col("after").isNotNull())
-        .select("after.*")
-        .groupBy(*cols)
-        .agg(F.count(F.lit(1)).alias("__i"))
+        fp(changes.filter(
+            F.col("op").isin(OP_INSERT, OP_UPDATE) & F.col("after").isNotNull()
+        ).select("after.*"))
+        .groupBy("__fp")
+        .agg(F.first(F.struct(*cols)).alias("__irow"), F.count(F.lit(1)).alias("__i"))
     )
     dels = (
-        changes.filter(F.col("op").isin(OP_DELETE, OP_UPDATE) & F.col("before").isNotNull())
-        .select("before.*")
-        .groupBy(*cols)
+        fp(changes.filter(
+            F.col("op").isin(OP_DELETE, OP_UPDATE) & F.col("before").isNotNull()
+        ).select("before.*"))
+        .groupBy("__fp")
         .agg(F.count(F.lit(1)).alias("__d"))
     )
     merged = (
-        t_counts.join(ins, on=cols, how="full_outer")
-        .join(dels, on=cols, how="full_outer")
+        t_counts.join(ins, on="__fp", how="full_outer")
+        .join(dels, on="__fp", how="full_outer")
         .fillna(0, subset=["__t", "__i", "__d"])
         .withColumn("__n", F.greatest(F.col("__t") + F.col("__i") - F.col("__d"), F.lit(0)))
         .filter(F.col("__n") > 0)
+        .withColumn("__row", F.coalesce(F.col("__trow"), F.col("__irow")))
     )
     return (
-        merged.select(*cols, F.explode(F.sequence(F.lit(1), F.col("__n"))).alias("__copy"))
-        .drop("__copy")
+        merged.select("__row", F.explode(F.sequence(F.lit(1), F.col("__n"))).alias("__copy"))
+        .select("__row.*")
     )

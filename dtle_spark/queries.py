@@ -833,6 +833,12 @@ def _duck_debezium_sql() -> str:
         f"SELECT 'dtle.db1.orders', {key_json}, {del_env} "
         f"FROM orders WHERE o_orderkey % 11 = 0"
     )
+    # delete tombstone: same key, null value (log-compaction purge,
+    # reference kafka3.go:1021-1036)
+    parts.append(
+        f"SELECT 'dtle.db1.orders', {key_json}, CAST(NULL AS VARCHAR) "
+        f"FROM orders WHERE o_orderkey % 11 = 0"
+    )
     return " UNION ALL ".join(parts)
 
 

@@ -89,6 +89,7 @@ def envelope(
     image_fields: list[tuple[str, Column]],
     topic_prefix: str = "dtle",
     snapshot: bool = False,
+    tombstones: bool = True,
 ) -> DataFrame:
     """Build (topic, key, value) Kafka frames from a change stream.
 
@@ -96,7 +97,15 @@ def envelope(
     [(field_name, builder(prefix) -> Column)] where the builder receives
     "before"/"after". Key = PK fields of the surviving image. Envelope
     nulls are kept (ignoreNullFields=false) to match Debezium's explicit
-    before:null / after:null."""
+    before:null / after:null.
+
+    Every delete additionally emits a **tombstone** frame — same key,
+    null value — so log-compacted topics purge the key (the reference
+    sends the same second message, kafka3.go:1021-1036). ``ts_ms`` is
+    epoch milliseconds from the change's ``ts`` column (the reference
+    stamps CurrentTimeMillis, kafka3.go:989 — wall clock is
+    nondeterministic, so we use the event time); rows without a ts fall
+    back to ``seq`` so the field stays monotone per key."""
     img = lambda which: F.when(  # noqa: E731
         F.col(which).isNotNull(),
         F.struct(*[b(which).alias(n) for n, b in image_fields]),
@@ -118,14 +127,22 @@ def envelope(
             img("after").alias("after"),
             source.alias("source"),
             (F.lit("c") if snapshot else op_code(F.col("op"))).alias("op"),
-            F.col("seq").alias("ts_ms"),
+            F.coalesce(F.unix_millis(F.col("ts")), F.col("seq")).alias("ts_ms"),
         ),
         {"ignoreNullFields": "false"},
     )
     topic = F.concat_ws(".", F.lit(topic_prefix), F.col("schema_name"), F.col("table_name"))
-    return changes.filter(F.col("op") != "ddl").select(
+    frames = changes.filter(F.col("op") != "ddl").select(
         topic.alias("topic"), key.alias("key"), value.alias("value")
     )
+    if tombstones and not snapshot:
+        tomb = changes.filter(F.col("op") == OP_DELETE).select(
+            topic.alias("topic"),
+            key.alias("key"),
+            F.lit(None).cast("string").alias("value"),
+        )
+        frames = frames.unionByName(tomb)
+    return frames
 
 
 def write_kafka_stream(frames: DataFrame, bootstrap: str, checkpoint: str):

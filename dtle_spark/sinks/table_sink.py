@@ -27,7 +27,14 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dtle_spark.operators.apply import dedupe_redelivered, latest_image_per_key, merge_into
+from dtle_spark.operators.apply import (
+    DELETED_COL,
+    SEQ_COL,
+    dedupe_redelivered,
+    latest_image_per_key,
+    merge_into_versioned,
+    with_version_columns,
+)
 
 
 def hash_bucket(key_cols: list[str], n_buckets: int):
@@ -61,14 +68,27 @@ class BucketedTableTarget:
     def _bucket_dir(self, schema_name: str, table_name: str, b: int) -> str:
         return os.path.join(self.table_dir(schema_name, table_name), f"bucket={b}")
 
-    def read(self, spark: SparkSession, schema_name: str, table_name: str) -> DataFrame | None:
+    def read_internal(self, spark: SparkSession, schema_name: str, table_name: str) -> DataFrame | None:
+        """Raw stored form — carries __seq/__deleted version columns."""
         p = self.table_dir(schema_name, table_name)
         if not os.path.exists(p):
             return None
         return spark.read.parquet(os.path.join(p, "*"))
 
+    def read(self, spark: SparkSession, schema_name: str, table_name: str) -> DataFrame | None:
+        """External view: tombstones filtered, version columns stripped."""
+        df = self.read_internal(spark, schema_name, table_name)
+        if df is None:
+            return None
+        if DELETED_COL in df.columns:
+            df = df.filter(~F.col(DELETED_COL)).drop(SEQ_COL, DELETED_COL)
+        return df
+
     def seed(self, df: DataFrame, schema_name: str, table_name: str, key_cols: list[str]) -> None:
-        """Initial (snapshot) load: write every bucket partition."""
+        """Initial (snapshot) load: write every bucket partition
+        (seq-versioned from the start, seq -1 = before every change)."""
+        if DELETED_COL not in df.columns:
+            df = with_version_columns(df)
         bucketed = df.withColumn("__b", self._bucket_fn(key_cols, self.n_buckets))
         staged = self.table_dir(schema_name, table_name) + f".staged-{uuid.uuid4().hex[:8]}"
         (
@@ -95,7 +115,20 @@ class BucketedTableTarget:
         table_name: str,
         key_cols: list[str],
     ) -> list[int]:
-        """Merge one change batch; returns the buckets touched."""
+        """Merge one change batch; returns the buckets touched.
+
+        Seq-versioned (operators/apply.merge_into_versioned): an effect
+        applies only if its seq beats the stored row's, and deletes
+        leave tombstones — so delivery may be split or reordered across
+        micro-batches, same guarantee as the whole-table path, at
+        O(affected buckets) cost. Tombstone GC is the compaction chore.
+
+        Swap protocol (stage-then-commit): each touched bucket's old
+        dir is renamed ASIDE (outside the table dir, invisible to
+        readers), the new dir renamed in, and the old dirs deleted only
+        after every touched bucket is swapped — a crash mid-swap leaves
+        every bucket's rows recoverable (old dirs intact), never a
+        dropped bucket."""
         net = latest_image_per_key(dedupe_redelivered(changes), key_cols)
         net = net.withColumn("__b", self._bucket_fn(key_cols, self.n_buckets)).persist()
         try:
@@ -112,23 +145,28 @@ class BucketedTableTarget:
                 current = spark.read.parquet(*dirs)
             else:
                 current = spark.createDataFrame([], net.schema["row"].dataType)
-            merged = merge_into(current, net.drop("__b"), key_cols).withColumn(
+            if DELETED_COL not in current.columns:
+                current = with_version_columns(current)  # legacy unversioned bucket
+            merged = merge_into_versioned(current, net.drop("__b"), key_cols).withColumn(
                 "__b", self._bucket_fn(key_cols, self.n_buckets)
             )
-            staged = self.table_dir(schema_name, table_name) + f".merge-{uuid.uuid4().hex[:8]}"
+            token = uuid.uuid4().hex[:8]
+            staged = self.table_dir(schema_name, table_name) + f".merge-{token}"
             merged.repartition(len(touched), "__b").write.partitionBy("__b").mode(
                 "overwrite"
             ).parquet(staged)
-            # swap only the touched bucket dirs
+            # stage-then-commit bucket swap: olds aside, news in, delete last
+            old_root = self.table_dir(schema_name, table_name) + f".old-{token}"
+            os.makedirs(old_root, exist_ok=True)
             for b in touched:
                 src = os.path.join(staged, f"__b={b}")
                 dst = self._bucket_dir(schema_name, table_name, b)
-                if os.path.exists(dst):
-                    shutil.rmtree(dst)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
+                if os.path.exists(dst):
+                    os.rename(dst, os.path.join(old_root, f"bucket={b}"))
                 if os.path.exists(src):
                     os.rename(src, dst)
-                # a bucket whose rows were all deleted ends up absent — fine
+            shutil.rmtree(old_root, ignore_errors=True)
             shutil.rmtree(staged, ignore_errors=True)
             return touched
         finally:

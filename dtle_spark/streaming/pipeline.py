@@ -188,6 +188,28 @@ def transform_changes(changes: DataFrame, cfg: TableConfig, local_sid: str | Non
     return map_changes(out, cfg)
 
 
+SEQ_WATERMARK_FILE = "_seq_watermark.json"  # "_"-prefixed: invisible to parquet scans
+
+
+def _read_seq_watermark(target, schema_name: str, table_name: str) -> dict[str, int]:
+    """Per-source applied-seq high-water mark stored INSIDE the table
+    dir, so the directory swap commits data + watermark atomically."""
+    p = os.path.join(target.path(schema_name, table_name), SEQ_WATERMARK_FILE)
+    if not os.path.exists(p):
+        return {}
+    import json
+
+    with open(p) as f:
+        return {k: int(v) for k, v in json.load(f).items()}
+
+
+def _write_seq_watermark(staged_dir: str, wm: dict[str, int]) -> None:
+    import json
+
+    with open(os.path.join(staged_dir, SEQ_WATERMARK_FILE), "w") as f:
+        json.dump(wm, f)
+
+
 def _merge_segment(
     spark: SparkSession,
     typed: DataFrame,
@@ -206,37 +228,59 @@ def _merge_segment(
     from dtle_spark.sinks.table_sink import BucketedTableTarget
 
     tchanges = transform_changes(typed, cfg, job.local_sid)
+    # seed schema must be the POST-column-map row struct (tchanges has
+    # already passed map_changes; meta.schema carries source names)
+    row_struct = tchanges.schema["after"].dataType
     if isinstance(target, BucketedTableTarget) and cfg.unique_key:
-        # scale path: merge rewrites only the buckets the batch touches
-        # (batch-ordered semantics — bridge must deliver in order)
+        # scale path: seq-versioned merge over only the buckets the
+        # batch touches (sinks/table_sink.py)
         target.merge(spark, tchanges, cfg.target_schema, cfg.target_table, cfg.unique_key)
         return
+    wm_update: dict[str, int] | None = None
     if cfg.unique_key:
         # seq-versioned merge: correct under split/reordered delivery
         # across micro-batches (multi-file sources); tombstones guard
         # late stale changes (operators/apply.merge_into_versioned)
         current = target.read_internal(spark, cfg.target_schema, cfg.target_table)
         if current is None:
-            current = with_version_columns(spark.createDataFrame([], row_type))
+            current = with_version_columns(spark.createDataFrame([], row_struct))
         elif DELETED_COL not in current.columns:
             current = with_version_columns(current)  # freshly-seeded snapshot
         net = latest_image_per_key(tchanges, cfg.unique_key)
         merged = merge_into_versioned(current, net, cfg.unique_key)
     else:
-        # counting semantics have no key to version on: requires
-        # in-order delivery (same constraint the reference has)
+        # counting semantics have no key to version on. foreachBatch is
+        # at-least-once (a crash between target swap and checkpoint
+        # commit replays the batch) and counting double-applies on
+        # replay — so we keep a per-source applied-seq watermark in the
+        # table dir (swapped atomically with the data) and drop
+        # already-applied rows. Bridges make seq monotone per sid, so
+        # `seq <= watermark[sid]` identifies replayed rows exactly.
         current = target.read(spark, cfg.target_schema, cfg.target_table)
         if current is None:
-            current = spark.createDataFrame([], row_type)
-        merged = apply_changes_no_pk(current, tchanges)
+            current = spark.createDataFrame([], row_struct)
+        wm = _read_seq_watermark(target, cfg.target_schema, cfg.target_table)
+        fresh = tchanges
+        if wm:
+            cond = F.lit(True)
+            for sid, s in wm.items():
+                cond = cond & ~((F.col("sid") == sid) & (F.col("seq") <= F.lit(s)))
+            fresh = tchanges.filter(cond)
+        wm_update = dict(wm)
+        # bounded driver-side state: one row per source server
+        for r in fresh.groupBy("sid").agg(F.max("seq").alias("s")).collect():
+            wm_update[r["sid"]] = max(wm_update.get(r["sid"], -(1 << 62)), r["s"])
+        merged = apply_changes_no_pk(current, fresh)
+    staged = target.stage(merged, cfg.target_schema, cfg.target_table)
+    if wm_update is not None:
+        _write_seq_watermark(staged, wm_update)
     if deferred_commits is not None:
         # A6 cross-table atomicity: stage now, swap with the rest of the
         # batch's tables at the end — a reader never observes table A's
         # new state next to table B's old one within a micro-batch
-        staged = target.stage(merged, cfg.target_schema, cfg.target_table)
         deferred_commits.append((staged, cfg.target_schema, cfg.target_table))
     else:
-        target.overwrite(merged, cfg.target_schema, cfg.target_table)
+        target.commit(staged, cfg.target_schema, cfg.target_table)
 
 
 def apply_ddl_to_target(

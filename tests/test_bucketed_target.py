@@ -80,6 +80,68 @@ def test_streaming_job_with_bucketed_target(spark, duck, tmp_path):
     assert_matches_oracle(target.read(spark, "db1", "orders"), duck, cdc_demo.ORDERS_CDC_ORACLE)
 
 
+def test_bucketed_reverse_order_delivery_converges(spark, duck, tmp_path):
+    """Out-of-order delivery: batches applied in REVERSE seq order must
+    converge to the same oracle state (seq-versioned merge per bucket —
+    the whole-table path's guarantee, now on the scale path)."""
+    base = cdc_demo.orders_base(spark, SF_DIR)
+    changes = cdc_demo.orders_changes(spark, SF_DIR)
+
+    t = BucketedTableTarget(str(tmp_path / "tgt"), n_buckets=16)
+    t.seed(base, "db1", "orders", ["o_orderkey"])
+
+    # three seq slices, applied newest-first
+    bounds = [(20000, 10**18), (8000, 20000), (0, 8000)]
+    for lo, hi in bounds:
+        part = changes.filter((F.col("seq") >= lo) & (F.col("seq") < hi))
+        t.merge(spark, part, "db1", "orders", ["o_orderkey"])
+
+    assert_matches_oracle(t.read(spark, "db1", "orders"), duck, cdc_demo.ORDERS_CDC_ORACLE)
+
+
+def test_bucketed_untouched_buckets_byte_identical(spark, tmp_path):
+    """A merge must not rewrite (or even re-open) buckets the batch does
+    not touch: their dirs stay byte-for-byte identical."""
+    import hashlib
+    import os
+
+    def dir_digest(p):
+        h = hashlib.md5()
+        for root, _, files in sorted(os.walk(p)):
+            for f in sorted(files):
+                fp = os.path.join(root, f)
+                h.update(f.encode())
+                with open(fp, "rb") as fh:
+                    h.update(fh.read())
+        return h.hexdigest()
+
+    base = cdc_demo.orders_base(spark, SF_DIR)
+    changes = cdc_demo.orders_changes(spark, SF_DIR)
+    t = BucketedTableTarget(str(tmp_path / "tgt"), n_buckets=16)
+    t.seed(base, "db1", "orders", ["o_orderkey"])
+
+    def bucket_dirs():
+        return [
+            d for d in os.listdir(t.table_dir("db1", "orders")) if d.startswith("bucket=")
+        ]
+
+    before = {
+        d: dir_digest(os.path.join(t.table_dir("db1", "orders"), d)) for d in bucket_dirs()
+    }
+    tiny = changes.orderBy("seq").limit(3)
+    touched = t.merge(spark, tiny, "db1", "orders", ["o_orderkey"])
+    after = {
+        d: dir_digest(os.path.join(t.table_dir("db1", "orders"), d)) for d in bucket_dirs()
+    }
+    for d in before:
+        b = int(d.split("=")[1])
+        if b not in touched:
+            assert after[d] == before[d], f"untouched bucket {d} was rewritten"
+    # no staged/old debris left behind after a successful merge
+    parent = os.path.dirname(t.table_dir("db1", "orders"))
+    assert not [p for p in os.listdir(parent) if ".merge-" in p or ".old-" in p]
+
+
 def test_range_bucketed_key_local_batch(spark, duck, tmp_path):
     """Range routing: a key-local batch (the realistic CDC shape —
     auto-increment activity) touches few buckets; full apply still

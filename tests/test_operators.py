@@ -136,6 +136,37 @@ class TestApplyNoPk:
         out = sorted(r["amount"] for r in apply_changes_no_pk(target, changes).collect())
         assert out == [5.0, 6.0]
 
+    def test_null_fields_match_like_reference(self, spark):
+        """NULL must match NULL in the full-row comparison (the
+        reference emits `col IS NULL`, sql/builder.go:107-112): a
+        delete of a NULL-bearing row removes it; an update of one
+        replaces rather than duplicates."""
+        target = spark.createDataFrame(
+            [Row(**_r(1, None, None)), Row(**_r(2, "x", 1.0)), Row(**_r(3, None, 7.0))],
+            ROW,
+        )
+        changes = _chg(
+            spark,
+            [
+                _base(gno=1, seq=10, op="d", before=_r(1, None, None)),
+                _base(gno=2, seq=20, op="u", before=_r(3, None, 7.0), after=_r(3, "y", 7.0)),
+            ],
+        )
+        out = sorted(
+            (r["id"], r["name"]) for r in apply_changes_no_pk(target, changes).collect()
+        )
+        assert out == [(2, "x"), (3, "y")]
+
+    def test_null_vs_empty_string_stay_distinct(self, spark):
+        """The NULL sentinel must not collide with real values: deleting
+        the ('' , 0.0) row must not take the (NULL, NULL) row."""
+        target = spark.createDataFrame(
+            [Row(**_r(1, None, None)), Row(**_r(1, "", 0.0))], ROW
+        )
+        changes = _chg(spark, [_base(op="d", before=_r(1, "", 0.0))])
+        out = apply_changes_no_pk(target, changes).collect()
+        assert len(out) == 1 and out[0]["name"] is None and out[0]["amount"] is None
+
 
 class TestSnapshot:
     def test_keyset_predicate_pushdown(self, spark):

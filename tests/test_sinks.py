@@ -57,6 +57,37 @@ def test_envelope_snapshot_flag(spark):
     assert all('"snapshot":true' in r["value"] and '"op":"c"' in r["value"] for r in out)
 
 
+def test_envelope_delete_tombstone_and_ts_ms(spark):
+    """Every delete emits a second frame: same key, NULL value, so
+    log-compacted topics purge the key (kafka3.go:1021-1036); ts_ms is
+    epoch millis from the change's ts (not the binlog seq)."""
+    from pyspark.sql import Row as R
+    from pyspark.sql import types as T
+
+    from dtle_spark.model import change_schema
+
+    row_t = T.StructType([T.StructField("id", T.LongType())])
+    rows = [
+        {"sid": "s", "gno": 1, "seq": 10, "lc": 0, "op": "i", "ts": None,
+         "schema_name": "db1", "table_name": "t", "before": None,
+         "after": {"id": 1}, "query": None},
+        {"sid": "s", "gno": 2, "seq": 20, "lc": 0, "op": "d",
+         "ts": __import__("datetime").datetime(2020, 1, 1, tzinfo=__import__("datetime").timezone.utc),
+         "schema_name": "db1", "table_name": "t", "before": {"id": 1},
+         "after": None, "query": None},
+    ]
+    changes = spark.createDataFrame([R(**r) for r in rows], change_schema(row_t))
+    fields = [("id", lambda w: F.col(f"{w}.id"))]
+    out = dz.envelope(changes, ["id"], fields).collect()
+    assert len(out) == 3  # insert env + delete env + tombstone
+    tomb = [r for r in out if r["value"] is None]
+    assert len(tomb) == 1 and tomb[0]["key"] == '{"id":1}'
+    del_env = [r for r in out if r["value"] and '"op":"d"' in r["value"]][0]
+    assert '"ts_ms":1577836800000' in del_env["value"]  # 2020-01-01 UTC millis
+    ins_env = [r for r in out if r["value"] and '"op":"c"' in r["value"]][0]
+    assert '"ts_ms":10' in ins_env["value"]  # null ts falls back to seq
+
+
 def test_multimodal_image_mime_is_stubbed(spark):
     """Real media decode must fail loudly, not fake silently."""
     media = spark.createDataFrame([Row(doc_id=1, payload=b"\x89PNG", mime="image/png")])

@@ -92,6 +92,50 @@ def test_pause_resume_continues_from_checkpoint(spark, duck, job_dirs):
     assert_matches_oracle(final, duck, cdc_demo.ORDERS_CDC_ORACLE)
 
 
+def test_no_pk_replay_is_idempotent(spark, job_dirs):
+    """foreachBatch is at-least-once: a crash between target swap and
+    checkpoint commit replays the batch. The counting (no-PK) path
+    double-applies without protection — the per-source seq watermark
+    (swapped atomically with the table) must make the replay a no-op."""
+    from dtle_spark.io import load_table
+    from dtle_spark.streaming.pipeline import apply_batch
+
+    base = load_table(spark, SF_DIR, "customer")
+    changes = cdc_demo.customer_changes(spark, SF_DIR)  # +4000 acctbal per row
+    wire = to_wire(changes)
+
+    cfg = TableConfig("db1", "customer")  # no unique_key -> counting path
+    job = JobConfig(name="npk", tables=[cfg])
+    cat = SchemaCatalog()
+    cat.register("db1", "customer", changes.schema["after"].dataType, [])
+    target = ParquetTableTarget(job_dirs["target"])
+    target.overwrite(base, "db1", "customer")
+
+    apply_batch(spark, wire, job, target, cat)
+    snap1 = sorted(
+        (r["c_custkey"], r["c_acctbal"])
+        for r in target.read(spark, "db1", "customer").collect()
+    )
+    apply_batch(spark, wire, job, target, cat)  # exact replay
+    snap2 = sorted(
+        (r["c_custkey"], r["c_acctbal"])
+        for r in target.read(spark, "db1", "customer").collect()
+    )
+    assert snap1 == snap2
+    # a genuinely NEW batch (higher seqs) must still apply
+    fresh = to_wire(
+        changes.filter(F.col("op") == "u").withColumn(
+            "seq", F.col("seq") + 1_000_000_000
+        )
+    )
+    apply_batch(spark, fresh, job, target, cat)
+    snap3 = sorted(
+        (r["c_custkey"], r["c_acctbal"])
+        for r in target.read(spark, "db1", "customer").collect()
+    )
+    assert snap3 != snap2
+
+
 def test_multi_table_interleaved_tx(spark, job_dirs):
     """FIXTURES F-6: one transaction interleaving two tables — both
     tables' changes land, committed via the cross-table staged swap
