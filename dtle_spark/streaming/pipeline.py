@@ -323,6 +323,7 @@ def apply_batch(
     target: ParquetTableTarget,
     catalog: SchemaCatalog,
     spool: TxSpool | None = None,
+    gtid_path: str | None = None,
 ) -> None:
     """foreachBatch body: route the wire-form batch to each configured
     table; DML merges in seq order segmented around DDL barriers.
@@ -342,7 +343,13 @@ def apply_batch(
 
     With a TxSpool (job.tx_atomic), the batch is first reduced to
     provably-complete transactions (frontier held back), which makes
-    the A6 swap per-TX atomic, not merely per-batch."""
+    the A6 swap per-TX atomic, not merely per-batch.
+
+    ``gtid_path`` (optional): after the batch commits, every applied
+    (sid, gno) folds into a persisted interval GtidSet — the queryable
+    applied-position the reference keeps in dtle.gtid_executed_v4
+    (applier_gtid_executed.go:17-25). Only tx IDs travel to the
+    driver; re-adding on replay is idempotent."""
     if spool is not None:
         batch = split_complete_txs(spark, batch, spool)
     batch.persist()
@@ -375,6 +382,13 @@ def apply_batch(
         if deferred:
             for staged, s, t in deferred:
                 target.commit(staged, s, t)
+        if gtid_path is not None:
+            from dtle_spark.sources.gtid import GtidSet
+
+            gs = GtidSet.load(gtid_path)
+            for r in batch.select("sid", "gno").distinct().collect():
+                gs.add(r["sid"], r["gno"])
+            gs.save(gtid_path)
     finally:
         batch.unpersist()
 
@@ -410,6 +424,9 @@ class ReplicationJob:
         self.spool = (
             TxSpool(os.path.join(checkpoint_dir, "txspool")) if job.tx_atomic else None
         )
+        # applied-gtid interval set, persisted next to the checkpoint —
+        # survives pause/resume; replays re-add idempotently
+        self.gtid_path = os.path.join(checkpoint_dir, "gtid_position.json")
 
     def start(self) -> "ReplicationJob":
         stream = (
@@ -423,7 +440,7 @@ class ReplicationJob:
             .foreachBatch(
                 lambda df, epoch: apply_batch(
                     self.spark, df, self.job, self.target, self.catalog,
-                    spool=self.spool,
+                    spool=self.spool, gtid_path=self.gtid_path,
                 )
             )
             .trigger(processingTime=f"{self.job.trigger_seconds} seconds")
@@ -464,15 +481,18 @@ class ReplicationJob:
         return self
 
     def position(self) -> dict:
-        """Stream position (reference: Gtid/BinlogFilePos query API).
-        Exposes the last progress' source offsets + timing."""
-        if self.query is None or self.query.lastProgress is None:
-            return {}
-        p = self.query.lastProgress
-        return {
-            "batch_id": p.get("batchId") if isinstance(p, dict) else p["batchId"],
-            "sources": p.get("sources") if isinstance(p, dict) else p["sources"],
-        }
+        """Stream position (reference: Gtid/BinlogFilePos query API,
+        api/handler/v2 + applier_gtid_executed.go): the applied-GTID
+        interval set (survives pause/resume — read from the persisted
+        file, not query state) plus the last progress' source offsets."""
+        from dtle_spark.sources.gtid import GtidSet
+
+        out: dict = {"gtid_set": GtidSet.load(self.gtid_path).to_str()}
+        if self.query is not None and self.query.lastProgress is not None:
+            p = self.query.lastProgress
+            out["batch_id"] = p.get("batchId") if isinstance(p, dict) else p["batchId"]
+            out["sources"] = p.get("sources") if isinstance(p, dict) else p["sources"]
+        return out
 
     def stats(self) -> dict:
         """TaskStatistics analogue (common/models.go:69-88)."""

@@ -81,12 +81,22 @@ def test_pause_resume_continues_from_checkpoint(spark, duck, job_dirs):
     rj.process_available()
     rj.pause()
 
+    # applied-gtid position survives the pause (persisted, not query state)
+    from dtle_spark.sources.gtid import GtidSet
+
+    paused_pos = rj.position()["gtid_set"]
+    assert paused_pos.startswith(cdc_demo.SID_A)
+
     # new data arrives while paused; resume must pick up from checkpoint
     second.coalesce(1).write.parquet(os.path.join(job_dirs["source"], "b1"))
     rj.resume()
     rj.process_available()
     assert rj.position()["batch_id"] >= 1
     rj.pause()
+
+    # position grew monotonically and still contains the paused set
+    final_pos = rj.position()["gtid_set"]
+    assert GtidSet.from_str(final_pos).contains_set(GtidSet.from_str(paused_pos))
 
     final = target.read(spark, "db1", "orders")
     assert_matches_oracle(final, duck, cdc_demo.ORDERS_CDC_ORACLE)
