@@ -27,12 +27,17 @@ from dtle_spark.model import mysql_type_to_spark
 
 @dataclass
 class DdlAction:
-    kind: str  # create_schema|drop_schema|create_table|drop_table|truncate|add_column|drop_column|rename_column|rename_table
+    # create_schema|drop_schema|create_table|drop_table|truncate|
+    # add_column|drop_column|rename_column|modify_column|change_column|
+    # rename_table|noop (recognized, schema-unaffected: indexes,
+    # constraints, SET/DROP DEFAULT)
+    kind: str
     schema_name: str | None = None
     table_name: str | None = None
     column: str | None = None
     new_name: str | None = None
     dtype: T.DataType | None = None
+    default: str | None = None  # raw DEFAULT literal (ADD COLUMN backfill)
 
 
 @dataclass
@@ -60,24 +65,86 @@ _PATTERNS: list[tuple[str, re.Pattern]] = [
     ("drop_table", re.compile(
         rf"^\s*drop\s+table\s+(?:if\s+exists\s+)?{_qual('table')}\s*$", re.I)),
     ("truncate", re.compile(rf"^\s*truncate\s+(?:table\s+)?{_qual('table')}\s*$", re.I)),
-    ("add_column", re.compile(
-        rf"^\s*alter\s+table\s+{_qual('table')}\s+add\s+(?:column\s+)?{_IDENT.format('column')}\s+{_TYPE}\s*$", re.I)),
-    ("drop_column", re.compile(
-        rf"^\s*alter\s+table\s+{_qual('table')}\s+drop\s+(?:column\s+)?{_IDENT.format('column')}\s*$", re.I)),
-    ("rename_column", re.compile(
-        rf"^\s*alter\s+table\s+{_qual('table')}\s+rename\s+column\s+{_IDENT.format('column')}\s+to\s+{_IDENT.format('new')}\s*$", re.I)),
-    ("rename_table", re.compile(
-        rf"^\s*alter\s+table\s+{_qual('table')}\s+rename\s+(?:to\s+)?{_IDENT.format('new')}\s*$", re.I)),
 ]
+
+# per-clause patterns inside ALTER TABLE <t> clause[, clause...]
+# (the reference parses these with the TiDB parser and handles each
+# AlterTableSpec — binlog_reader.go:1099-1107; MODIFY/CHANGE golden
+# resolution cases in binlog_reader_test.go)
+_DEFAULT = r"(?:\s+default\s+(?P<default>'(?:[^']|'')*'|[^\s,]+))?"
+_EXTRAS = r"(?:\s+(?:not\s+null|null|auto_increment|unsigned|comment\s+'(?:[^']|'')*'|first|after\s+`?[A-Za-z_][A-Za-z0-9_]*`?))*"
+_ALTER_CLAUSES: list[tuple[str, re.Pattern]] = [
+    ("add_column", re.compile(
+        rf"^add\s+(?:column\s+)?{_IDENT.format('column')}\s+{_TYPE}"
+        rf"(?:{_EXTRAS}{_DEFAULT}{_EXTRAS})?\s*$", re.I)),
+    ("drop_column", re.compile(
+        rf"^drop\s+(?:column\s+)?{_IDENT.format('column')}\s*$", re.I)),
+    ("rename_column", re.compile(
+        rf"^rename\s+column\s+{_IDENT.format('column')}\s+to\s+{_IDENT.format('new')}\s*$", re.I)),
+    ("modify_column", re.compile(
+        rf"^modify\s+(?:column\s+)?{_IDENT.format('column')}\s+{_TYPE}"
+        rf"(?:{_EXTRAS}{_DEFAULT}{_EXTRAS})?\s*$", re.I)),
+    ("change_column", re.compile(
+        rf"^change\s+(?:column\s+)?{_IDENT.format('column')}\s+{_IDENT.format('new')}\s+{_TYPE}"
+        rf"(?:{_EXTRAS}{_DEFAULT}{_EXTRAS})?\s*$", re.I)),
+    ("rename_table", re.compile(
+        rf"^rename\s+(?:to\s+|as\s+)?{_IDENT.format('new')}\s*$", re.I)),
+    # schema-unaffected clauses: recognized, applied as no-ops
+    ("noop", re.compile(
+        r"^(?:add\s+(?:unique\s+|fulltext\s+|spatial\s+)?(?:index|key|constraint|primary\s+key|foreign\s+key)\b.*"
+        r"|drop\s+(?:index|key|primary\s+key|foreign\s+key|constraint)\b.*"
+        r"|alter\s+(?:column\s+)?`?[A-Za-z_][A-Za-z0-9_]*`?\s+(?:set\s+default\b.*|drop\s+default)"
+        r"|(?:engine|auto_increment|comment|charset|character\s+set|collate|convert\s+to\b.*|row_format)\s*=?.*"
+        r")$", re.I | re.S)),
+]
+
+_ALTER_HEAD = re.compile(rf"^\s*alter\s+table\s+{_qual('table')}\s+(?P<rest>.*)$", re.I | re.S)
+_RENAME_TABLE_STMT = re.compile(r"^\s*rename\s+table\s+(?P<list>.+?)\s*;?\s*$", re.I | re.S)
+_RENAME_PAIR = re.compile(
+    rf"^\s*{_qual('old')}\s+to\s+{_qual('new')}\s*$", re.I
+)
 
 _COLDEF = re.compile(
     rf"^\s*`?(?P<name>[A-Za-z_][A-Za-z0-9_]*)`?\s+{_TYPE}", re.I
 )
 
 
-def parse_ddl(query: str, default_schema: str | None = None) -> DdlAction:
-    """Classify a DDL statement and extract its action (D1). Raises
-    ValueError for statements outside the replicated subset."""
+def _split_top_level(text: str) -> list[str]:
+    """Split on commas outside parens/quotes (multi-clause ALTER)."""
+    parts, cur, depth, quote = [], [], 0, None
+    for ch in text:
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+            continue
+        cur.append(ch)
+    parts.append("".join(cur).strip())
+    return [p for p in parts if p]
+
+
+def _fill_type(action: DdlAction, g: dict) -> None:
+    if g.get("dtype"):
+        action.dtype = mysql_type_to_spark(
+            g["dtype"], int(g.get("prec") or 0), int(g.get("scale") or 0)
+        )
+    action.default = g.get("default")
+
+
+def parse_ddl_actions(query: str, default_schema: str | None = None) -> list[DdlAction]:
+    """Classify a DDL statement into its action list (D1). Multi-clause
+    ``ALTER TABLE a ADD ..., DROP ..., MODIFY ...`` and multi-pair
+    ``RENAME TABLE a TO b, c TO d`` emit one action per clause, replayed
+    in order. Raises ValueError for statements outside the replicated
+    subset — loud, not silently skipped."""
     for kind, pat in _PATTERNS:
         m = pat.match(query)
         if not m:
@@ -86,16 +153,53 @@ def parse_ddl(query: str, default_schema: str | None = None) -> DdlAction:
         action = DdlAction(kind=kind)
         action.schema_name = g.get("schema") or g.get("table_schema") or default_schema
         action.table_name = g.get("table")
-        action.column = g.get("column")
-        action.new_name = g.get("new")
-        if g.get("dtype"):
-            action.dtype = mysql_type_to_spark(
-                g["dtype"], int(g.get("prec") or 0), int(g.get("scale") or 0)
-            )
         if kind == "create_table":
             action.dtype = _parse_table_body(g["body"])
-        return action
+        return [action]
+
+    m = _RENAME_TABLE_STMT.match(query)
+    if m and not _ALTER_HEAD.match(query):
+        actions = []
+        for pair in _split_top_level(m.group("list")):
+            pm = _RENAME_PAIR.match(pair)
+            if not pm:
+                raise ValueError(f"unparseable RENAME TABLE pair: {pair!r}")
+            actions.append(DdlAction(
+                kind="rename_table",
+                schema_name=pm.group("old_schema") or default_schema,
+                table_name=pm.group("old"),
+                new_name=pm.group("new"),
+            ))
+        return actions
+
+    m = _ALTER_HEAD.match(query)
+    if m:
+        schema = m.group("table_schema") or default_schema
+        table = m.group("table")
+        actions = []
+        for clause in _split_top_level(m.group("rest")):
+            for kind, cpat in _ALTER_CLAUSES:
+                cm = cpat.match(clause)
+                if not cm:
+                    continue
+                g = cm.groupdict()
+                action = DdlAction(kind=kind, schema_name=schema, table_name=table)
+                action.column = g.get("column")
+                action.new_name = g.get("new")
+                _fill_type(action, g)
+                actions.append(action)
+                break
+            else:
+                raise ValueError(f"ALTER clause outside the replicated subset: {clause!r}")
+        return actions
     raise ValueError(f"DDL outside the replicated subset: {query!r}")
+
+
+def parse_ddl(query: str, default_schema: str | None = None) -> DdlAction:
+    """Single-action form (first clause) — kept for callers that know
+    the statement is single-clause; multi-clause replay should use
+    :func:`parse_ddl_actions`."""
+    return parse_ddl_actions(query, default_schema)[0]
 
 
 def _parse_table_body(body: str) -> T.StructType:
@@ -184,7 +288,33 @@ class SchemaCatalog:
             meta.unique_key = [
                 action.new_name if c == action.column else c for c in meta.unique_key
             ]
+        elif action.kind == "modify_column":
+            # ALTER ... MODIFY: in-place type change (D1 breadth; the
+            # reference resolves these through AlterTableSpec)
+            meta = self.tables[key]
+            meta.schema = T.StructType(
+                [
+                    T.StructField(f.name, action.dtype if f.name == action.column else f.dataType, f.nullable)
+                    for f in meta.schema.fields
+                ]
+            )
+        elif action.kind == "change_column":
+            # ALTER ... CHANGE old new TYPE: rename + type change at once
+            meta = self.tables[key]
+            meta.schema = T.StructType(
+                [
+                    T.StructField(action.new_name, action.dtype, f.nullable)
+                    if f.name == action.column
+                    else f
+                    for f in meta.schema.fields
+                ]
+            )
+            meta.unique_key = [
+                action.new_name if c == action.column else c for c in meta.unique_key
+            ]
         elif action.kind == "rename_table":
             self.tables[(action.schema_name, action.new_name)] = self.tables.pop(key)
+        elif action.kind == "noop":
+            pass  # index/constraint/default-metadata: no schema effect
         else:
             raise ValueError(f"unhandled DDL action {action.kind}")

@@ -162,6 +162,38 @@ def train_centroids(
     return cent.withColumn("cent_id", F.row_number().over(w) - 1)
 
 
+def ivf_exact_mean_centroids(
+    vectors: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Deterministic "trained" centroid table: ONE Lloyd step from the
+    fixed partition ``cell = id % k``, with component sums kept in
+    scaled integers (round(x*1e6) as BIGINT) so the mean is
+    order-free-exact — the oracle-gatable sibling of
+    :func:`train_centroids` (whose double-mean is order-dependent and
+    therefore deliberately not gated). Division and the downstream
+    sqrt/dot are single IEEE ops on identical inputs, so both engines
+    produce bit-identical centroids.
+
+    Scale: one groupBy of N rows into k cells with 64 integer sums —
+    partial-aggregable, one shuffle of k*65 longs."""
+    cells = vectors.select(
+        (F.col(id_col) % k).alias("cent_id"), F.col(vec_col).alias("v")
+    )
+    sums = [
+        F.sum(F.round(F.col("v")[i].cast("double") * 1000000).cast("long")).alias(f"s{i}")
+        for i in range(dim)
+    ]
+    m = cells.groupBy("cent_id").agg(*sums, F.count(F.lit(1)).alias("n"))
+    c_vec = F.array(
+        *[(F.col(f"s{i}").cast("double") / 1000000.0 / F.col("n")) for i in range(dim)]
+    )
+    return m.select("cent_id", c_vec.alias("c_vec"))
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,

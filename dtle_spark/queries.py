@@ -769,6 +769,62 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("rank", "rnk")
 
 
+def _duck_ivf_trained_oracle(k: int = 16, nprobe: int = 4, dim: int = 64) -> str:
+    """Oracle for the TRAINED-centroid IVF search: the centroid table
+    is one integer-exact Lloyd step from the fixed cell = vec_id % k
+    partition (mirrors similarity.ivf_exact_mean_centroids — scaled-int
+    component sums make the mean order-free, so it hash-gates; the
+    double-mean train_centroids deliberately does not)."""
+    sums = ", ".join(
+        f"CAST(SUM(CAST(round(CAST(embedding[{i + 1}] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS s{i}"
+        for i in range(dim)
+    )
+    comps = ", ".join(f"CAST(s{i} AS DOUBLE) / 1000000.0 / n" for i in range(dim))
+    return f"""
+WITH centsum AS (
+  SELECT vec_id % {k} AS cent_id, COUNT(*) AS n, {sums}
+  FROM embeddings GROUP BY cent_id),
+cent0 AS (SELECT cent_id, [{comps}] AS c_vec FROM centsum),
+cent AS (SELECT cent_id, c_vec, sqrt({_duck_dot('c_vec', 'c_vec')}) AS c_norm FROM cent0),
+cents AS (SELECT list({{'cent_id': cent_id, 'c_vec': c_vec, 'c_norm': c_norm}} ORDER BY cent_id) AS cents FROM cent),
+assigned AS (
+  SELECT vec_id AS neighbor_id, embedding AS n_vec,
+         list_max(list_transform(cents.cents,
+           c -> {{'cos': {_duck_ivf_assign_score()}, 'cell': c.cent_id}})).cell AS cell
+  FROM embeddings, cents
+),
+q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id % 50 = 0),
+qs AS (SELECT query_id, q_vec, cent_id, {_duck_cosine('q_vec', 'c_vec')} AS c_cos FROM q, cent),
+probes AS (
+  SELECT query_id, q_vec, cent_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY c_cos DESC, cent_id) AS r FROM qs
+  ) WHERE r <= {nprobe}
+),
+hits AS (
+  SELECT query_id, p.cell AS cell, neighbor_id, {_duck_cosine('q_vec', 'n_vec')} AS cosine
+  FROM assigned a JOIN probes p ON a.cell = p.cell AND query_id <> neighbor_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM hits)
+SELECT query_id, cell, neighbor_id, rnk, cosine FROM r WHERE rnk <= 5
+"""
+
+
+@query("ann_topk_ivf_trained", _duck_ivf_trained_oracle())
+def ann_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search against a TRAINED centroid table (one integer-exact
+    Lloyd step — similarity.ivf_exact_mean_centroids) instead of the
+    sampled init: the plan is identical, only the centroid input
+    changes. A pytest recall gate proves the trained path's quality
+    against brute force (tests/test_custom_ops.py); the double-mean
+    trainer train_centroids backs the same seam on a cluster."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    cent = sim.ivf_exact_mean_centroids(e, k=16)
+    out = sim.ivf_topk(e, q, k=5, nprobe=4, centroids=cent)
+    return out.withColumnRenamed("rank", "rnk")
+
+
 # ---------------------------------------------------------------------------
 # Kafka/Debezium envelope sink (sinks/debezium.py) + multimodal plumbing
 # (functions/multimodal.py)

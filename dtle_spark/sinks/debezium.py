@@ -83,6 +83,29 @@ def encode_binary_base64(col: Column) -> Column:
     return F.base64(col)
 
 
+def encode_binary_padded(col_name: str, n: int) -> Column:
+    """Fixed BINARY(n) -> base64 of the value zero-PADDED to n bytes
+    (kafka3.go getBinaryValue; golden kafka3_test.go: binary(16) of ""
+    -> 16 zero bytes -> "AAAAAAAAAAAAAAAAAAAAAA=="). MySQL stores
+    BINARY(n) right-padded with 0x00; the binlog may strip the pad, so
+    the sink restores it. Takes the column NAME (SQL rpad on BINARY)."""
+    return F.expr(f"base64(rpad(cast({col_name} as binary), {n}, X'00'))")
+
+
+def encode_bit_le(value_col: Column, n_bits: int) -> Column:
+    """BIT(n) integer value -> base64(little-endian ceil(n/8) bytes)
+    (kafka3.go getBitValue; goldens kafka3_test.go: bit(8) 9 -> "CQ==",
+    bit(16) 9 -> "CQA=", bit(59) 19 -> "EwAAAAAAAAA="). Built from
+    per-byte hex pairs LSB-first — pure Column expressions, no UDF."""
+    n_bytes = (n_bits + 7) // 8
+    pairs = [
+        F.lpad(F.hex(value_col.bitwiseAND(F.lit(255)) if i == 0
+                      else F.shiftright(value_col, 8 * i).bitwiseAND(F.lit(255))), 2, "0")
+        for i in range(n_bytes)
+    ]
+    return F.base64(F.unhex(F.concat(*pairs)))
+
+
 def envelope(
     changes: DataFrame,
     pk_cols: list[str],

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from dtle_spark.catalog import DdlAction, SchemaCatalog, parse_ddl
+from dtle_spark.catalog import DdlAction, SchemaCatalog, parse_ddl_actions
 from dtle_spark.model import JobConfig, TableConfig
 from dtle_spark.operators.apply import apply_changes, apply_changes_no_pk
 from dtle_spark.operators.filters import (
@@ -292,8 +292,16 @@ def apply_ddl_to_target(
     cur = target.read_internal(spark, cfg.target_schema, cfg.target_table)
     if action.kind == "add_column":
         if cur is not None:
+            fill = F.lit(None).cast(action.dtype)
+            if action.default is not None:
+                # DEFAULT backfill: existing rows take the literal
+                # (MySQL instant-ADD semantics for constant defaults)
+                raw = action.default.strip()
+                lit = raw[1:-1].replace("''", "'") if raw.startswith("'") else raw
+                if lit.upper() != "NULL":
+                    fill = F.lit(lit).cast(action.dtype)
             target.overwrite(
-                cur.withColumn(action.column, F.lit(None).cast(action.dtype)),
+                cur.withColumn(action.column, fill),
                 cfg.target_schema,
                 cfg.target_table,
             )
@@ -307,11 +315,26 @@ def apply_ddl_to_target(
                 cfg.target_schema,
                 cfg.target_table,
             )
+    elif action.kind == "modify_column":
+        if cur is not None:
+            target.overwrite(
+                cur.withColumn(action.column, F.col(action.column).cast(action.dtype)),
+                cfg.target_schema,
+                cfg.target_table,
+            )
+    elif action.kind == "change_column":
+        if cur is not None:
+            target.overwrite(
+                cur.withColumn(action.column, F.col(action.column).cast(action.dtype))
+                .withColumnRenamed(action.column, action.new_name),
+                cfg.target_schema,
+                cfg.target_table,
+            )
     elif action.kind == "truncate":
         if cur is not None:
             target.overwrite(cur.limit(0), cfg.target_schema, cfg.target_table)
-    elif action.kind in ("create_schema", "create_table", "drop_table", "drop_schema", "rename_table"):
-        pass  # catalog-level; physical dir managed lazily by merge/reads
+    elif action.kind in ("create_schema", "create_table", "drop_table", "drop_schema", "rename_table", "noop"):
+        pass  # catalog-level or schema-unaffected; dirs managed lazily
     else:
         raise ValueError(f"unhandled DDL action {action.kind}")
 
@@ -375,9 +398,12 @@ def apply_batch(
                 typed = from_wire(seg, meta.schema)
                 _merge_segment(spark, typed, cfg, job, target, meta.schema, deferred)
                 if ddl_row is not None:
-                    action = parse_ddl(ddl_row["query"], default_schema=cfg.schema_name)
-                    catalog.apply(action)
-                    apply_ddl_to_target(spark, target, cfg, action)
+                    # multi-clause ALTER / multi-pair RENAME replay in order
+                    for action in parse_ddl_actions(
+                        ddl_row["query"], default_schema=cfg.schema_name
+                    ):
+                        catalog.apply(action)
+                        apply_ddl_to_target(spark, target, cfg, action)
                     lo = hi
         if deferred:
             for staged, s, t in deferred:

@@ -301,3 +301,28 @@ class TestTrainedIvf:
         out = ivf_topk(e, e.filter("vec_id % 50 = 0"), k=5, nprobe=8,
                        centroids=trained).collect()
         assert len(out) > 0 and all(r["rank"] <= 5 for r in out)
+
+    def test_exact_mean_centroids_recall_and_full_probe_exactness(self, spark):
+        """The oracle-gated trained path (ivf_exact_mean_centroids, one
+        integer-exact Lloyd step): probing ALL k cells must reproduce
+        brute-force exactly (recall 1.0 — partitioning is lossless when
+        fully probed), and a half probe keeps recall >= the probed
+        fraction on isotropic fixtures."""
+        from dtle_spark.functions.similarity import (
+            brute_force_topk, ivf_exact_mean_centroids, ivf_topk,
+        )
+
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = e.filter(F.col("vec_id") % 50 == 0)
+        cent = ivf_exact_mean_centroids(e, k=16).localCheckpoint()
+        assert cent.count() == 16
+
+        exact = {(r["query_id"], r["neighbor_id"])
+                 for r in brute_force_topk(e, q, k=5).collect()}
+        full = {(r["query_id"], r["neighbor_id"])
+                for r in ivf_topk(e, q, k=5, nprobe=16, centroids=cent).collect()}
+        assert full == exact  # all cells probed == exact search
+
+        half = {(r["query_id"], r["neighbor_id"])
+                for r in ivf_topk(e, q, k=5, nprobe=8, centroids=cent).collect()}
+        assert len(half & exact) / len(exact) >= 0.5

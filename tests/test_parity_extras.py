@@ -111,9 +111,14 @@ class TestOracleValues:
         assert parse_oracle_value(text) == expected
 
 
-def test_binlog_bridge_is_gated():
+def test_binlog_bridge_socket_is_gated():
+    """Construction and offline translation work (sources/binlog_events
+    implements the full event->wire mapping); only the live socket tail
+    is gated on the absent python-mysql-replication library."""
+    b = MySQLBinlogBridge()
+    assert b.translate([]) == []
     with pytest.raises(NotImplementedError):
-        MySQLBinlogBridge()
+        b.tail()
 
 
 def test_snapshot_then_stream_handoff(spark, duck, tmp_path):

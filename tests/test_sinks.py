@@ -47,6 +47,50 @@ def test_date_and_datetime_encodings(spark):
     assert out["days"] == 1 and out["ms"] == 1500
 
 
+class TestReferenceGoldenVectors:
+    """Bit-for-bit parity with the reference's OWN kafka test vectors
+    (kafka2_test.go:8-22 decimal/time, kafka3_test.go:5-98 binary/bit)."""
+
+    def test_decimal_zero_is_single_zero_byte(self, spark):
+        # DecimalValueFromStringMysql("0") == base64([0x00]) == "AA=="
+        df = spark.createDataFrame([Row(u=0)])
+        out = df.select(dz.encode_decimal_bytes(F.col("u")).alias("b")).collect()
+        assert out[0]["b"] == "AA=="
+
+    def test_time_values(self, spark):
+        # TimeValue("01:02:03") and TimeValue("-800:02:03.100000")
+        df = spark.createDataFrame([
+            Row(h=1, m=2, s=3, us=0, neg=False),
+            Row(h=800, m=2, s=3, us=100000, neg=True),
+        ])
+        out = [r["t"] for r in df.select(
+            dz.encode_time_micros(F.col("h"), F.col("m"), F.col("s"),
+                                  F.col("us"), F.col("neg")).alias("t")
+        ).collect()]
+        assert out[0] == (1 * 3600 + 2 * 60 + 3) * 1_000_000
+        assert out[1] == -((800 * 3600 + 2 * 60 + 3) * 1_000_000 + 100000)
+
+    def test_binary16_empty_pads_to_16_zero_bytes(self, spark):
+        # getBinaryValue("binary(16)", "") -> "AAAAAAAAAAAAAAAAAAAAAA=="
+        df = spark.createDataFrame([Row(b=b"")])
+        out = df.select(dz.encode_binary_padded("b", 16).alias("v")).collect()
+        assert out[0]["v"] == "AAAAAAAAAAAAAAAAAAAAAA=="
+
+    @pytest.mark.parametrize("bits,value,want", [
+        (8, 0, "AA=="),
+        (8, 9, "CQ=="),
+        (16, 9, "CQA="),
+        (16, 19, "EwA="),
+        (59, 9, "CQAAAAAAAAA="),
+        (59, 19, "EwAAAAAAAAA="),
+    ])
+    def test_bit_values(self, spark, bits, value, want):
+        # getBitValue goldens: little-endian ceil(n/8) bytes
+        df = spark.createDataFrame([Row(v=value)])
+        out = df.select(dz.encode_bit_le(F.col("v"), bits).alias("b")).collect()
+        assert out[0]["b"] == want
+
+
 def test_envelope_snapshot_flag(spark):
     """Snapshot rows emit op=c with snapshot:true (kafka3.go:684-865)."""
     from dtle_spark.plans import cdc_demo
