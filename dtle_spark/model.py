@@ -125,7 +125,9 @@ class TableConfig:
     # function registry is a subset of Spark's built-ins)
     where: str | None = None
     # chosen unique key columns (GetCandidateUniqueKeys,
-    # base/utils.go:609-712); empty = no-PK table (full-row matching)
+    # base/utils.go:609-712); empty = no-PK table (full-row matching).
+    # NOTE: expressed in TARGET-side (post-column-map) names — the
+    # merge runs after map_changes renames the images.
     unique_key: list[str] = field(default_factory=list)
 
     @property
@@ -159,3 +161,51 @@ class JobConfig:
             if t.schema_name == schema_name and t.table_name == table_name:
                 return t
         return None
+
+
+def reverse_table_config(cfg: TableConfig) -> TableConfig:
+    """Invert one table's replication direction (the reference's
+    reverse-job construction, api/handler/v2/job.go:1970-2006): the
+    TARGET names become the source selection, renames point back, and
+    ColumnMapFrom/ColumnMapTo swap — rejected when ColumnMapFrom is a
+    projection without a ColumnMapTo (not invertible), exactly the
+    reference's conflict check (:1999-2004). The unique key is mapped
+    through the column map into target-side names. ``where`` is written
+    against source column names and does not survive inversion — it is
+    dropped with the same "operator re-adds filters explicitly"
+    expectation the reference has."""
+    if cfg.column_map_from and not cfg.column_map_to:
+        raise ValueError(
+            f"{cfg.schema_name}.{cfg.table_name}: job can't be reversed with "
+            "ColumnMapFrom not matching ColumnMapTo"
+        )
+    # unique_key is expressed in TARGET-side (post-map) names — the
+    # merge runs after map_changes — so the reverse key maps each
+    # forward-target name back to its forward-source name (which is the
+    # reverse job's target side).
+    to_source = dict(zip(cfg.column_map_to, cfg.column_map_from))
+    return TableConfig(
+        schema_name=cfg.target_schema,
+        table_name=cfg.target_table,
+        rename_schema=cfg.schema_name if cfg.rename_schema else None,
+        rename_table=cfg.table_name if cfg.rename_table else None,
+        column_map_from=list(cfg.column_map_to),
+        column_map_to=list(cfg.column_map_from),
+        where=None,
+        unique_key=[to_source.get(k, k) for k in cfg.unique_key],
+    )
+
+
+def reverse_job_config(job: JobConfig, local_sid: str | None = None) -> JobConfig:
+    """Build the reverse job ("reverse-<name>", :1971) from a forward
+    job: every table inverted, and ``local_sid`` set to the FORWARD
+    source's server id so transactions that originated there are not
+    echoed back (A11 cycle prevention — the reference couples this to
+    AutoGtid + WaitOnJob handoff)."""
+    return JobConfig(
+        name=f"reverse-{job.name}",
+        tables=[reverse_table_config(t) for t in job.tables],
+        trigger_seconds=job.trigger_seconds,
+        local_sid=local_sid if local_sid is not None else job.local_sid,
+        tx_atomic=job.tx_atomic,
+    )

@@ -118,17 +118,40 @@ class MySQLBinlogBridge:
 class OracleLogMinerBridge:
     """Oracle redo-log source (reference S8: DBMS_LOGMNR add/start +
     v$logmnr_contents polled by SCN window, per-tx commit/rollback cache
-    — log_miner.go:36-618). The redo SQL -> value conversion half lives
-    in sources/oracle_values.py; the DB-side poll loop needs an oracle
-    client, absent here — the class is the documented seam.
+    — log_miner.go:36-618).
+
+    Everything except the DB socket is implemented offline:
+    sources/oracle_ddl.py translates DDL redo SQL to MySQL dialect
+    (S10, golden-matched to log_miner_test.go), parses DML redo SQL
+    into ordinal rows, builds the V$LOGMNR_CONTENTS filter, and the
+    LogMinerRecordTranslator replays the reference's per-tx
+    commit/rollback cache into wire rows. Value-literal conversion
+    lives in sources/oracle_values.py. Only ``tail()`` (the SCN-window
+    poll loop) needs the absent oracledb client.
     """
 
-    def __init__(self, *a, **kw):
+    def __init__(self, source_id: str = "oracle-src",
+                 columns: dict | None = None):
+        from dtle_spark.sources.oracle_ddl import LogMinerRecordTranslator
+
+        self.translator = LogMinerRecordTranslator(source_id, columns or {})
+
+    def translate(self, records: list[dict]) -> list[dict]:
+        """Canned/offline path: LogMiner record dicts -> wire rows."""
+        return self.translator.feed_all(records)
+
+    def publish(self, spark: SparkSession, bridge: FileBridge, records: list[dict]) -> str | None:
+        rows = self.translate(records)
+        if not rows:
+            return None
+        return bridge.publish(spark.createDataFrame(rows, WIRE_SCHEMA), typed=False)
+
+    def tail(self, *a, **kw):
         try:
             import oracledb  # noqa: F401
         except ImportError as e:
             raise NotImplementedError(
                 "oracledb client not installed; deploy the LogMiner bridge "
                 "next to the Oracle source and publish via FileBridge/Kafka "
-                "(value conversion: dtle_spark.sources.oracle_values)"
+                "(translation: dtle_spark.sources.oracle_ddl)"
             ) from e

@@ -72,3 +72,33 @@ class JobManager:
         caller's to clean, matching the reference's delete semantics)."""
         rj = self._jobs.pop(name)
         rj.pause()
+
+    def reverse(
+        self,
+        name: str,
+        source_dir: str,
+        target_root: str,
+        checkpoint_dir: str,
+        catalog: SchemaCatalog,
+        local_sid: str | None = None,
+        start: bool = True,
+        **kw,
+    ) -> ReplicationJob:
+        """The reverse_start workflow (api/handler/v2/job.go
+        /v2/job/reverse + reverse_start): derive "reverse-<name>" from
+        a registered forward job — direction inverted per table
+        (model.reverse_job_config), cycle prevention armed via
+        local_sid — and start it consuming the reverse-direction wire
+        stream. The forward job must be paused first (the reference
+        sequences this with WaitOnJob: the reverse src waits on the
+        forward job's completion)."""
+        from dtle_spark.model import reverse_job_config
+
+        fwd = self._jobs[name]
+        if fwd.query is not None and fwd.query.isActive:
+            raise ValueError(f"pause forward job {name!r} before reversing")
+        rev = reverse_job_config(fwd.job, local_sid=local_sid)
+        return self.create(
+            rev, source_dir, target_root, checkpoint_dir, catalog,
+            start=start, **kw,
+        )
