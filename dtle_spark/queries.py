@@ -820,7 +820,10 @@ def ann_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     trainer train_centroids backs the same seam on a cluster."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 50 == 0)
-    cent = sim.ivf_exact_mean_centroids(e, k=16)
+    # materialize the (tiny) trained centroid table once: ivf_topk
+    # consumes it in three places, and each lazy reuse would re-run the
+    # 64-sum training aggregation over the full corpus
+    cent = sim.ivf_exact_mean_centroids(e, k=16).localCheckpoint()
     out = sim.ivf_topk(e, q, k=5, nprobe=4, centroids=cent)
     return out.withColumnRenamed("rank", "rnk")
 

@@ -155,17 +155,20 @@ def envelope(
         {"ignoreNullFields": "false"},
     )
     topic = F.concat_ws(".", F.lit(topic_prefix), F.col("schema_name"), F.col("table_name"))
-    frames = changes.filter(F.col("op") != "ddl").select(
+    if tombstones and not snapshot:
+        # single-pass: a delete explodes into [envelope, tombstone]
+        # instead of a second union branch (which would re-scan the
+        # whole change stream — measured 3x the envelope cost)
+        vals = F.when(
+            F.col("op") == OP_DELETE,
+            F.array(value, F.lit(None).cast("string")),
+        ).otherwise(F.array(value))
+        return changes.filter(F.col("op") != "ddl").select(
+            topic.alias("topic"), key.alias("key"), F.explode(vals).alias("value")
+        )
+    return changes.filter(F.col("op") != "ddl").select(
         topic.alias("topic"), key.alias("key"), value.alias("value")
     )
-    if tombstones and not snapshot:
-        tomb = changes.filter(F.col("op") == OP_DELETE).select(
-            topic.alias("topic"),
-            key.alias("key"),
-            F.lit(None).cast("string").alias("value"),
-        )
-        frames = frames.unionByName(tomb)
-    return frames
 
 
 def write_kafka_stream(frames: DataFrame, bootstrap: str, checkpoint: str):
