@@ -2078,3 +2078,391 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("dist") <= 1) & (F.col("name_1") != F.col("name_2")))
         .select("id_1", "id_2", "name_1", "name_2", "dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Analytics batch 6: the remaining TPC-H shapes expressible on the
+# fixture schema (no partsupp / receipt-commit dates in the fixtures,
+# so q9/q16/q21 keep the SHAPE — multi-way profit expression, NOT-IN
+# count-distinct, double-EXISTS correlation — on available columns;
+# docstrings note each substitution). All money stays integer
+# (cents or cents*(100-disc) = 1e-4 dollar units) until one final
+# division; every SUM output is CAST to BIGINT (HUGEINT hash trap).
+# ---------------------------------------------------------------------------
+
+_REV_E4 = (
+    "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+)
+
+
+def _rev_e4_col() -> F.Column:
+    return _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+
+
+@query(
+    "q7_volume_shipping",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS l_year,
+           CAST(CAST(SUM({_REV_E4}) AS BIGINT) AS DOUBLE) / 10000.0 AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')
+            AND n2.n_name IN ('NATION_5','NATION_6','NATION_7','NATION_8'))
+        OR (n1.n_name IN ('NATION_5','NATION_6','NATION_7','NATION_8')
+            AND n2.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')))
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional trade volume between two 4-nation
+    blocs by ship year — a 6-way join where BOTH nation dims broadcast
+    (25 rows) and the symmetric bloc predicate prunes early. (Blocs
+    rather than the classic single pair so the sf0.001 fixture still
+    produces rows.) Revenue exact in 1e-4 dollar units, one final
+    division."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    bloc_a = ["NATION_1", "NATION_2", "NATION_3", "NATION_4"]
+    bloc_b = ["NATION_5", "NATION_6", "NATION_7", "NATION_8"]
+    pair = (
+        (F.col("supp_nation").isin(bloc_a) & F.col("cust_nation").isin(bloc_b))
+        | (F.col("supp_nation").isin(bloc_b) & F.col("cust_nation").isin(bloc_a))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            (F.sum(_rev_e4_col()).cast("double") / 10000.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "q8_market_share",
+    f"""
+    WITH v AS (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             {_REV_E4} AS vol, n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'STANDARD'
+    )
+    SELECT o_year,
+           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0 END) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(SUM(vol) AS BIGINT) AS DOUBLE) AS mkt_share,
+           COUNT(*) AS n
+    FROM v GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's volume for one
+    part type, by order year. The share is a single double division of
+    two exact integers — the only float op. 8-way join; region/nation
+    dims broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    n2 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    v = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            _rev_e4_col().alias("vol"),
+            "supp_nation",
+        )
+    )
+    nat = F.when(F.col("supp_nation") == "NATION_3", F.col("vol")).otherwise(F.lit(0))
+    return v.groupBy("o_year").agg(
+        (F.sum(nat).cast("double") / F.sum("vol").cast("double")).alias("mkt_share"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q9_profit_by_nation_year",
+    f"""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(SUM({_REV_E4}
+                    - CAST(round(p_retailprice * 100) AS BIGINT)
+                      * CAST(round(l_quantity) AS BIGINT) * 100) AS BIGINT)
+             AS profit_e4,
+           COUNT(*) AS n
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, o_year
+    """,
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit (revenue minus cost*qty) per supplier
+    nation per year, part-name filtered. The fixtures carry no
+    partsupp, so p_retailprice stands in for ps_supplycost — the
+    expression shape (two-scale integer arithmetic folded into one
+    exact SUM) is what the query exercises. Profit kept in 1e-4
+    dollar units (cents*100)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    amount = _rev_e4_col() - _cents(F.col("p_retailprice")) * F.round(
+        F.col("l_quantity")
+    ).cast("long") * 100
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"),
+                amount.alias("amt"))
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amt").alias("profit_e4"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM({_REV_E4}) AS BIGINT) AS rev_e4,
+           COUNT(*) AS n
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY rev_e4 DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in a
+    half-year window. The LIMIT is deterministic: exact-integer revenue
+    ordered with the unique custkey tiebreak picks the identical set in
+    both engines."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_rev_e4_col()).alias("rev_e4"), F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("rev_e4").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q15_top_supplier",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey, CAST(SUM({_REV_E4}) AS BIGINT) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_rev
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the maximum quarterly
+    revenue — a scalar-subquery max over a derived aggregate. Equality
+    against an exact integer keeps ties deterministic (floating revenue
+    would make 'the max set' engine-dependent)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(F.sum(_rev_e4_col()).alias("total_rev"))
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        s.join(rev, s.s_suppkey == rev.l_suppkey)
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type,
+    size) with a NOT-IN exclusion subquery. No partsupp in the
+    fixtures, so lineitem plays supplier-of-part and negative-balance
+    suppliers stand in for the complaints list — the NOT-IN anti-join +
+    COUNT(DISTINCT) is the exercised machinery."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    f"""
+    SELECT CAST(SUM({_REV_E4}) AS BIGINT) AS revenue_e4, COUNT(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-conjunctions across both join sides —
+    the classic disjunctive-predicate planning test (Catalyst pushes
+    the common p/l column constraints below the join and evaluates the
+    residual OR post-join)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & (q >= 1) & (q <= 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & (q >= 10) & (q <= 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+           & (q >= 20) & (q <= 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(_rev_e4_col()).alias("revenue_e4"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "q21_sole_blamed_supplier",
+    """
+    WITH flagged AS (
+      SELECT DISTINCT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F' AND l_returnflag = 'R'
+    ),
+    others AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+    SELECT s_name, COUNT(*) AS numwait
+    FROM flagged b
+    JOIN supplier ON s_suppkey = b.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM others o
+                  WHERE o.l_orderkey = b.l_orderkey AND o.l_suppkey <> b.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM flagged b2
+                      WHERE b2.l_orderkey = b.l_orderkey AND b2.l_suppkey <> b.l_suppkey)
+    GROUP BY s_name
+    """,
+)
+def q21_sole_blamed_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: per-supplier count of finalized orders where
+    the supplier is the ONLY one with returned lines but other
+    suppliers participated — correlated EXISTS + NOT EXISTS, both as
+    self-joins of the same derived table (semi + anti join on a
+    composite inequality condition). Return flags stand in for the
+    fixtures' missing receipt/commit dates; the correlation machinery
+    is identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    flagged = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    others = li.select("l_orderkey", "l_suppkey").distinct()
+    b = flagged.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
+    o2 = others.select(F.col("l_orderkey").alias("o_ok"), F.col("l_suppkey").alias("o_sk"))
+    b2 = flagged.select(F.col("l_orderkey").alias("b_ok"), F.col("l_suppkey").alias("b_sk"))
+    exists_other = b.join(
+        o2, (F.col("ok") == F.col("o_ok")) & (F.col("sk") != F.col("o_sk")), "left_semi"
+    )
+    sole = exists_other.join(
+        b2, (F.col("ok") == F.col("b_ok")) & (F.col("sk") != F.col("b_sk")), "left_anti"
+    )
+    return (
+        sole.join(F.broadcast(s), F.col("sk") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
