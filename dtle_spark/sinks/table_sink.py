@@ -107,6 +107,44 @@ class BucketedTableTarget:
             if d.startswith("__b="):
                 os.rename(os.path.join(final, d), os.path.join(final, "bucket=" + d[4:]))
 
+    def compact(self, spark: SparkSession, schema_name: str, table_name: str,
+                horizon_seq: int) -> int:
+        """Tombstone GC, bucket-selective: only buckets that actually
+        hold expired tombstones (``__deleted`` with ``__seq`` below the
+        re-delivery horizon) are rewritten — untouched buckets stay
+        byte-identical, so at 100 TB the GC cost tracks churn, not
+        table size. Same stage-then-commit swap as merge. Returns the
+        number of tombstones dropped."""
+        root = self.table_dir(schema_name, table_name)
+        if not os.path.exists(root):
+            return 0
+        dead = F.col(DELETED_COL) & (F.col(SEQ_COL) < F.lit(horizon_seq))
+        dropped = 0
+        token = uuid.uuid4().hex[:8]
+        old_root = root + f".old-{token}"
+        swaps: list[tuple[str, str]] = []
+        for d in sorted(os.listdir(root)):
+            if not d.startswith("bucket="):
+                continue
+            bdir = os.path.join(root, d)
+            cur = spark.read.parquet(bdir)
+            if DELETED_COL not in cur.columns:
+                continue
+            n = cur.filter(dead).count()
+            if not n:
+                continue  # bucket untouched — not even rewritten
+            dropped += n
+            staged = root + f".compact-{token}-{d}"
+            cur.filter(~dead).write.mode("overwrite").parquet(staged)
+            swaps.append((staged, bdir))
+        if swaps:
+            os.makedirs(old_root, exist_ok=True)
+            for staged, bdir in swaps:
+                os.rename(bdir, os.path.join(old_root, os.path.basename(bdir)))
+                os.rename(staged, bdir)
+            shutil.rmtree(old_root, ignore_errors=True)
+        return dropped
+
     def merge(
         self,
         spark: SparkSession,

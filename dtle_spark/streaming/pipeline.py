@@ -116,6 +116,26 @@ class ParquetTableTarget:
     def overwrite(self, df: DataFrame, schema_name: str, table_name: str) -> None:
         self.commit(self.stage(df, schema_name, table_name), schema_name, table_name)
 
+    def compact(self, spark: SparkSession, schema_name: str, table_name: str,
+                horizon_seq: int) -> int:
+        """Tombstone GC: drop tombstones whose __seq is older than the
+        source's max re-delivery horizon (the reference's periodic
+        gtid_executed cleanup is the same chore — a tombstone only
+        guards against a STALE change arriving later, so once the
+        source can no longer re-deliver below horizon_seq the marker
+        is dead weight). Live rows and newer tombstones survive.
+        Returns the number of tombstones dropped."""
+        from dtle_spark.operators.apply import DELETED_COL, SEQ_COL
+
+        cur = self.read_internal(spark, schema_name, table_name)
+        if cur is None or DELETED_COL not in cur.columns:
+            return 0
+        dead = F.col(DELETED_COL) & (F.col(SEQ_COL) < F.lit(horizon_seq))
+        n = cur.filter(dead).count()
+        if n:
+            self.overwrite(cur.filter(~dead), schema_name, table_name)
+        return n
+
 
 class TxSpool:
     """Carry-over store for the tx-spanning-batch case (SURVEY §7 hard

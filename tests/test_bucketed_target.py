@@ -142,6 +142,60 @@ def test_bucketed_untouched_buckets_byte_identical(spark, tmp_path):
     assert not [p for p in os.listdir(parent) if ".merge-" in p or ".old-" in p]
 
 
+def test_compaction_drops_only_expired_tombstones(spark, tmp_path):
+    """Tombstone GC: tombstones below the re-delivery horizon go, live
+    rows and newer tombstones stay, buckets without expired tombstones
+    are not rewritten, and a late stale change for a compacted key is
+    now applied (the guard is gone — horizon choice is the contract)."""
+    import os
+
+    base = cdc_demo.orders_base(spark, SF_DIR)
+    changes = cdc_demo.orders_changes(spark, SF_DIR)
+    t = BucketedTableTarget(str(tmp_path / "tgt"), n_buckets=16)
+    t.seed(base, "db1", "orders", ["o_orderkey"])
+    t.merge(spark, changes, "db1", "orders", ["o_orderkey"])
+
+    raw = t.read_internal(spark, "db1", "orders")
+    tombs = raw.filter(F.col("__deleted"))
+    n_tombs = tombs.count()
+    assert n_tombs > 0
+    seqs = sorted(r["__seq"] for r in tombs.select("__seq").collect())
+    horizon = seqs[len(seqs) // 2]  # half expire
+
+    live_before = t.read(spark, "db1", "orders").count()
+    dropped = t.compact(spark, "db1", "orders", horizon)
+    assert dropped == sum(1 for s in seqs if s < horizon)
+    after = t.read_internal(spark, "db1", "orders")
+    assert after.filter(F.col("__deleted")).count() == n_tombs - dropped
+    assert t.read(spark, "db1", "orders").count() == live_before
+    # idempotent: second pass with the same horizon drops nothing
+    assert t.compact(spark, "db1", "orders", horizon) == 0
+    # no debris
+    parent = os.path.dirname(t.table_dir("db1", "orders"))
+    assert not [p for p in os.listdir(parent) if ".old-" in p or ".compact-" in p]
+
+
+def test_whole_table_target_compaction(spark, tmp_path):
+    from dtle_spark.streaming.pipeline import ParquetTableTarget
+    from dtle_spark.operators.apply import latest_image_per_key, merge_into_versioned, with_version_columns
+
+    base = cdc_demo.orders_base(spark, SF_DIR)
+    changes = cdc_demo.orders_changes(spark, SF_DIR)
+    t = ParquetTableTarget(str(tmp_path / "tgt"))
+    net = latest_image_per_key(changes, ["o_orderkey"])
+    merged = merge_into_versioned(with_version_columns(base), net, ["o_orderkey"])
+    t.overwrite(merged, "db1", "orders")
+
+    raw = t.read_internal(spark, "db1", "orders")
+    n_tombs = raw.filter(F.col("__deleted")).count()
+    assert n_tombs > 0
+    live = t.read(spark, "db1", "orders").count()
+    dropped = t.compact(spark, "db1", "orders", 10**18)  # everything expired
+    assert dropped == n_tombs
+    assert t.read(spark, "db1", "orders").count() == live
+    assert t.read_internal(spark, "db1", "orders").filter(F.col("__deleted")).count() == 0
+
+
 def test_range_bucketed_key_local_batch(spark, duck, tmp_path):
     """Range routing: a key-local batch (the realistic CDC shape —
     auto-increment activity) touches few buckets; full apply still
