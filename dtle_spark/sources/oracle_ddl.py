@@ -574,11 +574,39 @@ class OracleDmlEvent:
     rows: list[list[object]]  # ordinal-ordered; update: [before, after]
 
 
+_ASSIGN = re.compile(r'^\s*("[^"]+"|[\w$#\\]+)\s*=\s*(.+?)\s*$', re.S)
+
+
+def _parse_set(set_text: str) -> dict[str, object]:
+    """SET clause -> {col: value}. LogMiner joins multiple assignments
+    with `` and `` (log_miner.go:963 comment shows ``set "COL2" ='500'
+    and "COL1" = 'ss'``) while plain SQL uses commas — accept both."""
+    parts = _split_top_level(set_text)
+    if len(parts) == 1:
+        ands = _split_and(parts[0])
+        if len(ands) > 1 and all(_ASSIGN.match(a) for a in ands):
+            parts = ands
+    out: dict[str, object] = {}
+    for assign in parts:
+        am = _ASSIGN.match(assign)
+        if not am:
+            raise ValueError(f"unparseable SET clause: {assign!r}")
+        out[norm_ident(am.group(1))] = _dml_value(am.group(2))
+    return out
+
+
 def parse_dml_sql(redo_sql: str, undo_sql: str, columns: list[str],
                   seg_owner: str = "") -> OracleDmlEvent:
     """One LogMiner DML redo statement -> ordinal row arrays, matching
-    parseDMLSQL's goldens: insert -> [values], delete -> [where],
-    update -> [where(before), set(after)] with unmentioned columns None."""
+    parseDMLSQL's goldens (log_miner_test.go:141-280): insert ->
+    [values], delete -> [redo where], update -> [before, after] where
+    **before = redo WHERE and after = undo WHERE** — the undo statement
+    reverses the change, so its WHERE carries the full logged after
+    image (log_miner.go:1039-1063 parses oracleUndoSQL and takes
+    undoVisitor.Before as the second row). Without an undo statement
+    the after image falls back to the redo SET values merged over the
+    before image (the SET alone loses every untouched column, including
+    the unique key — the silent-corruption case ADVICE r02 flagged)."""
     ords = {c: i for i, c in enumerate(columns)}
 
     def to_row(vals: dict[str, object]) -> list[object]:
