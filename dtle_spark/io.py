@@ -30,6 +30,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     converted to micros TimestampType by truncation — the same ns->us
     truncation DuckDB applies on scan, keeping oracle comparisons exact."""
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # Fixture timestamps carry no tz annotation; Spark 4 would infer
+    # TIMESTAMP_NTZ, which unix_micros/to_utc_timestamp reject and which
+    # DuckDB (the oracle) does not distinguish. Read them as plain
+    # TimestampType and pin the session to UTC so wall-clock == instant —
+    # runtime SQL confs so this also holds on driver-provided sessions.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     nanos_cols = [
         f.name
         for f in pq.read_schema(path)

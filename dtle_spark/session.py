@@ -41,6 +41,11 @@ def get_spark(
         # fixture events.parquet stores TIMESTAMP(NANOS); read as long and
         # convert in io.load_table (Spark has no nanos timestamp type)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # fixture timestamps carry no tz annotation: read as TimestampType
+        # (not TIMESTAMP_NTZ) so unix_micros & friends resolve, matching
+        # DuckDB's single naive timestamp type (io.load_table re-asserts
+        # this at runtime for driver-provided sessions)
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
