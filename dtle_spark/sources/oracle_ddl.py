@@ -628,14 +628,18 @@ def parse_dml_sql(redo_sql: str, undo_sql: str, columns: list[str],
     m = _UPDATE.match(redo_sql)
     if m:
         schema, table = parse_qualified(m.group("name"), seg_owner)
-        before = to_row(_parse_where(m.group("where")))
-        after_vals: dict[str, object] = {}
-        for assign in _split_top_level(m.group("set")):
-            am = re.match(r'^\s*("[^"]+"|[\w$#\\]+)\s*=\s*(.+?)\s*$', assign, re.S)
-            if not am:
-                raise ValueError(f"unparseable SET clause: {assign!r}")
-            after_vals[norm_ident(am.group(1))] = _dml_value(am.group(2))
-        return OracleDmlEvent("u", schema, table, [before, to_row(after_vals)])
+        before_vals = _parse_where(m.group("where"))
+        um = _UPDATE.match(undo_sql) if undo_sql else None
+        if um is not None:
+            # undo reverses the change: its WHERE is the full after image
+            after_vals = _parse_where(um.group("where"))
+        else:
+            # no undo logged: SET carries only the touched columns, so
+            # merge it over the before image to keep untouched columns
+            after_vals = {**before_vals, **_parse_set(m.group("set"))}
+        return OracleDmlEvent(
+            "u", schema, table, [to_row(before_vals), to_row(after_vals)]
+        )
 
     m = _DELETE.match(redo_sql)
     if m:

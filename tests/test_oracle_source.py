@@ -209,8 +209,11 @@ DML_GOLDENS = [
      [["3", None]]),
     ('insert into "TEST"."BINARY_FLOAT5"("COL1","COL2") values (\'4\', \'Nan\');',
      [["4", None]]),
+    # no-undo variant of BINARY_FLOAT6: SET merges over before, keeping
+    # COL1 (see test_update_after_image_from_undo_where_binary_float6
+    # for the with-undo reference golden)
     ('update "TEST"."BINARY_FLOAT6" set "COL2" = \'500\'  where "COL1" = \'3\' and "COL2" = \'NULL\';',
-     [["3", None], [None, "500"]]),
+     [["3", None], ["3", "500"]]),
     ('delete from "TEST"."BINARY_FLOAT7" where "COL1" = \'4\' and "COL2" = \'Nan\';',
      [["4", None]]),
     ('insert into "TEST"."DATE_COLUMNS"("COL1","COL2") values (\'1\',NULL)',
@@ -247,11 +250,46 @@ def test_dml_unistr_decodes_utf16():
 
 
 def test_update_is_before_after_pair():
+    # no undo logged: SET merges over the before image so untouched
+    # columns (here COL1, the key) survive into the after row
     ev = parse_dml_sql(
         'update "TEST"."T" set "COL2" = \'9\' where "COL1" = \'1\' and "COL2" = \'8\'',
         "", COLS)
     assert ev.op == "u"
-    assert ev.rows == [["1", "8"], [None, "9"]]
+    assert ev.rows == [["1", "8"], ["1", "9"]]
+
+
+def test_update_after_image_from_undo_where_testnull():
+    # log_miner_test.go TESTNULL golden: after = undo statement's WHERE
+    ev = parse_dml_sql(
+        'update "TEST"."TESTNULL" set "COL1" = NULL where "COL1" = \'T\'',
+        'update "TEST"."TESTNULL" set "COL1" = \'T\' where "COL1" IS NULL',
+        COLS)
+    assert ev.op == "u"
+    assert ev.rows == [["T", None], [None, None]]
+
+
+def test_update_after_image_from_undo_where_binary_float6():
+    # log_miner_test.go BINARY_FLOAT6 golden: undo WHERE wins over SET
+    # ('500'); the literal string 'NULL' maps to None per the reference
+    ev = parse_dml_sql(
+        'update "TEST"."BINARY_FLOAT6" set "COL2" = \'500\'  '
+        "where \"COL1\" = '3' and \"COL2\" = 'NULL';",
+        'update "TEST"."BINARY_FLOAT6" set "COL2" = NULL  '
+        "where \"COL1\" = '3' and \"COL2\" = '50\\0';",
+        COLS)
+    assert ev.rows == [["3", None], ["3", "50\\0"]]
+
+
+def test_update_set_joined_with_and():
+    # LogMiner joins multiple SET assignments with ' and '
+    # (log_miner.go:963): both assignments must parse, not corrupt into
+    # one string value
+    ev = parse_dml_sql(
+        'update "TEST"."T" set "COL2" =\'500\' and "COL1" = \'ss\' '
+        "where \"COL1\" = '1'",
+        "", COLS)
+    assert ev.rows == [["1", None], ["ss", "500"]]
 
 
 class TestLogMinerRecordTranslator:
@@ -283,7 +321,8 @@ class TestLogMinerRecordTranslator:
         assert json.loads(out[0]["after"]) == {"COL1": "1", "COL2": "a"}
         u = out[1]
         assert json.loads(u["before"]) == {"COL1": "1", "COL2": None}
-        assert json.loads(u["after"]) == {"COL1": None, "COL2": "b"}
+        # no undo in the record: after keeps COL1 from the before image
+        assert json.loads(u["after"]) == {"COL1": "1", "COL2": "b"}
 
     def test_rollback_discards_tx(self):
         from dtle_spark.sources.oracle_ddl import LogMinerRecordTranslator
