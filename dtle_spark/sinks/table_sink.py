@@ -1,21 +1,31 @@
-"""Bucketed merge target: the scale path for continuous apply.
+"""Merge targets over parquet with manifest-atomic commits.
 
-``ParquetTableTarget`` (streaming/pipeline.py) rewrites the whole table
-per micro-batch — fine for tests, quadratic-ish over time at scale.
-``BucketedTableTarget`` hash-partitions the table into N key buckets
-(directory per bucket, the lake ``bucketBy`` analogue) and each merge:
+Two targets behind one interface (``read``/``read_internal``/``stage``/
+``commit``/``overwrite``/``compact``):
 
-  1. computes the batch's net changes (already keyed),
-  2. derives the set of AFFECTED buckets (distinct hash of change keys
-     — for CDC batches this is usually a small fraction of N),
-  3. reads ONLY those bucket dirs, merges, swaps ONLY those dirs.
+- ``ParquetTableTarget`` — whole-table image per commit. Simple, exact;
+  rewrite cost O(table) per batch, the test-tier stand-in.
+- ``BucketedTableTarget`` — hash- (or range-) partitions the table into
+  N key buckets and merges only the buckets a batch touches:
 
-Merge cost becomes O(affected buckets) instead of O(table) — at 100 TB
-with N=8192 buckets and a 1M-row batch, a merge touches ≲1M/N-ish of
-the table. Bucket routing uses ``pmod(xxhash64(key), N)`` (engine-
-internal only — never oracle-compared, so Spark-native hashing is fine
-here). On Delta/Iceberg the same role is played by partition/file
-pruning on the merge key + deletion vectors.
+    1. compute the batch's net changes (already keyed),
+    2. derive the AFFECTED bucket set (distinct hash of change keys —
+       for CDC batches a small fraction of N),
+    3. read ONLY those buckets, merge, commit ONLY those entries.
+
+  Merge cost becomes O(affected buckets) instead of O(table) — at
+  100 TB with N=8192 buckets and a 1M-row batch, a merge touches
+  ≲1M/N-ish of the table. Bucket routing uses ``pmod(xxhash64(key),N)``
+  (engine-internal only — never oracle-compared, so Spark-native
+  hashing is fine). On Delta/Iceberg the same role is played by
+  partition/file pruning on the merge key + deletion vectors.
+
+Both commit through :mod:`dtle_spark.sinks.manifest`: data dirs are
+immutable, a commit is ONE atomic manifest rename, and a crash at any
+point leaves the previous table state readable (no rename-swap window).
+``stage_merge`` returns the commit as a closure so the streaming batch
+loop can swap EVERY table's manifest in one tight loop — the A6
+cross-table atomicity of streaming/pipeline.apply_batch.
 """
 
 from __future__ import annotations
@@ -34,6 +44,11 @@ from dtle_spark.operators.apply import (
     latest_image_per_key,
     merge_into_versioned,
     with_version_columns,
+)
+from dtle_spark.sinks.manifest import (
+    TableManifest,
+    gc_unreferenced,
+    unique_entry_name,
 )
 
 
@@ -56,24 +71,39 @@ def range_bucket(key_col: str, width: int):
     return expr
 
 
-class BucketedTableTarget:
-    def __init__(self, root: str, n_buckets: int = 32, bucket_fn=None):
-        self.root = root
-        self.n_buckets = n_buckets
-        self._bucket_fn = bucket_fn or hash_bucket
+class ManifestedTarget:
+    """Whole-table manifest-committed target (base for both targets)."""
 
-    def table_dir(self, schema_name: str, table_name: str) -> str:
+    def __init__(self, root: str):
+        self.root = root
+
+    def path(self, schema_name: str, table_name: str) -> str:
         return os.path.join(self.root, schema_name, table_name)
 
-    def _bucket_dir(self, schema_name: str, table_name: str, b: int) -> str:
-        return os.path.join(self.table_dir(schema_name, table_name), f"bucket={b}")
+    table_dir = path  # historical alias
+
+    def _manifest(self, schema_name: str, table_name: str) -> TableManifest | None:
+        return TableManifest.load(self.path(schema_name, table_name))
 
     def read_internal(self, spark: SparkSession, schema_name: str, table_name: str) -> DataFrame | None:
-        """Raw stored form — carries __seq/__deleted version columns."""
-        p = self.table_dir(schema_name, table_name)
+        """Raw stored form — may carry __seq/__deleted version columns."""
+        p = self.path(schema_name, table_name)
+        m = TableManifest.load(p)
+        if m is not None:
+            dirs = [d for d in m.dirs(p) if os.path.exists(d)]
+            if not dirs:
+                return None
+            return spark.read.parquet(*dirs)
+        # legacy / externally-seeded layouts (pre-manifest)
         if not os.path.exists(p):
             return None
-        return spark.read.parquet(os.path.join(p, "*"))
+        names = os.listdir(p)
+        legacy_buckets = [n for n in names if n.startswith("bucket=")]
+        if legacy_buckets:
+            return spark.read.parquet(*[os.path.join(p, n) for n in legacy_buckets])
+        if any(f.endswith(".parquet") or f == "_SUCCESS" for f in names):
+            return spark.read.parquet(p)
+        return None
 
     def read(self, spark: SparkSession, schema_name: str, table_name: str) -> DataFrame | None:
         """External view: tombstones filtered, version columns stripped."""
@@ -84,28 +114,145 @@ class BucketedTableTarget:
             df = df.filter(~F.col(DELETED_COL)).drop(SEQ_COL, DELETED_COL)
         return df
 
+    def stage(
+        self, df: DataFrame, schema_name: str, table_name: str, retries: int = 5
+    ) -> str:
+        """Write the new table image aside (not yet visible).
+        Write-retry mirrors the reference's deadlock retry
+        (RetryTxLimit=5, applier.go:966-977/driver.go:172-173) — on a
+        lake target this is the optimistic-concurrency retry loop."""
+        p = self.path(schema_name, table_name)
+        staged = f"{p}.staged-{uuid.uuid4().hex[:8]}"
+        last_err = None
+        for _ in range(retries):
+            try:
+                df.write.mode("overwrite").parquet(staged)
+                last_err = None
+                break
+            except Exception as e:  # transient executor/file races
+                last_err = e
+        if last_err is not None:
+            raise last_err
+        return staged
+
+    def commit(
+        self,
+        staged: str,
+        schema_name: str,
+        table_name: str,
+        seq_watermark: dict[str, int] | None = None,
+    ) -> None:
+        """Adopt a staged image: move it inside the table dir (readers
+        still resolve the old manifest), then atomically swap the
+        manifest. Crash before the swap = old state intact; after = new
+        state complete. GC of replaced dirs runs last and is restartable."""
+        p = self.path(schema_name, table_name)
+        os.makedirs(p, exist_ok=True)
+        entry = unique_entry_name("t")
+        os.rename(staged, os.path.join(p, entry))
+        m = TableManifest.load(p) or TableManifest()
+        m.entries = {"_table": entry}
+        if seq_watermark is not None:
+            m.seq_watermark = seq_watermark
+        m.save(p)  # <- the commit point
+        gc_unreferenced(p, m)
+
+    def overwrite(self, df: DataFrame, schema_name: str, table_name: str) -> None:
+        self.commit(self.stage(df, schema_name, table_name), schema_name, table_name)
+
+    def seq_watermark(self, schema_name: str, table_name: str) -> dict[str, int]:
+        """Per-source applied-seq high-water mark, committed atomically
+        with the data it covers (no-PK replay idempotence, A10)."""
+        m = self._manifest(schema_name, table_name)
+        return dict(m.seq_watermark) if m is not None else {}
+
+    def bump_schema_version(self, schema_name: str, table_name: str) -> None:
+        p = self.path(schema_name, table_name)
+        m = TableManifest.load(p)
+        if m is not None:
+            m.schema_version += 1
+            m.save(p)
+
+    def compact(self, spark: SparkSession, schema_name: str, table_name: str,
+                horizon_seq: int) -> int:
+        """Tombstone GC: drop tombstones whose __seq is older than the
+        source's max re-delivery horizon (the reference's periodic
+        gtid_executed cleanup is the same chore — a tombstone only
+        guards against a STALE change arriving later, so once the
+        source can no longer re-deliver below horizon_seq the marker
+        is dead weight). Live rows and newer tombstones survive.
+        Returns the number of tombstones dropped."""
+        cur = self.read_internal(spark, schema_name, table_name)
+        if cur is None or DELETED_COL not in cur.columns:
+            return 0
+        dead = F.col(DELETED_COL) & (F.col(SEQ_COL) < F.lit(horizon_seq))
+        n = cur.filter(dead).count()
+        if n:
+            wm = self.seq_watermark(schema_name, table_name)
+            self.commit(
+                self.stage(cur.filter(~dead), schema_name, table_name),
+                schema_name, table_name, seq_watermark=wm or None,
+            )
+        return n
+
+
+class ParquetTableTarget(ManifestedTarget):
+    """Whole-table merge target — exact but O(table) per commit; the
+    test tier. ``BucketedTableTarget`` is the scale default."""
+
+
+class BucketedTableTarget(ManifestedTarget):
+    def __init__(self, root: str, n_buckets: int = 32, bucket_fn=None):
+        super().__init__(root)
+        self.n_buckets = n_buckets
+        self._bucket_fn = bucket_fn or hash_bucket
+
+    def _bucket_dirname(self, schema_name: str, table_name: str, b: int) -> str | None:
+        m = self._manifest(schema_name, table_name)
+        if m is None:
+            return None
+        return m.entries.get(str(b))
+
     def seed(self, df: DataFrame, schema_name: str, table_name: str, key_cols: list[str]) -> None:
         """Initial (snapshot) load: write every bucket partition
         (seq-versioned from the start, seq -1 = before every change)."""
         if DELETED_COL not in df.columns:
             df = with_version_columns(df)
         bucketed = df.withColumn("__b", self._bucket_fn(key_cols, self.n_buckets))
-        staged = self.table_dir(schema_name, table_name) + f".staged-{uuid.uuid4().hex[:8]}"
+        p = self.path(schema_name, table_name)
+        staged = p + f".staged-{uuid.uuid4().hex[:8]}"
         (
             bucketed.repartition(self.n_buckets, "__b")
             .write.partitionBy("__b")
             .mode("overwrite")
             .parquet(staged)
         )
-        final = self.table_dir(schema_name, table_name)
-        if os.path.exists(final):
-            shutil.rmtree(final)
-        os.makedirs(os.path.dirname(final), exist_ok=True)
-        os.rename(staged, final)
-        # normalize partition dir names (__b=K -> bucket=K)
-        for d in os.listdir(final):
-            if d.startswith("__b="):
-                os.rename(os.path.join(final, d), os.path.join(final, "bucket=" + d[4:]))
+        os.makedirs(p, exist_ok=True)
+        token = uuid.uuid4().hex[:8]
+        m = TableManifest(key_cols=list(key_cols), n_buckets=self.n_buckets)
+        for d in sorted(os.listdir(staged)):
+            if not d.startswith("__b="):
+                continue
+            b = d[4:]
+            entry = f"b{b}-{token}"
+            os.rename(os.path.join(staged, d), os.path.join(p, entry))
+            m.entries[b] = entry
+        m.save(p)  # <- commit point; replaces any previous table state
+        gc_unreferenced(p, m)
+        shutil.rmtree(staged, ignore_errors=True)
+
+    def overwrite(self, df: DataFrame, schema_name: str, table_name: str) -> None:
+        """Whole-table rewrite that PRESERVES bucketing when the table
+        is bucketed (DDL application path): re-bucket on the manifest's
+        recorded key. Falls back to a whole-table entry for unkeyed
+        tables. (A rename of a key column itself would need a key-spec
+        update first — out of scope, as in the reference.)"""
+        m = self._manifest(schema_name, table_name)
+        if m is not None and m.key_cols:
+            self.seed(df, schema_name, table_name, m.key_cols)
+            self.bump_schema_version(schema_name, table_name)
+        else:
+            super().overwrite(df, schema_name, table_name)
 
     def compact(self, spark: SparkSession, schema_name: str, table_name: str,
                 horizon_seq: int) -> int:
@@ -113,20 +260,20 @@ class BucketedTableTarget:
         hold expired tombstones (``__deleted`` with ``__seq`` below the
         re-delivery horizon) are rewritten — untouched buckets stay
         byte-identical, so at 100 TB the GC cost tracks churn, not
-        table size. Same stage-then-commit swap as merge. Returns the
-        number of tombstones dropped."""
-        root = self.table_dir(schema_name, table_name)
-        if not os.path.exists(root):
-            return 0
+        table size. One manifest swap commits every rewritten bucket.
+        Returns the number of tombstones dropped."""
+        p = self.path(schema_name, table_name)
+        m = TableManifest.load(p)
+        if m is None:
+            return super().compact(spark, schema_name, table_name, horizon_seq)
         dead = F.col(DELETED_COL) & (F.col(SEQ_COL) < F.lit(horizon_seq))
         dropped = 0
         token = uuid.uuid4().hex[:8]
-        old_root = root + f".old-{token}"
-        swaps: list[tuple[str, str]] = []
-        for d in sorted(os.listdir(root)):
-            if not d.startswith("bucket="):
+        replaced: dict[str, str] = {}
+        for b, entry in sorted(m.entries.items()):
+            bdir = os.path.join(p, entry)
+            if not os.path.exists(bdir):
                 continue
-            bdir = os.path.join(root, d)
             cur = spark.read.parquet(bdir)
             if DELETED_COL not in cur.columns:
                 continue
@@ -134,16 +281,119 @@ class BucketedTableTarget:
             if not n:
                 continue  # bucket untouched — not even rewritten
             dropped += n
-            staged = root + f".compact-{token}-{d}"
-            cur.filter(~dead).write.mode("overwrite").parquet(staged)
-            swaps.append((staged, bdir))
-        if swaps:
-            os.makedirs(old_root, exist_ok=True)
-            for staged, bdir in swaps:
-                os.rename(bdir, os.path.join(old_root, os.path.basename(bdir)))
-                os.rename(staged, bdir)
-            shutil.rmtree(old_root, ignore_errors=True)
+            new_entry = f"b{b}-c{token}"
+            cur.filter(~dead).write.mode("overwrite").parquet(os.path.join(p, new_entry))
+            replaced[b] = new_entry
+        if replaced:
+            m = TableManifest.load(p)  # re-read: manifest may have moved on
+            m.entries.update(replaced)
+            m.save(p)  # <- commit point for ALL rewritten buckets at once
+            gc_unreferenced(p, m)
         return dropped
+
+    def stage_merge(
+        self,
+        spark: SparkSession,
+        changes: DataFrame,
+        schema_name: str,
+        table_name: str,
+        key_cols: list[str],
+    ):
+        """Stage one change batch; returns ``(touched_buckets,
+        commit_fn)`` — nothing is visible until ``commit_fn()`` runs.
+
+        Seq-versioned (operators/apply.merge_into_versioned): an effect
+        applies only if its seq beats the stored row's, and deletes
+        leave tombstones — so delivery may be split or reordered across
+        micro-batches, same guarantee as the whole-table path, at
+        O(affected buckets) cost. Tombstone GC is the compaction chore.
+
+        The commit closure moves the staged bucket dirs inside the
+        table dir (invisible — readers resolve the old manifest), then
+        swaps the manifest ONCE. The streaming batch loop collects
+        these closures from every table and runs them back-to-back:
+        A6 cross-table atomicity with a crash window of zero per table."""
+        net = latest_image_per_key(dedupe_redelivered(changes), key_cols)
+        net = net.withColumn("__b", self._bucket_fn(key_cols, self.n_buckets)).persist()
+        p = self.path(schema_name, table_name)
+        m = TableManifest.load(p)
+        bucketed_layout = (
+            m is not None and bool(m.entries) and all(k.lstrip("-").isdigit() for k in m.entries)
+        ) or (
+            m is None
+            and os.path.exists(p)
+            and any(n.startswith("bucket=") for n in os.listdir(p))
+        )
+        try:
+            touched = sorted(r["__b"] for r in net.select("__b").distinct().collect())
+            if not touched:
+                return [], lambda: None
+            if bucketed_layout:
+                # read ONLY affected buckets, resolved through the manifest
+                dirs = []
+                for b in touched:
+                    if m is not None:
+                        e = m.entries.get(str(b))
+                        d = os.path.join(p, e) if e else None
+                    else:  # legacy bucket=K layout (pre-manifest seed)
+                        d = os.path.join(p, f"bucket={b}")
+                    if d and os.path.exists(d):
+                        dirs.append(d)
+                if dirs:
+                    current = spark.read.parquet(*dirs)
+                else:
+                    current = spark.createDataFrame([], net.schema["row"].dataType)
+                rewrite_all = False
+            else:
+                # one-time migration: the table was seeded as a whole-table
+                # image (overwrite/snapshot) or doesn't exist yet — merge
+                # against the full image and re-bucket everything
+                current = self.read_internal(spark, schema_name, table_name)
+                if current is None:
+                    current = spark.createDataFrame([], net.schema["row"].dataType)
+                rewrite_all = True
+            if DELETED_COL not in current.columns:
+                current = with_version_columns(current)  # legacy unversioned rows
+            merged = merge_into_versioned(current, net.drop("__b"), key_cols).withColumn(
+                "__b", self._bucket_fn(key_cols, self.n_buckets)
+            )
+            token = uuid.uuid4().hex[:8]
+            staged = p + f".merge-{token}"
+            n_parts = self.n_buckets if rewrite_all else len(touched)
+            merged.repartition(n_parts, "__b").write.partitionBy("__b").mode(
+                "overwrite"
+            ).parquet(staged)
+        finally:
+            net.unpersist()
+
+        def commit_fn() -> None:
+            os.makedirs(p, exist_ok=True)
+            new_entries: dict[str, str] = {}
+            for d in sorted(os.listdir(staged)):
+                if not d.startswith("__b="):
+                    continue
+                b = d[4:]
+                entry = f"b{b}-{token}"
+                os.rename(os.path.join(staged, d), os.path.join(p, entry))
+                new_entries[b] = entry
+            cur = TableManifest.load(p)
+            if cur is None:
+                cur = TableManifest(key_cols=list(key_cols), n_buckets=self.n_buckets)
+                # adopt pre-manifest bucket=K dirs so GC can't orphan them
+                for n in os.listdir(p):
+                    if n.startswith("bucket="):
+                        cur.entries[n.split("=", 1)[1]] = n
+            if rewrite_all:
+                cur.entries = new_entries  # full re-bucket replaces the image
+                cur.key_cols = list(key_cols)
+                cur.n_buckets = self.n_buckets
+            else:
+                cur.entries.update(new_entries)
+            cur.save(p)  # <- the commit point
+            gc_unreferenced(p, cur)
+            shutil.rmtree(staged, ignore_errors=True)
+
+        return touched, commit_fn
 
     def merge(
         self,
@@ -153,59 +403,9 @@ class BucketedTableTarget:
         table_name: str,
         key_cols: list[str],
     ) -> list[int]:
-        """Merge one change batch; returns the buckets touched.
-
-        Seq-versioned (operators/apply.merge_into_versioned): an effect
-        applies only if its seq beats the stored row's, and deletes
-        leave tombstones — so delivery may be split or reordered across
-        micro-batches, same guarantee as the whole-table path, at
-        O(affected buckets) cost. Tombstone GC is the compaction chore.
-
-        Swap protocol (stage-then-commit): each touched bucket's old
-        dir is renamed ASIDE (outside the table dir, invisible to
-        readers), the new dir renamed in, and the old dirs deleted only
-        after every touched bucket is swapped — a crash mid-swap leaves
-        every bucket's rows recoverable (old dirs intact), never a
-        dropped bucket."""
-        net = latest_image_per_key(dedupe_redelivered(changes), key_cols)
-        net = net.withColumn("__b", self._bucket_fn(key_cols, self.n_buckets)).persist()
-        try:
-            touched = sorted(r["__b"] for r in net.select("__b").distinct().collect())
-            if not touched:
-                return []
-            # read ONLY affected buckets
-            dirs = [
-                self._bucket_dir(schema_name, table_name, b)
-                for b in touched
-                if os.path.exists(self._bucket_dir(schema_name, table_name, b))
-            ]
-            if dirs:
-                current = spark.read.parquet(*dirs)
-            else:
-                current = spark.createDataFrame([], net.schema["row"].dataType)
-            if DELETED_COL not in current.columns:
-                current = with_version_columns(current)  # legacy unversioned bucket
-            merged = merge_into_versioned(current, net.drop("__b"), key_cols).withColumn(
-                "__b", self._bucket_fn(key_cols, self.n_buckets)
-            )
-            token = uuid.uuid4().hex[:8]
-            staged = self.table_dir(schema_name, table_name) + f".merge-{token}"
-            merged.repartition(len(touched), "__b").write.partitionBy("__b").mode(
-                "overwrite"
-            ).parquet(staged)
-            # stage-then-commit bucket swap: olds aside, news in, delete last
-            old_root = self.table_dir(schema_name, table_name) + f".old-{token}"
-            os.makedirs(old_root, exist_ok=True)
-            for b in touched:
-                src = os.path.join(staged, f"__b={b}")
-                dst = self._bucket_dir(schema_name, table_name, b)
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                if os.path.exists(dst):
-                    os.rename(dst, os.path.join(old_root, f"bucket={b}"))
-                if os.path.exists(src):
-                    os.rename(src, dst)
-            shutil.rmtree(old_root, ignore_errors=True)
-            shutil.rmtree(staged, ignore_errors=True)
-            return touched
-        finally:
-            net.unpersist()
+        """Stage + commit in one call; returns the buckets touched."""
+        touched, commit_fn = self.stage_merge(
+            spark, changes, schema_name, table_name, key_cols
+        )
+        commit_fn()
+        return touched

@@ -51,90 +51,12 @@ from dtle_spark.operators.projection import map_changes
 from dtle_spark.streaming.wire import WIRE_SCHEMA, from_wire
 
 
-class ParquetTableTarget:
-    """Merge target over plain parquet with atomic directory swap.
-
-    Stand-in for Delta/Iceberg MERGE INTO (jars unavailable here);
-    write path: read current -> merge -> write staged -> atomic swap.
-    """
-
-    def __init__(self, root: str):
-        self.root = root
-
-    def path(self, schema_name: str, table_name: str) -> str:
-        return os.path.join(self.root, schema_name, table_name)
-
-    def read_internal(self, spark: SparkSession, schema_name: str, table_name: str) -> DataFrame | None:
-        """Raw stored form — may carry __seq/__deleted version columns."""
-        p = self.path(schema_name, table_name)
-        if not os.path.exists(p):
-            return None
-        return spark.read.parquet(p)
-
-    def read(self, spark: SparkSession, schema_name: str, table_name: str) -> DataFrame | None:
-        """External view: tombstones filtered, version columns stripped."""
-        from dtle_spark.operators.apply import DELETED_COL, SEQ_COL
-
-        df = self.read_internal(spark, schema_name, table_name)
-        if df is None:
-            return None
-        if DELETED_COL in df.columns:
-            df = df.filter(~F.col(DELETED_COL)).drop(SEQ_COL, DELETED_COL)
-        return df
-
-    def stage(
-        self, df: DataFrame, schema_name: str, table_name: str, retries: int = 5
-    ) -> str:
-        """Write the new table image to a staging dir (not yet visible).
-        Write-retry mirrors the reference's deadlock retry
-        (RetryTxLimit=5, applier.go:966-977/driver.go:172-173) — on a
-        lake target this is the optimistic-concurrency retry loop."""
-        p = self.path(schema_name, table_name)
-        staged = f"{p}.staged-{uuid.uuid4().hex[:8]}"
-        last_err = None
-        for _ in range(retries):
-            try:
-                df.write.mode("overwrite").parquet(staged)
-                last_err = None
-                break
-            except Exception as e:  # transient executor/file races
-                last_err = e
-        if last_err is not None:
-            raise last_err
-        return staged
-
-    def commit(self, staged: str, schema_name: str, table_name: str) -> None:
-        """Swap a staged image in — two renames, no data movement."""
-        p = self.path(schema_name, table_name)
-        old = f"{p}.old-{uuid.uuid4().hex[:8]}"
-        if os.path.exists(p):
-            os.rename(p, old)
-        os.rename(staged, p)
-        if os.path.exists(old):
-            shutil.rmtree(old)
-
-    def overwrite(self, df: DataFrame, schema_name: str, table_name: str) -> None:
-        self.commit(self.stage(df, schema_name, table_name), schema_name, table_name)
-
-    def compact(self, spark: SparkSession, schema_name: str, table_name: str,
-                horizon_seq: int) -> int:
-        """Tombstone GC: drop tombstones whose __seq is older than the
-        source's max re-delivery horizon (the reference's periodic
-        gtid_executed cleanup is the same chore — a tombstone only
-        guards against a STALE change arriving later, so once the
-        source can no longer re-deliver below horizon_seq the marker
-        is dead weight). Live rows and newer tombstones survive.
-        Returns the number of tombstones dropped."""
-        from dtle_spark.operators.apply import DELETED_COL, SEQ_COL
-
-        cur = self.read_internal(spark, schema_name, table_name)
-        if cur is None or DELETED_COL not in cur.columns:
-            return 0
-        dead = F.col(DELETED_COL) & (F.col(SEQ_COL) < F.lit(horizon_seq))
-        n = cur.filter(dead).count()
-        if n:
-            self.overwrite(cur.filter(~dead), schema_name, table_name)
-        return n
+# Both table targets (manifest-atomic commits) live in sinks/table_sink;
+# ParquetTableTarget is re-exported here for its historical import path.
+from dtle_spark.sinks.table_sink import (  # noqa: E402,F401
+    BucketedTableTarget,
+    ParquetTableTarget,
+)
 
 
 class TxSpool:
@@ -208,26 +130,10 @@ def transform_changes(changes: DataFrame, cfg: TableConfig, local_sid: str | Non
     return map_changes(out, cfg)
 
 
-SEQ_WATERMARK_FILE = "_seq_watermark.json"  # "_"-prefixed: invisible to parquet scans
-
-
 def _read_seq_watermark(target, schema_name: str, table_name: str) -> dict[str, int]:
-    """Per-source applied-seq high-water mark stored INSIDE the table
-    dir, so the directory swap commits data + watermark atomically."""
-    p = os.path.join(target.path(schema_name, table_name), SEQ_WATERMARK_FILE)
-    if not os.path.exists(p):
-        return {}
-    import json
-
-    with open(p) as f:
-        return {k: int(v) for k, v in json.load(f).items()}
-
-
-def _write_seq_watermark(staged_dir: str, wm: dict[str, int]) -> None:
-    import json
-
-    with open(os.path.join(staged_dir, SEQ_WATERMARK_FILE), "w") as f:
-        json.dump(wm, f)
+    """Per-source applied-seq high-water mark, stored IN the table
+    manifest so data + watermark commit atomically (one rename)."""
+    return target.seq_watermark(schema_name, table_name)
 
 
 def _merge_segment(
@@ -245,7 +151,6 @@ def _merge_segment(
         merge_into_versioned,
         with_version_columns,
     )
-    from dtle_spark.sinks.table_sink import BucketedTableTarget
 
     tchanges = transform_changes(typed, cfg, job.local_sid)
     # seed schema must be the POST-column-map row struct (tchanges has
@@ -253,8 +158,15 @@ def _merge_segment(
     row_struct = tchanges.schema["after"].dataType
     if isinstance(target, BucketedTableTarget) and cfg.unique_key:
         # scale path: seq-versioned merge over only the buckets the
-        # batch touches (sinks/table_sink.py)
-        target.merge(spark, tchanges, cfg.target_schema, cfg.target_table, cfg.unique_key)
+        # batch touches, staged now and committed with the rest of the
+        # batch's tables (A6 — sinks/table_sink.py)
+        _, commit_fn = target.stage_merge(
+            spark, tchanges, cfg.target_schema, cfg.target_table, cfg.unique_key
+        )
+        if deferred_commits is not None:
+            deferred_commits.append(commit_fn)
+        else:
+            commit_fn()
         return
     wm_update: dict[str, int] | None = None
     if cfg.unique_key:
@@ -292,15 +204,18 @@ def _merge_segment(
             wm_update[r["sid"]] = max(wm_update.get(r["sid"], -(1 << 62)), r["s"])
         merged = apply_changes_no_pk(current, fresh)
     staged = target.stage(merged, cfg.target_schema, cfg.target_table)
-    if wm_update is not None:
-        _write_seq_watermark(staged, wm_update)
+    s, t, wm = cfg.target_schema, cfg.target_table, wm_update
+
+    def commit_fn(staged=staged, s=s, t=t, wm=wm) -> None:
+        target.commit(staged, s, t, seq_watermark=wm)
+
     if deferred_commits is not None:
         # A6 cross-table atomicity: stage now, swap with the rest of the
         # batch's tables at the end — a reader never observes table A's
         # new state next to table B's old one within a micro-batch
-        deferred_commits.append((staged, cfg.target_schema, cfg.target_table))
+        deferred_commits.append(commit_fn)
     else:
-        target.commit(staged, cfg.target_schema, cfg.target_table)
+        commit_fn()
 
 
 def apply_ddl_to_target(
@@ -398,7 +313,10 @@ def apply_batch(
     batch.persist()
     try:
         has_ddl = batch.filter(F.col("op") == "ddl").limit(1).count() > 0
-        deferred: list | None = [] if (not has_ddl and hasattr(target, "stage")) else None
+        # commit closures: every table (bucketed or whole-image) stages
+        # first; the closures then run back-to-back, each one an atomic
+        # manifest rename — the A6 cross-table swap
+        deferred: list | None = [] if not has_ddl else None
         for cfg in job.tables:
             rows = table_filter(batch, cfg.schema_name, cfg.table_name)
             ddls = sorted(
@@ -426,8 +344,8 @@ def apply_batch(
                         apply_ddl_to_target(spark, target, cfg, action)
                     lo = hi
         if deferred:
-            for staged, s, t in deferred:
-                target.commit(staged, s, t)
+            for fn in deferred:
+                fn()
         if gtid_path is not None:
             from dtle_spark.sources.gtid import GtidSet
 
@@ -460,9 +378,10 @@ class ReplicationJob:
         self.spark = spark
         self.job = job
         self.source_dir = source_dir
-        # default whole-table target; pass a BucketedTableTarget for the
-        # affected-buckets-only merge path (sinks/table_sink.py)
-        self.target = target if target is not None else ParquetTableTarget(target_root)
+        # default = the scale path: affected-buckets-only merge
+        # (sinks/table_sink.py); pass ParquetTableTarget for the simple
+        # whole-image tier
+        self.target = target if target is not None else BucketedTableTarget(target_root)
         self.checkpoint_dir = checkpoint_dir
         self.catalog = catalog
         self.max_files_per_trigger = max_files_per_trigger

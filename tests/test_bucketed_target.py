@@ -115,31 +115,35 @@ def test_bucketed_untouched_buckets_byte_identical(spark, tmp_path):
                     h.update(fh.read())
         return h.hexdigest()
 
+    from dtle_spark.sinks.manifest import TableManifest
+
     base = cdc_demo.orders_base(spark, SF_DIR)
     changes = cdc_demo.orders_changes(spark, SF_DIR)
     t = BucketedTableTarget(str(tmp_path / "tgt"), n_buckets=16)
     t.seed(base, "db1", "orders", ["o_orderkey"])
+    tdir = t.table_dir("db1", "orders")
 
-    def bucket_dirs():
-        return [
-            d for d in os.listdir(t.table_dir("db1", "orders")) if d.startswith("bucket=")
-        ]
+    def entries():
+        return TableManifest.load(tdir).entries
 
-    before = {
-        d: dir_digest(os.path.join(t.table_dir("db1", "orders"), d)) for d in bucket_dirs()
-    }
+    before = {b: dir_digest(os.path.join(tdir, d)) for b, d in entries().items()}
+    before_names = dict(entries())
     tiny = changes.orderBy("seq").limit(3)
     touched = t.merge(spark, tiny, "db1", "orders", ["o_orderkey"])
-    after = {
-        d: dir_digest(os.path.join(t.table_dir("db1", "orders"), d)) for d in bucket_dirs()
-    }
-    for d in before:
-        b = int(d.split("=")[1])
-        if b not in touched:
-            assert after[d] == before[d], f"untouched bucket {d} was rewritten"
-    # no staged/old debris left behind after a successful merge
-    parent = os.path.dirname(t.table_dir("db1", "orders"))
+    after_names = entries()
+    assert 1 <= len(touched) <= 3
+    for b, d in after_names.items():
+        if int(b) not in touched:
+            # untouched bucket: same immutable dir, byte-identical
+            assert d == before_names[b], f"untouched bucket {b} repointed"
+            assert dir_digest(os.path.join(tdir, d)) == before[b]
+    # no staged debris next to the table, no unreferenced dirs inside it
+    parent = os.path.dirname(tdir)
     assert not [p for p in os.listdir(parent) if ".merge-" in p or ".old-" in p]
+    live = set(after_names.values())
+    assert not [
+        n for n in os.listdir(tdir) if n != "_manifest.json" and n not in live
+    ]
 
 
 def test_compaction_drops_only_expired_tombstones(spark, tmp_path):

@@ -1,0 +1,136 @@
+"""Manifest-atomic commit protocol: a crash at ANY point before the
+manifest rename leaves the previous table state fully readable, and a
+replay converges — the jar-free Delta-log analogue closing the
+rename-swap crash window (reference guarantee: applier tx atomicity,
+driver/mysql/applier_incr.go:565-570)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dtle_spark.plans import cdc_demo
+from dtle_spark.sinks import manifest as mf
+from dtle_spark.sinks.manifest import TableManifest
+from dtle_spark.sinks.table_sink import BucketedTableTarget, ParquetTableTarget
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+
+class Boom(RuntimeError):
+    pass
+
+
+def _crash_on_save(monkeypatch):
+    """Make the NEXT manifest save (the commit point) crash."""
+    real = TableManifest.save
+
+    def dying(self, table_dir):
+        monkeypatch.setattr(TableManifest, "save", real)
+        raise Boom("crash before manifest rename")
+
+    monkeypatch.setattr(TableManifest, "save", dying)
+
+
+def test_whole_table_crash_before_manifest_keeps_old_state(spark, tmp_path, monkeypatch):
+    t = ParquetTableTarget(str(tmp_path / "tgt"))
+    base = cdc_demo.orders_base(spark, SF_DIR)
+    t.overwrite(base, "db1", "orders")
+    n0 = t.read(spark, "db1", "orders").count()
+
+    # crash mid-commit: staged image already moved in, manifest not swapped
+    smaller = base.limit(10)
+    staged = t.stage(smaller, "db1", "orders")
+    _crash_on_save(monkeypatch)
+    with pytest.raises(Boom):
+        t.commit(staged, "db1", "orders")
+
+    # reader still resolves the OLD manifest -> old state, unharmed
+    assert t.read(spark, "db1", "orders").count() == n0
+
+    # replay (the foreachBatch retry): a fresh stage+commit wins and the
+    # orphaned move-in from the crashed attempt is collected
+    t.overwrite(smaller, "db1", "orders")
+    assert t.read(spark, "db1", "orders").count() == 10
+    tdir = t.path("db1", "orders")
+    live = set(TableManifest.load(tdir).entries.values())
+    assert not [n for n in os.listdir(tdir) if n != mf.MANIFEST_NAME and n not in live]
+
+
+def test_bucketed_crash_before_manifest_keeps_old_state_then_converges(
+    spark, duck, tmp_path, monkeypatch
+):
+    t = BucketedTableTarget(str(tmp_path / "tgt"), n_buckets=16)
+    base = cdc_demo.orders_base(spark, SF_DIR)
+    changes = cdc_demo.orders_changes(spark, SF_DIR)
+    t.seed(base, "db1", "orders", ["o_orderkey"])
+    n0 = t.read(spark, "db1", "orders").count()
+    m0 = TableManifest.load(t.table_dir("db1", "orders")).entries
+
+    first = changes.filter(F.col("seq") < 8000)
+    _, commit_fn = t.stage_merge(spark, first, "db1", "orders", ["o_orderkey"])
+    _crash_on_save(monkeypatch)
+    with pytest.raises(Boom):
+        commit_fn()  # dies after move-ins, before the manifest rename
+
+    # old manifest still live: table reads exactly as before the merge
+    assert TableManifest.load(t.table_dir("db1", "orders")).entries == m0
+    assert t.read(spark, "db1", "orders").count() == n0
+
+    # replay the batch (at-least-once semantics), then the rest: the
+    # seq-versioned merge converges to the oracle despite the crash
+    t.merge(spark, first, "db1", "orders", ["o_orderkey"])
+    t.merge(
+        spark, changes.filter(F.col("seq") >= 8000), "db1", "orders", ["o_orderkey"]
+    )
+    assert_matches_oracle(
+        t.read(spark, "db1", "orders"), duck, cdc_demo.ORDERS_CDC_ORACLE
+    )
+    # crashed attempt's orphans were collected by the later commits
+    tdir = t.table_dir("db1", "orders")
+    live = set(TableManifest.load(tdir).entries.values())
+    assert not [n for n in os.listdir(tdir) if n != mf.MANIFEST_NAME and n not in live]
+
+
+def test_stage_merge_invisible_until_commit(spark, tmp_path):
+    t = BucketedTableTarget(str(tmp_path / "tgt"), n_buckets=16)
+    base = cdc_demo.orders_base(spark, SF_DIR)
+    changes = cdc_demo.orders_changes(spark, SF_DIR)
+    t.seed(base, "db1", "orders", ["o_orderkey"])
+    n0 = t.read(spark, "db1", "orders").count()
+
+    touched, commit_fn = t.stage_merge(spark, changes, "db1", "orders", ["o_orderkey"])
+    assert touched  # work was staged...
+    assert t.read(spark, "db1", "orders").count() == n0  # ...but invisible
+    commit_fn()
+    assert t.read(spark, "db1", "orders").count() != n0
+
+
+def test_seq_watermark_commits_atomically_with_data(spark, tmp_path):
+    """No-PK replay guard lives in the manifest: the same rename that
+    publishes the data publishes the watermark."""
+    t = ParquetTableTarget(str(tmp_path / "tgt"))
+    df = cdc_demo.orders_base(spark, SF_DIR).limit(5)
+    staged = t.stage(df, "db1", "t")
+    t.commit(staged, "db1", "t", seq_watermark={"sid-1": 42})
+    assert t.seq_watermark("db1", "t") == {"sid-1": 42}
+    # a later commit without a watermark keeps the old one
+    t.overwrite(df, "db1", "t")
+    assert t.seq_watermark("db1", "t") == {"sid-1": 42}
+
+
+def test_default_replication_target_is_bucketed(spark, tmp_path):
+    from dtle_spark.catalog import SchemaCatalog
+    from dtle_spark.model import JobConfig, TableConfig
+    from dtle_spark.streaming.pipeline import ReplicationJob
+
+    rj = ReplicationJob(
+        spark,
+        JobConfig("j", [TableConfig("db1", "orders", unique_key=["o_orderkey"])]),
+        str(tmp_path / "src"),
+        str(tmp_path / "tgt"),
+        str(tmp_path / "ckpt"),
+        SchemaCatalog(),
+    )
+    assert isinstance(rj.target, BucketedTableTarget)
