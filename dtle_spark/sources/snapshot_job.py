@@ -64,14 +64,22 @@ def run_snapshot(
     table_sources: dict[str, DataFrame],
     target: ParquetTableTarget,
     source_dir: str,
+    metrics=None,
 ) -> SnapshotResult:
     """Full snapshot under the barrier with S5 scheduling: no-PK tables
     first (barrier-exact), PK tables after (idempotent-merge-healed).
     Returns the watermark to start the stream from.
+
+    ``metrics`` (TaskMetrics): dump progress is reported the way the
+    reference does (ProgressPct from row counts, extractor.go:859-879 +
+    api/models/job_v2.go:40-43) — total rows counted up front (a
+    metadata-cheap count on parquet sources; the reference reads
+    information_schema estimates), done rows advanced per table.
     """
     watermark = consistent_barrier(spark, source_dir)
     ordered = sorted(job.tables, key=lambda t: bool(t.unique_key))
     counts: dict[str, int] = {}
+    prepared: dict[str, DataFrame] = {}
     for cfg in ordered:
         src = table_sources[cfg.table_name]
         if cfg.where:
@@ -80,6 +88,22 @@ def run_snapshot(
             from dtle_spark.operators.projection import column_map
 
             src = column_map(src, cfg.column_map_from, cfg.column_map_to or None)
-        target.overwrite(src, cfg.target_schema, cfg.target_table)
-        counts[cfg.target_table] = src.count()
+        prepared[cfg.table_name] = src
+    if metrics is not None:
+        metrics.stage = "snapshot"
+        metrics.snapshot_done_rows = 0
+        metrics.snapshot_total_rows = sum(
+            df.count() for df in prepared.values()
+        )
+    try:
+        for cfg in ordered:
+            src = prepared[cfg.table_name]
+            target.overwrite(src, cfg.target_schema, cfg.target_table)
+            n = src.count()
+            counts[cfg.target_table] = n
+            if metrics is not None:
+                metrics.snapshot_done_rows += n
+    finally:
+        if metrics is not None:
+            metrics.stage = "incremental"
     return SnapshotResult(watermark_seq=watermark, row_counts=counts)

@@ -1,0 +1,188 @@
+"""HTTP control surface over JobManager.
+
+The reference drives every job operation through REST
+(api/handler/v2/job.go — @Router lines 50-1924: create/list/detail/
+pause/resume/delete/position/reverse). This is the stdlib-only wrapper
+completing that §2.7 story: a ``ThreadingHTTPServer`` over a
+``JobManager``, JSON in/out, same route shapes.
+
+Routes (v2, mirroring api/handler/v2/job.go):
+
+    GET    /v2/jobs                      list jobs + stats
+    POST   /v2/jobs                      create (JSON body, below)
+    GET    /v2/job/<name>                detail (stats)
+    POST   /v2/job/<name>/pause          pause
+    POST   /v2/job/<name>/resume         resume
+    GET    /v2/job/<name>/position       applied-gtid interval set
+    GET    /v2/job/<name>/metrics        TaskStatistics analogue
+    DELETE /v2/job/<name>                stop + deregister
+    POST   /v2/job/<name>/reverse        start "reverse-<name>" (body:
+                                         source_dir/target_root/
+                                         checkpoint_dir/local_sid)
+
+Create body::
+
+    {"name": "j1",
+     "tables": [{"schema_name": "db1", "table_name": "t",
+                 "unique_key": ["id"], "where": null, ...}],
+     "source_dir": "...", "target_root": "...", "checkpoint_dir": "...",
+     "tx_atomic": false, "start": true}
+
+Table schemas must already be registered in the catalog the server was
+constructed with (the reference equivalently requires the source
+connection to introspect schemas before a job starts).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from dtle_spark.catalog import SchemaCatalog
+from dtle_spark.model import JobConfig, TableConfig
+from dtle_spark.streaming.jobs import JobManager
+
+_JOB_RE = re.compile(r"^/v2/job/([^/]+)(?:/(pause|resume|position|metrics|reverse))?$")
+
+
+def _job_config_from_json(d: dict) -> JobConfig:
+    tables = [
+        TableConfig(
+            schema_name=t["schema_name"],
+            table_name=t["table_name"],
+            rename_schema=t.get("rename_schema"),
+            rename_table=t.get("rename_table"),
+            column_map_from=t.get("column_map_from") or [],
+            column_map_to=t.get("column_map_to") or [],
+            where=t.get("where"),
+            unique_key=t.get("unique_key") or [],
+        )
+        for t in d["tables"]
+    ]
+    return JobConfig(
+        name=d["name"],
+        tables=tables,
+        trigger_seconds=float(d.get("trigger_seconds", 1.0)),
+        tx_atomic=bool(d.get("tx_atomic", False)),
+        local_sid=d.get("local_sid"),
+    )
+
+
+class _Handler(BaseHTTPRequestHandler):
+    manager: JobManager = None  # set by serve()
+    catalog: SchemaCatalog = None
+
+    # -- plumbing --------------------------------------------------------
+
+    def log_message(self, fmt, *args):  # quiet test output
+        pass
+
+    def _send(self, code: int, payload) -> None:
+        body = json.dumps(payload, default=str).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _body(self) -> dict:
+        n = int(self.headers.get("Content-Length") or 0)
+        return json.loads(self.rfile.read(n) or b"{}")
+
+    def _dispatch(self, method: str) -> None:
+        try:
+            self._route(method)
+        except KeyError as e:
+            self._send(404, {"error": f"not found: {e}"})
+        except ValueError as e:
+            self._send(400, {"error": str(e)})
+        except Exception as e:  # surface, don't kill the server thread
+            self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+    # -- routes ----------------------------------------------------------
+
+    def _route(self, method: str) -> None:
+        if self.path == "/v2/jobs":
+            if method == "GET":
+                return self._send(200, self.manager.list())
+            if method == "POST":
+                d = self._body()
+                self.manager.create(
+                    _job_config_from_json(d),
+                    d["source_dir"],
+                    d["target_root"],
+                    d["checkpoint_dir"],
+                    self.catalog,
+                    start=bool(d.get("start", True)),
+                )
+                return self._send(201, {"created": d["name"]})
+            return self._send(405, {"error": method})
+        m = _JOB_RE.match(self.path)
+        if not m:
+            return self._send(404, {"error": self.path})
+        name, action = m.group(1), m.group(2)
+        if action is None:
+            if method == "GET":
+                return self._send(200, self.manager.get(name).stats())
+            if method == "DELETE":
+                self.manager.delete(name)
+                return self._send(200, {"deleted": name})
+            return self._send(405, {"error": method})
+        if method == "GET" and action == "position":
+            return self._send(200, self.manager.position(name))
+        if method == "GET" and action == "metrics":
+            return self._send(200, self.manager.metrics(name))
+        if method == "POST" and action == "pause":
+            self.manager.pause(name)
+            return self._send(200, {"paused": name})
+        if method == "POST" and action == "resume":
+            self.manager.resume(name)
+            return self._send(200, {"resumed": name})
+        if method == "POST" and action == "reverse":
+            d = self._body()
+            rev = self.manager.reverse(
+                name,
+                d["source_dir"],
+                d["target_root"],
+                d["checkpoint_dir"],
+                self.catalog,
+                local_sid=d.get("local_sid"),
+                start=bool(d.get("start", True)),
+            )
+            return self._send(201, {"created": rev.job.name})
+        return self._send(405, {"error": f"{method} {self.path}"})
+
+    def do_GET(self):
+        self._dispatch("GET")
+
+    def do_POST(self):
+        self._dispatch("POST")
+
+    def do_DELETE(self):
+        self._dispatch("DELETE")
+
+
+class ControlServer:
+    """Owns the HTTP thread; ``port=0`` picks a free port (tests)."""
+
+    def __init__(self, manager: JobManager, catalog: SchemaCatalog,
+                 host: str = "127.0.0.1", port: int = 0):
+        handler = type("BoundHandler", (_Handler,), {
+            "manager": manager, "catalog": catalog,
+        })
+        self.httpd = ThreadingHTTPServer((host, port), handler)
+        self.port = self.httpd.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> "ControlServer":
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5)

@@ -55,17 +55,9 @@ class JobManager:
 
     def metrics(self, name: str) -> dict:
         """TaskStatistics analogue (reference common/models.go:69-88):
-        per-batch rows + processing rate from the streaming progress."""
-        rj = self._jobs[name]
-        if rj.query is None or rj.query.lastProgress is None:
-            return {}
-        p = rj.query.lastProgress
-        return {
-            "batch_id": p.get("batchId"),
-            "num_input_rows": p.get("numInputRows"),
-            "rows_per_second": p.get("processedRowsPerSecond"),
-            "batch_duration_ms": (p.get("durationMs") or {}).get("triggerExecution"),
-        }
+        lifecycle + per-table op counters, throughput, delay, applied
+        position (streaming/metrics.TaskMetrics)."""
+        return self._jobs[name].stats()
 
     def delete(self, name: str) -> None:
         """Delete = stop + deregister (checkpoint/target dirs are the

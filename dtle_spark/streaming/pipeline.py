@@ -282,6 +282,7 @@ def apply_batch(
     catalog: SchemaCatalog,
     spool: TxSpool | None = None,
     gtid_path: str | None = None,
+    metrics=None,
 ) -> None:
     """foreachBatch body: route the wire-form batch to each configured
     table; DML merges in seq order segmented around DDL barriers.
@@ -308,6 +309,9 @@ def apply_batch(
     applied-position the reference keeps in dtle.gtid_executed_v4
     (applier_gtid_executed.go:17-25). Only tx IDs travel to the
     driver; re-adding on replay is idempotent."""
+    import time as _time
+
+    t0 = _time.perf_counter()
     if spool is not None:
         batch = split_complete_txs(spark, batch, spool)
     batch.persist()
@@ -346,13 +350,42 @@ def apply_batch(
         if deferred:
             for fn in deferred:
                 fn()
+        tx_rows = None
         if gtid_path is not None:
             from dtle_spark.sources.gtid import GtidSet
 
             gs = GtidSet.load(gtid_path)
-            for r in batch.select("sid", "gno").distinct().collect():
+            tx_rows = batch.select("sid", "gno").distinct().collect()
+            for r in tx_rows:
                 gs.add(r["sid"], r["gno"])
             gs.save(gtid_path)
+        if metrics is not None:
+            # ONE bounded aggregate: O(tables x ops + sources) rows to
+            # the driver, never O(batch rows)
+            agg = batch.groupBy("schema_name", "table_name", "op").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("mt"),
+            ).collect()
+            seq_high = {
+                r["sid"]: r["s"]
+                for r in batch.groupBy("sid").agg(F.max("seq").alias("s")).collect()
+            }
+            if tx_rows is None:
+                tx_count = batch.select("sid", "gno").distinct().count()
+            else:
+                tx_count = len(tx_rows)
+            metrics.observe_batch(
+                [
+                    (
+                        r["schema_name"], r["table_name"], r["op"], r["n"],
+                        r["mt"] / 1e6 if r["mt"] is not None else None,
+                    )
+                    for r in agg
+                ],
+                tx_count,
+                seq_high,
+                _time.perf_counter() - t0,
+            )
     finally:
         batch.unpersist()
 
@@ -392,6 +425,9 @@ class ReplicationJob:
         # applied-gtid interval set, persisted next to the checkpoint —
         # survives pause/resume; replays re-add idempotently
         self.gtid_path = os.path.join(checkpoint_dir, "gtid_position.json")
+        from dtle_spark.streaming.metrics import TaskMetrics
+
+        self.metrics = TaskMetrics()
 
     def start(self) -> "ReplicationJob":
         stream = (
@@ -406,6 +442,7 @@ class ReplicationJob:
                 lambda df, epoch: apply_batch(
                     self.spark, df, self.job, self.target, self.catalog,
                     spool=self.spool, gtid_path=self.gtid_path,
+                    metrics=self.metrics,
                 )
             )
             .trigger(processingTime=f"{self.job.trigger_seconds} seconds")
@@ -459,8 +496,25 @@ class ReplicationJob:
             out["sources"] = p.get("sources") if isinstance(p, dict) else p["sources"]
         return out
 
+    def backlog(self) -> int:
+        """Unapplied backlog in the stream's own coordinate: source
+        high-water seq minus max applied seq (the reference's delay is
+        the wall-clock cousin, extractor.go:930-970). 0 = caught up."""
+        from dtle_spark.sources.snapshot_job import change_source_watermark
+
+        src = change_source_watermark(self.spark, self.source_dir)
+        applied = max(self.metrics.applied_seq.values(), default=-1)
+        return max(0, src - applied)
+
     def stats(self) -> dict:
-        """TaskStatistics analogue (common/models.go:69-88)."""
-        if self.query is None:
-            return {"active": False}
-        return {"active": self.query.isActive, "status": self.query.status}
+        """TaskStatistics analogue (common/models.go:69-88): lifecycle
+        + per-table op counters, throughput, delay, applied position."""
+        out = {"active": self.query is not None and self.query.isActive}
+        if self.query is not None:
+            out["status"] = self.query.status
+            p = self.query.lastProgress
+            if p is not None:
+                out["batch_id"] = p.get("batchId")
+                out["stream_rows_per_second"] = p.get("processedRowsPerSecond")
+        out.update(self.metrics.as_dict())
+        return out

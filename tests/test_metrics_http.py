@@ -1,0 +1,221 @@
+"""Task metrics (TaskStatistics analogue) and the HTTP control surface
+(api/handler/v2/job.go route mirror)."""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from dtle_spark.catalog import SchemaCatalog
+from dtle_spark.model import JobConfig, TableConfig
+from dtle_spark.plans import cdc_demo
+from dtle_spark.streaming.metrics import TaskMetrics
+from dtle_spark.streaming.pipeline import ParquetTableTarget, ReplicationJob
+from dtle_spark.streaming.wire import to_wire
+from tests.conftest import SF_DIR
+
+
+def _orders_catalog(changes) -> SchemaCatalog:
+    cat = SchemaCatalog()
+    cat.register("db1", "orders", changes.schema["after"].dataType, ["o_orderkey"])
+    return cat
+
+
+class TestTaskMetricsUnit:
+    def test_observe_and_derive(self):
+        m = TaskMetrics()
+        m.observe_batch(
+            [("db1", "t", "i", 10, 1000.0), ("db1", "t", "u", 5, 2000.0),
+             ("db1", "t", "d", 2, None)],
+            tx_count=4, seq_high={"sid-1": 17}, batch_seconds=2.0,
+        )
+        ts = m.table_stats["db1.t"]
+        assert (ts.insert_count, ts.update_count, ts.del_count) == (10, 5, 2)
+        assert m.exec_row_count == 17 and m.exec_tx_count == 4
+        assert m.applied_seq == {"sid-1": 17}
+        assert m.rows_per_second() == pytest.approx(8.5)
+        # delay = wall - newest applied event ts (extractor.go:930-970)
+        assert m.delay_seconds(now=2100.0) == pytest.approx(100.0)
+        # counters ACCUMULATE across batches; seq watermark is max-kept
+        m.observe_batch([("db1", "t", "i", 1, None)], 1, {"sid-1": 15}, 1.0)
+        assert m.table_stats["db1.t"].insert_count == 11
+        assert m.applied_seq == {"sid-1": 17}
+
+    def test_ddl_counts_separately(self):
+        m = TaskMetrics()
+        m.observe_batch([("db1", "t", "ddl", 1, None)], 1, {}, 0.5)
+        assert m.table_stats["db1.t"].ddl_count == 1
+        assert m.exec_row_count == 0  # DDL is not a row
+
+
+def test_streaming_metrics_advance_and_backlog_drains(spark, job_dirs_factory):
+    dirs = job_dirs_factory()
+    base = cdc_demo.orders_base(spark, SF_DIR)
+    changes = cdc_demo.orders_changes(spark, SF_DIR)
+    os.makedirs(dirs["source"])
+    first = changes.filter(F.col("seq") < 7000)
+    second = changes.filter(F.col("seq") >= 7000)
+    to_wire(first).coalesce(1).write.parquet(os.path.join(dirs["source"], "b0"))
+
+    cfg = TableConfig("db1", "orders", unique_key=["o_orderkey"])
+    target = ParquetTableTarget(dirs["target"])
+    target.overwrite(base, "db1", "orders")
+    rj = ReplicationJob(
+        spark, JobConfig("m1", [cfg]), os.path.join(dirs["source"], "*"),
+        dirs["target"], dirs["checkpoint"], _orders_catalog(changes), target=target,
+    ).start()
+    rj.process_available()
+
+    stats = rj.stats()
+    ts = stats["table_stats"]["db1.orders"]
+    ops = {r["op"]: r["n"] for r in first.groupBy("op").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert ts["insert_count"] == ops.get("i", 0)
+    assert ts["update_count"] == ops.get("u", 0)
+    assert ts["del_count"] == ops.get("d", 0)
+    assert stats["exec_tx_count"] == first.select("sid", "gno").distinct().count()
+    assert stats["rows_per_second"] is not None and stats["rows_per_second"] > 0
+    assert rj.backlog() == 0  # fully drained
+
+    # new data while paused -> positive backlog; drains to 0 on resume
+    rj.pause()
+    to_wire(second).coalesce(1).write.parquet(os.path.join(dirs["source"], "b1"))
+    assert rj.backlog() > 0
+    rj.resume()
+    rj.process_available()
+    rj.pause()
+    assert rj.backlog() == 0
+    total_ops = {r["op"]: r["n"] for r in changes.groupBy("op").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert rj.stats()["table_stats"]["db1.orders"]["insert_count"] == total_ops["i"]
+
+
+def test_snapshot_progress_visible_in_metrics(spark, tmp_path):
+    from dtle_spark.sources.snapshot_job import run_snapshot
+
+    base = cdc_demo.orders_base(spark, SF_DIR)
+    cfgs = [
+        TableConfig("db1", "o1", unique_key=["o_orderkey"]),
+        TableConfig("db1", "o2", unique_key=["o_orderkey"]),
+    ]
+    target = ParquetTableTarget(str(tmp_path / "tgt"))
+    metrics = TaskMetrics()
+    seen_pcts: list[str] = []
+    real_overwrite = target.overwrite
+
+    def spying_overwrite(df, s, t):
+        seen_pcts.append(metrics.progress_pct())
+        real_overwrite(df, s, t)
+
+    target.overwrite = spying_overwrite
+    res = run_snapshot(
+        spark, JobConfig("s1", cfgs),
+        {"o1": base, "o2": base}, target, str(tmp_path / "nosrc"), metrics=metrics,
+    )
+    # during the dump: 0% before table 1, 50% before table 2
+    assert seen_pcts == ["0.0", "50.0"]
+    assert metrics.stage == "incremental"  # dump finished
+    assert metrics.snapshot_done_rows == metrics.snapshot_total_rows
+    assert res.row_counts == {"o1": base.count(), "o2": base.count()}
+
+
+@pytest.fixture()
+def job_dirs_factory(tmp_path):
+    def make(sub=""):
+        root = tmp_path / sub if sub else tmp_path
+        return {
+            "source": str(root / "changes"),
+            "target": str(root / "target"),
+            "checkpoint": str(root / "ckpt"),
+        }
+
+    return make
+
+
+def _http(method: str, url: str, body: dict | None = None) -> tuple[int, dict]:
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(url, data=data, method=method)
+    if data is not None:
+        req.add_header("Content-Type", "application/json")
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_http_control_surface_lifecycle(spark, job_dirs_factory):
+    """E2E over HTTP: create -> list -> metrics -> pause -> resume ->
+    position -> reverse -> delete (api/handler/v2/job.go mirror)."""
+    from dtle_spark.streaming.http_api import ControlServer
+    from dtle_spark.streaming.jobs import JobManager
+
+    dirs = job_dirs_factory("fwd")
+    base = cdc_demo.orders_base(spark, SF_DIR)
+    changes = cdc_demo.orders_changes(spark, SF_DIR)
+    os.makedirs(dirs["source"])
+    to_wire(changes).coalesce(1).write.parquet(os.path.join(dirs["source"], "b0"))
+    ParquetTableTarget(dirs["target"]).overwrite(base, "db1", "orders")
+
+    manager = JobManager(spark)
+    server = ControlServer(manager, _orders_catalog(changes)).start()
+    url = f"http://127.0.0.1:{server.port}"
+    try:
+        code, _ = _http("POST", f"{url}/v2/jobs", {
+            "name": "h1",
+            "tables": [{"schema_name": "db1", "table_name": "orders",
+                        "unique_key": ["o_orderkey"]}],
+            "source_dir": os.path.join(dirs["source"], "*"),
+            "target_root": dirs["target"],
+            "checkpoint_dir": dirs["checkpoint"],
+        })
+        assert code == 201
+        manager.get("h1").process_available()
+
+        code, jobs = _http("GET", f"{url}/v2/jobs")
+        assert code == 200 and jobs["h1"]["active"]
+
+        code, m = _http("GET", f"{url}/v2/job/h1/metrics")
+        assert code == 200
+        assert m["table_stats"]["db1.orders"]["insert_count"] > 0
+
+        code, _ = _http("POST", f"{url}/v2/job/h1/pause")
+        assert code == 200
+        assert not manager.get("h1").query
+
+        code, pos = _http("GET", f"{url}/v2/job/h1/position")
+        assert code == 200
+        # applied-gtid interval set survives the pause (A10)
+        assert pos["gtid_set"].startswith(cdc_demo.SID_A)
+
+        code, _ = _http("POST", f"{url}/v2/job/h1/resume")
+        assert code == 200
+        manager.get("h1").process_available()
+        _http("POST", f"{url}/v2/job/h1/pause")
+
+        # reverse workflow over HTTP (forward must be paused first)
+        rdirs = job_dirs_factory("rev")
+        os.makedirs(rdirs["source"], exist_ok=True)
+        code, rv = _http("POST", f"{url}/v2/job/h1/reverse", {
+            "source_dir": os.path.join(rdirs["source"], "*"),
+            "target_root": rdirs["target"],
+            "checkpoint_dir": rdirs["checkpoint"],
+            "local_sid": cdc_demo.SID_A,
+            "start": False,
+        })
+        assert code == 201 and rv["created"] == "reverse-h1"
+
+        code, _ = _http("DELETE", f"{url}/v2/job/h1")
+        assert code == 200
+        code, _ = _http("GET", f"{url}/v2/job/h1")
+        assert code == 404
+
+        # unknown route is a clean 404, not a dead server
+        code, _ = _http("GET", f"{url}/v2/nope")
+        assert code == 404
+    finally:
+        server.stop()
