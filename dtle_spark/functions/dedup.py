@@ -224,12 +224,27 @@ SIMHASH_CHUNKS = 6  # 6 x 10-bit chunks: pigeonhole-exact for distance <= 5
 def simhash_bits_expr(hash_col: str = "th", bits: int = SIMHASH_BITS) -> Column:
     """SimHash bits from a pre-computed token-hash int array: bit b is
     set when more tokens have bit b set than clear (sum of +-1 > 0
-    <=> 2*count_set > n_tokens)."""
-    terms = []
-    for b in range(bits):
-        cnt = f"size(filter({hash_col}, h -> (h DIV {1 << b}) % 2 = 1))"
-        terms.append(f"(CASE WHEN 2 * {cnt} > size({hash_col}) THEN {1 << b} ELSE 0 END)")
-    return F.expr(" + ".join(terms)).cast("long")
+    <=> 2*count_set > n_tokens).
+
+    ONE ``aggregate`` pass over the array accumulating a ``bits``-slot
+    count vector (index lambda picks the bit per slot), then a fold of
+    the counts into the signature — replaces the previous 60 separate
+    ``size(filter(...))`` scans (r02 perf regression, VERDICT #6):
+    O(tokens x bits) element ops either way, but the array is now
+    traversed once with no per-bit closure re-entry."""
+    one = "CAST(1 AS BIGINT)"
+    return F.expr(
+        f"""aggregate(
+          {hash_col},
+          array_repeat(0, {bits}),
+          (acc, h) -> transform(acc, (c, i) ->
+              c + CAST((h DIV shiftleft({one}, i)) % 2 AS INT)),
+          acc -> aggregate(
+              transform(acc, (c, i) ->
+                  IF(2 * c > size({hash_col}), shiftleft({one}, i), 0 * {one})),
+              0 * {one}, (s, x) -> s + x)
+        )"""
+    ).cast("long")
 
 
 def simhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
