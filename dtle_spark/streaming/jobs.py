@@ -30,6 +30,10 @@ class JobManager:
     ) -> ReplicationJob:
         if job.name in self._jobs:
             raise ValueError(f"job {job.name!r} already exists")
+        # preflight: fail HERE, not mid-stream (inspect.go:89-180)
+        from dtle_spark.inspect import preflight
+
+        preflight(job, catalog, self.spark)
         rj = ReplicationJob(
             self.spark, job, source_dir, target_root, checkpoint_dir, catalog, **kw
         )
