@@ -43,19 +43,23 @@ def connected_components(
             edges.join(labels, edges.b == labels.node)
             .select(F.col("a").alias("node"), F.col("component"))
         )
+        # min-label + change flag in ONE pass: the old label rides along
+        # as max(is_old * component), so convergence detection needs no
+        # extra join against the previous round (one job per round, not
+        # two — the loop is fixed-overhead-bound at small scales)
+        merged = labels.select(
+            "node", "component", F.lit(1).alias("is_old")
+        ).unionByName(neighbor.withColumn("is_old", F.lit(0)))
         new_labels = (
-            labels.unionByName(neighbor)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            merged.groupBy("node")
+            .agg(
+                F.min("component").alias("component"),
+                F.max(F.when(F.col("is_old") == 1, F.col("component"))).alias("old"),
+            )
             .localCheckpoint()  # one materialization/round, truncates lineage
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("component") != F.col("old")).count()
+        labels = new_labels.select("node", "component")
         if changed == 0:
             break
     return labels

@@ -101,3 +101,70 @@ def bpe_piece_count(text: Column) -> Column:
     """Token count under the BPE-ish pre-tokenizer (cost estimation
     for LLM-pipeline budgeting)."""
     return F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_PATTERN), 0))
+
+
+# --- PII scrubbing (training-data hygiene pass) ------------------------
+
+# Pattern subset where Java regex (Spark) and RE2 (DuckDB) agree; the
+# replace order (email -> ip -> phone) is part of the operator contract
+# since the patterns could otherwise nest.
+EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IPV4_PATTERN = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+PHONE_PATTERN = "\\+[0-9]{7,15}"  # E.164-ish international form
+
+_PII = (
+    (EMAIL_PATTERN, "<EMAIL>"),
+    (IPV4_PATTERN, "<IP>"),
+    (PHONE_PATTERN, "<PHONE>"),
+)
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """(n_emails, n_ips, n_phones) — counted on the ORIGINAL text."""
+    return [
+        F.size(F.regexp_extract_all(text, F.lit(pat), 0)) for pat, _ in _PII
+    ]
+
+
+def pii_scrub(text: Column) -> Column:
+    """Redact emails/IPv4s/phones with typed placeholder tokens —
+    map-only, codegen'd; the core hygiene pass before corpus assembly."""
+    out = text
+    for pat, repl in _PII:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+# --- intra-document repetition (Gopher-style quality signal) ----------
+
+
+def word_ngrams_sql(toks_sql: str, n: int = 3) -> Column:
+    """Ordered word n-grams from a token-array SQL fragment (empty when
+    < n tokens). SQL-text ``slice``+``concat_ws`` form — the shape the
+    winnowing shingles use; a Python-lambda ``element_at`` per gram
+    re-evaluates the token expression per element and is ~30x slower."""
+    return F.expr(
+        f"CASE WHEN size({toks_sql}) < {n} THEN CAST(array() AS ARRAY<STRING>)"
+        f" ELSE transform(sequence(1, size({toks_sql}) - {n - 1}),"
+        f" i -> concat_ws(' ', slice({toks_sql}, i, {n}))) END"
+    )
+
+
+def word_ngrams(text_col: str, n: int = 3) -> Column:
+    """Ordered word n-grams of a text column (by name), tokenizing with
+    the standard pattern. NOTE: prefer tokenizing at a SEPARATE select
+    boundary and calling word_ngrams_sql on the token COLUMN — inlining
+    the tokenizer here puts regexp_extract_all inside the per-gram
+    lambda (slice argument), re-running the regex per element."""
+    toks_sql = f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)"
+    return word_ngrams_sql(toks_sql, n)
+
+
+def dup_ratio(grams: Column) -> Column:
+    """Fraction of duplicate n-grams (0 = no repetition) — the Gopher
+    repetition-filter signal. Apply to a MATERIALIZED gram-array column
+    (one select boundary upstream), and keep the fixed operand order:
+    1.0 - distinct/total, computed as one double division."""
+    return F.when(F.size(grams) == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / F.size(grams)
+    )

@@ -2466,3 +2466,108 @@ def q21_sole_blamed_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data surface, batch 3: corpus hygiene — PII scrubbing,
+# intra-doc repetition (Gopher signal), eval-set decontamination
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pii_scrub",
+    f"""
+    SELECT doc_id,
+      len(regexp_extract_all(text, '{tx.EMAIL_PATTERN}')) AS n_emails,
+      len(regexp_extract_all(text, '{tx.IPV4_PATTERN}')) AS n_ips,
+      len(regexp_extract_all(text, '{tx.PHONE_PATTERN}')) AS n_phones,
+      md5(regexp_replace(regexp_replace(regexp_replace(text,
+            '{tx.EMAIL_PATTERN}', '<EMAIL>', 'g'),
+            '{tx.IPV4_PATTERN}', '<IP>', 'g'),
+            '{tx.PHONE_PATTERN}', '<PHONE>', 'g')) AS scrubbed_fp
+    FROM documents
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII hygiene pass: count + redact emails/IPv4s/phones with typed
+    placeholders (functions/textstats.pii_scrub). Map-only codegen
+    expressions — at 100 TB this is a zero-shuffle full-corpus rewrite;
+    the md5 of the scrubbed text keeps the oracle compare small. Note
+    the DuckDB pattern strings are backslash-literal while Spark gets
+    them through the Python API — same regex either way."""
+    d = load_table(spark, sf_dir, "documents")
+    n_emails, n_ips, n_phones = tx.pii_counts(F.col("text"))
+    return d.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_phones.alias("n_phones"),
+        F.md5(tx.pii_scrub(F.col("text"))).alias("scrubbed_fp"),
+    )
+
+
+@query(
+    "repetition_ratio",
+    """
+    WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+               FROM documents),
+    g AS (SELECT doc_id,
+      CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+           ELSE list_transform(range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS g3
+      FROM t)
+    SELECT doc_id, len(g3) AS n_3grams,
+      CASE WHEN len(g3) = 0 THEN 0.0
+           ELSE 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) END AS dup_ratio
+    FROM g
+    """,
+)
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition: fraction of duplicate word 3-grams
+    (the Gopher repetition-filter signal, functions/textstats.dup_ratio).
+    Pure array expressions, no shuffle; the gram array materializes at
+    ONE select boundary so downstream size/distinct reads don't
+    re-tokenize, and double division has one fixed operand order so
+    both engines compute the identical IEEE value."""
+    d = load_table(spark, sf_dir, "documents")
+    # tokenize at its OWN boundary: the gram lambda then slices an
+    # attribute (O(1)/element) instead of re-running the regex per gram
+    toks = d.select("doc_id", tx.tokens(F.col("text")).alias("toks"))
+    grams = toks.select("doc_id", tx.word_ngrams_sql("toks", 3).alias("g3"))
+    return grams.select(
+        "doc_id",
+        F.size("g3").alias("n_3grams"),
+        tx.dup_ratio(F.col("g3")).alias("dup_ratio"),
+    )
+
+
+@query(
+    "decontaminate",
+    f"""
+    WITH allfp AS ({_duck_winnow_sql()}),
+    bench AS (SELECT DISTINCT fp FROM allfp WHERE doc_id % 97 = 0),
+    corpus AS (SELECT doc_id, fp FROM allfp WHERE doc_id % 97 <> 0)
+    SELECT corpus.doc_id AS doc_id, COUNT(DISTINCT corpus.fp) AS shared_fps
+    FROM corpus JOIN bench USING (fp)
+    GROUP BY corpus.doc_id
+    """,
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: winnowing-fingerprint overlap between
+    the corpus and a benchmark set (docs with doc_id % 97 == 0 standing
+    in for the eval suite). Any shared fingerprint means a shared
+    >= k+w-1 token span (the MOSS guarantee), i.e. real contamination,
+    not chance. Scale shape: the benchmark fingerprint set is tiny and
+    BROADCAST — candidate generation is a map-side hash probe per
+    corpus fingerprint, zero shuffle until the per-doc count."""
+    d = load_table(spark, sf_dir, "documents")
+    fps = dd.winnowing_fingerprints(d, "doc_id", "text")
+    bench = (
+        fps.filter(F.col("doc_id") % 97 == 0).select("fp").distinct()
+    )
+    corpus = fps.filter(F.col("doc_id") % 97 != 0)
+    return (
+        corpus.join(F.broadcast(bench), "fp")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("fp").alias("shared_fps"))
+    )
