@@ -97,15 +97,28 @@ def base_hash_columns(df: DataFrame, shingle_col: str = "sh") -> DataFrame:
 def minhash_signature(hx_col: str = "hx", hy_col: str = "hy") -> Column:
     """MinHash signature from the base-hash arrays: lane i keeps
     min((A[i]*x + B[i]*y) mod 2^40), serialized as decimal strings so
-    band digests concat portably."""
-    lanes = [
-        F.expr(
-            f"CAST(array_min(zip_with({hx_col}, {hy_col},"
-            f" (x, y) -> ({a} * x + {b} * y) % {_LANE_MOD})) AS STRING)"
-        )
-        for a, b in LANE_CONSTANTS
-    ]
-    return F.array(*lanes)
+    band digests concat portably.
+
+    ONE aggregate fold over the shingle hashes accumulating all 24 lane
+    minima at once (lane constants as a literal struct array), instead
+    of 24 zip_with+array_min passes — same integer minima (order-free),
+    but a ~24x smaller expression tree: the per-lane form dominated the
+    query's codegen/compile time, the same pathology the SimHash
+    signature fix removed in round 3. Products stay < 2^54 (a,b < 2^13
+    odd; x,y < 2^40), inside int64 in both engines."""
+    consts = ", ".join(
+        f"struct({a}L AS a, {b}L AS b)" for a, b in LANE_CONSTANTS
+    )
+    n = len(LANE_CONSTANTS)
+    return F.expr(
+        f"transform("
+        f" aggregate("
+        f"  zip_with({hx_col}, {hy_col}, (x, y) -> struct(x AS x, y AS y)),"
+        f"  array_repeat(CAST({_LANE_MOD} AS BIGINT), {n}),"
+        f"  (acc, e) -> zip_with(acc, array({consts}),"
+        f"   (m, c) -> least(m, (c.a * e.x + c.b * e.y) % {_LANE_MOD}))),"
+        f" v -> CAST(v AS STRING))"
+    )
 
 
 def lsh_bands(sig_col: str = "sig", bands: int = BANDS, rows: int = ROWS_PER_BAND) -> Column:

@@ -41,6 +41,20 @@ def cosine_expr(a: str, b: str) -> Column:
     )
 
 
+def norm_expr(a: str) -> Column:
+    """sqrt of the self-dot fold — precompute ONCE per row so pair
+    scoring does 1 fold instead of 3. `norm(a) * norm(b)` multiplies the
+    exact doubles `sqrt(dot(a,a)) * sqrt(dot(b,b))` cosine_expr would
+    produce, so cosines stay bit-identical to the per-pair form (and to
+    the DuckDB oracles, which keep their inline per-pair restatement)."""
+    return F.expr(f"sqrt({dot_expr(a, a)})")
+
+
+def cosine_with_norms(a: str, b: str, a_norm: str, b_norm: str) -> Column:
+    """Pair cosine from a single dot fold plus precomputed row norms."""
+    return F.expr(f"({dot_expr(a, b)}) / ({a_norm} * {b_norm})")
+
+
 def sign_bucket_expr(vec_col: str, planes: int = 8) -> Column:
     """Sign-pattern bucket key over the leading `planes` dims."""
     bits = [
@@ -63,14 +77,18 @@ def brute_force_topk(
     through one stage — no corpus-wide shuffle at any scale.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_expr(vec_col).alias("q_norm"),
     )
     c = vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("n_vec"),
+        norm_expr(vec_col).alias("n_norm"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_expr("q_vec", "n_vec"))
+        .withColumn("cosine", cosine_with_norms("q_vec", "n_vec", "q_norm", "n_norm"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -92,17 +110,19 @@ def lsh_bucket_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        norm_expr(vec_col).alias("q_norm"),
         sign_bucket_expr(vec_col, planes).alias("bucket"),
     )
     c = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("n_vec"),
+        norm_expr(vec_col).alias("n_norm"),
         sign_bucket_expr(vec_col, planes).alias("bucket"),
     )
     scored = (
         c.join(q, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_expr("q_vec", "n_vec"))
+        .withColumn("cosine", cosine_with_norms("q_vec", "n_vec", "q_norm", "n_norm"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -255,9 +275,18 @@ def ivf_topk(
         vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"))
         .crossJoin(F.broadcast(cents_arr))
         .withColumn("cell", F.expr(_best("vec")))
-        .select("neighbor_id", F.col("vec").alias("n_vec"), "cell")
+        .select(
+            "neighbor_id",
+            F.col("vec").alias("n_vec"),
+            norm_expr("vec").alias("n_norm"),
+            "cell",
+        )
     )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_expr(vec_col).alias("q_norm"),
+    )
     qscored = q.crossJoin(F.broadcast(cent)).withColumn(
         "c_cos", cosine_expr("q_vec", "c_vec")
     )
@@ -265,12 +294,12 @@ def ivf_topk(
     probes = (
         qscored.withColumn("__r", F.row_number().over(qw))
         .filter(F.col("__r") <= nprobe)
-        .select("query_id", "q_vec", F.col("cent_id").alias("cell"))
+        .select("query_id", "q_vec", "q_norm", F.col("cent_id").alias("cell"))
     )
     hits = (
         assigned.join(F.broadcast(probes), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_expr("q_vec", "n_vec"))
+        .withColumn("cosine", cosine_with_norms("q_vec", "n_vec", "q_norm", "n_norm"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -294,14 +323,21 @@ def neardup_pairs(
     v = vectors.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
+        norm_expr(vec_col).alias("norm"),
         sign_bucket_expr(vec_col, planes).alias("bucket"),
     )
-    a = v.select(F.col("id").alias("id_1"), F.col("vec").alias("v1"), "bucket")
-    b = v.select(F.col("id").alias("id_2"), F.col("vec").alias("v2"), "bucket")
+    a = v.select(
+        F.col("id").alias("id_1"), F.col("vec").alias("v1"),
+        F.col("norm").alias("norm_1"), "bucket",
+    )
+    b = v.select(
+        F.col("id").alias("id_2"), F.col("vec").alias("v2"),
+        F.col("norm").alias("norm_2"), "bucket",
+    )
     return (
         a.join(b, "bucket")
         .filter(F.col("id_1") < F.col("id_2"))
-        .withColumn("cosine", cosine_expr("v1", "v2"))
+        .withColumn("cosine", cosine_with_norms("v1", "v2", "norm_1", "norm_2"))
         .filter(F.col("cosine") >= threshold)
         .select("bucket", "id_1", "id_2", "cosine")
     )
