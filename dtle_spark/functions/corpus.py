@@ -84,6 +84,147 @@ def stratified_sample_sql(
     return " OR ".join(parts)
 
 
+def source_mixing(
+    docs: DataFrame,
+    targets: dict[str, tuple[int, int]],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Downsample each source so the kept corpus approaches the target
+    mix `targets[source] = (num, denom)` (share of the ORIGINAL total).
+    Sources absent from `targets` are dropped.
+
+    Per-source keep rate r_s = min(1, share_s * N_total / N_s) realized
+    as a deterministic per-id hash draw: keep iff
+    draw40(id) < floor(num * N_total * 2^40 / (denom * N_s)).
+    The threshold is computed in DECIMAL(38,0) (the product overflows
+    int64 at corpus scale: 2^40 * denom * N_s), the comparison is a
+    plain int64 compare; no float touches the decision, so the sample
+    is exact, reproducible, and stable under corpus growth — the same
+    resumability property stratified_sample has.
+
+    Scale: pass 1 is a tiny groupBy(source) count; pass 2 is map-only —
+    the per-source thresholds broadcast-join onto the stream.
+    """
+    counts = docs.groupBy(F.col(source_col).alias("__src")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    total = counts.agg(F.sum("__n").alias("__total"))
+    tgt = F.create_map(
+        *[F.lit(x) for s, (num, denom) in targets.items() for x in (s, f"{num}/{denom}")]
+    )
+    thr = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("__t", tgt[F.col("__src")])
+        .filter(F.col("__t").isNotNull())
+        .withColumn("__num", F.split("__t", "/")[0].cast("long"))
+        .withColumn("__denom", F.split("__t", "/")[1].cast("long"))
+        .select(
+            "__src",
+            F.expr(
+                "CAST((CAST(__num AS DECIMAL(38,0)) * __total * 1099511627776)"
+                " DIV (CAST(__denom AS DECIMAL(38,0)) * __n) AS BIGINT)"
+            ).alias("__thr"),
+        )
+    )
+    draw = F.expr(hash_uniform_expr(id_col, "spark"))
+    return (
+        docs.join(F.broadcast(thr), docs[source_col] == thr["__src"])
+        .filter(draw < F.col("__thr"))
+        .drop("__src", "__thr")
+    )
+
+
+def source_mixing_sql(
+    targets: dict[str, tuple[int, int]],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    table: str = "documents",
+) -> str:
+    """DuckDB mirror of source_mixing (HUGEINT where Spark uses
+    DECIMAL(38,0); `//` == Spark's `DIV` floor for positives)."""
+    values = ", ".join(
+        f"('{s}', {num}, {denom})" for s, (num, denom) in targets.items()
+    )
+    draw = hash_uniform_expr(id_col, "duckdb")
+    return f"""
+    WITH cnt AS (SELECT {source_col} AS src, COUNT(*) AS n FROM {table} GROUP BY 1),
+    tot AS (SELECT SUM(n) AS total FROM cnt),
+    tgt AS (SELECT * FROM (VALUES {values}) t(src, num, denom)),
+    thr AS (
+      SELECT c.src,
+        CAST(CAST(t.num AS HUGEINT) * tot.total * 1099511627776
+             // (CAST(t.denom AS HUGEINT) * c.n) AS BIGINT) AS thr
+      FROM cnt c JOIN tgt t USING (src), tot
+    )
+    SELECT d.* FROM {table} d JOIN thr ON d.{source_col} = thr.src
+    WHERE {draw} < thr.thr
+    """
+
+
+def explode_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+) -> DataFrame:
+    """(id, pos, line): one row per line, position preserved."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "line"),
+    )
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    min_docs: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+) -> DataFrame:
+    """CCNet-style line-level boilerplate removal: a line occurring in
+    >= `min_docs` DISTINCT documents (nav bars, cookie banners, license
+    footers) is stripped from every document. Returns one row per input
+    doc: (id, n_lines, n_kept, clean_text) with surviving lines
+    rejoined in original order.
+
+    Scale shape: lines carry only (16-byte md5, doc_id) into the
+    frequency groupBy; the boilerplate set joins back as a left_anti on
+    the digest (shuffle on the same key — AQE reuses the exchange); the
+    reassembly groupBy shuffles (pos, line) once per surviving line.
+    The alternative pass-the-text-twice design would move full document
+    bodies through two shuffles instead of one.
+    """
+    lines = explode_lines(docs, id_col, text_col, delim).withColumn(
+        "fp", F.md5(F.col("line"))
+    )
+    boiler = (
+        lines.groupBy("fp")
+        .agg(F.count_distinct(F.col("id")).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("fp")
+    )
+    kept = lines.join(boiler, "fp", "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            delim,
+            F.expr("transform(sort_array(collect_list(struct(pos, line))), s -> s.line)"),
+        ).alias("clean_text"),
+    )
+    n_lines = F.size(F.split(F.col(text_col), delim))
+    return (
+        docs.select(F.col(id_col).alias("id"), n_lines.alias("n_lines"))
+        .join(rebuilt, "id", "left")
+        .select(
+            "id",
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int,

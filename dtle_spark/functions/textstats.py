@@ -135,6 +135,47 @@ def pii_scrub(text: Column) -> Column:
     return out
 
 
+# --- Gopher-style quality rule battery --------------------------------
+
+# (min_words, max_words, min_mean_len, max_mean_len, alpha_ratio, stop_hits)
+GOPHER_BOUNDS = (50, 100_000, 3.0, 10.0, 0.8, 2)
+
+
+def gopher_metrics(text: Column) -> dict[str, Column]:
+    """The Gopher quality-filter signals (Rae et al. 2021 §A1.1) that
+    are computable from text alone, as pure Column expressions:
+    word count bounds, mean word length bounds, alpha-word ratio,
+    required stopword hits. Ratios are single IEEE divisions of exact
+    integers — engine-portable. (The repetition signal is separate:
+    dup_ratio below.)"""
+    toks = tokens(text)
+    n = F.size(toks)
+    chars = char_count_tokens(toks)
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    return {
+        "n_words": n,
+        "mean_word_len": chars.cast("double") / F.nullif(n, F.lit(0)),
+        "alpha_ratio": alpha.cast("double") / F.nullif(n, F.lit(0)),
+        "stop_hits": stopword_count(toks),
+    }
+
+
+def gopher_flags(text: Column) -> dict[str, Column]:
+    """Per-rule booleans + the overall keep decision."""
+    m = gopher_metrics(text)
+    lo, hi, mlo, mhi, aratio, shits = GOPHER_BOUNDS
+    flags = {
+        "words_ok": m["n_words"].between(lo, hi),
+        "mean_len_ok": m["mean_word_len"].between(mlo, mhi),
+        "alpha_ok": m["alpha_ratio"] > aratio,
+        "stop_ok": m["stop_hits"] >= shits,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return {**m, **flags, "keep": F.coalesce(keep, F.lit(False))}
+
+
 # --- intra-document repetition (Gopher-style quality signal) ----------
 
 

@@ -1747,6 +1747,146 @@ def pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cp.pack_sequences(d, budget=2048)
 
 
+# target mix shares of the ORIGINAL corpus total; src3's implied rate
+# exceeds 1 (its pool is ~5% of total), exercising the keep-all branch
+# (threshold > 2^40) without a clamp
+_SOURCE_TARGETS = {
+    "src0": (1, 50),
+    "src1": (1, 25),
+    "src2": (3, 50),
+    "src3": (1, 10),
+    "src4": (2, 25),
+}
+
+
+@query(
+    "source_mixing",
+    f"""
+    WITH mixed AS ({cp.source_mixing_sql(_SOURCE_TARGETS)})
+    SELECT doc_id, source FROM mixed
+    """,
+)
+def source_mixing_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-style source re-weighting: downsample each source to
+    a target share of the corpus with integer-exact thresholds
+    (functions/corpus.py source_mixing — DECIMAL(38,0) threshold math,
+    int64 draw compare, map-only apply)."""
+    d = load_table(spark, sf_dir, "documents")
+    return cp.source_mixing(d, _SOURCE_TARGETS).select("doc_id", "source")
+
+
+# pseudo-lines for the fixture corpus (whose documents are single-line
+# word streams): 2-token chunks joined by newline — built identically
+# in both engines, then the REAL line-level operator runs on top
+_PSEUDO_LINES_DUCK = """
+    WITH t0 AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+    p AS (
+      SELECT doc_id, CASE WHEN len(toks) = 0 THEN '' ELSE
+        array_to_string(list_transform(range(1, (len(toks)+1)//2 + 1),
+          i -> array_to_string(list_slice(toks, i*2-1, i*2), ' ')), chr(10)) END AS text
+      FROM t0
+    )
+"""
+
+
+@query(
+    "boilerplate_strip",
+    f"""
+    {_PSEUDO_LINES_DUCK},
+    parts AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM p),
+    lines AS (
+      SELECT doc_id, unnest(range(1, len(parts)+1)) AS pos, unnest(parts) AS line
+      FROM parts
+    ),
+    fps AS (SELECT doc_id, pos, line, md5(line) AS fp FROM lines),
+    boiler AS (
+      SELECT fp FROM (SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM fps GROUP BY fp)
+      WHERE nd >= 5
+    ),
+    kept AS (SELECT * FROM fps WHERE fp NOT IN (SELECT fp FROM boiler)),
+    rebuilt AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(line, chr(10) ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id AS id, CAST(len(string_split(b.text, chr(10))) AS INT) AS n_lines,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+           md5(COALESCE(r.clean_text, '')) AS clean_fp
+    FROM p b LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def boilerplate_strip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level boilerplate removal (functions/corpus.py
+    strip_boilerplate): lines occurring in >= 5 distinct docs are
+    stripped everywhere; surviving lines rejoin in original order. The
+    fixture docs are single-line, so both engines first derive the same
+    2-token pseudo-lines; the operator itself is delimiter-generic."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("toks"),
+    )
+    pseudo = t.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN size(toks) = 0 THEN '' ELSE"
+            " concat_ws(char(10), transform(sequence(1, (size(toks)+1) DIV 2),"
+            " i -> concat_ws(' ', slice(toks, i*2-1, 2)))) END"
+        ).alias("text"),
+    )
+    out = cp.strip_boilerplate(pseudo, min_docs=5, id_col="doc_id")
+    return out.select(
+        "id", "n_lines",
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.md5("clean_text").alias("clean_fp"),
+    )
+
+
+@query(
+    "gopher_rules",
+    """
+    WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+    m AS (
+      SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_words,
+        CAST(CAST(list_sum(list_transform(toks, s -> length(s))) AS BIGINT) AS DOUBLE)
+          / nullif(CAST(len(toks) AS BIGINT), 0) AS mean_word_len,
+        CAST(len(list_filter(toks, s -> regexp_matches(s, '[a-z]'))) AS DOUBLE)
+          / nullif(CAST(len(toks) AS BIGINT), 0) AS alpha_ratio,
+        CAST(len(list_filter(toks, s -> s IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS stop_hits
+      FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_ratio, stop_hits,
+      n_words BETWEEN 50 AND 100000 AS words_ok,
+      mean_word_len BETWEEN 3.0 AND 10.0 AS mean_len_ok,
+      alpha_ratio > 0.8 AS alpha_ok,
+      stop_hits >= 2 AS stop_ok,
+      COALESCE(n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+               AND alpha_ratio > 0.8 AND stop_hits >= 2, FALSE) AS keep
+    FROM m
+    """,
+)
+def gopher_rules_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule battery (functions/textstats.py
+    gopher_flags): word-count bounds, mean-word-length bounds,
+    alpha-word ratio, stopword presence — pure Column exprs, exact
+    integer counts, single-division ratios."""
+    d = load_table(spark, sf_dir, "documents")
+    flags = tx.gopher_flags(F.col("text"))
+    return d.select(
+        "doc_id",
+        flags["n_words"].cast("long").alias("n_words"),
+        flags["mean_word_len"].alias("mean_word_len"),
+        flags["alpha_ratio"].alias("alpha_ratio"),
+        flags["stop_hits"].cast("long").alias("stop_hits"),
+        flags["words_ok"].alias("words_ok"),
+        flags["mean_len_ok"].alias("mean_len_ok"),
+        flags["alpha_ok"].alias("alpha_ok"),
+        flags["stop_ok"].alias("stop_ok"),
+        flags["keep"].alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Analytics batch 5: exact discrete percentiles (manual window
 # construction — engine-built-in quantile functions interpolate

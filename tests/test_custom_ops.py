@@ -326,3 +326,86 @@ class TestTrainedIvf:
         half = {(r["query_id"], r["neighbor_id"])
                 for r in ivf_topk(e, q, k=5, nprobe=8, centroids=cent).collect()}
         assert len(half & exact) / len(exact) >= 0.5
+
+
+class TestSourceMixing:
+    def test_thresholds_exact_and_deterministic(self, spark):
+        from dtle_spark.functions.corpus import source_mixing
+
+        rows = [(i, f"s{i % 4}") for i in range(400)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        # s0 target 5% of total (pool is 25%) -> keep ~20%; s1 target 50%
+        # (pool 25%) -> implied rate 2 > 1 keeps ALL; s2/s3 absent -> dropped
+        out = source_mixing(df, {"s0": (1, 20), "s1": (1, 2)})
+        got = out.groupBy("source").count().collect()
+        by_src = {r["source"]: r["count"] for r in got}
+        assert set(by_src) == {"s0", "s1"}
+        assert by_src["s1"] == 100  # rate > 1 keeps every row
+        assert 0 < by_src["s0"] < 100  # genuinely downsampled
+        # deterministic: same ids survive on re-run
+        a = sorted(r["doc_id"] for r in out.collect())
+        b = sorted(r["doc_id"] for r in source_mixing(df, {"s0": (1, 20), "s1": (1, 2)}).collect())
+        assert a == b
+
+    def test_growth_stability(self, spark):
+        # a kept id stays kept when the corpus grows proportionally
+        # (same per-id draw; thresholds move only with the mix)
+        from dtle_spark.functions.corpus import source_mixing
+
+        small = spark.createDataFrame([(i, "s0") for i in range(100)], "doc_id long, source string")
+        big = spark.createDataFrame([(i, "s0") for i in range(200)], "doc_id long, source string")
+        kept_small = {r["doc_id"] for r in source_mixing(small, {"s0": (1, 10)}).collect()}
+        kept_big = {r["doc_id"] for r in source_mixing(big, {"s0": (1, 10)}).collect()}
+        # single-source corpus: rate = total/n = 1/10 either way -> identical draws
+        assert kept_small == {i for i in kept_big if i < 100}
+
+
+class TestStripBoilerplate:
+    def test_boiler_removed_order_kept(self, spark):
+        from dtle_spark.functions.corpus import strip_boilerplate
+
+        boiler = "accept cookies"
+        docs = [
+            (1, f"{boiler}\nalpha\nbeta"),
+            (2, f"gamma\n{boiler}\ndelta"),
+            (3, f"{boiler}\nepsilon"),
+            (4, "zeta\neta"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {r["id"]: r for r in strip_boilerplate(df, min_docs=3).collect()}
+        assert out[1]["clean_text"] == "alpha\nbeta"
+        assert out[2]["clean_text"] == "gamma\ndelta"  # order preserved
+        assert out[3]["clean_text"] == "epsilon"
+        assert out[4]["clean_text"] == "zeta\neta"  # untouched
+        assert (out[1]["n_lines"], out[1]["n_kept"]) == (3, 2)
+
+    def test_fully_boiler_doc_survives_as_empty(self, spark):
+        from dtle_spark.functions.corpus import strip_boilerplate
+
+        df = spark.createDataFrame(
+            [(1, "x"), (2, "x"), (3, "x")], "doc_id long, text string"
+        )
+        out = {r["id"]: r for r in strip_boilerplate(df, min_docs=3).collect()}
+        assert len(out) == 3  # no doc rows lost
+        assert out[1]["clean_text"] == "" and out[1]["n_kept"] == 0
+
+
+class TestGopherRules:
+    def test_each_rule_boundary(self, spark):
+        from dtle_spark.functions.textstats import gopher_flags
+
+        good = "the quick brown fox jumps over the lazy dog and then " * 10
+        short = "the cat is small"                    # < 50 words
+        digits = " ".join(["1234"] * 60) + " the is"  # alpha ratio ~0
+        longwords = " ".join(["pneumonoultramicroscopic"] * 60) + " the is"
+        df = spark.createDataFrame(
+            [(1, good), (2, short), (3, digits), (4, longwords)], "doc_id long, text string"
+        )
+        flags = gopher_flags(F.col("text"))
+        out = {r["doc_id"]: r for r in df.select("doc_id", *[
+            flags[k].alias(k) for k in ("n_words", "words_ok", "mean_len_ok", "alpha_ok", "stop_ok", "keep")
+        ]).collect()}
+        assert out[1]["keep"] is True
+        assert out[2]["words_ok"] is False and out[2]["keep"] is False
+        assert out[3]["alpha_ok"] is False and out[3]["keep"] is False
+        assert out[4]["mean_len_ok"] is False and out[4]["keep"] is False
