@@ -309,6 +309,85 @@ def ivf_topk(
     )
 
 
+def int_dot_expr(a: str, b: str) -> str:
+    """Integer dot product of two int-array columns — exact, order-free
+    (no IEEE concerns at all): products <= 127^2, 64-dim sums < 2^21."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS BIGINT) * y),"
+        f" 0L, (acc, v) -> acc + v)"
+    )
+
+
+def quantize_int8(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization: scale = max |x|,
+    q_i = floor(x_i / scale * 127 + 0.5) in [-127, 127]. floor(v + 0.5)
+    instead of round() so BOTH engines share one exactly-defined tie
+    rule (round()'s half-tie mode is engine-configurable; floor is not).
+
+    Returns (id, qvec array<int>, qnorm double). 4 bytes/dim here (16
+    at fp64 scoring) — at 100 TB the quantized corpus is the resident
+    working set and the fp32 originals stay on cold storage; search
+    cost per pair drops to an integer fold + one division."""
+    scaled = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.expr(f"array_max(transform({vec_col}, x -> abs(CAST(x AS DOUBLE))))").alias(
+            "scale"
+        ),
+    )
+    qvec = (
+        "CASE WHEN scale = 0 THEN transform(vec, x -> 0)"
+        " ELSE transform(vec, x ->"
+        " CAST(floor(CAST(x AS DOUBLE) / scale * 127 + 0.5) AS INT)) END"
+    )
+    # materialize qvec at a select boundary so the norm fold reads the
+    # column instead of re-evaluating the quantization expression
+    return scaled.select("id", F.expr(qvec).alias("qvec")).select(
+        "id",
+        "qvec",
+        F.expr(f"sqrt(CAST({int_dot_expr('qvec', 'qvec')} AS DOUBLE))").alias("qnorm"),
+    )
+
+
+def quantized_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exhaustive top-k over the int8-quantized corpus: the same
+    broadcast-queries / stream-corpus plan as brute_force_topk, but the
+    pair score is an integer fold divided by precomputed quantized
+    norms — the int8 rerank-free search tier (SQ8 in FAISS terms)."""
+    qz = quantize_int8(vectors, id_col, vec_col)
+    q = queries.select(F.col(id_col).alias("query_id")).join(
+        qz.withColumnRenamed("id", "query_id"), "query_id"
+    ).select("query_id", F.col("qvec").alias("qv"), F.col("qnorm").alias("qqn"))
+    c = qz.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("qvec").alias("cv"),
+        F.col("qnorm").alias("cqn"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "qcos",
+            F.expr(f"CAST({int_dot_expr('qv', 'cv')} AS DOUBLE) / (qqn * cqn)"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("qcos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "qcos")
+    )
+
+
 def neardup_pairs(
     vectors: DataFrame,
     id_col: str = "vec_id",

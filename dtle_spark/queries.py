@@ -828,6 +828,52 @@ def ann_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("rank", "rnk")
 
 
+_ANN_QUANTIZED_ORACLE = """
+WITH sc AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s
+  FROM embeddings
+),
+qz0 AS (
+  SELECT vec_id,
+    CASE WHEN s = 0 THEN list_transform(embedding, x -> CAST(0 AS INTEGER))
+    ELSE list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) / s * 127 + 0.5) AS INTEGER)) END AS qvec
+  FROM sc
+),
+qz AS (
+  SELECT vec_id, qvec,
+    sqrt(CAST(CAST(list_sum(list_transform(qvec, x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS DOUBLE)) AS qn
+  FROM qz0
+),
+q AS (SELECT vec_id AS query_id, qvec AS qv, qn AS qqn FROM qz WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS neighbor_id, qvec AS cv, qn AS cqn FROM qz),
+scored AS (
+  SELECT query_id, neighbor_id,
+    CAST(CAST(list_sum(list_transform(list_zip(qv, cv), p -> CAST(p[1] AS BIGINT) * p[2])) AS BIGINT) AS DOUBLE)
+      / (qqn * cqn) AS qcos
+  FROM c, q WHERE query_id <> neighbor_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, neighbor_id) AS rnk
+      FROM scored)
+SELECT query_id, neighbor_id, rnk, qcos FROM r WHERE rnk <= 10
+"""
+
+
+@query("ann_topk_quantized", _ANN_QUANTIZED_ORACLE)
+def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive top-10 over the int8-quantized corpus (SQ8 tier:
+    similarity.quantize_int8 + quantized_topk). The pair score is an
+    exact integer fold / precomputed norms — at 100 TB the 4-byte
+    quantized vectors are the resident search set (4x smaller shuffle
+    and cache footprint than fp32); a pytest gate bounds the recall
+    loss vs exact brute force."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    out = sim.quantized_topk(e, q, k=10)
+    return out.withColumnRenamed("rank", "rnk")
+
+
 # ---------------------------------------------------------------------------
 # Kafka/Debezium envelope sink (sinks/debezium.py) + multimodal plumbing
 # (functions/multimodal.py)

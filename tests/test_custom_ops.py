@@ -409,3 +409,43 @@ class TestGopherRules:
         assert out[2]["words_ok"] is False and out[2]["keep"] is False
         assert out[3]["alpha_ok"] is False and out[3]["keep"] is False
         assert out[4]["mean_len_ok"] is False and out[4]["keep"] is False
+
+
+class TestQuantizedAnn:
+    def test_quantize_bounds_and_recall(self, spark):
+        from dtle_spark.functions.similarity import (
+            brute_force_topk, quantize_int8, quantized_topk,
+        )
+        from dtle_spark.io import load_table
+
+        sf = "/root/testdata/sf0.001"
+        e = load_table(spark, sf, "embeddings")
+        qz = quantize_int8(e)
+        mx = qz.select(
+            F.expr("max(array_max(transform(qvec, x -> abs(x))))").alias("m")
+        ).collect()[0]["m"]
+        assert mx == 127  # scale maps the max component to exactly +-127
+
+        q = e.filter(F.col("vec_id") % 50 == 0)
+        exact = brute_force_topk(e, q, k=10)
+        approx = quantized_topk(e, q, k=10)
+        ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+        ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+        recall = len(ex & ap) / len(ex)
+        assert recall >= 0.9, f"int8 recall {recall}"
+
+    def test_quantized_cos_tracks_exact(self, spark):
+        from dtle_spark.functions.similarity import brute_force_topk, quantized_topk
+        from dtle_spark.io import load_table
+
+        sf = "/root/testdata/sf0.001"
+        e = load_table(spark, sf, "embeddings")
+        q = e.filter(F.col("vec_id") % 50 == 0)
+        exact = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+                 for r in brute_force_topk(e, q, k=10).collect()}
+        approx = {(r["query_id"], r["neighbor_id"]): r["qcos"]
+                  for r in quantized_topk(e, q, k=10).collect()}
+        common = set(exact) & set(approx)
+        assert common
+        worst = max(abs(exact[p] - approx[p]) for p in common)
+        assert worst < 0.05, f"max |cos - qcos| = {worst}"
