@@ -2,22 +2,29 @@
 
 Image/audio/video travel as ``binary`` columns with metadata; decode /
 feature-extraction runs as Arrow-batched ``mapInPandas`` over bounded
-batches. The actual codec calls are STUBBED (no image/audio libs in
-this container) behind ``NotImplementedError`` — the deterministic
-text-payload path exercises the real Spark plumbing: schema contract,
-batch iteration, partition sizing.
+batches. Container-HEADER parsing (PNG/JPEG/GIF/BMP dimensions, WAV
+audio properties) is REAL — pure stdlib ``struct`` walks, no codec
+library needed. Full pixel/sample decode remains STUBBED behind
+``NotImplementedError`` (PIL/ffmpeg absent from this container); the
+header tier covers the metadata extraction a corpus pipeline actually
+runs at scan time (dimension filters, format stats, corrupt-file
+screens) without touching pixel data.
 
 Scale notes: payloads dominate row size, so (a) never shuffle the
 payload column — extract features first, then join features back by id
 if needed; (b) cap ``spark.sql.files.maxPartitionBytes`` /
 ``maxRecordsPerBatch`` so an Arrow batch of payloads fits executor
 memory; (c) push payload-free predicates before the decode stage so
-column pruning keeps the scan light.
+column pruning keeps the scan light; (d) header parsing reads only the
+leading bytes — with a lazy/ranged storage layer it never fetches the
+payload tail at all.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -41,14 +48,131 @@ def attach_fake_payload(docs: DataFrame) -> DataFrame:
     )
 
 
+# --- real container-header parsers (pure stdlib) ----------------------
+
+# JPEG start-of-frame markers that carry dimensions (C4=DHT, C8=JPG,
+# CC=DAC are NOT frames)
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def parse_image_header(payload: bytes) -> dict | None:
+    """Image container-header parse: format + pixel dimensions for
+    PNG / JPEG / GIF / BMP, ``None`` if the magic is unrecognized.
+    Raises ValueError on a recognized-but-truncated/corrupt header
+    (a corrupt-file screen, not silent zeros)."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(payload) < 24 or payload[12:16] != b"IHDR":
+            raise ValueError("PNG: truncated or missing IHDR")
+        w, h = struct.unpack(">II", payload[16:24])
+        return {"format": "png", "width": w, "height": h}
+    if payload[:2] == b"\xff\xd8":  # JPEG SOI; walk the segment chain
+        pos = 2
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                raise ValueError("JPEG: segment desync")
+            marker = payload[pos + 1]
+            if marker == 0xD9:  # EOI before any SOF
+                break
+            if marker in _JPEG_SOF:
+                if pos + 9 > len(payload):
+                    raise ValueError("JPEG: truncated SOF")
+                h, w = struct.unpack(">HH", payload[pos + 5 : pos + 9])
+                return {"format": "jpeg", "width": w, "height": h}
+            seg_len = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+            pos += 2 + seg_len
+        raise ValueError("JPEG: no SOF marker found")
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        if len(payload) < 10:
+            raise ValueError("GIF: truncated screen descriptor")
+        w, h = struct.unpack("<HH", payload[6:10])
+        return {"format": "gif", "width": w, "height": h}
+    if payload[:2] == b"BM":
+        if len(payload) < 26:
+            raise ValueError("BMP: truncated header")
+        dib = struct.unpack("<I", payload[14:18])[0]
+        if dib >= 40:  # BITMAPINFOHEADER and successors: signed int32
+            w, h = struct.unpack("<ii", payload[18:26])
+            return {"format": "bmp", "width": w, "height": abs(h)}
+        w, h = struct.unpack("<HH", payload[18:22])  # BITMAPCOREHEADER
+        return {"format": "bmp", "width": w, "height": h}
+    return None
+
+
+def parse_wav_header(payload: bytes) -> dict | None:
+    """RIFF/WAVE header parse: channels, sample rate, bit depth, and
+    data-chunk byte length (-> duration) via a chunk walk. ``None`` if
+    not RIFF/WAVE; ValueError on a corrupt chunk chain."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data_len = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, clen = payload[pos : pos + 4], struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        if cid == b"fmt ":
+            if clen < 16 or pos + 8 + 16 > len(payload):
+                raise ValueError("WAV: truncated fmt chunk")
+            _, channels, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", payload[pos + 8 : pos + 24]
+            )
+            fmt = {"channels": channels, "sample_rate": rate, "bits": bits}
+        elif cid == b"data":
+            data_len = clen
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None:
+        raise ValueError("WAV: no fmt chunk")
+    frames = None
+    if data_len is not None and fmt["channels"] and fmt["bits"]:
+        frames = data_len // (fmt["channels"] * fmt["bits"] // 8)
+    return {"format": "wav", **fmt, "n_frames": frames}
+
+
+def make_png(width: int, height: int) -> bytes:
+    """Minimal REAL PNG encoder (stdlib zlib/struct): 8-bit grayscale,
+    deterministic pixel ramp. Test/fixture generator for the roundtrip
+    gate — the parser must read back exactly what this writes."""
+    if width < 1 or height < 1:
+        raise ValueError("png dims must be positive")
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes((x * 31 + y * 7) % 256 for x in range(width))
+        for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _decode_stub(payload: bytes, mime: str) -> dict:
-    """Deterministic fake 'decode': real decoders (PIL/ffmpeg) plug in
-    here per mime type. Raises for media types whose codec is absent —
-    clearly-marked stub, not silent wrong output."""
-    if mime.startswith(("image/", "audio/", "video/")):
+    """Decode dispatch: image/WAV CONTAINER HEADERS parse for real
+    (parse_image_header / parse_wav_header above); full pixel/sample
+    decode and other codecs raise — clearly-marked stub, not silent
+    wrong output. PIL/ffmpeg plug in here in production."""
+    if mime.startswith("image/"):
+        feats = parse_image_header(bytes(payload))
+        if feats is None:
+            raise NotImplementedError(
+                f"unrecognized image container for {mime}; PIL decode plugs in here"
+            )
+        return {
+            "n_bytes": len(payload),
+            "checksum": hashlib.md5(payload).hexdigest(),
+            "width": feats["width"],
+            "height": feats["height"],
+        }
+    if mime.startswith(("audio/", "video/")):
         raise NotImplementedError(
             f"codec for {mime} not available in this environment; "
-            "plug PIL/ffmpeg decode here"
+            "plug ffmpeg decode here (WAV headers: parse_wav_header)"
         )
     digest = hashlib.md5(payload).hexdigest()
     hexpos = "0123456789abcdef"
@@ -78,6 +202,50 @@ def extract_features(media: DataFrame) -> DataFrame:
     # NOTE: real codec decode is CPU-bound -> spread(media) first; the
     # deterministic stub is cheap enough that worker startup would dominate
     return media.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+IMAGE_FEATURE_SCHEMA = "doc_id long, format string, width int, height int, n_bytes long"
+MEDIA_COLUMNS_WITH_ID = "doc_id long, payload binary, mime string"
+
+
+def synthesize_png_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL-PNG media table: one make_png payload per id
+    with dims (1 + id % 64, 1 + id*7 % 64). Encoding runs in
+    mapInPandas — the same Arrow plumbing a production ingest uses."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_ = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids_,
+                    "payload": [
+                        make_png(int(1 + i % 64), int(1 + (i * 7) % 64)) for i in ids_
+                    ],
+                    "mime": "image/png",
+                }
+            )
+
+    return ids.select(id_col).mapInPandas(op, schema=MEDIA_COLUMNS_WITH_ID)
+
+
+def extract_image_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL header parse over image payloads: format +
+    dimensions + byte size, no codec library. Raises (fails the task,
+    not silently) on corrupt headers — the corrupt-file screen."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                feats = parse_image_header(data)
+                if feats is None:
+                    raise ValueError(f"doc {doc_id}: not a recognized image container")
+                rows.append({"doc_id": doc_id, **feats, "n_bytes": len(data)})
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(op, schema=IMAGE_FEATURE_SCHEMA)
 
 
 RESIZED_SCHEMA = "doc_id long, width int, height int, payload binary"

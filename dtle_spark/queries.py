@@ -880,6 +880,30 @@ def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from dtle_spark.functions import multimodal as mm  # noqa: E402
+
+
+@query(
+    "image_header_roundtrip",
+    """
+    SELECT doc_id, 'png' AS format,
+           CAST(1 + doc_id % 64 AS INT) AS width,
+           CAST(1 + (doc_id * 7) % 64 AS INT) AS height
+    FROM documents
+    """,
+)
+def image_header_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-codec differential: synthesize a REAL PNG per doc (stdlib
+    encoder, dims = f(doc_id)) in one mapInPandas stage, then parse the
+    binary headers back with the pure-stdlib container parser
+    (functions/multimodal.py parse_image_header) in another. The oracle
+    recomputes dims directly from the formula, so a hash match proves
+    generate->parse is the identity through genuine PNG bytes — the
+    multimodal metadata tier with no codec library."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = mm.synthesize_png_media(d)
+    return mm.extract_image_features(media).select(
+        "doc_id", "format", "width", "height"
+    )
 from dtle_spark.sinks import debezium as dz  # noqa: E402
 
 

@@ -196,3 +196,78 @@ def test_multimodal_resize_and_frames(spark):
     )
     orig = [bytes(r["payload"]) for r in media.collect() if r["doc_id"] == sample][0]
     assert reassembled == orig
+
+
+class TestImageHeaderParsers:
+    """Real stdlib container-header parsing goldens (no codec libs)."""
+
+    def test_png_roundtrip_and_goldens(self):
+        data = mm.make_png(640, 480)
+        assert mm.parse_image_header(data) == {"format": "png", "width": 640, "height": 480}
+        # 1x1 edge + non-square
+        assert mm.parse_image_header(mm.make_png(1, 1))["width"] == 1
+        assert mm.parse_image_header(mm.make_png(3, 200)) == {
+            "format": "png", "width": 3, "height": 200}
+
+    def test_jpeg_sof_walk(self):
+        import struct
+        # SOI + APP0(JFIF) + DQT (skipped) + SOF0 carrying 31x17
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        dqt = b"\xff\xdb" + struct.pack(">H", 5) + b"\x00\x01\x02"
+        sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 17, 31) + b"\x01\x11\x00"
+        jpg = b"\xff\xd8" + app0 + dqt + sof0 + b"\xff\xd9"
+        assert mm.parse_image_header(jpg) == {"format": "jpeg", "width": 31, "height": 17}
+        # progressive (SOF2) also carries dims
+        jpg2 = b"\xff\xd8" + (b"\xff\xc2" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 9, 7) + b"\x01\x11\x00")
+        assert mm.parse_image_header(jpg2) == {"format": "jpeg", "width": 7, "height": 9}
+
+    def test_gif_bmp(self):
+        import struct
+        gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+        assert mm.parse_image_header(gif) == {"format": "gif", "width": 320, "height": 200}
+        # BITMAPINFOHEADER, negative height = top-down -> abs
+        bmp = b"BM" + b"\x00" * 12 + struct.pack("<I", 40) + struct.pack("<ii", 800, -600)
+        assert mm.parse_image_header(bmp) == {"format": "bmp", "width": 800, "height": 600}
+
+    def test_unknown_and_corrupt(self):
+        import pytest as _pytest
+        assert mm.parse_image_header(b"plain text here") is None
+        with _pytest.raises(ValueError):  # PNG magic but no IHDR
+            mm.parse_image_header(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+        with _pytest.raises(ValueError):  # JPEG with no SOF
+            mm.parse_image_header(b"\xff\xd8\xff\xd9")
+
+    def test_wav_header(self):
+        import struct
+        fmt = b"fmt " + struct.pack("<I", 16) + struct.pack("<HHIIHH", 1, 2, 44100, 176400, 4, 16)
+        pcm = b"\x00" * 88200  # 0.5 s of 16-bit stereo
+        data = b"data" + struct.pack("<I", len(pcm)) + pcm
+        riff_body = b"WAVE" + fmt + data
+        wav = b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+        out = mm.parse_wav_header(wav)
+        assert out == {"format": "wav", "channels": 2, "sample_rate": 44100,
+                       "bits": 16, "n_frames": 22050}
+        assert mm.parse_wav_header(b"not riff") is None
+
+
+def test_image_roundtrip_through_spark(spark):
+    """synthesize REAL PNGs -> parse headers back, all inside
+    mapInPandas stages (the registry query's machinery)."""
+    ids = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    media = mm.synthesize_png_media(ids)
+    out = {r["doc_id"]: r for r in mm.extract_image_features(media).collect()}
+    assert len(out) == 40
+    for i in range(40):
+        assert out[i]["format"] == "png"
+        assert out[i]["width"] == 1 + i % 64
+        assert out[i]["height"] == 1 + (i * 7) % 64
+        assert out[i]["n_bytes"] > 50
+
+
+def test_resize_uses_real_dims(spark):
+    """resize stage consumes REAL parsed dims for image payloads."""
+    media = spark.createDataFrame(
+        [Row(doc_id=1, payload=bytearray(mm.make_png(512, 128)), mime="image/png")]
+    )
+    out = mm.resize_images(media, max_side=256).collect()[0]
+    assert (out["width"], out["height"]) == (256, 64)
