@@ -58,6 +58,74 @@ def session_windows(
     )
 
 
+def stateful_sessionize(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap_secs: int = 1800,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Custom stateful sessionizer (applyInPandasWithState +
+    EventTimeTimeout): unlike the built-in session_window aggregation,
+    this EMITS A ROW ONLY WHEN A SESSION CLOSES — i.e. when the
+    event-time watermark passes last_event + gap — which is the shape a
+    downstream consumer (session store, training-feature writer) wants:
+    each session exactly once, no restatement.
+
+    State per key: (start_us, last_us, n). New data extends the open
+    session or, on a gap, flushes it immediately and starts a new one;
+    the timeout flushes the final session when the stream moves on.
+    Scale: state is 3 longs per ACTIVE key; the timeout bound means idle
+    keys are reclaimed as the watermark advances."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} long, s_start timestamp, s_end timestamp, n_events long"
+    state_schema = "start long, last long, n long"
+    gap_us = gap_secs * 1_000_000
+
+    def _row(key: int, start: int, last: int, n: int) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                key_col: [key],
+                "s_start": [pd.Timestamp(start, unit="us")],
+                "s_end": [pd.Timestamp(last, unit="us")],
+                "n_events": [n],
+            }
+        )
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield _row(key[0], start, last, n)
+            return
+        ts: list[int] = []
+        for pdf in pdfs:
+            ts.extend(int(t.value) // 1000 for t in pd.to_datetime(pdf[ts_col]))
+        ts.sort()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = ts[0], ts[0], 0
+        for t in ts:
+            if t - last > gap_us:
+                yield _row(key[0], start, last, n)
+                start, last, n = t, t, 1
+            else:
+                last, n = max(last, t), n + 1
+        state.update((start, last, n))
+        # flush when the watermark passes the gap after the last event
+        state.setTimeoutTimestamp((last + gap_us) // 1000)
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
 def running_totals(events: DataFrame, key_col: str = "user_id") -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: running
     per-key event count + value sum across micro-batches — the pattern

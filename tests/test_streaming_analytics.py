@@ -105,3 +105,116 @@ def test_running_totals_stateful(spark, tmp_path):
         for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert latest == expected
+
+
+def test_late_event_dropped_by_watermark(spark, tmp_path):
+    """Append-mode windowed agg: an event behind the watermark does NOT
+    restate its (already emitted) window — the late-data bound."""
+    import datetime as dt
+
+    src = str(tmp_path / "late")
+    os.makedirs(src)
+    schema = "ts timestamp, event_type string"
+    T = dt.datetime
+    b0 = [(T(2024, 1, 1, 12, 5), "a"), (T(2024, 1, 1, 13, 59), "a")]
+    spark.createDataFrame(b0, schema).coalesce(1).write.parquet(src + "/b0")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src + "/b0").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    from dtle_spark.streaming.aggregates import windowed_counts
+
+    q = (
+        windowed_counts(stream, watermark="1 minute")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .start()
+    )
+    q.processAllAvailable()
+    # late event (12:30 < watermark 13:58) + a fresh one to close 13h
+    b1 = [(T(2024, 1, 1, 12, 30), "a"), (T(2024, 1, 1, 16, 0), "a")]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src + "/b1")
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["w_start"].hour: r["n"]
+        for r in spark.sql("SELECT * FROM late_out").collect()
+    }
+    # 12h window emitted with ONLY the on-time event; the late 12:30
+    # arrival was dropped, not re-emitted
+    assert got.get(12) == 1
+    assert got.get(13) == 1
+
+
+def test_stateful_sessionize_emits_on_close(spark, tmp_path):
+    """Sessions emit exactly once, when the watermark passes the gap."""
+    import datetime as dt
+
+    src = str(tmp_path / "sess")
+    os.makedirs(src)
+    schema = "ts timestamp, user_id long"
+    T = dt.datetime
+    # user 1: two events 10 min apart (one session)
+    b0 = [(T(2024, 1, 1, 10, 0), 1), (T(2024, 1, 1, 10, 10), 1)]
+    spark.createDataFrame(b0, schema).coalesce(1).write.parquet(src + "/b0")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src + "/b0").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    from dtle_spark.streaming.aggregates import stateful_sessionize
+
+    q = (
+        stateful_sessionize(stream, gap_secs=1800)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .start()
+    )
+    q.processAllAvailable()
+    assert spark.sql("SELECT * FROM sess_out").count() == 0  # still open
+    # user 2 far in the future advances the watermark past 10:40 -> closes it
+    b1 = [(T(2024, 1, 1, 14, 0), 2)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src + "/b1")
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM sess_out").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["user_id"] == 1 and r["n_events"] == 2
+    assert (r["s_start"].minute, r["s_end"].minute) == (0, 10)
+
+
+def test_stateful_sessionize_gap_split_within_batch(spark, tmp_path):
+    """A within-batch gap flushes the first session immediately."""
+    import datetime as dt
+
+    src = str(tmp_path / "sess2")
+    os.makedirs(src)
+    schema = "ts timestamp, user_id long"
+    T = dt.datetime
+    b0 = [
+        (T(2024, 1, 1, 10, 0), 1),
+        (T(2024, 1, 1, 10, 5), 1),
+        (T(2024, 1, 1, 12, 0), 1),  # > 30 min gap -> new session
+    ]
+    spark.createDataFrame(b0, schema).coalesce(1).write.parquet(src + "/b0")
+    stream = spark.readStream.schema(
+        spark.read.parquet(src + "/b0").schema
+    ).parquet(src + "/*")
+    from dtle_spark.streaming.aggregates import stateful_sessionize
+
+    q = (
+        stateful_sessionize(stream, gap_secs=1800)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess2_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM sess2_out").collect()
+    assert len(rows) == 1  # first session flushed; second still open
+    assert rows[0]["n_events"] == 2
