@@ -34,6 +34,15 @@ def connected_components(
         # round (observed 13s -> ~4s on the LSH-pairs input)
         .localCheckpoint()
     )
+    # size-aware parallelism: the near-dup edge set is orders smaller
+    # than the corpus (it exists only where LSH found candidates), so a
+    # corpus-sized partition count turns each round into pure
+    # task-scheduling overhead (~32 near-empty tasks x 2 jobs x rounds).
+    # One partition per ~100k edges keeps rounds 1-task at test scale
+    # and fully parallel at 100 TB. The count reads the checkpointed
+    # edges — bounded metadata, not a corpus scan.
+    parts = max(1, min(edges.rdd.getNumPartitions(), edges.count() // 100_000 + 1))
+    edges = edges.repartition(parts, "b").localCheckpoint()
     labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
         "component", F.col("node")
     )
@@ -56,7 +65,10 @@ def connected_components(
                 F.min("component").alias("component"),
                 F.max(F.when(F.col("is_old") == 1, F.col("component"))).alias("old"),
             )
-            .localCheckpoint()  # one materialization/round, truncates lineage
+            # lazy checkpoint: the convergence count right below is the
+            # materializing action, so each round runs ONE job (eager
+            # checkpointing ran a separate persist job per round)
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.filter(F.col("component") != F.col("old")).count()
         labels = new_labels.select("node", "component")
