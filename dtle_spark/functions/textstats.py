@@ -135,6 +135,52 @@ def pii_scrub(text: Column) -> Column:
     return out
 
 
+# --- TF-IDF keyword extraction ----------------------------------------
+
+
+def tfidf_topk(
+    docs,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = STOPWORDS,
+):
+    """Per-document top-k keywords by a rational tf-idf score:
+    score = tf * N / df computed as CAST(tf * N AS DOUBLE) / df — a
+    single IEEE division of exact integers, so both engines rank
+    identically (a log-idf would hit libm differences across engines;
+    the N/df rational preserves the df ordering log(N/df) gives).
+
+    Returns (id, term, tf, df, score, rnk), rnk 1..k by
+    (score DESC, term ASC).
+
+    Scale shape: explode tokens -> groupBy (doc, term) for tf [shuffle
+    1, combiner-friendly] -> groupBy term for df [shuffle 2, tiny] ->
+    broadcast df back onto tf -> per-doc top-k window [shuffle 3 on
+    doc id]. The df table is vocabulary-sized (~1M rows at any corpus
+    scale) — always broadcastable."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    ).filter(~F.col("term").isin(*stopwords))
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count_distinct(F.col(id_col)).alias("n"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.expr("CAST(tf * n AS DOUBLE) / df"))
+    )
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("id", "term", "tf", "df", "score", "rnk")
+    )
+
+
 # --- Gopher-style quality rule battery --------------------------------
 
 # (min_words, max_words, min_mean_len, max_mean_len, alpha_ratio, stop_hits)

@@ -1913,6 +1913,128 @@ def boilerplate_strip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_stats",
+    """
+    WITH t AS (
+      SELECT lang, source,
+        CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS nt,
+        CAST(length(text) AS BIGINT) AS nc
+      FROM documents
+    )
+    SELECT lang, source,
+      COUNT(*) AS n_docs,
+      CAST(SUM(nt) AS BIGINT) AS n_tokens,
+      CAST(SUM(nc) AS BIGINT) AS n_chars,
+      CAST(CAST(SUM(nt) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_tokens,
+      MIN(nt) AS min_tokens,
+      MAX(nt) AS max_tokens
+    FROM t GROUP BY lang, source
+    """,
+)
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus report card: per (lang, source) doc/token/char
+    rollup — the summary a 100 TB pipeline emits after every stage.
+    Map-side partial agg into |langs x sources| groups; exact integer
+    sums, single-division mean."""
+    d = load_table(spark, sf_dir, "documents")
+    nt = tx.token_count(tx.tokens(F.col("text"))).cast("long")
+    return (
+        d.select("lang", "source", nt.alias("nt"), F.length("text").cast("long").alias("nc"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+            F.sum("nc").alias("n_chars"),
+            (F.sum("nt").cast("double") / F.count(F.lit(1))).alias("mean_tokens"),
+            F.min("nt").alias("min_tokens"),
+            F.max("nt").alias("max_tokens"),
+        )
+    )
+
+
+_TFIDF_STOP_IN = ", ".join(f"'{s}'" for s in tx.STOPWORDS)
+
+
+@query(
+    "keyword_extract",
+    f"""
+    WITH toks AS (
+      SELECT doc_id AS id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents
+    ),
+    filt AS (SELECT * FROM toks WHERE term NOT IN ({_TFIDF_STOP_IN})),
+    tf AS (SELECT id, term, COUNT(*) AS tf FROM filt GROUP BY id, term),
+    df_t AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+    scored AS (
+      SELECT id, tf.term, tf, df, CAST(tf * n AS DOUBLE) / df AS score
+      FROM tf JOIN df_t ON tf.term = df_t.term, n
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY score DESC, term) AS rnk
+          FROM scored)
+    SELECT id, term, tf, df, score, rnk FROM r WHERE rnk <= 3
+    """,
+)
+def keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 keywords by rational tf-idf (tf * N / df — exact
+    integer ratio as one IEEE division, so ranking is engine-portable;
+    functions/textstats.py tfidf_topk documents the 3-shuffle scale
+    shape and the always-broadcastable vocabulary table)."""
+    d = load_table(spark, sf_dir, "documents")
+    return tx.tfidf_topk(d, k=3)
+
+
+@query(
+    "vocab_coverage",
+    """
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents
+    ),
+    freq AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM freq),
+    ranked AS (
+      SELECT term, cnt,
+        row_number() OVER (ORDER BY cnt DESC, term) AS rnk,
+        CAST(SUM(cnt) OVER (ORDER BY cnt DESC, term
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      FROM freq
+    )
+    SELECT rnk, term, cnt, CAST(cum AS DOUBLE) / total AS coverage
+    FROM ranked, tot WHERE rnk <= 100
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training diagnostic: corpus token frequencies, rank,
+    and cumulative coverage share for the top-100 vocabulary. The
+    global window is over the VOCABULARY (bounded), not the corpus —
+    the corpus-sized work is one combiner-friendly groupBy."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(tx.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = freq.agg(F.sum("cnt").cast("long").alias("total"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term"))
+    return (
+        freq.withColumn("rnk", F.row_number().over(w))
+        .withColumn(
+            "cum",
+            F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+        )
+        .filter(F.col("rnk") <= 100)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rnk", "term", "cnt",
+            F.expr("CAST(cum AS DOUBLE) / total").alias("coverage"),
+        )
+    )
+
+
+@query(
     "gopher_rules",
     """
     WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
