@@ -2034,6 +2034,29 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from dtle_spark.functions import sketches as sk  # noqa: E402
+
+
+@query(
+    "kmv_distinct_sketch",
+    f"""
+    WITH est AS ({sk.kmv_distinct_sql('l_partkey', 'lineitem', k=256)}),
+    t AS (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS true_distinct FROM lineitem)
+    SELECT est.*, t.true_distinct FROM est, t
+    """,
+)
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch of lineitem.l_partkey (k=256) next to
+    the exact count — the deterministic, mergeable cardinality
+    estimator (functions/sketches.py: shared md5-40-bit uniform makes
+    the sketch itself engine-portable and therefore oracle-gatable,
+    unlike approx_count_distinct's engine-internal HLL)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    est = sk.kmv_distinct(li, "l_partkey", k=256)
+    true = li.agg(F.count_distinct("l_partkey").cast("long").alias("true_distinct"))
+    return est.crossJoin(F.broadcast(true))
+
+
 @query(
     "gopher_rules",
     """

@@ -449,3 +449,31 @@ class TestQuantizedAnn:
         assert common
         worst = max(abs(exact[p] - approx[p]) for p in common)
         assert worst < 0.05, f"max |cos - qcos| = {worst}"
+
+
+class TestKmvSketch:
+    def test_exact_below_k(self, spark):
+        from dtle_spark.functions.sketches import kmv_distinct
+
+        df = spark.createDataFrame([(i % 50,) for i in range(1000)], "x long")
+        r = kmv_distinct(df, "x", k=256).collect()[0]
+        assert r["got_k"] == 50 and r["kmv_estimate"] == 50.0  # exact when D < k
+
+    def test_estimate_within_error_bound(self, spark):
+        from dtle_spark.functions.sketches import kmv_distinct
+
+        # 5000 distinct values, k=256 -> SE ~ 1/sqrt(254) ~ 6.3%
+        df = spark.range(0, 5000).selectExpr("id * 7919 AS x")
+        r = kmv_distinct(df, "x", k=256).collect()[0]
+        err = abs(r["kmv_estimate"] - 5000) / 5000
+        assert err < 0.25, f"kmv error {err:.3f}"
+
+    def test_takeordered_not_global_sort(self, spark):
+        """The k-minima must compile to TakeOrderedAndProject (per-
+        partition heaps), never a full Sort+Exchange of the hashes."""
+        from dtle_spark.functions.sketches import kmv_distinct
+
+        df = spark.range(0, 10000).selectExpr("id AS x")
+        inner = kmv_distinct(df, "x", k=64)
+        plan = inner._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan

@@ -68,3 +68,48 @@ def test_text_ops_stay_jvm_side(spark):
         plan = plan_of(name, spark)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
         assert "FlatMapGroupsInPandas" not in plan and "MapInPandas" not in plan, name
+
+
+def test_tfidf_broadcasts_vocabulary(spark):
+    """The df (document-frequency) table is vocabulary-sized at any
+    corpus scale — it must broadcast, never shuffle-join the tf side."""
+    plan = plan_of("keyword_extract", spark)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_quantized_ann_broadcast_and_jvm_side(spark):
+    """Quantized search keeps the brute-force shape: query side
+    broadcast (no corpus shuffle) and zero Python nodes."""
+    plan = plan_of("ann_topk_quantized", spark)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_source_mixing_is_map_only_after_thresholds(spark):
+    """Per-source thresholds broadcast onto the stream: the corpus side
+    of the final join must not shuffle (the only exchanges belong to
+    the tiny counts aggregation)."""
+    plan = plan_of("source_mixing", spark)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_boilerplate_strip_single_corpus_shuffle_key(spark):
+    """Frequency count and anti-join both key on the line digest; the
+    anti-join must be a broadcast (the boilerplate set is small) or at
+    worst reuse the digest exchange — never a second full-width
+    document shuffle."""
+    plan = plan_of("boilerplate_strip", spark)
+    assert "LeftAnti" in plan
+
+
+def test_vocab_coverage_window_is_post_agg(spark):
+    """The rank window must sit above the term aggregate (vocabulary-
+    sized input), not above the corpus-sized explode."""
+    plan = plan_of("vocab_coverage", spark)
+    # plan strings print root-first: the Window must be a PARENT of the
+    # term HashAggregate (earlier in the string), i.e. it consumes the
+    # aggregate's vocabulary-sized output
+    assert plan.index("Window") < plan.index("HashAggregate")
+    # and the explode (corpus-sized Generate) must sit BELOW the
+    # aggregate, not below the window directly
+    assert plan.index("HashAggregate") < plan.index("Generate")
