@@ -63,6 +63,43 @@ def kmv_distinct(
     )
 
 
+def kmv_minima(df: DataFrame, col_sql: str, k: int = 256) -> DataFrame:
+    """The sketch STATE: the k smallest distinct hashes as one-row
+    (hvs array<bigint>). Persist per partition/day/table and merge —
+    the mergeability is what makes KMV a fleet-wide profiling tool
+    (sketch once per ingest batch, union later, never re-scan)."""
+    h = F.expr(hash40_expr(col_sql, "spark"))
+    return (
+        df.select(h.alias("hv"))
+        .distinct()
+        .orderBy("hv")
+        .limit(k)
+        .agg(F.expr("sort_array(collect_list(hv))").alias("hvs"))
+    )
+
+
+def kmv_merge(sketches: DataFrame, k: int = 256) -> DataFrame:
+    """Union N sketch states -> one (k, got_k, kth_min, kmv_estimate)
+    row estimating the DISTINCT UNION of the original inputs: explode,
+    re-dedup, keep the k global minima. Exactly the estimator
+    kmv_distinct computes on the concatenated raw data (same hashes,
+    same k-minima), so its accuracy bound carries over unchanged."""
+    kth = (
+        sketches.select(F.explode("hvs").alias("hv"))
+        .distinct()
+        .orderBy("hv")
+        .limit(k)
+        .agg(F.max("hv").alias("kth_min"), F.count(F.lit(1)).alias("got_k"))
+    )
+    est = (
+        f"CASE WHEN got_k < {k} THEN CAST(got_k AS DOUBLE)"
+        f" ELSE CAST({(k - 1) * _U_DENOM} AS DOUBLE) / kth_min END"
+    )
+    return kth.select(
+        F.lit(k).alias("k"), "got_k", "kth_min", F.expr(est).alias("kmv_estimate")
+    )
+
+
 def kmv_distinct_sql(
     col_sql: str,
     table: str,

@@ -58,6 +58,22 @@ def session_windows(
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    id_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: each key emits once; re-deliveries inside
+    the watermark horizon are dropped, and state for keys older than
+    the watermark is reclaimed (unbounded-state-safe — the streaming
+    twin of the batch dedup_exact, and the at-least-once -> exactly-
+    once adapter for bridge-fed CDC streams)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        id_cols
+    )
+
+
 def stateful_sessionize(
     events: DataFrame,
     ts_col: str = "ts",

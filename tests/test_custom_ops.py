@@ -477,3 +477,17 @@ class TestKmvSketch:
         inner = kmv_distinct(df, "x", k=64)
         plan = inner._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
+
+    def test_merge_equals_whole_data_sketch(self, spark):
+        """Sketch-of-parts merged == sketch-of-whole (mergeability)."""
+        from dtle_spark.functions.sketches import kmv_distinct, kmv_merge, kmv_minima
+
+        whole = spark.range(0, 4000).selectExpr("id * 104729 AS x")
+        part1 = whole.filter("x % 3 != 0")
+        part2 = whole.filter("x % 3 != 1")  # overlapping parts
+        merged = kmv_merge(
+            kmv_minima(part1, "x", k=128).unionByName(kmv_minima(part2, "x", k=128)),
+            k=128,
+        ).collect()[0]
+        direct = kmv_distinct(part1.unionByName(part2), "x", k=128).collect()[0]
+        assert merged.asDict() == direct.asDict()

@@ -218,3 +218,39 @@ def test_stateful_sessionize_gap_split_within_batch(spark, tmp_path):
     rows = spark.sql("SELECT * FROM sess2_out").collect()
     assert len(rows) == 1  # first session flushed; second still open
     assert rows[0]["n_events"] == 2
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Re-delivered ids inside the watermark emit exactly once."""
+    import datetime as dt
+
+    src = str(tmp_path / "dd")
+    os.makedirs(src)
+    schema = "ts timestamp, event_id long"
+    T = dt.datetime
+    b0 = [(T(2024, 1, 1, 10, 0), 1), (T(2024, 1, 1, 10, 1), 2)]
+    spark.createDataFrame(b0, schema).coalesce(1).write.parquet(src + "/b0")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src + "/b0").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    from dtle_spark.streaming.aggregates import streaming_dedup
+
+    q = (
+        streaming_dedup(stream, ["event_id"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dd_out")
+        .start()
+    )
+    q.processAllAvailable()
+    # re-deliver id 1 (same ts) and id 2 (later ts) + a new id 3
+    b1 = [(T(2024, 1, 1, 10, 0), 1), (T(2024, 1, 1, 10, 30), 2),
+          (T(2024, 1, 1, 10, 31), 3)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src + "/b1")
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT event_id, count(*) n FROM dd_out GROUP BY event_id").collect()
+    got = {r["event_id"]: r["n"] for r in rows}
+    assert got == {1: 1, 2: 1, 3: 1}
