@@ -230,6 +230,83 @@ def minhash_dedup_pairs(
     )
 
 
+def incremental_neardup_filter(
+    history: DataFrame,
+    incoming: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The daily-ingest operator: drop each INCOMING doc that exactly or
+    nearly duplicates the HISTORICAL corpus, return the survivors (with
+    incoming's original columns). Exact tier = fingerprint membership;
+    near tier = LSH band-digest lookup against the history index,
+    verified by hashed-shingle jaccard >= threshold. Unlike the batch
+    pair finder, incoming-vs-incoming pairs are NOT compared — that is
+    the point (run the batch dedup within the increment separately if
+    wanted).
+
+    Scale shape: the history side is an INDEX — in production its band
+    digests and hash sets are precomputed once and stored (16-byte
+    digest rows), so a daily increment touches |increment| * bands
+    index lookups (equi-join on the digest), never re-fingerprinting
+    the 100 TB history. The verify join reads only candidate hash sets
+    by id."""
+    tagged = (
+        history.select(
+            F.col(id_col).alias("id"), F.col(text_col).alias("txt"), F.lit(0).alias("side")
+        )
+        .unionByName(
+            incoming.select(
+                F.col(id_col).alias("id"), F.col(text_col).alias("txt"), F.lit(1).alias("side")
+            )
+        )
+    )
+    base = base_hash_columns(
+        tagged.select("id", "side", "txt", shingles_expr("txt").alias("sh"))
+    ).drop("sh")
+    base = base.withColumn(
+        "fp", F.md5(F.trim(F.regexp_replace(F.lower(F.col("txt")), "\\s+", " ")))
+    ).drop("txt").localCheckpoint()
+    buckets = (
+        base.withColumn("sig", minhash_signature())
+        .select("id", "side", F.explode(lsh_bands("sig")).alias("band"))
+        .select("id", "side", "band.band_idx", "band.band_digest")
+    )
+    hist_b = buckets.filter(F.col("side") == 0).select(
+        F.col("id").alias("hist_id"), "band_idx", "band_digest"
+    )
+    inc_b = buckets.filter(F.col("side") == 1).select(
+        F.col("id").alias("inc_id"), "band_idx", "band_digest"
+    )
+    cand = (
+        inc_b.join(hist_b, ["band_idx", "band_digest"])
+        .select("inc_id", "hist_id")
+        .dropDuplicates(["inc_id", "hist_id"])
+    )
+    sets = base.select("id", F.col("hx").alias("hs"))
+    near_dup = (
+        cand.join(sets.select(F.col("id").alias("inc_id"), F.col("hs").alias("hs_1")), "inc_id")
+        .join(sets.select(F.col("id").alias("hist_id"), F.col("hs").alias("hs_2")), "hist_id")
+    )
+    near_dup = (
+        with_jaccard(near_dup)
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("inc_id").alias("id"))
+        .distinct()
+    )
+    hist_fp = base.filter(F.col("side") == 0).select("fp").distinct()
+    exact_dup = (
+        base.filter(F.col("side") == 1)
+        .join(hist_fp, "fp", "left_semi")
+        .select("id")
+    )
+    dropped = near_dup.unionByName(exact_dup).distinct()
+    return incoming.join(
+        dropped, incoming[id_col] == dropped["id"], "left_anti"
+    )
+
+
 SIMHASH_BITS = 60  # 15 md5 hex chars parse into a signed BIGINT safely
 SIMHASH_CHUNKS = 6  # 6 x 10-bit chunks: pigeonhole-exact for distance <= 5
 

@@ -2823,6 +2823,180 @@ def q21_sole_blamed_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_incremental_dedup_sql(threshold: float = 0.5) -> str:
+    """Side-tagged variant of the minhash chain: history (doc_id even)
+    is the index, incoming (odd) is probed against it — candidates are
+    ONLY incoming x history, verified by hashed-shingle jaccard."""
+    lanes = ", ".join(
+        f"CAST(list_min(list_transform(generate_series(1, len(hx)),"
+        f" k -> ({a} * hx[k] + {b} * hy[k]) % {dd._LANE_MOD})) AS VARCHAR)"
+        for a, b in dd.LANE_CONSTANTS
+    )
+    bands = " UNION ALL ".join(
+        f"(SELECT doc_id, side, {b} AS band_idx,"
+        f" md5(array_to_string(list_slice(sig, {b * dd.ROWS_PER_BAND + 1},"
+        f" {b * dd.ROWS_PER_BAND + dd.ROWS_PER_BAND}), '|')) AS band_digest FROM sigs)"
+        for b in range(dd.BANDS)
+    )
+    inter = "len(list_intersect(a.hx, b.hx))"
+    px = dd.hex_window_sql("m", 1, "duckdb")
+    py = dd.hex_window_sql("m", 11, "duckdb")
+    return f"""
+    WITH docs AS (SELECT doc_id, doc_id % 2 AS side, {_duck_shingles()} AS sh FROM documents),
+    digests AS (SELECT doc_id, side, list_transform(sh, s -> md5(s)) AS mh FROM docs),
+    hashed AS (SELECT doc_id, side,
+        list_transform(mh, m -> {px}) AS hx,
+        list_transform(mh, m -> {py}) AS hy
+      FROM digests),
+    sigs AS (SELECT doc_id, side, [{lanes}] AS sig FROM hashed),
+    buckets AS ({bands}),
+    cand AS (
+      SELECT DISTINCT i.doc_id AS inc_id, h.doc_id AS hist_id
+      FROM buckets i JOIN buckets h
+        ON i.band_idx = h.band_idx AND i.band_digest = h.band_digest
+       AND i.side = 1 AND h.side = 0
+    ),
+    near_dup AS (
+      SELECT DISTINCT inc_id AS doc_id
+      FROM cand JOIN hashed b ON cand.inc_id = b.doc_id
+                JOIN hashed a ON cand.hist_id = a.doc_id
+      WHERE CAST({inter} AS DOUBLE) / (len(a.hx) + len(b.hx) - {inter}) >= {threshold}
+    ),
+    fps AS (SELECT doc_id, doc_id % 2 AS side,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+            FROM documents),
+    exact_dup AS (
+      SELECT doc_id FROM fps
+      WHERE side = 1 AND fp IN (SELECT fp FROM fps WHERE side = 0)
+    )
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id % 2 = 1
+      AND doc_id NOT IN (SELECT doc_id FROM near_dup)
+      AND doc_id NOT IN (SELECT doc_id FROM exact_dup)
+    """
+
+
+@query("incremental_dedup", _duck_incremental_dedup_sql())
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest dedup: incoming docs (odd ids) probed against the
+    historical corpus index (even ids) — exact fingerprint membership
+    plus LSH band lookup verified at jaccard 0.5; survivors keep their
+    original columns (functions/dedup.py incremental_neardup_filter
+    documents the precomputed-index economics: the 100 TB history is
+    fingerprinted ONCE, an increment touches only index lookups)."""
+    d = load_table(spark, sf_dir, "documents")
+    history = d.filter(F.col("doc_id") % 2 == 0)
+    incoming = d.filter(F.col("doc_id") % 2 == 1)
+    out = dd.incremental_neardup_filter(history, incoming, threshold=0.5)
+    return out.select("doc_id", "lang", "source")
+
+
+@query(
+    "q11_important_parts",
+    """
+    WITH v AS (
+      SELECT l_partkey,
+        CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS value_cq
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY l_partkey
+    ),
+    tot AS (SELECT CAST(SUM(value_cq) AS BIGINT) AS total FROM v)
+    SELECT l_partkey, CAST(value_cq AS DOUBLE) / 100.0 AS part_value
+    FROM v, tot
+    WHERE value_cq * 1000 > total
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (partsupp absent -> lineitem value stands in):
+    per-part supplied value within ONE nation, keeping parts whose
+    value exceeds 1/1000 of that nation's total — the group-vs-global-
+    aggregate HAVING that defines Q11, as an integer cross-multiply
+    (value * 1000 > total: no float threshold). Scale: the global total
+    is one scalar broadcast back over the per-part aggregate; both aggs
+    share the nation-filtered scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    v = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice")) * F.round("l_quantity").cast("long")
+            ).alias("value_cq")
+        )
+    )
+    tot = v.agg(F.sum("value_cq").cast("long").alias("total"))
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_cq") * 1000 > F.col("total"))
+        .select(
+            "l_partkey",
+            (F.col("value_cq").cast("double") / 100.0).alias("part_value"),
+        )
+    )
+
+
+@query(
+    "q20_excess_suppliers",
+    """
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey,
+        CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      GROUP BY l_suppkey, l_partkey
+    ),
+    part_tot AS (
+      SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS pqty
+      FROM shipped GROUP BY l_partkey
+    ),
+    qual AS (
+      SELECT DISTINCT l_suppkey
+      FROM shipped JOIN part_tot USING (l_partkey)
+      WHERE qty * 2 > pqty
+    )
+    SELECT s_name, s_acctbal FROM supplier
+    WHERE s_suppkey IN (SELECT l_suppkey FROM qual)
+    """,
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (partsupp absent -> shipped-quantity share
+    stands in for availability): suppliers who shipped more than half
+    of any 'red%' part's 1996 volume — the nested semi-join chain
+    (part name filter -> grouped quantity threshold -> supplier IN)
+    that defines Q20, thresholded by integer cross-multiply."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.round("l_quantity").cast("long")).alias("qty"))
+    )
+    part_tot = shipped.groupBy("l_partkey").agg(F.sum("qty").cast("long").alias("pqty"))
+    qual = (
+        shipped.join(part_tot, "l_partkey")
+        .filter(F.col("qty") * 2 > F.col("pqty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return s.join(
+        qual, s.s_suppkey == qual.l_suppkey, "left_semi"
+    ).select("s_name", "s_acctbal")
+
+
 # ---------------------------------------------------------------------------
 # Training-data surface, batch 3: corpus hygiene — PII scrubbing,
 # intra-doc repetition (Gopher signal), eval-set decontamination

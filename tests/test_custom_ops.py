@@ -491,3 +491,32 @@ class TestKmvSketch:
         ).collect()[0]
         direct = kmv_distinct(part1.unionByName(part2), "x", k=128).collect()[0]
         assert merged.asDict() == direct.asDict()
+
+
+class TestIncrementalDedup:
+    def test_tiers_and_incoming_pairs_kept(self, spark):
+        from dtle_spark.functions.dedup import incremental_neardup_filter
+
+        base = ("spark shuffles the hash join twice before the window "
+                "aggregate runs and the broadcast side stays resident") * 3
+        near = base.replace("resident", "cached", 1)  # near-dup of history
+        hist = spark.createDataFrame(
+            [(0, base), (2, "completely different historical text about nothing")],
+            "doc_id long, text string",
+        )
+        inc = spark.createDataFrame(
+            [
+                (1, base),          # exact dup of history -> dropped
+                (3, near),          # near dup of history  -> dropped
+                (5, "a genuinely fresh incoming document with new words entirely"),
+                # 7 and 9 duplicate EACH OTHER but not history -> both kept
+                (7, "incoming pair text repeated across the increment batch"),
+                (9, "incoming pair text repeated across the increment batch"),
+            ],
+            "doc_id long, text string",
+        )
+        kept = sorted(
+            r["doc_id"]
+            for r in incremental_neardup_filter(hist, inc, threshold=0.5).collect()
+        )
+        assert kept == [5, 7, 9]
