@@ -2823,6 +2823,96 @@ def q21_sole_blamed_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pipeline_keep",
+    f"""
+    WITH fps AS (
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    keeper AS (SELECT fp, MIN(doc_id) AS keeper_id FROM fps GROUP BY fp),
+    canon AS (SELECT doc_id, doc_id = keeper_id AS is_canonical
+              FROM fps JOIN keeper USING (fp)),
+    t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+          FROM documents),
+    m AS (
+      SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_words,
+        CAST(CAST(list_sum(list_transform(toks, s -> length(s))) AS BIGINT) AS DOUBLE)
+          / nullif(CAST(len(toks) AS BIGINT), 0) AS mwl,
+        CAST(len(list_filter(toks, s -> regexp_matches(s, '[a-z]'))) AS DOUBLE)
+          / nullif(CAST(len(toks) AS BIGINT), 0) AS ar,
+        CAST(len(list_filter(toks, s -> s IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS sh,
+        CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+             ELSE list_transform(range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS g3
+      FROM t
+    ),
+    flags AS (
+      SELECT doc_id,
+        COALESCE(n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+                 AND ar > 0.8 AND sh >= 2, FALSE) AS gopher_ok,
+        (CASE WHEN len(g3) = 0 THEN 0.0
+              ELSE 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) END) <= 0.4 AS rep_ok
+      FROM m
+    ),
+    pii AS (
+      SELECT doc_id,
+        len(regexp_extract_all(text, '{tx.EMAIL_PATTERN}'))
+        + len(regexp_extract_all(text, '{tx.IPV4_PATTERN}'))
+        + len(regexp_extract_all(text, '{tx.PHONE_PATTERN}')) = 0 AS pii_ok
+      FROM documents
+    )
+    SELECT c.doc_id, is_canonical, gopher_ok, rep_ok, pii_ok,
+      (is_canonical AND gopher_ok AND rep_ok AND pii_ok) AS keep,
+      CASE WHEN NOT is_canonical THEN 'duplicate'
+           WHEN NOT gopher_ok THEN 'gopher'
+           WHEN NOT rep_ok THEN 'repetition'
+           WHEN NOT pii_ok THEN 'pii'
+           ELSE 'keep' END AS reason
+    FROM canon c JOIN flags USING (doc_id) JOIN pii USING (doc_id)
+    """,
+)
+def pipeline_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The assembled hygiene pipeline: one keep/drop decision per doc
+    with a reason code, composing exact-dedup canonicality, the Gopher
+    rule battery, the 3-gram repetition bound (<= 0.4), and PII
+    cleanliness — the end-to-end decision a corpus run materializes.
+    Scale: one fingerprint groupBy (16-byte digests) is the only
+    corpus-sized shuffle; every other signal is a map-side expression,
+    and the three signal frames join back on doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    fps = d.select("doc_id", tx.doc_fingerprint(F.col("text")).alias("fp"))
+    keeper = fps.groupBy("fp").agg(F.min("doc_id").alias("keeper_id"))
+    canon = fps.join(keeper, "fp").select(
+        "doc_id", (F.col("doc_id") == F.col("keeper_id")).alias("is_canonical")
+    )
+    flags = tx.gopher_flags(F.col("text"))
+    toks = d.select("doc_id", flags["keep"].alias("gopher_ok"), tx.tokens(F.col("text")).alias("toks"))
+    grams = toks.select(
+        "doc_id", "gopher_ok", tx.word_ngrams_sql("toks", 3).alias("g3")
+    ).select(
+        "doc_id", "gopher_ok", (tx.dup_ratio(F.col("g3")) <= 0.4).alias("rep_ok")
+    )
+    n_emails, n_ips, n_phones = tx.pii_counts(F.col("text"))
+    pii = d.select("doc_id", ((n_emails + n_ips + n_phones) == 0).alias("pii_ok"))
+    out = canon.join(grams, "doc_id").join(pii, "doc_id")
+    keep = (
+        F.col("is_canonical") & F.col("gopher_ok") & F.col("rep_ok") & F.col("pii_ok")
+    )
+    reason = (
+        F.when(~F.col("is_canonical"), F.lit("duplicate"))
+        .when(~F.col("gopher_ok"), F.lit("gopher"))
+        .when(~F.col("rep_ok"), F.lit("repetition"))
+        .when(~F.col("pii_ok"), F.lit("pii"))
+        .otherwise(F.lit("keep"))
+    )
+    return out.select(
+        "doc_id", "is_canonical", "gopher_ok", "rep_ok", "pii_ok",
+        keep.alias("keep"), reason.alias("reason"),
+    )
+
+
 def _duck_incremental_dedup_sql(threshold: float = 0.5) -> str:
     """Side-tagged variant of the minhash chain: history (doc_id even)
     is the index, incoming (odd) is probed against it — candidates are
