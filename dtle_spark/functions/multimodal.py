@@ -226,7 +226,9 @@ def synthesize_png_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return ids.select(id_col).mapInPandas(op, schema=MEDIA_COLUMNS_WITH_ID)
+    # PNG encoding is CPU-bound Python: spread the narrow id column so
+    # a single-split parquet scan doesn't serialize the batch work
+    return spread(ids.select(id_col)).mapInPandas(op, schema=MEDIA_COLUMNS_WITH_ID)
 
 
 def extract_image_features(media: DataFrame) -> DataFrame:
