@@ -309,6 +309,33 @@ def ivf_topk(
     )
 
 
+def truncate_normalize(
+    vectors: DataFrame,
+    dim_out: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style truncation: keep the leading ``dim_out`` dims
+    and renormalize to unit length — the cheap search tier for
+    MRL-trained embeddings (truncated prefixes remain semantically
+    aligned; for non-MRL embeddings this trades recall for a
+    dims/dim_out cost cut, gated in pytest). Map-only; the division is
+    one IEEE op per component over the fold-built norm, so downstream
+    cosine search stays oracle-exact."""
+    sliced = vectors.select(
+        F.col(id_col),
+        F.expr(f"slice({vec_col}, 1, {dim_out})").alias("__t"),
+    )
+    return sliced.select(
+        F.col(id_col),
+        F.expr(
+            f"CASE WHEN {dot_expr('__t', '__t')} = 0 THEN __t"
+            f" ELSE transform(__t, x -> CAST(CAST(x AS DOUBLE)"
+            f" / sqrt({dot_expr('__t', '__t')}) AS FLOAT)) END"
+        ).alias(vec_col),
+    )
+
+
 def int_dot_expr(a: str, b: str) -> str:
     """Integer dot product of two int-array columns — exact, order-free
     (no IEEE concerns at all): products <= 127^2, 64-dim sums < 2^21."""

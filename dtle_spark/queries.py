@@ -828,6 +828,44 @@ def ann_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("rank", "rnk")
 
 
+_ANN_TRUNCATED_ORACLE = f"""
+WITH tr0 AS (SELECT vec_id, list_slice(embedding, 1, 32) AS t FROM embeddings),
+tr AS (
+  SELECT vec_id,
+    CASE WHEN {_duck_dot('t', 't')} = 0 THEN t
+    ELSE list_transform(t, x -> CAST(CAST(x AS DOUBLE)
+      / sqrt({_duck_dot('t', 't')}) AS FLOAT)) END AS embedding
+  FROM tr0
+),
+q AS (SELECT vec_id AS query_id, embedding AS q_vec,
+             sqrt({_duck_dot('embedding', 'embedding')}) AS qn
+      FROM tr WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding AS n_vec,
+             sqrt({_duck_dot('embedding', 'embedding')}) AS cn
+      FROM tr),
+scored AS (
+  SELECT query_id, neighbor_id, ({_duck_dot('q_vec', 'n_vec')}) / (qn * cn) AS cosine
+  FROM c, q WHERE query_id <> neighbor_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored)
+SELECT query_id, neighbor_id, rnk, cosine FROM r WHERE rnk <= 10
+"""
+
+
+@query("ann_topk_truncated", _ANN_TRUNCATED_ORACLE)
+def ann_topk_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-tier search: exhaustive top-10 over 32-dim truncated
+    renormalized embeddings (similarity.truncate_normalize) — half the
+    fold cost per pair; recall vs full-dim gated in pytest. Same
+    broadcast-queries plan as brute force."""
+    e = load_table(spark, sf_dir, "embeddings")
+    tr = sim.truncate_normalize(e, 32)
+    q = tr.filter(F.col("vec_id") % 50 == 0)
+    out = sim.brute_force_topk(tr, q, k=10)
+    return out.withColumnRenamed("rank", "rnk")
+
+
 _ANN_QUANTIZED_ORACLE = """
 WITH sc AS (
   SELECT vec_id, embedding,
