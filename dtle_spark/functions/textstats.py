@@ -135,6 +135,28 @@ def pii_scrub(text: Column) -> Column:
     return out
 
 
+# --- Unicode text normalization (pre-tokenization hygiene) ------------
+
+# curly quotes -> ASCII, en/em dash -> hyphen, NBSP -> space (7:7 map)
+NORM_FROM = "“”‘’–— "
+NORM_TO = '""\'\'-- '
+# zero-width space/joiners + BOM: removed outright
+ZERO_WIDTH_CLASS = "[​‌‍﻿]"
+
+
+def normalize_text(text: Column) -> Column:
+    """Deterministic unicode normalization: smart punctuation to ASCII
+    (codepoint translate), zero-width characters removed, whitespace
+    collapsed, trimmed. The ftfy-lite pass a corpus runs before
+    tokenization — map-only, codegen'd, and restateable in DuckDB
+    (translate/regexp_replace operate on codepoints in both engines;
+    NBSP becomes ASCII space BEFORE the ASCII-\\s collapse, so the two
+    engines' regex space classes agree)."""
+    t = F.translate(text, NORM_FROM, NORM_TO)
+    t = F.regexp_replace(t, ZERO_WIDTH_CLASS, "")
+    return F.trim(F.regexp_replace(t, "\\s+", " "))
+
+
 # --- TF-IDF keyword extraction ----------------------------------------
 
 

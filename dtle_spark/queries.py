@@ -2861,6 +2861,53 @@ def q21_sole_blamed_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# dirty-text constructor shared by both engines: wraps each doc's
+# prefix in the punctuation the normalizer must fix (same literal
+# codepoints on both sides — the differential then proves the
+# normalizer itself, the fixture text being ASCII-clean)
+_DIRTY_PREFIX = "“"
+_DIRTY_SUFFIX = "” —​tail‘q’"
+
+
+@query(
+    "normalize_text",
+    f"""
+    WITH dirty AS (
+      SELECT doc_id, '{_DIRTY_PREFIX}' || substr(text, 1, 40) || '{_DIRTY_SUFFIX}' AS d
+      FROM documents
+    )
+    SELECT doc_id,
+      md5(trim(regexp_replace(
+        regexp_replace(
+          translate(d, '{tx.NORM_FROM}', '""''''-- '),
+          '{tx.ZERO_WIDTH_CLASS}', '', 'g'),
+        '\\s+', ' ', 'g'))) AS norm_fp,
+      CAST(length(trim(regexp_replace(
+        regexp_replace(
+          translate(d, '{tx.NORM_FROM}', '""''''-- '),
+          '{tx.ZERO_WIDTH_CLASS}', '', 'g'),
+        '\\s+', ' ', 'g'))) AS INT) AS norm_len
+    FROM dirty
+    """,
+)
+def normalize_text_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization differential: both engines build the SAME
+    dirty string (smart quotes, NBSP, em-dash, zero-width around each
+    doc prefix), normalize it (functions/textstats.normalize_text),
+    and compare fingerprints — proving the translate/strip/collapse
+    pipeline is engine-identical on codepoints the fixture lacks."""
+    d = load_table(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.lit(_DIRTY_PREFIX), F.substring("text", 1, 40), F.lit(_DIRTY_SUFFIX)
+    )
+    norm = tx.normalize_text(dirty)
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("norm_fp"),
+        F.length(norm).cast("int").alias("norm_len"),
+    )
+
+
 @query(
     "pipeline_keep",
     f"""

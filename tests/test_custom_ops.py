@@ -553,3 +553,12 @@ class TestTruncatedAnn:
         # fixture embeddings are NOT MRL-trained: half-dim recall is the
         # honest random-prefix floor, asserted only as non-degenerate
         assert recall > 0.2, f"truncated recall {recall}"
+
+
+def test_normalize_text_rules(spark):
+    from dtle_spark.functions.textstats import normalize_text
+
+    dirty = "“Smart” ‘quotes’, en–dash, em—dash,​zero﻿width   spaces "
+    df = spark.createDataFrame([(dirty,)], "t string")
+    out = df.select(normalize_text(F.col("t")).alias("n")).collect()[0]["n"]
+    assert out == '"Smart" \'quotes\', en-dash, em-dash,zerowidth spaces'
