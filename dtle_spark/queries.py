@@ -3076,7 +3076,7 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
       JOIN supplier ON s_suppkey = l_suppkey
       JOIN nation ON n_nationkey = s_nationkey
-      WHERE n_name = 'NATION_7'
+      WHERE n_name = 'NATION_12'
       GROUP BY l_partkey
     ),
     tot AS (SELECT CAST(SUM(value_cq) AS BIGINT) AS total FROM v)
@@ -3095,7 +3095,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     share the nation-filtered scan."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_12")
     v = (
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
