@@ -1348,6 +1348,55 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.neardup_pairs(e2, threshold=0.3)
 
 
+_SEMANTIC_DEDUP_ORACLE = f"""
+    WITH RECURSIVE v AS (
+      SELECT vec_id, embedding, {_duck_sign_bucket('embedding')} AS bucket FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_1, b.vec_id AS id_2
+      FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE {_duck_cosine('a.embedding', 'b.embedding')} >= 0.3
+    ),
+    edges AS (
+      SELECT id_1 AS a, id_2 AS b FROM pairs
+      UNION SELECT id_2, id_1 FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT re.node, e.b FROM reach re JOIN edges e ON re.r = e.a
+    ),
+    losers AS (
+      SELECT node FROM (SELECT node, MIN(r) AS comp FROM reach GROUP BY node)
+      WHERE node <> comp
+    )
+    SELECT vec_id, label FROM embeddings
+    WHERE vec_id NOT IN (SELECT node FROM losers)
+    """
+
+
+@query("semantic_dedup", _SEMANTIC_DEDUP_ORACLE)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector-space sibling of dedup_materialize: embedding-cosine
+    near-dup pairs (sign-LSH buckets) -> connected components -> drop
+    every non-canonical cluster member, keep min vec_id. The semantic-
+    dedup pass a corpus runs AFTER text dedup (catches paraphrases and
+    re-encodings text fingerprints miss). Same scale economics: bucket-
+    mate candidate generation, edge set orders smaller than the corpus,
+    size-aware CC rounds."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = sim.neardup_pairs(e, threshold=0.3).select("id_1", "id_2")
+    losers = (
+        connected_components(pairs)
+        .filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("vec_id"))
+    )
+    return e.join(F.broadcast(losers), "vec_id", "left_anti").select(
+        "vec_id", "label"
+    )
+
+
 @query(
     "token_count_bpe",
     """
