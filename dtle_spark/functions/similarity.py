@@ -132,6 +132,58 @@ def lsh_bucket_topk(
     )
 
 
+def lsh_multiprobe_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    planes: int = 8,
+) -> DataFrame:
+    """Multi-probe sign-LSH top-k: each query probes its own bucket AND
+    every bucket at hamming distance 1 (one sign flipped) — the
+    standard recall fix for LSH's hard bucket boundaries (Lv et al.
+    2007). Cost grows by (planes+1)x on the QUERY side only; the plan
+    stays an equi-join against the one-bucket-per-vector corpus, and a
+    corpus vector can match a query through exactly one probe, so no
+    dedup pass is needed."""
+    probes_expr = (
+        "explode(array(bucket, "
+        + ", ".join(
+            f"concat(substring(bucket, 1, {i - 1}),"
+            f" CASE WHEN substring(bucket, {i}, 1) = '1' THEN '0' ELSE '1' END,"
+            f" substring(bucket, {i + 1}, {planes - i}))"
+            for i in range(1, planes + 1)
+        )
+        + "))"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_expr(vec_col).alias("q_norm"),
+        sign_bucket_expr(vec_col, planes).alias("bucket"),
+    ).select(
+        "query_id", "q_vec", "q_norm", F.expr(probes_expr).alias("bucket")
+    )
+    c = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("n_vec"),
+        norm_expr(vec_col).alias("n_norm"),
+        sign_bucket_expr(vec_col, planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_with_norms("q_vec", "n_vec", "q_norm", "n_norm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def train_centroids(
     vectors: DataFrame,
     iters: int = 2,

@@ -721,6 +721,49 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("rank", "rnk")
 
 
+def _duck_flip_probes(planes: int = 8) -> str:
+    """Probe list: own bucket + each one-bit-flipped variant."""
+    flips = ", ".join(
+        f"substr(bucket, 1, {i - 1}) ||"
+        f" (CASE WHEN substr(bucket, {i}, 1) = '1' THEN '0' ELSE '1' END) ||"
+        f" substr(bucket, {i + 1}, {planes - i})"
+        for i in range(1, planes + 1)
+    )
+    return f"[bucket, {flips}]"
+
+
+_ANN_MULTIPROBE_ORACLE = f"""
+WITH v AS (SELECT vec_id, embedding, {_duck_sign_bucket('embedding')} AS bucket FROM embeddings),
+q0 AS (SELECT vec_id AS query_id, embedding AS q_vec,
+              sqrt({_duck_dot('embedding', 'embedding')}) AS qn, bucket
+       FROM v WHERE vec_id % 50 = 0),
+q AS (SELECT query_id, q_vec, qn, unnest({_duck_flip_probes()}) AS bucket FROM q0),
+c AS (SELECT vec_id AS neighbor_id, embedding AS n_vec,
+             sqrt({_duck_dot('embedding', 'embedding')}) AS cn, bucket
+      FROM v),
+scored AS (
+  SELECT query_id, neighbor_id, ({_duck_dot('q_vec', 'n_vec')}) / (qn * cn) AS cosine
+  FROM c JOIN q USING (bucket) WHERE query_id <> neighbor_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored)
+SELECT query_id, neighbor_id, rnk, cosine FROM r WHERE rnk <= 5
+"""
+
+
+@query("ann_topk_lsh_multiprobe", _ANN_MULTIPROBE_ORACLE)
+def ann_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH top-5: queries probe their bucket plus all
+    hamming-1 neighbors (similarity.lsh_multiprobe_topk) — recall
+    recovery over hard bucket boundaries at (planes+1)x QUERY-side cost
+    only; the corpus join stays equi on the bucket key. A pytest gate
+    proves recall strictly improves on single-bucket LSH."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    out = sim.lsh_multiprobe_topk(e, q, k=5)
+    return out.withColumnRenamed("rank", "rnk")
+
+
 def _duck_ivf_assign_score() -> str:
     """Mirror of ivf_topk's cell-assignment score: dot / precomputed
     centroid norm (the norm is computed once per centroid by the same

@@ -562,3 +562,22 @@ def test_normalize_text_rules(spark):
     df = spark.createDataFrame([(dirty,)], "t string")
     out = df.select(normalize_text(F.col("t")).alias("n")).collect()[0]["n"]
     assert out == '"Smart" \'quotes\', en-dash, em-dash,zerowidth spaces'
+
+
+def test_multiprobe_recall_beats_single_bucket(spark):
+    from dtle_spark.functions.similarity import (
+        brute_force_topk, lsh_bucket_topk, lsh_multiprobe_topk,
+    )
+    from dtle_spark.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    e = load_table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(e, q, k=5).collect()}
+    single = {(r["query_id"], r["neighbor_id"]) for r in lsh_bucket_topk(e, q, k=5).collect()}
+    multi = {(r["query_id"], r["neighbor_id"]) for r in lsh_multiprobe_topk(e, q, k=5).collect()}
+    r_single = len(ex & single) / len(ex)
+    r_multi = len(ex & multi) / len(ex)
+    # candidate superset -> recall vs exact can only improve (top-k
+    # membership itself may differ: better candidates displace worse)
+    assert r_multi >= r_single
