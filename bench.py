@@ -25,6 +25,11 @@ def main() -> None:
 
     # warmup: JVM, codegen, parquet footer caches
     load_table(spark, sf_dir, "lineitem").count()
+    # warmup: the Python/Arrow worker pool (mapInPandas queries otherwise
+    # charge ~20s of worker+Arrow cold-start to whichever runs first)
+    spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
