@@ -479,3 +479,104 @@ def shingles_ordered_expr(text_col: str, n: int = SHINGLE_N) -> Column:
         f"transform(sequence(1, greatest(size({t}) - {n} + 1, 1)),"
         f" i -> concat_ws(' ', slice({t}, i, {n})))"
     )
+
+
+SPAN_WINDOW = 8
+
+
+def duplicated_span_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SPAN_WINDOW,
+) -> DataFrame:
+    """Per-doc duplicated-span fraction: the substring-level dedup
+    signal of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better" (ExactSubstr). Every exact k-token window is
+    fingerprinted (md5); a window is *duplicated* if its fingerprint
+    occurs more than once anywhere in the corpus (another doc OR a
+    repeat inside the same doc). Returns
+    (id, n_windows, n_dup, dup_frac) per doc — the per-doc score a
+    pipeline thresholds on, where the reference suffix-array approach
+    would emit byte ranges.
+
+    Scale shape: windows are positional (no distinct), one md5 each;
+    the corpus-sized shuffles are keyed on the 16-byte fingerprint
+    (count-over-window) and then the doc id (re-aggregate) — never a
+    pair join, never quadratic. Docs shorter than k tokens have zero
+    windows and dup_frac 0.0.
+    """
+    t = _toks(text_col)
+    wins = F.expr(
+        f"CASE WHEN size({t}) < {k} THEN array() ELSE"
+        f" transform(sequence(1, size({t}) - {k} + 1),"
+        f" i -> md5(concat_ws(' ', slice({t}, i, {k})))) END"
+    )
+    base = spread(docs).select(F.col(id_col).alias("id"), wins.alias("w"))
+    ex = base.select("id", F.explode("w").alias("fp"))
+    # corpus occurrence count per fingerprint, then per-doc rollup
+    cnt = ex.withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+    per_doc = cnt.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(F.when(F.col("cnt") >= 2, 1).otherwise(0)).alias("n_dup"),
+    )
+    stats = base.select("id").join(per_doc, "id", "left")
+    return stats.select(
+        "id",
+        F.coalesce(F.col("n_windows"), F.lit(0)).cast("long").alias("n_windows"),
+        F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup"),
+        F.expr(
+            "CASE WHEN coalesce(n_windows, 0) = 0 THEN CAST(0.0 AS DOUBLE)"
+            " ELSE CAST(n_dup AS DOUBLE) / n_windows END"
+        ).alias("dup_frac"),
+    )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    threshold: float = 0.5,
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """Exact blocked n-gram CONTAINMENT: |A ∩ B| / min(|A|, |B|) for
+    all pairs within a block. Containment catches what Jaccard misses —
+    a short doc quoted wholesale inside a long one scores near 1.0
+    containment but low Jaccard (the union is dominated by the long
+    doc). The asymmetric-duplication screen of a training pipeline.
+
+    Same block+salt join skeleton (and therefore the same scale
+    economics) as ngram_jaccard_pairs: quadratic only within bounded
+    blocks, LSH being the unblocked sibling.
+    """
+    t = spread(docs).select(
+        F.col(id_col),
+        F.col(block_col).alias("block"),
+        shingles_expr(text_col, n).alias("sh"),
+    )
+    t = base_hash_columns(t).select(id_col, "block", F.col("hx").alias("hs"))
+    salts = 16
+    a = t.select(
+        F.col(id_col).alias("id_1"),
+        "block",
+        F.col("hs").alias("hs_1"),
+        (F.col(id_col) % salts).alias("salt"),
+    )
+    b = t.select(
+        F.col(id_col).alias("id_2"),
+        "block",
+        F.col("hs").alias("hs_2"),
+        F.explode(F.expr(f"sequence(0, {salts - 1})")).alias("salt"),
+    )
+    pairs = a.join(b, ["block", "salt"]).filter(F.col("id_1") < F.col("id_2"))
+    scored = pairs.withColumn(
+        "containment",
+        F.expr(
+            "CAST(size(array_intersect(hs_1, hs_2)) AS DOUBLE)"
+            " / least(size(hs_1), size(hs_2))"
+        ),
+    )
+    return scored.filter(F.col("containment") >= threshold).select(
+        "block", "id_1", "id_2", "containment"
+    )

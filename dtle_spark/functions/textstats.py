@@ -277,3 +277,58 @@ def dup_ratio(grams: Column) -> Column:
     return F.when(F.size(grams) == 0, F.lit(0.0)).otherwise(
         F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / F.size(grams)
     )
+
+
+def unigram_commonness(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-doc unigram LM quality proxy with exact-integer arithmetic:
+    each token contributes floor(log2(corpus frequency)) "commonness
+    bits" (length of the binary representation minus one — no floating
+    log, so the score is bit-for-bit portable across engines). High
+    mean = bland high-frequency text, low mean = rare-token text;
+    pipelines threshold both tails, the cheap stand-in for a real
+    KenLM perplexity gate.
+
+    Scale shape: corpus frequency is one combiner-friendly groupBy on
+    the term; the score join (tokens ⋈ vocabulary) keys on the term and
+    is broadcastable whenever the vocabulary fits (AQE converts it at
+    runtime); the rollup re-keys on the doc id. Zero-token docs score
+    (0, 0, 0.0).
+    """
+    from pyspark.sql import DataFrame  # local: avoid module-level cycle
+
+    assert isinstance(docs, DataFrame)
+    tok = spread_docs_tokens(docs, id_col, text_col)
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    bits = freq.select(
+        "term", (F.length(F.bin(F.col("cnt"))) - 1).cast("long").alias("bits")
+    )
+    per_doc = (
+        tok.join(bits, "term")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("bits").alias("info_bits"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("info_bits"), F.lit(0)).cast("long").alias("info_bits"),
+            F.expr(
+                "CASE WHEN coalesce(n_tokens, 0) = 0 THEN CAST(0.0 AS DOUBLE)"
+                " ELSE CAST(info_bits AS DOUBLE) / n_tokens END"
+            ).alias("mean_bits"),
+        )
+    )
+
+
+def spread_docs_tokens(docs, id_col: str, text_col: str):
+    """(id, term) exploded token rows, partition-spread for CPU work."""
+    from dtle_spark.util import spread
+
+    return spread(docs).select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
+    )

@@ -3367,3 +3367,95 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.countDistinct("fp").alias("shared_fps"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data surface, batch 5 (round 4): substring-level dedup
+# signal, asymmetric containment, integer-exact unigram LM quality
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "duplicated_spans",
+    f"""
+    WITH t AS (SELECT doc_id, {_duck_toks()} AS toks FROM documents),
+    w AS (
+      SELECT doc_id, md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS fp
+      FROM t, unnest(range(1, greatest(len(toks) - 8 + 1, 0) + 1)) AS u(i)
+    ),
+    c AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY fp) AS cnt FROM w),
+    d AS (
+      SELECT doc_id, COUNT(*) AS nw,
+             SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS nd
+      FROM c GROUP BY doc_id
+    )
+    SELECT t.doc_id AS id,
+           CAST(COALESCE(d.nw, 0) AS BIGINT) AS n_windows,
+           CAST(COALESCE(d.nd, 0) AS BIGINT) AS n_dup,
+           CASE WHEN COALESCE(d.nw, 0) = 0 THEN 0.0
+                ELSE CAST(d.nd AS DOUBLE) / d.nw END AS dup_frac
+    FROM t LEFT JOIN d USING (doc_id)
+    """,
+)
+def duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup signal (Lee et al. ExactSubstr): fraction
+    of each doc's exact 8-token windows that occur more than once in
+    the corpus (functions/dedup.py duplicated_span_stats — shuffles
+    keyed on window fingerprint then doc id, never a pair join)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.duplicated_span_stats(d, "doc_id", "text", k=8)
+
+
+@query(
+    "containment_pairs",
+    f"""
+    WITH t0 AS (SELECT doc_id, source AS block, {_duck_shingles()} AS sh FROM documents),
+    t AS (SELECT doc_id, block,
+          list_transform(list_transform(sh, s -> md5(s)),
+                         m -> {dd.hex_window_sql('m', 1, 'duckdb')}) AS hs
+          FROM t0)
+    SELECT a.block, a.doc_id AS id_1, b.doc_id AS id_2,
+      CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+        / least(len(a.hs), len(b.hs)) AS containment
+    FROM t a JOIN t b ON a.block = b.block AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+        / least(len(a.hs), len(b.hs)) >= 0.5
+    """,
+)
+def containment_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup screen: n-gram CONTAINMENT |A∩B|/min(|A|,|B|)
+    within source blocks — catches a short doc quoted wholesale inside
+    a long one, which Jaccard under-scores (functions/dedup.py
+    containment_pairs; same salted block join as the Jaccard sibling)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.containment_pairs(d, "doc_id", "text", "source", threshold=0.5)
+
+
+@query(
+    "unigram_commonness",
+    f"""
+    WITH tok AS (
+      SELECT doc_id AS id, unnest({_duck_toks()}) AS term FROM documents
+    ),
+    freq AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+    bits AS (SELECT term, CAST(length(to_base(cnt, 2)) - 1 AS BIGINT) AS bits FROM freq),
+    d AS (
+      SELECT id, COUNT(*) AS n_tokens, CAST(SUM(bits) AS BIGINT) AS info_bits
+      FROM tok JOIN bits USING (term) GROUP BY id
+    )
+    SELECT doc_id AS id,
+           CAST(COALESCE(d.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(d.info_bits, 0) AS BIGINT) AS info_bits,
+           CASE WHEN COALESCE(d.n_tokens, 0) = 0 THEN 0.0
+                ELSE CAST(d.info_bits AS DOUBLE) / d.n_tokens END AS mean_bits
+    FROM documents LEFT JOIN d ON documents.doc_id = d.id
+    """,
+)
+def unigram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact unigram LM quality proxy: per-doc mean of
+    floor(log2(corpus term frequency)) — the cheap stand-in for a KenLM
+    perplexity gate, portable because the "log" is binary-string length
+    (functions/textstats.py unigram_commonness; vocabulary join is the
+    only non-doc-keyed shuffle and broadcasts when the vocab fits)."""
+    d = load_table(spark, sf_dir, "documents")
+    return tx.unigram_commonness(d, "doc_id", "text")

@@ -581,3 +581,58 @@ def test_multiprobe_recall_beats_single_bucket(spark):
     # candidate superset -> recall vs exact can only improve (top-k
     # membership itself may differ: better candidates displace worse)
     assert r_multi >= r_single
+
+
+def test_duplicated_span_stats_flags_shared_runs(spark):
+    from dtle_spark.functions.dedup import duplicated_span_stats
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " unique1 tail1"),
+            (2, shared + " unique2 tail2"),
+            (3, "totally different words with no overlap at all here"),
+            (4, "short doc"),  # < 8 tokens -> zero windows
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in duplicated_span_stats(docs, "doc_id", "text").collect()}
+    # docs 1/2 share the leading 8-token window; their suffixes differ
+    assert out[1]["n_dup"] >= 1 and out[2]["n_dup"] >= 1
+    assert out[1]["n_dup"] < out[1]["n_windows"]  # unique tail windows
+    assert out[3]["n_dup"] == 0 and out[3]["dup_frac"] == 0.0
+    assert out[4]["n_windows"] == 0 and out[4]["dup_frac"] == 0.0
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    from dtle_spark.functions.dedup import containment_pairs, ngram_jaccard_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog near the river bank"
+    long_doc = quote + " " + " ".join(f"filler{i} pad{i} extra{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, long_doc, "s"), (2, quote, "s")], "doc_id long, text string, source string"
+    )
+    cont = containment_pairs(docs, "doc_id", "text", "source", threshold=0.9).collect()
+    assert len(cont) == 1 and cont[0]["containment"] == 1.0  # full quote
+    jac = ngram_jaccard_pairs(docs, "doc_id", "text", "source", threshold=0.9).collect()
+    assert jac == []  # Jaccard under-scores the asymmetric duplicate
+
+
+def test_unigram_commonness_orders_bland_above_rare(spark):
+    from dtle_spark.functions.textstats import unigram_commonness
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common common"),
+            (2, "rarest singleton tokens only"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in unigram_commonness(docs, "doc_id", "text").collect()}
+    # "common" occurs 4x -> floor(log2(4)) = 2 bits each; singletons 0
+    assert out[1]["mean_bits"] == 2.0 and out[1]["info_bits"] == 8
+    assert out[2]["mean_bits"] == 0.0
+    assert out[3] == {"id": 3, "n_tokens": 0, "info_bits": 0, "mean_bits": 0.0} or (
+        out[3]["n_tokens"] == 0 and out[3]["info_bits"] == 0 and out[3]["mean_bits"] == 0.0
+    )
