@@ -73,5 +73,97 @@ def connected_components(
         changed = new_labels.filter(F.col("component") != F.col("old")).count()
         labels = new_labels.select("node", "component")
         if changed == 0:
+            return labels
+    # a silent partial result would mis-cluster (labels stop mid-graph
+    # on diameter > max_iter); fail loudly — raise max_iter or use
+    # connected_components_star (O(log^2 n) rounds) for deep graphs
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        "increase max_iter or use connected_components_star"
+    )
+
+
+def connected_components_star(
+    pairs: DataFrame, src: str = "id_1", dst: str = "id_2", max_iter: int = 30
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris
+    et al., "Connected Components in MapReduce and Beyond") — the scale
+    path for SKEWED degree distributions. Min-label propagation
+    (connected_components above) needs O(diameter) rounds and keeps the
+    full edge set live every round; star rounds contract edges toward
+    component minima, converging in O(log^2 n) rounds on adversarial
+    graphs and shrinking the live edge set as stars form. Use it when
+    the dedup graph has boilerplate hubs (one template matching 10^6
+    docs); for tiny near-dup cliques min-label's fixed cost per round
+    is lower.
+
+    Same contract as connected_components: (node, component) for every
+    node appearing in ``pairs``, component = min reachable id (verified
+    equivalent on cliques/chains/hubs and the LSH pair graph in
+    tests/test_custom_ops.py).
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # per node u over BOTH directions: m = min(N(u) ∪ {u});
+        # emit (v, m) for strictly larger neighbors v
+        both = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = both.groupBy("u").agg(F.min("v").alias("mn"))
+        m = m.select("u", F.least("mn", F.col("u")).alias("m"))
+        out = (
+            both.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        return _orient(out)
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # edges already oriented u >= v: m = min neighborhood; relink
+        # every smaller neighbor (and u itself) to m
+        m = e.groupBy("u").agg(F.min("v").alias("m"))
+        nbrs = e.join(m, "u").filter(F.col("v") != F.col("m")).select(
+            F.col("v").alias("a"), F.col("m").alias("b")
+        )
+        self_link = m.select(F.col("u").alias("a"), F.col("m").alias("b"))
+        return _orient(nbrs.unionByName(self_link))
+
+    def _orient(e: DataFrame) -> DataFrame:
+        return (
+            e.filter(F.col("a") != F.col("b"))
+            .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+            .distinct()
+        )
+
+    def labels_of(e: DataFrame) -> DataFrame:
+        lab = e.groupBy("u").agg(F.min("v").alias("component"))
+        return nodes.join(
+            lab, nodes.node == lab.u, "left"
+        ).select("node", F.coalesce("component", F.col("node")).alias("component"))
+
+    for _ in range(max_iter):
+        # fixpoint is over the EDGE set (Kiveris et al. Thm 1: stable
+        # iff the graph is a union of min-centered stars) — label
+        # stability alone could pause mid-contraction for a round
+        nxt = small_star(large_star(edges)).localCheckpoint()
+        changed = (
+            nxt.join(edges, ["u", "v"], "left_anti").count()
+            + edges.join(nxt, ["u", "v"], "left_anti").count()
+        )
+        edges = nxt
+        if changed == 0:
             break
-    return labels
+    return labels_of(edges)

@@ -636,3 +636,44 @@ def test_unigram_commonness_orders_bland_above_rare(spark):
     assert out[3] == {"id": 3, "n_tokens": 0, "info_bits": 0, "mean_bits": 0.0} or (
         out[3]["n_tokens"] == 0 and out[3]["info_bits"] == 0 and out[3]["mean_bits"] == 0.0
     )
+
+
+def test_star_cc_equals_min_label_on_adversarial_graphs(spark):
+    from dtle_spark.functions.graph import (
+        connected_components, connected_components_star,
+    )
+
+    # chain (max diameter), clique, hub (max skew), plus cross-links
+    chain = [(i, i + 1) for i in range(100, 120)]
+    clique = [(a, b) for a in range(200, 208) for b in range(200, 208) if a < b]
+    hub = [(300, i) for i in range(301, 340)]
+    bridge = [(119, 200), (207, 300)]  # chain+clique+hub -> one component
+    iso = [(900, 901), (902, 903)]
+    pairs = spark.createDataFrame(
+        chain + clique + hub + bridge + iso, "id_1 long, id_2 long"
+    )
+    a = {(r["node"], r["component"]) for r in connected_components(pairs, max_iter=40).collect()}
+    b = {(r["node"], r["component"]) for r in connected_components_star(pairs).collect()}
+    assert a == b
+    # the merged component labels with the global min
+    comp = dict(b)
+    assert comp[339] == 100 and comp[207] == 100 and comp[119] == 100
+    assert comp[901] == 900 and comp[903] == 902
+    # under-iterated min-label must FAIL LOUDLY, not mis-cluster silently
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=3).collect()
+
+
+def test_star_cc_equals_min_label_on_lsh_pairs(spark):
+    from dtle_spark.functions.dedup import minhash_dedup_pairs
+    from dtle_spark.functions.graph import (
+        connected_components, connected_components_star,
+    )
+    from dtle_spark.io import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pairs = minhash_dedup_pairs(d, "doc_id", "text", threshold=0.5).localCheckpoint()
+    a = {(r["node"], r["component"]) for r in connected_components(pairs).collect()}
+    b = {(r["node"], r["component"]) for r in connected_components_star(pairs).collect()}
+    assert a == b and len(a) > 0
