@@ -113,3 +113,26 @@ def test_vocab_coverage_window_is_post_agg(spark):
     # and the explode (corpus-sized Generate) must sit BELOW the
     # aggregate, not below the window directly
     assert plan.index("HashAggregate") < plan.index("Generate")
+
+
+def test_duplicated_spans_no_pair_join(spark):
+    """The ExactSubstr signal must be count-based, never a pair join:
+    no nested-loop/cartesian anywhere, and zero Python nodes."""
+    plan = plan_of("duplicated_spans", spark)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_unigram_commonness_stays_jvm_side(spark):
+    """Score join + rollup are pure relational ops; the binary-string
+    'log' keeps the scoring JVM-side (no Python eval)."""
+    plan = plan_of("unigram_commonness", spark)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_containment_reuses_salted_block_join(spark):
+    """Containment keeps the bounded-block economics: an equi-join on
+    (block, salt) — never an unconstrained cross join."""
+    plan = plan_of("containment_pairs", spark)
+    assert "CartesianProduct" not in plan
