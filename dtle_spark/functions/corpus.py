@@ -263,3 +263,31 @@ def pack_sequences(
             (F.col("__c") % budget).alias("bin_offset"),
         )
     )
+
+
+def corpus_shuffle(
+    docs: DataFrame, id_col: str = "doc_id", shards: int = 16
+) -> DataFrame:
+    """Deterministic global training-order shuffle: the step between
+    corpus assembly and sequence packing that destroys source/time
+    locality (training batches must not see a million consecutive docs
+    from one crawl). Each doc draws its md5 40-bit uniform; shard =
+    draw mod shards, position = rank of (draw, id) within the shard.
+    Readers consume shards in any order, positions in order — a
+    reproducible permutation with no RNG state, stable under corpus
+    growth the same way stratified_sample is (a doc's draw never
+    changes, so re-runs after appends move no existing doc across
+    shards).
+
+    Scale shape: one exchange keyed on the shard + a shard-local sort
+    (the window). Shard count is the sort-memory knob: 100 TB / 64k
+    shards ≈ 1.6 GB per sort — executor-sized. No global sort at any
+    scale.
+    """
+    u = F.expr(hash_uniform_expr(id_col, "spark"))
+    d = docs.select(F.col(id_col).alias("id"), u.alias("u"))
+    d = d.withColumn("shard", (F.col("u") % shards).cast("long"))
+    w = Window.partitionBy("shard").orderBy("u", "id")
+    return d.select(
+        "id", "shard", F.row_number().over(w).cast("long").alias("pos")
+    )

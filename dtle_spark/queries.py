@@ -3459,3 +3459,24 @@ def unigram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     only non-doc-keyed shuffle and broadcasts when the vocab fits)."""
     d = load_table(spark, sf_dir, "documents")
     return tx.unigram_commonness(d, "doc_id", "text")
+
+
+@query(
+    "corpus_shuffle",
+    f"""
+    WITH d AS (
+      SELECT doc_id AS id, {cp.hash_uniform_expr('doc_id', 'duckdb')} AS u
+      FROM documents
+    )
+    SELECT id, CAST(u % 16 AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY u % 16 ORDER BY u, id) AS BIGINT) AS pos
+    FROM d
+    """,
+)
+def corpus_shuffle_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle (functions/corpus.py
+    corpus_shuffle): md5-draw shard + in-shard rank — a reproducible
+    RNG-free permutation; one shard-keyed exchange + shard-local sort,
+    never a global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    return cp.corpus_shuffle(d, "doc_id", shards=16)

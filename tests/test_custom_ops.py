@@ -677,3 +677,23 @@ def test_star_cc_equals_min_label_on_lsh_pairs(spark):
     a = {(r["node"], r["component"]) for r in connected_components(pairs).collect()}
     b = {(r["node"], r["component"]) for r in connected_components_star(pairs).collect()}
     assert a == b and len(a) > 0
+
+
+def test_corpus_shuffle_is_stable_permutation(spark):
+    from dtle_spark.functions.corpus import corpus_shuffle
+    from dtle_spark.io import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    full = corpus_shuffle(d, "doc_id", shards=16).collect()
+    # a permutation: every (shard, pos) slot unique, positions contiguous 1..n
+    assert len({(r["shard"], r["pos"]) for r in full}) == len(full)
+    by_shard = {}
+    for r in full:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+    # growth-stable: a prefix corpus assigns every common doc the SAME
+    # shard (appends never move existing docs across shards)
+    sub = corpus_shuffle(d.filter(F.col("doc_id") < 400), "doc_id", shards=16).collect()
+    full_shard = {r["id"]: r["shard"] for r in full}
+    assert all(full_shard[r["id"]] == r["shard"] for r in sub)
