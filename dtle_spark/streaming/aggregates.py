@@ -162,3 +162,33 @@ def running_totals(events: DataFrame, key_col: str = "user_id") -> DataFrame:
     return events.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    within: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: right-side events landing within
+    [left_ts, left_ts + within] per key — the click-attribution shape
+    (streaming twin of the batch asof_click_attribution query). Both
+    sides carry watermarks and the join condition bounds event time in
+    BOTH directions, so Spark can bound join state: buffered rows are
+    evicted once the watermark passes their match horizon, making the
+    join unbounded-stream-safe. Output columns are prefixed l_/r_.
+    """
+    l = left.select(
+        [F.col(c).alias(f"l_{c}") for c in left.columns]
+    ).withWatermark(f"l_{ts_col}", watermark)
+    r = right.select(
+        [F.col(c).alias(f"r_{c}") for c in right.columns]
+    ).withWatermark(f"r_{ts_col}", watermark)
+    cond = (
+        (F.col(f"l_{key_col}") == F.col(f"r_{key_col}"))
+        & (F.col(f"r_{ts_col}") >= F.col(f"l_{ts_col}"))
+        & (F.col(f"r_{ts_col}") <= F.col(f"l_{ts_col}") + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner")

@@ -254,3 +254,34 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     rows = spark.sql("SELECT event_id, count(*) n FROM dd_out GROUP BY event_id").collect()
     got = {r["event_id"]: r["n"] for r in rows}
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_stream_interval_join_matches_batch(spark, event_stream):
+    from dtle_spark.streaming.aggregates import stream_interval_join
+
+    stream, batch = event_stream
+    views_s = stream.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    clicks_s = stream.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    joined = stream_interval_join(views_s, clicks_s, within="15 minutes")
+    # inner stream-stream joins emit on match -> append mode drains fully
+    _run_to_memory(joined, "ssj_out", "append")
+    got = {
+        (r["l_event_id"], r["r_event_id"])
+        for r in spark.sql("SELECT * FROM ssj_out").collect()
+    }
+    v = batch.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"), F.col("ts").alias("vts"), F.col("event_id").alias("vid")
+    )
+    c = batch.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"), F.col("event_id").alias("cid")
+    )
+    expected = {
+        (r["vid"], r["cid"])
+        for r in v.join(
+            c,
+            (F.col("vu") == F.col("cu"))
+            & (F.col("cts") >= F.col("vts"))
+            & (F.col("cts") <= F.col("vts") + F.expr("INTERVAL 15 minutes")),
+        ).collect()
+    }
+    assert got == expected and len(got) > 0
