@@ -580,3 +580,65 @@ def containment_pairs(
     return scored.filter(F.col("containment") >= threshold).select(
         "block", "id_1", "id_2", "containment"
     )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SPAN_WINDOW,
+) -> DataFrame:
+    """The ExactSubstr dedup TRANSFORM (duplicated_span_stats is the
+    signal): drop every token covered by a corpus-duplicated k-token
+    window and reassemble the survivors in order. Matches the Lee et
+    al. policy of removing repeated substrings wherever they occur
+    (each occurrence is covered, so repeated boilerplate vanishes from
+    every doc). Returns (id, n_tokens, n_kept, clean_text).
+
+    Scale shape: window fingerprints shuffle as (16-byte fp, id, pos);
+    the occurrence count is a window over fp; covered positions explode
+    x k (bounded small multiplier); reassembly is one groupBy(id) with
+    an ordered in-memory array sort per doc — docs, not the corpus,
+    bound the sort. No pair join anywhere.
+    """
+    t = _toks(text_col)
+    base = spread(docs).select(
+        F.col(id_col).alias("id"), F.expr(t).alias("toks")
+    ).localCheckpoint(eager=False)
+    wins = base.select(
+        "id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(toks) < {k} THEN array() ELSE"
+                f" transform(sequence(1, size(toks) - {k} + 1),"
+                f" i -> struct(i AS pos, md5(concat_ws(' ', slice(toks, i, {k}))) AS fp)) END"
+            )
+        ).alias("w"),
+    ).select("id", F.col("w.pos").alias("pos"), F.col("w.fp").alias("fp"))
+    dup = wins.withColumn(
+        "cnt", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    ).filter(F.col("cnt") >= 2)
+    covered = dup.select(
+        "id", F.explode(F.expr(f"sequence(pos, pos + {k} - 1)")).alias("p")
+    ).distinct()
+    toks = base.select(
+        "id", F.posexplode("toks").alias("p0", "tok")
+    ).select("id", (F.col("p0") + 1).alias("p"), "tok")
+    kept = toks.join(covered, ["id", "p"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.expr(
+            "concat_ws(' ', transform(array_sort(collect_list(struct(p, tok))),"
+            " s -> s.tok))"
+        ).alias("clean_text"),
+    )
+    return (
+        base.select("id", F.size("toks").cast("long").alias("n_tokens"))
+        .join(rebuilt, "id", "left")
+        .select(
+            "id",
+            "n_tokens",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

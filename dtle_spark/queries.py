@@ -3480,3 +3480,48 @@ def corpus_shuffle_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a global sort."""
     d = load_table(spark, sf_dir, "documents")
     return cp.corpus_shuffle(d, "doc_id", shards=16)
+
+
+@query(
+    "span_dedup_materialize",
+    f"""
+    WITH t AS (SELECT doc_id AS id, {_duck_toks()} AS toks FROM documents),
+    w AS (
+      SELECT id, i AS pos, md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS fp
+      FROM t, unnest(range(1, greatest(len(toks) - 8 + 1, 0) + 1)) AS u(i)
+    ),
+    c AS (SELECT id, pos, COUNT(*) OVER (PARTITION BY fp) AS cnt FROM w),
+    cov AS (
+      SELECT DISTINCT s.id, s.pos + j AS p
+      FROM (SELECT id, pos FROM c WHERE cnt >= 2) s, unnest(range(0, 8)) AS v(j)
+    ),
+    tok AS (
+      SELECT id, j AS p, toks[j] AS tok
+      FROM t, unnest(range(1, len(toks) + 1)) AS v(j)
+    ),
+    kept AS (
+      SELECT tok.id, tok.p, tok.tok FROM tok
+      LEFT JOIN cov ON tok.id = cov.id AND tok.p = cov.p
+      WHERE cov.id IS NULL
+    ),
+    r AS (
+      SELECT id, COUNT(*) AS n_kept, string_agg(tok, ' ' ORDER BY p) AS clean_text
+      FROM kept GROUP BY id
+    )
+    SELECT t.id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+           md5(COALESCE(r.clean_text, '')) AS clean_fp
+    FROM t LEFT JOIN r USING (id)
+    """,
+)
+def span_dedup_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr dedup TRANSFORM: every token covered by a
+    corpus-duplicated 8-token window is dropped and the survivors
+    reassembled in order (functions/dedup.py remove_duplicated_spans).
+    Hash of the rebuilt text proves both engines removed exactly the
+    same spans."""
+    d = load_table(spark, sf_dir, "documents")
+    out = dd.remove_duplicated_spans(d, "doc_id", "text", k=8)
+    return out.select(
+        "id", "n_tokens", "n_kept", F.md5("clean_text").alias("clean_fp")
+    )

@@ -697,3 +697,25 @@ def test_corpus_shuffle_is_stable_permutation(spark):
     sub = corpus_shuffle(d.filter(F.col("doc_id") < 400), "doc_id", shards=16).collect()
     full_shard = {r["id"]: r["shard"] for r in full}
     assert all(full_shard[r["id"]] == r["shard"] for r in sub)
+
+
+def test_remove_duplicated_spans_semantics(spark):
+    from dtle_spark.functions.dedup import remove_duplicated_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # one 8-token window
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " keep1 keep2"),
+            (2, shared + " keep3 keep4"),
+            (3, "unique words that appear nowhere else in this tiny corpus"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in remove_duplicated_spans(docs, "doc_id", "text").collect()}
+    # the shared window is removed from BOTH docs; unique tails survive
+    assert out[1]["clean_text"] == "keep1 keep2"
+    assert out[2]["clean_text"] == "keep3 keep4"
+    assert out[1]["n_tokens"] == 10 and out[1]["n_kept"] == 2
+    # untouched doc passes through whole
+    assert out[3]["n_kept"] == out[3]["n_tokens"]
+    assert out[3]["clean_text"].startswith("unique words")
