@@ -506,21 +506,30 @@ def duplicated_span_stats(
     pair join, never quadratic. Docs shorter than k tokens have zero
     windows and dup_frac 0.0.
     """
-    t = _toks(text_col)
-    wins = F.expr(
-        f"CASE WHEN size({t}) < {k} THEN array() ELSE"
-        f" transform(sequence(1, size({t}) - {k} + 1),"
-        f" i -> md5(concat_ws(' ', slice({t}, i, {k})))) END"
+    # Two load-bearing boundaries:
+    # 1. tokenize at its own select (the word_ngrams pitfall);
+    # 2. md5 AFTER the explode, not inside the window array — Spark's
+    #    Generate collapse re-evaluates the generator's array expr per
+    #    OUTPUT row, turning an md5-inside-transform explode into
+    #    O(windows^2) per doc (measured 8.7s -> 0.7s at sf0.1).
+    toked = spread(docs).select(
+        F.col(id_col).alias("id"), F.expr(_toks(text_col)).alias("toks")
     )
-    base = spread(docs).select(F.col(id_col).alias("id"), wins.alias("w"))
-    ex = base.select("id", F.explode("w").alias("fp"))
+    wins = F.expr(
+        f"CASE WHEN size(toks) < {k} THEN array() ELSE"
+        f" transform(sequence(1, size(toks) - {k} + 1),"
+        f" i -> concat_ws(' ', slice(toks, i, {k}))) END"
+    )
+    ex = toked.select("id", F.explode(wins).alias("s")).select(
+        "id", F.md5("s").alias("fp")
+    )
     # corpus occurrence count per fingerprint, then per-doc rollup
     cnt = ex.withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("fp")))
     per_doc = cnt.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_windows"),
         F.sum(F.when(F.col("cnt") >= 2, 1).otherwise(0)).alias("n_dup"),
     )
-    stats = base.select("id").join(per_doc, "id", "left")
+    stats = docs.select(F.col(id_col).alias("id")).join(per_doc, "id", "left")
     return stats.select(
         "id",
         F.coalesce(F.col("n_windows"), F.lit(0)).cast("long").alias("n_windows"),
@@ -605,16 +614,19 @@ def remove_duplicated_spans(
     base = spread(docs).select(
         F.col(id_col).alias("id"), F.expr(t).alias("toks")
     ).localCheckpoint(eager=False)
+    # md5 AFTER the explode (same Generate-collapse trap as
+    # duplicated_span_stats: an md5 inside the exploded array is
+    # re-evaluated per output row)
     wins = base.select(
         "id",
-        F.explode(
+        F.posexplode(
             F.expr(
                 f"CASE WHEN size(toks) < {k} THEN array() ELSE"
                 f" transform(sequence(1, size(toks) - {k} + 1),"
-                f" i -> struct(i AS pos, md5(concat_ws(' ', slice(toks, i, {k}))) AS fp)) END"
+                f" i -> concat_ws(' ', slice(toks, i, {k}))) END"
             )
-        ).alias("w"),
-    ).select("id", F.col("w.pos").alias("pos"), F.col("w.fp").alias("fp"))
+        ).alias("p0", "s"),
+    ).select("id", (F.col("p0") + 1).alias("pos"), F.md5("s").alias("fp"))
     dup = wins.withColumn(
         "cnt", F.count(F.lit(1)).over(Window.partitionBy("fp"))
     ).filter(F.col("cnt") >= 2)
