@@ -374,7 +374,13 @@ def simhash_near_pairs(
     if max_distance > chunks - 1:
         raise ValueError(f"max_distance {max_distance} needs >= {max_distance + 1} chunks")
     width = SIMHASH_BITS // chunks
-    s = simhash_signatures(docs, id_col, text_col)
+    # materialize the narrow (id, simhash) table once: the window
+    # structs reference `simhash` per chunk and the self-join reads it
+    # from BOTH sides — without a barrier, project-collapse inlines the
+    # md5 token hashing + 60-bit fold into every reference (measured
+    # ~2x on the pairs query). At production scale this is the standard
+    # persisted-signatures table of any LSH pipeline.
+    s = simhash_signatures(docs, id_col, text_col).localCheckpoint(eager=False)
     windows = F.array(
         *[
             F.struct(
