@@ -719,3 +719,31 @@ def test_remove_duplicated_spans_semantics(spark):
     # untouched doc passes through whole
     assert out[3]["n_kept"] == out[3]["n_tokens"]
     assert out[3]["clean_text"].startswith("unique words")
+
+
+def test_span_signal_and_transform_are_consistent(spark):
+    """duplicated_span_stats (signal) and remove_duplicated_spans
+    (transform) must agree on the real corpus: a doc loses tokens iff
+    it has duplicated windows, and clean docs pass through verbatim."""
+    from dtle_spark.functions.dedup import (
+        duplicated_span_stats, remove_duplicated_spans,
+    )
+    from dtle_spark.io import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sig = {r["id"]: r for r in duplicated_span_stats(d, "doc_id", "text").collect()}
+    out = {r["id"]: r for r in remove_duplicated_spans(d, "doc_id", "text").collect()}
+    assert set(sig) == set(out)
+    n_dirty = 0
+    for i, s in sig.items():
+        o = out[i]
+        assert o["n_tokens"] == s["n_windows"] + 7 if s["n_windows"] > 0 else True
+        if s["n_dup"] == 0:
+            # no duplicated window -> nothing removed
+            assert o["n_kept"] == o["n_tokens"], i
+        else:
+            n_dirty += 1
+            # each duplicated window covers >= 8 tokens, overlaps dedup
+            assert o["n_kept"] < o["n_tokens"], i
+            assert o["n_tokens"] - o["n_kept"] >= 8, i
+    assert n_dirty > 0  # fixture corpus genuinely contains duplication
