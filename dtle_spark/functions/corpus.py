@@ -291,3 +291,68 @@ def corpus_shuffle(
     return d.select(
         "id", "shard", F.row_number().over(w).cast("long").alias("pos")
     )
+
+
+def export_training_shards(
+    docs: DataFrame,
+    out_dir: str,
+    budget: int = 2048,
+    shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """The assembled corpus EXPORT: deterministic shuffle ->
+    shard-local sequence packing -> one parquet directory per shard,
+    sealed by a JSON manifest written LAST (readers that find the
+    manifest find complete data — the same manifest-last protocol as
+    sinks/manifest.py). Output rows: (shard, pos, id, n_tokens, bin,
+    bin_offset, text), partitioned by shard; a trainer streams shard
+    files in any order and rows by pos within one.
+
+    Scale shape: corpus_shuffle's shard exchange IS the packing
+    partition — shuffle once, then the pack window and the partitioned
+    write both reuse shard locality. Manifest is O(shards) small.
+    """
+    import json as _json
+    import os as _os
+
+    order = corpus_shuffle(docs, id_col, shards)
+    d = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")).join(
+        order, "id"
+    )
+    packed = pack_sequences(
+        d.withColumnRenamed("pos", "posn"),
+        budget=budget,
+        id_col="posn",
+        text_col="text",
+        part_col="shard",
+    ).withColumnRenamed("part", "shard").withColumnRenamed("id", "posn")
+    out = (
+        d.select("id", F.col("pos").alias("posn"), "shard", "text")
+        .join(packed, ["shard", "posn"])
+        .select(
+            "shard", F.col("posn").alias("pos"), "id", "n_tokens", "bin",
+            "bin_offset", "text",
+        )
+    )
+    data_dir = _os.path.join(out_dir, "data")
+    out.repartition("shard").write.partitionBy("shard").mode("overwrite").parquet(data_dir)
+    stats = out.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.countDistinct("shard", "bin")).alias("n_bins"),
+    ).collect()[0]
+    manifest = {
+        "format": "packed-corpus-v1",
+        "shards": shards,
+        "budget": budget,
+        "n_docs": stats["n_docs"],
+        "total_tokens": stats["total_tokens"],
+        "n_bins": stats["n_bins"],
+        "data_dir": "data",
+    }
+    tmp = _os.path.join(out_dir, "_manifest.json.tmp")
+    with open(tmp, "w") as f:
+        _json.dump(manifest, f, indent=1)
+    _os.replace(tmp, _os.path.join(out_dir, "_manifest.json"))
+    return manifest

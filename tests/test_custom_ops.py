@@ -747,3 +747,39 @@ def test_span_signal_and_transform_are_consistent(spark):
             assert o["n_kept"] < o["n_tokens"], i
             assert o["n_tokens"] - o["n_kept"] >= 8, i
     assert n_dirty > 0  # fixture corpus genuinely contains duplication
+
+
+def test_export_training_shards_e2e(spark, tmp_path):
+    import json
+    import os
+
+    from dtle_spark.functions.corpus import export_training_shards
+    from dtle_spark.io import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out_dir = str(tmp_path / "corpus")
+    os.makedirs(out_dir)
+    man = export_training_shards(d, out_dir, budget=512, shards=4)
+    # manifest written last and consistent with the data
+    with open(os.path.join(out_dir, "_manifest.json")) as f:
+        assert json.load(f) == man
+    back = spark.read.parquet(os.path.join(out_dir, "data"))
+    assert back.count() == man["n_docs"] == d.count()
+    rows = back.collect()
+    # every doc exactly once; (shard, pos) is the training order
+    assert len({r["id"] for r in rows}) == len(rows)
+    assert len({(r["shard"], r["pos"]) for r in rows}) == len(rows)
+    # packing invariant per shard: bins fill sequentially in pos order
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["pos"])
+        cum = 0
+        for r in rs:
+            assert r["bin"] == cum // 512 and r["bin_offset"] == cum % 512, shard
+            cum += r["n_tokens"]
+    # deterministic: a second export reproduces the same manifest
+    out2 = str(tmp_path / "corpus2")
+    os.makedirs(out2)
+    assert export_training_shards(d, out2, budget=512, shards=4) == man
