@@ -425,7 +425,13 @@ def ngram_jaccard_pairs(
         F.col(block_col).alias("block"),
         shingles_expr(text_col, n).alias("sh"),
     )
-    t = base_hash_columns(t).select(id_col, "block", F.col("hx").alias("hs"))
+    # materialized once: both join sides read the hashed sets, and
+    # without a barrier the md5 shingling runs twice
+    t = (
+        base_hash_columns(t)
+        .select(id_col, "block", F.col("hx").alias("hs"))
+        .localCheckpoint(eager=False)
+    )
     # few distinct blocks = few join partitions -> salt the left side by
     # id and replicate the right across salts: same pair set, SALTS x
     # the parallelism (the classic skew/low-cardinality join fix)
@@ -467,9 +473,12 @@ def winnowing_fingerprints(
     portable construction the MinHash lanes use; ordering (not just
     set membership) is preserved by winnowing over hash POSITIONS.
     """
+    # materialize the hash array: `hx` is referenced inside the
+    # per-window lambda, and without a barrier project-collapse inlines
+    # the md5 shingle hashing into every element evaluation
     base = base_hash_columns(
         spread(docs).select(id_col, shingles_ordered_expr(text_col).alias("sh"))
-    )
+    ).select(id_col, "hx").localCheckpoint(eager=False)
     fps = F.expr(
         f"array_distinct(transform(sequence(1, greatest(size(hx) - {window} + 1, 1)),"
         f" j -> array_min(slice(hx, j, {window}))))"
@@ -570,7 +579,12 @@ def containment_pairs(
         F.col(block_col).alias("block"),
         shingles_expr(text_col, n).alias("sh"),
     )
-    t = base_hash_columns(t).select(id_col, "block", F.col("hx").alias("hs"))
+    # materialized once: both join sides read the hashed sets
+    t = (
+        base_hash_columns(t)
+        .select(id_col, "block", F.col("hx").alias("hs"))
+        .localCheckpoint(eager=False)
+    )
     salts = 16
     a = t.select(
         F.col(id_col).alias("id_1"),
