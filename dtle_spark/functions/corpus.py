@@ -195,9 +195,11 @@ def strip_boilerplate(
     The alternative pass-the-text-twice design would move full document
     bodies through two shuffles instead of one.
     """
+    # materialized once: the frequency groupBy and the anti-join both
+    # read the line table — without a barrier the explode+md5 runs twice
     lines = explode_lines(docs, id_col, text_col, delim).withColumn(
         "fp", F.md5(F.col("line"))
-    )
+    ).localCheckpoint(eager=False)
     boiler = (
         lines.groupBy("fp")
         .agg(F.count_distinct(F.col("id")).alias("n_docs"))

@@ -187,7 +187,11 @@ def tfidf_topk(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.col(text_col))).alias("term"),
     ).filter(~F.col("term").isin(*stopwords))
-    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # materialized once: df_t derives FROM tf, so without a barrier the
+    # scored join recomputes the whole explode+tf shuffle for each
+    tf = toks.groupBy("id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint(eager=False)
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.select(F.count_distinct(F.col(id_col)).alias("n"))
     scored = (
