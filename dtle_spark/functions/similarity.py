@@ -473,16 +473,32 @@ def neardup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.3,
     planes: int = 8,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within sign-LSH buckets:
     the vector-space member of the dedup family (brief: 'embedding-
     cosine near-dup'). Only bucket-mates are compared — the same
-    candidate-generation economics as MinHash-LSH for text."""
+    candidate-generation economics as MinHash-LSH for text.
+
+    Scale knobs (the simhash single-window lesson applies here too —
+    2^planes is the TOTAL bucket count, so too few planes makes the
+    self-join quadratic in N): set planes ≈ log2(N / target_bucket),
+    and the `max_bucket` cap drops degenerate buckets (a zero vector
+    region, an all-positive quadrant) before the join, bounding the
+    worst task at max_bucket²/2 pairs exactly as the MinHash hot-bucket
+    cap does. The count windows over the same key the join shuffles on
+    (one exchange, AQE-reused)."""
     v = vectors.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         norm_expr(vec_col).alias("norm"),
         sign_bucket_expr(vec_col, planes).alias("bucket"),
+    )
+    bw = Window.partitionBy("bucket")
+    v = (
+        v.withColumn("__bn", F.count(F.lit(1)).over(bw))
+        .filter(F.col("__bn") <= max_bucket)
+        .drop("__bn")
     )
     a = v.select(
         F.col("id").alias("id_1"), F.col("vec").alias("v1"),

@@ -1375,7 +1375,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_neardup",
     f"""
-    WITH v AS (SELECT vec_id, embedding, {_duck_sign_bucket('embedding')} AS bucket FROM embeddings),
+    WITH v0 AS (SELECT vec_id, embedding, {_duck_sign_bucket('embedding')} AS bucket FROM embeddings),
+    v AS (
+      SELECT vec_id, embedding, bucket FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS bn FROM v0
+      ) WHERE bn <= 256
+    ),
     p AS (
       SELECT a.bucket, a.vec_id AS id_1, b.vec_id AS id_2,
              {_duck_cosine('a.embedding', 'b.embedding')} AS cosine
@@ -1392,8 +1397,13 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SEMANTIC_DEDUP_ORACLE = f"""
-    WITH RECURSIVE v AS (
+    WITH RECURSIVE v0 AS (
       SELECT vec_id, embedding, {_duck_sign_bucket('embedding')} AS bucket FROM embeddings
+    ),
+    v AS (
+      SELECT vec_id, embedding, bucket FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS bn FROM v0
+      ) WHERE bn <= 256
     ),
     pairs AS (
       SELECT a.vec_id AS id_1, b.vec_id AS id_2
