@@ -329,6 +329,80 @@ def unigram_commonness(docs, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+def dsir_importance(
+    docs,
+    is_target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """DSIR-style importance score (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling") with exact-integer
+    arithmetic: rank raw-corpus documents by how much they resemble a
+    target distribution (``is_target`` marks the in-domain subset, e.g.
+    a curated source). The per-token log-likelihood ratio
+    ``log p_target(tok) - log p_raw(tok)`` is approximated by
+    ``floor(log2(target_freq + 1)) - floor(log2(raw_freq + 1))`` —
+    binary-string lengths, no floating log, so the score is bit-for-bit
+    portable across engines. Normalizer terms (corpus token totals) are
+    a per-token constant, so they shift every document's mean equally
+    and cancel for ranking/resampling — documented, not computed.
+
+    Returns (id, n_tokens, dsir_bits, mean_dsir): the integer bit sum
+    and its length-normalized mean (single IEEE division at the end).
+    High mean = target-like text; DSIR samples proportionally to it.
+
+    Scale shape: ONE combiner-friendly groupBy on the term builds both
+    frequency tables (conditional count — no second pass over the
+    tokens); the score join keys on the term and broadcasts whenever
+    the vocabulary fits (AQE converts at runtime); the rollup re-keys
+    on the doc id. Zero-token docs score (0, 0, 0.0).
+    """
+    from pyspark.sql import DataFrame  # local: avoid module-level cycle
+
+    assert isinstance(docs, DataFrame)
+    from dtle_spark.util import spread
+
+    tok = spread(docs).select(
+        F.col(id_col).alias("id"),
+        is_target.alias("is_tgt"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    vocab = tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("cnt_r"),
+        F.count(F.when(F.col("is_tgt"), F.lit(1))).alias("cnt_t"),
+    )
+    weights = vocab.select(
+        "term",
+        (
+            (F.length(F.bin(F.col("cnt_t") + 1)) - 1)
+            - (F.length(F.bin(F.col("cnt_r") + 1)) - 1)
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    per_doc = (
+        tok.join(weights, "term")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w").alias("dsir_bits"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("dsir_bits"), F.lit(0)).cast("long").alias("dsir_bits"),
+            F.expr(
+                "CASE WHEN coalesce(n_tokens, 0) = 0 THEN CAST(0.0 AS DOUBLE)"
+                " ELSE CAST(dsir_bits AS DOUBLE) / n_tokens END"
+            ).alias("mean_dsir"),
+        )
+    )
+
+
 def spread_docs_tokens(docs, id_col: str, text_col: str):
     """(id, term) exploded token rows, partition-spread for CPU work."""
     from dtle_spark.util import spread

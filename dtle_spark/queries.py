@@ -3535,3 +3535,93 @@ def span_dedup_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id", "n_tokens", "n_kept", F.md5("clean_text").alias("clean_fp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 session-3 additions: DSIR importance weighting and GROUPING
+# SETS coverage.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dsir_proxy",
+    f"""
+    WITH tok AS (
+      SELECT doc_id AS id, lang = 'en' AS is_tgt, unnest({_duck_toks()}) AS term
+      FROM documents
+    ),
+    vocab AS (
+      SELECT term,
+        COUNT(*) AS cnt_r,
+        COUNT(*) FILTER (WHERE is_tgt) AS cnt_t
+      FROM tok GROUP BY term
+    ),
+    w AS (
+      SELECT term,
+        CAST((length(to_base(cnt_t + 1, 2)) - 1)
+           - (length(to_base(cnt_r + 1, 2)) - 1) AS BIGINT) AS w
+      FROM vocab
+    ),
+    d AS (
+      SELECT id, COUNT(*) AS n_tokens, CAST(SUM(w) AS BIGINT) AS dsir_bits
+      FROM tok JOIN w USING (term) GROUP BY id
+    )
+    SELECT doc_id AS id,
+           CAST(COALESCE(d.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(d.dsir_bits, 0) AS BIGINT) AS dsir_bits,
+           CASE WHEN COALESCE(d.n_tokens, 0) = 0 THEN 0.0
+                ELSE CAST(d.dsir_bits AS DOUBLE) / d.n_tokens END AS mean_dsir
+    FROM documents LEFT JOIN d ON documents.doc_id = d.id
+    """,
+)
+def dsir_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting (functions/textstats.dsir_importance):
+    score every document by its hashed-unigram log-likelihood ratio
+    against a target distribution (here lang='en' stands in for the
+    curated in-domain set), the selection signal behind importance
+    resampling of raw corpora. Integer bit arithmetic end to end — the
+    normalizer constant cancels for ranking."""
+    d = load_table(spark, sf_dir, "documents")
+    return tx.dsir_importance(d, F.col("lang") == "en", "doc_id", "text")
+
+
+@query(
+    "grouping_sets_orders",
+    """
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with grouping_id disambiguation — the third
+    multi-granularity aggregate shape next to rollup/cube (both
+    engines' gid is the same left-to-right bit vector, 1 = rolled up).
+    One pass over orders; Catalyst expands the sets map-side before the
+    single exchange."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(_cents(F.col("o_totalprice"))).cast("double") / F.lit(100.0)).alias(
+                "total_price"
+            ),
+        )
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            "gid",
+            "n",
+            "total_price",
+        )
+    )
