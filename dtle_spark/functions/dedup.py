@@ -83,15 +83,39 @@ def shingles_expr(text_col: str, n: int = SHINGLE_N) -> Column:
     )
 
 
-def base_hash_columns(df: DataFrame, shingle_col: str = "sh") -> DataFrame:
-    """One md5 per shingle -> two 40-bit base-hash int arrays (hx, hy).
-    The digest array is materialized first so each md5 runs once."""
-    return (
-        df.withColumn("__mh", F.expr(f"transform({shingle_col}, s -> md5(s))"))
-        .withColumn("hx", F.expr(f"transform(__mh, m -> {hex_window_sql('m', 1, 'spark')})"))
-        .withColumn("hy", F.expr(f"transform(__mh, m -> {hex_window_sql('m', 11, 'spark')})"))
-        .drop("__mh")
-    )
+def base_hash_columns(
+    df: DataFrame, shingle_col: str = "sh", hash_fn: str = "md5"
+) -> DataFrame:
+    """Two 40-bit base-hash int arrays (hx, hy) per shingle array.
+
+    hash_fn="md5" (default): one md5 per shingle, hx/hy are its first
+    two 40-bit hex windows — identical hex in DuckDB, so every
+    downstream stage stays oracle-checkable. The digest array is
+    materialized first so each md5 runs once.
+
+    hash_fn="xxhash64": the PRODUCTION lane — xxHash64 is a JVM
+    intrinsic an order of magnitude cheaper than md5 (no hex
+    round-trip either); hx/hy are two independently-seeded hashes
+    masked to the same 40-bit domain, so every downstream consumer
+    (signature fold, band digests, jaccard verify) is unchanged.
+    Not oracle-gated (DuckDB's hash() is a different function);
+    equivalence to the md5 lane is pinned by
+    tests/test_custom_ops.py::test_minhash_hash_fn_lanes_agree."""
+    if hash_fn == "md5":
+        return (
+            df.withColumn("__mh", F.expr(f"transform({shingle_col}, s -> md5(s))"))
+            .withColumn("hx", F.expr(f"transform(__mh, m -> {hex_window_sql('m', 1, 'spark')})"))
+            .withColumn("hy", F.expr(f"transform(__mh, m -> {hex_window_sql('m', 11, 'spark')})"))
+            .drop("__mh")
+        )
+    if hash_fn == "xxhash64":
+        mask = _LANE_MOD - 1
+        return df.withColumn(
+            "hx", F.expr(f"transform({shingle_col}, s -> xxhash64(s) & {mask})")
+        ).withColumn(
+            "hy", F.expr(f"transform({shingle_col}, s -> xxhash64(s, 1) & {mask})")
+        )
+    raise ValueError(f"unknown hash_fn {hash_fn!r} (md5 | xxhash64)")
 
 
 def minhash_signature(hx_col: str = "hx", hy_col: str = "hy") -> Column:
@@ -121,14 +145,26 @@ def minhash_signature(hx_col: str = "hx", hy_col: str = "hy") -> Column:
     )
 
 
-def lsh_bands(sig_col: str = "sig", bands: int = BANDS, rows: int = ROWS_PER_BAND) -> Column:
-    """Band digests: band b = md5(concat of its `rows` lanes)."""
+def lsh_bands(
+    sig_col: str = "sig",
+    bands: int = BANDS,
+    rows: int = ROWS_PER_BAND,
+    hash_fn: str = "md5",
+) -> Column:
+    """Band digests: band b = digest(concat of its `rows` lanes) —
+    md5 hex for the oracle-parity lane, xxhash64 (as a decimal string,
+    8 bytes vs 16 on the wire) for the production lane."""
+    digest = (
+        "md5(concat_ws('|', slice({s}, {off}, {rows})))"
+        if hash_fn == "md5"
+        else "CAST(xxhash64(concat_ws('|', slice({s}, {off}, {rows}))) AS STRING)"
+    )
     return F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_idx"),
                 F.expr(
-                    f"md5(concat_ws('|', slice({sig_col}, {b * rows + 1}, {rows})))"
+                    digest.format(s=sig_col, off=b * rows + 1, rows=rows)
                 ).alias("band_digest"),
             )
             for b in range(bands)
@@ -136,24 +172,29 @@ def lsh_bands(sig_col: str = "sig", bands: int = BANDS, rows: int = ROWS_PER_BAN
     )
 
 
-def doc_hash_sets(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def doc_hash_sets(
+    docs: DataFrame, id_col: str, text_col: str, hash_fn: str = "md5"
+) -> DataFrame:
     """(id, hx, hy): per-doc 40-bit hashed shingle arrays. Downstream
     set operations (jaccard verify) run on the int arrays, never on the
     shingle strings — integer compares and a ~10x lighter shuffle
     footprint; the 115^2/2^40 within-pair collision odds are noise and
     identical in both engines."""
     return base_hash_columns(
-        spread(docs).select(id_col, shingles_expr(text_col).alias("sh"))
+        spread(docs).select(id_col, shingles_expr(text_col).alias("sh")),
+        hash_fn=hash_fn,
     ).drop("sh")
 
 
-def minhash_buckets(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def minhash_buckets(
+    docs: DataFrame, id_col: str, text_col: str, hash_fn: str = "md5"
+) -> DataFrame:
     """(id, band_idx, band_digest) — the LSH bucket assignment. Carries
     only the 16-byte digest + id through the explode/shuffle."""
     return (
-        doc_hash_sets(docs, id_col, text_col)
+        doc_hash_sets(docs, id_col, text_col, hash_fn=hash_fn)
         .withColumn("sig", minhash_signature())
-        .select(id_col, F.explode(lsh_bands("sig")).alias("band"))
+        .select(id_col, F.explode(lsh_bands("sig", hash_fn=hash_fn)).alias("band"))
         .select(id_col, "band.band_idx", "band.band_digest")
     )
 
@@ -178,6 +219,7 @@ def minhash_dedup_pairs(
     text_col: str,
     threshold: float = 0.5,
     max_bucket: int = MAX_BUCKET,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Near-duplicate pairs: LSH candidates verified by exact Jaccard
     over the hashed shingle sets.
@@ -196,10 +238,10 @@ def minhash_dedup_pairs(
     # one materialization of the tokenize/shingle/hash pipeline — the
     # bucket branch and both verify joins all read it (it is small:
     # id + two int arrays per doc)
-    base = doc_hash_sets(docs, id_col, text_col).localCheckpoint()
+    base = doc_hash_sets(docs, id_col, text_col, hash_fn=hash_fn).localCheckpoint()
     b = (
         base.withColumn("sig", minhash_signature())
-        .select(id_col, F.explode(lsh_bands("sig")).alias("band"))
+        .select(id_col, F.explode(lsh_bands("sig", hash_fn=hash_fn)).alias("band"))
         .select(id_col, "band.band_idx", "band.band_digest")
     )
     bw = Window.partitionBy("band_idx", "band_digest")

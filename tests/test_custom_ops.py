@@ -806,3 +806,40 @@ def test_simhash_triple_bucketing_is_exact(spark):
                 lo, hi = sorted((a["doc_id"], b["doc_id"]))
                 expected.add((lo, hi, dist))
     assert got == expected and len(expected) > 0
+
+
+def test_minhash_hash_fn_lanes_agree(spark):
+    """The xxhash64 production lane must find the same verified
+    near-dup pairs as the md5 oracle-parity lane. Verification (exact
+    jaccard over hashed shingle sets) is hash-agnostic up to
+    negligible 40-bit collisions, so the pair SETS should be identical
+    here; only borderline LSH recall could ever differ, and the
+    fixtures' true near-dups are far from the banding boundary."""
+    from dtle_spark.functions.dedup import minhash_dedup_pairs
+    from dtle_spark.io import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    md5_pairs = {
+        (r["id_1"], r["id_2"])
+        for r in minhash_dedup_pairs(d, "doc_id", "text", threshold=0.5).collect()
+    }
+    xx_pairs = {
+        (r["id_1"], r["id_2"])
+        for r in minhash_dedup_pairs(
+            d, "doc_id", "text", threshold=0.5, hash_fn="xxhash64"
+        ).collect()
+    }
+    assert len(md5_pairs) > 0
+    assert xx_pairs == md5_pairs
+    # jaccard values agree too (independent hash domains, same sets)
+    md5_j = {
+        (r["id_1"], r["id_2"]): round(r["jaccard"], 6)
+        for r in minhash_dedup_pairs(d, "doc_id", "text", threshold=0.5).collect()
+    }
+    xx_j = {
+        (r["id_1"], r["id_2"]): round(r["jaccard"], 6)
+        for r in minhash_dedup_pairs(
+            d, "doc_id", "text", threshold=0.5, hash_fn="xxhash64"
+        ).collect()
+    }
+    assert md5_j == xx_j
