@@ -18,9 +18,18 @@ in one tx). At 100 TB the same protocol holds: the manifest is O(number
 of buckets) small, the rename is O(1), and data files are never moved
 after their initial write.
 
+Time travel: every commit also retains its manifest under
+``_history/_v<N>.json`` (N monotonically increasing), and GC keeps any
+data dir referenced by a retained version. Readers can resolve a past
+version — the Delta ``VERSION AS OF`` analogue — until retention
+(default ``RETAIN_VERSIONS``) prunes it. Retention cost is O(changed
+dirs per commit), not O(table): successive versions share unchanged
+bucket dirs, exactly like lake-format snapshots sharing data files.
+
 Layout per table::
 
     <root>/<schema>/<table>/_manifest.json
+    <root>/<schema>/<table>/_history/_v<N>.json   (retained versions)
     <root>/<schema>/<table>/<entry-dirs ...>
 
 Manifest fields:
@@ -32,6 +41,7 @@ Manifest fields:
 - ``key_cols`` / ``n_buckets``: bucketing spec, kept so DDL rewrites
   can re-bucket without being told the key again.
 - ``schema_version``: bumped by DDL application (observability only).
+- ``version``: commit counter; names the retained history entry.
 """
 
 from __future__ import annotations
@@ -43,6 +53,8 @@ import uuid
 from dataclasses import dataclass, field
 
 MANIFEST_NAME = "_manifest.json"
+HISTORY_DIR = "_history"
+RETAIN_VERSIONS = 3
 
 
 @dataclass
@@ -52,6 +64,18 @@ class TableManifest:
     key_cols: list[str] | None = None
     n_buckets: int | None = None
     schema_version: int = 0
+    version: int = 0
+
+    @staticmethod
+    def _from_dict(d: dict) -> "TableManifest":
+        return TableManifest(
+            entries=dict(d.get("entries", {})),
+            seq_watermark={k: int(v) for k, v in d.get("seq_watermark", {}).items()},
+            key_cols=d.get("key_cols"),
+            n_buckets=d.get("n_buckets"),
+            schema_version=int(d.get("schema_version", 0)),
+            version=int(d.get("version", 0)),
+        )
 
     @staticmethod
     def load(table_dir: str) -> "TableManifest | None":
@@ -59,35 +83,91 @@ class TableManifest:
         if not os.path.exists(p):
             return None
         with open(p) as f:
-            d = json.load(f)
-        return TableManifest(
-            entries=dict(d.get("entries", {})),
-            seq_watermark={k: int(v) for k, v in d.get("seq_watermark", {}).items()},
-            key_cols=d.get("key_cols"),
-            n_buckets=d.get("n_buckets"),
-            schema_version=int(d.get("schema_version", 0)),
-        )
+            return TableManifest._from_dict(json.load(f))
 
-    def save(self, table_dir: str) -> None:
+    @staticmethod
+    def load_version(table_dir: str, version: int) -> "TableManifest | None":
+        """Resolve a retained past version (time travel). The CURRENT
+        version is also resolvable through here for uniformity."""
+        cur = TableManifest.load(table_dir)
+        if cur is not None and cur.version == version:
+            return cur
+        p = os.path.join(table_dir, HISTORY_DIR, f"_v{version}.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return TableManifest._from_dict(json.load(f))
+
+    @staticmethod
+    def versions(table_dir: str) -> list[int]:
+        """Retained version numbers, ascending (current included)."""
+        out = set()
+        cur = TableManifest.load(table_dir)
+        if cur is not None:
+            out.add(cur.version)
+        hist = os.path.join(table_dir, HISTORY_DIR)
+        if os.path.isdir(hist):
+            for name in os.listdir(hist):
+                if name.startswith("_v") and name.endswith(".json"):
+                    try:
+                        out.add(int(name[2:-5]))
+                    except ValueError:
+                        pass
+        return sorted(out)
+
+    def _payload(self) -> dict:
+        return {
+            "entries": self.entries,
+            "seq_watermark": self.seq_watermark,
+            "key_cols": self.key_cols,
+            "n_buckets": self.n_buckets,
+            "schema_version": self.schema_version,
+            "version": self.version,
+        }
+
+    def save(self, table_dir: str, retain: int = RETAIN_VERSIONS) -> None:
         """THE commit point: write aside, fsync, atomic rename over the
         live manifest. Readers see the old or the new state, never a
-        torn one."""
+        torn one. The version counter advances past whatever is live
+        (monotonic even if this object was built fresh), a history copy
+        is retained BEFORE the swap (a crash between the two leaves a
+        harmless orphan history file, never a torn current state), and
+        history beyond ``retain`` past versions is pruned after."""
         os.makedirs(table_dir, exist_ok=True)
+        live = TableManifest.load(table_dir)
+        if live is not None and self.version <= live.version:
+            self.version = live.version + 1
+        else:
+            self.version += 1
+        payload = json.dumps(self._payload())
+        hist = os.path.join(table_dir, HISTORY_DIR)
+        os.makedirs(hist, exist_ok=True)
+        htmp = os.path.join(hist, f".tmp-{uuid.uuid4().hex[:8]}")
+        with open(htmp, "w") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(htmp, os.path.join(hist, f"_v{self.version}.json"))
         tmp = os.path.join(table_dir, f".{MANIFEST_NAME}.tmp-{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "entries": self.entries,
-                    "seq_watermark": self.seq_watermark,
-                    "key_cols": self.key_cols,
-                    "n_buckets": self.n_buckets,
-                    "schema_version": self.schema_version,
-                },
-                f,
-            )
+            f.write(payload)
             f.flush()
             os.fsync(f.fileno())
         os.rename(tmp, os.path.join(table_dir, MANIFEST_NAME))
+        # prune history beyond the retention window (current + retain-1
+        # predecessors stay resolvable)
+        keep = set(TableManifest.versions(table_dir)[-max(retain, 1):])
+        for name in os.listdir(hist):
+            if name.startswith("_v") and name.endswith(".json"):
+                try:
+                    v = int(name[2:-5])
+                except ValueError:
+                    continue
+                if v not in keep:
+                    try:
+                        os.remove(os.path.join(hist, name))
+                    except OSError:
+                        pass
 
     def dirs(self, table_dir: str) -> list[str]:
         return [os.path.join(table_dir, d) for d in self.entries.values()]
@@ -98,13 +178,18 @@ def unique_entry_name(prefix: str) -> str:
 
 
 def gc_unreferenced(table_dir: str, manifest: TableManifest) -> None:
-    """Remove everything in the table dir the manifest does not
-    reference: replaced data dirs, move-in orphans from a crashed
-    commit, stray legacy top-level part files, stale manifest temps.
-    Safe to crash mid-GC — unreferenced garbage stays garbage."""
+    """Remove everything in the table dir that neither the live
+    manifest nor any RETAINED history version references: replaced data
+    dirs past retention, move-in orphans from a crashed commit, stray
+    legacy top-level part files, stale manifest temps. Safe to crash
+    mid-GC — unreferenced garbage stays garbage."""
     live = set(manifest.entries.values())
+    for v in TableManifest.versions(table_dir):
+        past = TableManifest.load_version(table_dir, v)
+        if past is not None:
+            live.update(past.entries.values())
     for name in os.listdir(table_dir):
-        if name == MANIFEST_NAME or name in live:
+        if name == MANIFEST_NAME or name == HISTORY_DIR or name in live:
             continue
         p = os.path.join(table_dir, name)
         if os.path.isdir(p):

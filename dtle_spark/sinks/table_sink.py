@@ -114,6 +114,29 @@ class ManifestedTarget:
             df = df.filter(~F.col(DELETED_COL)).drop(SEQ_COL, DELETED_COL)
         return df
 
+    def versions(self, schema_name: str, table_name: str) -> list[int]:
+        """Retained commit versions, ascending (current last)."""
+        return TableManifest.versions(self.path(schema_name, table_name))
+
+    def read_at_version(
+        self, spark: SparkSession, schema_name: str, table_name: str, version: int
+    ) -> DataFrame | None:
+        """Time travel: the table exactly as of a retained commit — the
+        ``VERSION AS OF`` analogue. Data dirs are immutable and GC keeps
+        every dir a retained version references, so the past image is
+        byte-stable until retention prunes it."""
+        p = self.path(schema_name, table_name)
+        m = TableManifest.load_version(p, version)
+        if m is None:
+            return None
+        dirs = [d for d in m.dirs(p) if os.path.exists(d)]
+        if not dirs:
+            return None
+        df = spark.read.parquet(*dirs)
+        if DELETED_COL in df.columns:
+            df = df.filter(~F.col(DELETED_COL)).drop(SEQ_COL, DELETED_COL)
+        return df
+
     def stage(
         self, df: DataFrame, schema_name: str, table_name: str, retries: int = 5
     ) -> str:

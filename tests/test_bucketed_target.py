@@ -140,9 +140,14 @@ def test_bucketed_untouched_buckets_byte_identical(spark, tmp_path):
     # no staged debris next to the table, no unreferenced dirs inside it
     parent = os.path.dirname(tdir)
     assert not [p for p in os.listdir(parent) if ".merge-" in p or ".old-" in p]
+    # live = current entries + retained time-travel versions' dirs
     live = set(after_names.values())
+    for v in TableManifest.versions(tdir):
+        live.update(TableManifest.load_version(tdir, v).entries.values())
     assert not [
-        n for n in os.listdir(tdir) if n != "_manifest.json" and n not in live
+        n
+        for n in os.listdir(tdir)
+        if n not in ("_manifest.json", "_history") and n not in live
     ]
 
 

@@ -54,8 +54,16 @@ def test_whole_table_crash_before_manifest_keeps_old_state(spark, tmp_path, monk
     t.overwrite(smaller, "db1", "orders")
     assert t.read(spark, "db1", "orders").count() == 10
     tdir = t.path("db1", "orders")
+    # live = current manifest + every RETAINED time-travel version
+    # (the crashed attempt's orphaned move-in must NOT be among them)
     live = set(TableManifest.load(tdir).entries.values())
-    assert not [n for n in os.listdir(tdir) if n != mf.MANIFEST_NAME and n not in live]
+    for v in TableManifest.versions(tdir):
+        live.update(TableManifest.load_version(tdir, v).entries.values())
+    assert not [
+        n
+        for n in os.listdir(tdir)
+        if n not in (mf.MANIFEST_NAME, mf.HISTORY_DIR) and n not in live
+    ]
 
 
 def test_bucketed_crash_before_manifest_keeps_old_state_then_converges(
@@ -87,10 +95,18 @@ def test_bucketed_crash_before_manifest_keeps_old_state_then_converges(
     assert_matches_oracle(
         t.read(spark, "db1", "orders"), duck, cdc_demo.ORDERS_CDC_ORACLE
     )
-    # crashed attempt's orphans were collected by the later commits
+    # crashed attempt's orphans were collected by the later commits;
+    # what remains beyond the live entries is exactly the retained
+    # time-travel versions' bucket dirs
     tdir = t.table_dir("db1", "orders")
     live = set(TableManifest.load(tdir).entries.values())
-    assert not [n for n in os.listdir(tdir) if n != mf.MANIFEST_NAME and n not in live]
+    for v in TableManifest.versions(tdir):
+        live.update(TableManifest.load_version(tdir, v).entries.values())
+    assert not [
+        n
+        for n in os.listdir(tdir)
+        if n not in (mf.MANIFEST_NAME, mf.HISTORY_DIR) and n not in live
+    ]
 
 
 def test_stage_merge_invisible_until_commit(spark, tmp_path):
@@ -134,3 +150,57 @@ def test_default_replication_target_is_bucketed(spark, tmp_path):
         SchemaCatalog(),
     )
     assert isinstance(rj.target, BucketedTableTarget)
+
+
+def test_time_travel_reads_past_versions(spark, tmp_path):
+    """Every commit retains its manifest; read_at_version reproduces
+    the exact post-batch states (VERSION AS OF analogue) while data
+    dirs stay immutable."""
+    t = BucketedTableTarget(str(tmp_path / "tgt"), n_buckets=8)
+    base = cdc_demo.orders_base(spark, SF_DIR)
+    changes = cdc_demo.orders_changes(spark, SF_DIR)
+    t.seed(base, "db1", "orders", ["o_orderkey"])
+    snapshots = {}
+    v = t.versions("db1", "orders")[-1]
+    snapshots[v] = t.read(spark, "db1", "orders").count()
+    for lo, hi in [(0, 6000), (6000, 12000)]:
+        batch = changes.filter((F.col("seq") >= lo) & (F.col("seq") < hi))
+        t.merge(spark, batch, "db1", "orders", ["o_orderkey"])
+        v = t.versions("db1", "orders")[-1]
+        snapshots[v] = t.read(spark, "db1", "orders").count()
+    assert len(snapshots) == 3
+    for v, expected in snapshots.items():
+        got = t.read_at_version(spark, "db1", "orders", v)
+        assert got is not None and got.count() == expected, v
+    # distinct states across versions (the change stream deletes rows)
+    assert len(set(snapshots.values())) > 1
+
+
+def test_time_travel_retention_prunes_and_gc_protects(spark, tmp_path):
+    """Versions beyond the retention window stop resolving and their
+    exclusive data dirs are collected; every RETAINED version keeps
+    resolving even after later commits rewrote its buckets."""
+    t = ParquetTableTarget(str(tmp_path / "tgt"))
+    df = cdc_demo.orders_base(spark, SF_DIR)
+    counts = {}
+    for n in (20, 15, 10, 5, 2):
+        t.overwrite(df.limit(n), "db1", "t")
+        counts[t.versions("db1", "t")[-1]] = n
+    vs = t.versions("db1", "t")
+    assert len(vs) == mf.RETAIN_VERSIONS  # pruned to the window
+    for v in vs:
+        got = t.read_at_version(spark, "db1", "t", v)
+        assert got is not None and got.count() == counts[v], v
+    pruned = sorted(set(counts) - set(vs))
+    assert pruned and all(
+        t.read_at_version(spark, "db1", "t", v) is None for v in pruned
+    )
+    # GC: only dirs referenced by retained versions remain on disk
+    tdir = t.path("db1", "t")
+    live = set()
+    for v in vs:
+        live.update(TableManifest.load_version(tdir, v).entries.values())
+    on_disk = {
+        n for n in os.listdir(tdir) if n not in (mf.MANIFEST_NAME, mf.HISTORY_DIR)
+    }
+    assert on_disk == live
