@@ -136,3 +136,30 @@ def test_containment_reuses_salted_block_join(spark):
     (block, salt) — never an unconstrained cross join."""
     plan = plan_of("containment_pairs", spark)
     assert "CartesianProduct" not in plan
+
+
+def test_dsir_proxy_stays_jvm_side_single_vocab_pass(spark):
+    """DSIR scoring is pure relational: no Python eval nodes, and the
+    two frequency tables come from ONE conditional-count aggregate
+    (exactly one HashAggregate keyed on `term` feeding the weight
+    join — a second term-keyed pass would double the vocab shuffle)."""
+    plan = plan_of("dsir_proxy", spark)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # one partial+final pair per distinct grouping; count the FINAL
+    # aggregates over the term key
+    import re
+
+    finals = [
+        m
+        for m in re.findall(r"HashAggregate\(keys=\[term[^\]]*\][^\n]*", plan)
+        if "partial" not in m
+    ]
+    assert len(finals) == 1, finals
+
+
+def test_grouping_sets_single_exchange(spark):
+    """GROUPING SETS must expand map-side then aggregate through ONE
+    shuffle — not one aggregate per set."""
+    plan = plan_of("grouping_sets_orders", spark)
+    assert "Expand" in plan
+    assert plan.count("Exchange") <= 2  # expand agg + (AQE) result coalesce
