@@ -44,7 +44,9 @@ from dtle_spark.catalog import SchemaCatalog
 from dtle_spark.model import JobConfig, TableConfig
 from dtle_spark.streaming.jobs import JobManager
 
-_JOB_RE = re.compile(r"^/v2/job/([^/]+)(?:/(pause|resume|position|metrics|reverse))?$")
+_JOB_RE = re.compile(
+    r"^/v2/job/([^/]+)(?:/(pause|resume|position|metrics|reverse|versions))?$"
+)
 
 
 def _job_config_from_json(d: dict) -> JobConfig:
@@ -134,6 +136,8 @@ class _Handler(BaseHTTPRequestHandler):
             return self._send(200, self.manager.position(name))
         if method == "GET" and action == "metrics":
             return self._send(200, self.manager.metrics(name))
+        if method == "GET" and action == "versions":
+            return self._send(200, self.manager.versions(name))
         if method == "POST" and action == "pause":
             self.manager.pause(name)
             return self._send(200, {"paused": name})

@@ -63,6 +63,12 @@ class JobManager:
         position (streaming/metrics.TaskMetrics)."""
         return self._jobs[name].stats()
 
+    def versions(self, name: str) -> dict:
+        """Retained target-table commit versions (manifest time travel):
+        the audit surface for "what did the table look like N batches
+        ago" — read back via target.read_at_version."""
+        return self._jobs[name].table_versions()
+
     def delete(self, name: str) -> None:
         """Delete = stop + deregister (checkpoint/target dirs are the
         caller's to clean, matching the reference's delete semantics)."""

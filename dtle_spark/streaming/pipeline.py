@@ -496,6 +496,18 @@ class ReplicationJob:
             out["sources"] = p.get("sources") if isinstance(p, dict) else p["sources"]
         return out
 
+    def table_versions(self) -> dict[str, list[int]]:
+        """Retained commit versions per target table (manifest time
+        travel) — "schema.table" -> ascending version list. The
+        operator's handle for point-in-time audit of what a batch
+        changed (read via target.read_at_version)."""
+        out: dict[str, list[int]] = {}
+        for cfg in self.job.tables:
+            vs = self.target.versions(cfg.target_schema, cfg.target_table)
+            if vs:
+                out[f"{cfg.target_schema}.{cfg.target_table}"] = vs
+        return out
+
     def backlog(self) -> int:
         """Unapplied backlog in the stream's own coordinate: source
         high-water seq minus max applied seq (the reference's delay is

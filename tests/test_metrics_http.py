@@ -197,6 +197,14 @@ def test_http_control_surface_lifecycle(spark, job_dirs_factory):
         manager.get("h1").process_available()
         _http("POST", f"{url}/v2/job/h1/pause")
 
+        # time-travel audit surface: retained commit versions per table,
+        # and the earliest retained version actually resolves
+        code, vers = _http("GET", f"{url}/v2/job/h1/versions")
+        assert code == 200 and vers["db1.orders"]
+        v0 = vers["db1.orders"][0]
+        past = manager.get("h1").target.read_at_version(spark, "db1", "orders", v0)
+        assert past is not None and past.count() > 0
+
         # reverse workflow over HTTP (forward must be paused first)
         rdirs = job_dirs_factory("rev")
         os.makedirs(rdirs["source"], exist_ok=True)
