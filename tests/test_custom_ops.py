@@ -843,3 +843,75 @@ def test_minhash_hash_fn_lanes_agree(spark):
         ).collect()
     }
     assert md5_j == xx_j
+
+
+class TestBpeTrain:
+    def _python_reference(self, texts, n_merges, min_count=2):
+        """The classic reference algorithm, verbatim (Sennrich et al.):
+        word-freq table, char symbols + </w>, argmax adjacent pair,
+        leftmost-first merge."""
+        import re
+        from collections import Counter
+
+        wf = Counter()
+        for t in texts:
+            for w in re.findall(r"[a-z0-9]+", t.lower()):
+                wf[w] += 1
+        syms = {w: list(w) + ["</w>"] for w in wf}
+        merges = []
+        for _ in range(n_merges):
+            pc = Counter()
+            for w, cnt in wf.items():
+                s = syms[w]
+                for i in range(len(s) - 1):
+                    pc[(s[i], s[i + 1])] += cnt
+            if not pc:
+                break
+            # tie-break: highest count, then lexicographically SMALLEST pair
+            top = max(pc.values())
+            cands = sorted([p for p, n in pc.items() if n == top])
+            pair, n = cands[0], top
+            if n < min_count:
+                break
+            merges.append(pair)
+            a, b = pair
+            for w in syms:
+                s, out = syms[w], []
+                for tok in s:
+                    if out and out[-1] == a and tok == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(tok)
+                syms[w] = out
+        return merges, syms
+
+    def test_matches_python_reference(self, spark):
+        from dtle_spark.functions.bpe import bpe_train
+        from dtle_spark.io import load_table
+
+        d = load_table(spark, "/root/testdata/sf0.001", "documents").limit(120)
+        texts = [r["text"] for r in d.select("text").collect()]
+        merges, syms_df = bpe_train(d, n_merges=25)
+        ref_merges, ref_syms = self._python_reference(texts, 25)
+        assert merges == ref_merges and len(merges) == 25
+        got = {r["word"]: list(r["syms"]) for r in syms_df.collect()}
+        assert got == ref_syms
+
+    def test_apply_reproduces_training_segmentation(self, spark):
+        from dtle_spark.functions.bpe import bpe_apply, bpe_train
+        from dtle_spark.io import load_table
+        from pyspark.sql import functions as F
+
+        d = load_table(spark, "/root/testdata/sf0.001", "documents").limit(60)
+        merges, syms_df = bpe_train(d, n_merges=12)
+        applied = bpe_apply(d, merges)
+        # every (word -> pieces) from apply equals the training table's
+        # final segmentation for that word
+        train = {r["word"]: tuple(r["syms"]) for r in syms_df.collect()}
+        rows = applied.select("word", "pieces").distinct().collect()
+        assert rows and all(tuple(r["pieces"]) == train[r["word"]] for r in rows)
+        # apply is map-only: no exchange in the plan (check on the
+        # un-limited table — the test's own .limit() would add one)
+        full = load_table(spark, "/root/testdata/sf0.001", "documents")
+        plan = bpe_apply(full, merges)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
