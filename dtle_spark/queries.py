@@ -3625,3 +3625,131 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price",
         )
     )
+
+
+@query(
+    "range_frame_user_spend",
+    """
+    WITH p AS (
+      SELECT user_id, event_id,
+             CAST(epoch_us(ts) AS BIGINT) AS tsu,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, event_id, tsu,
+      CAST(SUM(cents) OVER (
+        PARTITION BY user_id ORDER BY tsu
+        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+      ) AS BIGINT) AS spend_1h_cents
+    FROM p
+    """,
+)
+def range_frame_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval window frame (RANGE BETWEEN INTERVAL): per-user
+    trailing-1-hour spend at every purchase — the time-based sibling of
+    the ROWS frames elsewhere (user_value_trend). RANGE frames include
+    timestamp peers, so the result is deterministic under ties. One
+    exchange on user_id; the frame scan is per-partition."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("tsu"),
+        _cents(F.col("value")).alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tsu")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return p.select(
+        "user_id",
+        "event_id",
+        "tsu",
+        F.sum("cents").over(w).cast("long").alias("spend_1h_cents"),
+    )
+
+
+_KMV_DAILY_K = 64
+
+
+def _kmv_daily_users_oracle() -> str:
+    h = sk.hash40_expr("user_id", "duckdb")
+    est = (
+        f"CASE WHEN got_k < {_KMV_DAILY_K} THEN CAST(got_k AS DOUBLE)"
+        f" ELSE CAST({(_KMV_DAILY_K - 1) * (1 << 40)} AS DOUBLE) / kth_min END"
+    )
+    return f"""
+    WITH h AS (
+      SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, {h} AS hv
+      FROM events
+    ),
+    ranked AS (
+      SELECT day, hv, row_number() OVER (PARTITION BY day ORDER BY hv) AS rk FROM h
+    ),
+    kept AS (SELECT day, hv FROM ranked WHERE rk <= {_KMV_DAILY_K}),
+    daily AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS got_k, MAX(hv) AS kth_min
+      FROM kept GROUP BY day
+    ),
+    merged_kept AS (
+      SELECT hv FROM (SELECT DISTINCT hv FROM kept ORDER BY hv LIMIT {_KMV_DAILY_K})
+    ),
+    merged AS (
+      SELECT CAST(-1 AS BIGINT) AS day, CAST(COUNT(*) AS BIGINT) AS got_k,
+             MAX(hv) AS kth_min
+      FROM merged_kept
+    )
+    SELECT day, got_k, kth_min, {est} AS kmv_estimate FROM daily
+    UNION ALL
+    SELECT day, got_k, kth_min, {est} AS kmv_estimate FROM merged
+    """
+
+
+@query("kmv_daily_users", _kmv_daily_users_oracle())
+def kmv_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED mergeable sketches: per-day distinct-user KMV states
+    (k smallest md5-uniform hashes per day) plus the MERGED total-period
+    estimate computed from the daily states alone (day = -1 row) —
+    sketch once per ingest day, merge for any horizon, never re-scan
+    history (functions/sketches.py kmv_minima/kmv_merge economics, here
+    as one oracle-gated plan). Deterministic: the shared md5 uniform
+    makes sketch state and estimates bit-identical across engines."""
+    from pyspark.sql import Window
+
+    k = _KMV_DAILY_K
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        ev.select(
+            (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias("day"),
+            F.expr(sk.hash40_expr("user_id", "spark")).alias("hv"),
+        )
+        .distinct()
+    )
+    rk = Window.partitionBy("day").orderBy("hv")
+    kept = (
+        h.withColumn("rk", F.row_number().over(rk)).filter(F.col("rk") <= k).drop("rk")
+    ).localCheckpoint(eager=False)
+    est = (
+        f"CASE WHEN got_k < {k} THEN CAST(got_k AS DOUBLE)"
+        f" ELSE CAST({(k - 1) * (1 << 40)} AS DOUBLE) / kth_min END"
+    )
+    daily = kept.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("got_k"), F.max("hv").alias("kth_min")
+    )
+    merged = (
+        kept.select("hv")
+        .distinct()
+        .orderBy("hv")
+        .limit(k)
+        .agg(
+            F.lit(-1).cast("long").alias("day"),
+            F.count(F.lit(1)).cast("long").alias("got_k"),
+            F.max("hv").alias("kth_min"),
+        )
+    )
+    return daily.unionByName(merged).select(
+        "day", "got_k", "kth_min", F.expr(est).alias("kmv_estimate")
+    )
