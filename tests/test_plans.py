@@ -163,3 +163,42 @@ def test_grouping_sets_single_exchange(spark):
     plan = plan_of("grouping_sets_orders", spark)
     assert "Expand" in plan
     assert plan.count("Exchange") <= 2  # expand agg + (AQE) result coalesce
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """The co-located join technique SCALE.md prescribes for repeated
+    big-big joins: persist both sides bucketed on the join key
+    (bucketBy + sortBy), and the sort-merge join runs with ZERO
+    Exchange — at 100 TB this converts every repeated fact-fact join
+    from a full shuffle into local merges. Pinned here so the claim
+    stays true against Spark upgrades/config drift."""
+    from dtle_spark.io import load_table
+
+    o = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+    try:
+        (o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+         .mode("overwrite").saveAsTable("bkt_orders"))
+        (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+         .mode("overwrite").saveAsTable("bkt_lineitem"))
+        joined = spark.table("bkt_orders").join(
+            spark.table("bkt_lineitem"),
+            spark.table("bkt_orders").o_orderkey
+            == spark.table("bkt_lineitem").l_orderkey,
+        )
+        # force SMJ (no broadcast) so the bucketing is what's tested
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan
+            # and it actually runs
+            assert joined.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
