@@ -333,6 +333,13 @@ def ivf_topk(
             norm_expr("vec").alias("n_norm"),
             "cell",
         )
+        # materialize the assignment: this table IS the IVF index (in
+        # production it is built once and persisted; FAISS's add()
+        # phase). Without the barrier, the probe equi-join's inferred
+        # isnotnull(cell) constraint pushes the whole argmax fold into
+        # the upstream join condition and evaluates it a second time
+        # per corpus row (observed: 2x assignment cost in the plan).
+        .localCheckpoint(eager=False)
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
