@@ -915,3 +915,74 @@ class TestBpeTrain:
         full = load_table(spark, "/root/testdata/sf0.001", "documents")
         plan = bpe_apply(full, merges)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestQualityClassifier:
+    def test_separates_weak_labels_and_keep_is_deterministic(self, spark):
+        """GPT-3-style curated-vs-raw LR filter. The fixture corpus is a
+        uniform random bag over a small vocabulary (no metadata-text
+        correlation — the `lang` column is unlearnable by design), so
+        the weak "curated" label is a text-derived frequency concept:
+        docs mentioning 'spark' at least twice. Hashed-tf LR must
+        recover it on a held-out split; the Pareto keep rule must admit
+        a tail of low scorers and reproduce the exact same keep set on
+        a re-run (md5-uniform draw, no RNG state)."""
+        from dtle_spark.functions.quality_model import (
+            pareto_keep,
+            score_quality,
+            train_quality_classifier,
+        )
+        from dtle_spark.io import load_table
+        from pyspark.sql import functions as F
+
+        d = load_table(spark, "/root/testdata/sf0.001", "documents").withColumn(
+            "is_curated",
+            F.expr(
+                "size(filter(regexp_extract_all(lower(text), '[a-z0-9]+', 0),"
+                " t -> t = 'spark')) >= 2"
+            ),
+        )
+        train = d.filter(F.col("doc_id") % 3 != 0)
+        holdout = d.filter(F.col("doc_id") % 3 == 0)
+        model = train_quality_classifier(
+            positive=train.filter(F.col("is_curated")),
+            raw=train,
+            n_features=1 << 14,
+        )
+        scored = score_quality(model, holdout).select(
+            "doc_id", "is_curated", "quality_score"
+        )
+        rows = scored.collect()
+        assert rows
+        pos = [r["quality_score"] for r in rows if r["is_curated"]]
+        neg = [r["quality_score"] for r in rows if not r["is_curated"]]
+        assert pos and neg
+        # calibrated separation: curated mean well above raw-rest mean
+        assert sum(pos) / len(pos) > sum(neg) / len(neg) + 0.2
+        # ranking quality: AUC > 0.8 on the holdout
+        import itertools
+
+        wins = sum(
+            1 if p > n else (0.5 if p == n else 0)
+            for p, n in itertools.product(pos, neg)
+        )
+        auc = wins / (len(pos) * len(neg))
+        assert auc > 0.8, auc
+
+        kept = pareto_keep(scored).cache()
+        keep_ids = {r["doc_id"] for r in kept.filter("keep").collect()}
+        n = kept.count()
+        assert 0 < len(keep_ids) < n  # filters something, keeps something
+        # the tail re-admission is real: kept docs include sub-top
+        # scorers (P(draw > 0.3) ~= 9.4% per doc; with this holdout
+        # size a few low-mid scorers always survive)
+        low_kept = kept.filter(F.col("keep") & (F.col("quality_score") < 0.75))
+        assert low_kept.count() > 0
+        # determinism: a fresh pipeline over the same inputs keeps the
+        # exact same set (the draw depends only on doc_id)
+        again = pareto_keep(score_quality(model, holdout).select(
+            "doc_id", "lang", "quality_score"
+        ))
+        keep_ids2 = {r["doc_id"] for r in again.filter("keep").collect()}
+        assert keep_ids2 == keep_ids
+        kept.unpersist()
