@@ -733,3 +733,39 @@ def remove_duplicated_spans(
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+def rp_text_embedding(
+    docs: DataFrame, id_col: str, text_col: str, dims: int = SIMHASH_BITS
+) -> DataFrame:
+    """Deterministic random-projection text embedding: dimension b is
+    the sum of +-1 signs (bit b of each token's md5) over the doc's
+    tokens — exactly the SimHash accumulator WITHOUT the sign
+    threshold, so the full magnitude survives and cosine over these
+    vectors is a model-free semantic-overlap measure (feature hashing
+    a la Weinberger et al.; E[cos] tracks weighted token overlap).
+    Bridges the text corpus into every vector operator (ANN tiers,
+    embedding near-dup, semantic dedup) with zero model dependency.
+
+    Integer-exact and engine-portable (same md5-bit formula as the
+    SimHash oracle), hence registry-gatable. Map-only per doc; one
+    md5 per token, one fold per doc."""
+    h = hex_window_sql("m", 1, "spark", width=15)
+    base = spread(docs).select(
+        id_col,
+        F.expr(
+            f"transform(transform({_toks(text_col)}, x -> md5(x)), m -> {h})"
+        ).alias("th"),
+    )
+    one = "CAST(1 AS BIGINT)"
+    emb = (
+        f"aggregate(th, array_repeat(0, {dims}),"
+        f" (acc, h) -> transform(acc, (c, i) ->"
+        f"   c + CAST((h DIV shiftleft({one}, i)) % 2 AS INT)),"
+        f" acc -> transform(acc, c -> CAST(2 * c - size(th) AS BIGINT)))"
+    )
+    return base.select(
+        id_col,
+        F.expr("CAST(size(th) AS BIGINT)").alias("n_tokens"),
+        F.expr(emb).alias("emb"),
+    )

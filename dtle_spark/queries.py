@@ -3753,3 +3753,47 @@ def kmv_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.unionByName(merged).select(
         "day", "got_k", "kth_min", F.expr(est).alias("kmv_estimate")
     )
+
+
+@query(
+    "text_rp_embedding",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+        list_transform(list_transform({_duck_toks()}, x -> md5(x)),
+                       m -> {dd.hex_window_sql('m', 1, 'duckdb', width=15)}) AS th
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id, CAST(len(th) AS BIGINT) AS n_tokens,
+        list_transform(range(0, {dd.SIMHASH_BITS}), b ->
+          CAST(2 * len(list_filter(th, h -> (h // CAST(pow(2, b) AS BIGINT)) % 2 = 1))
+               - len(th) AS BIGINT)) AS emb
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           emb[1] AS d0, emb[2] AS d1, emb[3] AS d2, emb[4] AS d3,
+           md5(array_to_string(emb, ',')) AS emb_fp
+    FROM e
+    """,
+)
+def text_rp_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free text embeddings by feature hashing (functions/dedup.py
+    rp_text_embedding): the SimHash accumulator without the sign
+    threshold — 60 exact-integer dimensions per doc whose cosine tracks
+    token overlap, bridging the text corpus into the vector operators
+    (ANN tiers, semantic dedup) with no model dependency. The oracle
+    hashes the full vector (emb_fp) and spot-checks four dimensions."""
+    d = load_table(spark, sf_dir, "documents")
+    e = dd.rp_text_embedding(d, "doc_id", "text")
+    return e.select(
+        "doc_id",
+        "n_tokens",
+        F.expr("emb[0]").alias("d0"),
+        F.expr("emb[1]").alias("d1"),
+        F.expr("emb[2]").alias("d2"),
+        F.expr("emb[3]").alias("d3"),
+        F.md5(F.expr("concat_ws(',', transform(emb, x -> CAST(x AS STRING)))")).alias(
+            "emb_fp"
+        ),
+    )
