@@ -183,6 +183,30 @@ class ManifestedTarget:
     def overwrite(self, df: DataFrame, schema_name: str, table_name: str) -> None:
         self.commit(self.stage(df, schema_name, table_name), schema_name, table_name)
 
+    def append(
+        self,
+        df: DataFrame,
+        schema_name: str,
+        table_name: str,
+        seq_watermark: dict[str, int] | None = None,
+    ) -> None:
+        """Log-structured append: the staged batch becomes an ADDITIONAL
+        manifest entry (readers union all entries), so the commit cost
+        is O(batch) regardless of table size — the lake-append analogue
+        for insert-only tables (streaming corpus ingest). Same atomic
+        manifest swap; time travel sees one version per appended batch."""
+        p = self.path(schema_name, table_name)
+        staged = self.stage(df, schema_name, table_name)
+        os.makedirs(p, exist_ok=True)
+        entry = unique_entry_name("seg")
+        os.rename(staged, os.path.join(p, entry))
+        m = TableManifest.load(p) or TableManifest()
+        m.entries[entry] = entry  # key = dir: appends never replace
+        if seq_watermark is not None:
+            m.seq_watermark.update(seq_watermark)
+        m.save(p)  # <- the commit point
+        gc_unreferenced(p, m)
+
     def seq_watermark(self, schema_name: str, table_name: str) -> dict[str, int]:
         """Per-source applied-seq high-water mark, committed atomically
         with the data it covers (no-PK replay idempotence, A10)."""

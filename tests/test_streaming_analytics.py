@@ -285,3 +285,61 @@ def test_stream_interval_join_matches_batch(spark, event_stream):
         ).collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_streaming_corpus_ingest_dedups_across_batches(spark, tmp_path):
+    """Streaming corpus builder: within-batch exact dedup, cross-batch
+    near-dup filtering against the accumulated corpus, log-structured
+    manifest appends with a batch-id watermark (replay-idempotent),
+    per-batch time-travel snapshots."""
+    import os
+
+    from dtle_spark.sinks.manifest import TableManifest
+    from dtle_spark.streaming.corpus_ingest import CorpusIngestJob
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    b1 = spark.createDataFrame(
+        [
+            (1, base + " one", "en", "s0"),
+            (2, "completely different text about spark query engines", "en", "s0"),
+            (3, base + " one", "en", "s0"),  # exact dup of 1 within batch
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    b1.coalesce(1).write.parquet(os.path.join(src, "b1"))
+
+    job = CorpusIngestJob(
+        spark, os.path.join(src, "*"), str(tmp_path / "tgt"), str(tmp_path / "ckpt")
+    )
+    job.start()
+    job.process_available()
+    ids1 = {r["doc_id"] for r in job.corpus().select("doc_id").collect()}
+    assert ids1 == {1, 2}  # 3 deduped within the batch
+
+    b2 = spark.createDataFrame(
+        [
+            (10, base + " one", "en", "s1"),  # exact dup of corpus doc 1
+            (11, base + " two", "en", "s1"),  # near dup of corpus doc 1
+            (12, "fresh unrelated content counting tokens and windows", "en", "s1"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    b2.coalesce(1).write.parquet(os.path.join(src, "b2"))
+    job.start()
+    job.process_available()
+    ids2 = {r["doc_id"] for r in job.corpus().select("doc_id").collect()}
+    assert ids2 == {1, 2, 12}  # 10 exact-dropped, 11 near-dropped
+
+    # replay the last batch id manually: watermark makes it a no-op
+    wm = job.target.seq_watermark("corpus", "documents")["__ingest_batch"]
+    job.apply_batch(b2, wm)
+    assert {r["doc_id"] for r in job.corpus().select("doc_id").collect()} == ids2
+
+    # time travel: each committed batch left a resolvable snapshot
+    tdir = job.target.path("corpus", "documents")
+    vs = TableManifest.versions(tdir)
+    assert len(vs) >= 2
+    first = job.target.read_at_version(spark, "corpus", "documents", vs[0])
+    assert {r["doc_id"] for r in first.select("doc_id").collect()} == ids1
