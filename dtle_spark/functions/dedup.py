@@ -314,6 +314,9 @@ def incremental_neardup_filter(
         base.withColumn("sig", minhash_signature())
         .select("id", "side", F.explode(lsh_bands("sig")).alias("band"))
         .select("id", "side", "band.band_idx", "band.band_digest")
+        # both side-branches read this: without the barrier the
+        # signature fold + band digests run twice (once per branch)
+        .localCheckpoint(eager=False)
     )
     hist_b = buckets.filter(F.col("side") == 0).select(
         F.col("id").alias("hist_id"), "band_idx", "band_digest"
