@@ -171,6 +171,52 @@ def envelope(
     )
 
 
+def schema_change_frames(
+    changes: DataFrame,
+    topic_prefix: str = "dtle",
+    gtid_col: str | None = None,
+) -> DataFrame:
+    """Schema-change-topic frames for DDL events — the reference routes
+    every NotDML query to ``schema-changes.<topic>`` as a Debezium
+    HistoryRecord-shaped payload with a JSON ``null`` key
+    (kafka3.go:292-293 default topic, :897-915 payload build,
+    kafka/ddl.go:42-51 field names). Field mapping onto the lake wire:
+    ``ts_sec`` = event-time seconds, ``pos`` = the stream seq (no binlog
+    file offset on a lake source — ``file`` stays empty, as in the
+    reference's TODO'd snapshot path), ``gtids`` = "sid:gno" from the
+    change row unless a precomputed ``gtid_col`` is given.
+
+    Emits one frame per DDL in stream order; key is the literal JSON
+    null (log compaction must NOT collapse schema history)."""
+    gtids = (
+        F.col(gtid_col)
+        if gtid_col
+        else F.concat_ws(":", F.col("sid"), F.col("gno").cast("string"))
+    )
+    value = F.to_json(
+        F.struct(
+            F.struct(F.lit(SOURCE_NAME).alias("server")).alias("source"),
+            F.struct(
+                F.coalesce(
+                    (F.unix_millis(F.col("ts")) / 1000).cast("long"), F.lit(0)
+                ).alias("ts_sec"),
+                F.lit("").alias("file"),
+                F.col("seq").alias("pos"),
+                gtids.alias("gtids"),
+            ).alias("position"),
+            F.col("schema_name").alias("databaseName"),
+            F.col("query").alias("ddl"),
+            F.lit(None).cast("string").alias("tableChanges"),
+        ),
+        {"ignoreNullFields": "false"},
+    )
+    return changes.filter(F.col("op") == "ddl").select(
+        F.concat_ws(".", F.lit("schema-changes"), F.lit(topic_prefix)).alias("topic"),
+        F.lit("null").alias("key"),
+        value.alias("value"),
+    )
+
+
 def write_kafka_stream(frames: DataFrame, bootstrap: str, checkpoint: str):
     """Ship envelope frames to Kafka (requires spark-sql-kafka jars on
     the cluster; locally unavailable — kept behind this seam)."""

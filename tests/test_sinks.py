@@ -271,3 +271,46 @@ def test_resize_uses_real_dims(spark):
     )
     out = mm.resize_images(media, max_side=256).collect()[0]
     assert (out["width"], out["height"]) == (256, 64)
+
+
+def test_schema_change_topic_frames(spark):
+    """DDL events route to the schema-change topic as HistoryRecord-
+    shaped payloads with a JSON null key (kafka3.go:292-293 default
+    topic, :897-915 payload, ddl.go:42-51 field names); DML events are
+    excluded — envelope() and schema_change_frames() partition the
+    stream with no loss or overlap."""
+    import datetime as dt
+    import json
+
+    from pyspark.sql import Row as R
+    from pyspark.sql import types as T
+
+    from dtle_spark.model import change_schema
+
+    row_t = T.StructType([T.StructField("id", T.LongType())])
+    rows = [
+        {"sid": "uuid-a", "gno": 7, "seq": 10, "lc": 0, "op": "ddl",
+         "ts": dt.datetime(2020, 1, 1, tzinfo=dt.timezone.utc),
+         "schema_name": "db1", "table_name": "t", "before": None,
+         "after": None, "query": "ALTER TABLE t ADD COLUMN x INT"},
+        {"sid": "uuid-a", "gno": 8, "seq": 11, "lc": 0, "op": "i", "ts": None,
+         "schema_name": "db1", "table_name": "t", "before": None,
+         "after": {"id": 1}, "query": None},
+    ]
+    changes = spark.createDataFrame([R(**r) for r in rows], change_schema(row_t))
+    frames = dz.schema_change_frames(changes, topic_prefix="dtle").collect()
+    assert len(frames) == 1
+    f = frames[0]
+    assert f["topic"] == "schema-changes.dtle" and f["key"] == "null"
+    v = json.loads(f["value"])
+    assert v["databaseName"] == "db1"
+    assert v["ddl"] == "ALTER TABLE t ADD COLUMN x INT"
+    assert v["source"] == {"server": dz.SOURCE_NAME}
+    assert v["position"]["ts_sec"] == 1577836800
+    assert v["position"]["pos"] == 10
+    assert v["position"]["gtids"] == "uuid-a:7"
+    assert v["tableChanges"] is None
+    # partition property: env side sees exactly the non-DDL rows
+    fields = [("id", lambda w: F.col(f"{w}.id"))]
+    env = dz.envelope(changes, ["id"], fields).collect()
+    assert len(env) == 1 and '"op":"c"' in env[0]["value"]
