@@ -202,3 +202,13 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+
+def test_text_rp_embedding_map_only_jvm_side(spark):
+    """Feature-hashing embeddings are one md5 per token + one fold per
+    doc: no data-movement-by-key at all (the only allowed exchange is
+    spread()'s round-robin CPU spread, a no-op on real multi-split
+    inputs), no Python eval nodes."""
+    plan = plan_of("text_rp_embedding", spark)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
