@@ -196,6 +196,14 @@ class ManifestedTarget:
         for insert-only tables (streaming corpus ingest). Same atomic
         manifest swap; time travel sees one version per appended batch."""
         p = self.path(schema_name, table_name)
+        m = TableManifest.load(p)
+        if m is not None and m.entries and all(
+            k.lstrip("-").isdigit() for k in m.entries
+        ):
+            raise ValueError(
+                f"{schema_name}.{table_name} is key-bucketed; append is for "
+                "insert-only segment tables — use merge() on bucketed targets"
+            )
         staged = self.stage(df, schema_name, table_name)
         os.makedirs(p, exist_ok=True)
         entry = unique_entry_name("seg")
@@ -206,6 +214,36 @@ class ManifestedTarget:
             m.seq_watermark.update(seq_watermark)
         m.save(p)  # <- the commit point
         gc_unreferenced(p, m)
+
+    def compact_segments(
+        self, spark: SparkSession, schema_name: str, table_name: str,
+        max_segments: int = 16,
+    ) -> int:
+        """Small-file chore for append-only tables: when the segment
+        count exceeds ``max_segments``, rewrite all segments into ONE
+        entry (a single partitioned parquet write) and swap the
+        manifest once. Readers before the swap see the old segments,
+        after it the compacted image — same atomicity as every other
+        commit, and time travel keeps resolving the pre-compaction
+        versions until retention prunes them. Returns segments folded
+        (0 = nothing to do). At 100 TB run this off the ingest path on
+        a schedule, like any lake OPTIMIZE."""
+        p = self.path(schema_name, table_name)
+        m = TableManifest.load(p)
+        if m is None or len(m.entries) <= max_segments:
+            return 0
+        if all(k.lstrip("-").isdigit() for k in m.entries):
+            return 0  # bucketed layout: compact() (tombstone GC) owns it
+        cur = self.read_internal(spark, schema_name, table_name)
+        if cur is None:
+            return 0
+        n = len(m.entries)
+        wm = self.seq_watermark(schema_name, table_name)
+        self.commit(
+            self.stage(cur, schema_name, table_name),
+            schema_name, table_name, seq_watermark=wm or None,
+        )
+        return n
 
     def seq_watermark(self, schema_name: str, table_name: str) -> dict[str, int]:
         """Per-source applied-seq high-water mark, committed atomically

@@ -204,3 +204,37 @@ def test_time_travel_retention_prunes_and_gc_protects(spark, tmp_path):
         n for n in os.listdir(tdir) if n not in (mf.MANIFEST_NAME, mf.HISTORY_DIR)
     }
     assert on_disk == live
+
+
+def test_append_guard_and_segment_compaction(spark, tmp_path):
+    """append() refuses key-bucketed tables; for append-only tables,
+    compact_segments folds many segments into one entry atomically,
+    preserving content, watermark, and pre-compaction time travel."""
+    t = ParquetTableTarget(str(tmp_path / "tgt"))
+    df = cdc_demo.orders_base(spark, SF_DIR).limit(40)
+    parts = [df.filter(F.col("o_orderkey") % 5 == i) for i in range(5)]
+    for i, p in enumerate(parts):
+        t.append(p, "db1", "seg", seq_watermark={"b": i})
+    tdir = t.path("db1", "seg")
+    m = TableManifest.load(tdir)
+    assert len(m.entries) == 5
+    total = t.read(spark, "db1", "seg").count()
+    pre_version = m.version
+
+    # below threshold: no-op
+    assert t.compact_segments(spark, "db1", "seg", max_segments=16) == 0
+    # above: folds all five into one
+    assert t.compact_segments(spark, "db1", "seg", max_segments=3) == 5
+    m2 = TableManifest.load(tdir)
+    assert list(m2.entries) == ["_table"]
+    assert t.read(spark, "db1", "seg").count() == total
+    assert t.seq_watermark("db1", "seg") == {"b": 4}
+    # pre-compaction version still resolves (time travel)
+    past = t.read_at_version(spark, "db1", "seg", pre_version)
+    assert past is not None and past.count() == total
+
+    # bucketed tables refuse append
+    bt = BucketedTableTarget(str(tmp_path / "tgt2"), n_buckets=8)
+    bt.seed(cdc_demo.orders_base(spark, SF_DIR), "db1", "orders", ["o_orderkey"])
+    with pytest.raises(ValueError, match="bucketed"):
+        bt.append(df, "db1", "orders")
