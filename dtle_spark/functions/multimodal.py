@@ -132,6 +132,100 @@ def make_png(width: int, height: int) -> bytes:
     gate — the parser must read back exactly what this writes."""
     if width < 1 or height < 1:
         raise ValueError("png dims must be positive")
+    pixels = bytes(
+        (x * 31 + y * 7) % 256 for y in range(height) for x in range(width)
+    )
+    return encode_png(width, height, 1, pixels, filter_type=0)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(data: bytes) -> dict:
+    """REAL PNG decoder, pure stdlib (zlib inflate + per-scanline
+    un-filtering with all five filter types: None/Sub/Up/Average/
+    Paeth). Supports baseline non-interlaced 8-bit grayscale (color
+    type 0) and RGB (type 2) — the honest subset implementable without
+    a codec library; palette/alpha/16-bit/interlaced raise loudly.
+
+    Returns {width, height, channels, pixels: bytes} with pixels in
+    row-major channel-interleaved order (exactly the pre-filter
+    scanline bytes)."""
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, idat, meta = 8, b"", None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or ctype not in (0, 2) or interlace != 0:
+                raise NotImplementedError(
+                    f"PNG depth={depth} color_type={ctype} interlace={interlace}:"
+                    " only 8-bit gray/RGB non-interlaced supported without PIL"
+                )
+            meta = (w, h, 1 if ctype == 0 else 3)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if meta is None or not idat:
+        raise ValueError("PNG: missing IHDR/IDAT")
+    w, h, ch = meta
+    raw = zlib.decompress(idat)
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG: IDAT length mismatch")
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    for y in range(h):
+        row_start = y * (stride + 1)
+        ft = raw[row_start]
+        line = bytearray(raw[row_start + 1 : row_start + 1 + stride])
+        if ft == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                ul = prev[i - ch] if i >= ch else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"PNG: unknown filter {ft}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    return {"width": w, "height": h, "channels": ch, "pixels": bytes(out)}
+
+
+def encode_png(
+    width: int, height: int, channels: int, pixels: bytes, filter_type: int = 0
+) -> bytes:
+    """REAL PNG encoder for 8-bit gray/RGB with a selectable scanline
+    filter (0-4) — filters are applied for real, so decode_png's five
+    un-filter paths have a genuine round-trip partner."""
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 (gray) or 3 (rgb)")
+    stride = width * channels
+    if len(pixels) != height * stride:
+        raise ValueError("pixel buffer size mismatch")
 
     def chunk(tag: bytes, body: bytes) -> bytes:
         return (
@@ -139,26 +233,76 @@ def make_png(width: int, height: int) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
-    raw = b"".join(
-        b"\x00" + bytes((x * 31 + y * 7) % 256 for x in range(width))
-        for y in range(height)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, 0 if channels == 1 else 2, 0, 0, 0
     )
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y in range(height):
+        line = bytearray(pixels[y * stride : (y + 1) * stride])
+        f = bytearray(line)
+        if filter_type == 1:
+            for i in range(channels, stride):
+                f[i] = (line[i] - line[i - channels]) & 0xFF
+        elif filter_type == 2:
+            for i in range(stride):
+                f[i] = (line[i] - prev[i]) & 0xFF
+        elif filter_type == 3:
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                f[i] = (line[i] - ((left + prev[i]) >> 1)) & 0xFF
+        elif filter_type == 4:
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                ul = prev[i - channels] if i >= channels else 0
+                f[i] = (line[i] - _paeth(left, prev[i], ul)) & 0xFF
+        elif filter_type != 0:
+            raise ValueError(f"unknown filter {filter_type}")
+        raw += bytes([filter_type]) + bytes(f)
+        prev = line
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
         + chunk(b"IEND", b"")
     )
 
 
+def resize_nearest(
+    pixels: bytes, width: int, height: int, channels: int, new_w: int, new_h: int
+) -> bytes:
+    """Nearest-neighbor resample (the real pixel work for the resize
+    stage — PIL swaps in higher-quality kernels through the same
+    contract)."""
+    out = bytearray(new_w * new_h * channels)
+    for y in range(new_h):
+        sy = y * height // new_h
+        src_row = sy * width * channels
+        dst_row = y * new_w * channels
+        for x in range(new_w):
+            sx = x * width // new_w
+            s = src_row + sx * channels
+            d = dst_row + x * channels
+            out[d : d + channels] = pixels[s : s + channels]
+    return bytes(out)
+
+
 def _decode_stub(payload: bytes, mime: str) -> dict:
-    """Decode dispatch: image/WAV CONTAINER HEADERS parse for real
-    (parse_image_header / parse_wav_header above); full pixel/sample
-    decode and other codecs raise — clearly-marked stub, not silent
-    wrong output. PIL/ffmpeg plug in here in production."""
+    """Decode dispatch: PNG pixels decode FOR REAL (decode_png above —
+    zlib inflate + un-filter, no codec library); other image containers
+    parse headers for real but their pixel decode raises (PIL plugs in
+    here); audio/video raise. Never silent wrong output."""
     if mime.startswith("image/"):
-        feats = parse_image_header(bytes(payload))
+        data = bytes(payload)
+        if data[:8] == b"\x89PNG\r\n\x1a\n":
+            d = decode_png(data)  # full pixel decode, validates IDAT
+            return {
+                "n_bytes": len(payload),
+                "checksum": hashlib.md5(payload).hexdigest(),
+                "width": d["width"],
+                "height": d["height"],
+            }
+        feats = parse_image_header(data)
         if feats is None:
             raise NotImplementedError(
                 f"unrecognized image container for {mime}; PIL decode plugs in here"
@@ -255,21 +399,50 @@ FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_payload binary"
 
 
 def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
-    """Image resize stage: schema/batching plumbing is real, the pixel
-    work is the stubbed codec (PIL.thumbnail here in production)."""
+    """Image resize stage. PNG payloads resize FOR REAL: decode_png ->
+    nearest-neighbor resample -> encode_png (pure stdlib end to end);
+    other image containers raise (PIL.thumbnail plugs in through the
+    same contract); non-image payloads keep the deterministic
+    passthrough used by the plumbing tests."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for doc_id, payload, mime in zip(pdf["doc_id"], pdf["payload"], pdf["mime"]):
-                feats = _decode_stub(bytes(payload), mime)
+                data = bytes(payload)
+                if data[:8] == b"\x89PNG\r\n\x1a\n":
+                    d = decode_png(data)
+                    scale = min(1.0, max_side / max(d["width"], d["height"], 1))
+                    nw = max(1, int(d["width"] * scale))
+                    nh = max(1, int(d["height"] * scale))
+                    px = (
+                        d["pixels"]
+                        if (nw, nh) == (d["width"], d["height"])
+                        else resize_nearest(
+                            d["pixels"], d["width"], d["height"], d["channels"], nw, nh
+                        )
+                    )
+                    out.append(
+                        {
+                            "doc_id": doc_id,
+                            "width": nw,
+                            "height": nh,
+                            "payload": encode_png(nw, nh, d["channels"], px),
+                        }
+                    )
+                    continue
+                if mime.startswith("image/"):
+                    raise NotImplementedError(
+                        f"resize for {mime} needs PIL; only PNG decodes here"
+                    )
+                feats = _decode_stub(data, mime)
                 scale = min(1.0, max_side / max(feats["width"], feats["height"], 1))
                 out.append(
                     {
                         "doc_id": doc_id,
                         "width": int(feats["width"] * scale),
                         "height": int(feats["height"] * scale),
-                        "payload": bytes(payload),  # real impl: re-encoded pixels
+                        "payload": data,  # opaque passthrough (non-image)
                     }
                 )
             yield pd.DataFrame(out)
