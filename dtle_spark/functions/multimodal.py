@@ -126,6 +126,93 @@ def parse_wav_header(payload: bytes) -> dict | None:
     return {"format": "wav", **fmt, "n_frames": frames}
 
 
+def make_wav(samples: list[int], sample_rate: int = 16000, channels: int = 1) -> bytes:
+    """Minimal REAL PCM WAV encoder (16-bit LE, stdlib struct/array):
+    fixture generator for the decode round trip."""
+    import array as _array
+
+    data = _array.array("h", samples).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * channels * 2, channels * 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL PCM WAV decoder (pure stdlib): chunk walk + 16-bit LE
+    sample unpack. Compressed/float WAV raises loudly (the ffmpeg
+    seam). Returns {sample_rate, channels, n_frames, samples: list[int]}
+    with samples frame-major channel-interleaved."""
+    import array as _array
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            tag, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if tag != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"WAV format tag={tag} bits={bits}: only 16-bit PCM decodes "
+                    "without ffmpeg"
+                )
+            fmt = (channels, rate)
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV: missing fmt/data chunk")
+    channels, rate = fmt
+    arr = _array.array("h")
+    arr.frombytes(data[: len(data) - (len(data) % 2)])
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "n_frames": len(arr) // max(channels, 1),
+        "samples": arr.tolist(),
+    }
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id long, sample_rate int, channels int, n_frames long,"
+    " duration_ms long, rms double"
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL audio feature extraction over PCM WAV
+    payloads: rate/channels/frames/duration plus RMS amplitude
+    (integer sum of squares, one sqrt at the end — deterministic)."""
+    import math
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_wav(bytes(payload))
+                n = len(d["samples"])
+                ssq = sum(s * s for s in d["samples"])
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "sample_rate": d["sample_rate"],
+                        "channels": d["channels"],
+                        "n_frames": d["n_frames"],
+                        "duration_ms": d["n_frames"] * 1000 // max(d["sample_rate"], 1),
+                        "rms": math.sqrt(ssq / n) if n else 0.0,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(op, schema=AUDIO_FEATURE_SCHEMA)
+
+
 def make_png(width: int, height: int) -> bytes:
     """Minimal REAL PNG encoder (stdlib zlib/struct): 8-bit grayscale,
     deterministic pixel ramp. Test/fixture generator for the roundtrip
