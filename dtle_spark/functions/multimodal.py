@@ -2,13 +2,20 @@
 
 Image/audio/video travel as ``binary`` columns with metadata; decode /
 feature-extraction runs as Arrow-batched ``mapInPandas`` over bounded
-batches. Container-HEADER parsing (PNG/JPEG/GIF/BMP dimensions, WAV
-audio properties) is REAL — pure stdlib ``struct`` walks, no codec
-library needed. Full pixel/sample decode remains STUBBED behind
-``NotImplementedError`` (PIL/ffmpeg absent from this container); the
-header tier covers the metadata extraction a corpus pipeline actually
-runs at scan time (dimension filters, format stats, corrupt-file
-screens) without touching pixel data.
+batches. Three honesty tiers, all loud at their boundaries:
+
+- **Full decode, REAL, pure stdlib**: PNG pixels (``decode_png`` —
+  zlib inflate + all five scanline un-filters, 8-bit gray/RGB
+  non-interlaced; plus filtered ``encode_png`` and real
+  nearest-neighbor resize) and 16-bit PCM WAV samples (``decode_wav``
+  + RMS features). No codec library needed.
+- **Header tier, REAL**: JPEG/GIF/BMP dimensions and WAV properties
+  via stdlib ``struct`` walks — the metadata extraction a corpus
+  pipeline runs at scan time (dimension filters, format stats,
+  corrupt-file screens) without touching pixel data.
+- **Seams**: JPEG/palette-PNG pixel decode, compressed audio, and
+  video frames raise ``NotImplementedError`` naming the library
+  (PIL/ffmpeg, absent from this container) — never silent fakes.
 
 Scale notes: payloads dominate row size, so (a) never shuffle the
 payload column — extract features first, then join features back by id
