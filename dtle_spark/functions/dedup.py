@@ -772,3 +772,70 @@ def rp_text_embedding(
         F.expr("CAST(size(th) AS BIGINT)").alias("n_tokens"),
         F.expr(emb).alias("emb"),
     )
+
+
+# --- persisted dedup index (the production incremental-ingest path) ---
+
+INDEX_COLS = ("__fp", "__hx", "__bands")
+
+
+def with_dedup_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Attach the dedup INDEX columns to document rows: exact
+    fingerprint (__fp), hashed shingle set (__hx), and LSH band digests
+    (__bands, nested — exploded only at probe time). Stored WITH the
+    corpus rows, history is fingerprinted ONCE at ingest; every later
+    increment probes these columns instead of re-hashing 100 TB of
+    text (the economics incremental_neardup_filter's docstring
+    promises — this is the materialization of that index)."""
+    from dtle_spark.functions.textstats import doc_fingerprint
+
+    base = base_hash_columns(
+        docs.withColumn("__sh", shingles_expr(text_col)), "__sh"
+    ).drop("__sh")
+    return (
+        base.withColumn("__fp", doc_fingerprint(F.col(text_col)))
+        .withColumn("__sig", minhash_signature())
+        .withColumn("__bands", lsh_bands("__sig"))
+        .withColumnRenamed("hx", "__hx")
+        .drop("hy", "__sig")
+    )
+
+
+def probe_index(
+    index: DataFrame,
+    incoming: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Dropped-id table: which INCOMING docs exactly or nearly
+    duplicate the indexed history. Both sides must carry INDEX_COLS
+    (with_dedup_index). Exact tier = fingerprint semi-join; near tier =
+    band-digest equi-join verified by hashed-shingle jaccard. No text
+    is read and nothing is re-hashed — index lookups only."""
+    inc = incoming.select(
+        F.col(id_col).alias("id"), "__fp", "__hx", "__bands"
+    ).localCheckpoint(eager=False)
+    hist_fp = index.select("__fp").distinct()
+    exact = inc.join(hist_fp, "__fp", "left_semi").select("id")
+    inc_b = inc.select(
+        "id", F.col("__hx").alias("hx_i"), F.explode("__bands").alias("b")
+    ).select("id", "hx_i", "b.band_idx", "b.band_digest")
+    hist_b = index.select(
+        F.col(id_col).alias("hist_id"),
+        F.col("__hx").alias("hx_h"),
+        F.explode("__bands").alias("b"),
+    ).select("hist_id", "hx_h", "b.band_idx", "b.band_digest")
+    cand = (
+        inc_b.join(hist_b, ["band_idx", "band_digest"])
+        .select("id", "hx_i", "hist_id", "hx_h")
+        .dropDuplicates(["id", "hist_id"])
+    )
+    near = (
+        with_jaccard(cand, "hx_i", "hx_h")
+        .filter(F.col("jaccard") >= threshold)
+        .select("id")
+        .distinct()
+    )
+    return exact.unionByName(near).distinct()

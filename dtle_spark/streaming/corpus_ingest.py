@@ -6,10 +6,14 @@ manifest-committed table.
 Composition of existing pieces, no new algorithms:
 
 - within-batch exact dedup (fingerprint keep-min),
-- cross-batch dedup via
-  :func:`dtle_spark.functions.dedup.incremental_neardup_filter`
-  (exact fingerprint membership + LSH band probe against the history,
-  jaccard-verified) — the daily-ingest operator, driven per micro-batch,
+- cross-batch dedup via the PERSISTED dedup index: survivors are
+  stored WITH their index columns (exact fingerprint, hashed shingle
+  set, LSH band digests — :func:`with_dedup_index`), so each new batch
+  probes stored columns (:func:`probe_index`) and the history text is
+  fingerprinted exactly ONCE, at its own ingest. At 100 TB an
+  increment costs O(increment) hashing + index equi-joins — history is
+  never re-hashed. Keeping the index columns IN the corpus table makes
+  data + index one atomic commit (no cross-table crash window),
 - log-structured append (:meth:`ManifestedTarget.append`): each batch
   commits as one additional manifest entry, O(batch) regardless of
   corpus size, atomically with the batch-id watermark (replay-safe:
@@ -18,11 +22,8 @@ Composition of existing pieces, no new algorithms:
   to exactly-once corpus content),
 - manifest time travel gives per-batch corpus snapshots for free.
 
-At 100 TB the history side of the probe must be a PRECOMPUTED index
-(band digests + hash sets stored once per doc — see
-incremental_neardup_filter's docstring); this driver re-derives it per
-batch, which is correct at any scale but re-hashes history: swap
-``read_history`` for the index table to go production-scale.
+probe_index's equivalence to the re-hashing operator
+(incremental_neardup_filter) is pytest-pinned.
 """
 
 from __future__ import annotations
@@ -32,8 +33,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dtle_spark.functions.dedup import incremental_neardup_filter
-from dtle_spark.functions.textstats import doc_fingerprint
+from dtle_spark.functions.dedup import INDEX_COLS, probe_index, with_dedup_index
 from dtle_spark.sinks.table_sink import ParquetTableTarget
 
 SCHEMA_NAME = "corpus"
@@ -71,26 +71,27 @@ class CorpusIngestJob:
         wm = self.target.seq_watermark(SCHEMA_NAME, TABLE_NAME)
         if wm.get(_WM_KEY, -1) >= batch_id:
             return  # replayed batch already committed — skip (idempotent)
-        # within-batch exact dedup: keep the min id per fingerprint
-        fp = batch.withColumn("__fp", doc_fingerprint(F.col(self.text_col)))
-        keeper = fp.groupBy("__fp").agg(F.min(self.id_col).alias("__keep"))
-        batch = (
-            fp.join(keeper, "__fp")
-            .filter(F.col(self.id_col) == F.col("__keep"))
-            .drop("__fp", "__keep")
+        # hash the INCREMENT once: index columns computed here are both
+        # the probe side now and the stored index afterwards
+        indexed = with_dedup_index(batch, self.id_col, self.text_col).localCheckpoint(
+            eager=False
         )
+        # within-batch exact dedup: keep the min id per fingerprint
+        keeper = indexed.groupBy("__fp").agg(F.min(self.id_col).alias("__keep"))
+        indexed = indexed.join(keeper, "__fp").filter(
+            F.col(self.id_col) == F.col("__keep")
+        ).drop("__keep")
         history = self.target.read(self.spark, SCHEMA_NAME, TABLE_NAME)
         if history is not None:
-            survivors = incremental_neardup_filter(
-                history,
-                batch,
-                id_col=self.id_col,
-                text_col=self.text_col,
-                threshold=self.threshold,
+            dropped = probe_index(
+                history, indexed, id_col=self.id_col, threshold=self.threshold
+            )
+            survivors = indexed.join(
+                dropped, indexed[self.id_col] == dropped["id"], "left_anti"
             )
         else:
-            survivors = batch
-        # commit data + watermark in ONE manifest swap (crash-safe)
+            survivors = indexed
+        # commit data + index + watermark in ONE manifest swap
         self.target.append(
             survivors, SCHEMA_NAME, TABLE_NAME, seq_watermark={_WM_KEY: batch_id}
         )
@@ -116,4 +117,9 @@ class CorpusIngestJob:
             self.query.awaitTermination()
 
     def corpus(self) -> DataFrame | None:
-        return self.target.read(self.spark, SCHEMA_NAME, TABLE_NAME)
+        """User view: the deduplicated documents, index columns hidden
+        (they stay stored — the probe side of the next batch)."""
+        df = self.target.read(self.spark, SCHEMA_NAME, TABLE_NAME)
+        if df is None:
+            return None
+        return df.drop(*INDEX_COLS)

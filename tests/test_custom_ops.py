@@ -986,3 +986,35 @@ class TestQualityClassifier:
         keep_ids2 = {r["doc_id"] for r in again.filter("keep").collect()}
         assert keep_ids2 == keep_ids
         kept.unpersist()
+
+
+def test_probe_index_equals_rehash_operator(spark):
+    """The persisted-index probe must drop exactly the ids the
+    re-hashing operator (incremental_neardup_filter) drops — the
+    index IS the same computation, materialized once."""
+    from dtle_spark.functions.dedup import (
+        incremental_neardup_filter,
+        probe_index,
+        with_dedup_index,
+    )
+    from dtle_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    history = d.filter(F.col("doc_id") % 2 == 0)
+    incoming = d.filter(F.col("doc_id") % 2 == 1)
+
+    survivors_rehash = {
+        r["doc_id"]
+        for r in incremental_neardup_filter(history, incoming, threshold=0.5)
+        .select("doc_id")
+        .collect()
+    }
+    hist_idx = with_dedup_index(history)
+    inc_idx = with_dedup_index(incoming)
+    dropped = {
+        r["id"] for r in probe_index(hist_idx, inc_idx, threshold=0.5).collect()
+    }
+    all_inc = {r["doc_id"] for r in incoming.select("doc_id").collect()}
+    assert all_inc - dropped == survivors_rehash
+    assert dropped  # fixtures do contain cross-side duplicates
