@@ -808,12 +808,20 @@ def probe_index(
     incoming: DataFrame,
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Dropped-id table: which INCOMING docs exactly or nearly
     duplicate the indexed history. Both sides must carry INDEX_COLS
     (with_dedup_index). Exact tier = fingerprint semi-join; near tier =
     band-digest equi-join verified by hashed-shingle jaccard. No text
-    is read and nothing is re-hashed — index lookups only."""
+    is read and nothing is re-hashed — index lookups only.
+
+    ``max_bucket`` is the production skew guard (same rationale as
+    minhash_dedup_pairs MAX_BUCKET): a boilerplate band digest shared
+    by k history docs multiplies every incoming hit by k — cap drops
+    those buckets (full duplicates still die in the exact tier).
+    Default None keeps the probe EXACTLY equivalent to the re-hashing
+    operator (the pinned pytest contract); set ~64 at corpus scale."""
     inc = incoming.select(
         F.col(id_col).alias("id"), "__fp", "__hx", "__bands"
     ).localCheckpoint(eager=False)
@@ -827,6 +835,13 @@ def probe_index(
         F.col("__hx").alias("hx_h"),
         F.explode("__bands").alias("b"),
     ).select("hist_id", "hx_h", "b.band_idx", "b.band_digest")
+    if max_bucket is not None:
+        bw = Window.partitionBy("band_idx", "band_digest")
+        hist_b = (
+            hist_b.withColumn("__bn", F.count(F.lit(1)).over(bw))
+            .filter(F.col("__bn") <= max_bucket)
+            .drop("__bn")
+        )
     cand = (
         inc_b.join(hist_b, ["band_idx", "band_digest"])
         .select("id", "hx_i", "hist_id", "hx_h")
