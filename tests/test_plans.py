@@ -212,3 +212,28 @@ def test_text_rp_embedding_map_only_jvm_side(spark):
     plan = plan_of("text_rp_embedding", spark)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+
+
+def test_exported_shards_partition_pruning(spark, tmp_path):
+    """A trainer reading ONE exported shard must scan only that shard's
+    partition dir: the shard predicate lands in PartitionFilters (a
+    full-corpus scan per shard read would defeat the layout at 100 TB)."""
+    from dtle_spark.functions.corpus import export_training_shards
+    from dtle_spark.io import load_table
+
+    d = load_table(spark, SF_DIR, "documents").limit(200)
+    out = str(tmp_path / "corpus")
+    export_training_shards(d, out, budget=512, shards=4)
+    import os
+
+    data_dir = os.path.join(out, "data")
+    one = spark.read.parquet(data_dir).filter("shard = 3")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    # the shard predicate must land in PartitionFilters (metadata-level
+    # pruning), NOT PushedFilters/Filter (which would still list and
+    # open every shard's files)
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "shard" in pf and "= 3" in pf.replace("#", " ").replace(")", " ) "), pf
+    # and only that shard's rows flow
+    rows = one.select("shard").distinct().collect()
+    assert [r["shard"] for r in rows] == [3]
