@@ -3797,3 +3797,60 @@ def text_rp_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "emb_fp"
         ),
     )
+
+
+def _duck_index_stats_sql() -> str:
+    lanes = ", ".join(
+        f"CAST(list_min(list_transform(generate_series(1, len(hx)),"
+        f" k -> ({a} * hx[k] + {b} * hy[k]) % {dd._LANE_MOD})) AS VARCHAR)"
+        for a, b in dd.LANE_CONSTANTS
+    )
+    bands = " UNION ALL ".join(
+        f"(SELECT doc_id, {b} AS band_idx,"
+        f" md5(array_to_string(list_slice(sig, {b * dd.ROWS_PER_BAND + 1},"
+        f" {b * dd.ROWS_PER_BAND + dd.ROWS_PER_BAND}), '|')) AS band_digest FROM sigs)"
+        for b in range(dd.BANDS)
+    )
+    px = dd.hex_window_sql("m", 1, "duckdb")
+    py = dd.hex_window_sql("m", 11, "duckdb")
+    return f"""
+    WITH docs AS (SELECT doc_id, {_duck_shingles()} AS sh FROM documents),
+    digests AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS mh FROM docs),
+    hashed AS (SELECT doc_id,
+        list_transform(mh, m -> {px}) AS hx,
+        list_transform(mh, m -> {py}) AS hy
+      FROM digests),
+    sigs AS (SELECT doc_id, [{lanes}] AS sig FROM hashed),
+    buckets AS ({bands}),
+    sizes AS (
+      SELECT band_idx, band_digest, COUNT(*) AS bucket_n
+      FROM buckets GROUP BY band_idx, band_digest
+    )
+    SELECT CAST(band_idx AS INT) AS band_idx, bucket_n,
+           COUNT(*) AS n_buckets,
+           CAST(SUM((bucket_n * (bucket_n - 1)) // 2) AS BIGINT) AS candidate_pairs
+    FROM sizes GROUP BY band_idx, bucket_n
+    """
+
+
+@query("dedup_index_stats", _duck_index_stats_sql())
+def dedup_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH index observability: the band-bucket size histogram plus the
+    candidate-pair mass each (band, size) class would generate — the
+    skew signal that motivates the hot-bucket cap (a boilerplate
+    bucket of size k contributes k(k-1)/2 candidates; operators watch
+    this to pick MAX_BUCKET before a stuck-straggler task does it for
+    them). One explode + two combiner-friendly aggregations; never
+    touches pair space."""
+    d = load_table(spark, sf_dir, "documents")
+    sizes = (
+        dd.minhash_buckets(d, "doc_id", "text")
+        .groupBy("band_idx", "band_digest")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+    )
+    return sizes.groupBy("band_idx", "bucket_n").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.expr("bucket_n * (bucket_n - 1) DIV 2")).cast("long").alias(
+            "candidate_pairs"
+        ),
+    )
