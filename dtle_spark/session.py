@@ -31,7 +31,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 16g on a 128 GiB local[32] host: the single-JVM bench runs ~100
+        # queries in one heap and long-session GC is the dominant noise
+        # source (total varies 69-94 s run to run; the best totals came
+        # with the larger heap, and 8g never produced one). On a real
+        # cluster executor/driver memory is sized per-node as usual.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         # parquet scans: keep splits small enough that a partition of the
         # sf0.1 bench tier fits comfortably in an executor core's memory;
