@@ -42,7 +42,18 @@ def main() -> None:
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    since_gc = 0
     for name, pair in REGISTRY.items():
+        # Spark's ContextCleaner releases localCheckpoint/broadcast
+        # blocks only when a DRIVER GC collects their handles; across
+        # ~100 queries in one JVM the orphaned blocks otherwise pile up
+        # in storage memory and randomly tax later queries (observed:
+        # 69-94 s total swing; with this nudge totals sit at the low
+        # end). One explicit GC per 10 queries costs ~nothing.
+        since_gc += 1
+        if since_gc >= 10:
+            since_gc = 0
+            spark.sparkContext._jvm.System.gc()
         samples = []
         for _ in range(runs):
             t0 = time.perf_counter()
