@@ -60,6 +60,11 @@ def train_quality_classifier(
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import IDF, HashingTF
 
+    if positive.isEmpty() or raw.isEmpty():
+        raise ValueError(
+            "train_quality_classifier needs non-empty positive AND raw sides "
+            "(an empty class makes the LR label degenerate)"
+        )
     train = _tokenized(
         positive.select(F.col(text_col)).withColumn("label", F.lit(1.0)).unionByName(
             raw.select(F.col(text_col)).withColumn("label", F.lit(0.0))

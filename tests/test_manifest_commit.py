@@ -238,3 +238,57 @@ def test_append_guard_and_segment_compaction(spark, tmp_path):
     bt.seed(cdc_demo.orders_base(spark, SF_DIR), "db1", "orders", ["o_orderkey"])
     with pytest.raises(ValueError, match="bucketed"):
         bt.append(df, "db1", "orders")
+
+
+class TestManifestModelProperty:
+    """Model-based property test: arbitrary interleavings of
+    append / overwrite / compact / CRASHED-append must keep the
+    readable table equal to a trivial in-memory model, with versions
+    strictly monotonic. The pointwise crash tests pin single
+    scenarios; this sweeps sequences."""
+
+    def test_random_action_sequences(self, spark, tmp_path, monkeypatch):
+        import itertools
+        import random
+
+        rng = random.Random(2024)
+        next_id = itertools.count(1)
+
+        def fresh_rows(k):
+            return [next(next_id) for _ in range(k)]
+
+        for trial in range(6):
+            t = ParquetTableTarget(str(tmp_path / f"m{trial}"))
+            model: list[int] = []
+            last_version = 0
+            n_actions = rng.randint(3, 7)
+            for _ in range(n_actions):
+                action = rng.choice(["append", "append", "overwrite", "compact", "crash"])
+                if action == "append":
+                    rows = fresh_rows(rng.randint(1, 4))
+                    df = spark.createDataFrame([(r,) for r in rows], "id long")
+                    t.append(df, "db", "t")
+                    model.extend(rows)
+                elif action == "overwrite":
+                    rows = fresh_rows(rng.randint(1, 4))
+                    df = spark.createDataFrame([(r,) for r in rows], "id long")
+                    t.overwrite(df, "db", "t")
+                    model = list(rows)
+                elif action == "compact":
+                    t.compact_segments(spark, "db", "t", max_segments=1)
+                elif action == "crash":
+                    rows = fresh_rows(2)
+                    df = spark.createDataFrame([(r,) for r in rows], "id long")
+                    _crash_on_save(monkeypatch)
+                    with pytest.raises(Boom):
+                        t.append(df, "db", "t")
+                    # model unchanged: the commit never happened
+                got = t.read(spark, "db", "t")
+                got_ids = sorted(r["id"] for r in got.collect()) if got is not None else []
+                assert got_ids == sorted(model), (trial, action)
+                m = TableManifest.load(t.path("db", "t"))
+                if m is not None:
+                    assert m.version > last_version or (
+                        action in ("crash", "compact") and m.version == last_version
+                    )
+                    last_version = m.version
