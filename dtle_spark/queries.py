@@ -3854,3 +3854,33 @@ def dedup_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "candidate_pairs"
         ),
     )
+
+
+@query(
+    "set_ops_multiset",
+    """
+    WITH a AS (SELECT l_suppkey AS k FROM lineitem),
+    b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'),
+    ea AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b),
+    ia AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+    SELECT 'except_all' AS op, k, COUNT(*) AS n FROM ea GROUP BY k
+    UNION ALL
+    SELECT 'intersect_all', k, COUNT(*) AS n FROM ia GROUP BY k
+    """,
+)
+def set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTISET set algebra (EXCEPT ALL / INTERSECT ALL) — bag
+    semantics preserve duplicate counts, the variant the
+    distinct-based cohorts query (set_ops_customers) does not
+    exercise. Catalyst lowers both to a single aggregate-join on the
+    key (no row-number trick needed)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_suppkey").alias("k"))
+    b = li.filter(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("k"))
+    ea = a.exceptAll(b).groupBy("k").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("except_all").alias("op"), "k", "n"
+    )
+    ia = a.intersectAll(b).groupBy("k").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("intersect_all").alias("op"), "k", "n"
+    )
+    return ea.unionByName(ia)
