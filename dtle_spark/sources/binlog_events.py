@@ -326,3 +326,116 @@ class BinlogEventTranslator:
         for ev in events:
             out.extend(self.feed(ev))
         return out
+
+
+# --- QUERY-event status-vars parsing (wire-level session flags) -------
+
+# Q_FLAGS2 option bits (mysql-server sql/system_variables.h, public)
+OPTION_NO_FOREIGN_KEY_CHECKS = 0x04000000
+
+# MySQL collation id -> (charset, collation) for the ids seen in
+# practice on replication streams (full table lives in the server's
+# INFORMATION_SCHEMA.COLLATIONS; extend as streams need it)
+COLLATIONS: dict[int, tuple[str, str]] = {
+    8: ("latin1", "latin1_swedish_ci"),
+    28: ("gbk", "gbk_chinese_ci"),
+    33: ("utf8", "utf8_general_ci"),
+    45: ("utf8mb4", "utf8mb4_general_ci"),
+    46: ("utf8mb4", "utf8mb4_bin"),
+    63: ("binary", "binary"),
+    83: ("utf8", "utf8_bin"),
+    224: ("utf8mb4", "utf8mb4_unicode_ci"),
+    255: ("utf8mb4", "utf8mb4_0900_ai_ci"),
+}
+
+
+def parse_query_event_flags(bs: bytes) -> dict:
+    """Parse a binlog QUERY event's status-vars block (the public
+    format: mysql-server libbinlogevents statement_events.h; reference
+    behavior: common/binlog.go:238-362 ParseQueryEventFlags, goldens
+    from its binlog_test.go). Extracts what replication decisions hang
+    on: ``no_foreign_key_checks`` (Q_FLAGS2 bit — the A14 passthrough
+    flag), the three session charsets (Q_CHARSET — drives the F10
+    transcode), and ``updated_db_names`` (Q_UPDATED_DB_NAMES — the
+    multi-schema DDL routing hint the reference only logs; captured
+    here because table selection can use it). Unknown codes raise with
+    the hex context — a silent skip would desync every later field."""
+    import struct as _s
+
+    out: dict = {
+        "no_foreign_key_checks": False,
+        "character_set_client": None,
+        "collation_connection": None,
+        "collation_server": None,
+        "updated_db_names": [],
+    }
+
+    def collation(cid: int) -> tuple[str, str]:
+        if cid not in COLLATIONS:
+            raise ValueError(f"unknown collation id {cid}")
+        return COLLATIONS[cid]
+
+    i = 0
+    while i < len(bs):
+        code = bs[i]
+        i += 1
+        if code == 0x00:  # Q_FLAGS2
+            (v,) = _s.unpack_from("<I", bs, i)
+            i += 4
+            out["no_foreign_key_checks"] = bool(v & OPTION_NO_FOREIGN_KEY_CHECKS)
+        elif code == 0x01:  # Q_SQL_MODE
+            i += 8
+        elif code == 0x02:  # Q_CATALOG (len, bytes, trailing nul)
+            i += 1 + bs[i] + 1
+        elif code == 0x03:  # Q_AUTO_INCREMENT (increment, offset)
+            i += 4
+        elif code == 0x04:  # Q_CHARSET (client, connection, server ids)
+            c1, c2, c3 = _s.unpack_from("<HHH", bs, i)
+            i += 6
+            out["character_set_client"] = collation(c1)[0]
+            out["collation_connection"] = collation(c2)[1]
+            out["collation_server"] = collation(c3)[1]
+        elif code == 0x05:  # Q_TIME_ZONE (len, bytes)
+            i += 1 + bs[i]
+        elif code == 0x06:  # Q_CATALOG_NZ (len, bytes)
+            i += 1 + bs[i]
+        elif code == 0x07:  # Q_LC_TIME_NAMES
+            i += 2
+        elif code == 0x08:  # Q_CHARSET_DATABASE
+            i += 2
+        elif code == 0x09:  # Q_TABLE_MAP_FOR_UPDATE
+            i += 8
+        elif code == 0x0A:  # Q_MASTER_DATA_WRITTEN
+            i += 4
+        elif code == 0x0B:  # Q_INVOKER (user len+bytes, host len+bytes)
+            n = bs[i]
+            i += 1 + n
+            n = bs[i]
+            i += 1 + n
+        elif code == 0x0C:  # Q_UPDATED_DB_NAMES
+            count = bs[i]
+            i += 1
+            if count != 254:  # OVER_MAX_DBS_IN_EVENT_MTS sentinel
+                for _ in range(count):
+                    end = bs.index(b"\x00", i)
+                    out["updated_db_names"].append(bs[i:end].decode("utf-8"))
+                    i = end + 1
+        elif code == 0x0D:  # Q_MICROSECONDS
+            i += 3
+        elif code in (0x0E, 0x0F):  # Q_COMMIT_TS / Q_COMMIT_TS2 (unused)
+            pass
+        elif code == 0x10:  # Q_EXPLICIT_DEFAULTS_FOR_TIMESTAMP
+            i += 1
+        elif code == 0x11:  # Q_DDL_LOGGED_WITH_XID
+            i += 8
+        elif code == 0x12:  # Q_DEFAULT_COLLATION_FOR_UTF8MB4
+            i += 2
+        elif code == 0x13:  # Q_SQL_REQUIRE_PRIMARY_KEY
+            i += 1
+        elif code == 0x14:  # Q_DEFAULT_TABLE_ENCRYPTION
+            i += 1
+        else:
+            raise ValueError(
+                f"unknown status-var code 0x{code:02x} at {i - 1} in {bs.hex()}"
+            )
+    return out

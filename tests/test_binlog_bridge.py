@@ -279,3 +279,45 @@ def test_bridge_to_replication_job_end_to_end(spark, tmp_path):
 
     rows = {r["id"]: r["v"] for r in target.read(spark, "db1", "t1").collect()}
     assert rows == {1: "z"}
+
+
+class TestQueryEventFlags:
+    """Wire-level QUERY-event status-vars parsing, pinned against the
+    reference's OWN hex goldens (common/binlog_test.go:18-48)."""
+
+    def test_reference_goldens(self):
+        from dtle_spark.sources.binlog_events import parse_query_event_flags
+
+        bs1 = bytes.fromhex(
+            "0000000000012000a0550000000006037374640302000100042d002d002d00"
+            "0c01706d5f69616d5f6964656e746974795f6462001000"
+        )
+        r1 = parse_query_event_flags(bs1)
+        assert r1["no_foreign_key_checks"] is False
+        assert r1["character_set_client"] == "utf8mb4"
+        assert r1["collation_connection"] == "utf8mb4_general_ci"
+        assert r1["collation_server"] == "utf8mb4_general_ci"
+        # beyond the reference: the updated-db-names block is CAPTURED
+        # (multi-schema DDL routing hint), not just skipped
+        assert r1["updated_db_names"] == ["pm_iam_identity_db"]
+
+        bs2 = bytes.fromhex(
+            "0000000000012000a055000000000603737464042d002d0008000cfe"
+        )
+        r2 = parse_query_event_flags(bs2)
+        assert r2["no_foreign_key_checks"] is False
+        assert r2["character_set_client"] == "utf8mb4"
+        assert r2["collation_connection"] == "utf8mb4_general_ci"
+        assert r2["collation_server"] == "latin1_swedish_ci"
+        assert r2["updated_db_names"] == []  # 0xfe = over-max sentinel
+
+    def test_fk_checks_bit_and_unknown_code(self):
+        import pytest as _p
+
+        from dtle_spark.sources.binlog_events import parse_query_event_flags
+
+        # Q_FLAGS2 with OPTION_NO_FOREIGN_KEY_CHECKS set
+        flags2 = bytes([0x00]) + (0x04000000).to_bytes(4, "little")
+        assert parse_query_event_flags(flags2)["no_foreign_key_checks"] is True
+        with _p.raises(ValueError, match="unknown status-var"):
+            parse_query_event_flags(bytes([0xEE]))
