@@ -321,3 +321,23 @@ class TestQueryEventFlags:
         assert parse_query_event_flags(flags2)["no_foreign_key_checks"] is True
         with _p.raises(ValueError, match="unknown status-var"):
             parse_query_event_flags(bytes([0xEE]))
+
+
+def test_compare_file_pos_reference_goldens():
+    """Ordering table from base/binlog_test.go TestBinlogCoordinates."""
+    from dtle_spark.sources.binlog_events import compare_file_pos
+
+    c1 = ("mysql-bin.00017", 104)
+    c3 = ("mysql-bin.00017", 5000)
+    c4 = ("mysql-bin.00099", 104)
+    c5 = ("mysql-bin.00012", 5000)
+    c6 = ("mysql-bin.00012", 104)
+    assert compare_file_pos(*c1, *c1) == 0
+    assert compare_file_pos(*c1, *c3) == -1
+    assert compare_file_pos(*c6, *c3) == -1
+    assert compare_file_pos(*c5, *c3) == -1
+    assert compare_file_pos(*c5, *c1) == -1
+    assert compare_file_pos(*c3, *c1) == 1
+    assert compare_file_pos(*c4, *c3) == 1
+    assert compare_file_pos(*c4, *c1) == 1
+    assert compare_file_pos(*c3, *c6) == 1
