@@ -29,6 +29,7 @@ Semantics matched against builder.go:
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 
@@ -268,3 +269,84 @@ def statements_for_changes(
             raise ValueError(f"unknown op {op!r}")
     flush_inserts()
     return out
+
+
+# --- DDL text shims for a real MySQL destination ----------------------
+
+_COLLATION_57_RE = re.compile(r"utf8mb4_0900_ai_ci", re.IGNORECASE)
+
+
+def mysql57_collation_workaround(sql: str) -> str:
+    """MySQL 8.0 defaults to ``utf8mb4_0900_ai_ci``, which a 5.7
+    destination does not know — rewrite it to ``utf8mb4_general_ci``
+    wherever it appears (CREATE DATABASE/TABLE defaults, column
+    collations), preserving everything else byte-for-byte (reference:
+    base/utils.go MySQL57CollationReplaceWorkaround, goldens in
+    utils_test.go:362-392)."""
+    return _COLLATION_57_RE.sub("utf8mb4_general_ci", sql)
+
+
+_CREATE_TABLE_RE = re.compile(
+    r"^\s*create\s+table\s+(?:`?(?P<schema>[\w$]+)`?\.)?`?(?P<table>[\w$]+)`?"
+    r"\s*\((?P<body>.*)\)\s*(?P<tail>[^)]*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_top_level_commas(s: str) -> list[str]:
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return [p for p in out if p]
+
+
+def rename_create_table(
+    create_sql: str,
+    new_schema: str,
+    new_table: str,
+    column_map: list[str] | None = None,
+) -> str:
+    """Rewrite a snapshot CREATE TABLE for the destination: new
+    schema/table names, and — when a ColumnMap is configured — the
+    column definitions REORDERED to the map order so positional row
+    images line up (reference: base/utils.go RenameCreateTable via AST
+    restore; golden utils_test.go:323-361). Types and constraints are
+    re-emitted uppercased (the restore normalization); table-level
+    constraints keep their position after the mapped columns."""
+    m = _CREATE_TABLE_RE.match(create_sql.strip())
+    if not m:
+        raise ValueError(f"unparseable CREATE TABLE: {create_sql[:80]!r}")
+    defs = _split_top_level_commas(m.group("body"))
+    col_defs: dict[str, str] = {}
+    table_level: list[str] = []
+    order: list[str] = []
+    for d in defs:
+        dm = re.match(r"^`?([\w$]+)`?\s+(.*)$", d, re.DOTALL)
+        head = dm.group(1).lower() if dm else ""
+        if head in ("primary", "unique", "key", "index", "constraint", "foreign"):
+            table_level.append(d.upper())
+            continue
+        if dm is None:
+            raise ValueError(f"unparseable column def: {d!r}")
+        col_defs[dm.group(1)] = dm.group(2)
+        order.append(dm.group(1))
+    names = list(column_map) if column_map else order
+    missing = [c for c in names if c not in col_defs]
+    if missing:
+        raise ValueError(f"ColumnMap names not in CREATE TABLE: {missing}")
+    cols = [f"`{c}` {col_defs[c].upper()}" for c in names]
+    return (
+        f"CREATE TABLE `{new_schema}`.`{new_table}` ("
+        + ",".join(cols + table_level)
+        + ")"
+    )

@@ -225,3 +225,49 @@ class TestStatementsForChanges:
         assert stmts[1][1] == [2, "b2", "r", 11, 3, 11]  # shared + uk
         assert norm(stmts[2][0]).startswith("delete from mydb.tbl")
         assert stmts[2][1] == [10]
+
+
+class TestDdlDestinationShims:
+    def test_rename_create_table_reference_golden(self):
+        """base/utils_test.go:323-361: schema/table rename + ColumnMap
+        column reorder, restore-normalized output — bit-for-bit."""
+        from dtle_spark.sinks.mysql_dml import rename_create_table
+
+        got = rename_create_table(
+            "create table s.t (id int primary key, val int)",
+            "s1", "t1", ["val", "id"],
+        )
+        assert got == "CREATE TABLE `s1`.`t1` (`val` INT,`id` INT PRIMARY KEY)"
+        # table-level constraints keep their place after mapped columns
+        got2 = rename_create_table(
+            "create table s.t (id int, val int, primary key (id))",
+            "s2", "t2", ["val", "id"],
+        )
+        assert got2 == "CREATE TABLE `s2`.`t2` (`val` INT,`id` INT,PRIMARY KEY (ID))"
+        import pytest as _p
+
+        with _p.raises(ValueError, match="ColumnMap"):
+            rename_create_table("create table s.t (id int)", "s", "t", ["nope"])
+
+    def test_mysql57_collation_workaround_goldens(self):
+        """base/utils_test.go:362-392 goldens: every utf8mb4_0900_ai_ci
+        occurrence (any case) becomes utf8mb4_general_ci; everything
+        else byte-identical."""
+        from dtle_spark.sinks.mysql_dml import mysql57_collation_workaround as w
+
+        assert w(
+            "CREATE DATABASE `a` /*!40100 DEFAULT CHARACTER SET utf8mb4 "
+            "COLLATE utf8mb4_0900_ai_ci */ /*!80016 DEFAULT ENCRYPTION='N' */"
+        ) == (
+            "CREATE DATABASE `a` /*!40100 DEFAULT CHARACTER SET utf8mb4 "
+            "COLLATE utf8mb4_general_ci */ /*!80016 DEFAULT ENCRYPTION='N' */"
+        )
+        assert w(
+            "CREATE TABLE `a` (\n  `id` int(11) NOT NULL AUTO_INCREMENT,\n"
+            "  `val1` varchar(64) DEFAULT NULL,\n  PRIMARY KEY (`id`)\n"
+            ") ENGINE=InnoDB DEFAULT CHARSET=utf8mb4 COLLATE=utf8mb4_0900_ai_ci"
+        ).endswith("COLLATE=utf8mb4_general_ci")
+        assert w(
+            "DEFAULT COLLATE = UTF8MB4_0900_AI_CI"
+        ) == "DEFAULT COLLATE = utf8mb4_general_ci"
+        assert w("no collation here") == "no collation here"
