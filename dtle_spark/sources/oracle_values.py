@@ -20,8 +20,11 @@ from datetime import datetime
 _TO_DATE = re.compile(r"^TO_DATE\('([^']*)'\s*,\s*'([^']*)'\)$", re.I)
 _TO_TS = re.compile(r"^TO_TIMESTAMP\('([^']*)'(?:\s*,\s*'([^']*)')?\)$", re.I)
 _HEXTORAW = re.compile(r"^HEXTORAW\('([0-9a-fA-F]*)'\)$", re.I)
-_UNISTR = re.compile(r"^UNISTR\('(.*)'\)$", re.I | re.S)
+# quotes optional: LogMiner sometimes reconstructs UNISTR(...) bare
+# (reference sql_parse_test.go coverage values)
+_UNISTR = re.compile(r"^UNISTR\('?(.*?)'?\)$", re.I | re.S)
 _QUOTED = re.compile(r"^'(.*)'$", re.S)
+_INTERVAL = re.compile(r"^TO_(?:DS|YM)INTERVAL\('?(.*?)'?\)$", re.I | re.S)
 
 # Oracle datetime format model -> strptime (the subset the reference's
 # corpus exercises)
@@ -44,11 +47,39 @@ def _fmt(oracle_fmt: str) -> str:
     return out
 
 
+def _unistr_decode(body: str) -> str:
+    """UNISTR escapes: \\XXXX is a UTF-16 code unit; everything else
+    passes through (reference UnitstrDecode semantics)."""
+    body = body.replace("''", "'")
+    return re.sub(
+        r"\\([0-9a-fA-F]{4})", lambda g: chr(int(g.group(1), 16)), body
+    )
+
+
 def parse_oracle_value(text: str):
     """Convert one Oracle literal expression to a Python value."""
-    s = text.strip()
+    # LogMiner doubles backslashes in reconstructed SQL; collapse first
+    # (reference columnsValueConverter:152)
+    s = text.strip().replace("\\\\", "\\")
     if s.upper() == "NULL":
         return None
+    # Oracle float specials have no MySQL representation (reference
+    # maps them to nil)
+    if s in ("Inf", "-Inf", "Nan"):
+        return None
+    # concatenated UNISTR('..') || UNISTR('..') chains, any spacing
+    # (reference UnitstrConvert splits on || before decoding parts)
+    if "||" in s and re.match(r"^\s*UNISTR\(", s, re.I):
+        out = []
+        for part in s.split("||"):
+            m = _UNISTR.match(part.strip())
+            if not m:
+                raise ValueError(f"non-UNISTR part in concatenation: {part!r}")
+            out.append(_unistr_decode(m.group(1)))
+        return "".join(out)
+    m = _INTERVAL.match(s)
+    if m:
+        return m.group(1)
     if s.upper() in ("EMPTY_BLOB()", "EMPTY_CLOB()"):
         return b"" if "BLOB" in s.upper() else ""
     m = _TO_DATE.match(s)
@@ -64,11 +95,7 @@ def parse_oracle_value(text: str):
         return bytes.fromhex(m.group(1))
     m = _UNISTR.match(s)
     if m:
-        # UNISTR escapes: \XXXX is a UTF-16 code unit
-        body = m.group(1).replace("''", "'")
-        return re.sub(
-            r"\\([0-9a-fA-F]{4})", lambda g: chr(int(g.group(1), 16)), body
-        )
+        return _unistr_decode(m.group(1))
     m = _QUOTED.match(s)
     if m:
         return m.group(1).replace("''", "'")

@@ -169,3 +169,23 @@ def test_snapshot_then_stream_handoff(spark, duck, tmp_path):
     assert_matches_oracle(final, duck, cdc_demo.ORDERS_CDC_ORACLE)
     mgr.delete("snapjob")
     assert mgr.list() == {}
+
+
+def test_oracle_unistr_concatenation_and_intervals():
+    """sql_parse_test.go goldens (the reference's S9 value-converter
+    corpus): concatenated UNISTR chains with any spacing, the bare
+    (unquoted) LogMiner form with doubled backslashes, DS/YM interval
+    extraction, and Inf/-Inf/Nan -> NULL (no MySQL representation)."""
+    from dtle_spark.sources.oracle_values import parse_oracle_value as p
+
+    assert p(r"UNISTR(\\0412\\044B) ||UNISTR(\\0431\\0443)") == "Выбу"
+    assert p(r"UNISTR(\\6570\\636E\\5E93\\6D4B\\8BD5)") == "数据库测试"
+    for s in (
+        r"UNISTR('\0412\044B') || UNISTR('\0431\0443')",
+        r"UNISTR('\0412\044B')||UNISTR('\0431\0443')",
+        r"UNISTR('\0412\044B')  ||  UNISTR('\0431\0443')",
+    ):
+        assert p(s) == "Выбу", s
+    assert p("TO_DSINTERVAL('100 10:20:30')") == "100 10:20:30"
+    assert p("TO_YMINTERVAL('10-2')") == "10-2"
+    assert p("Inf") is None and p("-Inf") is None and p("Nan") is None
