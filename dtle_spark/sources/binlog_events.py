@@ -444,9 +444,10 @@ def parse_query_event_flags(bs: bytes) -> dict:
 def compare_file_pos(file_a: str, pos_a: int, file_b: str, pos_b: int) -> int:
     """Total order on binlog file coordinates (reference:
     MySQLCoordinates.CompareFilePos, base/binlog_test.go goldens):
-    the file name's numeric suffix orders first, position breaks ties.
-    Used when a stream resumes from file:pos instead of a GTID set
-    (pre-GTID servers); returns -1/0/1."""
+    file name orders first (lexicographic — MySQL's zero-padded
+    suffixes make that numeric), position breaks ties. Used when a
+    stream resumes from file:pos instead of a GTID set (pre-GTID
+    servers); returns -1/0/1."""
     a = (file_a, pos_a)
     b = (file_b, pos_b)
     if a == b:
