@@ -3913,3 +3913,23 @@ def string_agg_region_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nations"),
         )
     )
+
+
+@query(
+    "median_quantity_by_flag",
+    """
+    SELECT l_returnflag AS flag, COUNT(*) AS n,
+           median(l_quantity) AS med_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def median_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped MEDIAN (Spark 4 median == DuckDB median: middle
+    element, or the single IEEE mean of the two middles — identical
+    operands, identical op, so cross-engine exact on this integral
+    column). The exact-percentile sibling of the approx sketches."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.median("l_quantity").alias("med_qty"),
+    )
