@@ -166,6 +166,7 @@ def tfidf_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     stopwords: tuple[str, ...] = STOPWORDS,
+    df_join: str = "auto",
 ):
     """Per-document top-k keywords by a rational tf-idf score:
     score = tf * N / df computed as CAST(tf * N AS DOUBLE) / df — a
@@ -177,10 +178,22 @@ def tfidf_topk(
     (score DESC, term ASC).
 
     Scale shape: explode tokens -> groupBy (doc, term) for tf [shuffle
-    1, combiner-friendly] -> groupBy term for df [shuffle 2, tiny] ->
-    broadcast df back onto tf -> per-doc top-k window [shuffle 3 on
-    doc id]. The df table is vocabulary-sized (~1M rows at any corpus
-    scale) — always broadcastable."""
+    1, combiner-friendly] -> groupBy term for df [shuffle 2] -> join df
+    back onto tf -> per-doc top-k window [shuffle 3 on doc id].
+
+    The df join is NOT always broadcastable: web-scale vocabularies
+    grow with the corpus (Heaps' law — URLs, typos, code identifiers),
+    so at 100 TB the df table can reach 10^8+ terms. Two mitigations,
+    both semantics-preserving:
+    - min-df prune: only terms with df >= 2 enter the join side; the
+      hapax mass (typically >50% of vocab) is recovered exactly via a
+      LEFT join + COALESCE(df, 1), since absence from the pruned table
+      proves df = 1.
+    - `df_join`: "auto" (default) adds no hint — Spark's cost-based
+      planner + AQE broadcast the pruned table when it is under
+      `spark.sql.autoBroadcastJoinThreshold` and shuffle-join it
+      otherwise; "broadcast" forces the hint (bench tier / known-small
+      vocab); "shuffle" forbids it (known-huge vocab)."""
     from pyspark.sql import Window
 
     toks = docs.select(
@@ -192,10 +205,21 @@ def tfidf_topk(
     tf = toks.groupBy("id", "term").agg(
         F.count(F.lit(1)).alias("tf")
     ).localCheckpoint(eager=False)
-    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    df_t = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_t"))
+        .filter(F.col("df_t") >= 2)
+    )
+    if df_join == "broadcast":
+        df_t = F.broadcast(df_t)
+    elif df_join == "shuffle":
+        df_t = df_t.hint("shuffle_hash")
+    elif df_join != "auto":
+        raise ValueError(f"df_join must be auto|broadcast|shuffle: {df_join!r}")
     n_docs = docs.select(F.count_distinct(F.col(id_col)).alias("n"))
     scored = (
-        tf.join(F.broadcast(df_t), "term")
+        tf.join(df_t, "term", "left")
+        .withColumn("df", F.coalesce(F.col("df_t"), F.lit(1)))
         .crossJoin(F.broadcast(n_docs))
         .withColumn("score", F.expr("CAST(tf * n AS DOUBLE) / df"))
     )

@@ -1445,9 +1445,10 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("node") != F.col("component"))
         .select(F.col("node").alias("vec_id"))
     )
-    return e.join(F.broadcast(losers), "vec_id", "left_anti").select(
-        "vec_id", "label"
-    )
+    # No forced broadcast: the loser set is O(duplicate docs) — at a 30-50%
+    # dup rate over 100 TB that is billions of ids, far past any driver's
+    # broadcast budget. AQE still broadcasts when the set is actually small.
+    return e.join(losers, "vec_id", "left_anti").select("vec_id", "label")
 
 
 @query(
@@ -1715,7 +1716,10 @@ def dedup_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("node") != F.col("component"))
         .select(F.col("node").alias("doc_id"))
     )
-    return d.join(F.broadcast(losers), "doc_id", "left_anti").select(
+    # No forced broadcast of the loser set (O(duplicate docs) — billions of
+    # ids at 100 TB with a typical dup rate). Shuffle anti-join scales; AQE
+    # still picks broadcast when the set really is small.
+    return d.join(losers, "doc_id", "left_anti").select(
         "doc_id", "lang", "source", "n_chars"
     )
 

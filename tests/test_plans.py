@@ -70,11 +70,25 @@ def test_text_ops_stay_jvm_side(spark):
         assert "FlatMapGroupsInPandas" not in plan and "MapInPandas" not in plan, name
 
 
-def test_tfidf_broadcasts_vocabulary(spark):
-    """The df (document-frequency) table is vocabulary-sized at any
-    corpus scale — it must broadcast, never shuffle-join the tf side."""
+def test_tfidf_df_join_pruned_and_unforced(spark):
+    """The df (document-frequency) table grows with corpus size (Heaps'
+    law), so the join must NOT force a broadcast — either strategy is
+    valid (AQE/cost decides). What IS pinned: the hapax mass (df = 1) is
+    pruned from the join side and recovered via COALESCE, and the join
+    is LEFT so pruning never drops terms."""
+    from dtle_spark.queries import REGISTRY as R
+    from tests.conftest import SF_DIR as S
+
+    df = R["keyword_extract"].spark_fn(spark, S)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    # exactly one hint: the deliberate 1-row n_docs broadcast; the df_t
+    # (vocabulary) side must carry none
+    assert analyzed.count("ResolvedHint") == 1
+    n_docs_subtree = analyzed.split("ResolvedHint")[1]
+    assert "count(distinct" in n_docs_subtree[:400]
     plan = plan_of("keyword_extract", spark)
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "coalesce(df_t" in plan
 
 
 def test_quantized_ann_broadcast_and_jvm_side(spark):
@@ -237,3 +251,22 @@ def test_exported_shards_partition_pruning(spark, tmp_path):
     # and only that shard's rows flow
     rows = one.select("shard").distinct().collect()
     assert [r["shard"] for r in rows] == [3]
+
+
+def test_dedup_antijoin_no_forced_broadcast(spark):
+    """The 'ship the deduplicated corpus' anti-joins must NOT force-
+    broadcast the loser set: it is O(duplicate docs) — billions of ids
+    at 100 TB — and a forced broadcast is a driver OOM, not a plan
+    choice. The analyzed plan must carry no broadcast hint on the
+    anti-join; AQE remains free to pick broadcast when the set is
+    actually small."""
+    for name in ("dedup_materialize", "semantic_dedup"):
+        analyzed = (
+            REGISTRY[name]
+            .spark_fn(spark, SF_DIR)
+            ._jdf.queryExecution()
+            .analyzed()
+            .toString()
+        )
+        assert "ResolvedHint" not in analyzed, name
+        assert "UnresolvedHint" not in analyzed, name
