@@ -854,3 +854,49 @@ def probe_index(
         .distinct()
     )
     return exact.unionByName(near).distinct()
+
+
+def probe_index_self(
+    indexed: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Within-set near-dup drops over already-indexed rows: ids that
+    nearly duplicate a SMALLER-id row of the same set (greedy keep-min
+    per pair). The streaming-ingest sibling of :func:`probe_index` —
+    same index columns, same band-join + hashed-shingle-jaccard verify,
+    no text re-read. Exact dups are assumed already collapsed (the
+    fingerprint keep-min tier runs first).
+
+    Semantics note (documented gap, ADVICE r4): per-PAIR keep-min is
+    slightly more aggressive than one-doc-at-a-time sequential ingest
+    on transitive chains (A~B, B~C, A!~C: sequential keeps {A, C},
+    this drops both B and C because each pairs with a smaller id). The
+    bias is toward dropping near-dups, never admitting them — the safe
+    direction for a dedup gate — and makes batch-size a knob that only
+    affects chain shapes, not whether duplicates survive."""
+    b = indexed.select(
+        F.col(id_col).alias("id"), F.col("__hx").alias("hx"), F.explode("__bands").alias("bb")
+    ).select("id", "hx", "bb.band_idx", "bb.band_digest")
+    if max_bucket is not None:
+        bw = Window.partitionBy("band_idx", "band_digest")
+        b = (
+            b.withColumn("__bn", F.count(F.lit(1)).over(bw))
+            .filter(F.col("__bn") <= max_bucket)
+            .drop("__bn")
+        )
+    lo = b.select(F.col("id").alias("id_lo"), F.col("hx").alias("hx_lo"), "band_idx", "band_digest")
+    hi = b.select(F.col("id").alias("id_hi"), F.col("hx").alias("hx_hi"), "band_idx", "band_digest")
+    cand = (
+        lo.join(hi, ["band_idx", "band_digest"])
+        .filter(F.col("id_lo") < F.col("id_hi"))
+        .select("id_lo", "id_hi", "hx_lo", "hx_hi")
+        .dropDuplicates(["id_lo", "id_hi"])
+    )
+    return (
+        with_jaccard(cand, "hx_lo", "hx_hi")
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_hi").alias("id"))
+        .distinct()
+    )

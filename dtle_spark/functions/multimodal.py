@@ -381,14 +381,17 @@ def resize_nearest(
     return bytes(out)
 
 
-def _decode_stub(payload: bytes, mime: str) -> dict:
-    """Decode dispatch: PNG pixels decode FOR REAL (decode_png above —
-    zlib inflate + un-filter, no codec library); other image containers
-    parse headers for real but their pixel decode raises (PIL plugs in
-    here); audio/video raise. Never silent wrong output."""
+def _decode_stub(payload: bytes, mime: str, validate_pixels: bool = False) -> dict:
+    """Decode dispatch for the SCAN-TIER metadata pass: all recognized
+    image containers (PNG included) go through the O(header-bytes)
+    parse_image_header — the full PNG pixel decode (zlib inflate +
+    per-byte un-filter, orders of magnitude more expensive) runs only
+    when ``validate_pixels`` is set or in the pixel stages (resize)
+    that actually need pixels (ADVICE r4). Unrecognized image
+    containers and audio/video raise. Never silent wrong output."""
     if mime.startswith("image/"):
         data = bytes(payload)
-        if data[:8] == b"\x89PNG\r\n\x1a\n":
+        if validate_pixels and data[:8] == b"\x89PNG\r\n\x1a\n":
             d = decode_png(data)  # full pixel decode, validates IDAT
             return {
                 "n_bytes": len(payload),
@@ -424,14 +427,17 @@ def _decode_stub(payload: bytes, mime: str) -> dict:
     }
 
 
-def extract_features(media: DataFrame) -> DataFrame:
+def extract_features(media: DataFrame, validate_pixels: bool = False) -> DataFrame:
     """mapInPandas feature extraction over the payload column —
-    Arrow-batched, schema-declared, partition-parallel."""
+    Arrow-batched, schema-declared, partition-parallel. Metadata tier:
+    header-parse only (O(header bytes) per doc); pass
+    ``validate_pixels=True`` to opt in to full PNG IDAT validation."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _decode_stub(bytes(p), m) for p, m in zip(pdf["payload"], pdf["mime"])
+                _decode_stub(bytes(p), m, validate_pixels)
+                for p, m in zip(pdf["payload"], pdf["mime"])
             ]
             out = pd.DataFrame(feats)
             out.insert(0, "doc_id", pdf["doc_id"].values)

@@ -92,6 +92,11 @@ class TableManifest:
         cur = TableManifest.load(table_dir)
         if cur is not None and cur.version == version:
             return cur
+        if cur is not None and version > cur.version:
+            # never resolve a history entry newer than the live manifest:
+            # such a file is an orphan from a crashed commit (pre-r5
+            # write ordering), not a committed state
+            return None
         p = os.path.join(table_dir, HISTORY_DIR, f"_v{version}.json")
         if not os.path.exists(p):
             return None
@@ -110,9 +115,14 @@ class TableManifest:
             for name in os.listdir(hist):
                 if name.startswith("_v") and name.endswith(".json"):
                     try:
-                        out.add(int(name[2:-5]))
+                        v = int(name[2:-5])
                     except ValueError:
-                        pass
+                        continue
+                    # ignore orphans newer than the live manifest (a
+                    # crashed pre-r5 commit's history file never became
+                    # a committed state)
+                    if cur is None or v <= cur.version:
+                        out.add(v)
         return sorted(out)
 
     def _payload(self) -> dict:
@@ -125,35 +135,50 @@ class TableManifest:
             "version": self.version,
         }
 
+    @staticmethod
+    def _write_atomic(path: str, payload: str, tmp_dir: str) -> None:
+        tmp = os.path.join(tmp_dir, f".tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, path)
+
     def save(self, table_dir: str, retain: int = RETAIN_VERSIONS) -> None:
         """THE commit point: write aside, fsync, atomic rename over the
         live manifest. Readers see the old or the new state, never a
         torn one. The version counter advances past whatever is live
-        (monotonic even if this object was built fresh), a history copy
-        is retained BEFORE the swap (a crash between the two leaves a
-        harmless orphan history file, never a torn current state), and
-        history beyond ``retain`` past versions is pruned after."""
+        (monotonic even if this object was built fresh). The history
+        copy is written AFTER the live swap succeeds (ADVICE r4: the
+        old before-swap ordering exposed a crash window where an orphan
+        ``_v<N>.json`` resolved as a committed version that never became
+        live). A crash after the swap but before the history write
+        merely leaves the just-committed version without a history file
+        — readers still resolve it through the live manifest, and the
+        next save() self-heals the missing copy before overwriting.
+        History beyond ``retain`` past versions is pruned last."""
         os.makedirs(table_dir, exist_ok=True)
+        hist = os.path.join(table_dir, HISTORY_DIR)
+        os.makedirs(hist, exist_ok=True)
         live = TableManifest.load(table_dir)
+        if live is not None:
+            # self-heal: the predecessor's history copy may be missing if
+            # the prior save() crashed between its live swap and history
+            # write — retain it now, before the live manifest is replaced
+            lp = os.path.join(hist, f"_v{live.version}.json")
+            if not os.path.exists(lp):
+                TableManifest._write_atomic(lp, json.dumps(live._payload()), hist)
         if live is not None and self.version <= live.version:
             self.version = live.version + 1
         else:
             self.version += 1
         payload = json.dumps(self._payload())
-        hist = os.path.join(table_dir, HISTORY_DIR)
-        os.makedirs(hist, exist_ok=True)
-        htmp = os.path.join(hist, f".tmp-{uuid.uuid4().hex[:8]}")
-        with open(htmp, "w") as f:
-            f.write(payload)
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(htmp, os.path.join(hist, f"_v{self.version}.json"))
-        tmp = os.path.join(table_dir, f".{MANIFEST_NAME}.tmp-{uuid.uuid4().hex[:8]}")
-        with open(tmp, "w") as f:
-            f.write(payload)
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(tmp, os.path.join(table_dir, MANIFEST_NAME))
+        TableManifest._write_atomic(
+            os.path.join(table_dir, MANIFEST_NAME), payload, table_dir
+        )
+        TableManifest._write_atomic(
+            os.path.join(hist, f"_v{self.version}.json"), payload, hist
+        )
         # prune history beyond the retention window (current + retain-1
         # predecessors stay resolvable)
         keep = set(TableManifest.versions(table_dir)[-max(retain, 1):])

@@ -286,16 +286,101 @@ def mysql57_collation_workaround(sql: str) -> str:
     return _COLLATION_57_RE.sub("utf8mb4_general_ci", sql)
 
 
-_CREATE_TABLE_RE = re.compile(
+_CREATE_TABLE_HEAD_RE = re.compile(
     r"^\s*create\s+table\s+(?:`?(?P<schema>[\w$]+)`?\.)?`?(?P<table>[\w$]+)`?"
-    r"\s*\((?P<body>.*)\)\s*(?P<tail>[^)]*)$",
+    r"\s*\(",
     re.IGNORECASE | re.DOTALL,
 )
 
 
+def _split_body_and_tail(sql: str, open_idx: int) -> tuple[str, str]:
+    """Return (body, tail) where body is the text inside the column-list
+    parens starting at ``open_idx`` (which must point at '(') and tail
+    is everything after the MATCHING close paren. Tracks paren depth and
+    skips quoted spans, so a parenthesis inside COMMENT='x(y)' or a
+    PARTITION BY tail never corrupts the body (ADVICE r4: the old
+    greedy regex swallowed option tails)."""
+    depth, i, n = 0, open_idx, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in "'\"`":
+            q = ch
+            i += 1
+            while i < n:
+                if sql[i] == "\\" and q != "`":
+                    i += 2
+                    continue
+                if sql[i] == q:
+                    if i + 1 < n and sql[i + 1] == q:  # doubled quote escape
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return sql[open_idx + 1 : i], sql[i + 1 :].strip()
+        i += 1
+    raise ValueError(f"unbalanced parens in CREATE TABLE: {sql[:80]!r}")
+
+
+def _upper_outside_quotes(s: str) -> str:
+    """Uppercase SQL keywords/types/bare identifiers while preserving
+    quoted spans verbatim — string literals ('Hello' stays 'Hello'),
+    double-quoted strings, and backticked identifiers (ADVICE r4: the
+    old blanket .upper() rewrote DEFAULT 'Hello' to 'HELLO', changing
+    destination data; the reference restores via AST and keeps literal
+    case)."""
+    out, i, n = [], 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch in "'\"`":
+            q = ch
+            j = i + 1
+            while j < n:
+                if s[j] == "\\" and q != "`":
+                    j += 2
+                    continue
+                if s[j] == q:
+                    if j + 1 < n and s[j + 1] == q:
+                        j += 2
+                        continue
+                    j += 1
+                    break
+                j += 1
+            out.append(s[i:j])
+            i = j
+        else:
+            out.append(ch.upper())
+            i += 1
+    return "".join(out)
+
+
 def _split_top_level_commas(s: str) -> list[str]:
-    out, depth, cur = [], 0, []
-    for ch in s:
+    """Split on commas at paren depth 0, ignoring commas inside quoted
+    spans (COMMENT 'a,b' must not split a column def)."""
+    out, depth, cur, i, n = [], 0, [], 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch in "'\"`":
+            q = ch
+            j = i + 1
+            while j < n:
+                if s[j] == "\\" and q != "`":
+                    j += 2
+                    continue
+                if s[j] == q:
+                    if j + 1 < n and s[j + 1] == q:
+                        j += 2
+                        continue
+                    j += 1
+                    break
+                j += 1
+            cur.append(s[i:j])
+            i = j
+            continue
         if ch == "(":
             depth += 1
         elif ch == ")":
@@ -305,6 +390,7 @@ def _split_top_level_commas(s: str) -> list[str]:
             cur = []
         else:
             cur.append(ch)
+        i += 1
     if cur:
         out.append("".join(cur).strip())
     return [p for p in out if p]
@@ -321,12 +407,16 @@ def rename_create_table(
     column definitions REORDERED to the map order so positional row
     images line up (reference: base/utils.go RenameCreateTable via AST
     restore; golden utils_test.go:323-361). Types and constraints are
-    re-emitted uppercased (the restore normalization); table-level
-    constraints keep their position after the mapped columns."""
-    m = _CREATE_TABLE_RE.match(create_sql.strip())
+    re-emitted uppercased OUTSIDE quoted spans (string-literal DEFAULTs
+    and backticked names keep their case); table-level constraints keep
+    their position after the mapped columns; the table-options tail
+    (ENGINE/CHARSET/COMMENT/PARTITION BY ...) is re-emitted verbatim."""
+    stripped = create_sql.strip()
+    m = _CREATE_TABLE_HEAD_RE.match(stripped)
     if not m:
         raise ValueError(f"unparseable CREATE TABLE: {create_sql[:80]!r}")
-    defs = _split_top_level_commas(m.group("body"))
+    body, tail = _split_body_and_tail(stripped, m.end() - 1)
+    defs = _split_top_level_commas(body)
     col_defs: dict[str, str] = {}
     table_level: list[str] = []
     order: list[str] = []
@@ -334,7 +424,7 @@ def rename_create_table(
         dm = re.match(r"^`?([\w$]+)`?\s+(.*)$", d, re.DOTALL)
         head = dm.group(1).lower() if dm else ""
         if head in ("primary", "unique", "key", "index", "constraint", "foreign"):
-            table_level.append(d.upper())
+            table_level.append(_upper_outside_quotes(d))
             continue
         if dm is None:
             raise ValueError(f"unparseable column def: {d!r}")
@@ -344,9 +434,10 @@ def rename_create_table(
     missing = [c for c in names if c not in col_defs]
     if missing:
         raise ValueError(f"ColumnMap names not in CREATE TABLE: {missing}")
-    cols = [f"`{c}` {col_defs[c].upper()}" for c in names]
-    return (
+    cols = [f"`{c}` {_upper_outside_quotes(col_defs[c])}" for c in names]
+    out = (
         f"CREATE TABLE `{new_schema}`.`{new_table}` ("
         + ",".join(cols + table_level)
         + ")"
     )
+    return f"{out} {tail}" if tail else out

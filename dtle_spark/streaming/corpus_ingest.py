@@ -33,7 +33,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dtle_spark.functions.dedup import INDEX_COLS, probe_index, with_dedup_index
+from dtle_spark.functions.dedup import (
+    INDEX_COLS,
+    probe_index,
+    probe_index_self,
+    with_dedup_index,
+)
 from dtle_spark.sinks.table_sink import ParquetTableTarget
 
 SCHEMA_NAME = "corpus"
@@ -81,6 +86,15 @@ class CorpusIngestJob:
         indexed = indexed.join(keeper, "__fp").filter(
             F.col(self.id_col) == F.col("__keep")
         ).drop("__keep")
+        # within-batch NEAR-dup pass (ADVICE r4: two near-duplicates in
+        # one micro-batch must not both enter the corpus permanently) —
+        # same index columns, greedy keep-min per pair
+        self_drops = probe_index_self(
+            indexed, id_col=self.id_col, threshold=self.threshold
+        )
+        indexed = indexed.join(
+            self_drops, indexed[self.id_col] == self_drops["id"], "left_anti"
+        ).localCheckpoint(eager=False)
         history = self.target.read(self.spark, SCHEMA_NAME, TABLE_NAME)
         if history is not None:
             dropped = probe_index(

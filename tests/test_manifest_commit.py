@@ -292,3 +292,60 @@ class TestManifestModelProperty:
                         action in ("crash", "compact") and m.version == last_version
                     )
                     last_version = m.version
+
+
+def test_orphan_history_newer_than_live_is_ignored(tmp_path):
+    """ADVICE r4: a crashed commit must never leave a resolvable
+    version that never became live. New write ordering puts history
+    after the live swap; for directories written by the old ordering,
+    versions()/load_version ignore history entries newer than the live
+    manifest."""
+    import json as _json
+    import os as _os
+
+    from dtle_spark.sinks.manifest import HISTORY_DIR, TableManifest
+
+    td = str(tmp_path / "s" / "t")
+    m = TableManifest(entries={"_table": "img-a"})
+    m.save(td)
+    m.entries = {"_table": "img-b"}
+    m.save(td)
+    live = TableManifest.load(td)
+    # simulate the old crash window: orphan history file one past live
+    hp = _os.path.join(td, HISTORY_DIR, f"_v{live.version + 1}.json")
+    ghost = TableManifest(entries={"_table": "img-ghost"}, version=live.version + 1)
+    with open(hp, "w") as f:
+        _json.dump(ghost._payload(), f)
+    assert TableManifest.versions(td) == [1, 2]
+    assert TableManifest.load_version(td, live.version + 1) is None
+    # the next successful commit overwrites the orphan slot with the
+    # real version N+1 and everything resolves again
+    m.entries = {"_table": "img-c"}
+    m.save(td)
+    got = TableManifest.load_version(td, live.version + 1)
+    assert got is not None and got.entries == {"_table": "img-c"}
+
+
+def test_missing_history_copy_self_heals_on_next_save(tmp_path):
+    """Crash after the live swap but before the history write: the
+    committed version has no _v<N>.json. It still resolves through the
+    live manifest, and the NEXT save retains it before overwriting."""
+    import os as _os
+
+    from dtle_spark.sinks.manifest import HISTORY_DIR, TableManifest
+
+    td = str(tmp_path / "s" / "t")
+    m = TableManifest(entries={"_table": "img-a"})
+    m.save(td)
+    m.entries = {"_table": "img-b"}
+    m.save(td)
+    live = TableManifest.load(td)
+    # simulate the (new, benign) crash window: drop live's history copy
+    _os.remove(_os.path.join(td, HISTORY_DIR, f"_v{live.version}.json"))
+    assert TableManifest.versions(td) == [1, 2]  # still resolvable via live
+    assert TableManifest.load_version(td, 2).entries == {"_table": "img-b"}
+    m.entries = {"_table": "img-c"}
+    m.save(td)
+    # self-healed: v2 retained in history even though its copy was lost
+    assert TableManifest.load_version(td, 2).entries == {"_table": "img-b"}
+    assert TableManifest.versions(td) == [1, 2, 3]

@@ -271,3 +271,42 @@ class TestDdlDestinationShims:
             "DEFAULT COLLATE = UTF8MB4_0900_AI_CI"
         ) == "DEFAULT COLLATE = utf8mb4_general_ci"
         assert w("no collation here") == "no collation here"
+
+    def test_rename_preserves_string_literal_defaults(self):
+        """ADVICE r4: normalization must not rewrite quoted literal
+        spans — DEFAULT 'Hello' stays 'Hello' (the reference restores
+        via AST and keeps literal case); keywords still uppercase."""
+        from dtle_spark.sinks.mysql_dml import rename_create_table
+
+        got = rename_create_table(
+            "create table s.t (id int primary key, "
+            "greet varchar(20) not null default 'Hello')",
+            "s1", "t1",
+        )
+        assert got == (
+            "CREATE TABLE `s1`.`t1` (`id` INT PRIMARY KEY,"
+            "`greet` VARCHAR(20) NOT NULL DEFAULT 'Hello')"
+        )
+
+    def test_rename_keeps_table_options_tail(self):
+        """ADVICE r4: the options tail (ENGINE/CHARSET/COMMENT) must be
+        re-emitted, and a parenthesis or comma inside a quoted COMMENT
+        must not corrupt the parse."""
+        from dtle_spark.sinks.mysql_dml import rename_create_table
+
+        got = rename_create_table(
+            "create table s.t (id int, c int comment 'a,(b)', primary key (id)) "
+            "ENGINE=InnoDB DEFAULT CHARSET=utf8mb4 COMMENT='x(y)'",
+            "s1", "t1", ["c", "id"],
+        )
+        assert got == (
+            "CREATE TABLE `s1`.`t1` (`c` INT COMMENT 'a,(b)',`id` INT,"
+            "PRIMARY KEY (ID)) ENGINE=InnoDB DEFAULT CHARSET=utf8mb4 COMMENT='x(y)'"
+        )
+
+    def test_rename_unbalanced_parens_raises(self):
+        from dtle_spark.sinks.mysql_dml import rename_create_table
+        import pytest as _p
+
+        with _p.raises(ValueError, match="unbalanced"):
+            rename_create_table("create table s.t (id int", "s", "t")

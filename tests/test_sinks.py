@@ -427,3 +427,31 @@ class TestRealWavDecoder:
             mm.decode_wav(wav)
         with pytest.raises(ValueError):
             mm.decode_wav(b"junk")
+
+
+def test_multimodal_features_header_tier_vs_pixel_validation(spark):
+    """ADVICE r4: the scan-tier metadata pass must be O(header bytes) —
+    a PNG with a valid IHDR but corrupt IDAT passes the default
+    (header-parse) tier and only fails under validate_pixels=True,
+    proving the full decode no longer runs per-doc by default."""
+    import struct as _s
+    import zlib as _z
+
+    def _chunk(tag, body):
+        return (
+            _s.pack(">I", len(body)) + tag + body
+            + _s.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = _s.pack(">IIBBBBB", 3, 2, 8, 2, 0, 0, 0)
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", b"\x00garbage-not-zlib")
+        + _chunk(b"IEND", b"")
+    )
+    media = spark.createDataFrame([Row(doc_id=1, payload=bad, mime="image/png")])
+    feats = mm.extract_features(media).collect()[0]  # header tier: fine
+    assert (feats["width"], feats["height"]) == (3, 2)
+    with pytest.raises(Exception):
+        mm.extract_features(media, validate_pixels=True).collect()

@@ -343,3 +343,33 @@ def test_streaming_corpus_ingest_dedups_across_batches(spark, tmp_path):
     assert len(vs) >= 2
     first = job.target.read_at_version(spark, "corpus", "documents", vs[0])
     assert {r["doc_id"] for r in first.select("doc_id").collect()} == ids1
+
+
+def test_streaming_corpus_ingest_within_batch_neardup(spark, tmp_path):
+    """ADVICE r4: two NEAR-duplicates arriving in the SAME micro-batch
+    must not both survive into the corpus — the within-batch pass
+    (probe_index_self, greedy keep-min per pair) drops the larger id
+    before the history probe."""
+    import os
+
+    from dtle_spark.streaming.corpus_ingest import CorpusIngestJob
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    b1 = spark.createDataFrame(
+        [
+            (1, base + " one", "en", "s0"),
+            (2, base + " two", "en", "s0"),  # near dup of 1, same batch
+            (3, "completely different text about spark query engines", "en", "s0"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    b1.coalesce(1).write.parquet(os.path.join(src, "b1"))
+    job = CorpusIngestJob(
+        spark, os.path.join(src, "*"), str(tmp_path / "tgt"), str(tmp_path / "ckpt")
+    )
+    job.start()
+    job.process_available()
+    ids = {r["doc_id"] for r in job.corpus().select("doc_id").collect()}
+    assert ids == {1, 3}  # 2 near-dropped within the batch
