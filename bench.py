@@ -71,18 +71,25 @@ def main() -> None:
         print(f"  {name}: {timings[name]:.3f}s (min of {len(samples)})", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "registry_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                **({"errors": errors} if errors else {}),
-            }
-        )
-    )
+    payload = {
+        "metric": "registry_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        **({"errors": errors} if errors else {}),
+    }
+    # the driver records stdout with a tail truncation (r04 kept only 68
+    # of 100 per-query entries) — persist the FULL per-query dict to a
+    # stable file so round-over-round comparison never depends on tail
+    # luck
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_full.json"), "w") as f:
+            json.dump(payload, f, indent=1)
+    except OSError as exc:
+        print(f"  bench_full.json not written: {exc}", file=sys.stderr)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -318,3 +318,55 @@ class SchemaCatalog:
             pass  # index/constraint/default-metadata: no schema effect
         else:
             raise ValueError(f"unhandled DDL action {action.kind}")
+
+    # -- persistence (job recovery, driver.go RecoverTask analogue) --------
+
+    def to_dict(self) -> dict:
+        return {
+            "schemas": sorted(self.schemas),
+            "tables": {
+                f"{s} {t}": {
+                    "schema": meta.schema.json(),
+                    "unique_key": list(meta.unique_key),
+                }
+                for (s, t), meta in self.tables.items()
+            },
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "SchemaCatalog":
+        import json
+
+        out = cls()
+        out.schemas = set(d.get("schemas", []))
+        for key, v in d.get("tables", {}).items():
+            s, t = key.split(" ", 1)
+            out.tables[(s, t)] = TableMeta(
+                T.StructType.fromJson(json.loads(v["schema"])),
+                list(v.get("unique_key", [])),
+            )
+        return out
+
+    def save(self, path: str) -> None:
+        """Atomic snapshot — written after every DDL application so a
+        recovered job resumes with the schema the stream had evolved
+        to, not the create-time one (the reference keeps this in its
+        Consul KV job state, common/store.go:40-446)."""
+        import json
+        import os
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.to_dict(), f)
+        os.replace(tmp, path)
+
+    @classmethod
+    def load(cls, path: str) -> "SchemaCatalog | None":
+        import json
+        import os
+
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return cls.from_dict(json.load(f))

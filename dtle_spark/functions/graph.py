@@ -167,3 +167,30 @@ def connected_components_star(
         if changed == 0:
             break
     return labels_of(edges)
+
+
+# Above this edge count the dedup entry points dispatch to the
+# large/small-star variant: web-scale dedup graphs have boilerplate
+# hubs (one template matching 10^6 docs) where min-label's O(diameter)
+# rounds each drag the full live edge set; star rounds contract it.
+# Below it, min-label's lower fixed cost per round wins (near-dup
+# components are tiny cliques, 2-3 rounds).
+STAR_EDGE_THRESHOLD = 2_000_000
+
+
+def connected_components_auto(
+    pairs: DataFrame,
+    src: str = "id_1",
+    dst: str = "id_2",
+    star_threshold: int = STAR_EDGE_THRESHOLD,
+) -> DataFrame:
+    """Size-dispatched connected components: min-label below
+    ``star_threshold`` edges, large/small-star at or above it (proven
+    equivalent in tests/test_custom_ops.py). The pair set is
+    checkpointed once, so the dispatch count does not re-run the
+    upstream candidate generation and both impls start from the
+    materialized edges."""
+    pairs = pairs.localCheckpoint()
+    if pairs.count() >= star_threshold:
+        return connected_components_star(pairs, src, dst)
+    return connected_components(pairs, src, dst)

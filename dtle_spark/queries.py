@@ -462,11 +462,19 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _registry_order() -> list[str]:
     """Order the registry so the driver's 50-query correctness cap
-    rotates through every entry: queries with the fewest historical
-    green rows (never-checked or previously hash-failed) sort first,
-    ties broken by definition order. Reads the accumulated
-    CORRECTNESS_r*.json files at the repo root; falls back to plain
-    definition order when none exist (e.g. fresh clone)."""
+    rotates through every entry. Sort key, in priority order:
+
+    1. NOT green in the most recent round first — the driver checks the
+       head of the list, so whatever the last window covered rotates to
+       the back (r4 lesson: count-only sorting put the just-checked
+       queries first again, because a query green only in the newest
+       round has the lowest lifetime count).
+    2. fewest historical green rows (never-checked or previously
+       hash-failed surface earliest within each half).
+    3. definition order.
+
+    Reads the accumulated CORRECTNESS_r*.json files at the repo root;
+    falls back to plain definition order when none exist."""
     import glob
     import json
     import os
@@ -474,17 +482,25 @@ def _registry_order() -> list[str]:
     names = list(REGISTRY.keys())
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     greens: dict[str, int] = {}
+    latest_green: set[str] = set()
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
                 rows = json.load(f)
         except (OSError, ValueError):
             continue
+        round_green = set()
         for name, row in rows.items():
             if isinstance(row, dict) and row.get("hash_match") and row.get("rows_match"):
                 greens[name] = greens.get(name, 0) + 1
+                round_green.add(name)
+        if round_green:
+            latest_green = round_green  # files sort by round number
     idx = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (greens.get(n, 0), idx[n]))
+    return sorted(
+        names,
+        key=lambda n: (n in latest_green, greens.get(n, 0), idx[n]),
+    )
 
 
 def queries() -> dict[str, SparkQuery]:
@@ -1278,7 +1294,7 @@ def exists_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 # iterative connected-components dedup clustering
 # ---------------------------------------------------------------------------
 
-from dtle_spark.functions.graph import connected_components  # noqa: E402
+from dtle_spark.functions.graph import connected_components_auto as connected_components  # noqa: E402
 from dtle_spark.operators.asof import asof_join_backward, range_join_bucketed  # noqa: E402
 
 

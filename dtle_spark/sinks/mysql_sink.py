@@ -1,0 +1,339 @@
+"""MySQL applier sink: drains the golden-tested DML builder through a
+pluggable executor — completing K1 end-to-end with the live JDBC/driver
+connection as the ONE remaining seam.
+
+The reference executes built statements transaction-by-transaction
+(driver/mysql/applier_incr.go:532-860 ApplyBinlogEvent): optional
+``set gtid_next``, ``begin`` (skipped for one-stmt DDL — MySQL DDL
+auto-commits), per-event DML through the builder with prepared
+statements, then the applied-gtid bookkeeping row into
+``dtle.gtid_executed_v4`` (prepared at applier_incr.go:154-157:
+``replace into dtle.gtid_executed_v4 (job_name,source_uuid,gtid,
+gtid_set) values (?, ?, ?, null)``) and ``commit`` — position and data
+land in ONE destination transaction (the A6/A10 contract). Ignorable
+errors (IgnoreError, driver/mysql/sql/errcode.go:897-913) warn and
+continue; deadlocks/lock-timeouts retry the whole tx (A13).
+
+This module reproduces that statement flow against any executor obeying
+a 4-method protocol (``begin/execute/commit/rollback``) — a DB-API
+connection adapts in 5 lines; the tests drive a recording fake. No
+MySQL client library exists in this container, so the transport itself
+stays a seam, but everything the reference's applier DOES between
+"binlog entry" and "wire bytes" is implemented and testable here.
+"""
+
+from __future__ import annotations
+
+import uuid as _uuid
+from dataclasses import dataclass, field
+from typing import Callable, Protocol
+
+from dtle_spark.sinks.mysql_dml import Column, escape_name, statements_for_changes
+from dtle_spark.sources.gtid import GtidSet
+
+DTLE_SCHEMA = "dtle"
+GTID_TABLE = "gtid_executed_v4"
+JOB_NAME_LEN_LIMIT = 64
+
+# IgnoreError set (errcode.go:903-909): DML/DDL errors the applier
+# tolerates — schema drift and duplicate effects of at-least-once
+# delivery, never data corruption.
+IGNORABLE_ERRNOS = frozenset(
+    {1007, 1049, 1008, 1050, 1146, 1051, 1060, 1054, 1061,
+     1831, 1091, 1022, 1062, 1032, 1787}
+)
+# tx-level retry set (A13): deadlock victim / lock wait timeout
+RETRYABLE_ERRNOS = frozenset({1213, 1205})
+
+
+class MySQLError(Exception):
+    """Executor-raised error carrying the MySQL errno (the fake and any
+    real adapter normalize driver exceptions to this)."""
+
+    def __init__(self, errno: int, msg: str = ""):
+        super().__init__(f"({errno}) {msg}")
+        self.errno = errno
+
+
+class Executor(Protocol):
+    def begin(self) -> None: ...
+    def execute(self, sql: str, args: list) -> None: ...
+    def commit(self) -> None: ...
+    def rollback(self) -> None: ...
+
+
+def create_gtid_table_sql(
+    dtle_schema: str = DTLE_SCHEMA, gtid_table: str = GTID_TABLE
+) -> list[str]:
+    """The bookkeeping-table bootstrap (createTableGtidExecutedV4,
+    applier_gtid_executed.go:17-25 + createTableGtidExecutedV4Query)."""
+    return [
+        f"CREATE SCHEMA IF NOT EXISTS {escape_name(dtle_schema)}",
+        (
+            f"CREATE TABLE IF NOT EXISTS {escape_name(dtle_schema)}."
+            f"{escape_name(gtid_table)} (\n"
+            f"job_name varchar({JOB_NAME_LEN_LIMIT}) NOT NULL,\n"
+            "source_uuid binary(16) NOT NULL "
+            "COMMENT 'uuid of the source where the transaction was originally executed.',\n"
+            "gtid bigint NOT NULL COMMENT 'single TX. 0 means the row is for gtid_set',\n"
+            "gtid_set longtext NULL COMMENT 'Meanful when gtid=0. Summary of all GTIDs',\n"
+            "primary key (job_name, source_uuid, gtid))"
+        ),
+    ]
+
+
+@dataclass
+class TableSpec:
+    """Destination-side table metadata the builder needs."""
+
+    columns: list[Column]
+    column_map_to: list[str] = field(default_factory=list)
+
+
+class MySQLApplierSink:
+    """Transaction-atomic statement drain (the applier_incr.go loop).
+
+    ``apply_tx(sid, gno, changes)`` executes one source transaction:
+
+    1. A10 idempotence — a (sid, gno) already in the applied set is a
+       silent no-op (redelivery after crash replays harmlessly).
+    2. ``begin`` (skipped when the tx is a single DDL statement, which
+       MySQL auto-commits — applier_incr.go:565).
+    3. DML changes run through :func:`statements_for_changes` in
+       contiguous same-table runs (preserving the multi-row REPLACE
+       batching AND the cross-table event order inside the tx); DDL
+       changes execute their query text directly, with
+       ``CREATE SCHEMA IF NOT EXISTS`` / ``USE`` preambles as flagged.
+    4. the gtid bookkeeping REPLACE (position lands in the same tx).
+    5. ``commit``; the in-memory applied set advances only on success.
+
+    Ignorable statement errors warn-and-continue (A12); deadlock /
+    lock-timeout rolls the tx back and retries up to ``retries`` times
+    (A13); any other error rolls back and raises.
+
+    Change dict shape (the wire form the pipeline produces):
+    ``{"op": "i"|"u"|"d", "schema_name", "table_name",
+    "before": [...], "after": [...]}`` or
+    ``{"op": "ddl", "schema_name", "table_name", "query": "..."}``.
+    """
+
+    def __init__(
+        self,
+        executor: Executor,
+        job_name: str,
+        tables: dict[tuple[str, str], TableSpec],
+        dtle_schema: str = DTLE_SCHEMA,
+        gtid_table: str = GTID_TABLE,
+        skip_gtid_executed_table: bool = False,
+        retries: int = 5,
+        on_warn: Callable[[str], None] | None = None,
+    ):
+        if len(job_name) > JOB_NAME_LEN_LIMIT:
+            raise ValueError(f"job_name exceeds {JOB_NAME_LEN_LIMIT} chars")
+        self.executor = executor
+        self.job_name = job_name
+        self.tables = tables
+        self.dtle_schema = dtle_schema
+        self.gtid_table = gtid_table
+        self.skip_gtid_executed_table = skip_gtid_executed_table
+        self.retries = retries
+        self.on_warn = on_warn or (lambda msg: None)
+        self.applied = GtidSet()
+        self._gtid_insert_sql = (
+            f"replace into {escape_name(dtle_schema)}.{escape_name(gtid_table)} "
+            "(job_name,source_uuid,gtid,gtid_set) values (?, ?, ?, null)"
+        )
+
+    # -- bootstrap ---------------------------------------------------------
+
+    def ensure_gtid_table(self) -> None:
+        for sql in create_gtid_table_sql(self.dtle_schema, self.gtid_table):
+            self._exec_tolerant(sql, [])
+
+    def seed_applied(self, gtid_set: GtidSet) -> None:
+        """SelectAllGtidExecuted analogue: start from the destination's
+        recorded position (the caller reads gtid_executed_v4 rows — or
+        the checkpoint-adjacent JSON — into a GtidSet)."""
+        self.applied.union(gtid_set)
+
+    # -- per-transaction apply ---------------------------------------------
+
+    def apply_tx(self, sid: str, gno: int, changes: list[dict]) -> bool:
+        """Apply one source transaction; returns False when skipped by
+        the idempotence check, True when committed."""
+        sid = str(_uuid.UUID(sid))  # canonicalize
+        if self.applied.contains(sid, gno):
+            return False
+        attempt = 0
+        while True:
+            try:
+                self._apply_tx_once(sid, gno, changes)
+                break
+            except MySQLError as e:
+                self.executor.rollback()
+                if e.errno in RETRYABLE_ERRNOS and attempt < self.retries:
+                    attempt += 1
+                    self.on_warn(f"retryable ({e.errno}), attempt {attempt}")
+                    continue
+                raise
+            except Exception:
+                self.executor.rollback()
+                raise
+        self.applied.add(sid, gno)
+        return True
+
+    def _apply_tx_once(self, sid: str, gno: int, changes: list[dict]) -> None:
+        one_stmt_ddl = len(changes) == 1 and changes[0]["op"] == "ddl"
+        if not one_stmt_ddl:
+            self.executor.begin()
+        for schema_name, table_name, run in _contiguous_runs(changes):
+            if run[0]["op"] == "ddl":
+                for ch in run:
+                    if ch.get("create_schema_if_not_exists"):
+                        self._exec_tolerant(
+                            f"CREATE SCHEMA IF NOT EXISTS {escape_name(schema_name)}",
+                            [],
+                        )
+                    if ch.get("current_schema"):
+                        self._exec_tolerant(
+                            f"USE {escape_name(ch['current_schema'])}", []
+                        )
+                    self._exec_tolerant(ch["query"], [])
+                continue
+            spec = self.tables.get((schema_name, table_name))
+            if spec is None:
+                raise KeyError(f"no TableSpec for {schema_name}.{table_name}")
+            for sql, args in statements_for_changes(
+                schema_name, table_name, spec.columns, run, spec.column_map_to
+            ):
+                self._exec_tolerant(sql, args)
+        if not self.skip_gtid_executed_table:
+            self.executor.execute(
+                self._gtid_insert_sql,
+                [self.job_name, _uuid.UUID(sid).bytes, gno],
+            )
+        self.executor.commit()
+
+    def apply_batch(self, txs: list[tuple[str, int, list[dict]]]) -> int:
+        """Apply transactions in order; returns how many committed (vs
+        skipped as already-applied)."""
+        return sum(self.apply_tx(sid, gno, chs) for sid, gno, chs in txs)
+
+    # -- internals ---------------------------------------------------------
+
+    def _exec_tolerant(self, sql: str, args: list) -> None:
+        try:
+            self.executor.execute(sql, args)
+        except MySQLError as e:
+            if e.errno in IGNORABLE_ERRNOS:
+                self.on_warn(f"ignored ({e.errno}): {sql[:60]}")
+                return
+            raise
+
+
+def _contiguous_runs(changes: list[dict]):
+    """Group event-ordered changes into contiguous same-(table, kind)
+    runs so REPLACE batching applies within a run while the tx's
+    cross-table statement order is preserved."""
+    run: list[dict] = []
+    key: tuple[str, str, bool] | None = None
+    for ch in changes:
+        k = (ch["schema_name"], ch["table_name"], ch["op"] == "ddl")
+        if key is not None and k != key:
+            yield key[0], key[1], run
+            run = []
+        key = k
+        run.append(ch)
+    if run:
+        yield key[0], key[1], run
+
+
+class RecordingExecutor:
+    """Test double: records (sql, args) with tx framing markers; can be
+    armed to raise a given errno on the Nth execute."""
+
+    def __init__(self):
+        self.log: list[tuple[str, list]] = []
+        self.committed: list[list[tuple[str, list]]] = []
+        self._tx: list[tuple[str, list]] = []
+        self._fail_at: int | None = None
+        self._fail_errno: int = 0
+        self._ncalls = 0
+
+    def fail_on_call(self, n: int, errno: int) -> None:
+        self._fail_at, self._fail_errno = n, errno
+
+    def begin(self) -> None:
+        self.log.append(("begin", []))
+        self._tx = []
+
+    def execute(self, sql: str, args: list) -> None:
+        self._ncalls += 1
+        if self._fail_at is not None and self._ncalls == self._fail_at:
+            self._fail_at = None
+            raise MySQLError(self._fail_errno, "injected")
+        self.log.append((sql, list(args)))
+        self._tx.append((sql, list(args)))
+
+    def commit(self) -> None:
+        self.log.append(("commit", []))
+        self.committed.append(self._tx)
+        self._tx = []
+
+    def rollback(self) -> None:
+        self.log.append(("rollback", []))
+        self._tx = []
+
+
+def drain_wire_batch(batch, sink: MySQLApplierSink) -> int:
+    """foreachBatch body for a real-MySQL destination: drain one
+    wire-form micro-batch (streaming/wire.WIRE_SCHEMA rows) through the
+    sink, transaction by transaction in seq order.
+
+    Driver-side by design: a MySQL applier is ONE ordered connection —
+    the reference's applier is exactly this shape (single applier
+    goroutine per job, applier_incr.go) — so the batch is collected.
+    Batch size is bounded by the trigger bounds (A9 flow control), and
+    this lane is for an actual MySQL downstream at MySQL-sized change
+    rates; the data-scale path remains the distributed lake targets.
+    Returns the number of transactions committed (skips replays)."""
+    rows = batch.orderBy("seq").collect()
+    txs: dict[tuple[str, int], list[dict]] = {}
+    order: list[tuple[str, int]] = []
+    for r in rows:
+        k = (r["sid"], r["gno"])
+        if k not in txs:
+            txs[k] = []
+            order.append(k)
+        txs[k].append(_wire_row_to_change(r, sink))
+    return sink.apply_batch([(sid, gno, txs[(sid, gno)]) for sid, gno in order])
+
+
+def _wire_row_to_change(r, sink: MySQLApplierSink) -> dict:
+    import json
+
+    if r["op"] == "ddl":
+        return {
+            "op": "ddl",
+            "schema_name": r["schema_name"],
+            "table_name": r["table_name"],
+            "query": r["query"],
+        }
+    spec = sink.tables.get((r["schema_name"], r["table_name"]))
+    if spec is None:
+        raise KeyError(f"no TableSpec for {r['schema_name']}.{r['table_name']}")
+    names = [c.name for c in spec.columns]
+
+    def ordinals(img: str | None) -> list:
+        if not img:
+            return []
+        d = json.loads(img)
+        return [d.get(n) for n in names]
+
+    return {
+        "op": r["op"],
+        "schema_name": r["schema_name"],
+        "table_name": r["table_name"],
+        "before": ordinals(r["before"]),
+        "after": ordinals(r["after"]),
+    }

@@ -19,6 +19,12 @@ Routes (v2, mirroring api/handler/v2/job.go):
     POST   /v2/job/<name>/reverse        start "reverse-<name>" (body:
                                          source_dir/target_root/
                                          checkpoint_dir/local_sid)
+    POST   /v2/job/<name>/update         pause -> preflight new config
+                                         -> resume (400 keeps old cfg)
+    GET    /v2/schemas                   catalog browse (schemas)
+    GET    /v2/schemas/<s>/tables        tables of a schema
+    GET    /v2/schemas/<s>/tables/<t>/columns   columns + types + key
+    POST   /v2/validation/connection     source-dir readability probe
 
 Create body::
 
@@ -45,7 +51,10 @@ from dtle_spark.model import JobConfig, TableConfig
 from dtle_spark.streaming.jobs import JobManager
 
 _JOB_RE = re.compile(
-    r"^/v2/job/([^/]+)(?:/(pause|resume|position|metrics|reverse|versions))?$"
+    r"^/v2/job/([^/]+)(?:/(pause|resume|position|metrics|reverse|versions|update))?$"
+)
+_SCHEMAS_RE = re.compile(
+    r"^/v2/schemas(?:/([^/]+)/tables(?:/([^/]+)/columns)?)?$"
 )
 
 
@@ -121,6 +130,35 @@ class _Handler(BaseHTTPRequestHandler):
                 )
                 return self._send(201, {"created": d["name"]})
             return self._send(405, {"error": method})
+        sm = _SCHEMAS_RE.match(self.path)
+        if sm and method == "GET":
+            # catalog browse (reference /v2/database/schemas + /columns,
+            # api/handler/v2/database.go:43,184)
+            s, t = sm.group(1), sm.group(2)
+            if s is None:
+                return self._send(200, {"schemas": self.manager.schemas(self.catalog)})
+            if t is None:
+                return self._send(
+                    200, {"schema": s, "tables": self.manager.tables(s, self.catalog)}
+                )
+            return self._send(
+                200,
+                {"schema": s, "table": t,
+                 "columns": self.manager.columns(s, t, self.catalog)},
+            )
+        if self.path == "/v2/validation/connection" and method == "POST":
+            # connection validation (reference /v2/database/
+            # instance_connection, database.go:292): the "can I read
+            # this source" probe — here, the wire dir must exist and
+            # hold readable parquet
+            d = self._body()
+            import os as _os
+
+            src = d.get("source_dir", "")
+            base = src.rstrip("*").rstrip("/")
+            if not base or not _os.path.isdir(base):
+                return self._send(400, {"ok": False, "error": f"no such dir: {src}"})
+            return self._send(200, {"ok": True, "source_dir": src})
         m = _JOB_RE.match(self.path)
         if not m:
             return self._send(404, {"error": self.path})
@@ -144,6 +182,14 @@ class _Handler(BaseHTTPRequestHandler):
         if method == "POST" and action == "resume":
             self.manager.resume(name)
             return self._send(200, {"resumed": name})
+        if method == "POST" and action == "update":
+            # pause → preflight new config → resume (reference
+            # /v2/job/*/update, api/handler/v2/job.go:298-309); a
+            # rejected config leaves the old one running (HTTP 400)
+            d = self._body()
+            d.setdefault("name", name)
+            self.manager.update(name, _job_config_from_json(d))
+            return self._send(200, {"updated": name})
         if method == "POST" and action == "reverse":
             d = self._body()
             rev = self.manager.reverse(

@@ -8,15 +8,41 @@ because Spark moves the data.
 
 from __future__ import annotations
 
+import dataclasses
+import json
+import os
+
 from dtle_spark.catalog import SchemaCatalog
-from dtle_spark.model import JobConfig
+from dtle_spark.model import JobConfig, TableConfig
 from dtle_spark.streaming.pipeline import ReplicationJob
 
 
+def job_config_to_dict(job: JobConfig) -> dict:
+    return dataclasses.asdict(job)
+
+
+def job_config_from_dict(d: dict) -> JobConfig:
+    tables = [TableConfig(**t) for t in d.get("tables", [])]
+    return JobConfig(**{**d, "tables": tables})
+
+
 class JobManager:
-    def __init__(self, spark):
+    def __init__(self, spark, spec_root: str | None = None):
+        """``spec_root``: when given, every created job persists its
+        spec (config + dirs + catalog snapshot) as
+        ``<spec_root>/<name>.json`` so :meth:`recover` on a FRESH
+        manager restores and restarts all jobs from checkpoints — the
+        agent-restart path the reference drives through
+        driver.go:493+ StartTask/RecoverTask over Consul job state
+        (common/store.go:40-446)."""
         self.spark = spark
+        self.spec_root = spec_root
         self._jobs: dict[str, ReplicationJob] = {}
+
+    def _spec_path(self, name: str) -> str | None:
+        if self.spec_root is None:
+            return None
+        return os.path.join(self.spec_root, f"{name}.json")
 
     def create(
         self,
@@ -37,10 +63,66 @@ class JobManager:
         rj = ReplicationJob(
             self.spark, job, source_dir, target_root, checkpoint_dir, catalog, **kw
         )
+        sp = self._spec_path(job.name)
+        if sp is not None:
+            os.makedirs(self.spec_root, exist_ok=True)
+            spec = {
+                "job": job_config_to_dict(job),
+                "source_dir": source_dir,
+                "target_root": target_root,
+                "checkpoint_dir": checkpoint_dir,
+                "catalog": catalog.to_dict(),
+                "kw": {
+                    k: v
+                    for k, v in kw.items()
+                    if isinstance(v, (int, float, str, bool))
+                },
+            }
+            tmp = sp + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(spec, f)
+            os.replace(tmp, sp)
         self._jobs[job.name] = rj
         if start:
             rj.start()
         return rj
+
+    def recover(self, start: bool = True) -> list[str]:
+        """Restore every persisted job spec into this (fresh) manager:
+        catalog from the checkpoint's post-DDL snapshot when one exists
+        (falling back to the create-time snapshot in the spec), stream
+        resumed from its checkpoint, applied-gtid position from its
+        interval file. Returns recovered job names."""
+        if self.spec_root is None or not os.path.isdir(self.spec_root):
+            return []
+        out = []
+        for fname in sorted(os.listdir(self.spec_root)):
+            if not fname.endswith(".json"):
+                continue
+            with open(os.path.join(self.spec_root, fname)) as f:
+                spec = json.load(f)
+            job = job_config_from_dict(spec["job"])
+            if job.name in self._jobs:
+                continue
+            ckpt_catalog = SchemaCatalog.load(
+                os.path.join(spec["checkpoint_dir"], "catalog.json")
+            )
+            catalog = (
+                ckpt_catalog
+                if ckpt_catalog is not None
+                else SchemaCatalog.from_dict(spec["catalog"])
+            )
+            self.create(
+                job,
+                spec["source_dir"],
+                spec["target_root"],
+                spec["checkpoint_dir"],
+                catalog,
+                start=start,
+                **spec.get("kw", {}),
+            )
+            out.append(job.name)
+        return out
 
     def list(self) -> dict[str, dict]:
         return {name: rj.stats() for name, rj in self._jobs.items()}
@@ -69,11 +151,92 @@ class JobManager:
         ago" — read back via target.read_at_version."""
         return self._jobs[name].table_versions()
 
+    def update(self, name: str, new_job: JobConfig) -> None:
+        """Job update (reference: /v2/job/*/update →
+        CreateOrUpdateMigrationJobV2, api/handler/v2/job.go:298-309):
+        pause → preflight the NEW config → swap + re-persist spec →
+        resume. A config that fails preflight leaves the job running
+        its old config (resumed), and the error propagates (→ HTTP
+        400)."""
+        if new_job.name != name:
+            raise ValueError(
+                f"config name {new_job.name!r} does not match job {name!r}"
+            )
+        rj = self._jobs[name]
+        was_active = rj.query is not None and rj.query.isActive
+        if was_active:
+            rj.pause()
+        from dtle_spark.inspect import preflight
+
+        try:
+            preflight(new_job, rj.catalog, self.spark)
+        except Exception:
+            if was_active:
+                rj.resume()
+            raise
+        rj.update_config(new_job)
+        sp = self._spec_path(name)
+        if sp is not None and os.path.exists(sp):
+            with open(sp) as f:
+                spec = json.load(f)
+            spec["job"] = job_config_to_dict(new_job)
+            tmp = sp + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(spec, f)
+            os.replace(tmp, sp)
+        if was_active:
+            rj.resume()
+
+    def _catalogs(self, extra: SchemaCatalog | None = None):
+        if extra is not None:
+            yield extra
+        for rj in self._jobs.values():
+            yield rj.catalog
+
+    def schemas(self, extra: SchemaCatalog | None = None) -> list[str]:
+        """Catalog browse (reference /v2/database/schemas,
+        api/handler/v2/database.go:43): union of every job's catalog
+        plus the server's default one."""
+        out = set()
+        for cat in self._catalogs(extra):
+            out |= set(cat.schemas)
+            out |= {s for s, _ in cat.tables}
+        return sorted(out)
+
+    def tables(self, schema_name: str, extra: SchemaCatalog | None = None) -> list[str]:
+        out = set()
+        for cat in self._catalogs(extra):
+            out |= {t for s, t in cat.tables if s == schema_name}
+        return sorted(out)
+
+    def columns(
+        self, schema_name: str, table_name: str, extra: SchemaCatalog | None = None
+    ) -> list[dict]:
+        """Column browse (reference /v2/database/columns,
+        api/handler/v2/database.go:184)."""
+        for cat in self._catalogs(extra):
+            meta = cat.get(schema_name, table_name)
+            if meta is not None:
+                return [
+                    {
+                        "name": f.name,
+                        "type": f.dataType.simpleString(),
+                        "nullable": f.nullable,
+                        "key": f.name in meta.unique_key,
+                    }
+                    for f in meta.schema.fields
+                ]
+        raise KeyError(f"{schema_name}.{table_name}")
+
     def delete(self, name: str) -> None:
-        """Delete = stop + deregister (checkpoint/target dirs are the
-        caller's to clean, matching the reference's delete semantics)."""
+        """Delete = stop + deregister + spec removal (checkpoint/target
+        dirs are the caller's to clean, matching the reference's delete
+        semantics)."""
         rj = self._jobs.pop(name)
         rj.pause()
+        sp = self._spec_path(name)
+        if sp is not None and os.path.exists(sp):
+            os.remove(sp)
 
     def reverse(
         self,

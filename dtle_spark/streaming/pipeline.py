@@ -283,6 +283,7 @@ def apply_batch(
     spool: TxSpool | None = None,
     gtid_path: str | None = None,
     metrics=None,
+    catalog_path: str | None = None,
 ) -> None:
     """foreachBatch body: route the wire-form batch to each configured
     table; DML merges in seq order segmented around DDL barriers.
@@ -350,6 +351,12 @@ def apply_batch(
         if deferred:
             for fn in deferred:
                 fn()
+        if has_ddl and catalog_path is not None:
+            # snapshot the evolved schema state so a recovered job
+            # (JobManager.recover) resumes with the post-DDL catalog —
+            # checkpointed batches never replay, so their DDL effects
+            # must persist outside the stream
+            catalog.save(catalog_path)
         tx_rows = None
         if gtid_path is not None:
             from dtle_spark.sources.gtid import GtidSet
@@ -425,6 +432,8 @@ class ReplicationJob:
         # applied-gtid interval set, persisted next to the checkpoint —
         # survives pause/resume; replays re-add idempotently
         self.gtid_path = os.path.join(checkpoint_dir, "gtid_position.json")
+        # post-DDL schema snapshots for cross-process recovery
+        self.catalog_path = os.path.join(checkpoint_dir, "catalog.json")
         from dtle_spark.streaming.metrics import TaskMetrics
 
         self.metrics = TaskMetrics()
@@ -442,13 +451,29 @@ class ReplicationJob:
                 lambda df, epoch: apply_batch(
                     self.spark, df, self.job, self.target, self.catalog,
                     spool=self.spool, gtid_path=self.gtid_path,
-                    metrics=self.metrics,
+                    metrics=self.metrics, catalog_path=self.catalog_path,
                 )
             )
             .trigger(processingTime=f"{self.job.trigger_seconds} seconds")
             .start()
         )
         return self
+
+    def update_config(self, new_job: JobConfig) -> None:
+        """Swap the job config under a paused stream (JobManager.update
+        drives pause → preflight → this → resume). The foreachBatch
+        closure reads ``self.job`` per batch, so the swap takes effect
+        on the next micro-batch; the tx spool is rebuilt when the
+        atomicity setting changed."""
+        if self.query is not None and self.query.isActive:
+            raise ValueError("pause the job before updating its config")
+        if new_job.tx_atomic != self.job.tx_atomic:
+            self.spool = (
+                TxSpool(os.path.join(self.checkpoint_dir, "txspool"))
+                if new_job.tx_atomic
+                else None
+            )
+        self.job = new_job
 
     def flush_spool(self) -> None:
         """Apply the held frontier tx unconditionally — the operator's

@@ -1018,3 +1018,36 @@ def test_probe_index_equals_rehash_operator(spark):
     all_inc = {r["doc_id"] for r in incoming.select("doc_id").collect()}
     assert all_inc - dropped == survivors_rehash
     assert dropped  # fixtures do contain cross-side duplicates
+
+
+def test_cc_auto_dispatch_by_edge_count(spark, monkeypatch):
+    """VERDICT r5 #7: the dedup entry points choose the CC variant by
+    edge count — min-label below the threshold, large/small-star at or
+    above it — and both paths return the same clustering."""
+    from dtle_spark.functions import graph as G
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_1 long, id_2 long"
+    )
+    calls = []
+    real_min, real_star = G.connected_components, G.connected_components_star
+    monkeypatch.setattr(
+        G, "connected_components",
+        lambda *a, **k: calls.append("min") or real_min(*a, **k),
+    )
+    monkeypatch.setattr(
+        G, "connected_components_star",
+        lambda *a, **k: calls.append("star") or real_star(*a, **k),
+    )
+    small = {
+        (r["node"], r["component"])
+        for r in G.connected_components_auto(pairs).collect()
+    }
+    assert calls == ["min"]  # 3 edges < threshold
+    big = {
+        (r["node"], r["component"])
+        for r in G.connected_components_auto(pairs, star_threshold=1).collect()
+    }
+    assert calls == ["min", "star"]
+    expected = {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    assert small == expected and big == expected

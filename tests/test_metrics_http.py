@@ -227,3 +227,84 @@ def test_http_control_surface_lifecycle(spark, job_dirs_factory):
         assert code == 404
     finally:
         server.stop()
+
+
+def test_http_update_and_catalog_browse(spark, job_dirs_factory, duck):
+    """Round-5 surface: POST /v2/job/<n>/update (pause -> preflight ->
+    resume; invalid config 400s and keeps the old one), GET /v2/schemas
+    browse routes, POST /v2/validation/connection."""
+    from dtle_spark.streaming.http_api import ControlServer
+    from dtle_spark.streaming.jobs import JobManager
+    from tests.conftest import assert_matches_oracle
+
+    dirs = job_dirs_factory("upd")
+    base = cdc_demo.orders_base(spark, SF_DIR)
+    changes = cdc_demo.orders_changes(spark, SF_DIR)
+    os.makedirs(dirs["source"])
+    to_wire(changes.filter(F.col("seq") < 7000)).coalesce(1).write.parquet(
+        os.path.join(dirs["source"], "b0"))
+    ParquetTableTarget(dirs["target"]).overwrite(base, "db1", "orders")
+
+    manager = JobManager(spark)
+    server = ControlServer(manager, _orders_catalog(changes)).start()
+    url = f"http://127.0.0.1:{server.port}"
+    try:
+        code, _ = _http("POST", f"{url}/v2/jobs", {
+            "name": "u1",
+            "tables": [{"schema_name": "db1", "table_name": "orders",
+                        "unique_key": ["o_orderkey"]}],
+            "source_dir": os.path.join(dirs["source"], "*"),
+            "target_root": dirs["target"],
+            "checkpoint_dir": dirs["checkpoint"],
+        })
+        assert code == 201
+        manager.get("u1").process_available()
+
+        # catalog browse
+        code, d = _http("GET", f"{url}/v2/schemas")
+        assert code == 200 and "db1" in d["schemas"]
+        code, d = _http("GET", f"{url}/v2/schemas/db1/tables")
+        assert code == 200 and d["tables"] == ["orders"]
+        code, d = _http("GET", f"{url}/v2/schemas/db1/tables/orders/columns")
+        assert code == 200
+        byname = {c["name"]: c for c in d["columns"]}
+        assert byname["o_orderkey"]["key"] is True
+        assert byname["o_totalprice"]["type"] == "double"
+        code, d = _http("GET", f"{url}/v2/schemas/db1/tables/nope/columns")
+        assert code == 404
+
+        # connection validation
+        code, d = _http("POST", f"{url}/v2/validation/connection",
+                        {"source_dir": os.path.join(dirs["source"], "*")})
+        assert code == 200 and d["ok"]
+        code, d = _http("POST", f"{url}/v2/validation/connection",
+                        {"source_dir": "/no/such/dir/*"})
+        assert code == 400 and not d["ok"]
+
+        # invalid update: unknown table -> 400, old config kept, job resumed
+        code, d = _http("POST", f"{url}/v2/job/u1/update", {
+            "tables": [{"schema_name": "db1", "table_name": "ghost",
+                        "unique_key": ["id"]}],
+        })
+        assert code == 400
+        rj = manager.get("u1")
+        assert rj.job.tables[0].table_name == "orders"
+        assert rj.query is not None and rj.query.isActive
+
+        # valid update: same table, narrower where — applied to the
+        # NEXT micro-batch after the internal pause/resume
+        code, d = _http("POST", f"{url}/v2/job/u1/update", {
+            "tables": [{"schema_name": "db1", "table_name": "orders",
+                        "unique_key": ["o_orderkey"]}],
+            "trigger_seconds": 0.5,
+        })
+        assert code == 200 and d["updated"] == "u1"
+        assert manager.get("u1").job.trigger_seconds == 0.5
+        to_wire(changes.filter(F.col("seq") >= 7000)).coalesce(1).write.parquet(
+            os.path.join(dirs["source"], "b1"))
+        manager.get("u1").process_available()
+        _http("POST", f"{url}/v2/job/u1/pause")
+        final = ParquetTableTarget(dirs["target"]).read(spark, "db1", "orders")
+        assert_matches_oracle(final, duck, cdc_demo.ORDERS_CDC_ORACLE)
+    finally:
+        server.stop()

@@ -1,0 +1,239 @@
+"""MySQLApplierSink: the reference's per-tx statement flow
+(applier_incr.go:532-860) through the pluggable executor — begin,
+builder DML in event order, gtid bookkeeping in the SAME tx, commit;
+A10 idempotence, A12 ignorable errors, A13 deadlock retry."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from dtle_spark.sinks.mysql_dml import Column
+from dtle_spark.sinks.mysql_sink import (
+    MySQLApplierSink,
+    MySQLError,
+    RecordingExecutor,
+    TableSpec,
+    create_gtid_table_sql,
+)
+from dtle_spark.sources.gtid import GtidSet
+
+SID = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+SID2 = "11111111-2222-3333-4444-555555555555"
+
+
+def norm(q: str) -> str:
+    return re.sub(r"[ \t\n\r]+", " ", q.replace("`", "")).strip()
+
+
+def cols(pks=("id",)):
+    return [Column(n, is_pk=(n in pks)) for n in ["id", "name"]]
+
+
+def mk_sink(executor=None, **kw):
+    ex = executor or RecordingExecutor()
+    sink = MySQLApplierSink(
+        ex,
+        "job1",
+        {
+            ("mydb", "tbl"): TableSpec(cols()),
+            ("mydb", "tb2"): TableSpec(cols()),
+        },
+        **kw,
+    )
+    return sink, ex
+
+
+def changes_basic():
+    return [
+        {"op": "i", "schema_name": "mydb", "table_name": "tbl",
+         "before": [], "after": [1, "a"]},
+        {"op": "i", "schema_name": "mydb", "table_name": "tbl",
+         "before": [], "after": [2, "b"]},
+        {"op": "u", "schema_name": "mydb", "table_name": "tbl",
+         "before": [1, "a"], "after": [1, "a2"]},
+        {"op": "d", "schema_name": "mydb", "table_name": "tbl",
+         "before": [2, "b"], "after": []},
+    ]
+
+
+def test_tx_statement_sequence_golden():
+    """One tx drains as: begin, batched REPLACE (contiguous inserts),
+    update, PK delete, gtid REPLACE, commit — the applier_incr order
+    with builder_test.go statement shapes."""
+    sink, ex = mk_sink()
+    assert sink.apply_tx(SID, 5, changes_basic()) is True
+    kinds = [s for s, _ in ex.log]
+    assert kinds[0] == "begin" and kinds[-1] == "commit"
+    sqls = [norm(s) for s, _ in ex.log]
+    assert sqls[1] == "replace into mydb.tbl values (?,?),(?,?)"
+    assert ex.log[1][1] == [1, "a", 2, "b"]
+    assert sqls[2].startswith("update mydb.tbl set id=?, name=? where")
+    assert "limit 1" in sqls[2]
+    assert sqls[3].startswith("delete from mydb.tbl where")
+    assert "limit 1" in sqls[3]
+    # gtid bookkeeping INSIDE the tx, before commit (A6/A10)
+    assert sqls[4] == (
+        "replace into dtle.gtid_executed_v4 (job_name,source_uuid,gtid,gtid_set) "
+        "values (?, ?, ?, null)"
+    )
+    import uuid
+
+    assert ex.log[4][1] == ["job1", uuid.UUID(SID).bytes, 5]
+    assert len(ex.committed) == 1 and len(ex.committed[0]) == 4
+
+
+def test_idempotence_skips_applied_gno():
+    sink, ex = mk_sink()
+    assert sink.apply_tx(SID, 5, changes_basic()) is True
+    n = len(ex.log)
+    assert sink.apply_tx(SID, 5, changes_basic()) is False  # redelivery
+    assert len(ex.log) == n  # not a single statement executed
+    # canonicalization: uppercase sid is the same source
+    assert sink.apply_tx(SID.upper(), 5, changes_basic()) is False
+    assert sink.apply_batch([(SID, 5, changes_basic()), (SID, 6, changes_basic())]) == 1
+
+
+def test_seed_applied_from_destination_position():
+    sink, ex = mk_sink()
+    sink.seed_applied(GtidSet.from_str(f"{SID}:1-10"))
+    assert sink.apply_tx(SID, 7, changes_basic()) is False
+    assert sink.apply_tx(SID, 11, changes_basic()) is True
+
+
+def test_deadlock_retries_whole_tx_then_succeeds():
+    sink, ex = mk_sink()
+    ex.fail_on_call(3, 1213)  # deadlock on the update
+    warns = []
+    sink.on_warn = warns.append
+    assert sink.apply_tx(SID, 5, changes_basic()) is True
+    # first attempt rolled back, second attempt committed the FULL tx
+    assert ("rollback", []) in ex.log
+    assert len(ex.committed) == 1 and len(ex.committed[0]) == 4
+    assert any("1213" in w for w in warns)
+
+
+def test_deadlock_exhausts_retries_and_raises():
+    sink, ex = mk_sink(retries=2)
+    calls = {"n": 0}
+    real = ex.execute
+
+    def always_deadlock(sql, args):
+        calls["n"] += 1
+        raise MySQLError(1213, "deadlock")
+
+    ex.execute = always_deadlock
+    with pytest.raises(MySQLError):
+        sink.apply_tx(SID, 5, changes_basic())
+    assert calls["n"] == 3  # initial + 2 retries
+    assert not sink.applied.contains(SID, 5)  # position did NOT advance
+
+
+def test_ignorable_error_warns_and_tx_commits():
+    """A12: dup-entry (1062) on one statement is tolerated; the tx
+    still commits and the position advances."""
+    sink, ex = mk_sink()
+    ex.fail_on_call(1, 1062)
+    warns = []
+    sink.on_warn = warns.append
+    assert sink.apply_tx(SID, 5, changes_basic()) is True
+    assert any("1062" in w for w in warns)
+    assert len(ex.committed) == 1 and len(ex.committed[0]) == 3  # insert swallowed
+    assert sink.applied.contains(SID, 5)
+
+
+def test_non_ignorable_error_rolls_back_no_position_advance():
+    sink, ex = mk_sink()
+    ex.fail_on_call(2, 1064)  # syntax error: not ignorable, not retryable
+    with pytest.raises(MySQLError):
+        sink.apply_tx(SID, 5, changes_basic())
+    assert ex.log[-1] == ("rollback", [])
+    assert not sink.applied.contains(SID, 5)
+    assert ex.committed == []
+
+
+def test_one_stmt_ddl_no_begin_still_bookkeeps():
+    """applier_incr.go:565: a single-DDL tx skips `begin` (MySQL DDL
+    auto-commits) but still records its gtid and commits."""
+    sink, ex = mk_sink()
+    sink.apply_tx(SID, 9, [
+        {"op": "ddl", "schema_name": "mydb", "table_name": "tbl",
+         "query": "alter table mydb.tbl add column c int",
+         "create_schema_if_not_exists": True, "current_schema": "mydb"},
+    ])
+    sqls = [norm(s) for s, _ in ex.log]
+    assert "begin" not in sqls
+    assert sqls[0] == "CREATE SCHEMA IF NOT EXISTS mydb"
+    assert sqls[1] == "USE mydb"
+    assert sqls[2] == "alter table mydb.tbl add column c int"
+    assert sqls[3].startswith("replace into dtle.gtid_executed_v4")
+    assert sqls[4] == "commit"
+
+
+def test_cross_table_event_order_preserved_with_batching():
+    """Inserts batch only within contiguous same-table runs — an
+    interleaved tx keeps its statement order."""
+    sink, ex = mk_sink()
+    chs = [
+        {"op": "i", "schema_name": "mydb", "table_name": "tbl",
+         "before": [], "after": [1, "a"]},
+        {"op": "i", "schema_name": "mydb", "table_name": "tb2",
+         "before": [], "after": [7, "x"]},
+        {"op": "i", "schema_name": "mydb", "table_name": "tbl",
+         "before": [], "after": [2, "b"]},
+    ]
+    sink.apply_tx(SID, 5, chs)
+    sqls = [norm(s) for s, _ in ex.log]
+    assert sqls[1] == "replace into mydb.tbl values (?,?)"
+    assert sqls[2] == "replace into mydb.tb2 values (?,?)"
+    assert sqls[3] == "replace into mydb.tbl values (?,?)"
+
+
+def test_ensure_gtid_table_bootstrap_tolerates_exists():
+    sink, ex = mk_sink()
+    ex.fail_on_call(1, 1007)  # schema exists
+    sink.ensure_gtid_table()
+    sqls = [s for s, _ in ex.log]
+    assert any(s.startswith("CREATE TABLE IF NOT EXISTS `dtle`.`gtid_executed_v4`") for s in sqls)
+    ddls = create_gtid_table_sql()
+    assert "primary key (job_name, source_uuid, gtid)" in ddls[1]
+
+
+def test_unknown_table_raises():
+    sink, ex = mk_sink()
+    with pytest.raises(KeyError):
+        sink.apply_tx(SID, 1, [
+            {"op": "i", "schema_name": "nope", "table_name": "t",
+             "before": [], "after": [1]},
+        ])
+
+
+def test_drain_wire_batch_end_to_end(spark):
+    """E2E: a wire-form micro-batch (the pipeline's streaming shape)
+    drains through the sink as per-tx reference statement sequences,
+    replay-idempotent."""
+    from dtle_spark.sinks.mysql_sink import drain_wire_batch
+    from dtle_spark.streaming.wire import WIRE_SCHEMA
+
+    rows = [
+        (SID, 5, 1, None, "i", None, "mydb", "tbl", None, '{"id":1,"name":"a"}', None),
+        (SID, 5, 2, None, "i", None, "mydb", "tbl", None, '{"id":2,"name":"b"}', None),
+        (SID, 6, 3, None, "u", None, "mydb", "tbl",
+         '{"id":1,"name":"a"}', '{"id":1,"name":"a2"}', None),
+        (SID2, 1, 4, None, "d", None, "mydb", "tb2", '{"id":9,"name":"z"}', None, None),
+    ]
+    batch = spark.createDataFrame(rows, WIRE_SCHEMA)
+    sink, ex = mk_sink()
+    assert drain_wire_batch(batch, sink) == 3
+    sqls = [norm(s) for s, _ in ex.log]
+    # tx1: batched replace; tx2: update; tx3: delete — each with its own
+    # begin/gtid/commit framing
+    assert sqls.count("begin") == 3 and sqls.count("commit") == 3
+    assert sqls[1] == "replace into mydb.tbl values (?,?),(?,?)"
+    assert ex.log[1][1] == [1, "a", 2, "b"]
+    assert len(ex.committed) == 3
+    # replay: the same batch is a complete no-op
+    n = len(ex.log)
+    assert drain_wire_batch(batch, sink) == 0
+    assert len(ex.log) == n
