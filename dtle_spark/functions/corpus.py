@@ -358,3 +358,135 @@ def export_training_shards(
         _json.dump(manifest, f, indent=1)
     _os.replace(tmp, _os.path.join(out_dir, "_manifest.json"))
     return manifest
+
+
+# 2^80 as a decimal literal: the cross-multiply bound for the squared
+# 40-bit draw (temperature_mixing below)
+_U2_DENOM = "1208925819614629174706176"
+
+
+def temperature_mixing(
+    docs: DataFrame,
+    k2: int = 4,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """UniMax/temperature-scaled source balancing at tau = 0.5: keep
+    each doc of source s with probability p_s = min(1, sqrt(k2/n_s)).
+    Big sources are downsampled toward the square root of their size
+    (the standard multilingual-corpus rebalancing; tau=1 is
+    proportional = no-op, tau=0 is uniform — 0.5 is the published
+    sweet spot), sources with n_s <= k2 are kept whole.
+
+    Exactly, without a float: p_s involves sqrt, but the DRAW condition
+    U/2^40 < sqrt(k2/n_s) squares into U^2 * n_s < k2 * 2^80 — an
+    integer compare both engines evaluate identically (DECIMAL(38,0)
+    here, HUGEINT in DuckDB). Same md5 draw as stratified_sample, so
+    the selection is reproducible and append-stable.
+
+    Scale: tiny per-source count + broadcast join; decision is map-only.
+    """
+    counts = docs.groupBy(F.col(source_col).alias("__src")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    draw = F.expr(hash_uniform_expr(id_col, "spark"))
+    return (
+        docs.join(F.broadcast(counts), docs[source_col] == counts["__src"])
+        .filter(
+            F.expr(
+                f"CAST({hash_uniform_expr(id_col, 'spark')} AS DECIMAL(38,0))"
+                f" * {hash_uniform_expr(id_col, 'spark')} * __n"
+                f" < CAST({k2} AS DECIMAL(38,0)) * {_U2_DENOM}"
+            )
+        )
+        .drop("__src", "__n")
+    )
+
+
+def temperature_mixing_sql(
+    k2: int = 4, id_col: str = "doc_id", source_col: str = "source"
+) -> str:
+    """DuckDB restatement (HUGEINT cross-multiply)."""
+    u = hash_uniform_expr(id_col, "duckdb")
+    return f"""
+    WITH n AS (SELECT {source_col} AS src, count(*) AS cnt FROM documents GROUP BY 1)
+    SELECT d.doc_id, d.{source_col}
+    FROM documents d JOIN n ON d.{source_col} = n.src
+    WHERE CAST({u} AS HUGEINT) * {u} * cnt < CAST({k2} AS HUGEINT) * {_U2_DENOM}
+    """
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-prep chunking: split each doc's token stream into
+    fixed windows of ``window`` tokens advancing by ``stride``
+    (window - stride tokens of overlap preserve context across chunk
+    boundaries — the standard long-document pretraining treatment).
+    Output: (doc_id, chunk_idx, start_tok, n_tok, chunk_text).
+
+    Scale shape: map-only — tokens/sequence/posexplode all run inside
+    the row, no keyed shuffle; 100 TB in, chunks out, embarrassingly
+    parallel. Chunk count per doc is ceil(max(n-1,0)/stride)+1-ish:
+    starts at 0, stride, 2*stride, ... while start < n."""
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = tokens(F.col(text_col))
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("__toks")
+    ).withColumn("__n", F.size("__toks")).filter(F.col("__n") > 0)
+    d = d.withColumn(
+        "__starts", F.sequence(F.lit(0), F.col("__n") - 1, F.lit(stride))
+    ).select(
+        "doc_id", "__toks", "__n",
+        F.posexplode("__starts").alias("chunk_idx", "start_tok"),
+    )
+    n_tok = F.least(F.lit(window), F.col("__n") - F.col("start_tok"))
+    return d.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        n_tok.cast("long").alias("n_tok"),
+        F.concat_ws(
+            " ", F.slice("__toks", F.col("start_tok") + 1, n_tok)
+        ).alias("chunk_text"),
+    )
+
+
+def length_buckets(
+    docs: DataFrame,
+    bucket_width: int = 32,
+    max_bucket: int = 8,
+    batch_size: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Length-grouped batching assignment: bucket docs by token count
+    (bucket = min(n_tok DIV width, max)) and number deterministic
+    batches within each bucket — the padding-efficiency step before
+    batch materialization (batching similar lengths together wastes
+    no pad tokens). Order within a bucket is the md5-draw shuffle
+    order (append-stable), batch_idx = seq DIV batch_size.
+
+    Scale shape: one exchange keyed on bucket + shard-local sort —
+    identical economics to corpus_shuffle; bucket count bounds skew."""
+    n = token_count(tokens(F.col(text_col)))
+    u = F.expr(hash_uniform_expr(id_col, "spark"))
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("long").alias("n_tok"),
+        u.alias("__u"),
+    ).withColumn(
+        "bucket",
+        F.least(F.expr(f"n_tok DIV {bucket_width}"), F.lit(max_bucket)).cast("long"),
+    )
+    w = Window.partitionBy("bucket").orderBy("__u", "doc_id")
+    seq = (F.row_number().over(w) - 1).cast("long")
+    return d.withColumn("__seq", seq).select(
+        "doc_id", "n_tok", "bucket",
+        F.expr(f"__seq DIV {batch_size}").alias("batch_idx"),
+    )

@@ -3953,3 +3953,77 @@ def median_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.median("l_quantity").alias("med_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 training-prep additions: temperature mixing, chunking,
+# length-bucketed batching.
+# ---------------------------------------------------------------------------
+
+
+@query("temperature_mixing", cp.temperature_mixing_sql(k2=4))
+def temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax-style tau=0.5 source rebalancing: keep each doc of
+    source s with p = min(1, sqrt(4/n_s)) — big sources shrink toward
+    sqrt(n_s), small ones survive whole. The sqrt never touches a
+    float: the draw condition squares into U^2 * n_s < k2 * 2^80
+    (DECIMAL(38,0) vs DuckDB HUGEINT — both exact). Map-only after a
+    tiny broadcast source-count join (functions/corpus.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return cp.temperature_mixing(d, k2=4).select("doc_id", "source")
+
+
+def _duck_chunks_sql(window: int = 64, stride: int = 48) -> str:
+    t = _duck_toks()
+    return f"""
+    WITH d AS (SELECT doc_id, {t} AS toks FROM documents),
+    s AS (
+      SELECT doc_id, toks, len(toks) AS n, unnest(generate_series(0, len(toks) - 1, {stride})) AS start_tok
+      FROM d WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           start_tok // {stride} AS chunk_idx,
+           start_tok,
+           least({window}, n - start_tok) AS n_tok,
+           array_to_string(list_slice(toks, start_tok + 1, start_tok + least({window}, n - start_tok)), ' ') AS chunk_text
+    FROM s
+    """
+
+
+@query("chunk_documents", _duck_chunks_sql())
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-document chunking for pretraining: 64-token windows
+    advancing by 48 (16 tokens of overlap carry context across
+    boundaries). Map-only — sequence + posexplode inside the row, no
+    keyed shuffle; 100 TB in, chunks out (functions/corpus.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return cp.chunk_documents(d, window=64, stride=48)
+
+
+def _duck_length_buckets_sql(
+    bucket_width: int = 32, max_bucket: int = 8, batch_size: int = 16
+) -> str:
+    t = _duck_toks()
+    u = cp.hash_uniform_expr("doc_id", "duckdb")
+    return f"""
+    WITH d AS (
+      SELECT doc_id, len({t}) AS n_tok, {u} AS u FROM documents
+    ),
+    b AS (
+      SELECT doc_id, n_tok, least(n_tok // {bucket_width}, {max_bucket}) AS bucket, u
+      FROM d
+    )
+    SELECT doc_id, n_tok, bucket,
+           (ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY u, doc_id) - 1) // {batch_size} AS batch_idx
+    FROM b
+    """
+
+
+@query("length_buckets", _duck_length_buckets_sql())
+def length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-grouped batch assignment (padding-efficiency step):
+    bucket by token count, deterministic md5-shuffle order within the
+    bucket, batch_idx = seq DIV batch_size. One exchange keyed on
+    bucket + shard-local sort (functions/corpus.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return cp.length_buckets(d)

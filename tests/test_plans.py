@@ -270,3 +270,20 @@ def test_dedup_antijoin_no_forced_broadcast(spark):
         )
         assert "ResolvedHint" not in analyzed, name
         assert "UnresolvedHint" not in analyzed, name
+
+
+def test_chunk_documents_map_only(spark):
+    """Chunking is embarrassingly parallel: no Exchange anywhere —
+    tokens/sequence/posexplode run inside the row."""
+    plan = plan_of("chunk_documents", spark)
+    assert "Exchange" not in plan
+
+
+def test_temperature_mixing_broadcast_counts_map_only_decision(spark):
+    """The per-source count table broadcasts; the keep decision is a
+    row-local integer compare (no second shuffle of the corpus)."""
+    plan = plan_of("temperature_mixing", spark)
+    assert "BroadcastHashJoin" in plan
+    # the only exchanges allowed: the tiny count aggregation + its
+    # broadcast — the corpus side itself must not hash-exchange
+    assert "SortMergeJoin" not in plan
