@@ -125,6 +125,7 @@ class MySQLApplierSink:
         dtle_schema: str = DTLE_SCHEMA,
         gtid_table: str = GTID_TABLE,
         skip_gtid_executed_table: bool = False,
+        set_gtid_next: bool = False,
         retries: int = 5,
         on_warn: Callable[[str], None] | None = None,
     ):
@@ -136,6 +137,7 @@ class MySQLApplierSink:
         self.dtle_schema = dtle_schema
         self.gtid_table = gtid_table
         self.skip_gtid_executed_table = skip_gtid_executed_table
+        self.set_gtid_next = set_gtid_next
         self.retries = retries
         self.on_warn = on_warn or (lambda msg: None)
         self.applied = GtidSet()
@@ -184,6 +186,13 @@ class MySQLApplierSink:
 
     def _apply_tx_once(self, sid: str, gno: int, changes: list[dict]) -> None:
         one_stmt_ddl = len(changes) == 1 and changes[0]["op"] == "ddl"
+        if self.set_gtid_next:
+            # destination preserves the source GTID (applier_incr.go:
+            # 546-548); must run before `begin` — gtid_next cannot be
+            # set inside an ongoing transaction
+            self.executor.execute(
+                f"set gtid_next = '{sid}:{gno}' /*dtle*/", []
+            )
         if not one_stmt_ddl:
             self.executor.begin()
         for schema_name, table_name, run in _contiguous_runs(changes):
@@ -213,6 +222,10 @@ class MySQLApplierSink:
                 [self.job_name, _uuid.UUID(sid).bytes, gno],
             )
         self.executor.commit()
+        if self.set_gtid_next:
+            # restore after the tx commits (SetGtidNextAutomatic,
+            # sqlutils.go:133-136 — byte-identical statement)
+            self.executor.execute("set gtid_next = 'automatic' /*dtle*/", [])
 
     def apply_batch(self, txs: list[tuple[str, int, list[dict]]]) -> int:
         """Apply transactions in order; returns how many committed (vs

@@ -19,6 +19,7 @@ Routes (v2, mirroring api/handler/v2/job.go):
     POST   /v2/job/<name>/reverse        start "reverse-<name>" (body:
                                          source_dir/target_root/
                                          checkpoint_dir/local_sid)
+    POST   /v2/job/<name>/finish         catch up to target gtid, stop
     POST   /v2/job/<name>/update         pause -> preflight new config
                                          -> resume (400 keeps old cfg)
     GET    /v2/schemas                   catalog browse (schemas)
@@ -51,7 +52,7 @@ from dtle_spark.model import JobConfig, TableConfig
 from dtle_spark.streaming.jobs import JobManager
 
 _JOB_RE = re.compile(
-    r"^/v2/job/([^/]+)(?:/(pause|resume|position|metrics|reverse|versions|update))?$"
+    r"^/v2/job/([^/]+)(?:/(pause|resume|position|metrics|reverse|versions|update|finish))?$"
 )
 _SCHEMAS_RE = re.compile(
     r"^/v2/schemas(?:/([^/]+)/tables(?:/([^/]+)/columns)?)?$"
@@ -182,6 +183,13 @@ class _Handler(BaseHTTPRequestHandler):
         if method == "POST" and action == "resume":
             self.manager.resume(name)
             return self._send(200, {"resumed": name})
+        if method == "POST" and action == "finish":
+            # graceful cutover: catch up to the target GTID set then
+            # stop (the reference finish-job / targetGtid flow,
+            # api job.go:1861-1900 + applier.go:206-220)
+            d = self._body()
+            self.manager.finish(name, d.get("target_gtid"))
+            return self._send(200, {"finishing": name})
         if method == "POST" and action == "update":
             # pause → preflight new config → resume (reference
             # /v2/job/*/update, api/handler/v2/job.go:298-309); a

@@ -228,6 +228,12 @@ class JobManager:
                 ]
         raise KeyError(f"{schema_name}.{table_name}")
 
+    def finish(self, name: str, target_gtid: str | None = None) -> None:
+        """Graceful cutover: sync until the applied set contains the
+        target GTID set, then stop (the reference's finish-job /
+        targetGtid flow — see ReplicationJob.finish)."""
+        self._jobs[name].finish(target_gtid)
+
     def delete(self, name: str) -> None:
         """Delete = stop + deregister + spec removal (checkpoint/target
         dirs are the caller's to clean, matching the reference's delete

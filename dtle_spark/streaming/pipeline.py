@@ -543,10 +543,66 @@ class ReplicationJob:
         applied = max(self.metrics.applied_seq.values(), default=-1)
         return max(0, src - applied)
 
+    def finish(self, target_gtid: str | None = None, poll_seconds: float = 0.5) -> None:
+        """Graceful cutover (the reference's finish-job / targetGtid
+        flow: api job.go:1861-1900 signals the extractor, which puts
+        its current GTID set under ``dtle/<job>/targetGtid``
+        (store.go:413-416); the applier watches it and, once its
+        applied set CONTAINS the target, marks TargetGtidFinished and
+        shuts down — applier.go:206-220,1167-1179).
+
+        ``target_gtid``: MySQL GTID-set string to catch up to; None =
+        the change source's current frontier (distinct tx ids — bounded
+        metadata, same as the position bookkeeping; production migrations
+        pass the source's SHOW MASTER STATUS string explicitly). A
+        watcher thread polls the persisted applied set and stops the
+        stream when the target is contained; ``stats()['status']``
+        becomes ``target_gtid_finished``."""
+        import threading
+
+        from dtle_spark.sources.gtid import GtidSet
+
+        if target_gtid is not None:
+            target = GtidSet.from_str(target_gtid)
+        else:
+            src = self.spark.read.schema(WIRE_SCHEMA).parquet(self.source_dir)
+            target = GtidSet()
+            for r in src.select("sid", "gno").distinct().collect():
+                target.add(r["sid"], r["gno"])
+        self.target_gtid = target
+
+        def watch():
+            while True:
+                q = self.query
+                if q is None or not q.isActive:
+                    return
+                applied = GtidSet.load(self.gtid_path)
+                if applied.contains_set(self.target_gtid):
+                    self.finished = True
+                    q.stop()  # stop() from another thread is the supported path
+                    return
+                import time as _t
+
+                _t.sleep(poll_seconds)
+
+        self._finish_thread = threading.Thread(target=watch, daemon=True)
+        self._finish_thread.start()
+
+    def wait_finished(self, timeout: float = 30.0) -> bool:
+        """Block until the finish watcher declared the target reached
+        (test/cutover-orchestration helper)."""
+        t = getattr(self, "_finish_thread", None)
+        if t is not None:
+            t.join(timeout)
+        return bool(getattr(self, "finished", False))
+
     def stats(self) -> dict:
         """TaskStatistics analogue (common/models.go:69-88): lifecycle
         + per-table op counters, throughput, delay, applied position."""
         out = {"active": self.query is not None and self.query.isActive}
+        if getattr(self, "finished", False):
+            # the reference's TargetGtidFinished terminal status
+            out["job_status"] = "target_gtid_finished"
         if self.query is not None:
             out["status"] = self.query.status
             p = self.query.lastProgress

@@ -308,3 +308,95 @@ def test_http_update_and_catalog_browse(spark, job_dirs_factory, duck):
         assert_matches_oracle(final, duck, cdc_demo.ORDERS_CDC_ORACLE)
     finally:
         server.stop()
+
+
+def test_finish_job_stops_at_target_gtid(spark, job_dirs_factory, duck):
+    """Graceful cutover (reference finish-job/targetGtid flow,
+    applier.go:206-220): the job syncs until its applied set CONTAINS
+    the target, then stops with job_status=target_gtid_finished; data
+    arriving after the target is not applied."""
+    from dtle_spark.streaming.http_api import ControlServer
+    from dtle_spark.streaming.jobs import JobManager
+
+    dirs = job_dirs_factory("fin")
+    base = cdc_demo.orders_base(spark, SF_DIR)
+    changes = cdc_demo.orders_changes(spark, SF_DIR)
+    os.makedirs(dirs["source"])
+    first = changes.filter(F.col("seq") < 7000)
+    to_wire(first).coalesce(1).write.parquet(os.path.join(dirs["source"], "b0"))
+    ParquetTableTarget(dirs["target"]).overwrite(base, "db1", "orders")
+
+    manager = JobManager(spark)
+    server = ControlServer(manager, _orders_catalog(changes)).start()
+    url = f"http://127.0.0.1:{server.port}"
+    try:
+        code, _ = _http("POST", f"{url}/v2/jobs", {
+            "name": "f1",
+            "tables": [{"schema_name": "db1", "table_name": "orders",
+                        "unique_key": ["o_orderkey"]}],
+            "source_dir": os.path.join(dirs["source"], "*"),
+            "target_root": dirs["target"],
+            "checkpoint_dir": dirs["checkpoint"],
+        })
+        assert code == 201
+        rj = manager.get("f1")
+        rj.process_available()
+
+        # target = the source's current frontier (default)
+        code, d = _http("POST", f"{url}/v2/job/f1/finish", {})
+        assert code == 200 and d["finishing"] == "f1"
+        assert rj.wait_finished(timeout=30)
+        assert rj.stats()["job_status"] == "target_gtid_finished"
+        assert not rj.stats()["active"]
+
+        # post-target data must not apply (the job is done)
+        n_before = ParquetTableTarget(dirs["target"]).read(spark, "db1", "orders").count()
+        to_wire(changes.filter(F.col("seq") >= 7000)).coalesce(1).write.parquet(
+            os.path.join(dirs["source"], "b1"))
+        import time
+        time.sleep(2)
+        n_after = ParquetTableTarget(dirs["target"]).read(spark, "db1", "orders").count()
+        assert n_after == n_before
+    finally:
+        server.stop()
+
+
+def test_finish_waits_for_explicit_target(spark, job_dirs_factory):
+    """An explicit target beyond the current position keeps the job
+    running until the missing transactions arrive, THEN stops — the
+    actual catch-up-and-cutover semantics."""
+    from dtle_spark.streaming.jobs import JobManager
+    from dtle_spark.sources.gtid import GtidSet
+
+    dirs = job_dirs_factory("fin2")
+    base = cdc_demo.orders_base(spark, SF_DIR)
+    changes = cdc_demo.orders_changes(spark, SF_DIR)
+    os.makedirs(dirs["source"])
+    first = changes.filter(F.col("seq") < 7000)
+    second = changes.filter(F.col("seq") >= 7000)
+    to_wire(first).coalesce(1).write.parquet(os.path.join(dirs["source"], "b0"))
+    ParquetTableTarget(dirs["target"]).overwrite(base, "db1", "orders")
+
+    manager = JobManager(spark)
+    cfg = TableConfig("db1", "orders", unique_key=["o_orderkey"])
+    rj = manager.create(
+        JobConfig("f2", [cfg], trigger_seconds=0.5),
+        os.path.join(dirs["source"], "*"), dirs["target"], dirs["checkpoint"],
+        _orders_catalog(changes),
+    )
+    rj.process_available()
+
+    # target = full stream's tx set (b1 not yet published)
+    target = GtidSet()
+    for r in changes.select("sid", "gno").distinct().collect():
+        target.add(r["sid"], r["gno"])
+    manager.finish("f2", target.to_str())
+    import time
+    time.sleep(2)
+    assert rj.query is not None and rj.query.isActive  # still waiting
+    assert not getattr(rj, "finished", False)
+
+    to_wire(second).coalesce(1).write.parquet(os.path.join(dirs["source"], "b1"))
+    rj.process_available()
+    assert rj.wait_finished(timeout=30)
+    assert rj.stats()["job_status"] == "target_gtid_finished"

@@ -237,3 +237,17 @@ def test_drain_wire_batch_end_to_end(spark):
     n = len(ex.log)
     assert drain_wire_batch(batch, sink) == 0
     assert len(ex.log) == n
+
+
+def test_set_gtid_next_framing():
+    """set_gtid_next mode: `set gtid_next = '<sid>:<gno>' /*dtle*/`
+    before begin (gtid_next cannot change inside a tx,
+    applier_incr.go:546-548), `set gtid_next = 'automatic' /*dtle*/`
+    after commit (sqlutils.go:133-136)."""
+    sink, ex = mk_sink(set_gtid_next=True)
+    sink.apply_tx(SID, 5, changes_basic())
+    sqls = [s for s, _ in ex.log]
+    assert sqls[0] == f"set gtid_next = '{SID}:5' /*dtle*/"
+    assert sqls[1] == "begin"
+    assert sqls[-1] == "set gtid_next = 'automatic' /*dtle*/"
+    assert sqls[-2] == "commit"
