@@ -20,6 +20,7 @@ Routes (v2, mirroring api/handler/v2/job.go):
                                          source_dir/target_root/
                                          checkpoint_dir/local_sid)
     POST   /v2/job/<name>/finish         catch up to target gtid, stop
+    POST   /v2/job/<name>/reverse_start  finish fwd, then start reverse
     POST   /v2/job/<name>/update         pause -> preflight new config
                                          -> resume (400 keeps old cfg)
     GET    /v2/schemas                   catalog browse (schemas)
@@ -52,7 +53,7 @@ from dtle_spark.model import JobConfig, TableConfig
 from dtle_spark.streaming.jobs import JobManager
 
 _JOB_RE = re.compile(
-    r"^/v2/job/([^/]+)(?:/(pause|resume|position|metrics|reverse|versions|update|finish))?$"
+    r"^/v2/job/([^/]+)(?:/(pause|resume|position|metrics|reverse|versions|update|finish|reverse_start))?$"
 )
 _SCHEMAS_RE = re.compile(
     r"^/v2/schemas(?:/([^/]+)/tables(?:/([^/]+)/columns)?)?$"
@@ -121,14 +122,26 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._send(200, self.manager.list())
             if method == "POST":
                 d = self._body()
-                self.manager.create(
-                    _job_config_from_json(d),
-                    d["source_dir"],
-                    d["target_root"],
-                    d["checkpoint_dir"],
-                    self.catalog,
-                    start=bool(d.get("start", True)),
-                )
+                if d.get("type") == "subscription":
+                    # third job type: change log -> Debezium frames
+                    # (api/handler/v2/job.go:1222-1235)
+                    self.manager.create_subscription(
+                        _job_config_from_json(d),
+                        d["source_dir"],
+                        d.get("output_root") or d["target_root"],
+                        d["checkpoint_dir"],
+                        self.catalog,
+                        start=bool(d.get("start", True)),
+                    )
+                else:
+                    self.manager.create(
+                        _job_config_from_json(d),
+                        d["source_dir"],
+                        d["target_root"],
+                        d["checkpoint_dir"],
+                        self.catalog,
+                        start=bool(d.get("start", True)),
+                    )
                 return self._send(201, {"created": d["name"]})
             return self._send(405, {"error": method})
         sm = _SCHEMAS_RE.match(self.path)
@@ -198,6 +211,20 @@ class _Handler(BaseHTTPRequestHandler):
             d.setdefault("name", name)
             self.manager.update(name, _job_config_from_json(d))
             return self._send(200, {"updated": name})
+        if method == "POST" and action == "reverse_start":
+            # full orchestration: finish forward at its frontier, wait,
+            # start reverse (job.go:1836,1861-1900)
+            d = self._body()
+            rev = self.manager.reverse_start(
+                name,
+                d["source_dir"],
+                d["target_root"],
+                d["checkpoint_dir"],
+                self.catalog,
+                local_sid=d.get("local_sid"),
+                start=bool(d.get("start", True)),
+            )
+            return self._send(201, {"created": rev.job.name})
         if method == "POST" and action == "reverse":
             d = self._body()
             rev = self.manager.reverse(

@@ -87,6 +87,34 @@ class JobManager:
             rj.start()
         return rj
 
+    def create_subscription(
+        self,
+        job: JobConfig,
+        source_dir: str,
+        output_root: str,
+        checkpoint_dir: str,
+        catalog: SchemaCatalog,
+        start: bool = True,
+        **kw,
+    ):
+        """The reference's third job type (subscription-to-Kafka,
+        api/handler/v2/job.go:1222-1235): stream the change log as
+        Debezium frames instead of applying it."""
+        from dtle_spark.streaming.subscription import SubscriptionJob
+
+        if job.name in self._jobs:
+            raise ValueError(f"job {job.name!r} already exists")
+        from dtle_spark.inspect import preflight
+
+        preflight(job, catalog, self.spark)
+        sj = SubscriptionJob(
+            self.spark, job, source_dir, output_root, checkpoint_dir, catalog, **kw
+        )
+        self._jobs[job.name] = sj
+        if start:
+            sj.start()
+        return sj
+
     def recover(self, start: bool = True) -> list[str]:
         """Restore every persisted job spec into this (fresh) manager:
         catalog from the checkpoint's post-DDL snapshot when one exists
@@ -272,4 +300,37 @@ class JobManager:
         return self.create(
             rev, source_dir, target_root, checkpoint_dir, catalog,
             start=start, **kw,
+        )
+
+    def reverse_start(
+        self,
+        name: str,
+        source_dir: str,
+        target_root: str,
+        checkpoint_dir: str,
+        catalog: SchemaCatalog,
+        local_sid: str | None = None,
+        start: bool = True,
+        finish_timeout: float = 60.0,
+        **kw,
+    ) -> ReplicationJob:
+        """The complete reverse_start orchestration (reference:
+        /v2/job/reverse_start, api/handler/v2/job.go:1836 — signals the
+        forward job to FINISH at its current position (:1861-1900), the
+        applier stops at TargetGtidFinished, and the reverse job's
+        WaitOnJob gate opens): finish the forward job at its source
+        frontier, wait for target_gtid_finished, then derive and start
+        ``reverse-<name>``."""
+        fwd = self._jobs[name]
+        if fwd.query is not None and fwd.query.isActive:
+            fwd.finish()
+            fwd.process_available()
+            if not fwd.wait_finished(finish_timeout):
+                raise RuntimeError(
+                    f"forward job {name!r} did not reach its target gtid "
+                    f"within {finish_timeout}s"
+                )
+        return self.reverse(
+            name, source_dir, target_root, checkpoint_dir, catalog,
+            local_sid=local_sid, start=start, **kw,
         )

@@ -1,0 +1,149 @@
+"""Subscription job: the reference's third job type — stream the
+change log to Kafka as Debezium envelopes instead of applying it to a
+table (reference: driver/kafka/kafka3.go; created through the same
+/v2 job API as migration/sync, api/handler/v2/job.go:1222-1235).
+
+Spark restatement: readStream over the wire source → per-table typed
+parse with the evolving catalog schema → sinks/debezium.envelope
+(+ tombstones) and schema_change_frames for DDL → frames appended to a
+log-structured parquet topic dir, partitioned by topic. The real Kafka
+producer remains the one seam (sinks/debezium.write_kafka_stream needs
+the spark-sql-kafka jars, absent locally); everything the reference
+computes between "binlog entry" and "ProducerRecord" — topic routing,
+key/value JSON, type encodings, tombstones, schema-change topic, gtid
+position — is produced here and golden-tested against kafka2/
+kafka3_test.go vectors in tests/test_sinks.py.
+
+Frames commit append-only per micro-batch with the batch id as the
+watermark (same replay-idempotence protocol as corpus ingest): Kafka
+produce is at-least-once in the reference too — consumers dedupe by
+(topic, key, source.gno)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dtle_spark.catalog import SchemaCatalog
+from dtle_spark.model import JobConfig
+from dtle_spark.sinks.debezium import envelope, schema_change_frames
+from dtle_spark.sinks.table_sink import ParquetTableTarget
+from dtle_spark.streaming.wire import WIRE_SCHEMA, from_wire
+
+_WM_KEY = "__frames_batch"
+FRAMES_SCHEMA_NAME = "kafka"
+FRAMES_TABLE_NAME = "frames"
+
+
+def default_image_fields(schema) -> list:
+    """Identity projection: one envelope field per catalog column.
+    Callers needing Debezium's special encodings (decimal bytes, epoch
+    days, bit LE…) pass a custom list built from sinks/debezium
+    encoders — the golden-tested per-type mapping."""
+    return [
+        (f.name, (lambda name: lambda which: F.col(which).getField(name))(f.name))
+        for f in schema.fields
+    ]
+
+
+class SubscriptionJob:
+    """Change stream → Debezium frames, with the ReplicationJob
+    lifecycle surface (start/pause/resume/process_available/stats)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        job: JobConfig,
+        source_dir: str,
+        output_root: str,
+        checkpoint_dir: str,
+        catalog: SchemaCatalog,
+        topic_prefix: str = "dtle",
+        max_files_per_trigger: int = 10,
+    ):
+        self.spark = spark
+        self.job = job
+        self.source_dir = source_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.catalog = catalog
+        self.topic_prefix = topic_prefix
+        self.max_files_per_trigger = max_files_per_trigger
+        self.target = ParquetTableTarget(output_root)
+        self.query = None
+
+    # -- batch core ------------------------------------------------------
+
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        wm = self.target.seq_watermark(FRAMES_SCHEMA_NAME, FRAMES_TABLE_NAME)
+        if wm.get(_WM_KEY, -1) >= batch_id:
+            return  # replayed batch already committed
+        frames = None
+        for cfg in self.job.tables:
+            rows = batch.filter(
+                (F.col("schema_name") == cfg.schema_name)
+                & (F.col("table_name") == cfg.table_name)
+            )
+            meta = self.catalog.get(cfg.schema_name, cfg.table_name)
+            typed = from_wire(rows, meta.schema)
+            env = envelope(
+                typed,
+                meta.unique_key or [meta.schema.fields[0].name],
+                default_image_fields(meta.schema),
+                topic_prefix=self.topic_prefix,
+            )
+            ddl = schema_change_frames(rows, topic_prefix=self.topic_prefix)
+            part = env.unionByName(ddl)
+            frames = part if frames is None else frames.unionByName(part)
+        if frames is None:
+            return
+        # stable intra-batch order for consumers: seq rides along
+        ordered = frames.withColumn("__batch", F.lit(batch_id))
+        self.target.append(
+            ordered, FRAMES_SCHEMA_NAME, FRAMES_TABLE_NAME,
+            seq_watermark={_WM_KEY: batch_id},
+        )
+
+    # -- lifecycle -------------------------------------------------------
+
+    def start(self) -> "SubscriptionJob":
+        stream = (
+            self.spark.readStream.schema(WIRE_SCHEMA)
+            .option("maxFilesPerTrigger", self.max_files_per_trigger)
+            .parquet(self.source_dir)
+        )
+        self.query = (
+            stream.writeStream.foreachBatch(self.apply_batch)
+            .option(
+                "checkpointLocation", os.path.join(self.checkpoint_dir, "frames")
+            )
+            .trigger(processingTime=f"{self.job.trigger_seconds} seconds")
+            .start()
+        )
+        return self
+
+    def process_available(self) -> None:
+        assert self.query is not None
+        self.query.processAllAvailable()
+
+    def pause(self) -> None:
+        if self.query is not None:
+            self.query.stop()
+            self.query = None
+
+    def resume(self) -> "SubscriptionJob":
+        if self.query is None:
+            self.start()
+        return self
+
+    def frames(self) -> DataFrame | None:
+        """The produced topic log (topic, key, value, __batch)."""
+        return self.target.read(self.spark, FRAMES_SCHEMA_NAME, FRAMES_TABLE_NAME)
+
+    def stats(self) -> dict:
+        out = {"active": self.query is not None and self.query.isActive,
+               "job_type": "subscription"}
+        f = self.frames()
+        out["frames"] = 0 if f is None else f.count()
+        return out

@@ -400,3 +400,37 @@ def test_finish_waits_for_explicit_target(spark, job_dirs_factory):
     rj.process_available()
     assert rj.wait_finished(timeout=30)
     assert rj.stats()["job_status"] == "target_gtid_finished"
+
+
+def test_http_create_subscription_job(spark, job_dirs_factory):
+    """POST /v2/jobs with type=subscription creates the Kafka-frames
+    job type through the same create route (job.go:1222-1235)."""
+    from dtle_spark.streaming.http_api import ControlServer
+    from dtle_spark.streaming.jobs import JobManager
+
+    dirs = job_dirs_factory("sub")
+    changes = cdc_demo.orders_changes(spark, SF_DIR)
+    os.makedirs(dirs["source"])
+    to_wire(changes.filter(F.col("seq") < 500)).coalesce(1).write.parquet(
+        os.path.join(dirs["source"], "b0"))
+
+    manager = JobManager(spark)
+    server = ControlServer(manager, _orders_catalog(changes)).start()
+    url = f"http://127.0.0.1:{server.port}"
+    try:
+        code, _ = _http("POST", f"{url}/v2/jobs", {
+            "name": "s1", "type": "subscription",
+            "tables": [{"schema_name": "db1", "table_name": "orders",
+                        "unique_key": ["o_orderkey"]}],
+            "source_dir": os.path.join(dirs["source"], "*"),
+            "output_root": dirs["target"],
+            "checkpoint_dir": dirs["checkpoint"],
+        })
+        assert code == 201
+        manager.get("s1").process_available()
+        code, d = _http("GET", f"{url}/v2/job/s1")
+        assert code == 200 and d["job_type"] == "subscription" and d["frames"] > 0
+        code, _ = _http("POST", f"{url}/v2/job/s1/pause")
+        assert code == 200
+    finally:
+        server.stop()

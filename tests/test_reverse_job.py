@@ -164,3 +164,54 @@ def test_reverse_round_trip_with_rename_and_origin_filter(spark, tmp_path):
     back = {r["id"]: r["v"] for r in rev_target.read(spark, "db1", "t").collect()}
     assert back[1] == "edited"   # genuine target edit came back, renamed
     assert back[2] == "b"        # forward-originated echo was filtered
+
+
+def test_reverse_start_orchestrates_finish_then_reverse(spark, tmp_path):
+    """Round-5: the full /v2/job/reverse_start workflow — no manual
+    pause. reverse_start() finishes the RUNNING forward job at its
+    source frontier (targetGtid cutover), waits for
+    target_gtid_finished, then derives and starts reverse-<name>
+    (job.go:1836,1861-1900)."""
+    fwd_src, rev_src = str(tmp_path / "fsrc"), str(tmp_path / "rsrc")
+    os.makedirs(fwd_src)
+    os.makedirs(rev_src)
+
+    mgr = JobManager(spark)
+    cat = SchemaCatalog()
+    cat.register("db1", "t", ROW_T, ["id"])
+
+    _wire_rows(spark, [
+        _chg(SID_FWD, 1, 10, "i", "db1", "t", after={"id": 1, "v": "a"}),
+        _chg(SID_FWD, 2, 20, "i", "db1", "t", after={"id": 2, "v": "b"}),
+    ]).coalesce(1).write.parquet(f"{fwd_src}/b0")
+
+    fwd = mgr.create(
+        JobConfig("rs", [TableConfig("db1", "t", unique_key=["id"])]),
+        f"{fwd_src}/*", str(tmp_path / "tgt_fwd"), str(tmp_path / "ck_fwd"), cat,
+    )
+    fwd.process_available()
+    assert fwd.query is not None and fwd.query.isActive  # NOT paused
+
+    # seed reverse target = forward source state; target-side edit waits
+    rev_target = ParquetTableTarget(str(tmp_path / "tgt_rev"))
+    rev_target.overwrite(
+        spark.createDataFrame([Row(id=1, v="a"), Row(id=2, v="b")], ROW_T),
+        "db1", "t",
+    )
+    _wire_rows(spark, [
+        _chg(SID_TGT, 3, 30, "u", "db1", "t",
+             before={"id": 1, "v": "a"}, after={"id": 1, "v": "edited"}),
+    ]).coalesce(1).write.parquet(f"{rev_src}/b0")
+
+    rev = mgr.reverse_start(
+        "rs", f"{rev_src}/*", str(tmp_path / "tgt_rev"),
+        str(tmp_path / "ck_rev"), cat, local_sid=SID_FWD,
+    )
+    # forward reached its target and stopped by itself
+    assert fwd.stats()["job_status"] == "target_gtid_finished"
+    assert not fwd.stats()["active"]
+    assert rev.job.name == "reverse-rs"
+    rev.process_available()
+    mgr.pause("reverse-rs")
+    back = {r["id"]: r["v"] for r in rev_target.read(spark, "db1", "t").collect()}
+    assert back[1] == "edited" and back[2] == "b"
