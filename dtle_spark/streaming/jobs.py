@@ -110,6 +110,26 @@ class JobManager:
         sj = SubscriptionJob(
             self.spark, job, source_dir, output_root, checkpoint_dir, catalog, **kw
         )
+        sp = self._spec_path(job.name)
+        if sp is not None:
+            os.makedirs(self.spec_root, exist_ok=True)
+            spec = {
+                "type": "subscription",
+                "job": job_config_to_dict(job),
+                "source_dir": source_dir,
+                "target_root": output_root,
+                "checkpoint_dir": checkpoint_dir,
+                "catalog": catalog.to_dict(),
+                "kw": {
+                    k: v
+                    for k, v in kw.items()
+                    if isinstance(v, (int, float, str, bool))
+                },
+            }
+            tmp = sp + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(spec, f)
+            os.replace(tmp, sp)
         self._jobs[job.name] = sj
         if start:
             sj.start()
@@ -140,7 +160,12 @@ class JobManager:
                 if ckpt_catalog is not None
                 else SchemaCatalog.from_dict(spec["catalog"])
             )
-            self.create(
+            creator = (
+                self.create_subscription
+                if spec.get("type") == "subscription"
+                else self.create
+            )
+            creator(
                 job,
                 spec["source_dir"],
                 spec["target_root"],

@@ -457,6 +457,14 @@ class ReplicationJob:
             .trigger(processingTime=f"{self.job.trigger_seconds} seconds")
             .start()
         )
+        # a cutover in flight survives restarts: re-arm the target-gtid
+        # watcher from its persisted key (Consul-key analogue)
+        tp = os.path.join(self.checkpoint_dir, "target_gtid.json")
+        if getattr(self, "target_gtid", None) is None and os.path.exists(tp):
+            from dtle_spark.sources.gtid import GtidSet
+
+            self.target_gtid = GtidSet.load(tp)
+            self._arm_finish_watcher()
         return self
 
     def update_config(self, new_job: JobConfig) -> None:
@@ -558,8 +566,6 @@ class ReplicationJob:
         watcher thread polls the persisted applied set and stops the
         stream when the target is contained; ``stats()['status']``
         becomes ``target_gtid_finished``."""
-        import threading
-
         from dtle_spark.sources.gtid import GtidSet
 
         if target_gtid is not None:
@@ -570,6 +576,16 @@ class ReplicationJob:
             for r in src.select("sid", "gno").distinct().collect():
                 target.add(r["sid"], r["gno"])
         self.target_gtid = target
+        # persist the target (the reference keeps it under the Consul
+        # key dtle/<job>/targetGtid) so a cutover in flight survives an
+        # agent restart — start()/recover re-arms the watcher from it
+        target.save(os.path.join(self.checkpoint_dir, "target_gtid.json"))
+        self._arm_finish_watcher(poll_seconds)
+
+    def _arm_finish_watcher(self, poll_seconds: float = 0.5) -> None:
+        import threading
+
+        from dtle_spark.sources.gtid import GtidSet
 
         def watch():
             while True:

@@ -1051,3 +1051,28 @@ def test_cc_auto_dispatch_by_edge_count(spark, monkeypatch):
     assert calls == ["min", "star"]
     expected = {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
     assert small == expected and big == expected
+
+
+def test_probe_index_self_equals_pair_operator(spark):
+    """probe_index_self (the within-batch near-dup pass) must drop
+    exactly the larger id of every pair minhash_dedup_pairs finds on
+    the same set at the same threshold — same index columns, same
+    band-join + jaccard verify."""
+    from dtle_spark.functions.dedup import (
+        minhash_dedup_pairs,
+        probe_index_self,
+        with_dedup_index,
+    )
+    from dtle_spark.io import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pairs = minhash_dedup_pairs(d, "doc_id", "text", threshold=0.5)
+    expected = {
+        max(r["id_1"], r["id_2"]) for r in pairs.collect()
+    }
+    got = {
+        r["id"]
+        for r in probe_index_self(with_dedup_index(d), threshold=0.5).collect()
+    }
+    assert got == expected
+    assert got  # fixtures contain near-dup pairs

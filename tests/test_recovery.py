@@ -172,3 +172,99 @@ def test_delete_removes_spec_so_recover_skips_it(spark, tmp_path):
     assert not os.path.exists(os.path.join(spec_root, "gone.json"))
     mgr2 = JobManager(spark, spec_root=spec_root)
     assert mgr2.recover() == []
+
+
+def test_recover_subscription_job(spark, tmp_path):
+    """Subscription jobs recover too: spec carries type=subscription,
+    recover() rebuilds the frames pipeline and resumes from its
+    checkpoint (no frame duplication)."""
+    from pyspark.sql import Row as _Row
+
+    from dtle_spark.streaming.wire import WIRE_SCHEMA
+
+    def wire_row(seq, op, after=None, query=None):
+        return _Row(
+            sid="cd34ef56-0000-1111-2222-333333333333", gno=seq, seq=seq, lc=0,
+            op=op, ts=None, schema_name="db1", table_name="t",
+            before=None, after=after, query=query,
+        )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [wire_row(1, "i", '{"id":1,"v":10}')], WIRE_SCHEMA
+    ).coalesce(1).write.parquet(f"{src}/b0")
+
+    cat = SchemaCatalog()
+    cat.register(
+        "db1", "t",
+        T.StructType([T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]),
+        ["id"],
+    )
+    spec_root = str(tmp_path / "specs")
+    mgr = JobManager(spark, spec_root=spec_root)
+    sj = mgr.create_subscription(
+        JobConfig("sub-r", [TableConfig("db1", "t", unique_key=["id"])]),
+        f"{src}/*", str(tmp_path / "out"), str(tmp_path / "ckpt"), cat,
+    )
+    sj.process_available()
+    n1 = sj.frames().count()
+    assert n1 == 1
+    mgr.pause("sub-r")
+    del mgr, sj
+
+    mgr2 = JobManager(spark, spec_root=spec_root)
+    assert mgr2.recover() == ["sub-r"]
+    sj2 = mgr2.get("sub-r")
+    assert mgr2.list()["sub-r"]["job_type"] == "subscription"
+    spark.createDataFrame(
+        [wire_row(2, "i", '{"id":2,"v":20}')], WIRE_SCHEMA
+    ).coalesce(1).write.parquet(f"{src}/b1")
+    sj2.process_available()
+    mgr2.pause("sub-r")
+    # old batch not re-emitted, new one appended
+    assert sj2.frames().count() == 2
+
+
+def test_finish_target_survives_restart(spark, tmp_path):
+    """A cutover in flight survives an agent restart: the target GTID
+    persists next to the checkpoint (the dtle/<job>/targetGtid Consul
+    key analogue), recover() re-arms the watcher, and the job stops
+    when the missing transactions finally arrive."""
+    base = cdc_demo.orders_base(spark, SF_DIR)
+    changes = cdc_demo.orders_changes(spark, SF_DIR)
+    first = to_wire(changes.filter(F.col("seq") < 7000))
+    second = to_wire(changes.filter(F.col("seq") >= 7000))
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    first.coalesce(1).write.parquet(f"{src}/b0")
+    BucketedTableTarget(str(tmp_path / "tgt")).seed(
+        base, "db1", "orders", ["o_orderkey"]
+    )
+    spec_root = str(tmp_path / "specs")
+    mgr = JobManager(spark, spec_root=spec_root)
+    rj = mgr.create(
+        JobConfig("cut", [TableConfig("db1", "orders", unique_key=["o_orderkey"])]),
+        f"{src}/*", str(tmp_path / "tgt"), str(tmp_path / "ckpt"),
+        _orders_catalog(changes),
+    )
+    rj.process_available()
+    # target = FULL stream (second half not yet published) -> watcher
+    # keeps waiting; then the "agent" dies mid-cutover
+    target = GtidSet()
+    for r in changes.select("sid", "gno").distinct().collect():
+        target.add(r["sid"], r["gno"])
+    mgr.finish("cut", target.to_str())
+    import time
+    time.sleep(1)
+    assert not getattr(rj, "finished", False)
+    mgr.pause("cut")
+    del mgr, rj
+
+    mgr2 = JobManager(spark, spec_root=spec_root)
+    assert mgr2.recover() == ["cut"]
+    rj2 = mgr2.get("cut")
+    second.coalesce(1).write.parquet(f"{src}/b1")
+    rj2.process_available()
+    assert rj2.wait_finished(timeout=30)
+    assert rj2.stats()["job_status"] == "target_gtid_finished"
