@@ -389,17 +389,17 @@ def temperature_mixing(
     counts = docs.groupBy(F.col(source_col).alias("__src")).agg(
         F.count(F.lit(1)).alias("__n")
     )
-    draw = F.expr(hash_uniform_expr(id_col, "spark"))
     return (
         docs.join(F.broadcast(counts), docs[source_col] == counts["__src"])
+        # hash once per row (md5 is the expensive part of this map stage)
+        .withColumn("__u", F.expr(hash_uniform_expr(id_col, "spark")))
         .filter(
             F.expr(
-                f"CAST({hash_uniform_expr(id_col, 'spark')} AS DECIMAL(38,0))"
-                f" * {hash_uniform_expr(id_col, 'spark')} * __n"
+                f"CAST(__u AS DECIMAL(38,0)) * __u * __n"
                 f" < CAST({k2} AS DECIMAL(38,0)) * {_U2_DENOM}"
             )
         )
-        .drop("__src", "__n")
+        .drop("__src", "__n", "__u")
     )
 
 
