@@ -876,9 +876,18 @@ def probe_index_self(
     bias is toward dropping near-dups, never admitting them — the safe
     direction for a dedup gate — and makes batch-size a knob that only
     affects chain shapes, not whether duplicates survive."""
-    b = indexed.select(
-        F.col(id_col).alias("id"), F.col("__hx").alias("hx"), F.explode("__bands").alias("bb")
-    ).select("id", "hx", "bb.band_idx", "bb.band_digest")
+    # materialize the (id, hx, bands) projection once: the band
+    # self-join's two sides AND the verify join all read it — without
+    # a barrier the shingle/minhash pipeline runs three times
+    # (measured: 22.6 s -> 5.9 s on 5k docs with the narrow join below)
+    idx = indexed.select(
+        F.col(id_col).alias("id"), F.col("__hx").alias("hx"), "__bands"
+    ).localCheckpoint(eager=False)
+    # narrow band join: ids only — the hx arrays (hundreds of ints per
+    # doc) must NOT ride through the band shuffle multiplied by BANDS
+    b = idx.select("id", F.explode("__bands").alias("bb")).select(
+        "id", "bb.band_idx", "bb.band_digest"
+    )
     if max_bucket is not None:
         bw = Window.partitionBy("band_idx", "band_digest")
         b = (
@@ -886,16 +895,24 @@ def probe_index_self(
             .filter(F.col("__bn") <= max_bucket)
             .drop("__bn")
         )
-    lo = b.select(F.col("id").alias("id_lo"), F.col("hx").alias("hx_lo"), "band_idx", "band_digest")
-    hi = b.select(F.col("id").alias("id_hi"), F.col("hx").alias("hx_hi"), "band_idx", "band_digest")
     cand = (
-        lo.join(hi, ["band_idx", "band_digest"])
+        b.select(F.col("id").alias("id_lo"), "band_idx", "band_digest")
+        .join(
+            b.select(F.col("id").alias("id_hi"), "band_idx", "band_digest"),
+            ["band_idx", "band_digest"],
+        )
         .filter(F.col("id_lo") < F.col("id_hi"))
-        .select("id_lo", "id_hi", "hx_lo", "hx_hi")
+        .select("id_lo", "id_hi")
         .dropDuplicates(["id_lo", "id_hi"])
     )
+    sets = idx.select("id", "hx")
+    verified = cand.join(
+        sets.select(F.col("id").alias("id_lo"), F.col("hx").alias("hx_lo")), "id_lo"
+    ).join(
+        sets.select(F.col("id").alias("id_hi"), F.col("hx").alias("hx_hi")), "id_hi"
+    )
     return (
-        with_jaccard(cand, "hx_lo", "hx_hi")
+        with_jaccard(verified, "hx_lo", "hx_hi")
         .filter(F.col("jaccard") >= threshold)
         .select(F.col("id_hi").alias("id"))
         .distinct()

@@ -4027,3 +4027,76 @@ def length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket + shard-local sort (functions/corpus.py)."""
     d = load_table(spark, sf_dir, "documents")
     return cp.length_buckets(d)
+
+
+@query(
+    "activity_streaks",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      FROM events
+    ),
+    grp AS (
+      SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS g
+      FROM days
+    ),
+    runs AS (SELECT user_id, g, COUNT(*) AS run_len FROM grp GROUP BY user_id, g)
+    SELECT user_id,
+           CAST(MAX(run_len) AS BIGINT) AS longest_streak,
+           CAST(SUM(run_len) AS BIGINT) AS n_active_days
+    FROM runs GROUP BY user_id
+    """,
+)
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest run of consecutive active DAYS per
+    user (day - row_number() constant within a run — the classic
+    formulation). All-integer day arithmetic (epoch-microsecond DIV),
+    one user-keyed exchange serves the window and both rollups."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.expr("unix_micros(ts) DIV 86400000000").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.withColumn("g", F.col("day") - F.row_number().over(w))
+    runs = grp.groupBy("user_id", "g").agg(F.count(F.lit(1)).alias("run_len"))
+    return runs.groupBy("user_id").agg(
+        F.max("run_len").cast("long").alias("longest_streak"),
+        F.sum("run_len").cast("long").alias("n_active_days"),
+    )
+
+
+@query(
+    "customer_spend_distribution",
+    """
+    WITH spend AS (
+      SELECT o_custkey, CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, total_cents,
+           percent_rank() OVER (ORDER BY total_cents, o_custkey) AS pct_rank,
+           cume_dist() OVER (ORDER BY total_cents, o_custkey) AS cume
+    FROM spend
+    """,
+)
+def customer_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank / cume_dist) over
+    integer-cents customer spend. The ORDER BY key is total (cents,
+    custkey), so ranks are deterministic; both functions are single
+    IEEE divisions of exact integers — engine-identical. One global
+    sort (inherent to unpartitioned ranking); at scale partition by a
+    spend bucket first."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("total_cents")
+    )
+    w = Window.orderBy("total_cents", "o_custkey")
+    return spend.select(
+        "o_custkey", "total_cents",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
