@@ -827,14 +827,16 @@ def probe_index(
     ).localCheckpoint(eager=False)
     hist_fp = index.select("__fp").distinct()
     exact = inc.join(hist_fp, "__fp", "left_semi").select("id")
-    inc_b = inc.select(
-        "id", F.col("__hx").alias("hx_i"), F.explode("__bands").alias("b")
-    ).select("id", "hx_i", "b.band_idx", "b.band_digest")
+    # narrow band join: ids only — the hashed-shingle arrays (hundreds
+    # of ints per doc) must not ride the band shuffle multiplied by
+    # BANDS (same restructure as probe_index_self / minhash_dedup_pairs:
+    # verify arrays join back AFTER candidate dedup)
+    inc_b = inc.select("id", F.explode("__bands").alias("b")).select(
+        "id", "b.band_idx", "b.band_digest"
+    )
     hist_b = index.select(
-        F.col(id_col).alias("hist_id"),
-        F.col("__hx").alias("hx_h"),
-        F.explode("__bands").alias("b"),
-    ).select("hist_id", "hx_h", "b.band_idx", "b.band_digest")
+        F.col(id_col).alias("hist_id"), F.explode("__bands").alias("b")
+    ).select("hist_id", "b.band_idx", "b.band_digest")
     if max_bucket is not None:
         bw = Window.partitionBy("band_idx", "band_digest")
         hist_b = (
@@ -844,11 +846,19 @@ def probe_index(
         )
     cand = (
         inc_b.join(hist_b, ["band_idx", "band_digest"])
-        .select("id", "hx_i", "hist_id", "hx_h")
+        .select("id", "hist_id")
         .dropDuplicates(["id", "hist_id"])
     )
+    verified = cand.join(
+        inc.select("id", F.col("__hx").alias("hx_i")), "id"
+    ).join(
+        index.select(
+            F.col(id_col).alias("hist_id"), F.col("__hx").alias("hx_h")
+        ),
+        "hist_id",
+    )
     near = (
-        with_jaccard(cand, "hx_i", "hx_h")
+        with_jaccard(verified, "hx_i", "hx_h")
         .filter(F.col("jaccard") >= threshold)
         .select("id")
         .distinct()
