@@ -4100,3 +4100,80 @@ def customer_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@query(
+    "packing_efficiency",
+    """
+    WITH t AS (
+      SELECT source AS part, doc_id AS id,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT *, CAST(coalesce(SUM(n_tokens) OVER (
+        PARTITION BY part ORDER BY id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+      FROM t
+    ),
+    p AS (SELECT part, id, n_tokens, cum // 2048 AS bin FROM c)
+    SELECT part,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MAX(bin) + 1 AS BIGINT) AS n_bins,
+           CAST(SUM(n_tokens) AS DOUBLE) / ((MAX(bin) + 1) * 2048) AS fill_ratio
+    FROM p GROUP BY part
+    """,
+)
+def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing observability: per source, bins used and fill ratio of
+    the 2048-token packed layout — the number a pipeline owner watches
+    to size the packing budget (fill near 1.0 = negligible padding).
+    One IEEE division of exact integers; same window as pack_sequences,
+    one part-keyed exchange."""
+    d = load_table(spark, sf_dir, "documents")
+    pack = cp.pack_sequences(d, budget=2048)
+    return pack.groupBy("part").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        (F.max("bin") + 1).cast("long").alias("n_bins"),
+        (
+            F.sum("n_tokens").cast("double")
+            / ((F.max("bin") + 1) * 2048)
+        ).alias("fill_ratio"),
+    )
+
+
+@query(
+    "contamination_report",
+    f"""
+    WITH allfp AS ({_duck_winnow_sql()}),
+    bench AS (SELECT DISTINCT doc_id, fp FROM allfp WHERE doc_id % 97 = 0),
+    corpus AS (SELECT DISTINCT doc_id, fp FROM allfp WHERE doc_id % 97 <> 0)
+    SELECT bench.doc_id AS bench_doc_id,
+           CAST(COUNT(DISTINCT corpus.doc_id) AS BIGINT) AS leaking_docs,
+           CAST(COUNT(DISTINCT corpus.fp) AS BIGINT) AS shared_fps
+    FROM bench JOIN corpus USING (fp)
+    GROUP BY bench.doc_id
+    """,
+)
+def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval-suite owner's view of decontaminate: per BENCHMARK doc,
+    how many corpus docs share a winnowing fingerprint with it and how
+    many distinct fingerprints leak — which eval items are compromised
+    and how badly. Same broadcast-probe economics (the benchmark side
+    is tiny)."""
+    d = load_table(spark, sf_dir, "documents")
+    fps = dd.winnowing_fingerprints(d, "doc_id", "text")
+    bench = fps.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_doc_id"), "fp"
+    ).distinct()
+    corpus = fps.filter(F.col("doc_id") % 97 != 0).select("doc_id", "fp").distinct()
+    return (
+        corpus.join(F.broadcast(bench), "fp")
+        .groupBy("bench_doc_id")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("leaking_docs"),
+            F.countDistinct("fp").cast("long").alias("shared_fps"),
+        )
+    )
