@@ -21,7 +21,7 @@ import os
 import sys
 import time
 
-from dtle_spark.io import DEFAULT_SF_DIR, load_table
+from dtle_spark.tableio import DEFAULT_SF_DIR, load_table
 from dtle_spark.queries import REGISTRY
 from dtle_spark.session import get_spark
 

@@ -14,7 +14,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from dtle_spark.io import load_table
+from dtle_spark.tableio import load_table
 from dtle_spark.model import OP_DELETE, OP_INSERT, OP_UPDATE
 
 SID_A = "11111111-1111-1111-1111-111111111111"

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dtle_spark.functions import textstats as tx
-from dtle_spark.io import load_table
+from dtle_spark.tableio import load_table
 from dtle_spark.operators.apply import apply_changes
 from dtle_spark.operators.filters import apply_where_to_changes, snapshot_filter
 from dtle_spark.operators.projection import column_map
@@ -464,13 +464,12 @@ def _registry_order() -> list[str]:
     """Order the registry so the driver's 50-query correctness cap
     rotates through every entry. Sort key, in priority order:
 
-    1. NOT green in the most recent round first — the driver checks the
-       head of the list, so whatever the last window covered rotates to
-       the back (r4 lesson: count-only sorting put the just-checked
-       queries first again, because a query green only in the newest
-       round has the lowest lifetime count).
-    2. fewest historical green rows (never-checked or previously
-       hash-failed surface earliest within each half).
+    1. the round of each query's MOST RECENT green row, ascending —
+       never-checked queries (round 0) lead, then whatever has gone
+       longest without a driver check; the freshest greens rotate to
+       the back. (r5 lesson: a boolean "in latest round" split left
+       r1-era greens buried mid-list behind once-checked r4 entries.)
+    2. fewest historical green rows (tie-break within a round cohort).
     3. definition order.
 
     Reads the accumulated CORRECTNESS_r*.json files at the repo root;
@@ -478,28 +477,28 @@ def _registry_order() -> list[str]:
     import glob
     import json
     import os
+    import re
 
     names = list(REGISTRY.keys())
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     greens: dict[str, int] = {}
-    latest_green: set[str] = set()
+    last_green_round: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rows = json.load(f)
         except (OSError, ValueError):
             continue
-        round_green = set()
         for name, row in rows.items():
             if isinstance(row, dict) and row.get("hash_match") and row.get("rows_match"):
                 greens[name] = greens.get(name, 0) + 1
-                round_green.add(name)
-        if round_green:
-            latest_green = round_green  # files sort by round number
+                last_green_round[name] = max(last_green_round.get(name, 0), rnd)
     idx = {n: i for i, n in enumerate(names)}
     return sorted(
         names,
-        key=lambda n: (n in latest_green, greens.get(n, 0), idx[n]),
+        key=lambda n: (last_green_round.get(n, 0), greens.get(n, 0), idx[n]),
     )
 
 

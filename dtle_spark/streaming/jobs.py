@@ -57,7 +57,7 @@ class JobManager:
         if job.name in self._jobs:
             raise ValueError(f"job {job.name!r} already exists")
         # preflight: fail HERE, not mid-stream (inspect.go:89-180)
-        from dtle_spark.inspect import preflight
+        from dtle_spark.preflight import preflight
 
         preflight(job, catalog, self.spark)
         rj = ReplicationJob(
@@ -104,7 +104,7 @@ class JobManager:
 
         if job.name in self._jobs:
             raise ValueError(f"job {job.name!r} already exists")
-        from dtle_spark.inspect import preflight
+        from dtle_spark.preflight import preflight
 
         preflight(job, catalog, self.spark)
         sj = SubscriptionJob(
@@ -219,7 +219,7 @@ class JobManager:
         was_active = rj.query is not None and rj.query.isActive
         if was_active:
             rj.pause()
-        from dtle_spark.inspect import preflight
+        from dtle_spark.preflight import preflight
 
         try:
             preflight(new_job, rj.catalog, self.spark)

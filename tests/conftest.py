@@ -3,7 +3,7 @@ from __future__ import annotations
 import duckdb
 import pytest
 
-from dtle_spark.io import TABLES
+from dtle_spark.tableio import TABLES
 from dtle_spark.session import get_spark
 
 SF_DIR = "/root/testdata/sf0.001"

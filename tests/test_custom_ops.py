@@ -416,7 +416,7 @@ class TestQuantizedAnn:
         from dtle_spark.functions.similarity import (
             brute_force_topk, quantize_int8, quantized_topk,
         )
-        from dtle_spark.io import load_table
+        from dtle_spark.tableio import load_table
 
         sf = "/root/testdata/sf0.001"
         e = load_table(spark, sf, "embeddings")
@@ -436,7 +436,7 @@ class TestQuantizedAnn:
 
     def test_quantized_cos_tracks_exact(self, spark):
         from dtle_spark.functions.similarity import brute_force_topk, quantized_topk
-        from dtle_spark.io import load_table
+        from dtle_spark.tableio import load_table
 
         sf = "/root/testdata/sf0.001"
         e = load_table(spark, sf, "embeddings")
@@ -525,7 +525,7 @@ class TestIncrementalDedup:
 class TestTruncatedAnn:
     def test_full_dim_truncation_is_identity_ranking(self, spark):
         from dtle_spark.functions.similarity import brute_force_topk, truncate_normalize
-        from dtle_spark.io import load_table
+        from dtle_spark.tableio import load_table
 
         sf = "/root/testdata/sf0.001"
         e = load_table(spark, sf, "embeddings")
@@ -540,7 +540,7 @@ class TestTruncatedAnn:
 
     def test_half_dim_recall_reported(self, spark):
         from dtle_spark.functions.similarity import brute_force_topk, truncate_normalize
-        from dtle_spark.io import load_table
+        from dtle_spark.tableio import load_table
 
         sf = "/root/testdata/sf0.001"
         e = load_table(spark, sf, "embeddings")
@@ -568,7 +568,7 @@ def test_multiprobe_recall_beats_single_bucket(spark):
     from dtle_spark.functions.similarity import (
         brute_force_topk, lsh_bucket_topk, lsh_multiprobe_topk,
     )
-    from dtle_spark.io import load_table
+    from dtle_spark.tableio import load_table
 
     sf = "/root/testdata/sf0.001"
     e = load_table(spark, sf, "embeddings")
@@ -670,7 +670,7 @@ def test_star_cc_equals_min_label_on_lsh_pairs(spark):
     from dtle_spark.functions.graph import (
         connected_components, connected_components_star,
     )
-    from dtle_spark.io import load_table
+    from dtle_spark.tableio import load_table
 
     d = load_table(spark, "/root/testdata/sf0.001", "documents")
     pairs = minhash_dedup_pairs(d, "doc_id", "text", threshold=0.5).localCheckpoint()
@@ -681,7 +681,7 @@ def test_star_cc_equals_min_label_on_lsh_pairs(spark):
 
 def test_corpus_shuffle_is_stable_permutation(spark):
     from dtle_spark.functions.corpus import corpus_shuffle
-    from dtle_spark.io import load_table
+    from dtle_spark.tableio import load_table
 
     d = load_table(spark, "/root/testdata/sf0.001", "documents")
     full = corpus_shuffle(d, "doc_id", shards=16).collect()
@@ -728,7 +728,7 @@ def test_span_signal_and_transform_are_consistent(spark):
     from dtle_spark.functions.dedup import (
         duplicated_span_stats, remove_duplicated_spans,
     )
-    from dtle_spark.io import load_table
+    from dtle_spark.tableio import load_table
 
     d = load_table(spark, "/root/testdata/sf0.001", "documents")
     sig = {r["id"]: r for r in duplicated_span_stats(d, "doc_id", "text").collect()}
@@ -754,7 +754,7 @@ def test_export_training_shards_e2e(spark, tmp_path):
     import os
 
     from dtle_spark.functions.corpus import export_training_shards
-    from dtle_spark.io import load_table
+    from dtle_spark.tableio import load_table
 
     d = load_table(spark, "/root/testdata/sf0.001", "documents")
     out_dir = str(tmp_path / "corpus")
@@ -789,7 +789,7 @@ def test_simhash_triple_bucketing_is_exact(spark):
     """Combination bucketing must be candidate-complete: pairs equal
     the brute-force all-pairs bit_count filter at max_distance=3."""
     from dtle_spark.functions.dedup import simhash_near_pairs, simhash_signatures
-    from dtle_spark.io import load_table
+    from dtle_spark.tableio import load_table
 
     d = load_table(spark, "/root/testdata/sf0.001", "documents")
     got = {
@@ -816,7 +816,7 @@ def test_minhash_hash_fn_lanes_agree(spark):
     here; only borderline LSH recall could ever differ, and the
     fixtures' true near-dups are far from the banding boundary."""
     from dtle_spark.functions.dedup import minhash_dedup_pairs
-    from dtle_spark.io import load_table
+    from dtle_spark.tableio import load_table
 
     d = load_table(spark, "/root/testdata/sf0.001", "documents")
     md5_pairs = {
@@ -887,7 +887,7 @@ class TestBpeTrain:
 
     def test_matches_python_reference(self, spark):
         from dtle_spark.functions.bpe import bpe_train
-        from dtle_spark.io import load_table
+        from dtle_spark.tableio import load_table
 
         d = load_table(spark, "/root/testdata/sf0.001", "documents").limit(120)
         texts = [r["text"] for r in d.select("text").collect()]
@@ -899,7 +899,7 @@ class TestBpeTrain:
 
     def test_apply_reproduces_training_segmentation(self, spark):
         from dtle_spark.functions.bpe import bpe_apply, bpe_train
-        from dtle_spark.io import load_table
+        from dtle_spark.tableio import load_table
         from pyspark.sql import functions as F
 
         d = load_table(spark, "/root/testdata/sf0.001", "documents").limit(60)
@@ -932,7 +932,7 @@ class TestQualityClassifier:
             score_quality,
             train_quality_classifier,
         )
-        from dtle_spark.io import load_table
+        from dtle_spark.tableio import load_table
         from pyspark.sql import functions as F
 
         d = load_table(spark, "/root/testdata/sf0.001", "documents").withColumn(
@@ -997,7 +997,7 @@ def test_probe_index_equals_rehash_operator(spark):
         probe_index,
         with_dedup_index,
     )
-    from dtle_spark.io import load_table
+    from dtle_spark.tableio import load_table
     from pyspark.sql import functions as F
 
     d = load_table(spark, "/root/testdata/sf0.001", "documents")
@@ -1063,7 +1063,7 @@ def test_probe_index_self_equals_pair_operator(spark):
         probe_index_self,
         with_dedup_index,
     )
-    from dtle_spark.io import load_table
+    from dtle_spark.tableio import load_table
 
     d = load_table(spark, "/root/testdata/sf0.001", "documents")
     pairs = minhash_dedup_pairs(d, "doc_id", "text", threshold=0.5)

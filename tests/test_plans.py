@@ -186,7 +186,7 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     Exchange — at 100 TB this converts every repeated fact-fact join
     from a full shuffle into local merges. Pinned here so the claim
     stays true against Spark upgrades/config drift."""
-    from dtle_spark.io import load_table
+    from dtle_spark.tableio import load_table
 
     o = load_table(spark, SF_DIR, "orders")
     li = load_table(spark, SF_DIR, "lineitem")
@@ -233,7 +233,7 @@ def test_exported_shards_partition_pruning(spark, tmp_path):
     partition dir: the shard predicate lands in PartitionFilters (a
     full-corpus scan per shard read would defeat the layout at 100 TB)."""
     from dtle_spark.functions.corpus import export_training_shards
-    from dtle_spark.io import load_table
+    from dtle_spark.tableio import load_table
 
     d = load_table(spark, SF_DIR, "documents").limit(200)
     out = str(tmp_path / "corpus")

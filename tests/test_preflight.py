@@ -7,7 +7,7 @@ import pytest
 from pyspark.sql import types as T
 
 from dtle_spark.catalog import SchemaCatalog
-from dtle_spark.inspect import PreflightError, preflight
+from dtle_spark.preflight import PreflightError, preflight
 from dtle_spark.model import JobConfig, TableConfig
 
 
@@ -139,3 +139,27 @@ def test_manager_create_runs_preflight(catalog, spark, tmp_path):
             str(tmp_path / "ckpt"), catalog, start=False,
         )
     assert "bad" not in mgr.list()  # nothing half-registered
+
+
+def test_no_stdlib_shadowing_from_package_cwd():
+    """Regression: dtle_spark/ once contained ``inspect.py`` and ``io.py``;
+    with the package directory as cwd, ``import dataclasses`` resolved the
+    stdlib's ``import inspect`` to our module and crashed on circular
+    import. The modules are now ``preflight.py`` / ``tableio.py``; this
+    pins that importing the package (and dataclasses, json, io) from
+    inside the package dir keeps working."""
+    import os
+    import subprocess
+    import sys
+
+    pkg_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "dtle_spark")
+    repo_root = os.path.dirname(pkg_dir)
+    env = dict(os.environ, PYTHONPATH=repo_root)
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import inspect, io, dataclasses, json; "
+         "import dtle_spark.preflight, dtle_spark.tableio; "
+         "assert hasattr(inspect, 'signature') and hasattr(io, 'BytesIO')"],
+        cwd=pkg_dir, env=env, capture_output=True, text=True, timeout=60,
+    )
+    assert proc.returncode == 0, proc.stderr

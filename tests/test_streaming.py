@@ -107,7 +107,7 @@ def test_no_pk_replay_is_idempotent(spark, job_dirs):
     checkpoint commit replays the batch. The counting (no-PK) path
     double-applies without protection — the per-source seq watermark
     (swapped atomically with the table) must make the replay a no-op."""
-    from dtle_spark.io import load_table
+    from dtle_spark.tableio import load_table
     from dtle_spark.streaming.pipeline import apply_batch
 
     base = load_table(spark, SF_DIR, "customer")

@@ -9,7 +9,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from dtle_spark.io import load_table
+from dtle_spark.tableio import load_table
 from dtle_spark.streaming.aggregates import running_totals, session_windows, windowed_counts
 from tests.conftest import SF_DIR
 
