@@ -216,13 +216,19 @@ class MySQLApplierSink:
                 schema_name, table_name, spec.columns, run, spec.column_map_to
             ):
                 self._exec_tolerant(sql, args)
+        if one_stmt_ddl and self.set_gtid_next:
+            # the auto-committed DDL already CONSUMED the pinned GTID;
+            # real MySQL rejects any further statement under the same
+            # gtid_next (ER 1837), so restore BEFORE the bookkeeping
+            # REPLACE (applier_incr.go:815-819 does exactly this)
+            self.executor.execute("set gtid_next = 'automatic' /*dtle*/", [])
         if not self.skip_gtid_executed_table:
             self.executor.execute(
                 self._gtid_insert_sql,
                 [self.job_name, _uuid.UUID(sid).bytes, gno],
             )
         self.executor.commit()
-        if self.set_gtid_next:
+        if self.set_gtid_next and not one_stmt_ddl:
             # restore after the tx commits (SetGtidNextAutomatic,
             # sqlutils.go:133-136 — byte-identical statement)
             self.executor.execute("set gtid_next = 'automatic' /*dtle*/", [])
@@ -298,7 +304,18 @@ class RecordingExecutor:
         self._tx = []
 
 
-def drain_wire_batch(batch, sink: MySQLApplierSink) -> int:
+#: A9 flow-control ceiling for the driver-collected MySQL lane. The
+#: reference bounds in-flight bytes/events before the applier
+#: (extractor.go:650-658); here the bound is rows-per-micro-batch, and
+#: exceeding it is a configuration error (trigger bounds too loose for
+#: a single ordered connection), reported loudly instead of silently
+#: collecting an unbounded batch onto the driver.
+MAX_WIRE_BATCH_ROWS = 100_000
+
+
+def drain_wire_batch(
+    batch, sink: MySQLApplierSink, max_rows: int = MAX_WIRE_BATCH_ROWS
+) -> int:
     """foreachBatch body for a real-MySQL destination: drain one
     wire-form micro-batch (streaming/wire.WIRE_SCHEMA rows) through the
     sink, transaction by transaction in seq order.
@@ -306,11 +323,19 @@ def drain_wire_batch(batch, sink: MySQLApplierSink) -> int:
     Driver-side by design: a MySQL applier is ONE ordered connection —
     the reference's applier is exactly this shape (single applier
     goroutine per job, applier_incr.go) — so the batch is collected.
-    Batch size is bounded by the trigger bounds (A9 flow control), and
-    this lane is for an actual MySQL downstream at MySQL-sized change
-    rates; the data-scale path remains the distributed lake targets.
+    Batch size is bounded by the trigger bounds (A9 flow control) and
+    ENFORCED here: collection stops at ``max_rows + 1`` rows and raises
+    rather than pulling an unbounded batch onto the driver. This lane is
+    for an actual MySQL downstream at MySQL-sized change rates; the
+    data-scale path remains the distributed lake targets.
     Returns the number of transactions committed (skips replays)."""
-    rows = batch.orderBy("seq").collect()
+    rows = batch.orderBy("seq").limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise RuntimeError(
+            f"wire micro-batch exceeds the A9 flow-control bound "
+            f"({max_rows} rows); tighten the trigger bounds "
+            f"(maxOffsetsPerTrigger / maxFilesPerTrigger) for the MySQL lane"
+        )
     txs: dict[tuple[str, int], list[dict]] = {}
     order: list[tuple[str, int]] = []
     for r in rows:

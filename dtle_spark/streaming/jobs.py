@@ -26,6 +26,23 @@ def job_config_from_dict(d: dict) -> JobConfig:
     return JobConfig(**{**d, "tables": tables})
 
 
+def _persistable_kwargs(kw: dict) -> dict:
+    """Spec kwargs survive the round-trip to ``<spec_root>/<name>.json``
+    or the create call fails HERE — a recovered job must run with the
+    create-time configuration, never silently with defaults (the old
+    scalar-only filter dropped lists/dicts without a word)."""
+    for k, v in kw.items():
+        try:
+            json.dumps(v)
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"job kwarg {k!r} ({type(v).__name__}) is not "
+                f"JSON-serializable; recover() could not reproduce it — "
+                f"pass a serializable value"
+            )
+    return dict(kw)
+
+
 class JobManager:
     def __init__(self, spark, spec_root: str | None = None):
         """``spec_root``: when given, every created job persists its
@@ -72,11 +89,7 @@ class JobManager:
                 "target_root": target_root,
                 "checkpoint_dir": checkpoint_dir,
                 "catalog": catalog.to_dict(),
-                "kw": {
-                    k: v
-                    for k, v in kw.items()
-                    if isinstance(v, (int, float, str, bool))
-                },
+                "kw": _persistable_kwargs(kw),
             }
             tmp = sp + ".tmp"
             with open(tmp, "w") as f:
@@ -120,11 +133,7 @@ class JobManager:
                 "target_root": output_root,
                 "checkpoint_dir": checkpoint_dir,
                 "catalog": catalog.to_dict(),
-                "kw": {
-                    k: v
-                    for k, v in kw.items()
-                    if isinstance(v, (int, float, str, bool))
-                },
+                "kw": _persistable_kwargs(kw),
             }
             tmp = sp + ".tmp"
             with open(tmp, "w") as f:

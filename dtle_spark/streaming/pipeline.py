@@ -458,13 +458,20 @@ class ReplicationJob:
             .start()
         )
         # a cutover in flight survives restarts: re-arm the target-gtid
-        # watcher from its persisted key (Consul-key analogue)
-        tp = os.path.join(self.checkpoint_dir, "target_gtid.json")
-        if getattr(self, "target_gtid", None) is None and os.path.exists(tp):
-            from dtle_spark.sources.gtid import GtidSet
+        # watcher from its persisted key (Consul-key analogue) OR from
+        # the in-memory target — an in-process pause/resume keeps
+        # self.target_gtid set while the old watcher thread has exited
+        # with the stopped query, so gating on "attribute is None"
+        # stalled the cutover silently
+        if not getattr(self, "finished", False):
+            if getattr(self, "target_gtid", None) is None:
+                tp = os.path.join(self.checkpoint_dir, "target_gtid.json")
+                if os.path.exists(tp):
+                    from dtle_spark.sources.gtid import GtidSet
 
-            self.target_gtid = GtidSet.load(tp)
-            self._arm_finish_watcher()
+                    self.target_gtid = GtidSet.load(tp)
+            if getattr(self, "target_gtid", None) is not None:
+                self._arm_finish_watcher()
         return self
 
     def update_config(self, new_job: JobConfig) -> None:

@@ -26,7 +26,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dtle_spark.catalog import SchemaCatalog
+from dtle_spark.catalog import SchemaCatalog, parse_ddl_actions
 from dtle_spark.model import JobConfig
 from dtle_spark.sinks.debezium import envelope, schema_change_frames
 from dtle_spark.sinks.table_sink import ParquetTableTarget
@@ -71,6 +71,10 @@ class SubscriptionJob:
         self.topic_prefix = topic_prefix
         self.max_files_per_trigger = max_files_per_trigger
         self.target = ParquetTableTarget(output_root)
+        # post-DDL schema snapshots, same protocol as ReplicationJob:
+        # checkpointed batches never replay, so DDL effects on the
+        # catalog must persist outside the stream for recovery
+        self.catalog_path = os.path.join(checkpoint_dir, "catalog.json")
         self.query = None
 
     # -- batch core ------------------------------------------------------
@@ -80,22 +84,56 @@ class SubscriptionJob:
         if wm.get(_WM_KEY, -1) >= batch_id:
             return  # replayed batch already committed
         frames = None
+        has_ddl = False
         for cfg in self.job.tables:
             rows = batch.filter(
                 (F.col("schema_name") == cfg.schema_name)
                 & (F.col("table_name") == cfg.table_name)
             )
-            meta = self.catalog.get(cfg.schema_name, cfg.table_name)
-            typed = from_wire(rows, meta.schema)
-            env = envelope(
-                typed,
-                meta.unique_key or [meta.schema.fields[0].name],
-                default_image_fields(meta.schema),
-                topic_prefix=self.topic_prefix,
+            # DDL rows are catalog barriers, exactly as in
+            # ReplicationJob.apply_batch: row envelopes BEFORE an ALTER
+            # parse with the old schema, rows AFTER with the evolved
+            # one — otherwise new columns silently vanish from frames
+            ddls = sorted(
+                rows.filter(F.col("op") == "ddl").select("seq", "query").collect(),
+                key=lambda r: r["seq"],
             )
-            ddl = schema_change_frames(rows, topic_prefix=self.topic_prefix)
-            part = env.unionByName(ddl)
+            dml = rows.filter(F.col("op") != "ddl")
+            parts = []
+            lo = None
+            for ddl_row in ddls + [None]:
+                hi = ddl_row["seq"] if ddl_row is not None else None
+                seg = dml
+                if lo is not None:
+                    seg = seg.filter(F.col("seq") > lo)
+                if hi is not None:
+                    seg = seg.filter(F.col("seq") < hi)
+                meta = self.catalog.get(cfg.schema_name, cfg.table_name)
+                typed = from_wire(seg, meta.schema)
+                parts.append(
+                    envelope(
+                        typed,
+                        meta.unique_key or [meta.schema.fields[0].name],
+                        default_image_fields(meta.schema),
+                        topic_prefix=self.topic_prefix,
+                    )
+                )
+                if ddl_row is not None:
+                    has_ddl = True
+                    for action in parse_ddl_actions(
+                        ddl_row["query"], default_schema=cfg.schema_name
+                    ):
+                        self.catalog.apply(action)
+                    lo = hi
+            part = parts[0]
+            for p in parts[1:]:
+                part = part.unionByName(p)
+            part = part.unionByName(
+                schema_change_frames(rows, topic_prefix=self.topic_prefix)
+            )
             frames = part if frames is None else frames.unionByName(part)
+        if has_ddl:
+            self.catalog.save(self.catalog_path)
         if frames is None:
             return
         # stable intra-batch order for consumers: seq rides along

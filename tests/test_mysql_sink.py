@@ -251,3 +251,45 @@ def test_set_gtid_next_framing():
     assert sqls[1] == "begin"
     assert sqls[-1] == "set gtid_next = 'automatic' /*dtle*/"
     assert sqls[-2] == "commit"
+
+
+def test_one_stmt_ddl_with_set_gtid_next_restores_before_bookkeeping():
+    """A one-statement DDL auto-commits and CONSUMES the pinned GTID;
+    real MySQL rejects the bookkeeping REPLACE while gtid_next is still
+    pinned (ER 1837). The reference restores gtid_next='automatic'
+    before the insert for one-stmt DDL (applier_incr.go:815-819)."""
+    sink, ex = mk_sink(set_gtid_next=True)
+    sink.apply_tx(SID, 9, [
+        {"op": "ddl", "schema_name": "mydb", "table_name": "tbl",
+         "query": "alter table mydb.tbl add column c int"},
+    ])
+    sqls = [norm(s) for s, _ in ex.log]
+    assert sqls[0] == f"set gtid_next = '{SID}:9' /*dtle*/"
+    assert "begin" not in sqls
+    assert sqls[1] == "alter table mydb.tbl add column c int"
+    # automatic restored BETWEEN the auto-committed DDL and the REPLACE
+    assert sqls[2] == "set gtid_next = 'automatic' /*dtle*/"
+    assert sqls[3].startswith("replace into dtle.gtid_executed_v4")
+    assert sqls[4] == "commit"
+    # exactly one restore — not a second one after commit
+    assert sqls.count("set gtid_next = 'automatic' /*dtle*/") == 1
+
+
+def test_drain_wire_batch_enforces_a9_bound(spark):
+    """A9 flow control is enforced, not assumed: a micro-batch above
+    max_rows fails loudly instead of collecting unbounded rows onto the
+    driver (reference bounds in-flight size at extractor.go:650-658)."""
+    from dtle_spark.sinks.mysql_sink import drain_wire_batch
+    from dtle_spark.streaming.wire import WIRE_SCHEMA
+
+    rows = [
+        (SID, 5, i, None, "i", None, "mydb", "tbl", None,
+         '{"id":%d,"name":"a"}' % i, None)
+        for i in range(1, 8)
+    ]
+    batch = spark.createDataFrame(rows, WIRE_SCHEMA)
+    sink, ex = mk_sink()
+    with pytest.raises(RuntimeError, match="flow-control bound"):
+        drain_wire_batch(batch, sink, max_rows=5)
+    # under the bound the same batch drains fine
+    assert drain_wire_batch(batch, sink, max_rows=100) == 1

@@ -268,3 +268,78 @@ def test_finish_target_survives_restart(spark, tmp_path):
     rj2.process_available()
     assert rj2.wait_finished(timeout=30)
     assert rj2.stats()["job_status"] == "target_gtid_finished"
+
+
+def test_finish_survives_in_process_pause_resume(spark, tmp_path):
+    """Same cutover, but the SAME job object is paused and resumed
+    in-process (JobManager.update's path): pause() exits the watcher
+    thread with the stopped query, while self.target_gtid stays set in
+    memory — start() must re-arm from the in-memory target too, not
+    only from the persisted key on a fresh object (the old gate was
+    `target_gtid is None`, which silently stalled the cutover)."""
+    base = cdc_demo.orders_base(spark, SF_DIR)
+    changes = cdc_demo.orders_changes(spark, SF_DIR)
+    first = to_wire(changes.filter(F.col("seq") < 7000))
+    second = to_wire(changes.filter(F.col("seq") >= 7000))
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    first.coalesce(1).write.parquet(f"{src}/b0")
+    BucketedTableTarget(str(tmp_path / "tgt")).seed(
+        base, "db1", "orders", ["o_orderkey"]
+    )
+    mgr = JobManager(spark)
+    rj = mgr.create(
+        JobConfig("cut2", [TableConfig("db1", "orders", unique_key=["o_orderkey"])]),
+        f"{src}/*", str(tmp_path / "tgt"), str(tmp_path / "ckpt"),
+        _orders_catalog(changes),
+    )
+    rj.process_available()
+    target = GtidSet()
+    for r in changes.select("sid", "gno").distinct().collect():
+        target.add(r["sid"], r["gno"])
+    mgr.finish("cut2", target.to_str())
+    import time
+    time.sleep(1)
+    assert not getattr(rj, "finished", False)
+    mgr.pause("cut2")
+    # in-process resume of the SAME object; the in-memory target_gtid
+    # is still set, the old watcher thread is gone
+    mgr.resume("cut2")
+    second.coalesce(1).write.parquet(f"{src}/b1")
+    rj.process_available()
+    assert rj.wait_finished(timeout=30)
+    assert rj.stats()["job_status"] == "target_gtid_finished"
+    mgr.pause("cut2")
+
+
+def test_spec_kwargs_containers_persist_and_unserializable_rejected(spark, tmp_path):
+    """Job specs must reproduce the create-time configuration on
+    recover(): JSON-serializable container kwargs round-trip, and a
+    non-serializable kwarg fails at create, never silently dropped."""
+    import json
+
+    base = cdc_demo.orders_base(spark, SF_DIR)
+    changes = cdc_demo.orders_changes(spark, SF_DIR)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    to_wire(changes.limit(50)).coalesce(1).write.parquet(f"{src}/b0")
+    BucketedTableTarget(str(tmp_path / "tgt")).seed(
+        base, "db1", "orders", ["o_orderkey"]
+    )
+    spec_root = str(tmp_path / "specs")
+    mgr = JobManager(spark, spec_root=spec_root)
+    mgr.create(
+        JobConfig("kw1", [TableConfig("db1", "orders", unique_key=["o_orderkey"])]),
+        f"{src}/*", str(tmp_path / "tgt"), str(tmp_path / "ckpt"),
+        _orders_catalog(changes), start=False, max_files_per_trigger=3,
+    )
+    with open(os.path.join(spec_root, "kw1.json")) as f:
+        assert json.load(f)["kw"] == {"max_files_per_trigger": 3}
+    with pytest.raises(ValueError, match="not.*JSON-serializable"):
+        mgr.create(
+            JobConfig("kw2", [TableConfig("db1", "orders", unique_key=["o_orderkey"])]),
+            f"{src}/*", str(tmp_path / "tgt2"), str(tmp_path / "ckpt2"),
+            _orders_catalog(changes), start=False,
+            target=ParquetTableTarget(str(tmp_path / "tgt2")),
+        )
+    assert "kw2" not in mgr.list()

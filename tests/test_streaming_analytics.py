@@ -442,3 +442,74 @@ def test_subscription_job_streams_debezium_frames(spark, tmp_path):
     assert sj.frames().count() == len(frames)
     assert mgr.list()["sub1"]["job_type"] == "subscription"
     mgr.pause("sub1")
+
+
+def test_subscription_ddl_evolves_envelope_schema(spark, tmp_path):
+    """DDL flowing through a subscription must evolve the catalog the
+    row envelopes parse with (kafka3.go consumes the schema context the
+    extractor maintains): an ADD COLUMN mid-stream means rows after the
+    barrier carry the new column in their Debezium 'after' image —
+    before this fix they parsed with the create-time schema and the
+    column silently vanished. The evolved schema also snapshots to
+    catalog.json so a recovered subscription keeps it."""
+    import json as _json
+
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from dtle_spark.catalog import SchemaCatalog
+    from dtle_spark.model import JobConfig, TableConfig
+    from dtle_spark.streaming.jobs import JobManager
+    from dtle_spark.streaming.wire import WIRE_SCHEMA
+
+    def wire_row(seq, op, after=None, before=None, query=None):
+        return Row(
+            sid="ab12cd34-0000-1111-2222-333333333333", gno=seq, seq=seq, lc=0,
+            op=op, ts=None, schema_name="db1", table_name="t",
+            before=before, after=after, query=query,
+        )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # one batch: pre-DDL row, ALTER ADD COLUMN, post-DDL row using it
+    b0 = [
+        wire_row(1, "i", after='{"id":1,"v":10}'),
+        wire_row(2, "ddl", query="ALTER TABLE db1.t ADD COLUMN c BIGINT"),
+        wire_row(3, "i", after='{"id":2,"v":20,"c":7}'),
+    ]
+    spark.createDataFrame(b0, WIRE_SCHEMA).coalesce(1).write.parquet(f"{src}/b0")
+
+    cat = SchemaCatalog()
+    cat.register(
+        "db1", "t",
+        T.StructType([T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]),
+        ["id"],
+    )
+    ckpt = str(tmp_path / "ckpt")
+    mgr = JobManager(spark)
+    sj = mgr.create_subscription(
+        JobConfig("subddl", [TableConfig("db1", "t", unique_key=["id"])]),
+        f"{src}/*", str(tmp_path / "out"), ckpt, cat,
+    )
+    sj.process_available()
+    data = [r for r in sj.frames().collect() if r["topic"] == "dtle.db1.t"]
+    after_by_id = {
+        _json.loads(r["value"])["after"]["id"]: _json.loads(r["value"])["after"]
+        for r in data if r["value"] is not None
+    }
+    assert "c" not in after_by_id[1]          # pre-DDL image: old schema
+    assert after_by_id[2].get("c") == 7       # post-DDL image: new column
+    # a second batch keeps the evolved schema
+    b1 = [wire_row(4, "i", after='{"id":3,"v":30,"c":9}')]
+    spark.createDataFrame(b1, WIRE_SCHEMA).coalesce(1).write.parquet(f"{src}/b1")
+    sj.process_available()
+    data = [r for r in sj.frames().collect() if r["topic"] == "dtle.db1.t"]
+    imgs = {(_json.loads(r["value"])["after"] or {}).get("id"):
+            _json.loads(r["value"])["after"]
+            for r in data if r["value"] is not None}
+    assert imgs[3].get("c") == 9
+    # evolved schema snapshotted for recovery
+    snap = SchemaCatalog.load(os.path.join(ckpt, "catalog.json"))
+    assert snap is not None
+    assert "c" in [f.name for f in snap.get("db1", "t").schema.fields]
+    mgr.pause("subddl")
