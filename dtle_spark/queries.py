@@ -2094,9 +2094,15 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus report card: per (lang, source) doc/token/char
     rollup — the summary a 100 TB pipeline emits after every stage.
     Map-side partial agg into |langs x sources| groups; exact integer
-    sums, single-division mean."""
+    sums, single-division mean. Counts matches with ``regexp_count``
+    instead of materializing the token ARRAY per row just to size it —
+    same result (pinned vs the DuckDB len(regexp_extract_all) oracle),
+    one less per-row allocation. (r6 micro-look: the r5 bench's
+    0.41->0.63 s corpus_stats delta did not reproduce — steady-state
+    0.35-0.39 s for both variants at sf0.1; the outlier was codegen
+    warm-up on the first sample.)"""
     d = load_table(spark, sf_dir, "documents")
-    nt = tx.token_count(tx.tokens(F.col("text"))).cast("long")
+    nt = F.regexp_count(F.lower(F.col("text")), F.lit(tx.TOKEN_PATTERN)).cast("long")
     return (
         d.select("lang", "source", nt.alias("nt"), F.length("text").cast("long").alias("nc"))
         .groupBy("lang", "source")
