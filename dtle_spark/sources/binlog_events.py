@@ -220,11 +220,18 @@ class BinlogEventTranslator:
 
     # -- helpers -----------------------------------------------------------
     def _seq(self, ev: dict) -> int:
+        """STRICTLY monotone per emitted row. A multi-row ROWS event
+        gives every row the same log_pos; if seq merely echoed it, the
+        wire consumer's orderBy("seq") would scramble intra-event row
+        order (caught by the transport contract harness: a 2-row insert
+        drained as [2,b,1,a]). Ties advance by 1 past the last emitted
+        seq — binlog positions are far enough apart that the nudge
+        never collides with the next event's position."""
         pos = ev.get("log_pos")
-        if pos is not None:
-            self._seq_fallback = max(self._seq_fallback, int(pos))
-            return int(pos)
-        self._seq_fallback += 1
+        if pos is not None and int(pos) > self._seq_fallback:
+            self._seq_fallback = int(pos)
+        else:
+            self._seq_fallback += 1
         return self._seq_fallback
 
     def _ts(self, ev: dict):

@@ -65,6 +65,62 @@ def kafka_stream(spark: SparkSession, bootstrap: str, topic: str):
     return parsed
 
 
+def binlog_event_object_to_dict(ev) -> dict | None:
+    """Adapt a binlog event OBJECT (python-mysql-replication's public
+    attribute surface — the same shapes go-mysql exposes to the
+    reference's handleEvent, binlog_reader.go:450-496) to the
+    library-neutral event dict sources/binlog_events.py consumes.
+
+    Duck-typed on class name + attributes so a recorded/fake stream
+    with the same surface exercises the exact live code path. Unknown
+    event classes (TableMapEvent, FormatDescriptionEvent, heartbeats…)
+    return None — the reference skips them the same way. QueryEvent
+    ``schema`` arrives as bytes on the wire; both bytes and str are
+    accepted."""
+    name = type(ev).__name__
+
+    def pos():
+        pkt = getattr(ev, "packet", None)
+        if pkt is not None and getattr(pkt, "log_pos", None) is not None:
+            return int(pkt.log_pos)
+        lp = getattr(ev, "log_pos", None)
+        return None if lp is None else int(lp)
+
+    if name == "GtidEvent":
+        sid, _, gno = str(ev.gtid).rpartition(":")
+        return {
+            "type": "gtid", "sid": sid, "gno": int(gno),
+            "last_committed": int(getattr(ev, "last_committed", 0) or 0),
+            "sequence_number": int(getattr(ev, "sequence_number", 0) or 0),
+        }
+    if name == "RotateEvent":
+        return {"type": "rotate", "next_log": ev.next_binlog,
+                "position": int(ev.position)}
+    if name == "XidEvent":
+        return {"type": "xid", "xid": int(ev.xid), "log_pos": pos()}
+    if name == "QueryEvent":
+        schema = ev.schema
+        if isinstance(schema, (bytes, bytearray)):
+            schema = schema.decode("utf-8", "replace")
+        return {
+            "type": "query", "schema": schema, "query": ev.query,
+            "timestamp": getattr(ev, "timestamp", None), "log_pos": pos(),
+        }
+    if name in ("WriteRowsEvent", "UpdateRowsEvent", "DeleteRowsEvent"):
+        op = {"WriteRowsEvent": "insert", "UpdateRowsEvent": "update",
+              "DeleteRowsEvent": "delete"}[name]
+        if op == "update":
+            rows = [(r["before_values"], r["after_values"]) for r in ev.rows]
+        else:
+            rows = [r["values"] for r in ev.rows]
+        return {
+            "type": "rows", "op": op, "schema": ev.schema, "table": ev.table,
+            "timestamp": getattr(ev, "timestamp", None), "log_pos": pos(),
+            "rows": rows,
+        }
+    return None  # TableMapEvent / format / heartbeat / unknown: skip
+
+
 class MySQLBinlogBridge:
     """GTID-positioned MySQL binlog tail -> wire rows (reference S6,
     binlog_reader.go:242-415).
@@ -103,16 +159,59 @@ class MySQLBinlogBridge:
         df = spark.createDataFrame(rows, WIRE_SCHEMA)
         return bridge.publish(df, typed=False)
 
-    def tail(self, *a, **kw):
-        """The live socket loop (BinlogStreamReader -> feed ->
-        publish). Import-gated: the library is not in this image."""
-        try:
-            import pymysqlreplication  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "python-mysql-replication not installed; deploy the bridge "
-                "next to the MySQL source and publish via FileBridge/Kafka"
-            ) from e
+    def tail(
+        self,
+        spark: SparkSession | None = None,
+        bridge: FileBridge | None = None,
+        reader=None,
+        connection_settings: dict | None = None,
+        server_id: int = 100,
+        stop_after_txs: int | None = None,
+    ) -> int:
+        """The socket loop (binlog event stream -> feed -> publish one
+        wire batch per committed transaction). ``reader`` is any
+        iterable of event OBJECTS with python-mysql-replication's
+        public attribute surface (GtidEvent.gtid, QueryEvent.schema/
+        query, *RowsEvent.schema/table/rows, XidEvent.xid,
+        RotateEvent.next_binlog/position, .timestamp, .packet.log_pos)
+        — the live path constructs a BinlogStreamReader; the transport
+        contract harness (tests/test_transport_contract.py) drives the
+        SAME loop with a recorded session, so a framing or ordering
+        break is caught without a live MySQL (the helper/binlogcmp-
+        style verification the reference used). Returns the number of
+        wire batches published."""
+        if reader is None:
+            try:
+                from pymysqlreplication import BinlogStreamReader
+            except ImportError as e:
+                raise NotImplementedError(
+                    "python-mysql-replication not installed; deploy the bridge "
+                    "next to the MySQL source and publish via FileBridge/Kafka, "
+                    "or pass a recorded `reader` iterable"
+                ) from e
+            reader = BinlogStreamReader(
+                connection_settings=connection_settings,
+                server_id=server_id,
+                blocking=True,
+                resume_stream=True,
+                auto_position=self.translator.gtid_executed.to_str() or None,
+            )
+        if spark is None or bridge is None:
+            raise ValueError("tail() needs a SparkSession and a FileBridge")
+        published = 0
+        for ev in reader:
+            d = binlog_event_object_to_dict(ev)
+            if d is None:
+                continue
+            rows = self.translator.feed(d)
+            if rows:
+                bridge.publish(
+                    spark.createDataFrame(rows, WIRE_SCHEMA), typed=False
+                )
+                published += 1
+                if stop_after_txs is not None and published >= stop_after_txs:
+                    break
+        return published
 
 
 class OracleLogMinerBridge:

@@ -154,7 +154,7 @@ class TestTxAssembly:
         ])
         assert [r["op"] for r in out] == ["i", "i", "u", "d"]
         assert all(r["sid"] == SID and r["gno"] == 7 and r["lc"] == 3 for r in out)
-        assert [r["seq"] for r in out] == [120, 120, 140, 160]
+        assert [r["seq"] for r in out] == [120, 121, 140, 160]  # strict monotone: same-event rows nudge +1
         u = out[2]
         assert json.loads(u["before"]) == {"id": 1, "v": "a"}
         assert json.loads(u["after"]) == {"id": 1, "v": "b"}

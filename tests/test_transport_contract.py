@@ -1,0 +1,192 @@
+"""Transport contract harness (VERDICT r5 item 3): a RECORDED binlog
+wire session — event objects with python-mysql-replication's public
+attribute surface — drives MySQLBinlogBridge.tail() end-to-end through
+the FileBridge spool into MySQLApplierSink, and the resulting SQL/args
+sequence is asserted against the builder_test.go statement shapes.
+
+This is the helper/binlogcmp-style verification the reference used
+(driver/mysql/binlog/binlog_reader.go:242-415 consumes the socket;
+applier_incr.go:532-860 executes): a framing or ordering break anywhere
+between "binlog event" and "wire bytes" fails here without a live
+MySQL. Only BinlogStreamReader construction itself stays untested (the
+library is absent in this image)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from dtle_spark.sinks.mysql_dml import Column
+from dtle_spark.sinks.mysql_sink import (
+    MySQLApplierSink,
+    RecordingExecutor,
+    TableSpec,
+    drain_wire_batch,
+)
+from dtle_spark.sources.cdc_bridge import (
+    FileBridge,
+    MySQLBinlogBridge,
+    binlog_event_object_to_dict,
+)
+from dtle_spark.sources.gtid import GtidSet
+from dtle_spark.streaming.wire import WIRE_SCHEMA
+
+SID = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+
+
+def norm(q: str) -> str:
+    return re.sub(r"[ \t\n\r]+", " ", q.replace("`", "")).strip()
+
+
+class _Packet:
+    def __init__(self, log_pos):
+        self.log_pos = log_pos
+
+
+def _ev(name: str, log_pos: int | None = None, **attrs):
+    """Build an event object whose CLASS NAME and attributes mirror
+    python-mysql-replication's public surface."""
+    ev = type(name, (), {})()
+    if log_pos is not None:
+        ev.packet = _Packet(log_pos)
+    for k, v in attrs.items():
+        setattr(ev, k, v)
+    return ev
+
+
+def recorded_session() -> list:
+    """Three transactions as the socket would deliver them:
+    tx1 = two inserts, tx2 = update + delete, tx3 = auto-commit DDL.
+    Includes events the loop must SKIP (rotate, table-map, begin)."""
+    return [
+        _ev("RotateEvent", next_binlog="mysql-bin.000003", position=4),
+        _ev("FormatDescriptionEvent", log_pos=120),        # skipped
+        # -- tx1 ----------------------------------------------------------
+        _ev("GtidEvent", log_pos=200, gtid=f"{SID}:1",
+            last_committed=0, sequence_number=1),
+        _ev("QueryEvent", log_pos=240, schema=b"db1", query="BEGIN",
+            timestamp=1700000001),
+        _ev("TableMapEvent", log_pos=260, schema="db1", table="tbl"),  # skipped
+        _ev("WriteRowsEvent", log_pos=300, schema="db1", table="tbl",
+            timestamp=1700000001,
+            rows=[{"values": {"id": 1, "name": "a"}},
+                  {"values": {"id": 2, "name": "b"}}]),
+        _ev("XidEvent", log_pos=340, xid=77),
+        # -- tx2 ----------------------------------------------------------
+        _ev("GtidEvent", log_pos=400, gtid=f"{SID}:2",
+            last_committed=1, sequence_number=2),
+        _ev("QueryEvent", log_pos=440, schema=b"db1", query="BEGIN",
+            timestamp=1700000002),
+        _ev("UpdateRowsEvent", log_pos=500, schema="db1", table="tbl",
+            timestamp=1700000002,
+            rows=[{"before_values": {"id": 1, "name": "a"},
+                   "after_values": {"id": 1, "name": "a2"}}]),
+        _ev("DeleteRowsEvent", log_pos=540, schema="db1", table="tbl",
+            timestamp=1700000002,
+            rows=[{"values": {"id": 2, "name": "b"}}]),
+        _ev("XidEvent", log_pos=580, xid=78),
+        # -- tx3: DDL (auto-commit, no XID) -------------------------------
+        _ev("GtidEvent", log_pos=600, gtid=f"{SID}:3",
+            last_committed=2, sequence_number=3),
+        _ev("QueryEvent", log_pos=660, schema=b"db1",
+            query="ALTER TABLE db1.tbl ADD INDEX ix (name)",
+            timestamp=1700000003),
+    ]
+
+
+def test_event_object_adapter_shapes():
+    d = binlog_event_object_to_dict(
+        _ev("GtidEvent", gtid=f"{SID}:9", last_committed=4, sequence_number=5))
+    assert d == {"type": "gtid", "sid": SID, "gno": 9,
+                 "last_committed": 4, "sequence_number": 5}
+    d = binlog_event_object_to_dict(
+        _ev("QueryEvent", log_pos=77, schema=b"db1", query="BEGIN",
+            timestamp=123))
+    assert d["schema"] == "db1" and d["log_pos"] == 77
+    assert binlog_event_object_to_dict(_ev("TableMapEvent")) is None
+    assert binlog_event_object_to_dict(_ev("HeartbeatLogEvent")) is None
+    u = binlog_event_object_to_dict(
+        _ev("UpdateRowsEvent", log_pos=9, schema="s", table="t",
+            rows=[{"before_values": {"a": 1}, "after_values": {"a": 2}}]))
+    assert u["op"] == "update" and u["rows"] == [({"a": 1}, {"a": 2})]
+
+
+def test_tail_to_applier_wire_session_golden(spark, tmp_path):
+    """The full contract: recorded socket events -> tail() -> spool ->
+    drain_wire_batch -> exact reference statement sequence."""
+    bridge = FileBridge(str(tmp_path / "spool"))
+    b = MySQLBinlogBridge()
+    published = b.tail(spark, bridge, reader=recorded_session())
+    assert published == 3  # one wire batch per committed tx
+    assert b.position() == f"{SID}:1-3"
+
+    batch = spark.read.schema(WIRE_SCHEMA).parquet(
+        str(tmp_path / "spool") + "/*")
+    assert batch.count() == 5  # 2 ins + 1 upd + 1 del + 1 ddl
+    sink = MySQLApplierSink(
+        RecordingExecutor(), "job1",
+        {("db1", "tbl"): TableSpec([Column("id", is_pk=True), Column("name")])},
+        set_gtid_next=True,
+    )
+    assert drain_wire_batch(batch, sink) == 3
+    ex = sink.executor
+    sqls = [norm(s) for s, _ in ex.log]
+    import uuid as _u
+
+    expect = [
+        # tx1
+        f"set gtid_next = '{SID}:1' /*dtle*/",
+        "begin",
+        "replace into db1.tbl values (?,?),(?,?)",
+        "replace into dtle.gtid_executed_v4 (job_name,source_uuid,gtid,gtid_set) values (?, ?, ?, null)",
+        "commit",
+        "set gtid_next = 'automatic' /*dtle*/",
+        # tx2
+        f"set gtid_next = '{SID}:2' /*dtle*/",
+        "begin",
+        "update db1.tbl set id=?, name=? where ((id = ?)) limit 1",
+        "delete from db1.tbl where ((id = ?)) limit 1",
+        "replace into dtle.gtid_executed_v4 (job_name,source_uuid,gtid,gtid_set) values (?, ?, ?, null)",
+        "commit",
+        "set gtid_next = 'automatic' /*dtle*/",
+        # tx3: one-stmt DDL — no begin; automatic restored BEFORE the
+        # bookkeeping REPLACE (the DDL consumed the pinned GTID)
+        f"set gtid_next = '{SID}:3' /*dtle*/",
+        "ALTER TABLE db1.tbl ADD INDEX ix (name)",
+        "set gtid_next = 'automatic' /*dtle*/",
+        "replace into dtle.gtid_executed_v4 (job_name,source_uuid,gtid,gtid_set) values (?, ?, ?, null)",
+        "commit",
+    ]
+    assert sqls == expect
+    # args golden: batched insert flattens row-major; gtid rows carry
+    # (job, sid-bytes, gno)
+    assert ex.log[2][1] == [1, "a", 2, "b"]
+    assert ex.log[3][1] == ["job1", _u.UUID(SID).bytes, 1]
+    assert ex.log[8][1] == [1, "a2", 1]  # SET images + PK-only WHERE
+    assert ex.log[9][1] == [2]
+    assert ex.log[10][1] == ["job1", _u.UUID(SID).bytes, 2]
+    assert ex.log[16][1] == ["job1", _u.UUID(SID).bytes, 3]
+
+    # replay the same spool: A10 makes it a complete no-op
+    n = len(ex.log)
+    assert drain_wire_batch(batch, sink) == 0
+    assert len(ex.log) == n
+
+
+def test_tail_resume_from_position_skips_replayed_txs(spark, tmp_path):
+    """Restart contract: a bridge rebuilt with resume_from=<position>
+    re-reads the same socket stream and publishes NOTHING (the
+    applier_incr.go:290-313 redelivery guard at the bridge tier)."""
+    bridge = FileBridge(str(tmp_path / "spool"))
+    b1 = MySQLBinlogBridge()
+    b1.tail(spark, bridge, reader=recorded_session())
+    pos = b1.position()
+
+    b2 = MySQLBinlogBridge(resume_from=GtidSet.from_str(pos))
+    assert b2.tail(spark, bridge, reader=recorded_session()) == 0
+
+
+def test_tail_without_reader_or_library_raises():
+    with pytest.raises(NotImplementedError, match="python-mysql-replication"):
+        MySQLBinlogBridge().tail()
