@@ -156,10 +156,15 @@ def _merge_segment(
     # seed schema must be the POST-column-map row struct (tchanges has
     # already passed map_changes; meta.schema carries source names)
     row_struct = tchanges.schema["after"].dataType
-    if isinstance(target, BucketedTableTarget) and cfg.unique_key:
+    if cfg.unique_key and (
+        isinstance(target, BucketedTableTarget)
+        or getattr(target, "NATIVE_MERGE", False)
+    ):
         # scale path: seq-versioned merge over only the buckets the
-        # batch touches, staged now and committed with the rest of the
-        # batch's tables (A6 — sinks/table_sink.py)
+        # batch touches (sinks/table_sink.py), or the native MERGE INTO
+        # branch (sinks/delta_target.py) — both stage now and commit
+        # with the rest of the batch's tables (A6; per-table atomic on
+        # the native branch, see delta_target's module note)
         _, commit_fn = target.stage_merge(
             spark, tchanges, cfg.target_schema, cfg.target_table, cfg.unique_key
         )
