@@ -1076,3 +1076,89 @@ def test_probe_index_self_equals_pair_operator(spark):
     }
     assert got == expected
     assert got  # fixtures contain near-dup pairs
+
+
+class TestProductQuantization:
+    """PQ tier (similarity.pq_codebook/pq_refine/pq_encode/pq_topk):
+    recall gate vs brute force plus structural invariants — the
+    quantization ladder's third rung (fp32 -> int8 SQ -> PQ)."""
+
+    M, KSUB, DIM = 16, 16, 64
+
+    def _fixture(self, spark):
+        from dtle_spark.tableio import load_table
+        from pyspark.sql import functions as F
+
+        e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        return e, e.filter(F.col("vec_id") % 50 == 0)
+
+    def test_recall_with_rerank_gate(self, spark):
+        from dtle_spark.functions.similarity import (
+            brute_force_topk, pq_codebook, pq_refine, pq_topk,
+        )
+
+        e, q = self._fixture(spark)
+        cb = pq_refine(
+            e, pq_codebook(e, m=self.M, ksub=self.KSUB),
+            steps=2, m=self.M, ksub=self.KSUB,
+        ).localCheckpoint()
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in pq_topk(e, q, k=10, m=self.M, ksub=self.KSUB,
+                             codebook=cb, rerank=100).collect()
+        }
+        want = {
+            (r["query_id"], r["neighbor_id"])
+            for r in brute_force_topk(e, q, k=10).collect()
+        }
+        recall = len(got & want) / len(want)
+        assert recall >= 0.9, f"PQ+rerank recall {recall} below gate"
+
+    def test_refine_improves_pure_adc_recall(self, spark):
+        """The deterministic Lloyd steps must actually help: pure-ADC
+        recall with the refined codebook beats the raw init's (whose
+        id%ksub partition puts every entry near the global mean)."""
+        from dtle_spark.functions.similarity import (
+            brute_force_topk, pq_codebook, pq_refine, pq_topk,
+        )
+
+        e, q = self._fixture(spark)
+        want = {
+            (r["query_id"], r["neighbor_id"])
+            for r in brute_force_topk(e, q, k=10).collect()
+        }
+
+        def recall(cb):
+            got = {
+                (r["query_id"], r["neighbor_id"])
+                for r in pq_topk(e, q, k=10, m=self.M, ksub=self.KSUB,
+                                 codebook=cb).collect()
+            }
+            return len(got & want) / len(want)
+
+        cb0 = pq_codebook(e, m=self.M, ksub=self.KSUB).localCheckpoint()
+        cb2 = pq_refine(e, cb0, steps=2, m=self.M, ksub=self.KSUB).localCheckpoint()
+        assert recall(cb2) > recall(cb0)
+
+    def test_encode_invariants(self, spark):
+        """Codes are m ints in [0, ksub); rnorm equals the norm of the
+        decoded reconstruction (disjoint sub-spaces: sum of entry
+        norms2) recomputed independently driver-side."""
+        import math
+
+        from dtle_spark.functions.similarity import pq_codebook, pq_encode
+
+        e, _ = self._fixture(spark)
+        cb = pq_codebook(e, m=self.M, ksub=self.KSUB).localCheckpoint()
+        entries = {(r["sub"], r["code"]): r["cvec"] for r in cb.collect()}
+        assert len(entries) == self.M * self.KSUB
+        enc = pq_encode(e, cb, m=self.M, ksub=self.KSUB).collect()
+        assert len(enc) == e.count()
+        for r in enc[:50]:
+            assert len(r["codes"]) == self.M
+            assert all(0 <= c < self.KSUB for c in r["codes"])
+            n2 = sum(
+                sum(x * x for x in entries[(s, c)])
+                for s, c in enumerate(r["codes"])
+            )
+            assert math.isclose(r["rnorm"], math.sqrt(n2), rel_tol=1e-9)
