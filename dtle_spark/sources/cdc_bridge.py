@@ -245,12 +245,67 @@ class OracleLogMinerBridge:
             return None
         return bridge.publish(spark.createDataFrame(rows, WIRE_SCHEMA), typed=False)
 
-    def tail(self, *a, **kw):
-        try:
-            import oracledb  # noqa: F401
-        except ImportError as e:
+    def tail(
+        self,
+        spark: SparkSession | None = None,
+        bridge: FileBridge | None = None,
+        windows=None,
+        stop_after_batches: int | None = None,
+    ) -> int:
+        """The SCN-window poll loop. ``windows`` is any iterable of
+        window results — each a list of row TUPLES in the reference
+        poll query's column order (:data:`LOGMINER_POLL_COLUMNS`,
+        log_miner.go:238-255), i.e. exactly what an oracledb
+        ``cursor.fetchall()`` returns per window. The contract harness
+        (tests/test_transport_contract.py) drives this loop with a
+        recorded session; a live deployment feeds it
+        ``cursor.fetchall()`` results from DBMS_LOGMNR windows (the
+        oracledb client is absent in this image, so constructing the
+        live cursor remains the one seam). Publishes one wire batch per
+        window that commits rows; returns the batch count."""
+        if windows is None:
+            try:
+                import oracledb  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    "oracledb client not installed; deploy the LogMiner bridge "
+                    "next to the Oracle source and publish via FileBridge/Kafka "
+                    "(translation: dtle_spark.sources.oracle_ddl), or pass "
+                    "recorded `windows` row batches"
+                ) from e
             raise NotImplementedError(
-                "oracledb client not installed; deploy the LogMiner bridge "
-                "next to the Oracle source and publish via FileBridge/Kafka "
-                "(translation: dtle_spark.sources.oracle_ddl)"
-            ) from e
+                "live DBMS_LOGMNR window construction is deployment-specific; "
+                "feed cursor.fetchall() results via `windows`"
+            )
+        if spark is None or bridge is None:
+            raise ValueError("tail() needs a SparkSession and a FileBridge")
+        published = 0
+        for rows in windows:
+            out = self.translate(logminer_rows_to_records(rows))
+            if out:
+                bridge.publish(spark.createDataFrame(out, WIRE_SCHEMA), typed=False)
+                published += 1
+                if stop_after_batches is not None and published >= stop_after_batches:
+                    break
+        return published
+
+
+#: The reference's V$LOGMNR_CONTENTS poll projection, in order
+#: (log_miner.go:238-255) — the tuple layout logminer_rows_to_records
+#: consumes and a live cursor would SELECT.
+LOGMINER_POLL_COLUMNS = (
+    "scn", "seg_owner", "table_name", "sql_redo", "sql_undo",
+    "operation_code", "xid", "timestamp",
+)
+
+
+def logminer_rows_to_records(rows) -> list[dict]:
+    """Adapt poll-cursor row tuples (or dicts) to the record dicts
+    LogMinerRecordTranslator consumes."""
+    out = []
+    for r in rows:
+        if isinstance(r, dict):
+            out.append(r)
+        else:
+            out.append(dict(zip(LOGMINER_POLL_COLUMNS, r)))
+    return out

@@ -190,3 +190,65 @@ def test_tail_resume_from_position_skips_replayed_txs(spark, tmp_path):
 def test_tail_without_reader_or_library_raises():
     with pytest.raises(NotImplementedError, match="python-mysql-replication"):
         MySQLBinlogBridge().tail()
+
+
+# ---------------------------------------------------------------------------
+# Oracle LogMiner side: recorded SCN-window poll results drive
+# OracleLogMinerBridge.tail the same way (log_miner.go:238-255 poll ->
+# per-tx commit cache -> wire rows).
+# ---------------------------------------------------------------------------
+
+
+def _lm(scn, code, xid="x1", redo=None, owner="TEST", table="T1"):
+    """A poll row tuple in LOGMINER_POLL_COLUMNS order."""
+    return (scn, owner, table, redo, None, code, xid, None)
+
+
+def test_oracle_tail_recorded_windows(spark, tmp_path):
+    import json
+
+    from dtle_spark.sources.cdc_bridge import OracleLogMinerBridge
+
+    bridge = FileBridge(str(tmp_path / "spool"))
+    b = OracleLogMinerBridge(
+        "ora1", {("TEST", "T1"): ["COL1", "COL2"]}
+    )
+    windows = [
+        [   # window 1: one committed tx (insert + update)
+            _lm(100, 6),
+            _lm(101, 1, redo='insert into "TEST"."T1"("COL1","COL2") values (\'1\',\'a\')'),
+            _lm(102, 3, redo='update "TEST"."T1" set "COL2" = \'b\' where "COL1" = \'1\''),
+            _lm(103, 7),
+        ],
+        [   # window 2: a rolled-back tx — publishes NOTHING
+            _lm(110, 6, xid="x2"),
+            _lm(111, 1, xid="x2",
+                redo='insert into "TEST"."T1"("COL1","COL2") values (\'9\',\'z\')'),
+            _lm(112, 36, xid="x2"),
+        ],
+        [   # window 3: DDL (emits immediately, translated to MySQL)
+            _lm(120, 5, redo='ALTER TABLE "TEST"."T1" ADD ("COL3" NUMBER(10))'),
+        ],
+    ]
+    assert b.tail(spark, bridge, windows=windows) == 2  # window 2 silent
+
+    batch = (spark.read.schema(WIRE_SCHEMA)
+             .parquet(str(tmp_path / "spool") + "/*").orderBy("seq").collect())
+    assert [r["op"] for r in batch] == ["i", "u", "ddl"]
+    assert all(r["sid"] == "ora1" for r in batch)
+    # DML carries the COMMIT scn as gno; seq is each record's scn
+    assert [(r["gno"], r["seq"]) for r in batch[:2]] == [(103, 101), (103, 102)]
+    assert json.loads(batch[0]["after"]) == {"COL1": "1", "COL2": "a"}
+    # the rolled-back insert (COL1='9') never surfaced
+    assert all(r["after"] is None or json.loads(r["after"]).get("COL1") != "9"
+               for r in batch)
+    # DDL translated to MySQL dialect (S10)
+    assert batch[2]["query"].lower().startswith("alter table")
+    assert "col3" in batch[2]["query"].lower()
+
+
+def test_oracle_tail_without_windows_or_library_raises():
+    from dtle_spark.sources.cdc_bridge import OracleLogMinerBridge
+
+    with pytest.raises(NotImplementedError):
+        OracleLogMinerBridge("ora1", {}).tail()
