@@ -228,6 +228,59 @@ def write_kafka_stream(frames: DataFrame, bootstrap: str, checkpoint: str):
     )
 
 
+#: A9-style bound for the driver-collected producer lane (the jar-less
+#: sibling of write_kafka_stream) — same rationale as
+#: sinks/mysql_sink.MAX_WIRE_BATCH_ROWS.
+MAX_PRODUCE_BATCH_ROWS = 100_000
+
+
+def produce_frames(
+    frames: DataFrame,
+    producer,
+    order_cols: tuple[str, ...] = ("__batch",),
+    max_rows: int = MAX_PRODUCE_BATCH_ROWS,
+) -> int:
+    """foreachBatch drain for a client-library Kafka producer: send
+    each (topic, key, value) frame through ``producer.send(topic,
+    value=bytes, key=bytes)`` and ``flush()`` at the batch end —
+    kafka-python's public surface, so the contract harness drives the
+    SAME loop with a recording fake (the reference's applier waits on
+    delivery per message group, kafka3.go:684-1063; flush is that
+    barrier). Tombstones (value NULL) pass through as value=None —
+    Kafka log-compaction deletes. Driver-side by design like the MySQL
+    lane (ONE ordered producer per job), bounded by ``max_rows`` and
+    failing loud above it. Returns frames sent."""
+    cols = [c for c in order_cols if c in frames.columns]
+    ordered = frames.orderBy(*cols) if cols else frames
+    rows = ordered.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise RuntimeError(
+            f"producer micro-batch exceeds the flow-control bound "
+            f"({max_rows} rows); tighten the trigger bounds for the "
+            f"Kafka lane"
+        )
+    for r in rows:
+        key = None if r["key"] is None else r["key"].encode("utf-8")
+        val = None if r["value"] is None else r["value"].encode("utf-8")
+        producer.send(r["topic"], value=val, key=key)
+    producer.flush()
+    return len(rows)
+
+
+def kafka_producer(bootstrap: str):
+    """Construct the live kafka-python producer (absent in this image;
+    the contract harness passes its own recording producer to
+    produce_frames instead)."""
+    try:
+        from kafka import KafkaProducer
+    except ImportError as e:
+        raise NotImplementedError(
+            "kafka-python not installed; pass a producer with the same "
+            "send/flush surface to produce_frames"
+        ) from e
+    return KafkaProducer(bootstrap_servers=bootstrap)
+
+
 def encode_enum_label(index_col: Column, labels: list[str]) -> Column:
     """ENUM index (1-based; 0 = invalid/empty) -> label string
     (kafka3.go:1110-1120 semantics)."""

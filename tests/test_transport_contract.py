@@ -252,3 +252,88 @@ def test_oracle_tail_without_windows_or_library_raises():
 
     with pytest.raises(NotImplementedError):
         OracleLogMinerBridge("ora1", {}).tail()
+
+
+# ---------------------------------------------------------------------------
+# Kafka producer side: a subscription's frames drain through
+# produce_frames against a recording producer with kafka-python's
+# public surface (send/flush) — the third transport seam under contract.
+# ---------------------------------------------------------------------------
+
+
+class FakeProducer:
+    def __init__(self):
+        self.sent: list[tuple[str, bytes | None, bytes | None]] = []
+        self.flushes = 0
+
+    def send(self, topic, value=None, key=None):
+        self.sent.append((topic, key, value))
+
+    def flush(self):
+        self.flushes += 1
+
+
+def test_produce_frames_contract(spark, tmp_path):
+    """Wire rows -> subscription envelopes -> producer: tombstones
+    arrive as value=None, keys/values as utf-8 bytes, ordered by
+    __batch, one flush per drain; replaying the drained frames is the
+    CALLER's dedupe (at-least-once, as in the reference)."""
+    import os
+
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from dtle_spark.catalog import SchemaCatalog
+    from dtle_spark.model import JobConfig, TableConfig
+    from dtle_spark.sinks.debezium import produce_frames
+    from dtle_spark.streaming.jobs import JobManager
+
+    def wire_row(seq, op, after=None, before=None):
+        return Row(sid=SID, gno=seq, seq=seq, lc=0, op=op, ts=None,
+                   schema_name="db1", table_name="t",
+                   before=before, after=after, query=None)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows = [
+        wire_row(1, "i", after='{"id":1,"v":10}'),
+        wire_row(2, "d", before='{"id":1,"v":10}'),
+    ]
+    spark.createDataFrame(rows, WIRE_SCHEMA).coalesce(1).write.parquet(f"{src}/b0")
+    cat = SchemaCatalog()
+    cat.register("db1", "t", T.StructType([
+        T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]),
+        ["id"])
+    mgr = JobManager(spark)
+    sj = mgr.create_subscription(
+        JobConfig("prod1", [TableConfig("db1", "t", unique_key=["id"])]),
+        f"{src}/*", str(tmp_path / "out"), str(tmp_path / "ckpt"), cat,
+    )
+    sj.process_available()
+    mgr.pause("prod1")
+
+    p = FakeProducer()
+    n = produce_frames(sj.frames(), p)
+    assert n == 3 == len(p.sent)  # create + delete + tombstone
+    assert p.flushes == 1
+    assert all(t == "dtle.db1.t" for t, _, _ in p.sent)
+    assert all(k == b'{"id":1}' for _, k, _ in p.sent)
+    vals = [v for _, _, v in p.sent]
+    assert vals.count(None) == 1  # the tombstone rides as value=None
+    assert all(v is None or v.startswith(b"{") for v in vals)
+
+
+def test_produce_frames_enforces_bound(spark):
+    from dtle_spark.sinks.debezium import produce_frames
+
+    frames = spark.createDataFrame(
+        [("t1", "k", "v")] * 7, "topic string, key string, value string")
+    with pytest.raises(RuntimeError, match="flow-control bound"):
+        produce_frames(frames, FakeProducer(), max_rows=5)
+
+
+def test_kafka_producer_constructor_gated():
+    from dtle_spark.sinks.debezium import kafka_producer
+
+    with pytest.raises(NotImplementedError, match="kafka-python"):
+        kafka_producer("localhost:9092")
