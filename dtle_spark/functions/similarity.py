@@ -760,6 +760,128 @@ def pq_topk(
     )
 
 
+def ivf_pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    n_cells: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int = 0,
+) -> DataFrame:
+    """The composed 100 TB rung: IVF cells bound WHICH rows score, PQ
+    codes bound WHAT each scoring touches — FAISS IVFPQ re-expressed.
+
+    Index build (all map-only over the corpus + tiny trains): assign
+    every vector to its nearest of ``n_cells`` deterministic centroids
+    (ivf_exact_mean_centroids, the argmax fold ivf_topk uses), PQ-encode
+    it, and persist (cell, codes, rnorm) — at scale written with
+    ``cell`` as a partition column so probes PRUNE the scan. Search:
+    queries pick their ``nprobe`` best cells, the probe set broadcasts
+    into an equi-join on cell (only probed cells' CODES are read), ADC
+    scores them against per-query LUTs, optional exact rerank on the
+    candidate pool. Per-query cost drops from N to
+    N * nprobe/n_cells code rows.
+
+    Pytest-gated (recall floor vs brute force); the component stages
+    are each oracle-gated on their own queries (ann_topk_ivf_trained,
+    ann_topk_pq)."""
+    cent = ivf_exact_mean_centroids(
+        vectors, k=n_cells, id_col=id_col, vec_col=vec_col, dim=dim
+    ).localCheckpoint()
+    cent_n = cent.withColumn("c_norm", F.expr(f"sqrt({dot_expr('c_vec', 'c_vec')})"))
+    cents_arr = cent_n.agg(
+        F.expr("sort_array(collect_list(struct(cent_id, c_vec, c_norm)))").alias("cents")
+    )
+    best = (
+        f"array_max(transform(cents, c -> struct(({dot_expr('vec', 'c.c_vec')})"
+        f" / c.c_norm AS cos, c.cent_id AS cell))).cell"
+    )
+    cb = pq_refine(
+        vectors, pq_codebook(vectors, m=m, ksub=ksub, dim=dim,
+                             id_col=id_col, vec_col=vec_col),
+        steps=2, m=m, ksub=ksub, dim=dim, id_col=id_col, vec_col=vec_col,
+    ).localCheckpoint()
+    enc = pq_encode(vectors, cb, m=m, ksub=ksub, dim=dim,
+                    id_col=id_col, vec_col=vec_col)
+    celled = (
+        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .crossJoin(F.broadcast(cents_arr))
+        .select("id", F.expr(best).alias("cell"))
+        .join(enc, "id")
+        .localCheckpoint(eager=False)  # (cell, codes, rnorm): THE index
+    )
+    q0 = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_expr(vec_col).alias("qnorm"),
+    )
+    qscored = q0.crossJoin(F.broadcast(cent)).withColumn(
+        "c_cos", cosine_expr("q_vec", "c_vec")
+    )
+    qw = Window.partitionBy("query_id").orderBy(F.col("c_cos").desc(), F.col("cent_id"))
+    probes = (
+        qscored.withColumn("__r", F.row_number().over(qw))
+        .filter(F.col("__r") <= nprobe)
+        .select("query_id", "q_vec", "qnorm", F.col("cent_id").alias("cell"))
+    )
+    cb_row = cb.agg(
+        F.expr("sort_array(collect_list(struct(sub, code, cvec, cnorm2)))").alias("cb")
+    )
+    d = dim // m
+    lut_dot = (
+        f"aggregate(zip_with(slice(q_vec, c.sub * {d} + 1, {d}), c.cvec,"
+        f" (x, y) -> CAST(x AS DOUBLE) * y),"
+        f" CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    probes_l = (
+        probes.crossJoin(F.broadcast(cb_row))
+        .withColumn("luts", F.expr(f"transform(cb, c -> {lut_dot})"))
+        .select("query_id", "qnorm", "cell", "luts")
+    )
+    score = (
+        f"aggregate(transform(sequence(0, {m - 1}),"
+        f" s -> element_at(luts, s * {ksub} + element_at(codes, s + 1) + 1)),"
+        f" CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    hits = (
+        celled.join(F.broadcast(probes_l), "cell")
+        .filter(F.col("query_id") != F.col("id"))
+        .withColumn("qcos", F.expr(f"({score}) / (qnorm * rnorm)"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("qcos").desc(), F.col("id"))
+    ranked = hits.withColumn("rank", F.row_number().over(w))
+    if not rerank:
+        return ranked.filter(F.col("rank") <= k).select(
+            "query_id", "cell", F.col("id").alias("neighbor_id"), "rank", "qcos"
+        )
+    cand = ranked.filter(F.col("rank") <= rerank).select(
+        "query_id", "cell", F.col("id").alias("neighbor_id")
+    )
+    vec = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("n_vec"),
+        norm_expr(vec_col).alias("n_norm"),
+    )
+    exact = (
+        vec.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q0), "query_id")
+        .withColumn("cosine", cosine_with_norms("q_vec", "n_vec", "qnorm", "n_norm"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cell", "neighbor_id", "rank", "cosine")
+    )
+
+
 def neardup_pairs(
     vectors: DataFrame,
     id_col: str = "vec_id",

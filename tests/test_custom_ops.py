@@ -1162,3 +1162,55 @@ class TestProductQuantization:
                 for s, c in enumerate(r["codes"])
             )
             assert math.isclose(r["rnorm"], math.sqrt(n2), rel_tol=1e-9)
+
+
+class TestIvfPq:
+    """Composed IVF x PQ tier (similarity.ivf_pq_topk): cells bound
+    WHICH rows score, codes bound WHAT scoring touches."""
+
+    def test_rerank_recovers_ivf_flat_exactly(self, spark):
+        """With an adequate rerank pool, IVF-PQ must equal IVF-Flat on
+        the SAME probes — the PQ compression step then costs zero
+        recall; all loss is the (shared, tunable) cell pruning."""
+        from dtle_spark.tableio import load_table
+        from dtle_spark.functions.similarity import (
+            ivf_exact_mean_centroids, ivf_pq_topk, ivf_topk,
+        )
+        from pyspark.sql import functions as F
+
+        e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        q = e.filter(F.col("vec_id") % 50 == 0)
+        cent = ivf_exact_mean_centroids(e, k=16).localCheckpoint()
+        flat = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(e, q, k=10, nprobe=4, centroids=cent).collect()
+        }
+        comp = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_pq_topk(e, q, k=10, nprobe=4, m=16,
+                                 rerank=100).collect()
+        }
+        assert comp == flat
+
+    def test_more_probes_more_recall(self, spark):
+        from dtle_spark.tableio import load_table
+        from dtle_spark.functions.similarity import brute_force_topk, ivf_pq_topk
+        from pyspark.sql import functions as F
+
+        e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        q = e.filter(F.col("vec_id") % 50 == 0)
+        bf = {
+            (r["query_id"], r["neighbor_id"])
+            for r in brute_force_topk(e, q, k=10).collect()
+        }
+
+        def recall(nprobe):
+            got = {
+                (r["query_id"], r["neighbor_id"])
+                for r in ivf_pq_topk(e, q, k=10, nprobe=nprobe, m=16,
+                                     rerank=100).collect()
+            }
+            return len(bf & got) / len(bf)
+
+        r4, r8 = recall(4), recall(8)
+        assert r8 > r4 >= 0.4  # floor + the nprobe knob works

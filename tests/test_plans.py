@@ -287,3 +287,31 @@ def test_temperature_mixing_broadcast_counts_map_only_decision(spark):
     # the only exchanges allowed: the tiny count aggregation + its
     # broadcast — the corpus side itself must not hash-exchange
     assert "SortMergeJoin" not in plan
+
+
+def test_pq_search_corpus_side_broadcast_only(spark):
+    """PQ ADC scoring must stream the encoded corpus against BROADCAST
+    queries/codebook — the corpus never hash-exchanges before scoring
+    (the window after scoring partitions by query_id, which is the
+    bounded |Q|-keyed set). The rerank joins build on the candidate
+    pool and query sides, never shuffling the vector table."""
+    from pyspark.sql import functions as F
+
+    from dtle_spark.tableio import load_table
+    from dtle_spark.functions import similarity as sim
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    cb = sim.pq_codebook(e, m=16, ksub=16).localCheckpoint()
+    out = sim.pq_topk(e, q, k=10, m=16, ksub=16, codebook=cb, rerank=50)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every join touching the corpus side builds the OTHER side
+    assert "BroadcastNestedLoopJoin BuildRight" in plan
+    assert "SortMergeJoin" not in plan
+    # the encoded-codes scan is the checkpointed index, not a recompute
+    assert "Scan ExistingRDD" in plan
+    # exchanges exist only for the query_id window + tiny broadcast prep
+    import re
+    hash_ex = [l for l in plan.splitlines()
+               if "Exchange hashpartitioning" in l]
+    assert all("query_id" in l for l in hash_ex), hash_ex
