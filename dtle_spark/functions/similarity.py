@@ -562,6 +562,9 @@ def pq_refine(
             )
         ).alias("e")
     ).select(F.col("e.sub").alias("sub"), F.col("e.sv").alias("sv"))
+    if steps > 1:
+        # every step rescans the exploded subvectors; pin them once
+        subs = subs.localCheckpoint()
     cb = codebook.select("sub", "code", "cvec")
     l2 = (
         "aggregate(zip_with(sv, c.cvec,"
@@ -577,7 +580,7 @@ def pq_refine(
             .withColumn(
                 "code",
                 F.expr(
-                    f"array_min(transform(filter(cb, c -> c.sub = sub),"
+                    f"array_min(transform(slice(cb, sub * {ksub} + 1, {ksub}),"
                     f" c -> struct({l2} AS dist, c.code AS code))).code"
                 ),
             )
@@ -599,7 +602,7 @@ def pq_refine(
         )
         cb = (
             cb.select("sub", "code", F.col("cvec").alias("__old"))
-            .join(refined, ["sub", "code"], "left")
+            .join(F.broadcast(refined), ["sub", "code"], "left")
             .select("sub", "code", F.coalesce("cvec", "__old").alias("cvec"))
             .localCheckpoint()
         )
@@ -639,9 +642,12 @@ def pq_encode(
         f" (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
         f" CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
     )
+    # cb is sorted by (sub, code): each sub's entries are the
+    # contiguous slice [s*ksub+1, ksub] — O(ksub) slice instead of an
+    # O(m*ksub) filter scan per lambda evaluation
     codes = (
         f"transform(sequence(0, {m - 1}), s ->"
-        f" array_min(transform(filter(cb, c -> c.sub = s),"
+        f" array_min(transform(slice(cb, s * {ksub} + 1, {ksub}),"
         f" c -> struct({l2} AS dist, c.code AS code))).code)"
     )
     rnorm = (
@@ -693,11 +699,16 @@ def pq_topk(
     corpus. Recall gates in pytest against brute force; compose with
     IVF cells (probe filter on the encoded table) for the 100 TB path."""
     d = dim // m
-    cb = codebook if codebook is not None else pq_codebook(
-        vectors, m=m, ksub=ksub, dim=dim, id_col=id_col, vec_col=vec_col
-    )
-    # tiny (m*ksub rows) and consumed twice (encode + LUTs): pin it
-    cb = cb.localCheckpoint()
+    if codebook is not None:
+        # caller-supplied codebooks (pq_refine output, a trained table)
+        # are already pinned or trivially derived from a pinned step —
+        # re-checkpointing would add a no-op job
+        cb = codebook
+    else:
+        # tiny (m*ksub rows) and consumed twice (encode + LUTs): pin it
+        cb = pq_codebook(
+            vectors, m=m, ksub=ksub, dim=dim, id_col=id_col, vec_col=vec_col
+        ).localCheckpoint()
     enc = pq_encode(vectors, cb, m=m, ksub=ksub, dim=dim,
                     id_col=id_col, vec_col=vec_col)
     cb_row = cb.agg(

@@ -1087,7 +1087,7 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") % 50 == 0)
     cb = sim.pq_refine(
         e, sim.pq_codebook(e, m=16, ksub=16), steps=2, m=16, ksub=16
-    ).localCheckpoint()
+    )  # refine's final step is already checkpoint-pinned
     out = sim.pq_topk(e, q, k=10, m=16, ksub=16, codebook=cb, rerank=100)
     return out.withColumnRenamed("rank", "rnk")
 
