@@ -490,3 +490,44 @@ def length_buckets(
         "doc_id", "n_tok", "bucket",
         F.expr(f"__seq DIV {batch_size}").alias("batch_idx"),
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    val_rate: tuple[int, int] = (1, 10),
+) -> DataFrame:
+    """Train/val split whose UNIT is the near-dup cluster, not the
+    document: every member of a duplicate cluster draws from its
+    cluster representative (singletons from their own id), so
+    near-duplicates can never straddle the split — the leakage mode a
+    plain per-document hash split cannot prevent (Lee et al. 2022
+    measure exactly this eval contamination). Deterministic integer
+    draw (hash_uniform_expr) -> growth-stable and resumable like
+    stratified_sample; no floats, no RNG state.
+
+    ``clusters`` is connected-components output (node, component).
+    Returns (id, unit_id, split) with split in {'train','val'}.
+
+    Scale: one left join of docs against the (far smaller) cluster
+    membership table keyed on id, then a map-only draw — the CC input
+    is the dedup pipeline's existing byproduct, so the split adds one
+    digest-keyed join to a pipeline that already paid for clustering."""
+    c = clusters.select(
+        F.col("node").alias(id_col), F.col("component").alias("__unit0")
+    )
+    num, denom = val_rate
+    out = (
+        docs.select(id_col)
+        .join(c, id_col, "left")
+        .withColumn("unit_id", F.coalesce(F.col("__unit0"), F.col(id_col)).cast("long"))
+    )
+    draw = F.expr(hash_uniform_expr("unit_id", "spark"))
+    return out.select(
+        F.col(id_col),
+        "unit_id",
+        F.when(draw * denom < num * _U_DENOM, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

@@ -1504,6 +1504,51 @@ def _duck_cc_sql() -> str:
     """
 
 
+def _duck_split_sql(num: int = 1, denom: int = 10) -> str:
+    """Oracle for the leakage-safe split: CC transitive closure (the
+    dedup_clusters oracle) -> unit = cluster min-id (or own id) ->
+    the corpus md5 40-bit integer draw on the UNIT."""
+    from dtle_spark.functions.corpus import hash_uniform_expr
+
+    draw = hash_uniform_expr("unit_id", "duckdb")
+    return f"""
+    WITH RECURSIVE pairs AS ({_duck_minhash_sql()}),
+    edges AS (
+      SELECT id_1 AS a, id_2 AS b FROM pairs
+      UNION SELECT id_2, id_1 FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT re.node, e.b FROM reach re JOIN edges e ON re.r = e.a
+    ),
+    comp AS (SELECT node, MIN(r) AS unit FROM reach GROUP BY node),
+    u AS (
+      SELECT d.doc_id, CAST(COALESCE(c.unit, d.doc_id) AS BIGINT) AS unit_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    )
+    SELECT doc_id, unit_id,
+      CASE WHEN ({draw}) * {denom} < {num} * {1 << 40} THEN 'val'
+           ELSE 'train' END AS split
+    FROM u
+    """
+
+
+@query("leakage_safe_split", _duck_split_sql())
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val split whose unit is the near-dup CLUSTER: members of
+    a duplicate cluster draw from the cluster representative, so
+    near-duplicates never straddle the split (the eval-contamination
+    mode per-document hash splits miss — Lee et al. 2022). Composes
+    two oracle-gated stages: CC over LSH pairs + the corpus integer
+    draw (functions/corpus.leakage_safe_split)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_dedup_pairs(d, "doc_id", "text", threshold=0.5)
+    clusters = connected_components(pairs).localCheckpoint()
+    return cp.leakage_safe_split(d, clusters)
+
+
 @query("dedup_clusters", _duck_cc_sql())
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative operator: connected components over the verified

@@ -1214,3 +1214,32 @@ class TestIvfPq:
 
         r4, r8 = recall(4), recall(8)
         assert r8 > r4 >= 0.4  # floor + the nprobe knob works
+
+
+def test_leakage_safe_split_invariants(spark):
+    """The split's whole point: no near-dup cluster straddles
+    train/val; the assignment is deterministic across runs; both sides
+    are populated at the default 10% val rate."""
+    from dtle_spark.tableio import load_table
+    from dtle_spark.functions.corpus import leakage_safe_split
+    from dtle_spark.functions.dedup import minhash_dedup_pairs
+    from dtle_spark.functions.graph import connected_components
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pairs = minhash_dedup_pairs(d, "doc_id", "text", threshold=0.5).localCheckpoint()
+    clusters = connected_components(pairs).localCheckpoint()
+    out = leakage_safe_split(d, clusters).collect()
+    split_of = {r["doc_id"]: r["split"] for r in out}
+    # every edge's endpoints share a side (stronger: every cluster)
+    by_unit = {}
+    for r in out:
+        by_unit.setdefault(r["unit_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_unit.values())
+    for p in pairs.collect():
+        assert split_of[p["id_1"]] == split_of[p["id_2"]]
+    sides = set(split_of.values())
+    assert sides == {"train", "val"}
+    # deterministic: a second run reproduces the exact assignment
+    again = {r["doc_id"]: r["split"]
+             for r in leakage_safe_split(d, clusters).collect()}
+    assert again == split_of
