@@ -175,6 +175,26 @@ class SubscriptionJob:
             self.start()
         return self
 
+    def update_config(self, new_job: JobConfig) -> None:
+        """Config swap under a paused stream (JobManager.update drives
+        pause → preflight → this → resume; same contract as
+        ReplicationJob.update_config — apply_batch reads self.job per
+        micro-batch, so the swap takes effect on the next one)."""
+        if self.query is not None and self.query.isActive:
+            raise ValueError("pause the job before updating its config")
+        self.job = new_job
+
+    def position(self) -> dict:
+        """Stream position for the /v2 position route: last committed
+        frames batch (the replay watermark) + source offsets."""
+        wm = self.target.seq_watermark(FRAMES_SCHEMA_NAME, FRAMES_TABLE_NAME)
+        out: dict = {"frames_batch": wm.get(_WM_KEY, -1)}
+        if self.query is not None and self.query.lastProgress is not None:
+            p = self.query.lastProgress
+            out["batch_id"] = p.get("batchId") if isinstance(p, dict) else p["batchId"]
+            out["sources"] = p.get("sources") if isinstance(p, dict) else p["sources"]
+        return out
+
     def frames(self) -> DataFrame | None:
         """The produced topic log (topic, key, value, __batch)."""
         return self.target.read(self.spark, FRAMES_SCHEMA_NAME, FRAMES_TABLE_NAME)

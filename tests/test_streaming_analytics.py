@@ -513,3 +513,43 @@ def test_subscription_ddl_evolves_envelope_schema(spark, tmp_path):
     assert snap is not None
     assert "c" in [f.name for f in snap.get("db1", "t").schema.fields]
     mgr.pause("subddl")
+
+
+def test_subscription_update_and_position_through_manager(spark, tmp_path):
+    """JobManager.update and .position must work for the subscription
+    job type too (the manager drives every job type through the same
+    /v2 surface; SubscriptionJob previously lacked update_config and
+    position, so update() raised AttributeError mid-swap)."""
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from dtle_spark.catalog import SchemaCatalog
+    from dtle_spark.model import JobConfig, TableConfig
+    from dtle_spark.streaming.jobs import JobManager
+    from dtle_spark.streaming.wire import WIRE_SCHEMA
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame([
+        Row(sid="ab12cd34-0000-1111-2222-333333333333", gno=1, seq=1, lc=0,
+            op="i", ts=None, schema_name="db1", table_name="t",
+            before=None, after='{"id":1,"v":10}', query=None),
+    ], WIRE_SCHEMA).coalesce(1).write.parquet(f"{src}/b0")
+    cat = SchemaCatalog()
+    cat.register("db1", "t", T.StructType([
+        T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]),
+        ["id"])
+    mgr = JobManager(spark)
+    sj = mgr.create_subscription(
+        JobConfig("supd", [TableConfig("db1", "t", unique_key=["id"])]),
+        f"{src}/*", str(tmp_path / "out"), str(tmp_path / "ckpt"), cat,
+    )
+    sj.process_available()
+    pos = mgr.position("supd")
+    assert pos["frames_batch"] >= 0
+    new_cfg = JobConfig("supd", [TableConfig("db1", "t", unique_key=["id"])],
+                        trigger_seconds=2.0)
+    mgr.update("supd", new_cfg)
+    assert sj.job.trigger_seconds == 2.0
+    assert sj.query is not None and sj.query.isActive  # resumed
+    mgr.pause("supd")
