@@ -326,8 +326,14 @@ class JobManager:
         sequences this with WaitOnJob: the reverse src waits on the
         forward job's completion)."""
         from dtle_spark.model import reverse_job_config
+        from dtle_spark.streaming.subscription import SubscriptionJob
 
         fwd = self._jobs[name]
+        if isinstance(fwd, SubscriptionJob):
+            # the reference's reverse flow applies to migration/sync
+            # jobs — a one-way Kafka subscription has no target to
+            # replicate back from (job.go reverse validation)
+            raise ValueError(f"subscription job {name!r} cannot be reversed")
         if fwd.query is not None and fwd.query.isActive:
             raise ValueError(f"pause forward job {name!r} before reversing")
         rev = reverse_job_config(fwd.job, local_sid=local_sid)

@@ -199,6 +199,12 @@ class SubscriptionJob:
         """The produced topic log (topic, key, value, __batch)."""
         return self.target.read(self.spark, FRAMES_SCHEMA_NAME, FRAMES_TABLE_NAME)
 
+    def table_versions(self) -> dict[str, list[int]]:
+        """Retained commit versions of the frames log (manager
+        versions route parity with ReplicationJob)."""
+        key = f"{FRAMES_SCHEMA_NAME}.{FRAMES_TABLE_NAME}"
+        return {key: self.target.versions(FRAMES_SCHEMA_NAME, FRAMES_TABLE_NAME)}
+
     def stats(self) -> dict:
         out = {"active": self.query is not None and self.query.isActive,
                "job_type": "subscription"}
