@@ -199,6 +199,22 @@ class SubscriptionJob:
         """The produced topic log (topic, key, value, __batch)."""
         return self.target.read(self.spark, FRAMES_SCHEMA_NAME, FRAMES_TABLE_NAME)
 
+    def finish(self, target_gtid: str | None = None,
+               poll_seconds: float = 0.5) -> None:
+        """Graceful finish for a subscription: drain everything the
+        source currently has into frames, then stop. There is no
+        applied-GTID set to watch (frames are the output), so the
+        frontier is "source exhausted now" — target_gtid is accepted
+        for route parity and ignored."""
+        if self.query is not None and self.query.isActive:
+            self.query.processAllAvailable()
+            self.query.stop()
+            self.query = None
+        self.finished = True
+
+    def wait_finished(self, timeout: float = 30.0) -> bool:
+        return bool(getattr(self, "finished", False))
+
     def table_versions(self) -> dict[str, list[int]]:
         """Retained commit versions of the frames log (manager
         versions route parity with ReplicationJob)."""
@@ -208,6 +224,8 @@ class SubscriptionJob:
     def stats(self) -> dict:
         out = {"active": self.query is not None and self.query.isActive,
                "job_type": "subscription"}
+        if getattr(self, "finished", False):
+            out["job_status"] = "target_gtid_finished"
         f = self.frames()
         out["frames"] = 0 if f is None else f.count()
         return out

@@ -586,3 +586,36 @@ def test_subscription_versions_and_reverse_guard(spark, tmp_path):
     assert list(vs) == ["kafka.frames"] and vs["kafka.frames"]
     with pytest.raises(ValueError, match="cannot be reversed"):
         mgr.reverse("svr", src, str(tmp_path / "t2"), str(tmp_path / "c2"), cat)
+
+
+def test_subscription_finish_drains_then_stops(spark, tmp_path):
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from dtle_spark.catalog import SchemaCatalog
+    from dtle_spark.model import JobConfig, TableConfig
+    from dtle_spark.streaming.jobs import JobManager
+    from dtle_spark.streaming.wire import WIRE_SCHEMA
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame([
+        Row(sid="ab12cd34-0000-1111-2222-333333333333", gno=1, seq=1, lc=0,
+            op="i", ts=None, schema_name="db1", table_name="t",
+            before=None, after='{"id":1,"v":10}', query=None),
+    ], WIRE_SCHEMA).coalesce(1).write.parquet(f"{src}/b0")
+    cat = SchemaCatalog()
+    cat.register("db1", "t", T.StructType([
+        T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]),
+        ["id"])
+    mgr = JobManager(spark)
+    sj = mgr.create_subscription(
+        JobConfig("sfin", [TableConfig("db1", "t", unique_key=["id"])]),
+        f"{src}/*", str(tmp_path / "out"), str(tmp_path / "ckpt"), cat,
+    )
+    mgr.finish("sfin")
+    assert sj.wait_finished()
+    st = mgr.metrics("sfin")
+    assert st["job_status"] == "target_gtid_finished"
+    assert not st["active"]
+    assert st["frames"] >= 1  # the available row drained before stop
