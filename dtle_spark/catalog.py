@@ -347,18 +347,22 @@ class SchemaCatalog:
             )
         return out
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, extra: dict | None = None) -> None:
         """Atomic snapshot — written after every DDL application so a
         recovered job resumes with the schema the stream had evolved
         to, not the create-time one (the reference keeps this in its
-        Consul KV job state, common/store.go:40-446)."""
+        Consul KV job state, common/store.go:40-446). ``extra`` keys
+        ride in the same file (and the same atomic rename) — from_dict
+        ignores them; callers that need a commit marker coupled to the
+        snapshot (SubscriptionJob's __frames_batch) read them directly.
+        """
         import json
         import os
 
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(self.to_dict(), f)
+            json.dump({**self.to_dict(), **(extra or {})}, f)
         os.replace(tmp, path)
 
     @classmethod

@@ -634,9 +634,22 @@ def pq_encode(
 
     Returns (id, codes array<int> len m, rnorm double)."""
     d = dim // m
-    cb_row = codebook.agg(
-        F.expr("sort_array(collect_list(struct(sub, code, cvec, cnorm2)))").alias("cb")
-    )
+    # positional slicing below REQUIRES a dense codebook (every
+    # (sub, code) in m x ksub exactly once): a sparse one — corpus
+    # smaller than ksub, or a caller-trained table with gaps — would
+    # silently read neighboring sub-spaces' entries and mis-score.
+    # The table is m*ksub rows; validating is one tiny job.
+    got = {(r["sub"], r["code"]) for r in codebook.select("sub", "code").collect()}
+    want = {(s, j) for s in range(m) for j in range(ksub)}
+    if got != want:
+        missing = sorted(want - got)[:5]
+        extra = sorted(got - want)[:5]
+        raise ValueError(
+            f"PQ codebook must be dense over sub 0..{m - 1} x code "
+            f"0..{ksub - 1} (positional slicing mis-scores otherwise); "
+            f"missing={missing} unexpected={extra}"
+        )
+    cb_row = _pq_cb_row(codebook)
     l2 = (
         f"aggregate(zip_with(slice(vec, s * {d} + 1, {d}), c.cvec,"
         f" (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
@@ -662,6 +675,67 @@ def pq_encode(
         .withColumn("rnorm", F.expr(rnorm))
         .select("id", "codes", "rnorm")
         .localCheckpoint(eager=False)
+    )
+
+
+def _pq_cb_row(codebook: DataFrame) -> DataFrame:
+    """The codebook folded into ONE broadcastable row, sorted by
+    (sub, code) — the layout every positional slice/lookup assumes."""
+    return codebook.agg(
+        F.expr("sort_array(collect_list(struct(sub, code, cvec, cnorm2)))").alias("cb")
+    )
+
+
+def _pq_lut_dot_expr(d: int) -> str:
+    """Per-codebook-entry dot of the query's sub-space slice against
+    c.cvec — evaluated once per (query, entry) to build the LUT."""
+    return (
+        f"aggregate(zip_with(slice(q_vec, c.sub * {d} + 1, {d}), c.cvec,"
+        f" (x, y) -> CAST(x AS DOUBLE) * y),"
+        f" CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _adc_score_expr(m: int, ksub: int) -> str:
+    """The m-term LUT sum for a row's codes (asymmetric distance)."""
+    return (
+        f"aggregate(transform(sequence(0, {m - 1}),"
+        f" s -> element_at(luts, s * {ksub} + element_at(codes, s + 1) + 1)),"
+        f" CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _exact_rerank(
+    vectors: DataFrame,
+    q0: DataFrame,
+    cand: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Shared rerank stage: join the (tiny, broadcast) ADC candidate
+    pool back to fp32 vectors, rank by exact cosine. ``carry`` columns
+    ride from cand into the output (the IVF tier threads `cell`).
+    Both PQ tiers MUST use this one implementation — the composed
+    tier's correctness gate is that it equals the standalone one."""
+    vec = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("n_vec"),
+        norm_expr(vec_col).alias("n_norm"),
+    )
+    exact = (
+        vec.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q0), "query_id")
+        .withColumn("cosine", cosine_with_norms("q_vec", "n_vec", "qnorm", "n_norm"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", *carry, "neighbor_id", "rank", "cosine")
     )
 
 
@@ -711,31 +785,18 @@ def pq_topk(
         ).localCheckpoint()
     enc = pq_encode(vectors, cb, m=m, ksub=ksub, dim=dim,
                     id_col=id_col, vec_col=vec_col)
-    cb_row = cb.agg(
-        F.expr("sort_array(collect_list(struct(sub, code, cvec, cnorm2)))").alias("cb")
-    )
-    lut_dot = (
-        f"aggregate(zip_with(slice(q_vec, c.sub * {d} + 1, {d}), c.cvec,"
-        f" (x, y) -> CAST(x AS DOUBLE) * y),"
-        f" CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    q0 = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_expr(vec_col).alias("qnorm"),
     )
     q = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("q_vec"),
-            norm_expr(vec_col).alias("qnorm"),
-        )
-        .crossJoin(F.broadcast(cb_row))
-        .withColumn("luts", F.expr(f"transform(cb, c -> {lut_dot})"))
+        q0.crossJoin(F.broadcast(_pq_cb_row(cb)))
+        .withColumn("luts", F.expr(f"transform(cb, c -> {_pq_lut_dot_expr(d)})"))
         .select("query_id", "qnorm", "luts")
     )
-    score = (
-        f"aggregate(transform(sequence(0, {m - 1}),"
-        f" s -> element_at(luts, s * {ksub} + element_at(codes, s + 1) + 1)),"
-        f" CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
     hits = enc.join(F.broadcast(q), F.col("query_id") != F.col("id")).withColumn(
-        "qcos", F.expr(f"({score}) / (qnorm * rnorm)")
+        "qcos", F.expr(f"({_adc_score_expr(m, ksub)}) / (qnorm * rnorm)")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("qcos").desc(), F.col("id"))
     ranked = hits.withColumn("rank", F.row_number().over(w))
@@ -746,29 +807,7 @@ def pq_topk(
     cand = ranked.filter(F.col("rank") <= rerank).select(
         "query_id", F.col("id").alias("neighbor_id")
     )
-    vec = vectors.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("n_vec"),
-        norm_expr(vec_col).alias("n_norm"),
-    )
-    qv = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        norm_expr(vec_col).alias("q_norm"),
-    )
-    exact = (
-        vec.join(F.broadcast(cand), "neighbor_id")
-        .join(F.broadcast(qv), "query_id")
-        .withColumn("cosine", cosine_with_norms("q_vec", "n_vec", "q_norm", "n_norm"))
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        exact.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
-    )
+    return _exact_rerank(vectors, q0, cand, k, id_col, vec_col)
 
 
 def ivf_pq_topk(
@@ -840,29 +879,16 @@ def ivf_pq_topk(
         .filter(F.col("__r") <= nprobe)
         .select("query_id", "q_vec", "qnorm", F.col("cent_id").alias("cell"))
     )
-    cb_row = cb.agg(
-        F.expr("sort_array(collect_list(struct(sub, code, cvec, cnorm2)))").alias("cb")
-    )
     d = dim // m
-    lut_dot = (
-        f"aggregate(zip_with(slice(q_vec, c.sub * {d} + 1, {d}), c.cvec,"
-        f" (x, y) -> CAST(x AS DOUBLE) * y),"
-        f" CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
     probes_l = (
-        probes.crossJoin(F.broadcast(cb_row))
-        .withColumn("luts", F.expr(f"transform(cb, c -> {lut_dot})"))
+        probes.crossJoin(F.broadcast(_pq_cb_row(cb)))
+        .withColumn("luts", F.expr(f"transform(cb, c -> {_pq_lut_dot_expr(d)})"))
         .select("query_id", "qnorm", "cell", "luts")
-    )
-    score = (
-        f"aggregate(transform(sequence(0, {m - 1}),"
-        f" s -> element_at(luts, s * {ksub} + element_at(codes, s + 1) + 1)),"
-        f" CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
     )
     hits = (
         celled.join(F.broadcast(probes_l), "cell")
         .filter(F.col("query_id") != F.col("id"))
-        .withColumn("qcos", F.expr(f"({score}) / (qnorm * rnorm)"))
+        .withColumn("qcos", F.expr(f"({_adc_score_expr(m, ksub)}) / (qnorm * rnorm)"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("qcos").desc(), F.col("id"))
     ranked = hits.withColumn("rank", F.row_number().over(w))
@@ -873,24 +899,7 @@ def ivf_pq_topk(
     cand = ranked.filter(F.col("rank") <= rerank).select(
         "query_id", "cell", F.col("id").alias("neighbor_id")
     )
-    vec = vectors.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("n_vec"),
-        norm_expr(vec_col).alias("n_norm"),
-    )
-    exact = (
-        vec.join(F.broadcast(cand), "neighbor_id")
-        .join(F.broadcast(q0), "query_id")
-        .withColumn("cosine", cosine_with_norms("q_vec", "n_vec", "qnorm", "n_norm"))
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        exact.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "cell", "neighbor_id", "rank", "cosine")
-    )
+    return _exact_rerank(vectors, q0, cand, k, id_col, vec_col, carry=("cell",))
 
 
 def neardup_pairs(

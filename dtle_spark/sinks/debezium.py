@@ -113,6 +113,7 @@ def envelope(
     topic_prefix: str = "dtle",
     snapshot: bool = False,
     tombstones: bool = True,
+    carry_order: bool = False,
 ) -> DataFrame:
     """Build (topic, key, value) Kafka frames from a change stream.
 
@@ -155,6 +156,12 @@ def envelope(
         {"ignoreNullFields": "false"},
     )
     topic = F.concat_ws(".", F.lit(topic_prefix), F.col("schema_name"), F.col("table_name"))
+    # carry_order appends (__seq, __sub): the change's seq plus the
+    # intra-explode ordinal (tombstone AFTER its delete envelope) — the
+    # total order a producer drain needs. frames are otherwise
+    # (topic, key, value) only, and orderBy(__batch) alone would let a
+    # non-stable sort send same-key frames out of order (insert after
+    # delete -> log compaction resurrects the key).
     if tombstones and not snapshot:
         # single-pass: a delete explodes into [envelope, tombstone]
         # instead of a second union branch (which would re-scan the
@@ -163,18 +170,28 @@ def envelope(
             F.col("op") == OP_DELETE,
             F.array(value, F.lit(None).cast("string")),
         ).otherwise(F.array(value))
-        return changes.filter(F.col("op") != "ddl").select(
+        base = changes.filter(F.col("op") != "ddl")
+        if carry_order:
+            return base.select(
+                topic.alias("topic"), key.alias("key"),
+                F.col("seq").alias("__seq"),
+                F.posexplode(vals).alias("__sub", "value"),
+            ).select("topic", "key", "value", "__seq", "__sub")
+        return base.select(
             topic.alias("topic"), key.alias("key"), F.explode(vals).alias("value")
         )
-    return changes.filter(F.col("op") != "ddl").select(
-        topic.alias("topic"), key.alias("key"), value.alias("value")
+    out = changes.filter(F.col("op") != "ddl").select(
+        topic.alias("topic"), key.alias("key"), value.alias("value"),
+        *([F.col("seq").alias("__seq"), F.lit(0).alias("__sub")] if carry_order else []),
     )
+    return out
 
 
 def schema_change_frames(
     changes: DataFrame,
     topic_prefix: str = "dtle",
     gtid_col: str | None = None,
+    carry_order: bool = False,
 ) -> DataFrame:
     """Schema-change-topic frames for DDL events — the reference routes
     every NotDML query to ``schema-changes.<topic>`` as a Debezium
@@ -214,6 +231,8 @@ def schema_change_frames(
         F.concat_ws(".", F.lit("schema-changes"), F.lit(topic_prefix)).alias("topic"),
         F.lit("null").alias("key"),
         value.alias("value"),
+        *([F.col("seq").alias("__seq"), F.lit(0).alias("__sub")]
+          if carry_order else []),
     )
 
 
@@ -237,7 +256,7 @@ MAX_PRODUCE_BATCH_ROWS = 100_000
 def produce_frames(
     frames: DataFrame,
     producer,
-    order_cols: tuple[str, ...] = ("__batch",),
+    order_cols: tuple[str, ...] = ("__batch", "__seq", "__sub"),
     max_rows: int = MAX_PRODUCE_BATCH_ROWS,
 ) -> int:
     """foreachBatch drain for a client-library Kafka producer: send

@@ -150,6 +150,20 @@ class DeltaTableTarget:
     def seq_watermark(self, schema_name: str, table_name: str) -> dict[str, int]:
         return {}  # native branch is keyed-only; no no-PK watermark
 
+    def versions(self, schema_name: str, table_name: str) -> list[int]:
+        """Retained Delta log versions — read straight from the
+        _delta_log commit filenames, so the manager's versions route
+        works without the delta-spark package (pure filesystem)."""
+        log = os.path.join(self.path(schema_name, table_name), "_delta_log")
+        if not os.path.isdir(log):
+            return []
+        out = []
+        for f in os.listdir(log):
+            stem, _, ext = f.partition(".")
+            if ext == "json" and stem.isdigit():
+                out.append(int(stem))
+        return sorted(out)
+
     # -- the merge ---------------------------------------------------------
 
     def stage_merge(

@@ -189,6 +189,11 @@ class MySQLBinlogBridge:
                     "next to the MySQL source and publish via FileBridge/Kafka, "
                     "or pass a recorded `reader` iterable"
                 ) from e
+            if spark is None or bridge is None:
+                # validate BEFORE opening the replication socket — the
+                # reader registers as a replica on construction and a
+                # post-construction raise would leak that connection
+                raise ValueError("tail() needs a SparkSession and a FileBridge")
             reader = BinlogStreamReader(
                 connection_settings=connection_settings,
                 server_id=server_id,

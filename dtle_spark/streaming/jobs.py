@@ -43,6 +43,50 @@ def _persistable_kwargs(kw: dict) -> dict:
     return dict(kw)
 
 
+def _target_spec(target) -> dict:
+    """Serializable descriptor for a TableTarget instance — job specs
+    persist the descriptor, recover() rebuilds the instance. Unknown
+    target types (or non-default bucket functions) raise at create so
+    a recovered job can never silently run a different target."""
+    from dtle_spark.sinks.delta_target import DeltaTableTarget
+    from dtle_spark.sinks.table_sink import (
+        BucketedTableTarget,
+        ParquetTableTarget,
+        hash_bucket,
+    )
+
+    # exact type identity, not isinstance: a subclass may change
+    # behavior the descriptor cannot express
+    if type(target) is BucketedTableTarget:
+        if target._bucket_fn is not hash_bucket:
+            raise ValueError(
+                "custom bucket_fn is not spec-serializable; create the "
+                "job without spec_root or use the default hash routing"
+            )
+        return {"target_format": "bucketed", "target_n_buckets": target.n_buckets}
+    if type(target) is DeltaTableTarget:
+        return {"target_format": "delta"}
+    if type(target) is ParquetTableTarget:
+        return {"target_format": "parquet"}
+    raise ValueError(
+        f"target {type(target).__name__} has no serializable descriptor; "
+        f"create the job without spec_root or add one to _target_spec"
+    )
+
+
+def _resolve_target(fmt: str, target_root: str, n_buckets: int = 32):
+    from dtle_spark.sinks.delta_target import DeltaTableTarget
+    from dtle_spark.sinks.table_sink import BucketedTableTarget, ParquetTableTarget
+
+    if fmt == "bucketed":
+        return BucketedTableTarget(target_root, n_buckets=n_buckets)
+    if fmt == "parquet":
+        return ParquetTableTarget(target_root)
+    if fmt == "delta":
+        return DeltaTableTarget(target_root)
+    raise ValueError(f"unknown target_format {fmt!r}")
+
+
 class JobManager:
     def __init__(self, spark, spec_root: str | None = None):
         """``spec_root``: when given, every created job persists its
@@ -77,19 +121,29 @@ class JobManager:
         from dtle_spark.preflight import preflight
 
         preflight(job, catalog, self.spark)
+        # a serializable target descriptor (the recover() wire form)
+        # resolves to the instance here; a passed instance round-trips
+        # through its descriptor below
+        fmt = kw.pop("target_format", None)
+        n_buckets = kw.pop("target_n_buckets", 32)
+        if fmt is not None and "target" not in kw:
+            kw["target"] = _resolve_target(fmt, target_root, n_buckets)
         rj = ReplicationJob(
             self.spark, job, source_dir, target_root, checkpoint_dir, catalog, **kw
         )
         sp = self._spec_path(job.name)
         if sp is not None:
             os.makedirs(self.spec_root, exist_ok=True)
+            spec_kw = {k: v for k, v in kw.items() if k != "target"}
+            if kw.get("target") is not None:
+                spec_kw.update(_target_spec(kw["target"]))
             spec = {
                 "job": job_config_to_dict(job),
                 "source_dir": source_dir,
                 "target_root": target_root,
                 "checkpoint_dir": checkpoint_dir,
                 "catalog": catalog.to_dict(),
-                "kw": _persistable_kwargs(kw),
+                "kw": _persistable_kwargs(spec_kw),
             }
             tmp = sp + ".tmp"
             with open(tmp, "w") as f:

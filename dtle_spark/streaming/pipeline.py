@@ -427,6 +427,20 @@ class ReplicationJob:
         # (sinks/table_sink.py); pass ParquetTableTarget for the simple
         # whole-image tier
         self.target = target if target is not None else BucketedTableTarget(target_root)
+        if getattr(self.target, "NATIVE_MERGE", False):
+            # the native MERGE branch is keyed-only; the no-PK counting
+            # path needs the manifest targets' stage/commit surface —
+            # fail at create, not with AttributeError mid-stream
+            no_pk = [
+                f"{c.schema_name}.{c.table_name}"
+                for c in job.tables
+                if not c.unique_key
+            ]
+            if no_pk:
+                raise ValueError(
+                    f"native-merge target requires unique_key on every "
+                    f"table; missing on: {no_pk}"
+                )
         self.checkpoint_dir = checkpoint_dir
         self.catalog = catalog
         self.max_files_per_trigger = max_files_per_trigger

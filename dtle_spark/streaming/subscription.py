@@ -79,10 +79,57 @@ class SubscriptionJob:
 
     # -- batch core ------------------------------------------------------
 
+    def _catalog_batch(self) -> int:
+        """The batch id whose DDL effects catalog.json has folded in
+        (stored INSIDE the snapshot so catalog state and marker commit
+        atomically — a sidecar file would reopen the crash window)."""
+        import json
+
+        try:
+            with open(self.catalog_path) as f:
+                return int(json.load(f).get("__frames_batch", -1))
+        except (OSError, ValueError):
+            return -1
+
+    def _save_catalog(self, batch_id: int) -> None:
+        self.catalog.save(
+            self.catalog_path, extra={"__frames_batch": int(batch_id)}
+        )
+
+    def _repair_catalog(self, batch: DataFrame, batch_id: int) -> None:
+        """Crash landed AFTER the frames commit and BEFORE the catalog
+        snapshot: the replayed batch's frames are already committed but
+        catalog.json is still pre-DDL — fold the batch's DDL in now.
+        Guarded by the in-snapshot batch marker so an already-evolved
+        snapshot is never double-applied (ADD COLUMN is not
+        idempotent)."""
+        names = {(c.schema_name, c.table_name) for c in self.job.tables}
+        rows = sorted(
+            batch.filter(F.col("op") == "ddl")
+            .select("seq", "query", "schema_name", "table_name")
+            .collect(),
+            key=lambda r: r["seq"],
+        )
+        applied = False
+        for r in rows:
+            if (r["schema_name"], r["table_name"]) not in names:
+                continue
+            for action in parse_ddl_actions(
+                r["query"], default_schema=r["schema_name"]
+            ):
+                self.catalog.apply(action)
+                applied = True
+        if applied:
+            self._save_catalog(batch_id)
+
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         wm = self.target.seq_watermark(FRAMES_SCHEMA_NAME, FRAMES_TABLE_NAME)
         if wm.get(_WM_KEY, -1) >= batch_id:
-            return  # replayed batch already committed
+            # frames already committed; the catalog snapshot may still
+            # be missing this batch's DDL (crash between the two)
+            if self._catalog_batch() < batch_id:
+                self._repair_catalog(batch, batch_id)
+            return
         frames = None
         has_ddl = False
         for cfg in self.job.tables:
@@ -116,6 +163,7 @@ class SubscriptionJob:
                         meta.unique_key or [meta.schema.fields[0].name],
                         default_image_fields(meta.schema),
                         topic_prefix=self.topic_prefix,
+                        carry_order=True,
                     )
                 )
                 if ddl_row is not None:
@@ -129,19 +177,28 @@ class SubscriptionJob:
             for p in parts[1:]:
                 part = part.unionByName(p)
             part = part.unionByName(
-                schema_change_frames(rows, topic_prefix=self.topic_prefix)
+                schema_change_frames(
+                    rows, topic_prefix=self.topic_prefix, carry_order=True
+                )
             )
             frames = part if frames is None else frames.unionByName(part)
+        if frames is not None:
+            # (__batch, __seq, __sub) is the producer drain's total
+            # order — __batch alone left same-key frames to a
+            # non-stable sort (delete before its insert -> compaction
+            # resurrects the key)
+            ordered = frames.withColumn("__batch", F.lit(batch_id))
+            self.target.append(
+                ordered, FRAMES_SCHEMA_NAME, FRAMES_TABLE_NAME,
+                seq_watermark={_WM_KEY: batch_id},
+            )
         if has_ddl:
-            self.catalog.save(self.catalog_path)
-        if frames is None:
-            return
-        # stable intra-batch order for consumers: seq rides along
-        ordered = frames.withColumn("__batch", F.lit(batch_id))
-        self.target.append(
-            ordered, FRAMES_SCHEMA_NAME, FRAMES_TABLE_NAME,
-            seq_watermark={_WM_KEY: batch_id},
-        )
+            # AFTER the frames commit: a crash before the append leaves
+            # both watermark and snapshot un-advanced (clean replay);
+            # a crash between append and this save is repaired by the
+            # marker check on replay. Saving first (the old order)
+            # replayed DDL onto an already-evolved snapshot.
+            self._save_catalog(batch_id)
 
     # -- lifecycle -------------------------------------------------------
 
@@ -206,10 +263,14 @@ class SubscriptionJob:
         applied-GTID set to watch (frames are the output), so the
         frontier is "source exhausted now" — target_gtid is accepted
         for route parity and ignored."""
-        if self.query is not None and self.query.isActive:
-            self.query.processAllAvailable()
-            self.query.stop()
-            self.query = None
+        if self.query is None or not self.query.isActive:
+            # a paused job still honors the drain-then-stop contract:
+            # resume, drain, stop (finished must not mean "whatever
+            # happened to be published when someone paused")
+            self.start()
+        self.query.processAllAvailable()
+        self.query.stop()
+        self.query = None
         self.finished = True
 
     def wait_finished(self, timeout: float = 30.0) -> bool:

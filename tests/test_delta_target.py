@@ -156,3 +156,37 @@ def test_delta_merge_through_pipeline_batch(dspark, tmp_path):
     apply_batch(dspark, to_wire(changes), job, t, cat)
     got = {r["id"]: r["v"] for r in t.read(dspark, "db1", "tbl").collect()}
     assert got == {2: "b"}
+
+
+def test_versions_reads_delta_log_filenames(tmp_path):
+    """versions() is pure filesystem (commit filenames), so the
+    manager's versions route works without delta-spark."""
+    import os
+
+    t = DeltaTableTarget(str(tmp_path))
+    assert t.versions("db1", "tbl") == []
+    log = os.path.join(t.path("db1", "tbl"), "_delta_log")
+    os.makedirs(log)
+    for n in ("00000000000000000000.json", "00000000000000000001.json",
+              "00000000000000000001.checkpoint.parquet", "_last_checkpoint"):
+        open(os.path.join(log, n), "w").close()
+    assert t.versions("db1", "tbl") == [0, 1]
+
+
+def test_native_merge_target_requires_unique_key(spark, tmp_path):
+    """The native branch is keyed-only: a no-PK table config fails at
+    job construction, not with AttributeError mid-stream."""
+    from dtle_spark.catalog import SchemaCatalog
+    from dtle_spark.model import JobConfig, TableConfig
+    from dtle_spark.streaming.pipeline import ReplicationJob
+
+    cat = SchemaCatalog()
+    cat.register("db1", "t", ROW_T, [])
+    with pytest.raises(ValueError, match="unique_key"):
+        ReplicationJob(
+            spark,
+            JobConfig("nm", [TableConfig("db1", "t", unique_key=[])]),
+            str(tmp_path / "src"), str(tmp_path / "tgt"),
+            str(tmp_path / "ckpt"), cat,
+            target=DeltaTableTarget(str(tmp_path / "tgt")),
+        )

@@ -335,11 +335,26 @@ def test_spec_kwargs_containers_persist_and_unserializable_rejected(spark, tmp_p
     )
     with open(os.path.join(spec_root, "kw1.json")) as f:
         assert json.load(f)["kw"] == {"max_files_per_trigger": 3}
-    with pytest.raises(ValueError, match="not.*JSON-serializable"):
+    # a known target INSTANCE persists as its serializable descriptor
+    mgr.create(
+        JobConfig("kw2", [TableConfig("db1", "orders", unique_key=["o_orderkey"])]),
+        f"{src}/*", str(tmp_path / "tgt2"), str(tmp_path / "ckpt2"),
+        _orders_catalog(changes), start=False,
+        target=ParquetTableTarget(str(tmp_path / "tgt2")),
+    )
+    with open(os.path.join(spec_root, "kw2.json")) as f:
+        assert json.load(f)["kw"] == {"target_format": "parquet"}
+    # an UNKNOWN target type is rejected loudly (a recovered job must
+    # never silently run a different target than the created one)
+
+    class WeirdTarget(ParquetTableTarget):
+        pass
+
+    with pytest.raises(ValueError, match="serializable"):
         mgr.create(
-            JobConfig("kw2", [TableConfig("db1", "orders", unique_key=["o_orderkey"])]),
-            f"{src}/*", str(tmp_path / "tgt2"), str(tmp_path / "ckpt2"),
+            JobConfig("kw3", [TableConfig("db1", "orders", unique_key=["o_orderkey"])]),
+            f"{src}/*", str(tmp_path / "tgt3"), str(tmp_path / "ckpt3"),
             _orders_catalog(changes), start=False,
-            target=ParquetTableTarget(str(tmp_path / "tgt2")),
+            target=WeirdTarget(str(tmp_path / "tgt3")),
         )
-    assert "kw2" not in mgr.list()
+    assert "kw3" not in mgr.list()

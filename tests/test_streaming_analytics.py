@@ -619,3 +619,64 @@ def test_subscription_finish_drains_then_stops(spark, tmp_path):
     assert st["job_status"] == "target_gtid_finished"
     assert not st["active"]
     assert st["frames"] >= 1  # the available row drained before stop
+
+
+def test_subscription_catalog_survives_crash_between_commit_and_snapshot(spark, tmp_path):
+    """Crash-window repair: frames committed but catalog.json not yet
+    saved — the replayed batch must fold the DDL into the snapshot
+    exactly once (the marker INSIDE catalog.json gates re-application;
+    ADD COLUMN is not idempotent)."""
+    import json as _json
+
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from dtle_spark.catalog import SchemaCatalog
+    from dtle_spark.model import JobConfig, TableConfig
+    from dtle_spark.streaming.subscription import SubscriptionJob
+    from dtle_spark.streaming.wire import WIRE_SCHEMA
+
+    def wire_row(seq, op, after=None, query=None):
+        return Row(sid="ab12cd34-0000-1111-2222-333333333333", gno=seq, seq=seq,
+                   lc=0, op=op, ts=None, schema_name="db1", table_name="t",
+                   before=None, after=after, query=query)
+
+    cat = SchemaCatalog()
+    cat.register("db1", "t", T.StructType([
+        T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]),
+        ["id"])
+    sj = SubscriptionJob(
+        spark, JobConfig("crash", [TableConfig("db1", "t", unique_key=["id"])]),
+        str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ckpt"), cat,
+    )
+    b0 = spark.createDataFrame([
+        wire_row(1, "i", after='{"id":1,"v":10}'),
+        wire_row(2, "ddl", query="ALTER TABLE db1.t ADD COLUMN c BIGINT"),
+    ], WIRE_SCHEMA)
+    sj.apply_batch(b0, 0)
+    assert sj._catalog_batch() == 0
+
+    # simulate the crash window: frames watermark advanced, but the
+    # snapshot reverted to its pre-DDL state (what a crash between
+    # append and save leaves on disk)
+    pre = SchemaCatalog()
+    pre.register("db1", "t", T.StructType([
+        T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]),
+        ["id"])
+    pre.save(sj.catalog_path)
+    sj2 = SubscriptionJob(
+        spark, JobConfig("crash", [TableConfig("db1", "t", unique_key=["id"])]),
+        str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        SchemaCatalog.load(sj.catalog_path),
+    )
+    assert "c" not in [f.name for f in sj2.catalog.get("db1", "t").schema.fields]
+    sj2.apply_batch(b0, 0)  # replay: watermark skips frames, repairs catalog
+    assert "c" in [f.name for f in sj2.catalog.get("db1", "t").schema.fields]
+    snap = _json.load(open(sj.catalog_path))
+    assert snap["__frames_batch"] == 0
+    # a SECOND replay must not double-apply (marker now current)
+    cols_before = [f.name for f in sj2.catalog.get("db1", "t").schema.fields]
+    sj2.apply_batch(b0, 0)
+    assert [f.name for f in sj2.catalog.get("db1", "t").schema.fields] == cols_before
+    # frames were NOT duplicated by either replay
+    assert sj2.frames().count() == sj.frames().count()

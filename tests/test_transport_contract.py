@@ -319,8 +319,15 @@ def test_produce_frames_contract(spark, tmp_path):
     assert all(t == "dtle.db1.t" for t, _, _ in p.sent)
     assert all(k == b'{"id":1}' for _, k, _ in p.sent)
     vals = [v for _, _, v in p.sent]
-    assert vals.count(None) == 1  # the tombstone rides as value=None
-    assert all(v is None or v.startswith(b"{") for v in vals)
+    # EXACT send order: the insert envelope, then the delete envelope,
+    # then its tombstone — same-key frames within one micro-batch ride
+    # (__seq, __sub), so a non-stable sort can never send the delete
+    # before the insert (log compaction would resurrect the key)
+    import json as _json
+
+    assert _json.loads(vals[0])["op"] == "c"
+    assert _json.loads(vals[1])["op"] == "d"
+    assert vals[2] is None
 
 
 def test_produce_frames_enforces_bound(spark):
