@@ -434,3 +434,34 @@ def spread_docs_tokens(docs, id_col: str, text_col: str):
     return spread(docs).select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
     )
+
+
+def perplexity_buckets(docs, id_col: str = "doc_id", text_col: str = "text",
+                       buckets: int = 3):
+    """CCNet-style quality partition (Wenzek et al. 2020): rank docs by
+    the unigram-LM commonness score and cut into equal ntiles —
+    bucket 1 = "head" (most common/bland, the LM-likeliest text),
+    last = "tail" (rare-token text). Pipelines sample each bucket at
+    different rates instead of hard-filtering.
+
+    The score is the integer-exact unigram_commonness mean, so the
+    ordering (score desc, id) is bit-identical across engines and the
+    ntile boundaries hash-gate. The global ntile window is the
+    oracle-gatable tier; at 100 TB the same partition comes from
+    bucket THRESHOLDS fitted once on a sample (CCNet's own procedure —
+    it fits on a Wikipedia reference corpus), making the scoring pass
+    map-only; exact ntile would need a global sort."""
+    from pyspark.sql import Window
+
+    u = unigram_commonness(docs, id_col, text_col)
+    w = Window.orderBy(F.col("mean_bits").desc(), F.col("id"))
+    out = u.withColumn("bucket", F.ntile(buckets).over(w).cast("long"))
+    if buckets == 3:
+        label = (
+            F.when(F.col("bucket") == 1, "head")
+            .when(F.col("bucket") == 2, "middle")
+            .otherwise("tail")
+        )
+    else:
+        label = F.concat(F.lit("b"), F.col("bucket"))
+    return out.select("id", "mean_bits", "bucket", label.alias("band"))

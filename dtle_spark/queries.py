@@ -1549,6 +1549,120 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cp.leakage_safe_split(d, clusters)
 
 
+_QUALITY_EXPR_DUCK = """
+      0.4 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+      + 0.3 * (1.0 - coalesce(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / nullif(len(toks), 0), 0.0))
+      + 0.3 * coalesce(CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / nullif(length(text), 0), 0.0)
+"""
+
+
+def _duck_canonical_sql() -> str:
+    """Oracle for canonical-doc selection: CC transitive closure ->
+    unit = cluster (or own id) -> highest quality_score wins the unit
+    (ties to the lowest doc_id). Reuses the quality_score oracle's
+    exact double-op order so the scores hash-gate."""
+    return f"""
+    WITH RECURSIVE pairs AS ({_duck_minhash_sql()}),
+    edges AS (
+      SELECT id_1 AS a, id_2 AS b FROM pairs
+      UNION SELECT id_2, id_1 FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT re.node, e.b FROM reach re JOIN edges e ON re.r = e.a
+    ),
+    comp AS (SELECT node, MIN(r) AS unit FROM reach GROUP BY node),
+    q AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks, text
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, {_QUALITY_EXPR_DUCK} AS quality FROM q
+    ),
+    u AS (
+      SELECT s.doc_id, CAST(COALESCE(c.unit, s.doc_id) AS BIGINT) AS cluster_id,
+             s.quality
+      FROM scored s LEFT JOIN comp c ON s.doc_id = c.node
+    )
+    SELECT doc_id, cluster_id, quality,
+           (row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY quality DESC, doc_id) = 1) AS is_canonical
+    FROM u
+    """
+
+
+@query("canonical_docs", _duck_canonical_sql())
+def canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection: within each near-dup
+    cluster, the highest quality_score doc is the keeper (ties to the
+    lowest id; singletons keep themselves) — dedup pipelines retain
+    the canonical and drop the rest, so WHICH member survives is a
+    quality decision, not an arbitrary one (min-id or first-seen keeps
+    whatever crawled first)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_dedup_pairs(d, "doc_id", "text", threshold=0.5)
+    clusters = connected_components(pairs).localCheckpoint()
+    c = clusters.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("__unit")
+    )
+    scored = d.select(
+        "doc_id", tx.quality_score(F.col("text")).alias("quality")
+    ).join(c, "doc_id", "left").withColumn(
+        "cluster_id", F.coalesce(F.col("__unit"), F.col("doc_id")).cast("long")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return scored.select(
+        "doc_id", "cluster_id", "quality",
+        (F.row_number().over(w) == 1).alias("is_canonical"),
+    )
+
+
+@query(
+    "perplexity_buckets",
+    f"""
+    WITH tok AS (
+      SELECT doc_id AS id, unnest({_duck_toks()}) AS term FROM documents
+    ),
+    freq AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+    bits AS (SELECT term, CAST(length(to_base(cnt, 2)) - 1 AS BIGINT) AS bits FROM freq),
+    d AS (
+      SELECT id, COUNT(*) AS n_tokens, CAST(SUM(bits) AS BIGINT) AS info_bits
+      FROM tok JOIN bits USING (term) GROUP BY id
+    ),
+    u AS (
+      SELECT doc_id AS id,
+             CASE WHEN COALESCE(d.n_tokens, 0) = 0 THEN 0.0
+                  ELSE CAST(d.info_bits AS DOUBLE) / d.n_tokens END AS mean_bits
+      FROM documents LEFT JOIN d ON documents.doc_id = d.id
+    ),
+    t AS (
+      SELECT id, mean_bits,
+             CAST(ntile(3) OVER (ORDER BY mean_bits DESC, id) AS BIGINT) AS bucket
+      FROM u
+    )
+    SELECT id, mean_bits, bucket,
+           CASE WHEN bucket = 1 THEN 'head'
+                WHEN bucket = 2 THEN 'middle'
+                ELSE 'tail' END AS band
+    FROM t
+    """,
+)
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail partition over the integer-exact
+    unigram-LM commonness score (Wenzek et al. 2020) — pipelines
+    sample the bands at different rates rather than hard-filtering
+    (functions/textstats.perplexity_buckets; thresholds-from-a-sample
+    is the map-only 100 TB tier, noted there)."""
+    d = load_table(spark, sf_dir, "documents")
+    return tx.perplexity_buckets(d, "doc_id", "text")
+
+
 @query("dedup_clusters", _duck_cc_sql())
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative operator: connected components over the verified

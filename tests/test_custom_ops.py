@@ -1243,3 +1243,38 @@ def test_leakage_safe_split_invariants(spark):
     again = {r["doc_id"]: r["split"]
              for r in leakage_safe_split(d, clusters).collect()}
     assert again == split_of
+
+
+def test_canonical_docs_invariants(spark):
+    """Exactly one canonical per cluster, and it carries the cluster's
+    max quality (ties to lowest id)."""
+    from dtle_spark.queries import REGISTRY
+
+    out = REGISTRY["canonical_docs"].spark_fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for members in by_cluster.values():
+        canon = [m for m in members if m["is_canonical"]]
+        assert len(canon) == 1
+        best = max(members, key=lambda m: (m["quality"], -m["doc_id"]))
+        assert canon[0]["doc_id"] == best["doc_id"]
+
+
+def test_perplexity_buckets_balanced_and_ordered(spark):
+    """ntile bands are balanced (sizes differ by <= 1) and ordered:
+    every head score >= every middle score >= every tail score."""
+    from dtle_spark.queries import REGISTRY
+
+    out = REGISTRY["perplexity_buckets"].spark_fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    bands = {}
+    for r in out:
+        bands.setdefault(r["band"], []).append(r["mean_bits"])
+    sizes = sorted(len(v) for v in bands.values())
+    assert sizes[-1] - sizes[0] <= 1
+    assert min(bands["head"]) >= max(bands["middle"]) >= min(bands["middle"])
+    assert min(bands["middle"]) >= max(bands["tail"])
