@@ -134,6 +134,13 @@ class _Handler(BaseHTTPRequestHandler):
                         start=bool(d.get("start", True)),
                     )
                 else:
+                    # optional serializable target selector (resolved
+                    # by JobManager.create: parquet | bucketed | delta)
+                    tkw = {}
+                    if d.get("target_format"):
+                        tkw["target_format"] = d["target_format"]
+                        if d.get("target_n_buckets"):
+                            tkw["target_n_buckets"] = int(d["target_n_buckets"])
                     self.manager.create(
                         _job_config_from_json(d),
                         d["source_dir"],
@@ -141,6 +148,7 @@ class _Handler(BaseHTTPRequestHandler):
                         d["checkpoint_dir"],
                         self.catalog,
                         start=bool(d.get("start", True)),
+                        **tkw,
                     )
                 return self._send(201, {"created": d["name"]})
             return self._send(405, {"error": method})

@@ -434,3 +434,37 @@ def test_http_create_subscription_job(spark, job_dirs_factory):
         assert code == 200
     finally:
         server.stop()
+
+
+def test_http_create_with_target_format(spark, job_dirs_factory):
+    """The create body's target_format selector resolves through
+    JobManager._resolve_target — an HTTP client can pick the
+    parquet/bucketed/delta target without constructing objects."""
+    from dtle_spark.sinks.table_sink import ParquetTableTarget as PTT
+    from dtle_spark.streaming.http_api import ControlServer
+    from dtle_spark.streaming.jobs import JobManager
+
+    dirs = job_dirs_factory("tf")
+    changes = cdc_demo.orders_changes(spark, SF_DIR)
+    os.makedirs(dirs["source"])
+    to_wire(changes.limit(20)).coalesce(1).write.parquet(
+        os.path.join(dirs["source"], "b0"))
+
+    manager = JobManager(spark)
+    server = ControlServer(manager, _orders_catalog(changes)).start()
+    url = f"http://127.0.0.1:{server.port}"
+    try:
+        code, _ = _http("POST", f"{url}/v2/jobs", {
+            "name": "tf1",
+            "tables": [{"schema_name": "db1", "table_name": "orders",
+                        "unique_key": ["o_orderkey"]}],
+            "source_dir": os.path.join(dirs["source"], "*"),
+            "target_root": dirs["target"],
+            "checkpoint_dir": dirs["checkpoint"],
+            "target_format": "parquet",
+            "start": False,
+        })
+        assert code == 201
+        assert type(manager.get("tf1").target) is PTT
+    finally:
+        server.stop()
