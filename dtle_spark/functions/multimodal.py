@@ -570,3 +570,133 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(op, schema=FRAMES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video tier: a REAL (if minimal) container — MJPN, length-prefixed PNG
+# frames — so the frame-sampling plumbing (container walk, stride
+# selection, per-frame header/pixel reuse of the PNG tier, Arrow
+# batching) is genuinely exercised end-to-end. Compressed video
+# (mp4/webm/...) remains the loud ffmpeg seam in _decode_stub; the
+# pipeline shapes here are exactly what that decode would plug into.
+# ---------------------------------------------------------------------------
+
+VIDEO_MAGIC = b"MJPN"
+
+
+def make_video(frames: list[bytes]) -> bytes:
+    """Mux PNG frame payloads into the MJPN container:
+    magic + u32 frame count + per frame (u32 length + bytes)."""
+    out = [VIDEO_MAGIC, struct.pack(">I", len(frames))]
+    for fr in frames:
+        out.append(struct.pack(">I", len(fr)))
+        out.append(fr)
+    return b"".join(out)
+
+
+def parse_video_header(payload: bytes) -> dict | None:
+    """Container walk WITHOUT decoding any frame: frame count + byte
+    offsets (O(frames) u32 reads, never touches frame bodies — the
+    ranged-read economics of the image header tier)."""
+    data = bytes(payload)
+    if data[:4] != VIDEO_MAGIC or len(data) < 8:
+        return None
+    (n,) = struct.unpack(">I", data[4:8])
+    offsets = []
+    pos = 8
+    for _ in range(n):
+        if pos + 4 > len(data):
+            return None  # truncated container
+        (ln,) = struct.unpack(">I", data[pos:pos + 4])
+        if pos + 4 + ln > len(data):
+            return None  # truncated frame body
+        offsets.append((pos + 4, ln))
+        pos += 4 + ln
+    return {"format": "mjpn", "n_frames": n, "offsets": offsets}
+
+
+def sample_video_frames(payload: bytes, stride: int = 2) -> list[tuple[int, bytes]]:
+    """Every ``stride``-th frame's bytes (frame 0 always included) —
+    the keyframe-ish sampling a training pipeline runs before feature
+    extraction. Seeks straight to the sampled offsets; skipped frames'
+    bytes are never sliced out."""
+    hdr = parse_video_header(payload)
+    if hdr is None:
+        raise NotImplementedError(
+            "unrecognized video container; ffmpeg demux plugs in here"
+        )
+    data = bytes(payload)
+    out = []
+    for idx in range(0, hdr["n_frames"], stride):
+        off, ln = hdr["offsets"][idx]
+        out.append((idx, data[off:off + ln]))
+    return out
+
+
+VIDEO_FEATURE_SCHEMA = (
+    "doc_id long, format string, n_frames int, frame_idx int,"
+    " width int, height int"
+)
+
+
+def extract_video_frame_features(
+    media: DataFrame, stride: int = 2
+) -> DataFrame:
+    """mapInPandas frame sampling: one output row per SAMPLED frame
+    with its dimensions from the real PNG header parse — the
+    explode-shaped stage a video corpus runs before per-frame models.
+    Arrow-batched; payloads never shuffle (features only leave the
+    stage)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                hdr = parse_video_header(bytes(payload))
+                if hdr is None:
+                    raise NotImplementedError(
+                        "unrecognized video container; ffmpeg demux plugs in here"
+                    )
+                for idx, fr in sample_video_frames(bytes(payload), stride):
+                    dims = parse_image_header(fr)
+                    rows.append({
+                        "doc_id": doc_id,
+                        "format": hdr["format"],
+                        "n_frames": hdr["n_frames"],
+                        "frame_idx": idx,
+                        "width": None if dims is None else dims["width"],
+                        "height": None if dims is None else dims["height"],
+                    })
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "format", "n_frames", "frame_idx",
+                               "width", "height"],
+            )
+
+    return media.mapInPandas(op, schema=VIDEO_FEATURE_SCHEMA)
+
+
+def synthesize_video_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL-video media table: per id, an MJPN container
+    of (1 + id % 5) real PNG frames with dims
+    (1 + (id * 31 + idx) % 64, 1 + (id * 17 + idx * 3) % 64)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                n = 1 + int(doc_id) % 5
+                frames = [
+                    make_png(1 + (int(doc_id) * 31 + i) % 64,
+                             1 + (int(doc_id) * 17 + i * 3) % 64)
+                    for i in range(n)
+                ]
+                payloads.append(make_video(frames))
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].values,
+                "payload": payloads,
+                "mime": ["video/x-mjpn"] * len(payloads),
+            })
+
+    return spread(ids.select(id_col)).mapInPandas(
+        op, schema=MEDIA_COLUMNS_WITH_ID
+    )

@@ -1115,6 +1115,33 @@ from dtle_spark.functions import multimodal as mm  # noqa: E402
 
 
 @query(
+    "video_frame_sample",
+    """
+    SELECT doc_id, 'mjpn' AS format,
+           CAST(1 + doc_id % 5 AS INT) AS n_frames,
+           CAST(g.idx AS INT) AS frame_idx,
+           CAST(1 + (doc_id * 31 + g.idx) % 64 AS INT) AS width,
+           CAST(1 + (doc_id * 17 + g.idx * 3) % 64 AS INT) AS height
+    FROM documents, generate_series(0, 4, 2) g(idx)
+    WHERE g.idx < 1 + doc_id % 5
+    """,
+)
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling differential: synthesize a REAL container
+    (MJPN: length-prefixed real PNG frames, dims/frame-count =
+    f(doc_id)) per doc in one mapInPandas stage, then walk the
+    container, sample every 2nd frame, and read each sampled frame's
+    dims from its PNG header in another. The oracle recomputes
+    everything from the formulas, so a hash match proves
+    mux -> container walk -> stride sample -> frame header parse is
+    the identity through genuine bytes — the video plumbing tier with
+    no codec library (compressed video stays the loud ffmpeg seam)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = mm.synthesize_video_media(d)
+    return mm.extract_video_frame_features(media, stride=2)
+
+
+@query(
     "image_header_roundtrip",
     """
     SELECT doc_id, 'png' AS format,

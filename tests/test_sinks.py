@@ -455,3 +455,44 @@ def test_multimodal_features_header_tier_vs_pixel_validation(spark):
     assert (feats["width"], feats["height"]) == (3, 2)
     with pytest.raises(Exception):
         mm.extract_features(media, validate_pixels=True).collect()
+
+
+def test_video_container_roundtrip_and_sampling():
+    """MJPN mux -> header walk -> stride sample is the identity on
+    real PNG frame bytes; the header walk never decodes a frame; a
+    foreign container raises the ffmpeg seam loudly."""
+    import pytest
+
+    frames = [mm.make_png(3, 4), mm.make_png(5, 6), mm.make_png(7, 8)]
+    v = mm.make_video(frames)
+    hdr = mm.parse_video_header(v)
+    assert hdr["format"] == "mjpn" and hdr["n_frames"] == 3
+    sampled = mm.sample_video_frames(v, stride=2)
+    assert [i for i, _ in sampled] == [0, 2]
+    assert sampled[0][1] == frames[0] and sampled[1][1] == frames[2]
+    # frame bytes parse with the real PNG header tier
+    assert mm.parse_image_header(sampled[1][1]) == {
+        "format": "png", "width": 7, "height": 8}
+    # truncated container detected, foreign container raises the seam
+    assert mm.parse_video_header(v[:-3]) is None
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        mm.sample_video_frames(b"\x00\x00\x00\x18ftypmp42", stride=2)
+
+
+def test_video_feature_extraction_plumbing(spark):
+    """The mapInPandas stage: one row per SAMPLED frame with real
+    header dims, frame counts from the container walk."""
+    ids = spark.range(4).withColumnRenamed("id", "doc_id")
+    media = mm.synthesize_video_media(ids)
+    rows = mm.extract_video_frame_features(media, stride=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rs in by_doc.items():
+        n = 1 + doc_id % 5
+        assert all(r["n_frames"] == n for r in rs)
+        assert [r["frame_idx"] for r in sorted(rs, key=lambda x: x["frame_idx"])] \
+            == list(range(0, n, 2))
+        for r in rs:
+            assert r["width"] == 1 + (doc_id * 31 + r["frame_idx"]) % 64
+            assert r["height"] == 1 + (doc_id * 17 + r["frame_idx"] * 3) % 64
