@@ -68,3 +68,74 @@ def test_gtid_intervals_canonical_and_disjoint(spans):
         assert b1 + 1 < a2, ivs
     for a1, b1 in ivs:
         assert a1 <= b1
+
+
+# --- binlog translator invariants over random event streams -----------
+
+_tx_body = st.lists(
+    st.one_of(
+        st.tuples(st.just("insert"),
+                  st.lists(st.integers(0, 99), min_size=1, max_size=4)),
+        st.tuples(st.just("delete"),
+                  st.lists(st.integers(0, 99), min_size=1, max_size=4)),
+        st.tuples(st.just("update"),
+                  st.lists(st.integers(0, 99), min_size=1, max_size=4)),
+    ),
+    min_size=0, max_size=5,
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(st.booleans(), _tx_body), min_size=1, max_size=8),
+       st.integers(0, 3))
+def test_binlog_translator_invariants(txs, resume_upto):
+    """For ANY stream of (committed?, rows...) transactions:
+    - rows surface only at commit boundaries (uncommitted tails never)
+    - wire seq is STRICTLY monotone across all emitted rows
+    - txs <= resume position emit nothing (redelivery guard)
+    - gtid_executed equals exactly the committed, non-skipped gnos."""
+    from dtle_spark.sources.binlog_events import BinlogEventTranslator
+    from dtle_spark.sources.gtid import GtidSet
+
+    resume = GtidSet()
+    for g in range(1, resume_upto + 1):
+        resume.add(SID, g)
+    tr = BinlogEventTranslator(resume_from=resume)
+    out = []
+    expected = []
+    pos = 100
+    for gno0, (commit, body) in enumerate(txs, start=1):
+        tr_rows = tr.feed({"type": "gtid", "sid": SID, "gno": gno0,
+                           "last_committed": 0, "sequence_number": gno0})
+        assert tr_rows == []
+        n_rows = 0
+        for op, vals in body:
+            pos += 10
+            if op == "update":
+                rows = [({"id": v, "x": 0}, {"id": v, "x": 1}) for v in vals]
+            else:
+                rows = [{"id": v, "x": 0} for v in vals]
+            got = tr.feed({"type": "rows", "op": op, "schema": "db1",
+                           "table": "t", "rows": rows, "log_pos": pos})
+            assert got == []  # buffered until the commit boundary
+            n_rows += len(rows)
+        if commit:
+            pos += 10
+            got = tr.feed({"type": "xid", "xid": gno0, "log_pos": pos})
+            if gno0 > resume_upto:
+                assert len(got) == n_rows
+                out.extend(got)
+                expected.append(gno0)
+            else:
+                assert got == []  # redelivered tx skipped entirely
+        # uncommitted: next GTID event drops the buffer (asserted via
+        # the seq/emission invariants below)
+    seqs = [r["seq"] for r in out]
+    assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs)
+    want = GtidSet()
+    for g in range(1, resume_upto + 1):
+        want.add(SID, g)
+    for g in expected:
+        want.add(SID, g)
+    assert tr.gtid_executed.to_str() == want.to_str()
+    assert all(r["sid"] == SID for r in out)
