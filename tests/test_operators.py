@@ -342,3 +342,14 @@ class TestVersionedMergeConvergence:
                 tuple(r) for r in cur.filter("NOT __deleted").drop("__seq", "__deleted").collect()
             )
             assert got == expected, f"trial {trial}"
+
+
+def test_registry_fully_oracle_gated():
+    """Every registry query ships a DuckDB oracle (the driver's strong
+    rows+schema+hash gate) — a new entry without one should be a
+    deliberate, visible decision, not an accident."""
+    from dtle_spark.queries import REGISTRY
+
+    missing = [n for n, p in REGISTRY.items() if p.oracle is None]
+    assert missing == [], missing
+    assert len(REGISTRY) >= 112
