@@ -597,35 +597,50 @@ def make_video(frames: list[bytes]) -> bytes:
 def parse_video_header(payload: bytes) -> dict | None:
     """Container walk WITHOUT decoding any frame: frame count + byte
     offsets (O(frames) u32 reads, never touches frame bodies — the
-    ranged-read economics of the image header tier)."""
+    ranged-read economics of the image header tier).
+
+    Returns None ONLY for a foreign container (no MJPN magic — the
+    caller's ffmpeg seam); a payload that CLAIMS to be MJPN but is
+    truncated or carries trailing bytes raises ValueError — that is
+    data corruption, and pointing the operator at the codec seam would
+    hide it."""
     data = bytes(payload)
-    if data[:4] != VIDEO_MAGIC or len(data) < 8:
+    if len(data) < 8 or data[:4] != VIDEO_MAGIC:
         return None
     (n,) = struct.unpack(">I", data[4:8])
     offsets = []
     pos = 8
-    for _ in range(n):
+    for i in range(n):
         if pos + 4 > len(data):
-            return None  # truncated container
+            raise ValueError(f"truncated MJPN container at frame {i}")
         (ln,) = struct.unpack(">I", data[pos:pos + 4])
         if pos + 4 + ln > len(data):
-            return None  # truncated frame body
+            raise ValueError(f"truncated MJPN frame body at frame {i}")
         offsets.append((pos + 4, ln))
         pos += 4 + ln
+    if pos != len(data):
+        raise ValueError(
+            f"{len(data) - pos} trailing bytes after the declared "
+            f"{n} MJPN frames"
+        )
     return {"format": "mjpn", "n_frames": n, "offsets": offsets}
 
 
-def sample_video_frames(payload: bytes, stride: int = 2) -> list[tuple[int, bytes]]:
+def sample_video_frames(
+    payload: bytes, stride: int = 2, hdr: dict | None = None
+) -> list[tuple[int, bytes]]:
     """Every ``stride``-th frame's bytes (frame 0 always included) —
     the keyframe-ish sampling a training pipeline runs before feature
     extraction. Seeks straight to the sampled offsets; skipped frames'
-    bytes are never sliced out."""
-    hdr = parse_video_header(payload)
+    bytes are never sliced out. Pass a pre-parsed ``hdr`` to skip the
+    second container walk (the feature stage already has one)."""
+    data = bytes(payload)
+    if hdr is None:
+        hdr = parse_video_header(data)
     if hdr is None:
         raise NotImplementedError(
             "unrecognized video container; ffmpeg demux plugs in here"
         )
-    data = bytes(payload)
     out = []
     for idx in range(0, hdr["n_frames"], stride):
         off, ln = hdr["offsets"][idx]
@@ -652,12 +667,13 @@ def extract_video_frame_features(
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                hdr = parse_video_header(bytes(payload))
+                data = bytes(payload)  # ONE copy; hdr walk runs once
+                hdr = parse_video_header(data)
                 if hdr is None:
                     raise NotImplementedError(
                         "unrecognized video container; ffmpeg demux plugs in here"
                     )
-                for idx, fr in sample_video_frames(bytes(payload), stride):
+                for idx, fr in sample_video_frames(data, stride, hdr=hdr):
                     dims = parse_image_header(fr)
                     rows.append({
                         "doc_id": doc_id,

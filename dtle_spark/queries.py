@@ -440,16 +440,22 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", tx.lang_guess(tx.tokens(F.col("text"))).alias("lang_guess"))
 
 
-@query(
-    "quality_score",
-    """
-    WITH t AS (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-               FROM documents)
-    SELECT doc_id,
+# ONE copy of the must-stay-bit-identical quality formula: the
+# quality_score gate AND canonical_docs' per-cluster ranking both hash
+# against it — duplicating it would let an edit desynchronize them.
+_QUALITY_EXPR_DUCK = """
       0.4 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
       + 0.3 * (1.0 - coalesce(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / nullif(len(toks), 0), 0.0))
       + 0.3 * coalesce(CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / nullif(length(text), 0), 0.0)
-      AS quality
+"""
+
+
+@query(
+    "quality_score",
+    f"""
+    WITH t AS (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+               FROM documents)
+    SELECT doc_id, {_QUALITY_EXPR_DUCK} AS quality
     FROM t
     """,
 )
@@ -1576,13 +1582,6 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cp.leakage_safe_split(d, clusters)
 
 
-_QUALITY_EXPR_DUCK = """
-      0.4 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
-      + 0.3 * (1.0 - coalesce(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / nullif(len(toks), 0), 0.0))
-      + 0.3 * coalesce(CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / nullif(length(text), 0), 0.0)
-"""
-
-
 def _duck_canonical_sql() -> str:
     """Oracle for canonical-doc selection: CC transitive closure ->
     unit = cluster (or own id) -> highest quality_score wins the unit
@@ -1650,9 +1649,11 @@ def canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "perplexity_buckets",
-    f"""
+def _duck_unigram_cte() -> str:
+    """Shared CTE block for the unigram-LM oracles (unigram_commonness
+    and perplexity_buckets hash against the SAME token/frequency/bits
+    pipeline — one copy so they cannot drift)."""
+    return f"""
     WITH tok AS (
       SELECT doc_id AS id, unnest({_duck_toks()}) AS term FROM documents
     ),
@@ -1661,7 +1662,12 @@ def canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d AS (
       SELECT id, COUNT(*) AS n_tokens, CAST(SUM(bits) AS BIGINT) AS info_bits
       FROM tok JOIN bits USING (term) GROUP BY id
-    ),
+    )"""
+
+
+@query(
+    "perplexity_buckets",
+    f"""{_duck_unigram_cte()},
     u AS (
       SELECT doc_id AS id,
              CASE WHEN COALESCE(d.n_tokens, 0) = 0 THEN 0.0
@@ -3790,16 +3796,7 @@ def containment_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "unigram_commonness",
-    f"""
-    WITH tok AS (
-      SELECT doc_id AS id, unnest({_duck_toks()}) AS term FROM documents
-    ),
-    freq AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
-    bits AS (SELECT term, CAST(length(to_base(cnt, 2)) - 1 AS BIGINT) AS bits FROM freq),
-    d AS (
-      SELECT id, COUNT(*) AS n_tokens, CAST(SUM(bits) AS BIGINT) AS info_bits
-      FROM tok JOIN bits USING (term) GROUP BY id
-    )
+    f"""{_duck_unigram_cte()}
     SELECT doc_id AS id,
            CAST(COALESCE(d.n_tokens, 0) AS BIGINT) AS n_tokens,
            CAST(COALESCE(d.info_bits, 0) AS BIGINT) AS info_bits,

@@ -122,6 +122,13 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._send(200, self.manager.list())
             if method == "POST":
                 d = self._body()
+                if d.get("target_n_buckets") is not None and not d.get("target_format"):
+                    return self._send(400, {
+                        "error": "target_n_buckets requires target_format"})
+                if d.get("type") == "subscription" and d.get("target_format"):
+                    return self._send(400, {
+                        "error": "target_format does not apply to "
+                                 "subscription jobs (frames log only)"})
                 if d.get("type") == "subscription":
                     # third job type: change log -> Debezium frames
                     # (api/handler/v2/job.go:1222-1235)
@@ -139,7 +146,7 @@ class _Handler(BaseHTTPRequestHandler):
                     tkw = {}
                     if d.get("target_format"):
                         tkw["target_format"] = d["target_format"]
-                        if d.get("target_n_buckets"):
+                        if d.get("target_n_buckets") is not None:
                             tkw["target_n_buckets"] = int(d["target_n_buckets"])
                     self.manager.create(
                         _job_config_from_json(d),

@@ -466,5 +466,28 @@ def test_http_create_with_target_format(spark, job_dirs_factory):
         })
         assert code == 201
         assert type(manager.get("tf1").target) is PTT
+        # misconfigurations fail at create, not after data lands wrong
+        code, body = _http("POST", f"{url}/v2/jobs", {
+            "name": "tf2",
+            "tables": [{"schema_name": "db1", "table_name": "orders",
+                        "unique_key": ["o_orderkey"]}],
+            "source_dir": os.path.join(dirs["source"], "*"),
+            "target_root": dirs["target"],
+            "checkpoint_dir": dirs["checkpoint"],
+            "target_n_buckets": 64,  # without target_format
+            "start": False,
+        })
+        assert code == 400 and "target_format" in body["error"]
+        code, body = _http("POST", f"{url}/v2/jobs", {
+            "name": "tf3", "type": "subscription",
+            "tables": [{"schema_name": "db1", "table_name": "orders",
+                        "unique_key": ["o_orderkey"]}],
+            "source_dir": os.path.join(dirs["source"], "*"),
+            "target_root": dirs["target"],
+            "checkpoint_dir": dirs["checkpoint"],
+            "target_format": "delta",
+            "start": False,
+        })
+        assert code == 400 and "subscription" in body["error"]
     finally:
         server.stop()

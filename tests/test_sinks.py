@@ -473,8 +473,13 @@ def test_video_container_roundtrip_and_sampling():
     # frame bytes parse with the real PNG header tier
     assert mm.parse_image_header(sampled[1][1]) == {
         "format": "png", "width": 7, "height": 8}
-    # truncated container detected, foreign container raises the seam
-    assert mm.parse_video_header(v[:-3]) is None
+    # CORRUPT MJPN (magic intact, truncated body / trailing bytes) is
+    # data corruption, not the codec seam
+    with pytest.raises(ValueError, match="truncated MJPN"):
+        mm.parse_video_header(v[:-3])
+    with pytest.raises(ValueError, match="trailing bytes"):
+        mm.parse_video_header(v + b"junk")
+    # a FOREIGN container raises the ffmpeg seam
     with pytest.raises(NotImplementedError, match="ffmpeg"):
         mm.sample_video_frames(b"\x00\x00\x00\x18ftypmp42", stride=2)
 
