@@ -368,6 +368,60 @@ def ivf_topk(
     )
 
 
+def ivf_assign_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-only cell assignment against a FIXED centroid table — the
+    exact argmax fold ivf_topk builds its index with, factored out so
+    the index can be maintained INCREMENTALLY: assign only the new
+    batch and append, instead of re-assigning the 100 TB corpus per
+    ingest (the incremental_dedup story for the vector path; FAISS's
+    add()-after-train). Returns (neighbor_id, n_vec, n_norm, cell)."""
+    cent_n = centroids.withColumn(
+        "c_norm", F.expr(f"sqrt({dot_expr('c_vec', 'c_vec')})")
+    )
+    cents_arr = cent_n.agg(
+        F.expr("sort_array(collect_list(struct(cent_id, c_vec, c_norm)))").alias("cents")
+    )
+    score = f"({dot_expr('vec', 'c.c_vec')}) / c.c_norm"
+    best = (
+        f"array_max(transform(cents, c -> struct({score} AS cos,"
+        f" c.cent_id AS cell))).cell"
+    )
+    return (
+        vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"))
+        .crossJoin(F.broadcast(cents_arr))
+        .withColumn("cell", F.expr(best))
+        .select(
+            "neighbor_id",
+            F.col("vec").alias("n_vec"),
+            norm_expr("vec").alias("n_norm"),
+            "cell",
+        )
+    )
+
+
+def ivf_index_append(
+    index: DataFrame,
+    new_vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental index maintenance: assign ONLY the new batch
+    against the index's (frozen) centroid table and union it in —
+    byte-identical to rebuilding from scratch (pytest-pinned), at
+    O(|batch|) assignment cost instead of O(|corpus|). Re-train (new
+    centroids) is the rebuild event, exactly as re-fingerprinting is
+    for the dedup index; cell-population drift under a frozen train is
+    the standard IVF operational trade (FAISS add() has the same)."""
+    fresh = ivf_assign_cells(new_vectors, centroids, id_col, vec_col)
+    return index.unionByName(fresh)
+
+
 def truncate_normalize(
     vectors: DataFrame,
     dim_out: int,

@@ -1278,3 +1278,28 @@ def test_perplexity_buckets_balanced_and_ordered(spark):
     assert sizes[-1] - sizes[0] <= 1
     assert min(bands["head"]) >= max(bands["middle"]) >= min(bands["middle"])
     assert min(bands["middle"]) >= max(bands["tail"])
+
+
+def test_ivf_index_append_equals_rebuild(spark):
+    """Incremental IVF maintenance: assigning only the new batch
+    against the frozen centroids and unioning equals re-assigning the
+    full corpus — same rows, bit for bit (the incremental_dedup
+    equivalence, vector edition)."""
+    from dtle_spark.tableio import load_table
+    from dtle_spark.functions.similarity import (
+        ivf_assign_cells, ivf_exact_mean_centroids, ivf_index_append,
+    )
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    old = e.filter(F.col("vec_id") % 4 != 0)
+    new = e.filter(F.col("vec_id") % 4 == 0)
+    # centroids FROZEN from the original corpus (the train event)
+    cent = ivf_exact_mean_centroids(old, k=16).localCheckpoint()
+    index = ivf_assign_cells(old, cent).localCheckpoint()
+    appended = ivf_index_append(index, new, cent)
+    rebuilt = ivf_assign_cells(e, cent)
+    a = {(r["neighbor_id"], r["cell"], r["n_norm"]) for r in appended.collect()}
+    b = {(r["neighbor_id"], r["cell"], r["n_norm"]) for r in rebuilt.collect()}
+    assert a == b
+    assert appended.count() == e.count()
