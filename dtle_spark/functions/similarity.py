@@ -307,40 +307,15 @@ def ivf_topk(
         cent = vectors.filter(F.col(id_col) % centroid_stride == 1).select(
             F.col(id_col).alias("cent_id"), F.col(vec_col).alias("c_vec")
         )
-    # centroid norms precompute ONCE into the broadcast array — the
-    # assignment fold then does one dot + one divide per centroid
-    # instead of re-deriving |centroid| per (row, centroid) pair
-    cent_n = cent.withColumn("c_norm", F.expr(f"sqrt({dot_expr('c_vec', 'c_vec')})"))
-    cents_arr = cent_n.agg(
-        F.expr("sort_array(collect_list(struct(cent_id, c_vec, c_norm)))").alias("cents")
-    )
-    def _best(vec: str) -> str:
-        # argmax over centroids: the row's own norm is a constant
-        # factor, so score = dot / |centroid| picks the same cell as
-        # full cosine with one fewer fold per centroid
-        score = f"({dot_expr(vec, 'c.c_vec')}) / c.c_norm"
-        return (
-            f"array_max(transform(cents, c -> struct({score} AS cos, c.cent_id AS cell))).cell"
-        )
-
-    assigned = (
-        vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"))
-        .crossJoin(F.broadcast(cents_arr))
-        .withColumn("cell", F.expr(_best("vec")))
-        .select(
-            "neighbor_id",
-            F.col("vec").alias("n_vec"),
-            norm_expr("vec").alias("n_norm"),
-            "cell",
-        )
-        # materialize the assignment: this table IS the IVF index (in
-        # production it is built once and persisted; FAISS's add()
-        # phase). Without the barrier, the probe equi-join's inferred
-        # isnotnull(cell) constraint pushes the whole argmax fold into
-        # the upstream join condition and evaluates it a second time
-        # per corpus row (observed: 2x assignment cost in the plan).
-        .localCheckpoint(eager=False)
-    )
+    # materialize the assignment: this table IS the IVF index (in
+    # production it is built once and persisted and GROWS via
+    # ivf_index_append; FAISS's add() phase). Without the barrier, the
+    # probe equi-join's inferred isnotnull(cell) constraint pushes the
+    # whole argmax fold into the upstream join condition and evaluates
+    # it a second time per corpus row (observed: 2x assignment cost).
+    assigned = ivf_assign_cells(
+        vectors, cent, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint(eager=False)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
@@ -897,14 +872,6 @@ def ivf_pq_topk(
     cent = ivf_exact_mean_centroids(
         vectors, k=n_cells, id_col=id_col, vec_col=vec_col, dim=dim
     ).localCheckpoint()
-    cent_n = cent.withColumn("c_norm", F.expr(f"sqrt({dot_expr('c_vec', 'c_vec')})"))
-    cents_arr = cent_n.agg(
-        F.expr("sort_array(collect_list(struct(cent_id, c_vec, c_norm)))").alias("cents")
-    )
-    best = (
-        f"array_max(transform(cents, c -> struct(({dot_expr('vec', 'c.c_vec')})"
-        f" / c.c_norm AS cos, c.cent_id AS cell))).cell"
-    )
     cb = pq_refine(
         vectors, pq_codebook(vectors, m=m, ksub=ksub, dim=dim,
                              id_col=id_col, vec_col=vec_col),
@@ -913,9 +880,8 @@ def ivf_pq_topk(
     enc = pq_encode(vectors, cb, m=m, ksub=ksub, dim=dim,
                     id_col=id_col, vec_col=vec_col)
     celled = (
-        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-        .crossJoin(F.broadcast(cents_arr))
-        .select("id", F.expr(best).alias("cell"))
+        ivf_assign_cells(vectors, cent, id_col=id_col, vec_col=vec_col)
+        .select(F.col("neighbor_id").alias("id"), "cell")
         .join(enc, "id")
         .localCheckpoint(eager=False)  # (cell, codes, rnorm): THE index
     )
