@@ -50,8 +50,11 @@ def _finish(
         else (F.lit(default_source) if default_source is not None
               else F.input_file_name())
     )
+    # numeric ids pass through; string/uuid ids hash deterministically
+    # (try_cast: a bare cast NULLs them in legacy mode and THROWS under
+    # ANSI — both wrong answers for an id column)
     doc_id = (
-        F.col(id_col).cast("long")
+        F.coalesce(F.col(id_col).try_cast("long"), F.xxhash64(F.col(id_col)))
         if id_col
         else F.xxhash64(source, text)
     )

@@ -104,3 +104,22 @@ def test_ingested_corpus_drives_operators(spark, jsonl_dir):
     assert by_id[7]["n_tokens"] == 4
     assert by_id[9]["n_tokens"] == 0
     assert len({r["fp"] for r in stats}) == 3
+
+
+def test_string_ids_hash_instead_of_null(spark, tmp_path):
+    """A string/uuid id column must not become silent NULLs: non-castable
+    ids hash deterministically."""
+    p = tmp_path / "sids"
+    p.mkdir()
+    with open(p / "x.jsonl", "w") as f:
+        f.write(json.dumps({"id": "doc-aaa", "text": "one"}) + "\n")
+        f.write(json.dumps({"id": "doc-bbb", "text": "two"}) + "\n")
+        f.write(json.dumps({"id": "17", "text": "three"}) + "\n")
+    d = read_jsonl_corpus(spark, str(p), id_col="id")
+    rows = {r["text"]: r["doc_id"] for r in d.collect()}
+    assert None not in rows.values()
+    assert rows["three"] == 17          # numeric strings pass through
+    assert len(set(rows.values())) == 3
+    again = {r["text"]: r["doc_id"]
+             for r in read_jsonl_corpus(spark, str(p), id_col="id").collect()}
+    assert again == rows                # hash ids are deterministic
