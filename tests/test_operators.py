@@ -353,3 +353,54 @@ def test_registry_fully_oracle_gated():
     missing = [n for n, p in REGISTRY.items() if p.oracle is None]
     assert missing == [], missing
     assert len(REGISTRY) >= 112
+
+
+def test_registry_rotation_order(tmp_path, monkeypatch):
+    """The driver checks the HEAD of queries(); the sort must send
+    never-checked entries first, then oldest-last-green, with freshest
+    greens last — pinned against synthetic CORRECTNESS files so a
+    refactor cannot silently break window coverage."""
+    import json
+
+    import dtle_spark.queries as q
+
+    names = list(q.REGISTRY.keys())
+    a, b, c, d = names[0], names[1], names[2], names[3]
+    # a: green long ago (r1); b: green recently (r5); c: green in both
+    # (last r5); d: never green. Expected head order: d, a, then b/c.
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        a: {"hash_match": True, "rows_match": True},
+        c: {"hash_match": True, "rows_match": True},
+    }))
+    (tmp_path / "CORRECTNESS_r05.json").write_text(json.dumps({
+        b: {"hash_match": True, "rows_match": True},
+        c: {"hash_match": True, "rows_match": True},
+    }))
+    import os
+    real_dirname = os.path.dirname
+
+    def fake_dirname(p):
+        # _registry_order derives the repo root from __file__; point it
+        # at the synthetic dir instead
+        return str(tmp_path)
+
+    monkeypatch.setattr(q.os if hasattr(q, "os") else os, "path", os.path)
+    orig = q._registry_order
+
+    # patch the glob root by monkeypatching os.path.dirname inside the fn
+    import glob as _glob
+    real_glob = _glob.glob
+
+    def fake_glob(pattern):
+        if "CORRECTNESS_r" in pattern:
+            return sorted(str(p) for p in tmp_path.glob("CORRECTNESS_r*.json"))
+        return real_glob(pattern)
+
+    monkeypatch.setattr(_glob, "glob", fake_glob)
+    order = q._registry_order()
+    pos = {n: i for i, n in enumerate(order)}
+    assert pos[d] < pos[a] < pos[b]  # never < oldest-green < recent
+    assert pos[d] < pos[a] < pos[c]
+    # b and c were both last green in r5; c has MORE lifetime greens,
+    # so b (fewer) sorts first within the cohort
+    assert pos[b] < pos[c]
