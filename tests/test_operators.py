@@ -376,18 +376,8 @@ def test_registry_rotation_order(tmp_path, monkeypatch):
         b: {"hash_match": True, "rows_match": True},
         c: {"hash_match": True, "rows_match": True},
     }))
-    import os
-    real_dirname = os.path.dirname
-
-    def fake_dirname(p):
-        # _registry_order derives the repo root from __file__; point it
-        # at the synthetic dir instead
-        return str(tmp_path)
-
-    monkeypatch.setattr(q.os if hasattr(q, "os") else os, "path", os.path)
-    orig = q._registry_order
-
-    # patch the glob root by monkeypatching os.path.dirname inside the fn
+    # _registry_order globs CORRECTNESS files from the repo root;
+    # redirect the glob to the synthetic dir
     import glob as _glob
     real_glob = _glob.glob
 
