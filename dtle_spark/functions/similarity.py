@@ -514,6 +514,47 @@ def quantized_topk(
 # ---------------------------------------------------------------------------
 
 
+TRAIN_SAMPLE_HEX = "0123"  # leading md5 nibble -> deterministic 25% draw
+
+
+def md5_train_sample(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    hex_chars: str = TRAIN_SAMPLE_HEX,
+) -> DataFrame:
+    """Deterministic training sample: keep rows whose md5(id-as-string)
+    leads with one of ``hex_chars`` (default 4 of 16 nibbles = 25%).
+    The draw is a pure function of the id — both engines and every
+    rerun select the same rows, so an oracle restates it as the same
+    WHERE clause — which is what lets sampled TRAINING stay inside a
+    hash-compared gate (a random split would not).
+
+    This is the production shape for the trained tiers: Lloyd steps
+    only need a representative subset, so at 100 TB the codebook /
+    centroid train scans the sample while encode/search still stream
+    the full corpus."""
+    lead = F.expr(f"substring(md5(cast({id_col} as string)), 1, 1)")
+    return vectors.filter(lead.isin(*list(hex_chars)))
+
+
+def _require_dense_codebook(codebook: DataFrame, m: int, ksub: int) -> None:
+    """Positional slicing (pq_encode, pq_refine, the LUT layout) REQUIRES
+    a dense codebook — every (sub, code) in m x ksub exactly once. A
+    sparse or gapped table would silently read neighboring sub-spaces'
+    entries and mis-score. The table is m*ksub rows; validating is one
+    tiny job."""
+    got = {(r["sub"], r["code"]) for r in codebook.select("sub", "code").collect()}
+    want = {(s, j) for s in range(m) for j in range(ksub)}
+    if got != want:
+        missing = sorted(want - got)[:5]
+        extra = sorted(got - want)[:5]
+        raise ValueError(
+            f"PQ codebook must be dense over sub 0..{m - 1} x code "
+            f"0..{ksub - 1} (positional slicing mis-scores otherwise); "
+            f"missing={missing} unexpected={extra}"
+        )
+
+
 def pq_codebook(
     vectors: DataFrame,
     m: int = 8,
@@ -583,6 +624,7 @@ def pq_refine(
     groupBy into m*ksub cells with d integer sums — partial-aggregable,
     one shuffle of m*ksub*(d+1) longs."""
     d = dim // m
+    _require_dense_codebook(codebook, m, ksub)
     subs = vectors.select(
         F.explode(
             F.expr(
@@ -663,21 +705,7 @@ def pq_encode(
 
     Returns (id, codes array<int> len m, rnorm double)."""
     d = dim // m
-    # positional slicing below REQUIRES a dense codebook (every
-    # (sub, code) in m x ksub exactly once): a sparse one — corpus
-    # smaller than ksub, or a caller-trained table with gaps — would
-    # silently read neighboring sub-spaces' entries and mis-score.
-    # The table is m*ksub rows; validating is one tiny job.
-    got = {(r["sub"], r["code"]) for r in codebook.select("sub", "code").collect()}
-    want = {(s, j) for s in range(m) for j in range(ksub)}
-    if got != want:
-        missing = sorted(want - got)[:5]
-        extra = sorted(got - want)[:5]
-        raise ValueError(
-            f"PQ codebook must be dense over sub 0..{m - 1} x code "
-            f"0..{ksub - 1} (positional slicing mis-scores otherwise); "
-            f"missing={missing} unexpected={extra}"
-        )
+    _require_dense_codebook(codebook, m, ksub)
     cb_row = _pq_cb_row(codebook)
     l2 = (
         f"aggregate(zip_with(slice(vec, s * {d} + 1, {d}), c.cvec,"
@@ -851,6 +879,9 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rerank: int = 0,
+    train: DataFrame | None = None,
+    centroids: DataFrame | None = None,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """The composed 100 TB rung: IVF cells bound WHICH rows score, PQ
     codes bound WHAT each scoring touches — FAISS IVFPQ re-expressed.
@@ -866,17 +897,34 @@ def ivf_pq_topk(
     candidate pool. Per-query cost drops from N to
     N * nprobe/n_cells code rows.
 
-    Pytest-gated (recall floor vs brute force); the component stages
-    are each oracle-gated on their own queries (ann_topk_ivf_trained,
-    ann_topk_pq)."""
-    cent = ivf_exact_mean_centroids(
-        vectors, k=n_cells, id_col=id_col, vec_col=vec_col, dim=dim
-    ).localCheckpoint()
-    cb = pq_refine(
-        vectors, pq_codebook(vectors, m=m, ksub=ksub, dim=dim,
-                             id_col=id_col, vec_col=vec_col),
-        steps=2, m=m, ksub=ksub, dim=dim, id_col=id_col, vec_col=vec_col,
-    ).localCheckpoint()
+    Training: pass ``train`` (e.g. an :func:`md5_train_sample` draw) to
+    fit both the centroid table and the codebook on a subset — the
+    production shape (Lloyd only needs a representative sample; the
+    full corpus is still what gets assigned/encoded). Pass
+    ``centroids`` / ``codebook`` to reuse already-trained tables (the
+    persisted-index path: train once, reuse across ingests/searches).
+
+    Oracle-gated end-to-end on its own registry query
+    (ann_topk_ivf_pq) plus a pytest recall floor vs brute force; the
+    component stages are each oracle-gated on their own queries
+    (ann_topk_ivf_trained, ann_topk_pq)."""
+    tr = train if train is not None else vectors
+    cent = (
+        centroids
+        if centroids is not None
+        else ivf_exact_mean_centroids(
+            tr, k=n_cells, id_col=id_col, vec_col=vec_col, dim=dim
+        ).localCheckpoint()
+    )
+    cb = (
+        codebook
+        if codebook is not None
+        else pq_refine(
+            tr, pq_codebook(tr, m=m, ksub=ksub, dim=dim,
+                            id_col=id_col, vec_col=vec_col),
+            steps=2, m=m, ksub=ksub, dim=dim, id_col=id_col, vec_col=vec_col,
+        ).localCheckpoint()
+    )
     enc = pq_encode(vectors, cb, m=m, ksub=ksub, dim=dim,
                     id_col=id_col, vec_col=vec_col)
     celled = (

@@ -962,13 +962,25 @@ SELECT query_id, neighbor_id, rnk, qcos FROM r WHERE rnk <= 10
 """
 
 
+def _duck_train_where() -> str:
+    """DuckDB restatement of similarity.md5_train_sample: the
+    deterministic 25% md5-draw both engines agree on byte-for-byte
+    (md5 of the decimal id string; same leading-nibble set)."""
+    nibbles = ", ".join(f"'{c}'" for c in sim.TRAIN_SAMPLE_HEX)
+    return f"substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ({nibbles})"
+
+
 def _duck_pq_oracle(m: int = 16, ksub: int = 16, dim: int = 64,
-                    steps: int = 2, rerank: int = 100, k: int = 10) -> str:
+                    steps: int = 2, rerank: int = 100, k: int = 10,
+                    sampled_train: bool = False) -> str:
     """Oracle for the PQ tier (similarity.pq_codebook/pq_refine/
     pq_encode/pq_topk): every stage is restated with the SAME
     sequential fold order — integer-scaled means (order-free), argmin
     L2 with struct-min tie-break, LUT sums in sub-space order, exact
-    rerank cosine — so the doubles are bit-identical."""
+    rerank cosine — so the doubles are bit-identical.
+    ``sampled_train`` restricts the codebook-fitting CTEs (centsum,
+    subs) to the md5_train_sample draw — encode/ADC/rerank still scan
+    every vector, mirroring the train-on-sample production shape."""
     d = dim // m
     sums = ", ".join(
         f"CAST(SUM(CAST(round(CAST(embedding[{i + 1}] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS s{i}"
@@ -1027,10 +1039,11 @@ cbe{t} AS (
   SELECT p.sub AS sub, p.code AS code, COALESCE(r.cvec, p.cvec) AS cvec
   FROM cbe{t - 1} p LEFT JOIN mref{t} r ON p.sub = r.sub AND p.code = r.code
 ),"""
+    train_where = f"WHERE {_duck_train_where()}" if sampled_train else ""
     return f"""
 WITH centsum AS (
   SELECT vec_id % {ksub} AS cent_id, COUNT(*) AS n, {sums}
-  FROM embeddings GROUP BY cent_id),
+  FROM embeddings {train_where} GROUP BY cent_id),
 cent0 AS (SELECT cent_id, [{comps}] AS c_vec FROM centsum),
 cbe0 AS (
   SELECT g.s AS sub, CAST(cent_id AS INTEGER) AS code,
@@ -1039,7 +1052,7 @@ cbe0 AS (
 ),
 subs AS (
   SELECT g.s AS sub, list_slice(embedding, g.s * {d} + 1, g.s * {d} + {d}) AS sv
-  FROM embeddings, generate_series(0, {m - 1}) g(s)
+  FROM embeddings, generate_series(0, {m - 1}) g(s) {train_where}
 ),{refine}
 cbf AS (SELECT sub, code, cvec, {cnorm2} AS cnorm2 FROM cbe{steps}),
 cbl AS (SELECT list({{'sub': sub, 'code': code, 'cvec': cvec, 'cnorm2': cnorm2}} ORDER BY sub, code) AS cb FROM cbf),
@@ -1079,20 +1092,24 @@ SELECT query_id, neighbor_id, rnk, cosine FROM r WHERE rnk <= {k}
 """
 
 
-@query("ann_topk_pq", _duck_pq_oracle())
+@query("ann_topk_pq", _duck_pq_oracle(sampled_train=True))
 def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization tier (similarity.pq_*): the corpus
     compresses to 16 4-dim codebook codes per vector (codebook = one
-    integer-exact Lloyd init + 2 deterministic refinement steps), ADC
-    scoring against per-query LUTs selects a top-100 candidate pool,
-    and exact cosine reranks the pool to the final top-10 — FAISS's
-    PQ-with-refine ladder rung between int8 SQ and IVF cells
-    (Jégou et al., TPAMI 2011). Recall@10 vs brute force gates at 0.9
-    in pytest; corpus-wide scoring touches only the 16-byte codes."""
+    integer-exact Lloyd init + 2 deterministic refinement steps,
+    FITTED ON the deterministic 25% md5_train_sample draw — the
+    production train-on-sample shape; encode and ADC still scan every
+    vector), ADC scoring against per-query LUTs selects a top-100
+    candidate pool, and exact cosine reranks the pool to the final
+    top-10 — FAISS's PQ-with-refine ladder rung between int8 SQ and
+    IVF cells (Jégou et al., TPAMI 2011). Recall@10 vs brute force
+    gates at 0.9 in pytest; corpus-wide scoring touches only the
+    16-byte codes."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 50 == 0)
+    tr = sim.md5_train_sample(e)
     cb = sim.pq_refine(
-        e, sim.pq_codebook(e, m=16, ksub=16), steps=2, m=16, ksub=16
+        tr, sim.pq_codebook(tr, m=16, ksub=16), steps=2, m=16, ksub=16
     )  # refine's final step is already checkpoint-pinned
     out = sim.pq_topk(e, q, k=10, m=16, ksub=16, codebook=cb, rerank=100)
     return out.withColumnRenamed("rank", "rnk")
