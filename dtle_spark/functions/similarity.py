@@ -537,13 +537,21 @@ def md5_train_sample(
     return vectors.filter(lead.isin(*list(hex_chars)))
 
 
-def _require_dense_codebook(codebook: DataFrame, m: int, ksub: int) -> None:
+def _require_dense_codebook(
+    codebook: DataFrame, m: int, ksub: int, d: int | None = None
+) -> None:
     """Positional slicing (pq_encode, pq_refine, the LUT layout) REQUIRES
     a dense codebook — every (sub, code) in m x ksub exactly once. A
     sparse or gapped table would silently read neighboring sub-spaces'
-    entries and mis-score. The table is m*ksub rows; validating is one
-    tiny job."""
-    got = {(r["sub"], r["code"]) for r in codebook.select("sub", "code").collect()}
+    entries and mis-score. Pass ``d`` (= dim // m) to also reject a
+    STALE reused codebook trained with a different m — its entries have
+    the wrong sub-vector length and would otherwise zip_with-truncate
+    into silently wrong distances. The table is m*ksub rows; validating
+    is one tiny job."""
+    rows = codebook.select(
+        "sub", "code", F.size("cvec").alias("dlen")
+    ).collect()
+    got = {(r["sub"], r["code"]) for r in rows}
     want = {(s, j) for s in range(m) for j in range(ksub)}
     if got != want:
         missing = sorted(want - got)[:5]
@@ -553,6 +561,14 @@ def _require_dense_codebook(codebook: DataFrame, m: int, ksub: int) -> None:
             f"0..{ksub - 1} (positional slicing mis-scores otherwise); "
             f"missing={missing} unexpected={extra}"
         )
+    if d is not None:
+        bad = sorted({r["dlen"] for r in rows if r["dlen"] != d})
+        if bad:
+            raise ValueError(
+                f"PQ codebook entries have sub-vector dim(s) {bad}, "
+                f"expected {d} (= dim // m) — reused codebook trained "
+                f"with a different m/dim?"
+            )
 
 
 def pq_codebook(
@@ -624,7 +640,11 @@ def pq_refine(
     groupBy into m*ksub cells with d integer sums — partial-aggregable,
     one shuffle of m*ksub*(d+1) longs."""
     d = dim // m
-    _require_dense_codebook(codebook, m, ksub)
+    # pin the (m*ksub-row) input BEFORE validating: the validation
+    # collect and the first loop's cb_row otherwise each force the full
+    # codebook-training lineage — an extra training-set scan per call
+    cb = codebook.select("sub", "code", "cvec").localCheckpoint()
+    _require_dense_codebook(cb, m, ksub, d)
     subs = vectors.select(
         F.explode(
             F.expr(
@@ -636,7 +656,6 @@ def pq_refine(
     if steps > 1:
         # every step rescans the exploded subvectors; pin them once
         subs = subs.localCheckpoint()
-    cb = codebook.select("sub", "code", "cvec")
     l2 = (
         "aggregate(zip_with(sv, c.cvec,"
         " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
@@ -705,7 +724,7 @@ def pq_encode(
 
     Returns (id, codes array<int> len m, rnorm double)."""
     d = dim // m
-    _require_dense_codebook(codebook, m, ksub)
+    _require_dense_codebook(codebook, m, ksub, d)
     cb_row = _pq_cb_row(codebook)
     l2 = (
         f"aggregate(zip_with(slice(vec, s * {d} + 1, {d}), c.cvec,"

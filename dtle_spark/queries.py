@@ -466,30 +466,40 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", tx.quality_score(F.col("text")).alias("quality"))
 
 
-def _registry_order() -> list[str]:
-    """Order the registry so the driver's 50-query correctness cap
-    rotates through every entry. Sort key, in priority order:
+def _repo_root() -> str:
+    import os
 
-    1. the round of each query's MOST RECENT green row, ascending —
-       never-checked queries (round 0) lead, then whatever has gone
-       longest without a driver check; the freshest greens rotate to
-       the back. (r5 lesson: a boolean "in latest round" split left
-       r1-era greens buried mid-list behind once-checked r4 entries.)
-    2. fewest historical green rows (tie-break within a round cohort).
-    3. definition order.
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-    Reads the accumulated CORRECTNESS_r*.json files at the repo root;
-    falls back to plain definition order when none exist."""
+
+def _definition_hash(name: str) -> str:
+    """md5 of (spark_fn source + oracle text) — the query's definition
+    fingerprint. Captures edits to the query body and to generated
+    oracle SQL (whose text re-expands on import); NOT captures edits
+    buried inside library helpers the body merely calls — those should
+    bump the caller or ship with their own gate."""
+    import hashlib
+    import inspect
+
+    pair = REGISTRY[name]
+    try:
+        src = inspect.getsource(pair.spark_fn)
+    except (OSError, TypeError):  # pragma: no cover - REPL-defined fn
+        src = name
+    return hashlib.md5((src + (pair.oracle or "")).encode()).hexdigest()
+
+
+def _green_history() -> tuple[dict[str, int], dict[str, int]]:
+    """(green-count, last-green-round) per query from the accumulated
+    CORRECTNESS_r*.json files at the repo root."""
     import glob
     import json
     import os
     import re
 
-    names = list(REGISTRY.keys())
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     greens: dict[str, int] = {}
     last_green_round: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    for path in sorted(glob.glob(os.path.join(_repo_root(), "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         rnd = int(m.group(1)) if m else 0
         try:
@@ -501,11 +511,86 @@ def _registry_order() -> list[str]:
             if isinstance(row, dict) and row.get("hash_match") and row.get("rows_match"):
                 greens[name] = greens.get(name, 0) + 1
                 last_green_round[name] = max(last_green_round.get(name, 0), rnd)
+    return greens, last_green_round
+
+
+def _stored_hashes() -> dict[str, dict]:
+    """QUERY_HASHES.json: {name: {"hash": .., "round": N}} — the
+    definition fingerprint as of round N (regenerated by
+    write_query_hashes at each round's end, before the driver runs)."""
+    import json
+    import os
+
+    try:
+        with open(os.path.join(_repo_root(), "QUERY_HASHES.json")) as f:
+            data = json.load(f)
+        return data if isinstance(data, dict) else {}
+    except (OSError, ValueError):
+        return {}
+
+
+def write_query_hashes(round_no: int) -> dict[str, dict]:
+    """Regenerate QUERY_HASHES.json: entries whose definition hash is
+    unchanged keep their stored round (the round the definition dates
+    from); changed or new entries are stamped with ``round_no``. Run at
+    the END of each round, after all query edits — the driver then
+    checks exactly the stamped definitions."""
+    import json
+    import os
+
+    stored = _stored_hashes()
+    out: dict[str, dict] = {}
+    for name in REGISTRY:
+        h = _definition_hash(name)
+        prev = stored.get(name)
+        if prev and prev.get("hash") == h:
+            out[name] = prev
+        else:
+            out[name] = {"hash": h, "round": round_no}
+    with open(os.path.join(_repo_root(), "QUERY_HASHES.json"), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+        f.write("\n")
+    return out
+
+
+def _registry_order() -> list[str]:
+    """Order the registry so the driver's 50-query correctness cap
+    rotates through every entry. Sort key, in priority order:
+
+    1. the round of each query's MOST RECENT green row, ascending —
+       never-checked queries (round 0) lead, then whatever has gone
+       longest without a driver check; the freshest greens rotate to
+       the back. (r5 lesson: a boolean "in latest round" split left
+       r1-era greens buried mid-list behind once-checked r4 entries.)
+       A query whose DEFINITION changed after its last green (its
+       QUERY_HASHES.json fingerprint mismatches, or is stamped with a
+       later round than the green) is treated as NEVER CHECKED — the
+       old green proves nothing about the new definition, so it must
+       lead the next window rather than rely on cohort tie-breaks
+       (r7 lesson: ann_topk_pq was rewritten behind its r6 green).
+    2. fewest historical green rows (tie-break within a round cohort).
+    3. definition order.
+
+    Reads the accumulated CORRECTNESS_r*.json files and
+    QUERY_HASHES.json at the repo root; falls back to plain definition
+    order when none exist."""
+    names = list(REGISTRY.keys())
+    greens, last_green_round = _green_history()
+    stored = _stored_hashes()
+
+    def eff(n: str) -> tuple[int, int]:
+        lg = last_green_round.get(n, 0)
+        entry = stored.get(n)
+        if stored and (
+            entry is None
+            or entry.get("hash") != _definition_hash(n)
+            or entry.get("round", 0) > lg
+        ):
+            return 0, 0  # definition newer than its last green: lead
+        return lg, greens.get(n, 0)
+
     idx = {n: i for i, n in enumerate(names)}
-    return sorted(
-        names,
-        key=lambda n: (last_green_round.get(n, 0), greens.get(n, 0), idx[n]),
-    )
+    return sorted(names, key=lambda n: (*eff(n), idx[n]))
 
 
 def queries() -> dict[str, SparkQuery]:
@@ -965,7 +1050,16 @@ SELECT query_id, neighbor_id, rnk, qcos FROM r WHERE rnk <= 10
 def _duck_train_where() -> str:
     """DuckDB restatement of similarity.md5_train_sample: the
     deterministic 25% md5-draw both engines agree on byte-for-byte
-    (md5 of the decimal id string; same leading-nibble set)."""
+    (md5 of the decimal id string; same leading-nibble set).
+
+    DENSITY ASSUMPTION (shared with the Spark lane): every vec_id %
+    ksub residue class must keep at least one member under the draw —
+    Spark fails loudly via _require_dense_codebook, but this oracle
+    would silently build a gapped cbe0 whose positional
+    luts[s*ksub+code+1] / cb.cb[...] indexing mis-scores. Verified on
+    all three fixtures (sf0.001/0.01/0.1: 16/16 residues populated);
+    at any realistic corpus size a 25% draw leaving a mod-16 class
+    empty is (3/4)^(N/16) — negligible beyond toy N."""
     nibbles = ", ".join(f"'{c}'" for c in sim.TRAIN_SAMPLE_HEX)
     return f"substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ({nibbles})"
 
@@ -1112,6 +1206,170 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         tr, sim.pq_codebook(tr, m=16, ksub=16), steps=2, m=16, ksub=16
     )  # refine's final step is already checkpoint-pinned
     out = sim.pq_topk(e, q, k=10, m=16, ksub=16, codebook=cb, rerank=100)
+    return out.withColumnRenamed("rank", "rnk")
+
+
+def _duck_ivf_pq_oracle(n_cells: int = 16, nprobe: int = 4, m: int = 8,
+                        ksub: int = 16, dim: int = 64, steps: int = 2,
+                        rerank: int = 100, k: int = 10) -> str:
+    """Oracle for the composed IVF x PQ tier (similarity.ivf_pq_topk):
+    BOTH trains run on the md5_train_sample draw — the integer-exact
+    Lloyd step gives the centroid table AND (sliced) the PQ codebook
+    init (with n_cells == ksub they are literally the same aggregation,
+    exactly as pq_codebook reuses ivf_exact_mean_centroids); two
+    deterministic refine steps, then cell-assign + encode every vector,
+    probe nprobe cells per query, ADC over probed cells only, exact
+    rerank of the top-`rerank` pool. Every fold restates the Spark
+    operation order, so doubles are bit-identical."""
+    assert n_cells == ksub, "shared centsum CTE assumes n_cells == ksub"
+    d = dim // m
+    sums = ", ".join(
+        f"CAST(SUM(CAST(round(CAST(embedding[{i + 1}] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS s{i}"
+        for i in range(dim)
+    )
+    comps = ", ".join(f"CAST(s{i} AS DOUBLE) / 1000000.0 / n" for i in range(dim))
+    sub_sums = ", ".join(
+        f"CAST(SUM(CAST(round(CAST(sv[{i + 1}] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS s{i}"
+        for i in range(d)
+    )
+    sub_comps = ", ".join(f"CAST(s{i} AS DOUBLE) / 1000000.0 / n" for i in range(d))
+
+    def fold(prods: str) -> str:
+        return (f"list_reduce(list_prepend(CAST(0 AS DOUBLE), {prods}),"
+                f" (acc, x) -> acc + x)")
+
+    l2_sv = fold(
+        f"list_transform(generate_series(1, {d}), i ->"
+        f" (CAST(sv[i] AS DOUBLE) - c.cvec[i]) * (CAST(sv[i] AS DOUBLE) - c.cvec[i]))"
+    )
+    l2_emb = fold(
+        f"list_transform(generate_series(1, {d}), i ->"
+        f" (CAST(embedding[s * {d} + i] AS DOUBLE) - c.cvec[i])"
+        f" * (CAST(embedding[s * {d} + i] AS DOUBLE) - c.cvec[i]))"
+    )
+    cnorm2 = fold(
+        f"list_transform(generate_series(1, {d}), i -> cvec[i] * cvec[i])"
+    )
+    lut = fold(
+        f"list_transform(generate_series(1, {d}), i ->"
+        f" CAST(q_vec[c.sub * {d} + i] AS DOUBLE) * c.cvec[i])"
+    )
+    adc_sum = fold(
+        f"list_transform(generate_series(0, {m - 1}), s ->"
+        f" luts[s * {ksub} + codes[s + 1] + 1])"
+    )
+    rnorm_sum = fold(
+        f"list_transform(generate_series(0, {m - 1}), s ->"
+        f" cb.cb[s * {ksub} + codes[s + 1] + 1].cnorm2)"
+    )
+    refine = ""
+    for t in range(1, steps + 1):
+        refine += f"""
+cbl{t - 1} AS (SELECT list({{'sub': sub, 'code': code, 'cvec': cvec}} ORDER BY sub, code) AS cb FROM cbe{t - 1}),
+asg{t} AS (
+  SELECT sub,
+    list_min(list_transform(list_filter(cb.cb, c -> c.sub = sub),
+      c -> {{'dist': {l2_sv}, 'code': c.code}})).code AS code,
+    sv
+  FROM subs, cbl{t - 1} cb
+),
+msum{t} AS (SELECT sub, code, COUNT(*) AS n, {sub_sums} FROM asg{t} GROUP BY sub, code),
+mref{t} AS (SELECT sub, code, [{sub_comps}] AS cvec FROM msum{t}),
+cbe{t} AS (
+  SELECT p.sub AS sub, p.code AS code, COALESCE(r.cvec, p.cvec) AS cvec
+  FROM cbe{t - 1} p LEFT JOIN mref{t} r ON p.sub = r.sub AND p.code = r.code
+),"""
+    return f"""
+WITH centsum AS (
+  SELECT vec_id % {ksub} AS cent_id, COUNT(*) AS n, {sums}
+  FROM embeddings WHERE {_duck_train_where()} GROUP BY cent_id),
+cent0 AS (SELECT cent_id, [{comps}] AS c_vec FROM centsum),
+cent AS (SELECT cent_id, c_vec, sqrt({_duck_dot('c_vec', 'c_vec')}) AS c_norm FROM cent0),
+cents AS (SELECT list({{'cent_id': cent_id, 'c_vec': c_vec, 'c_norm': c_norm}} ORDER BY cent_id) AS cents FROM cent),
+cbe0 AS (
+  SELECT g.s AS sub, CAST(cent_id AS INTEGER) AS code,
+         list_slice(c_vec, g.s * {d} + 1, g.s * {d} + {d}) AS cvec
+  FROM cent0, generate_series(0, {m - 1}) g(s)
+),
+subs AS (
+  SELECT g.s AS sub, list_slice(embedding, g.s * {d} + 1, g.s * {d} + {d}) AS sv
+  FROM embeddings, generate_series(0, {m - 1}) g(s) WHERE {_duck_train_where()}
+),{refine}
+cbf AS (SELECT sub, code, cvec, {cnorm2} AS cnorm2 FROM cbe{steps}),
+cbl AS (SELECT list({{'sub': sub, 'code': code, 'cvec': cvec, 'cnorm2': cnorm2}} ORDER BY sub, code) AS cb FROM cbf),
+enc0 AS (
+  SELECT vec_id AS id,
+    list_transform(generate_series(0, {m - 1}), s ->
+      list_min(list_transform(list_filter(cb.cb, c -> c.sub = s),
+        c -> {{'dist': {l2_emb}, 'code': c.code}})).code) AS codes
+  FROM embeddings, cbl cb
+),
+enc AS (
+  SELECT id, codes, sqrt({rnorm_sum}) AS rnorm
+  FROM enc0, cbl cb
+),
+assigned AS (
+  SELECT vec_id AS id,
+         list_max(list_transform(cents.cents,
+           c -> {{'cos': {_duck_ivf_assign_score()}, 'cell': c.cent_id}})).cell AS cell
+  FROM embeddings, cents
+),
+celled AS (SELECT enc.id, assigned.cell, enc.codes, enc.rnorm FROM enc JOIN assigned USING (id)),
+q AS (SELECT vec_id AS query_id, embedding AS q_vec,
+             sqrt({_duck_dot('embedding', 'embedding')}) AS qnorm
+      FROM embeddings WHERE vec_id % 50 = 0),
+qs AS (SELECT query_id, q_vec, qnorm, cent_id, {_duck_cosine('q_vec', 'c_vec')} AS c_cos FROM q, cent),
+probes AS (
+  SELECT query_id, q_vec, qnorm, cent_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY c_cos DESC, cent_id) AS r FROM qs
+  ) WHERE r <= {nprobe}
+),
+probes_l AS (
+  SELECT query_id, qnorm, cell, list_transform(cb.cb, c -> {lut}) AS luts
+  FROM probes, cbl cb
+),
+adc AS (
+  SELECT query_id, p.cell AS cell, id AS neighbor_id,
+         ({adc_sum}) / (qnorm * rnorm) AS qcos
+  FROM celled c JOIN probes_l p ON c.cell = p.cell AND query_id <> id
+),
+cand AS (SELECT query_id, cell, neighbor_id FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, neighbor_id) AS r
+  FROM adc) WHERE r <= {rerank}),
+ex AS (
+  SELECT cand.query_id, cand.cell, cand.neighbor_id,
+    ({_duck_dot('q.q_vec', 'e2.embedding')})
+      / (q.qnorm * sqrt({_duck_dot('e2.embedding', 'e2.embedding')})) AS cosine
+  FROM cand JOIN q USING (query_id) JOIN embeddings e2 ON e2.vec_id = cand.neighbor_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM ex)
+SELECT query_id, cell, neighbor_id, rnk, cosine FROM r WHERE rnk <= {k}
+"""
+
+
+@query("ann_topk_ivf_pq", _duck_ivf_pq_oracle())
+def ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed 100 TB vector rung (similarity.ivf_pq_topk): IVF
+    cells bound WHICH rows score, PQ codes bound WHAT scoring touches.
+    Both trains (centroid table AND codebook) fit on the deterministic
+    25% md5_train_sample draw and are passed in via the reuse params
+    (centroids= / codebook=) — the persisted-index production shape:
+    train once, reuse across ingests and searches. Queries probe their
+    4 best of 16 cells, ADC scores only probed cells' 8-byte codes,
+    exact cosine reranks the top-100 pool to the final top-10. Recall
+    floor vs brute force gated in pytest (tests/test_custom_ops.py)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    tr = sim.md5_train_sample(e)
+    cent = sim.ivf_exact_mean_centroids(tr, k=16).localCheckpoint()
+    cb = sim.pq_refine(
+        tr, sim.pq_codebook(tr, m=8, ksub=16), steps=2, m=8, ksub=16
+    )  # refine's final step is already checkpoint-pinned
+    out = sim.ivf_pq_topk(
+        e, q, k=10, nprobe=4, n_cells=16, m=8, ksub=16,
+        centroids=cent, codebook=cb, rerank=100,
+    )
     return out.withColumnRenamed("rank", "rnk")
 
 

@@ -1215,6 +1215,130 @@ class TestIvfPq:
         r4, r8 = recall(4), recall(8)
         assert r8 > r4 >= 0.4  # floor + the nprobe knob works
 
+    def test_reuse_params_equal_inline_train(self, spark):
+        """The persisted-index path: ivf_pq_topk given precomputed
+        centroids= / codebook= returns EXACTLY what inline training
+        (train=) produces — reuse changes where the tables come from,
+        never a score. This is the production shape (train once, reuse
+        across ingests/searches) the r7 params exist for."""
+        from dtle_spark.tableio import load_table
+        from dtle_spark.functions.similarity import (
+            ivf_exact_mean_centroids, ivf_pq_topk, md5_train_sample,
+            pq_codebook, pq_refine,
+        )
+        from pyspark.sql import functions as F
+
+        e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        q = e.filter(F.col("vec_id") % 50 == 0)
+        tr = md5_train_sample(e)
+        inline = ivf_pq_topk(e, q, k=10, nprobe=4, rerank=100, train=tr)
+        cent = ivf_exact_mean_centroids(tr, k=16).localCheckpoint()
+        cb = pq_refine(tr, pq_codebook(tr, m=8, ksub=16), steps=2, m=8, ksub=16)
+        reused = ivf_pq_topk(
+            e, q, k=10, nprobe=4, rerank=100, centroids=cent, codebook=cb
+        )
+        key = lambda r: (r["query_id"], r["rank"])
+        a = {key(r): (r["neighbor_id"], r["cell"], r["cosine"]) for r in inline.collect()}
+        b = {key(r): (r["neighbor_id"], r["cell"], r["cosine"]) for r in reused.collect()}
+        assert a == b and len(a) > 0
+
+    def test_sampled_train_recall_floor(self, spark):
+        """The registry query's exact configuration (train on the 25%
+        md5 draw, reuse params, nprobe=4, rerank=100) holds a recall
+        floor vs brute force — sampling the TRAIN must not collapse
+        search quality."""
+        from dtle_spark.tableio import load_table
+        from dtle_spark.functions.similarity import (
+            brute_force_topk, ivf_pq_topk, md5_train_sample,
+        )
+        from pyspark.sql import functions as F
+
+        e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        q = e.filter(F.col("vec_id") % 50 == 0)
+        bf = {
+            (r["query_id"], r["neighbor_id"])
+            for r in brute_force_topk(e, q, k=10).collect()
+        }
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_pq_topk(
+                e, q, k=10, nprobe=4, rerank=100, train=md5_train_sample(e)
+            ).collect()
+        }
+        assert len(bf & got) / len(bf) >= 0.35  # ~nprobe/n_cells bound
+
+
+class TestMd5TrainSample:
+    """similarity.md5_train_sample: the deterministic draw that lets
+    sampled TRAINING live inside a hash-compared gate."""
+
+    def test_deterministic_and_mass(self, spark):
+        from dtle_spark.tableio import load_table
+        from dtle_spark.functions.similarity import md5_train_sample
+
+        e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        n = e.count()
+        ids1 = sorted(r["vec_id"] for r in md5_train_sample(e).select("vec_id").collect())
+        ids2 = sorted(r["vec_id"] for r in md5_train_sample(e).select("vec_id").collect())
+        assert ids1 == ids2 and len(ids1) > 0
+        # 4/16 nibbles = 25% expected mass; md5 is uniform, so allow
+        # a generous binomial band (n=500 -> sd ~ 9.7; this is +-5 sd)
+        frac = len(ids1) / n
+        assert 0.15 <= frac <= 0.35, frac
+
+    def test_is_pure_function_of_id(self, spark):
+        """Rows selected depend ONLY on the id — restating the draw on
+        a projected/re-partitioned frame selects the same ids (what the
+        DuckDB oracle's WHERE-clause restatement relies on)."""
+        import hashlib
+
+        from dtle_spark.tableio import load_table
+        from dtle_spark.functions.similarity import (
+            TRAIN_SAMPLE_HEX, md5_train_sample,
+        )
+
+        e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        got = {r["vec_id"] for r in md5_train_sample(e).select("vec_id").collect()}
+        want = {
+            r["vec_id"]
+            for r in e.select("vec_id").collect()
+            if hashlib.md5(str(r["vec_id"]).encode()).hexdigest()[0] in TRAIN_SAMPLE_HEX
+        }
+        assert got == want
+
+
+class TestCodebookGuards:
+    """_require_dense_codebook: the loud seams that keep positional
+    slicing from silently mis-scoring on bad reused codebooks."""
+
+    def test_gapped_codebook_rejected(self, spark):
+        import pytest
+
+        from dtle_spark.tableio import load_table
+        from dtle_spark.functions.similarity import pq_codebook, pq_refine
+
+        e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        cb = pq_codebook(e, m=8, ksub=16).localCheckpoint()
+        gapped = cb.filter(~((cb.sub == 0) & (cb.code == 0)))
+        with pytest.raises(ValueError, match="dense"):
+            pq_refine(e, gapped, steps=1, m=8, ksub=16)
+
+    def test_dim_mismatch_rejected(self, spark):
+        """A stale codebook trained with a different m has wrong
+        sub-vector lengths — pq_encode must refuse it, not zip_with-
+        truncate into silently wrong distances."""
+        import pytest
+
+        from dtle_spark.tableio import load_table
+        from dtle_spark.functions.similarity import pq_codebook, pq_encode
+
+        e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        # trained at m=16 (4-dim entries) but only subs 0..7 kept, so
+        # it is dense over 8 x 16 — ONLY the dim guard can catch it
+        stale = pq_codebook(e, m=16, ksub=16).filter("sub < 8").localCheckpoint()
+        with pytest.raises(ValueError, match="sub-vector dim"):
+            pq_encode(e, stale, m=8, ksub=16)
+
 
 def test_leakage_safe_split_invariants(spark):
     """The split's whole point: no near-dup cluster straddles

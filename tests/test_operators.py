@@ -387,6 +387,9 @@ def test_registry_rotation_order(tmp_path, monkeypatch):
         return real_glob(pattern)
 
     monkeypatch.setattr(_glob, "glob", fake_glob)
+    # neutralize the definition-hash front-loading (tested separately):
+    # an empty QUERY_HASHES.json disables it by design
+    monkeypatch.setattr(q, "_stored_hashes", lambda: {})
     order = q._registry_order()
     pos = {n: i for i, n in enumerate(order)}
     assert pos[d] < pos[a] < pos[b]  # never < oldest-green < recent
@@ -394,3 +397,50 @@ def test_registry_rotation_order(tmp_path, monkeypatch):
     # b and c were both last green in r5; c has MORE lifetime greens,
     # so b (fewer) sorts first within the cohort
     assert pos[b] < pos[c]
+
+
+def test_registry_rotation_front_loads_changed_definitions(monkeypatch):
+    """A query whose definition changed since its last green must lead
+    the next window — whether the change shows as a hash mismatch or as
+    a QUERY_HASHES.json round stamp newer than the green (the r7
+    ann_topk_pq lesson: both its lanes were rewritten behind an r6
+    green, and rotation only caught it by cohort luck)."""
+    import dtle_spark.queries as q
+
+    names = list(q.REGISTRY.keys())
+    a, b, c = names[0], names[1], names[2]
+    # everything green in r5; a's stored hash is stale, b's definition
+    # is stamped r6 (edited after the r5 green), c is in sync
+    monkeypatch.setattr(
+        q, "_green_history",
+        lambda: ({n: 1 for n in names}, {n: 5 for n in names}),
+    )
+    real = {n: {"hash": q._definition_hash(n), "round": 5} for n in names}
+    real[a] = {"hash": "0" * 32, "round": 5}
+    real[b] = {"hash": q._definition_hash(b), "round": 6}
+    monkeypatch.setattr(q, "_stored_hashes", lambda: real)
+    order = q._registry_order()
+    pos = {n: i for i, n in enumerate(order)}
+    assert pos[a] < pos[c] and pos[b] < pos[c]
+    assert sorted([pos[a], pos[b]]) == [0, 1]
+
+
+def test_write_query_hashes_round_trip(tmp_path, monkeypatch):
+    """write_query_hashes keeps the stored round for unchanged
+    definitions and stamps the current round on changed/new ones."""
+    import json
+
+    import dtle_spark.queries as q
+
+    monkeypatch.setattr(q, "_repo_root", lambda: str(tmp_path))
+    first = q.write_query_hashes(3)
+    names = list(q.REGISTRY.keys())
+    assert all(first[n]["round"] == 3 for n in names)
+    # tamper one entry's hash to simulate an edit, then regen at r4
+    stored = json.loads((tmp_path / "QUERY_HASHES.json").read_text())
+    stored[names[0]]["hash"] = "f" * 32
+    (tmp_path / "QUERY_HASHES.json").write_text(json.dumps(stored))
+    second = q.write_query_hashes(4)
+    assert second[names[0]]["round"] == 4  # changed: restamped
+    assert all(second[n]["round"] == 3 for n in names[1:])  # kept
+    assert second[names[0]]["hash"] == q._definition_hash(names[0])
