@@ -5,13 +5,17 @@ Each query is forced through the noop sink (full materialization, no
 collect-to-driver, no write amplification) — the number is pure plan
 execution time. First a warmup query absorbs JVM/codegen startup.
 
-Each query runs $SPARK_GRAFT_BENCH_RUNS times (default 2) and reports
+Each query runs $SPARK_GRAFT_BENCH_RUNS times (default 3) and reports
 the MIN: single samples showed 3-8x noise on iterative/codegen-heavy
 queries (first execution pays JIT + codegen compilation; a GC pause
 mid-bench lands on whichever query is running), and the min is the
 steady-state plan cost — the number that scales with data, which is
-what the 100 TB comparison needs. Set SPARK_GRAFT_BENCH_RUNS=1 for the
-old single-sample behavior.
+what the 100 TB comparison needs. Default was 2 through r7; raised to
+3 after the token_count_bpe adjudication (r8): ambient ~1.3 s spikes
+hit ~3% of samples at gc=0, scattered across positions — with 2
+samples a short query occasionally has BOTH hit (r7 recorded
+1.81 s for a 0.27 s plan), with 3 the min dodges reliably. Set
+SPARK_GRAFT_BENCH_RUNS=1 for single-sample behavior.
 """
 
 from __future__ import annotations
@@ -55,7 +59,7 @@ def main() -> None:
         except Exception:
             return 0, 0
 
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     all_samples: dict[str, list[float]] = {}
     gc_deltas: dict[str, dict[str, int]] = {}

@@ -447,21 +447,91 @@ def perplexity_buckets(docs, id_col: str = "doc_id", text_col: str = "text",
     The score is the integer-exact unigram_commonness mean, so the
     ordering (score desc, id) is bit-identical across engines and the
     ntile boundaries hash-gate. The global ntile window is the
-    oracle-gatable tier; at 100 TB the same partition comes from
+    oracle-gatable tier; at 100 TB use perplexity_buckets_sampled —
     bucket THRESHOLDS fitted once on a sample (CCNet's own procedure —
-    it fits on a Wikipedia reference corpus), making the scoring pass
-    map-only; exact ntile would need a global sort."""
+    it fits on a Wikipedia reference corpus), making the banding pass
+    map-only; exact ntile needs this global sort."""
     from pyspark.sql import Window
 
     u = unigram_commonness(docs, id_col, text_col)
     w = Window.orderBy(F.col("mean_bits").desc(), F.col("id"))
     out = u.withColumn("bucket", F.ntile(buckets).over(w).cast("long"))
+    return out.select("id", "mean_bits", "bucket", _band_label(buckets))
+
+
+def _band_label(buckets: int):
     if buckets == 3:
-        label = (
+        return (
             F.when(F.col("bucket") == 1, "head")
             .when(F.col("bucket") == 2, "middle")
             .otherwise("tail")
+        ).alias("band")
+    return F.concat(F.lit("b"), F.col("bucket")).alias("band")
+
+
+BAND_SAMPLE_HEX = "0123"  # leading md5 nibble -> deterministic 25% draw
+
+
+def fit_band_thresholds(scores, buckets: int = 3,
+                        hex_chars: str = BAND_SAMPLE_HEX) -> list[float]:
+    """Fit CCNet-style band thresholds on a deterministic sample of the
+    per-doc scores: exact percentiles of ``mean_bits`` over the rows
+    whose md5(id) leads with one of ``hex_chars`` (the same 25% draw
+    the PQ train uses — a pure function of the id, so reruns fit
+    identical thresholds). ONE partial-aggregable percentile over the
+    sample; no global sort at any corpus size. Returns buckets-1
+    descending cut points (driver-side floats — a bounded, fail-loud
+    control-plane collect)."""
+    fracs = ", ".join(
+        f"CAST({1 - i / buckets} AS DOUBLE)" for i in range(1, buckets)
+    )
+    nibbles = ", ".join(f"'{c}'" for c in hex_chars)
+    row = (
+        scores.filter(
+            F.expr(f"substring(md5(CAST(id AS STRING)), 1, 1) IN ({nibbles})")
         )
-    else:
-        label = F.concat(F.lit("b"), F.col("bucket"))
-    return out.select("id", "mean_bits", "bucket", label.alias("band"))
+        .agg(F.expr(f"percentile(mean_bits, array({fracs}))").alias("ts"))
+        .collect()
+    )
+    ts = row[0]["ts"]
+    if ts is None or any(t is None for t in ts):
+        raise ValueError(
+            f"band-threshold sample is empty (hex_chars={hex_chars!r}); "
+            "widen the draw or check the id column"
+        )
+    return list(ts)
+
+
+def apply_band_thresholds(scores, thresholds: list[float],
+                          buckets: int | None = None):
+    """Map-only banding: bucket = 1 + number of (descending) thresholds
+    strictly above the score — band 1 ("head") is the most-common/bland
+    text, matching perplexity_buckets' ordering. Pure Column arithmetic
+    against literal cut points: no join, no window, no shuffle — THE
+    production scoring pass (CCNet applies pre-fitted thresholds the
+    same way)."""
+    buckets = buckets if buckets is not None else len(thresholds) + 1
+    bucket = F.lit(1)
+    for t in thresholds:
+        bucket = bucket + F.when(F.col("mean_bits") < F.lit(float(t)), 1).otherwise(0)
+    out = scores.withColumn("bucket", bucket.cast("long"))
+    return out.select("id", "mean_bits", "bucket", _band_label(buckets))
+
+
+def perplexity_buckets_sampled(docs, id_col: str = "doc_id",
+                               text_col: str = "text", buckets: int = 3,
+                               hex_chars: str = BAND_SAMPLE_HEX):
+    """The 100 TB lane of perplexity_buckets: score every doc (the
+    unigram vocab groupBy + broadcast join — unavoidable and scalable),
+    fit band thresholds ONCE on a deterministic 25% sample of the
+    scores, then band map-only. vs the ntile lane: no global
+    single-partition sort anywhere; bands approximate the equal-mass
+    ntile cut to sampling accuracy (pytest-pinned: tie-aware agreement
+    on the fixtures + near-equal masses on distinct scores, same
+    pairing as the xxhash64-vs-md5 dedup lanes).
+    Docs with EQUAL scores always land in the same band (ntile splits
+    ties by id to force equal counts — thresholds never separate
+    ties)."""
+    u = unigram_commonness(docs, id_col, text_col).localCheckpoint()
+    ts = fit_band_thresholds(u, buckets=buckets, hex_chars=hex_chars)
+    return apply_band_thresholds(u, ts, buckets=buckets)

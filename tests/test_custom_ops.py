@@ -1404,6 +1404,126 @@ def test_perplexity_buckets_balanced_and_ordered(spark):
     assert min(bands["middle"]) >= max(bands["tail"])
 
 
+class TestPerplexityBandsSampled:
+    """The sampled-threshold production lane of perplexity_buckets
+    (textstats.perplexity_buckets_sampled): same band semantics, no
+    global sort — pytest-pinned against the oracle-gated ntile lane,
+    the same pairing as the xxhash64-vs-md5 dedup lanes."""
+
+    def _docs(self, spark):
+        from dtle_spark.tableio import load_table
+
+        return load_table(spark, "/root/testdata/sf0.001", "documents")
+
+    def test_agrees_with_ntile_lane_where_defined(self, spark):
+        """Where ntile banding is WELL-DEFINED (the doc's score-tie
+        group does not straddle an ntile boundary), the thresholded
+        lane must agree. Docs inside a boundary-straddling tie are
+        excluded: ntile splits those by id to force equal counts — an
+        arbitrary choice no threshold can (or should) reproduce. The
+        fixture is extreme here (475 of 500 docs tie at mean_bits=9.0),
+        which is exactly why the metric must be tie-aware."""
+        from dtle_spark.functions.textstats import (
+            perplexity_buckets, perplexity_buckets_sampled,
+        )
+
+        docs = self._docs(spark)
+        nrows = perplexity_buckets(docs).collect()
+        ntile = {r["id"]: r["band"] for r in nrows}
+        score_bands: dict = {}
+        score_of: dict = {}
+        for r in nrows:
+            score_bands.setdefault(r["mean_bits"], set()).add(r["band"])
+            score_of[r["id"]] = r["mean_bits"]
+        sampled = {
+            r["id"]: r["band"]
+            for r in perplexity_buckets_sampled(docs).collect()
+        }
+        assert set(ntile) == set(sampled)
+        defined = [i for i in ntile if len(score_bands[score_of[i]]) == 1]
+        assert defined, "fixture left no unambiguous docs"
+        agree = sum(ntile[i] == sampled[i] for i in defined) / len(defined)
+        assert agree >= 0.95, f"band agreement {agree} on {len(defined)} docs"
+        # ordering invariant holds for the thresholded lane too
+        bands: dict = {}
+        for r in perplexity_buckets_sampled(docs).collect():
+            bands.setdefault(r["band"], []).append(r["mean_bits"])
+        assert min(bands["head"]) >= max(bands["tail"])
+
+    def test_near_equal_masses_on_distinct_scores(self, spark):
+        """On a score distribution WITHOUT mass ties (600 distinct
+        values) the sampled thresholds approximate the equal-mass ntile
+        cut: >= 0.9 per-doc agreement and every band within 25% of
+        equal mass — the fixture's 9.0-tie pathology, inverted."""
+        from dtle_spark.functions.textstats import (
+            apply_band_thresholds, fit_band_thresholds,
+        )
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        u = spark.range(600).select(
+            F.col("id"),
+            (F.col("id").cast("double") / 7.0).alias("mean_bits"),
+        ).localCheckpoint()
+        ts = fit_band_thresholds(u)
+        got = {r["id"]: r["bucket"]
+               for r in apply_band_thresholds(u, ts).collect()}
+        w = Window.orderBy(F.col("mean_bits").desc(), F.col("id"))
+        want = {r["id"]: r["bucket"]
+                for r in u.withColumn("bucket", F.ntile(3).over(w)).collect()}
+        agree = sum(got[i] == want[i] for i in want) / len(want)
+        assert agree >= 0.9, f"agreement {agree}"
+        from collections import Counter
+        masses = Counter(got.values())
+        assert all(abs(m - 200) <= 50 for m in masses.values()), masses
+
+    def test_banding_pass_is_map_only(self, spark):
+        """The plan pin the lane exists for: given fitted thresholds,
+        banding adds NO shuffle, window, or sort over the scores — at
+        100 TB it composes into the scoring stage for free."""
+        from dtle_spark.functions.textstats import (
+            apply_band_thresholds, fit_band_thresholds, unigram_commonness,
+        )
+
+        docs = self._docs(spark)
+        u = unigram_commonness(docs).localCheckpoint()
+        ts = fit_band_thresholds(u)
+        plan = apply_band_thresholds(u, ts)._jdf.queryExecution().executedPlan().toString()
+        for op in ("Exchange", "Window", "Sort"):
+            assert op not in plan, f"banding pass is not map-only: found {op}\n{plan}"
+
+    def test_deterministic_and_ties_never_split(self, spark):
+        from dtle_spark.functions.textstats import (
+            fit_band_thresholds, perplexity_buckets_sampled,
+            unigram_commonness,
+        )
+
+        docs = self._docs(spark)
+        u = unigram_commonness(docs).localCheckpoint()
+        assert fit_band_thresholds(u) == fit_band_thresholds(u)
+        a = {(r["id"], r["bucket"]) for r in perplexity_buckets_sampled(docs).collect()}
+        b = {(r["id"], r["bucket"]) for r in perplexity_buckets_sampled(docs).collect()}
+        assert a == b
+        # equal scores -> equal bands (ntile splits ties by id; the
+        # thresholded lane must not)
+        by_score: dict = {}
+        for r in perplexity_buckets_sampled(docs).collect():
+            by_score.setdefault(r["mean_bits"], set()).add(r["bucket"])
+        assert all(len(v) == 1 for v in by_score.values())
+
+    def test_empty_sample_fails_loud(self, spark):
+        import pytest
+
+        from dtle_spark.functions.textstats import (
+            fit_band_thresholds, unigram_commonness,
+        )
+
+        docs = self._docs(spark)
+        u = unigram_commonness(docs).localCheckpoint()
+        with pytest.raises(ValueError, match="sample is empty"):
+            fit_band_thresholds(u, hex_chars="zz")  # no md5 hex matches
+
+
 def test_ivf_index_append_equals_rebuild(spark):
     """Incremental IVF maintenance: assigning only the new batch
     against the frozen centroids and unioning equals re-assigning the
