@@ -250,6 +250,23 @@ class SchemaCatalog:
     def get(self, schema_name: str, table_name: str) -> TableMeta | None:
         return self.tables.get((schema_name, table_name))
 
+    def copy(self) -> "SchemaCatalog":
+        """Deep, independent copy (via the serialized form) — the unit
+        of the copy-and-swap DDL protocol: batch handlers evolve a COPY
+        while building output, and swap it in only after the output
+        commit, so an in-process retry of a failed batch re-derives
+        from the pristine catalog instead of double-applying DDL."""
+        return SchemaCatalog.from_dict(self.to_dict())
+
+    def restore_from(self, other: "SchemaCatalog") -> None:
+        """Adopt another catalog's state IN PLACE — the swap half of
+        copy-and-swap. In-place (two attribute rebinds, nothing can
+        throw between them) so every caller holding a reference to this
+        instance observes the evolution; rebinding self.catalog would
+        silently fork it from the catalog the job owner passed in."""
+        self.schemas = set(other.schemas)
+        self.tables = dict(other.tables)
+
     def apply(self, action: DdlAction) -> None:
         """D2: replay the action into the catalog."""
         key = (action.schema_name, action.table_name)

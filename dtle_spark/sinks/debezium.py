@@ -268,9 +268,21 @@ def produce_frames(
     barrier). Tombstones (value NULL) pass through as value=None —
     Kafka log-compaction deletes. Driver-side by design like the MySQL
     lane (ONE ordered producer per job), bounded by ``max_rows`` and
-    failing loud above it. Returns frames sent."""
-    cols = [c for c in order_cols if c in frames.columns]
-    ordered = frames.orderBy(*cols) if cols else frames
+    failing loud above it. Returns frames sent.
+
+    Ordering is a correctness property (a delete draining before its
+    insert resurrects the key under compaction), so missing
+    ``order_cols`` raise rather than silently degrading to partition
+    order; pass ``order_cols=()`` to opt out explicitly (pre-ordered
+    or orderless frames)."""
+    missing = [c for c in order_cols if c not in frames.columns]
+    if missing:
+        raise ValueError(
+            f"frames lack producer order column(s) {missing}; build "
+            f"them with carry_order=True (envelope/schema_change_"
+            f"frames) or pass order_cols=() to send unordered"
+        )
+    ordered = frames.orderBy(*order_cols) if order_cols else frames
     rows = ordered.limit(max_rows + 1).collect()
     if len(rows) > max_rows:
         raise RuntimeError(

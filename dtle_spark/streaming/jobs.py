@@ -125,9 +125,17 @@ class JobManager:
         # resolves to the instance here; a passed instance round-trips
         # through its descriptor below
         fmt = kw.pop("target_format", None)
-        n_buckets = kw.pop("target_n_buckets", 32)
+        n_buckets = kw.pop("target_n_buckets", None)
+        if n_buckets is not None and fmt is None:
+            raise ValueError(
+                "target_n_buckets has no effect without target_format "
+                "(it parameterizes the resolved target); pass "
+                "target_format='bucketed' or drop target_n_buckets"
+            )
         if fmt is not None and "target" not in kw:
-            kw["target"] = _resolve_target(fmt, target_root, n_buckets)
+            kw["target"] = _resolve_target(
+                fmt, target_root, 32 if n_buckets is None else n_buckets
+            )
         rj = ReplicationJob(
             self.spark, job, source_dir, target_root, checkpoint_dir, catalog, **kw
         )

@@ -91,8 +91,8 @@ class SubscriptionJob:
         except (OSError, ValueError):
             return -1
 
-    def _save_catalog(self, batch_id: int) -> None:
-        self.catalog.save(
+    def _save_catalog(self, batch_id: int, catalog=None) -> None:
+        (catalog if catalog is not None else self.catalog).save(
             self.catalog_path, extra={"__frames_batch": int(batch_id)}
         )
 
@@ -102,7 +102,10 @@ class SubscriptionJob:
         catalog.json is still pre-DDL — fold the batch's DDL in now.
         Guarded by the in-snapshot batch marker so an already-evolved
         snapshot is never double-applied (ADD COLUMN is not
-        idempotent)."""
+        idempotent). Copy-and-swap: DDL lands on a catalog COPY, the
+        snapshot saves FIRST, then the copy swaps in — if the save
+        throws, the in-memory catalog is still pristine and the next
+        replay repairs cleanly instead of double-applying."""
         names = {(c.schema_name, c.table_name) for c in self.job.tables}
         rows = sorted(
             batch.filter(F.col("op") == "ddl")
@@ -110,6 +113,7 @@ class SubscriptionJob:
             .collect(),
             key=lambda r: r["seq"],
         )
+        cat = self.catalog.copy()
         applied = False
         for r in rows:
             if (r["schema_name"], r["table_name"]) not in names:
@@ -117,10 +121,11 @@ class SubscriptionJob:
             for action in parse_ddl_actions(
                 r["query"], default_schema=r["schema_name"]
             ):
-                self.catalog.apply(action)
+                cat.apply(action)
                 applied = True
         if applied:
-            self._save_catalog(batch_id)
+            self._save_catalog(batch_id, cat)
+            self.catalog.restore_from(cat)
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         wm = self.target.seq_watermark(FRAMES_SCHEMA_NAME, FRAMES_TABLE_NAME)
@@ -132,6 +137,13 @@ class SubscriptionJob:
             return
         frames = None
         has_ddl = False
+        # Copy-and-swap: the segment loop needs the EVOLVING schema
+        # (envelopes after an ALTER parse with the new columns), but it
+        # must evolve a COPY — mutating self.catalog while building
+        # meant an in-process retry of a FAILED batch (append threw,
+        # stream re-runs the batch) replayed DDL onto an already-
+        # evolved catalog and duplicated fields.
+        cat = self.catalog.copy()
         for cfg in self.job.tables:
             rows = batch.filter(
                 (F.col("schema_name") == cfg.schema_name)
@@ -146,6 +158,20 @@ class SubscriptionJob:
                 key=lambda r: r["seq"],
             )
             dml = rows.filter(F.col("op") != "ddl")
+            if ddls:
+                # segmentation uses STRICT inequalities around the DDL
+                # seqs — a DML row SHARING a seq with a DDL barrier
+                # would be dropped from every segment. The wire source
+                # assigns unique seqs; fail loud if a source violates it
+                clash = dml.filter(
+                    F.col("seq").isin([d["seq"] for d in ddls])
+                ).count()
+                if clash:
+                    raise ValueError(
+                        f"{clash} DML row(s) share a seq with a DDL "
+                        f"barrier in {cfg.schema_name}.{cfg.table_name} "
+                        f"(batch {batch_id}); wire seqs must be unique"
+                    )
             parts = []
             lo = None
             for ddl_row in ddls + [None]:
@@ -155,7 +181,7 @@ class SubscriptionJob:
                     seg = seg.filter(F.col("seq") > lo)
                 if hi is not None:
                     seg = seg.filter(F.col("seq") < hi)
-                meta = self.catalog.get(cfg.schema_name, cfg.table_name)
+                meta = cat.get(cfg.schema_name, cfg.table_name)
                 typed = from_wire(seg, meta.schema)
                 parts.append(
                     envelope(
@@ -171,7 +197,7 @@ class SubscriptionJob:
                     for action in parse_ddl_actions(
                         ddl_row["query"], default_schema=cfg.schema_name
                     ):
-                        self.catalog.apply(action)
+                        cat.apply(action)
                     lo = hi
             part = parts[0]
             for p in parts[1:]:
@@ -195,10 +221,12 @@ class SubscriptionJob:
         if has_ddl:
             # AFTER the frames commit: a crash before the append leaves
             # both watermark and snapshot un-advanced (clean replay);
-            # a crash between append and this save is repaired by the
-            # marker check on replay. Saving first (the old order)
-            # replayed DDL onto an already-evolved snapshot.
-            self._save_catalog(batch_id)
+            # a crash between append and the save is repaired by the
+            # marker check on replay. The snapshot saves the COPY
+            # before the swap, so a failed save also leaves the
+            # in-memory catalog pristine for the retry.
+            self._save_catalog(batch_id, cat)
+            self.catalog.restore_from(cat)
 
     # -- lifecycle -------------------------------------------------------
 

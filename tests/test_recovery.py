@@ -358,3 +358,27 @@ def test_spec_kwargs_containers_persist_and_unserializable_rejected(spark, tmp_p
             target=WeirdTarget(str(tmp_path / "tgt3")),
         )
     assert "kw3" not in mgr.list()
+
+
+def test_create_rejects_n_buckets_without_format(spark, tmp_path):
+    """target_n_buckets parameterizes the RESOLVED target; without
+    target_format it used to be silently dropped (the job ran an
+    unbucketed default while the caller believed 64 buckets) — now a
+    loud ValueError at create time."""
+    import pytest
+
+    from dtle_spark.plans import cdc_demo
+    from dtle_spark.streaming.wire import to_wire
+
+    changes = cdc_demo.orders_changes(spark, SF_DIR)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    to_wire(changes.limit(5)).coalesce(1).write.parquet(f"{src}/b0")
+    mgr = JobManager(spark)
+    with pytest.raises(ValueError, match="target_format"):
+        mgr.create(
+            JobConfig("nb1", [TableConfig("db1", "orders",
+                                          unique_key=["o_orderkey"])]),
+            f"{src}/*", str(tmp_path / "tgt"), str(tmp_path / "ckpt"),
+            _orders_catalog(changes), start=False, target_n_buckets=64,
+        )

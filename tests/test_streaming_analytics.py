@@ -680,3 +680,101 @@ def test_subscription_catalog_survives_crash_between_commit_and_snapshot(spark, 
     assert [f.name for f in sj2.catalog.get("db1", "t").schema.fields] == cols_before
     # frames were NOT duplicated by either replay
     assert sj2.frames().count() == sj.frames().count()
+
+
+def test_subscription_retry_after_failed_append_no_duplicate_fields(spark, tmp_path):
+    """The failed-batch in-process retry: the frames append THROWS
+    mid-batch (sink hiccup), the stream re-runs the same batch, and it
+    must succeed with the DDL applied exactly once. Before the
+    copy-and-swap fix, apply_batch mutated self.catalog while BUILDING
+    the frames, so the retry replayed ADD COLUMN onto an already-
+    evolved catalog -> duplicate fields (the r7 ADVICE medium)."""
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from dtle_spark.catalog import SchemaCatalog
+    from dtle_spark.model import JobConfig, TableConfig
+    from dtle_spark.streaming.subscription import SubscriptionJob
+    from dtle_spark.streaming.wire import WIRE_SCHEMA
+
+    def wire_row(seq, op, after=None, query=None):
+        return Row(sid="ab12cd34-0000-1111-2222-333333333333", gno=seq, seq=seq,
+                   lc=0, op=op, ts=None, schema_name="db1", table_name="t",
+                   before=None, after=after, query=query)
+
+    cat = SchemaCatalog()
+    cat.register("db1", "t", T.StructType([
+        T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]),
+        ["id"])
+    sj = SubscriptionJob(
+        spark, JobConfig("retry", [TableConfig("db1", "t", unique_key=["id"])]),
+        str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ckpt"), cat,
+    )
+    b0 = spark.createDataFrame([
+        wire_row(1, "i", after='{"id":1,"v":10}'),
+        wire_row(2, "ddl", query="ALTER TABLE db1.t ADD COLUMN c BIGINT"),
+        wire_row(3, "i", after='{"id":2,"v":20,"c":7}'),
+    ], WIRE_SCHEMA)
+
+    real_append = sj.target.append
+    calls = {"n": 0}
+
+    def flaky_append(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected sink failure")
+        return real_append(*a, **kw)
+
+    sj.target.append = flaky_append
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="injected"):
+        sj.apply_batch(b0, 0)
+    # the failed attempt must leave the catalog pristine (pre-DDL)
+    fields = [f.name for f in cat.get("db1", "t").schema.fields]
+    assert fields == ["id", "v"], fields
+    # in-process retry of the SAME batch (what the stream does)
+    sj.apply_batch(b0, 0)
+    fields = [f.name for f in cat.get("db1", "t").schema.fields]
+    assert fields == ["id", "v", "c"], fields  # applied exactly once
+    # the caller's catalog reference observes the evolution (restore_
+    # from, not a rebind) and frames committed exactly once
+    assert cat is sj.catalog
+    vals = [r["value"] for r in sj.frames().collect()
+            if r["topic"] == "dtle.db1.t" and r["value"] is not None]
+    import json as _json
+    afters = [_json.loads(v)["after"] for v in vals]
+    assert {"id": 2, "v": 20, "c": 7} in afters  # post-DDL row has c
+
+
+def test_subscription_rejects_dml_sharing_seq_with_ddl(spark, tmp_path):
+    """Strict-inequality segmentation would silently DROP a DML row
+    whose seq collides with a DDL barrier; the guard fails loud."""
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from dtle_spark.catalog import SchemaCatalog
+    from dtle_spark.model import JobConfig, TableConfig
+    from dtle_spark.streaming.subscription import SubscriptionJob
+    from dtle_spark.streaming.wire import WIRE_SCHEMA
+
+    def wire_row(seq, op, after=None, query=None):
+        return Row(sid="ab12cd34-0000-1111-2222-333333333333", gno=seq, seq=seq,
+                   lc=0, op=op, ts=None, schema_name="db1", table_name="t",
+                   before=None, after=after, query=query)
+
+    cat = SchemaCatalog()
+    cat.register("db1", "t", T.StructType([
+        T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]),
+        ["id"])
+    sj = SubscriptionJob(
+        spark, JobConfig("clash", [TableConfig("db1", "t", unique_key=["id"])]),
+        str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ckpt"), cat,
+    )
+    b0 = spark.createDataFrame([
+        wire_row(1, "i", after='{"id":1,"v":10}'),
+        wire_row(2, "ddl", query="ALTER TABLE db1.t ADD COLUMN c BIGINT"),
+        wire_row(2, "i", after='{"id":2,"v":20}'),  # seq collides with DDL
+    ], WIRE_SCHEMA)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="share a seq"):
+        sj.apply_batch(b0, 0)

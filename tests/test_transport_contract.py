@@ -336,7 +336,20 @@ def test_produce_frames_enforces_bound(spark):
     frames = spark.createDataFrame(
         [("t1", "k", "v")] * 7, "topic string, key string, value string")
     with pytest.raises(RuntimeError, match="flow-control bound"):
-        produce_frames(frames, FakeProducer(), max_rows=5)
+        produce_frames(frames, FakeProducer(), max_rows=5, order_cols=())
+
+
+def test_produce_frames_requires_order_cols(spark):
+    """Missing order columns fail loud (a silent degrade to partition
+    order can send a delete before its insert — compaction resurrects
+    the key); order_cols=() is the explicit opt-out."""
+    from dtle_spark.sinks.debezium import produce_frames
+
+    frames = spark.createDataFrame(
+        [("t1", "k", "v")], "topic string, key string, value string")
+    with pytest.raises(ValueError, match="order column"):
+        produce_frames(frames, FakeProducer())
+    assert produce_frames(frames, FakeProducer(), order_cols=()) == 1
 
 
 def test_kafka_producer_constructor_gated():
