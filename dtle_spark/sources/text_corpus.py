@@ -121,6 +121,42 @@ def read_csv_corpus(
                    default_lang, default_source)
 
 
+def stream_jsonl_corpus(
+    spark: SparkSession,
+    path: str,
+    json_schema: str,
+    text_col: str = "text",
+    id_col: str | None = None,
+    lang_col: str | None = None,
+    source_col: str | None = None,
+    default_lang: str = "und",
+    default_source: str | None = None,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Streaming twin of :func:`read_jsonl_corpus`: readStream over a
+    growing JSONL tree -> STREAMING documents frame, for wiring the
+    raw-corpus on-ramp straight into
+    :class:`~dtle_spark.streaming.corpus_ingest.CorpusIngestJob` (pass
+    as its ``reader``). Identical projection (_finish), so batch and
+    streaming ingests of the same files produce identical rows —
+    including the deterministic xxhash64 ids. Streaming reads require
+    an explicit ``json_schema`` (no inference pass over an unbounded
+    source); new files are the micro-batch unit, exactly how crawled
+    corpora land (one dump file per crawl chunk)."""
+    raw = (
+        spark.readStream.schema(json_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(path)
+    )
+    if text_col not in raw.columns:
+        raise ValueError(
+            f"JSONL stream schema has no {text_col!r} field; "
+            f"columns: {raw.columns}"
+        )
+    return _finish(raw, text_col, id_col, lang_col, source_col,
+                   default_lang, default_source)
+
+
 def read_text_tree(
     spark: SparkSession,
     path: str,

@@ -58,6 +58,7 @@ class CorpusIngestJob:
         text_col: str = "text",
         threshold: float = 0.5,
         max_files_per_trigger: int = 1,
+        reader=None,
     ):
         self.spark = spark
         self.source_dir = source_dir
@@ -67,6 +68,13 @@ class CorpusIngestJob:
         self.text_col = text_col
         self.threshold = threshold
         self.max_files_per_trigger = max_files_per_trigger
+        # raw-corpus on-ramp hook: a callable (spark) -> STREAMING
+        # documents frame (e.g. sources/text_corpus.stream_jsonl_corpus
+        # over a JSONL dump tree); None keeps the parquet default.
+        # Everything downstream — index columns, near-dup probes,
+        # manifest commits — is shape-driven, so any documents-shaped
+        # stream plugs in.
+        self.reader = reader
         self.target = ParquetTableTarget(target_root)
         self.query = None
 
@@ -81,11 +89,18 @@ class CorpusIngestJob:
         indexed = with_dedup_index(batch, self.id_col, self.text_col).localCheckpoint(
             eager=False
         )
-        # within-batch exact dedup: keep the min id per fingerprint
+        # within-batch exact dedup: keep the min id per fingerprint.
+        # dropDuplicates on the id afterwards: content-hashed on-ramps
+        # (doc_id = xxhash64(source, text)) give IDENTICAL ids to
+        # identical rows, so several copies can all equal the min —
+        # same-id rows are the same document by construction
         keeper = indexed.groupBy("__fp").agg(F.min(self.id_col).alias("__keep"))
-        indexed = indexed.join(keeper, "__fp").filter(
-            F.col(self.id_col) == F.col("__keep")
-        ).drop("__keep")
+        indexed = (
+            indexed.join(keeper, "__fp")
+            .filter(F.col(self.id_col) == F.col("__keep"))
+            .drop("__keep")
+            .dropDuplicates([self.id_col])
+        )
         # within-batch NEAR-dup pass (ADVICE r4: two near-duplicates in
         # one micro-batch must not both enter the corpus permanently) —
         # same index columns, greedy keep-min per pair
@@ -113,11 +128,14 @@ class CorpusIngestJob:
     # -- lifecycle -------------------------------------------------------
 
     def start(self) -> "CorpusIngestJob":
-        stream = (
-            self.spark.readStream.schema(self.schema)
-            .option("maxFilesPerTrigger", self.max_files_per_trigger)
-            .parquet(self.source_dir)
-        )
+        if self.reader is not None:
+            stream = self.reader(self.spark)
+        else:
+            stream = (
+                self.spark.readStream.schema(self.schema)
+                .option("maxFilesPerTrigger", self.max_files_per_trigger)
+                .parquet(self.source_dir)
+            )
         self.query = (
             stream.writeStream.foreachBatch(self.apply_batch)
             .option("checkpointLocation", os.path.join(self.checkpoint_dir, "ingest"))

@@ -123,3 +123,84 @@ def test_string_ids_hash_instead_of_null(spark, tmp_path):
     again = {r["text"]: r["doc_id"]
              for r in read_jsonl_corpus(spark, str(p), id_col="id").collect()}
     assert again == rows                # hash ids are deterministic
+
+
+def test_jsonl_tree_to_streaming_ingest_e2e(spark, tmp_path):
+    """The first path a real training-data user hits, end to end:
+    raw JSONL dump tree -> stream_jsonl_corpus (documents shape,
+    deterministic xxhash64 ids) -> CorpusIngestJob (within-batch exact
+    dedup, cross-batch near-dup vs the PERSISTED index) ->
+    manifest-sealed corpus, replay-idempotent."""
+    import json
+    import os
+
+    from dtle_spark.sinks.manifest import TableManifest
+    from dtle_spark.sources.text_corpus import stream_jsonl_corpus
+    from dtle_spark.streaming.corpus_ingest import CorpusIngestJob
+
+    src = str(tmp_path / "dumps")
+    os.makedirs(src)
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+
+    def dump(name, docs):
+        with open(os.path.join(src, name), "w") as f:
+            for d in docs:
+                f.write(json.dumps(d) + "\n")
+
+    dump("crawl-000.jsonl", [
+        {"text": base + " one", "lang": "en"},
+        {"text": "completely different text about spark query engines",
+         "lang": "en"},
+        {"text": base + " one", "lang": "en"},  # exact dup within batch
+    ])
+
+    def reader(s):
+        return stream_jsonl_corpus(
+            s, os.path.join(src, "*.jsonl"),
+            "text string, lang string", lang_col="lang",
+        )
+
+    job = CorpusIngestJob(
+        spark, src, str(tmp_path / "tgt"), str(tmp_path / "ckpt"),
+        reader=reader,
+    )
+    job.start()
+    job.process_available()
+    c1 = job.corpus().collect()
+    texts1 = sorted(r["text"] for r in c1)
+    assert texts1 == sorted([
+        base + " one",
+        "completely different text about spark query engines",
+    ])
+    # deterministic ids + attribution: xxhash64(source, text), source
+    # is the originating dump file
+    assert all(r["source"].endswith("crawl-000.jsonl") for r in c1)
+    assert all(r["doc_id"] is not None for r in c1)
+    assert all(r["n_chars"] == len(r["text"]) for r in c1)
+
+    # second crawl chunk arrives: exact dup + near dup + fresh doc
+    dump("crawl-001.jsonl", [
+        {"text": base + " one", "lang": "en"},   # exact dup of corpus
+        {"text": base + " two", "lang": "en"},   # near dup of corpus
+        {"text": "fresh unrelated content counting tokens and windows",
+         "lang": "en"},
+    ])
+    job.start()
+    job.process_available()
+    texts2 = sorted(r["text"] for r in job.corpus().collect())
+    assert texts2 == sorted(texts1 + [
+        "fresh unrelated content counting tokens and windows",
+    ])
+
+    # replay-idempotence: re-running the committed batch is a no-op
+    wm = job.target.seq_watermark("corpus", "documents")["__ingest_batch"]
+    from dtle_spark.sources.text_corpus import read_jsonl_corpus
+    batch_again = read_jsonl_corpus(
+        spark, os.path.join(src, "crawl-001.jsonl"), lang_col="lang",
+    )
+    job.apply_batch(batch_again, wm)
+    assert sorted(r["text"] for r in job.corpus().collect()) == texts2
+
+    # manifest-sealed: each chunk left a resolvable snapshot
+    vs = TableManifest.versions(job.target.path("corpus", "documents"))
+    assert len(vs) >= 2

@@ -357,3 +357,112 @@ def test_kafka_producer_constructor_gated():
 
     with pytest.raises(NotImplementedError, match="kafka-python"):
         kafka_producer("localhost:9092")
+
+
+def test_subscription_full_lifecycle_contract(spark, tmp_path):
+    """One scenario, the whole reference flow (kafka3.go + job.go):
+    recorded binlog events -> MySQLBinlogBridge spool -> SubscriptionJob
+    with a MID-STREAM DDL, a pause/resume boundary, finish() drain, and
+    the producer contract at the end — asserting global frame order
+    ((__batch, __seq, __sub)), schema-change frame PLACEMENT (between
+    the pre- and post-DDL row frames), evolved post-DDL images, and
+    the finished state."""
+    import json as _json
+    import os
+
+    from pyspark.sql import types as T
+
+    from dtle_spark.catalog import SchemaCatalog
+    from dtle_spark.model import JobConfig, TableConfig
+    from dtle_spark.sinks.debezium import produce_frames
+    from dtle_spark.sources.cdc_bridge import FileBridge, MySQLBinlogBridge
+    from dtle_spark.streaming.subscription import SubscriptionJob
+
+    sid = "aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee"
+
+    def gtid(gno):
+        return {"type": "gtid", "sid": sid, "gno": gno,
+                "last_committed": 0, "sequence_number": gno}
+
+    def q(query, pos):
+        return {"type": "query", "schema": "db1", "query": query,
+                "log_pos": pos, "timestamp": 1600000000}
+
+    def rows(op, rws, pos):
+        return {"type": "rows", "op": op, "schema": "db1", "table": "t1",
+                "rows": rws, "log_pos": pos, "timestamp": 1600000000}
+
+    spool = str(tmp_path / "spool")
+    bridge = FileBridge(spool)
+    mysql = MySQLBinlogBridge()
+    # chunk 1: an insert tx (pre-DDL world)
+    mysql.publish(spark, bridge, [
+        gtid(1), q("BEGIN", 10),
+        rows("insert", [{"id": 1, "v": "a"}], 20),
+        {"type": "xid", "xid": 1, "log_pos": 30},
+    ])
+
+    cat = SchemaCatalog()
+    cat.register("db1", "t1", T.StructType([
+        T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]),
+        ["id"])
+    sj = SubscriptionJob(
+        spark, JobConfig("lifec", [TableConfig("db1", "t1", unique_key=["id"])]),
+        spool + "/*", str(tmp_path / "out"), str(tmp_path / "ckpt"), cat,
+    ).start()
+    sj.process_available()
+    sj.pause()
+    assert sj.query is None  # paused
+
+    # chunk 2 lands WHILE PAUSED: DDL barrier, then a post-DDL insert
+    # carrying the new column
+    mysql.publish(spark, bridge, [
+        gtid(2),
+        q("ALTER TABLE db1.t1 ADD COLUMN c BIGINT", 40),
+        q("BEGIN", 50),
+        rows("insert", [{"id": 2, "v": "b", "c": 7}], 60),
+        {"type": "xid", "xid": 2, "log_pos": 70},
+    ])
+    sj.resume()
+    sj.process_available()
+
+    # catalog evolved through the stream, and the snapshot persisted
+    assert [f.name for f in cat.get("db1", "t1").schema.fields] == ["id", "v", "c"]
+    assert os.path.exists(sj.catalog_path)
+
+    # chunk 3: a delete, then graceful finish (drain-then-stop)
+    mysql.publish(spark, bridge, [
+        gtid(3), q("BEGIN", 80),
+        rows("delete", [{"id": 1, "v": "a", "c": None}], 90),
+        {"type": "xid", "xid": 3, "log_pos": 100},
+    ])
+    sj.finish()
+    assert sj.wait_finished()
+    st = sj.stats()
+    assert st["job_status"] == "target_gtid_finished" and not st["active"]
+
+    # drain through the producer contract: global (__batch,__seq,__sub)
+    p = FakeProducer()
+    n = produce_frames(sj.frames(), p)
+    assert n == st["frames"] == len(p.sent)
+    sent = p.sent
+    # placement: insert(id=1) -> schema-change -> insert(id=2) ->
+    # delete(id=1) -> tombstone(id=1)
+    kinds = []
+    for topic, key, val in sent:
+        if topic == "schema-changes.dtle":
+            kinds.append("ddl")
+        elif val is None:
+            kinds.append("tomb")
+        else:
+            kinds.append(_json.loads(val)["op"])
+    assert kinds == ["c", "ddl", "c", "d", "tomb"], kinds
+    # the DDL frame carries the statement; post-DDL image carries c
+    ddl_val = _json.loads(sent[1][2])
+    assert ddl_val["ddl"].startswith("ALTER TABLE")
+    post = _json.loads(sent[2][2])
+    assert post["after"] == {"id": 2, "v": "b", "c": 7}
+    pre = _json.loads(sent[0][2])
+    assert pre["after"] == {"id": 1, "v": "a"}  # pre-DDL: no c field
+    # delete + tombstone share the key; tombstone strictly after
+    assert sent[3][1] == sent[4][1] == b'{"id":1}'
