@@ -944,36 +944,98 @@ def ivf_pq_topk(
             steps=2, m=m, ksub=ksub, dim=dim, id_col=id_col, vec_col=vec_col,
         ).localCheckpoint()
     )
-    enc = pq_encode(vectors, cb, m=m, ksub=ksub, dim=dim,
+    celled = ivf_pq_build_index(
+        vectors, cent, cb, m=m, ksub=ksub, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    ).localCheckpoint(eager=False)  # (id, cell, codes, rnorm): THE index
+    probes = _ivf_pq_probes(queries, cent, nprobe, id_col, vec_col)
+    return _ivf_pq_adc(
+        celled, probes, cb, vectors, k=k, m=m, ksub=ksub, dim=dim,
+        id_col=id_col, vec_col=vec_col, rerank=rerank,
+    )
+
+
+def ivf_pq_build_index(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    path: str | None = None,
+) -> DataFrame:
+    """Build the IVF-PQ index table (id, cell, codes array<int>,
+    rnorm) — cell assignment + PQ encoding, both map-only over
+    broadcast tables. With ``path``, PERSIST it partitioned BY CELL:
+    at 100 TB this is the on-disk layout that lets probes prune the
+    scan itself (only nprobe/n_cells of the files are read — verified
+    by plan pin in tests); the in-memory shape feeds ivf_pq_topk
+    directly."""
+    enc = pq_encode(vectors, codebook, m=m, ksub=ksub, dim=dim,
                     id_col=id_col, vec_col=vec_col)
     celled = (
-        ivf_assign_cells(vectors, cent, id_col=id_col, vec_col=vec_col)
+        ivf_assign_cells(vectors, centroids, id_col=id_col, vec_col=vec_col)
         .select(F.col("neighbor_id").alias("id"), "cell")
         .join(enc, "id")
-        .localCheckpoint(eager=False)  # (cell, codes, rnorm): THE index
+        .select("id", "cell", "codes", "rnorm")
     )
+    if path is not None:
+        celled.write.partitionBy("cell").mode("overwrite").parquet(path)
+    return celled
+
+
+def _ivf_pq_probes(
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Per-query nprobe best cells: (query_id, q_vec, qnorm, cell) —
+    the bounded-query-set stage (|Q| x n_cells rows, tiny)."""
     q0 = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         norm_expr(vec_col).alias("qnorm"),
     )
-    qscored = q0.crossJoin(F.broadcast(cent)).withColumn(
+    qscored = q0.crossJoin(F.broadcast(centroids)).withColumn(
         "c_cos", cosine_expr("q_vec", "c_vec")
     )
     qw = Window.partitionBy("query_id").orderBy(F.col("c_cos").desc(), F.col("cent_id"))
-    probes = (
+    return (
         qscored.withColumn("__r", F.row_number().over(qw))
         .filter(F.col("__r") <= nprobe)
         .select("query_id", "q_vec", "qnorm", F.col("cent_id").alias("cell"))
     )
+
+
+def _ivf_pq_adc(
+    index: DataFrame,
+    probes: DataFrame,
+    codebook: DataFrame,
+    vectors: DataFrame | None,
+    k: int,
+    m: int,
+    ksub: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    rerank: int,
+) -> DataFrame:
+    """ADC over the probed cells + optional exact rerank — shared by
+    the inline tier (ivf_pq_topk) and the persisted-index tier
+    (ivf_pq_topk_indexed), so the two CANNOT diverge. ``vectors`` is
+    only consulted when rerank > 0 (exact cosine needs fp32)."""
     d = dim // m
     probes_l = (
-        probes.crossJoin(F.broadcast(_pq_cb_row(cb)))
+        probes.crossJoin(F.broadcast(_pq_cb_row(codebook)))
         .withColumn("luts", F.expr(f"transform(cb, c -> {_pq_lut_dot_expr(d)})"))
-        .select("query_id", "qnorm", "cell", "luts")
+        .select("query_id", "q_vec", "qnorm", "cell", "luts")
     )
     hits = (
-        celled.join(F.broadcast(probes_l), "cell")
+        index.join(F.broadcast(probes_l.drop("q_vec")), "cell")
         .filter(F.col("query_id") != F.col("id"))
         .withColumn("qcos", F.expr(f"({_adc_score_expr(m, ksub)}) / (qnorm * rnorm)"))
     )
@@ -983,10 +1045,47 @@ def ivf_pq_topk(
         return ranked.filter(F.col("rank") <= k).select(
             "query_id", "cell", F.col("id").alias("neighbor_id"), "rank", "qcos"
         )
+    if vectors is None:
+        raise ValueError("rerank > 0 needs the fp32 `vectors` table")
     cand = ranked.filter(F.col("rank") <= rerank).select(
         "query_id", "cell", F.col("id").alias("neighbor_id")
     )
+    q0 = probes.select("query_id", "q_vec", "qnorm").dropDuplicates(["query_id"])
     return _exact_rerank(vectors, q0, cand, k, id_col, vec_col, carry=("cell",))
+
+
+def ivf_pq_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    vectors: DataFrame | None = None,
+    k: int = 10,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int = 0,
+) -> DataFrame:
+    """Search a PERSISTED cell-partitioned IVF-PQ index: compute the
+    probe set (tiny), collect its distinct cells driver-side (bounded
+    by n_cells — a control-plane collect), and read the index with a
+    STATIC partition filter so the scan itself skips every unprobed
+    cell's files. This is the 100 TB read path the partitioned layout
+    exists for: per-query cost is N * nprobe/n_cells CODE rows read
+    from disk, not N rows scanned and filtered. Result ==
+    ivf_pq_topk on the same tables (pytest-pinned, shared ADC stage)."""
+    probes = _ivf_pq_probes(queries, centroids, nprobe, id_col, vec_col)
+    probes = probes.localCheckpoint()  # consumed twice: cells + join
+    cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+    index = spark.read.parquet(index_path).filter(F.col("cell").isin(cells))
+    return _ivf_pq_adc(
+        index, probes, codebook, vectors, k=k, m=m, ksub=ksub, dim=dim,
+        id_col=id_col, vec_col=vec_col, rerank=rerank,
+    )
 
 
 def neardup_pairs(

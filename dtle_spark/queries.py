@@ -1971,6 +1971,66 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.perplexity_buckets(d, "doc_id", "text")
 
 
+def _duck_ppl_sampled_oracle(buckets: int = 3) -> str:
+    """Oracle for the sampled-threshold perplexity lane
+    (textstats.perplexity_buckets_sampled): same unigram CTE block as
+    the ntile lane, thresholds = quantile_cont over the deterministic
+    25% md5 draw (Spark's exact `percentile` and DuckDB's quantile_cont
+    share the sort-and-interpolate definition; the FRACTION literals
+    are generated from the same Python expression `1 - i/buckets` so
+    both engines receive bit-identical probe points — NB `1 - 1/3` and
+    `2/3` differ by one ULP in binary), then map-only banding by
+    strict-< threshold counts. Bucket outputs are ULP-robust: an
+    interpolated threshold lies strictly between two distinct adjacent
+    scores, and exact-rank thresholds equal a score exactly in both
+    engines."""
+    from dtle_spark.functions.textstats import BAND_SAMPLE_HEX
+
+    nibbles = ", ".join(f"'{c}'" for c in BAND_SAMPLE_HEX)
+    qs = ", ".join(
+        f"quantile_cont(mean_bits, CAST({1 - i / buckets} AS DOUBLE))"
+        for i in range(1, buckets)
+    )
+    cases = " + ".join(
+        f"(CASE WHEN mean_bits < ts[{i}] THEN 1 ELSE 0 END)"
+        for i in range(1, buckets)
+    )
+    return f"""{_duck_unigram_cte()},
+    u AS (
+      SELECT doc_id AS id,
+             CASE WHEN COALESCE(d.n_tokens, 0) = 0 THEN 0.0
+                  ELSE CAST(d.info_bits AS DOUBLE) / d.n_tokens END AS mean_bits
+      FROM documents LEFT JOIN d ON documents.doc_id = d.id
+    ),
+    th AS (
+      SELECT [{qs}] AS ts FROM u
+      WHERE substring(md5(CAST(id AS VARCHAR)), 1, 1) IN ({nibbles})
+    ),
+    b AS (
+      SELECT id, mean_bits, CAST(1 + {cases} AS BIGINT) AS bucket
+      FROM u, th
+    )
+    SELECT id, mean_bits, bucket,
+           CASE WHEN bucket = 1 THEN 'head'
+                WHEN bucket = 2 THEN 'middle'
+                ELSE 'tail' END AS band
+    FROM b
+    """
+
+
+@query("perplexity_bands_sampled", _duck_ppl_sampled_oracle())
+def perplexity_bands_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB lane of perplexity_buckets, oracle-gated end-to-end:
+    thresholds fitted ONCE via exact percentile over the deterministic
+    25% md5 sample of the scores (CCNet fits its bands on a reference
+    sample the same way), then banding is pure Column arithmetic — no
+    global single-partition sort anywhere (the ntile lane's scale
+    ceiling). Map-only banding plan pinned in pytest
+    (tests/test_custom_ops.py TestPerplexityBandsSampled)."""
+    d = load_table(spark, sf_dir, "documents")
+    return tx.perplexity_buckets_sampled(d, "doc_id", "text")
+
+
 @query("dedup_clusters", _duck_cc_sql())
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative operator: connected components over the verified

@@ -1547,3 +1547,67 @@ def test_ivf_index_append_equals_rebuild(spark):
     b = {(r["neighbor_id"], r["cell"], r["n_norm"]) for r in rebuilt.collect()}
     assert a == b
     assert appended.count() == e.count()
+
+
+class TestIvfPqPersistedIndex:
+    """ivf_pq_build_index(path=...) + ivf_pq_topk_indexed: the on-disk
+    cell-partitioned layout and its partition-pruned read path."""
+
+    def _tables(self, spark):
+        from dtle_spark.tableio import load_table
+        from dtle_spark.functions.similarity import (
+            ivf_exact_mean_centroids, md5_train_sample, pq_codebook, pq_refine,
+        )
+        from pyspark.sql import functions as F
+
+        e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        q = e.filter(F.col("vec_id") % 50 == 0)
+        tr = md5_train_sample(e)
+        cent = ivf_exact_mean_centroids(tr, k=16).localCheckpoint()
+        cb = pq_refine(tr, pq_codebook(tr, m=8, ksub=16),
+                       steps=2, m=8, ksub=16).localCheckpoint()
+        return e, q, cent, cb
+
+    def test_indexed_equals_inline(self, spark, tmp_path):
+        """Searching the persisted index returns EXACTLY what the
+        inline tier computes from the same trained tables — same rows,
+        same cosines (shared ADC stage, pytest-pinned)."""
+        from dtle_spark.functions.similarity import (
+            ivf_pq_build_index, ivf_pq_topk, ivf_pq_topk_indexed,
+        )
+
+        e, q, cent, cb = self._tables(spark)
+        path = str(tmp_path / "ivfpq_index")
+        ivf_pq_build_index(e, cent, cb, path=path)
+        inline = ivf_pq_topk(e, q, k=10, nprobe=4, rerank=100,
+                             centroids=cent, codebook=cb)
+        indexed = ivf_pq_topk_indexed(
+            spark, path, q, cent, cb, vectors=e, k=10, nprobe=4, rerank=100)
+        key = lambda r: (r["query_id"], r["rank"])
+        a = {key(r): (r["neighbor_id"], r["cell"], r["cosine"]) for r in inline.collect()}
+        b = {key(r): (r["neighbor_id"], r["cell"], r["cosine"]) for r in indexed.collect()}
+        assert a == b and len(a) > 0
+
+    def test_probe_scan_prunes_partitions(self, spark, tmp_path):
+        """The layout's whole point: the indexed search's scan reads
+        ONLY the probed cells' partitions — PartitionFilters carry the
+        cell IN (...) predicate, and the scanned partition count equals
+        the probed cell count, not n_cells."""
+        import re
+
+        from dtle_spark.functions.similarity import (
+            ivf_pq_build_index, ivf_pq_topk_indexed,
+        )
+        from pyspark.sql import functions as F
+
+        e, q, cent, cb = self._tables(spark)
+        path = str(tmp_path / "ivfpq_index")
+        ivf_pq_build_index(e, cent, cb, path=path)
+        one_q = q.filter(F.col("vec_id") == 0)  # 1 query -> nprobe cells
+        out = ivf_pq_topk_indexed(spark, path, one_q, cent, cb,
+                                  k=5, nprobe=2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "cell" in m.group(1), plan[:2000]
+        # results only ever come from the <= nprobe probed cells
+        assert out.select("cell").distinct().count() <= 2
