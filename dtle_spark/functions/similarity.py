@@ -578,6 +578,7 @@ def pq_codebook(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    means: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic PQ codebook: one integer-exact Lloyd step from the
     fixed partition ``code = id % ksub`` (ivf_exact_mean_centroids),
@@ -593,11 +594,18 @@ def pq_codebook(
     Returns (sub, code, cvec array<double> of dim/m, cnorm2) — cnorm2
     is the entry's squared norm; sub-spaces are disjoint coordinate
     blocks, so a reconstruction's squared norm is the SUM of its chosen
-    entries' cnorm2 (exact, no cross terms)."""
+    entries' cnorm2 (exact, no cross terms).
+
+    ``means``: an already-computed ivf_exact_mean_centroids(k=ksub)
+    table (cent_id, c_vec) to slice instead of re-aggregating — when
+    the IVF centroid table and the codebook share k (n_cells == ksub),
+    the SAME aggregation feeds both, so the composed tier trains once
+    (its oracle shares the centsum CTE the same way)."""
     d = dim // m
-    means = ivf_exact_mean_centroids(
-        vectors, k=ksub, id_col=id_col, vec_col=vec_col, dim=dim
-    )
+    if means is None:
+        means = ivf_exact_mean_centroids(
+            vectors, k=ksub, id_col=id_col, vec_col=vec_col, dim=dim
+        )
     entries = means.select(
         F.col("cent_id").cast("int").alias("code"),
         F.explode(
@@ -935,15 +943,19 @@ def ivf_pq_topk(
             tr, k=n_cells, id_col=id_col, vec_col=vec_col, dim=dim
         ).localCheckpoint()
     )
-    cb = (
-        codebook
-        if codebook is not None
-        else pq_refine(
-            tr, pq_codebook(tr, m=m, ksub=ksub, dim=dim,
-                            id_col=id_col, vec_col=vec_col),
-            steps=2, m=m, ksub=ksub, dim=dim, id_col=id_col, vec_col=vec_col,
+    if codebook is not None:
+        cb = codebook
+    else:
+        # n_cells == ksub: the centroid aggregation doubles as the
+        # codebook init (slice of the same means) — train once
+        init = pq_codebook(
+            tr, m=m, ksub=ksub, dim=dim, id_col=id_col, vec_col=vec_col,
+            means=cent if (centroids is None and n_cells == ksub) else None,
+        )
+        cb = pq_refine(
+            tr, init, steps=2, m=m, ksub=ksub, dim=dim,
+            id_col=id_col, vec_col=vec_col,
         ).localCheckpoint()
-    )
     celled = ivf_pq_build_index(
         vectors, cent, cb, m=m, ksub=ksub, dim=dim,
         id_col=id_col, vec_col=vec_col,

@@ -1363,8 +1363,11 @@ def ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") % 50 == 0)
     tr = sim.md5_train_sample(e)
     cent = sim.ivf_exact_mean_centroids(tr, k=16).localCheckpoint()
+    # n_cells == ksub: the pinned centroid table doubles as the
+    # codebook init (means=), so the 64-sum training agg runs ONCE
     cb = sim.pq_refine(
-        tr, sim.pq_codebook(tr, m=8, ksub=16), steps=2, m=8, ksub=16
+        tr, sim.pq_codebook(tr, m=8, ksub=16, means=cent),
+        steps=2, m=8, ksub=16,
     )  # refine's final step is already checkpoint-pinned
     out = sim.ivf_pq_topk(
         e, q, k=10, nprobe=4, n_cells=16, m=8, ksub=16,
