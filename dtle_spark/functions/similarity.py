@@ -1044,10 +1044,10 @@ def _ivf_pq_adc(
     probes_l = (
         probes.crossJoin(F.broadcast(_pq_cb_row(codebook)))
         .withColumn("luts", F.expr(f"transform(cb, c -> {_pq_lut_dot_expr(d)})"))
-        .select("query_id", "q_vec", "qnorm", "cell", "luts")
+        .select("query_id", "qnorm", "cell", "luts")
     )
     hits = (
-        index.join(F.broadcast(probes_l.drop("q_vec")), "cell")
+        index.join(F.broadcast(probes_l), "cell")
         .filter(F.col("query_id") != F.col("id"))
         .withColumn("qcos", F.expr(f"({_adc_score_expr(m, ksub)}) / (qnorm * rnorm)"))
     )
@@ -1090,6 +1090,10 @@ def ivf_pq_topk_indexed(
     exists for: per-query cost is N * nprobe/n_cells CODE rows read
     from disk, not N rows scanned and filtered. Result ==
     ivf_pq_topk on the same tables (pytest-pinned, shared ADC stage)."""
+    # the persisted-index path is where codebook REUSE (and therefore
+    # staleness) is the norm — validate before any positional lookup,
+    # exactly as the inline tier does in pq_encode
+    _require_dense_codebook(codebook, m, ksub, dim // m)
     probes = _ivf_pq_probes(queries, centroids, nprobe, id_col, vec_col)
     probes = probes.localCheckpoint()  # consumed twice: cells + join
     cells = [r["cell"] for r in probes.select("cell").distinct().collect()]

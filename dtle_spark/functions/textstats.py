@@ -476,19 +476,30 @@ def fit_band_thresholds(scores, buckets: int = 3,
                         hex_chars: str = BAND_SAMPLE_HEX) -> list[float]:
     """Fit CCNet-style band thresholds on a deterministic sample of the
     per-doc scores: exact percentiles of ``mean_bits`` over the rows
-    whose md5(id) leads with one of ``hex_chars`` (the same 25% draw
-    the PQ train uses — a pure function of the id, so reruns fit
-    identical thresholds). ONE partial-aggregable percentile over the
-    sample; no global sort at any corpus size. Returns buckets-1
-    descending cut points (driver-side floats — a bounded, fail-loud
-    control-plane collect)."""
+    whose md5(id) leads with one of ``hex_chars`` (a pure function of
+    the id, so reruns fit identical thresholds; the same draw family
+    the PQ train uses). No global sort of the CORPUS anywhere — but
+    Spark's exact `percentile` buffers one counter per DISTINCT sampled
+    value in the final merge, so the SAMPLE must be bounded: size it
+    with ``hex_chars`` (each entry may be a multi-nibble md5 PREFIX —
+    one char = 1/16 of docs, two chars = 1/256, three = 1/4096 …;
+    CCNet itself fits on a bounded reference corpus, not the full
+    crawl). Swap in `approx_percentile` for an unbounded-sample
+    variant when threshold tolerance allows (not oracle-restatable —
+    its t-digest is engine-specific). Returns buckets-1 descending cut
+    points (driver-side floats — a bounded, fail-loud control-plane
+    collect)."""
+    plens = {len(c) for c in hex_chars}
+    if len(plens) != 1:
+        raise ValueError(f"hex_chars entries must share one length: {hex_chars!r}")
+    plen = plens.pop()
     fracs = ", ".join(
         f"CAST({1 - i / buckets} AS DOUBLE)" for i in range(1, buckets)
     )
     nibbles = ", ".join(f"'{c}'" for c in hex_chars)
     row = (
         scores.filter(
-            F.expr(f"substring(md5(CAST(id AS STRING)), 1, 1) IN ({nibbles})")
+            F.expr(f"substring(md5(CAST(id AS STRING)), 1, {plen}) IN ({nibbles})")
         )
         .agg(F.expr(f"percentile(mean_bits, array({fracs}))").alias("ts"))
         .collect()

@@ -142,16 +142,45 @@ def merge_into_versioned(
     column; here it is one full-outer join.
     """
     data_cols = [c for c in versioned_target.columns if c not in (SEQ_COL, DELETED_COL)]
+    new_type = net.schema["row"].dataType
+    new_names = [f.name for f in new_type.fields]
+    if new_names != data_cols:
+        # schema drift between the stored image and the incoming
+        # segment — a mid-batch-DDL retry against a partially-evolved
+        # target, or a pre-DDL segment replayed after the physical
+        # ADD COLUMN landed. Align both structs BY NAME over the union
+        # (stored order first, new-only fields appended), null-filling
+        # absent fields and casting to one agreed type per name
+        # (stored wins), so the merge stays a well-typed CASE WHEN
+        # instead of an AnalysisException.
+        cur_types = {c: versioned_target.schema[c].dataType for c in data_cols}
+        new_types = {f.name: f.dataType for f in new_type.fields}
+        typ = {**new_types, **cur_types}
+        out_cols = data_cols + [n for n in new_names if n not in cur_types]
+
+        def _aligned(present: set, get):
+            return F.struct(*[
+                (get(c).cast(typ[c]) if c in present
+                 else F.lit(None).cast(typ[c])).alias(c)
+                for c in out_cols
+            ])
+
+        cur_struct = _aligned(set(data_cols), F.col)
+        new_struct = _aligned(set(new_names), lambda c: F.col("row").getField(c))
+        data_cols = out_cols
+    else:
+        cur_struct = F.struct(*[F.col(c) for c in data_cols])
+        new_struct = F.col("row")
     cur = versioned_target.select(
         *[F.col(k) for k in key_cols],
-        F.struct(*[F.col(c) for c in data_cols]).alias("__cur_row"),
+        cur_struct.alias("__cur_row"),
         F.col(SEQ_COL).alias("__cur_seq"),
         F.col(DELETED_COL).alias("__cur_del"),
     )
     eff = net.select(
         *[F.col(k) for k in key_cols],
         F.col("__action"),
-        F.col("row").alias("__new_row"),
+        new_struct.alias("__new_row"),
         F.col("seq").alias("__new_seq"),
     )
     j = cur.join(eff, on=key_cols, how="full_outer")

@@ -534,16 +534,28 @@ def write_query_hashes(round_no: int) -> dict[str, dict]:
     unchanged keep their stored round (the round the definition dates
     from); changed or new entries are stamped with ``round_no``. Run at
     the END of each round, after all query edits — the driver then
-    checks exactly the stamped definitions."""
+    checks exactly the stamped definitions.
+
+    Bootstrap (entry missing entirely, e.g. the file was deleted or a
+    query predates the mechanism): stamp with the query's LAST GREEN
+    round, not ``round_no`` — stamping current would mark every
+    definition "changed since its green" at once and collapse the
+    rotation to plain definition order, the exact regression the sort
+    key exists to prevent. A query changed before its file entry was
+    lost is still caught by the hash mismatch on the next edit; the
+    conservative cost is one un-front-loaded window."""
     import json
     import os
 
     stored = _stored_hashes()
+    _, last_green = _green_history()
     out: dict[str, dict] = {}
     for name in REGISTRY:
         h = _definition_hash(name)
         prev = stored.get(name)
-        if prev and prev.get("hash") == h:
+        if prev is None:
+            out[name] = {"hash": h, "round": last_green.get(name, 0)}
+        elif prev.get("hash") == h:
             out[name] = prev
         else:
             out[name] = {"hash": h, "round": round_no}
@@ -918,12 +930,33 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("rank", "rnk")
 
 
+def _duck_train_where() -> str:
+    """DuckDB restatement of similarity.md5_train_sample: the
+    deterministic 25% md5-draw both engines agree on byte-for-byte
+    (md5 of the decimal id string; same leading-nibble set).
+
+    DENSITY ASSUMPTION (shared with the Spark lane): every vec_id %
+    ksub residue class must keep at least one member under the draw —
+    Spark fails loudly via _require_dense_codebook, but the PQ oracles
+    would silently build a gapped cbe0 whose positional
+    luts[s*ksub+code+1] / cb.cb[...] indexing mis-scores. Verified on
+    all three fixtures (sf0.001/0.01/0.1: 16/16 residues populated);
+    at any realistic corpus size a 25% draw leaving a mod-16 class
+    empty is (3/4)^(N/16) — negligible beyond toy N."""
+    nibbles = ", ".join(f"'{c}'" for c in sim.TRAIN_SAMPLE_HEX)
+    return f"substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ({nibbles})"
+
+
 def _duck_ivf_trained_oracle(k: int = 16, nprobe: int = 4, dim: int = 64) -> str:
     """Oracle for the TRAINED-centroid IVF search: the centroid table
     is one integer-exact Lloyd step from the fixed cell = vec_id % k
-    partition (mirrors similarity.ivf_exact_mean_centroids — scaled-int
+    partition OVER THE md5_train_sample DRAW (mirrors
+    similarity.ivf_exact_mean_centroids on the sample — scaled-int
     component sums make the mean order-free, so it hash-gates; the
-    double-mean train_centroids deliberately does not)."""
+    double-mean train_centroids deliberately does not). Training on
+    the sample while assigning/searching the full corpus is the same
+    production shape the PQ tiers use (r7); Lloyd only needs a
+    representative subset."""
     sums = ", ".join(
         f"CAST(SUM(CAST(round(CAST(embedding[{i + 1}] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS s{i}"
         for i in range(dim)
@@ -932,7 +965,7 @@ def _duck_ivf_trained_oracle(k: int = 16, nprobe: int = 4, dim: int = 64) -> str
     return f"""
 WITH centsum AS (
   SELECT vec_id % {k} AS cent_id, COUNT(*) AS n, {sums}
-  FROM embeddings GROUP BY cent_id),
+  FROM embeddings WHERE {_duck_train_where()} GROUP BY cent_id),
 cent0 AS (SELECT cent_id, [{comps}] AS c_vec FROM centsum),
 cent AS (SELECT cent_id, c_vec, sqrt({_duck_dot('c_vec', 'c_vec')}) AS c_norm FROM cent0),
 cents AS (SELECT list({{'cent_id': cent_id, 'c_vec': c_vec, 'c_norm': c_norm}} ORDER BY cent_id) AS cents FROM cent),
@@ -964,15 +997,21 @@ def ann_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search against a TRAINED centroid table (one integer-exact
     Lloyd step — similarity.ivf_exact_mean_centroids) instead of the
     sampled init: the plan is identical, only the centroid input
-    changes. A pytest recall gate proves the trained path's quality
-    against brute force (tests/test_custom_ops.py); the double-mean
-    trainer train_centroids backs the same seam on a cluster."""
+    changes. The train runs on the deterministic 25% md5_train_sample
+    draw (r8, mirroring the PQ tiers' r7 production shape — Lloyd only
+    needs a representative subset; assignment and search still stream
+    the full corpus). A pytest recall gate proves the trained path's
+    quality against brute force (tests/test_custom_ops.py); the
+    double-mean trainer train_centroids backs the same seam on a
+    cluster."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 50 == 0)
     # materialize the (tiny) trained centroid table once: ivf_topk
     # consumes it in three places, and each lazy reuse would re-run the
-    # 64-sum training aggregation over the full corpus
-    cent = sim.ivf_exact_mean_centroids(e, k=16).localCheckpoint()
+    # 64-sum training aggregation over the sample
+    cent = sim.ivf_exact_mean_centroids(
+        sim.md5_train_sample(e), k=16
+    ).localCheckpoint()
     out = sim.ivf_topk(e, q, k=5, nprobe=4, centroids=cent)
     return out.withColumnRenamed("rank", "rnk")
 
@@ -1047,21 +1086,118 @@ SELECT query_id, neighbor_id, rnk, qcos FROM r WHERE rnk <= 10
 """
 
 
-def _duck_train_where() -> str:
-    """DuckDB restatement of similarity.md5_train_sample: the
-    deterministic 25% md5-draw both engines agree on byte-for-byte
-    (md5 of the decimal id string; same leading-nibble set).
+def _duck_pq_exprs(m: int, ksub: int, dim: int) -> dict:
+    """Shared expression fragments for the PQ-family oracles
+    (_duck_pq_oracle, _duck_ivf_pq_oracle), factored ONCE so the two
+    gates cannot drift — a fix applied to one restatement necessarily
+    reaches the other. Every fold restates the Spark operation order.
+    The LUT fold reads the query vector via the ``q_vec`` alias (both
+    oracles alias it before building LUTs)."""
+    d = dim // m
 
-    DENSITY ASSUMPTION (shared with the Spark lane): every vec_id %
-    ksub residue class must keep at least one member under the draw —
-    Spark fails loudly via _require_dense_codebook, but this oracle
-    would silently build a gapped cbe0 whose positional
-    luts[s*ksub+code+1] / cb.cb[...] indexing mis-scores. Verified on
-    all three fixtures (sf0.001/0.01/0.1: 16/16 residues populated);
-    at any realistic corpus size a 25% draw leaving a mod-16 class
-    empty is (3/4)^(N/16) — negligible beyond toy N."""
-    nibbles = ", ".join(f"'{c}'" for c in sim.TRAIN_SAMPLE_HEX)
-    return f"substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ({nibbles})"
+    def fold(prods: str) -> str:
+        return (f"list_reduce(list_prepend(CAST(0 AS DOUBLE), {prods}),"
+                f" (acc, x) -> acc + x)")
+
+    return {
+        "d": d,
+        "sums": ", ".join(
+            f"CAST(SUM(CAST(round(CAST(embedding[{i + 1}] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS s{i}"
+            for i in range(dim)
+        ),
+        "comps": ", ".join(f"CAST(s{i} AS DOUBLE) / 1000000.0 / n" for i in range(dim)),
+        "sub_sums": ", ".join(
+            f"CAST(SUM(CAST(round(CAST(sv[{i + 1}] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS s{i}"
+            for i in range(d)
+        ),
+        "sub_comps": ", ".join(f"CAST(s{i} AS DOUBLE) / 1000000.0 / n" for i in range(d)),
+        "l2_sv": fold(
+            f"list_transform(generate_series(1, {d}), i ->"
+            f" (CAST(sv[i] AS DOUBLE) - c.cvec[i]) * (CAST(sv[i] AS DOUBLE) - c.cvec[i]))"
+        ),
+        "l2_emb": fold(
+            f"list_transform(generate_series(1, {d}), i ->"
+            f" (CAST(embedding[s * {d} + i] AS DOUBLE) - c.cvec[i])"
+            f" * (CAST(embedding[s * {d} + i] AS DOUBLE) - c.cvec[i]))"
+        ),
+        "cnorm2": fold(
+            f"list_transform(generate_series(1, {d}), i -> cvec[i] * cvec[i])"
+        ),
+        "lut_emb": fold(
+            f"list_transform(generate_series(1, {d}), i ->"
+            f" CAST(embedding[c.sub * {d} + i] AS DOUBLE) * c.cvec[i])"
+        ),
+        "lut_qvec": fold(
+            f"list_transform(generate_series(1, {d}), i ->"
+            f" CAST(q_vec[c.sub * {d} + i] AS DOUBLE) * c.cvec[i])"
+        ),
+        "adc_sum": fold(
+            f"list_transform(generate_series(0, {m - 1}), s ->"
+            f" luts[s * {ksub} + codes[s + 1] + 1])"
+        ),
+        "rnorm_sum": fold(
+            f"list_transform(generate_series(0, {m - 1}), s ->"
+            f" cb.cb[s * {ksub} + codes[s + 1] + 1].cnorm2)"
+        ),
+    }
+
+
+def _duck_pq_train_encode_ctes(m: int, ksub: int, dim: int, steps: int,
+                               train_where: str, e: dict,
+                               between: str = "") -> str:
+    """The codebook-training + corpus-encode CTE chain (centsum ->
+    cent0 [-> between] -> cbe0/subs -> refine steps -> cbf/cbl ->
+    enc0/enc) shared VERBATIM by both PQ oracles. ``train_where``
+    restricts only the TRAINING CTEs (centsum, subs) — encode always
+    scans every vector. ``between`` inserts extra CTEs after cent0
+    (the IVF oracle's centroid/cents tables, which slice the same
+    means — exactly how the Spark lane reuses them via
+    pq_codebook(means=))."""
+    d = e["d"]
+    # the refinement steps unroll into CTE layers
+    refine = ""
+    for t in range(1, steps + 1):
+        refine += f"""
+cbl{t - 1} AS (SELECT list({{'sub': sub, 'code': code, 'cvec': cvec}} ORDER BY sub, code) AS cb FROM cbe{t - 1}),
+asg{t} AS (
+  SELECT sub,
+    list_min(list_transform(list_filter(cb.cb, c -> c.sub = sub),
+      c -> {{'dist': {e["l2_sv"]}, 'code': c.code}})).code AS code,
+    sv
+  FROM subs, cbl{t - 1} cb
+),
+msum{t} AS (SELECT sub, code, COUNT(*) AS n, {e["sub_sums"]} FROM asg{t} GROUP BY sub, code),
+mref{t} AS (SELECT sub, code, [{e["sub_comps"]}] AS cvec FROM msum{t}),
+cbe{t} AS (
+  SELECT p.sub AS sub, p.code AS code, COALESCE(r.cvec, p.cvec) AS cvec
+  FROM cbe{t - 1} p LEFT JOIN mref{t} r ON p.sub = r.sub AND p.code = r.code
+),"""
+    return f"""WITH centsum AS (
+  SELECT vec_id % {ksub} AS cent_id, COUNT(*) AS n, {e["sums"]}
+  FROM embeddings {train_where} GROUP BY cent_id),
+cent0 AS (SELECT cent_id, [{e["comps"]}] AS c_vec FROM centsum),{between}
+cbe0 AS (
+  SELECT g.s AS sub, CAST(cent_id AS INTEGER) AS code,
+         list_slice(c_vec, g.s * {d} + 1, g.s * {d} + {d}) AS cvec
+  FROM cent0, generate_series(0, {m - 1}) g(s)
+),
+subs AS (
+  SELECT g.s AS sub, list_slice(embedding, g.s * {d} + 1, g.s * {d} + {d}) AS sv
+  FROM embeddings, generate_series(0, {m - 1}) g(s) {train_where}
+),{refine}
+cbf AS (SELECT sub, code, cvec, {e["cnorm2"]} AS cnorm2 FROM cbe{steps}),
+cbl AS (SELECT list({{'sub': sub, 'code': code, 'cvec': cvec, 'cnorm2': cnorm2}} ORDER BY sub, code) AS cb FROM cbf),
+enc0 AS (
+  SELECT vec_id AS id,
+    list_transform(generate_series(0, {m - 1}), s ->
+      list_min(list_transform(list_filter(cb.cb, c -> c.sub = s),
+        c -> {{'dist': {e["l2_emb"]}, 'code': c.code}})).code) AS codes
+  FROM embeddings, cbl cb
+),
+enc AS (
+  SELECT id, codes, sqrt({e["rnorm_sum"]}) AS rnorm
+  FROM enc0, cbl cb
+),"""
 
 
 def _duck_pq_oracle(m: int = 16, ksub: int = 16, dim: int = 64,
@@ -1075,100 +1211,19 @@ def _duck_pq_oracle(m: int = 16, ksub: int = 16, dim: int = 64,
     ``sampled_train`` restricts the codebook-fitting CTEs (centsum,
     subs) to the md5_train_sample draw — encode/ADC/rerank still scan
     every vector, mirroring the train-on-sample production shape."""
-    d = dim // m
-    sums = ", ".join(
-        f"CAST(SUM(CAST(round(CAST(embedding[{i + 1}] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS s{i}"
-        for i in range(dim)
-    )
-    comps = ", ".join(f"CAST(s{i} AS DOUBLE) / 1000000.0 / n" for i in range(dim))
-    sub_sums = ", ".join(
-        f"CAST(SUM(CAST(round(CAST(sv[{i + 1}] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS s{i}"
-        for i in range(d)
-    )
-    sub_comps = ", ".join(f"CAST(s{i} AS DOUBLE) / 1000000.0 / n" for i in range(d))
-
-    def fold(prods: str) -> str:
-        return (f"list_reduce(list_prepend(CAST(0 AS DOUBLE), {prods}),"
-                f" (acc, x) -> acc + x)")
-
-    l2_sv = fold(
-        f"list_transform(generate_series(1, {d}), i ->"
-        f" (CAST(sv[i] AS DOUBLE) - c.cvec[i]) * (CAST(sv[i] AS DOUBLE) - c.cvec[i]))"
-    )
-    l2_emb = fold(
-        f"list_transform(generate_series(1, {d}), i ->"
-        f" (CAST(embedding[s * {d} + i] AS DOUBLE) - c.cvec[i])"
-        f" * (CAST(embedding[s * {d} + i] AS DOUBLE) - c.cvec[i]))"
-    )
-    cnorm2 = fold(
-        f"list_transform(generate_series(1, {d}), i -> cvec[i] * cvec[i])"
-    )
-    lut = fold(
-        f"list_transform(generate_series(1, {d}), i ->"
-        f" CAST(embedding[c.sub * {d} + i] AS DOUBLE) * c.cvec[i])"
-    )
-    adc_sum = fold(
-        f"list_transform(generate_series(0, {m - 1}), s ->"
-        f" luts[s * {ksub} + codes[s + 1] + 1])"
-    )
-    rnorm_sum = fold(
-        f"list_transform(generate_series(0, {m - 1}), s ->"
-        f" cb.cb[s * {ksub} + codes[s + 1] + 1].cnorm2)"
-    )
-    # the two refinement steps unroll into CTE layers
-    refine = ""
-    for t in range(1, steps + 1):
-        refine += f"""
-cbl{t - 1} AS (SELECT list({{'sub': sub, 'code': code, 'cvec': cvec}} ORDER BY sub, code) AS cb FROM cbe{t - 1}),
-asg{t} AS (
-  SELECT sub,
-    list_min(list_transform(list_filter(cb.cb, c -> c.sub = sub),
-      c -> {{'dist': {l2_sv}, 'code': c.code}})).code AS code,
-    sv
-  FROM subs, cbl{t - 1} cb
-),
-msum{t} AS (SELECT sub, code, COUNT(*) AS n, {sub_sums} FROM asg{t} GROUP BY sub, code),
-mref{t} AS (SELECT sub, code, [{sub_comps}] AS cvec FROM msum{t}),
-cbe{t} AS (
-  SELECT p.sub AS sub, p.code AS code, COALESCE(r.cvec, p.cvec) AS cvec
-  FROM cbe{t - 1} p LEFT JOIN mref{t} r ON p.sub = r.sub AND p.code = r.code
-),"""
+    e = _duck_pq_exprs(m, ksub, dim)
     train_where = f"WHERE {_duck_train_where()}" if sampled_train else ""
+    ctes = _duck_pq_train_encode_ctes(m, ksub, dim, steps, train_where, e)
     return f"""
-WITH centsum AS (
-  SELECT vec_id % {ksub} AS cent_id, COUNT(*) AS n, {sums}
-  FROM embeddings {train_where} GROUP BY cent_id),
-cent0 AS (SELECT cent_id, [{comps}] AS c_vec FROM centsum),
-cbe0 AS (
-  SELECT g.s AS sub, CAST(cent_id AS INTEGER) AS code,
-         list_slice(c_vec, g.s * {d} + 1, g.s * {d} + {d}) AS cvec
-  FROM cent0, generate_series(0, {m - 1}) g(s)
-),
-subs AS (
-  SELECT g.s AS sub, list_slice(embedding, g.s * {d} + 1, g.s * {d} + {d}) AS sv
-  FROM embeddings, generate_series(0, {m - 1}) g(s) {train_where}
-),{refine}
-cbf AS (SELECT sub, code, cvec, {cnorm2} AS cnorm2 FROM cbe{steps}),
-cbl AS (SELECT list({{'sub': sub, 'code': code, 'cvec': cvec, 'cnorm2': cnorm2}} ORDER BY sub, code) AS cb FROM cbf),
-enc0 AS (
-  SELECT vec_id AS id,
-    list_transform(generate_series(0, {m - 1}), s ->
-      list_min(list_transform(list_filter(cb.cb, c -> c.sub = s),
-        c -> {{'dist': {l2_emb}, 'code': c.code}})).code) AS codes
-  FROM embeddings, cbl cb
-),
-enc AS (
-  SELECT id, codes, sqrt({rnorm_sum}) AS rnorm
-  FROM enc0, cbl cb
-),
+{ctes}
 q AS (
   SELECT vec_id AS query_id, embedding AS q_vec,
     sqrt({_duck_dot('embedding', 'embedding')}) AS qnorm,
-    list_transform(cb.cb, c -> {lut}) AS luts
-  FROM embeddings, cbl cb WHERE vec_id % 50 = 0
+    list_transform(cb.cb, c -> {e["lut_qvec"]}) AS luts
+  FROM (SELECT vec_id, embedding, embedding AS q_vec FROM embeddings WHERE vec_id % 50 = 0), cbl cb
 ),
 adc AS (
-  SELECT query_id, id AS neighbor_id, ({adc_sum}) / (qnorm * rnorm) AS qcos
+  SELECT query_id, id AS neighbor_id, ({e["adc_sum"]}) / (qnorm * rnorm) AS qcos
   FROM enc, q WHERE query_id <> id
 ),
 cand AS (SELECT query_id, neighbor_id FROM (
@@ -1219,95 +1274,20 @@ def _duck_ivf_pq_oracle(n_cells: int = 16, nprobe: int = 4, m: int = 8,
     exactly as pq_codebook reuses ivf_exact_mean_centroids); two
     deterministic refine steps, then cell-assign + encode every vector,
     probe nprobe cells per query, ADC over probed cells only, exact
-    rerank of the top-`rerank` pool. Every fold restates the Spark
-    operation order, so doubles are bit-identical."""
+    rerank of the top-`rerank` pool. The training/encode CTE chain and
+    every fold are the SHARED builders (_duck_pq_exprs /
+    _duck_pq_train_encode_ctes), so this oracle and ann_topk_pq's
+    cannot drift."""
     assert n_cells == ksub, "shared centsum CTE assumes n_cells == ksub"
-    d = dim // m
-    sums = ", ".join(
-        f"CAST(SUM(CAST(round(CAST(embedding[{i + 1}] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS s{i}"
-        for i in range(dim)
-    )
-    comps = ", ".join(f"CAST(s{i} AS DOUBLE) / 1000000.0 / n" for i in range(dim))
-    sub_sums = ", ".join(
-        f"CAST(SUM(CAST(round(CAST(sv[{i + 1}] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS s{i}"
-        for i in range(d)
-    )
-    sub_comps = ", ".join(f"CAST(s{i} AS DOUBLE) / 1000000.0 / n" for i in range(d))
-
-    def fold(prods: str) -> str:
-        return (f"list_reduce(list_prepend(CAST(0 AS DOUBLE), {prods}),"
-                f" (acc, x) -> acc + x)")
-
-    l2_sv = fold(
-        f"list_transform(generate_series(1, {d}), i ->"
-        f" (CAST(sv[i] AS DOUBLE) - c.cvec[i]) * (CAST(sv[i] AS DOUBLE) - c.cvec[i]))"
-    )
-    l2_emb = fold(
-        f"list_transform(generate_series(1, {d}), i ->"
-        f" (CAST(embedding[s * {d} + i] AS DOUBLE) - c.cvec[i])"
-        f" * (CAST(embedding[s * {d} + i] AS DOUBLE) - c.cvec[i]))"
-    )
-    cnorm2 = fold(
-        f"list_transform(generate_series(1, {d}), i -> cvec[i] * cvec[i])"
-    )
-    lut = fold(
-        f"list_transform(generate_series(1, {d}), i ->"
-        f" CAST(q_vec[c.sub * {d} + i] AS DOUBLE) * c.cvec[i])"
-    )
-    adc_sum = fold(
-        f"list_transform(generate_series(0, {m - 1}), s ->"
-        f" luts[s * {ksub} + codes[s + 1] + 1])"
-    )
-    rnorm_sum = fold(
-        f"list_transform(generate_series(0, {m - 1}), s ->"
-        f" cb.cb[s * {ksub} + codes[s + 1] + 1].cnorm2)"
-    )
-    refine = ""
-    for t in range(1, steps + 1):
-        refine += f"""
-cbl{t - 1} AS (SELECT list({{'sub': sub, 'code': code, 'cvec': cvec}} ORDER BY sub, code) AS cb FROM cbe{t - 1}),
-asg{t} AS (
-  SELECT sub,
-    list_min(list_transform(list_filter(cb.cb, c -> c.sub = sub),
-      c -> {{'dist': {l2_sv}, 'code': c.code}})).code AS code,
-    sv
-  FROM subs, cbl{t - 1} cb
-),
-msum{t} AS (SELECT sub, code, COUNT(*) AS n, {sub_sums} FROM asg{t} GROUP BY sub, code),
-mref{t} AS (SELECT sub, code, [{sub_comps}] AS cvec FROM msum{t}),
-cbe{t} AS (
-  SELECT p.sub AS sub, p.code AS code, COALESCE(r.cvec, p.cvec) AS cvec
-  FROM cbe{t - 1} p LEFT JOIN mref{t} r ON p.sub = r.sub AND p.code = r.code
-),"""
-    return f"""
-WITH centsum AS (
-  SELECT vec_id % {ksub} AS cent_id, COUNT(*) AS n, {sums}
-  FROM embeddings WHERE {_duck_train_where()} GROUP BY cent_id),
-cent0 AS (SELECT cent_id, [{comps}] AS c_vec FROM centsum),
+    e = _duck_pq_exprs(m, ksub, dim)
+    between = f"""
 cent AS (SELECT cent_id, c_vec, sqrt({_duck_dot('c_vec', 'c_vec')}) AS c_norm FROM cent0),
-cents AS (SELECT list({{'cent_id': cent_id, 'c_vec': c_vec, 'c_norm': c_norm}} ORDER BY cent_id) AS cents FROM cent),
-cbe0 AS (
-  SELECT g.s AS sub, CAST(cent_id AS INTEGER) AS code,
-         list_slice(c_vec, g.s * {d} + 1, g.s * {d} + {d}) AS cvec
-  FROM cent0, generate_series(0, {m - 1}) g(s)
-),
-subs AS (
-  SELECT g.s AS sub, list_slice(embedding, g.s * {d} + 1, g.s * {d} + {d}) AS sv
-  FROM embeddings, generate_series(0, {m - 1}) g(s) WHERE {_duck_train_where()}
-),{refine}
-cbf AS (SELECT sub, code, cvec, {cnorm2} AS cnorm2 FROM cbe{steps}),
-cbl AS (SELECT list({{'sub': sub, 'code': code, 'cvec': cvec, 'cnorm2': cnorm2}} ORDER BY sub, code) AS cb FROM cbf),
-enc0 AS (
-  SELECT vec_id AS id,
-    list_transform(generate_series(0, {m - 1}), s ->
-      list_min(list_transform(list_filter(cb.cb, c -> c.sub = s),
-        c -> {{'dist': {l2_emb}, 'code': c.code}})).code) AS codes
-  FROM embeddings, cbl cb
-),
-enc AS (
-  SELECT id, codes, sqrt({rnorm_sum}) AS rnorm
-  FROM enc0, cbl cb
-),
+cents AS (SELECT list({{'cent_id': cent_id, 'c_vec': c_vec, 'c_norm': c_norm}} ORDER BY cent_id) AS cents FROM cent),"""
+    ctes = _duck_pq_train_encode_ctes(
+        m, ksub, dim, steps, f"WHERE {_duck_train_where()}", e, between=between
+    )
+    return f"""
+{ctes}
 assigned AS (
   SELECT vec_id AS id,
          list_max(list_transform(cents.cents,
@@ -1325,12 +1305,12 @@ probes AS (
   ) WHERE r <= {nprobe}
 ),
 probes_l AS (
-  SELECT query_id, qnorm, cell, list_transform(cb.cb, c -> {lut}) AS luts
+  SELECT query_id, qnorm, cell, list_transform(cb.cb, c -> {e["lut_qvec"]}) AS luts
   FROM probes, cbl cb
 ),
 adc AS (
   SELECT query_id, p.cell AS cell, id AS neighbor_id,
-         ({adc_sum}) / (qnorm * rnorm) AS qcos
+         ({e["adc_sum"]}) / (qnorm * rnorm) AS qcos
   FROM celled c JOIN probes_l p ON c.cell = p.cell AND query_id <> id
 ),
 cand AS (SELECT query_id, cell, neighbor_id FROM (

@@ -90,16 +90,19 @@ class CorpusIngestJob:
             eager=False
         )
         # within-batch exact dedup: keep the min id per fingerprint.
-        # dropDuplicates on the id afterwards: content-hashed on-ramps
-        # (doc_id = xxhash64(source, text)) give IDENTICAL ids to
-        # identical rows, so several copies can all equal the min —
-        # same-id rows are the same document by construction
+        # dropDuplicates on (id, fingerprint) afterwards: content-hashed
+        # on-ramps (doc_id = xxhash64(source, text)) give IDENTICAL ids
+        # to identical rows, so several copies can all equal the min —
+        # same (id, fp) rows are the same document by construction.
+        # The fingerprint stays in the key so an id COLLISION between
+        # two DISTINCT texts never silently drops one (the documented
+        # invariant: collisions cannot merge distinct documents)
         keeper = indexed.groupBy("__fp").agg(F.min(self.id_col).alias("__keep"))
         indexed = (
             indexed.join(keeper, "__fp")
             .filter(F.col(self.id_col) == F.col("__keep"))
             .drop("__keep")
-            .dropDuplicates([self.id_col])
+            .dropDuplicates([self.id_col, "__fp"])
         )
         # within-batch NEAR-dup pass (ADVICE r4: two near-duplicates in
         # one micro-batch must not both enter the corpus permanently) —

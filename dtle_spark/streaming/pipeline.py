@@ -289,6 +289,7 @@ def apply_batch(
     gtid_path: str | None = None,
     metrics=None,
     catalog_path: str | None = None,
+    batch_id: int | None = None,
 ) -> None:
     """foreachBatch body: route the wire-form batch to each configured
     table; DML merges in seq order segmented around DDL barriers.
@@ -314,7 +315,18 @@ def apply_batch(
     (sid, gno) folds into a persisted interval GtidSet — the queryable
     applied-position the reference keeps in dtle.gtid_executed_v4
     (applier_gtid_executed.go:17-25). Only tx IDs travel to the
-    driver; re-adding on replay is idempotent."""
+    driver; re-adding on replay is idempotent.
+
+    DDL catalog protocol (same copy-and-swap as SubscriptionJob): the
+    segment loop evolves a catalog COPY and the caller's instance is
+    synced in place only after every commit lands, so a failed batch's
+    in-process retry re-derives from the pristine catalog instead of
+    double-applying ADD COLUMN. The snapshot carries an
+    ``__applied_batch`` marker: a redelivered batch whose DDL is
+    already IN the snapshot (crash after save, before the checkpoint
+    commit) skips catalog.apply — merges and apply_ddl_to_target
+    re-run, both replay-convergent."""
+    import json as _json
     import time as _time
 
     t0 = _time.perf_counter()
@@ -323,6 +335,15 @@ def apply_batch(
     batch.persist()
     try:
         has_ddl = batch.filter(F.col("op") == "ddl").limit(1).count() > 0
+        marker = -1
+        if catalog_path is not None:
+            try:
+                with open(catalog_path) as f:
+                    marker = int(_json.load(f).get("__applied_batch", -1))
+            except (OSError, ValueError):
+                marker = -1
+        ddl_in_snapshot = batch_id is not None and marker >= batch_id
+        cat = catalog.copy()
         # commit closures: every table (bucketed or whole-image) stages
         # first; the closures then run back-to-back, each one an atomic
         # manifest rename — the A6 cross-table swap
@@ -342,7 +363,7 @@ def apply_batch(
                     seg = seg.filter(F.col("seq") > lo)
                 if hi is not None:
                     seg = seg.filter(F.col("seq") < hi)
-                meta = catalog.get(cfg.schema_name, cfg.table_name)
+                meta = cat.get(cfg.schema_name, cfg.table_name)
                 typed = from_wire(seg, meta.schema)
                 _merge_segment(spark, typed, cfg, job, target, meta.schema, deferred)
                 if ddl_row is not None:
@@ -350,18 +371,28 @@ def apply_batch(
                     for action in parse_ddl_actions(
                         ddl_row["query"], default_schema=cfg.schema_name
                     ):
-                        catalog.apply(action)
+                        if not ddl_in_snapshot:
+                            cat.apply(action)
                         apply_ddl_to_target(spark, target, cfg, action)
                     lo = hi
         if deferred:
             for fn in deferred:
                 fn()
-        if has_ddl and catalog_path is not None:
-            # snapshot the evolved schema state so a recovered job
-            # (JobManager.recover) resumes with the post-DDL catalog —
-            # checkpointed batches never replay, so their DDL effects
-            # must persist outside the stream
-            catalog.save(catalog_path)
+        if has_ddl:
+            # every commit landed: snapshot the COPY first, then sync
+            # the caller's catalog in place (aliases observe the
+            # evolution). Save-before-sync, as in SubscriptionJob: a
+            # failed save leaves the in-memory catalog pristine AND the
+            # marker stale, so the retry re-derives cleanly instead of
+            # double-applying. The snapshot is what JobManager.recover
+            # resumes with — checkpointed batches never replay across
+            # restarts, so DDL effects must persist outside the stream.
+            if catalog_path is not None:
+                cat.save(
+                    catalog_path,
+                    extra={"__applied_batch": -1 if batch_id is None else int(batch_id)},
+                )
+            catalog.restore_from(cat)
         tx_rows = None
         if gtid_path is not None:
             from dtle_spark.sources.gtid import GtidSet
@@ -471,6 +502,7 @@ class ReplicationJob:
                     self.spark, df, self.job, self.target, self.catalog,
                     spool=self.spool, gtid_path=self.gtid_path,
                     metrics=self.metrics, catalog_path=self.catalog_path,
+                    batch_id=epoch,
                 )
             )
             .trigger(processingTime=f"{self.job.trigger_seconds} seconds")

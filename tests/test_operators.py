@@ -426,21 +426,33 @@ def test_registry_rotation_front_loads_changed_definitions(monkeypatch):
 
 
 def test_write_query_hashes_round_trip(tmp_path, monkeypatch):
-    """write_query_hashes keeps the stored round for unchanged
-    definitions and stamps the current round on changed/new ones."""
+    """write_query_hashes: bootstrap stamps the LAST GREEN round (not
+    the current one — stamping current would mark every definition
+    'changed since its green' and collapse the rotation to definition
+    order), keeps the stored round for unchanged definitions, and
+    restamps changed ones with the current round."""
     import json
 
     import dtle_spark.queries as q
 
     monkeypatch.setattr(q, "_repo_root", lambda: str(tmp_path))
-    first = q.write_query_hashes(3)
     names = list(q.REGISTRY.keys())
-    assert all(first[n]["round"] == 3 for n in names)
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        names[1]: {"hash_match": True, "rows_match": True},
+    }))
+    first = q.write_query_hashes(3)
+    # bootstrap: last-green round for the green query, 0 for the rest
+    assert first[names[1]]["round"] == 2
+    assert all(first[n]["round"] == 0 for n in names if n != names[1])
+    # the bootstrapped file must NOT front-load anything: rotation
+    # still orders by green history alone
+    order = q._registry_order()
+    assert order.index(names[1]) > 0  # its green rotates it back
     # tamper one entry's hash to simulate an edit, then regen at r4
     stored = json.loads((tmp_path / "QUERY_HASHES.json").read_text())
     stored[names[0]]["hash"] = "f" * 32
     (tmp_path / "QUERY_HASHES.json").write_text(json.dumps(stored))
     second = q.write_query_hashes(4)
     assert second[names[0]]["round"] == 4  # changed: restamped
-    assert all(second[n]["round"] == 3 for n in names[1:])  # kept
+    assert second[names[1]]["round"] == 2  # kept
     assert second[names[0]]["hash"] == q._definition_hash(names[0])

@@ -289,3 +289,71 @@ def test_tx_spanning_batch_atomicity(spark, job_dirs):
     rj.pause()
     rj.flush_spool()
     assert t2_state() == {2: "a", 9: "z"}
+
+
+def test_replication_retry_after_failed_merge_no_duplicate_fields(
+    spark, job_dirs, monkeypatch
+):
+    """The failed-batch in-process retry, replication edition (the
+    subscription twin was the r7 ADVICE medium): a post-DDL segment
+    merge THROWS, the stream re-runs the batch, and ADD COLUMN must
+    land in the catalog exactly once. Before the copy-and-swap fix,
+    apply_batch mutated the shared catalog mid-batch, so the retry
+    replayed the DDL onto an already-evolved StructType."""
+    import json as _json
+
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    import dtle_spark.streaming.pipeline as pl
+    from dtle_spark.streaming.wire import WIRE_SCHEMA
+
+    def wire_row(seq, op, after=None, query=None):
+        return Row(sid="ab12cd34-0000-1111-2222-333333333333", gno=seq, seq=seq,
+                   lc=0, op=op, ts=None, schema_name="db1", table_name="t",
+                   before=None, after=after, query=query)
+
+    cat = SchemaCatalog()
+    cat.register("db1", "t", T.StructType([
+        T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]),
+        ["id"])
+    cfg = TableConfig("db1", "t", unique_key=["id"])
+    job = JobConfig(name="rretry", tables=[cfg])
+    target = ParquetTableTarget(job_dirs["target"])
+    catalog_path = job_dirs["checkpoint"] + "/catalog.json"
+    b0 = spark.createDataFrame([
+        wire_row(1, "i", after='{"id":1,"v":10}'),
+        wire_row(2, "ddl", query="ALTER TABLE db1.t ADD COLUMN c BIGINT"),
+        wire_row(3, "i", after='{"id":2,"v":20,"c":7}'),
+    ], WIRE_SCHEMA)
+
+    real_merge = pl._merge_segment
+    calls = {"n": 0}
+
+    def flaky_merge(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # the post-DDL segment, after cat.apply ran
+            raise RuntimeError("injected merge failure")
+        return real_merge(*a, **kw)
+
+    monkeypatch.setattr(pl, "_merge_segment", flaky_merge)
+    with pytest.raises(RuntimeError, match="injected"):
+        pl.apply_batch(spark, b0, job, target, cat,
+                       catalog_path=catalog_path, batch_id=0)
+    # failed attempt leaves the shared catalog pristine
+    assert [f.name for f in cat.get("db1", "t").schema.fields] == ["id", "v"]
+    monkeypatch.setattr(pl, "_merge_segment", real_merge)
+    # in-process retry of the SAME batch
+    pl.apply_batch(spark, b0, job, target, cat,
+                   catalog_path=catalog_path, batch_id=0)
+    assert [f.name for f in cat.get("db1", "t").schema.fields] == ["id", "v", "c"]
+    snap = _json.load(open(catalog_path))
+    assert snap["__applied_batch"] == 0
+    rows = {r["id"]: (r["v"], r["c"])
+            for r in target.read(spark, "db1", "t").collect()}
+    assert rows == {1: (10, None), 2: (20, 7)}
+    # redelivery with the marker current (crash after save, before the
+    # checkpoint commit): catalog.apply must SKIP — no duplicate field
+    pl.apply_batch(spark, b0, job, target, cat,
+                   catalog_path=catalog_path, batch_id=0)
+    assert [f.name for f in cat.get("db1", "t").schema.fields] == ["id", "v", "c"]
