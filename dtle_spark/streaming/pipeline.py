@@ -228,10 +228,19 @@ def apply_ddl_to_target(
 ) -> None:
     """D2 on the physical table: evolve the parquet target (on a lake
     deployment these are native ALTER TABLE/schema-evolution commits).
-    Operates on the INTERNAL form so version columns/tombstones survive."""
+    Operates on the INTERNAL form so version columns/tombstones survive.
+
+    IDEMPOTENT on replay: foreachBatch is at-least-once, so a batch
+    whose DDL already landed physically can redeliver (crash between
+    the catalog snapshot and the checkpoint commit). Each structural
+    action checks the current physical schema and SKIPS when its
+    effect is already present — re-running add_column would otherwise
+    re-backfill the column and WIPE every value later merges wrote
+    into it (measured: post-DDL images silently reset to the
+    default)."""
     cur = target.read_internal(spark, cfg.target_schema, cfg.target_table)
     if action.kind == "add_column":
-        if cur is not None:
+        if cur is not None and action.column not in cur.columns:
             fill = F.lit(None).cast(action.dtype)
             if action.default is not None:
                 # DEFAULT backfill: existing rows take the literal
@@ -246,10 +255,10 @@ def apply_ddl_to_target(
                 cfg.target_table,
             )
     elif action.kind == "drop_column":
-        if cur is not None:
+        if cur is not None and action.column in cur.columns:
             target.overwrite(cur.drop(action.column), cfg.target_schema, cfg.target_table)
     elif action.kind == "rename_column":
-        if cur is not None:
+        if cur is not None and action.column in cur.columns:
             target.overwrite(
                 cur.withColumnRenamed(action.column, action.new_name),
                 cfg.target_schema,
@@ -263,7 +272,7 @@ def apply_ddl_to_target(
                 cfg.target_table,
             )
     elif action.kind == "change_column":
-        if cur is not None:
+        if cur is not None and action.column in cur.columns:
             target.overwrite(
                 cur.withColumn(action.column, F.col(action.column).cast(action.dtype))
                 .withColumnRenamed(action.column, action.new_name),

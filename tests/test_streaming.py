@@ -353,7 +353,12 @@ def test_replication_retry_after_failed_merge_no_duplicate_fields(
             for r in target.read(spark, "db1", "t").collect()}
     assert rows == {1: (10, None), 2: (20, 7)}
     # redelivery with the marker current (crash after save, before the
-    # checkpoint commit): catalog.apply must SKIP — no duplicate field
+    # checkpoint commit): catalog.apply must SKIP (no duplicate field)
+    # AND apply_ddl_to_target must be a physical no-op — re-running
+    # add_column used to re-backfill and WIPE the post-DDL values
     pl.apply_batch(spark, b0, job, target, cat,
                    catalog_path=catalog_path, batch_id=0)
     assert [f.name for f in cat.get("db1", "t").schema.fields] == ["id", "v", "c"]
+    rows = {r["id"]: (r["v"], r["c"])
+            for r in target.read(spark, "db1", "t").collect()}
+    assert rows == {1: (10, None), 2: (20, 7)}, rows
