@@ -1,0 +1,180 @@
+"""Streaming vector serving (streaming/ann_serving.py): the online
+IVF-PQ loop — index maintenance O(batch) against a frozen model,
+query-stream serving off the persisted cell-partitioned index, both
+replay-idempotent. Served results are pinned EQUAL to the inline
+ivf_pq_topk tier (shared _ivf_pq_adc stage)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from dtle_spark.functions import similarity as sim
+from dtle_spark.streaming.ann_serving import (
+    RESULTS_TABLE,
+    SCHEMA_NAME,
+    AnnServingJob,
+    VectorIndexMaintainJob,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+PQ = dict(k=10, nprobe=4, m=8, ksub=16, dim=64)
+
+
+def _embeddings(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+
+
+def _model(e):
+    """The frozen serving model: trained once on the deterministic 25%
+    sample, exactly like the ann_topk_ivf_pq registry query."""
+    tr = sim.md5_train_sample(e)
+    cent = sim.ivf_exact_mean_centroids(tr, k=16).localCheckpoint()
+    cb = sim.pq_refine(
+        tr, sim.pq_codebook(tr, m=8, ksub=16, means=cent), steps=2, m=8, ksub=16
+    )
+    return cent, cb
+
+
+def _topk_map(df):
+    return {(r["query_id"], r["rank"]): r["neighbor_id"] for r in df.collect()}
+
+
+def _inline(e, q, cent, cb, rerank=0):
+    return sim.ivf_pq_topk(
+        e, q, k=PQ["k"], nprobe=PQ["nprobe"], n_cells=16, m=PQ["m"],
+        ksub=PQ["ksub"], centroids=cent, codebook=cb, rerank=rerank,
+    )
+
+
+def test_maintain_serve_freshness_replay(spark, tmp_path):
+    """One end-to-end scenario: (1) two maintain micro-batches build the
+    cell-partitioned index; (2) a served query batch matches the inline
+    tier exactly; (3) vectors appended BETWEEN query batches are visible
+    to the next batch with no coordination (freshness = re-planned
+    partition tree); (4) replaying either side is a no-op."""
+    e = _embeddings(spark)
+    cent, cb = _model(e)
+
+    vsrc = str(tmp_path / "vecs")
+    os.makedirs(vsrc)
+    half0 = e.filter(F.col("vec_id") % 2 == 0)
+    half1 = e.filter(F.col("vec_id") % 2 == 1)
+    half0.coalesce(1).write.parquet(os.path.join(vsrc, "b0"))
+    half1.coalesce(1).write.parquet(os.path.join(vsrc, "b1"))
+
+    index_root = str(tmp_path / "index")
+    mj = VectorIndexMaintainJob(
+        spark, os.path.join(vsrc, "*"), index_root, str(tmp_path / "mck"),
+        cent, cb, m=PQ["m"], ksub=PQ["ksub"], dim=PQ["dim"],
+    )
+    mj.start()
+    mj.process_available()
+    # layout: one subtree per micro-batch, cell-partitioned inside
+    assert sorted(
+        d for d in os.listdir(index_root) if d.startswith("ingest_batch=")
+    ) == ["ingest_batch=0", "ingest_batch=1"]
+    assert any(
+        d.startswith("cell=")
+        for d in os.listdir(os.path.join(index_root, "ingest_batch=0"))
+    )
+    assert mj.index().count() == e.count()
+
+    qsrc = str(tmp_path / "queries")
+    os.makedirs(qsrc)
+    q0 = e.filter(F.col("vec_id") % 37 == 0)
+    q0.coalesce(1).write.parquet(os.path.join(qsrc, "q0"))
+
+    sj = AnnServingJob(
+        spark, os.path.join(qsrc, "*"), index_root, str(tmp_path / "results"),
+        str(tmp_path / "sck"), cent, cb, **PQ,
+    )
+    sj.start()
+    sj.process_available()
+    got0 = _topk_map(sj.results())
+    assert got0 == _topk_map(_inline(e, q0, cent, cb))
+    assert len({qid for qid, _ in got0}) == q0.count()
+
+    # freshness: new vectors (same embeddings, fresh ids) land via the
+    # maintain job; the NEXT query batch sees them without any rebuild
+    extra = e.filter(F.col("vec_id") % 5 == 2).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    extra.coalesce(1).write.parquet(os.path.join(vsrc, "b2"))
+    mj.start()
+    mj.process_available()
+    full = e.unionByName(extra)
+    assert mj.index().count() == full.count()
+
+    q1 = e.filter(F.col("vec_id") % 41 == 3)
+    q1.coalesce(1).write.parquet(os.path.join(qsrc, "q1"))
+    sj.start()
+    sj.process_available()
+    res = sj.results()
+    got1 = _topk_map(res.filter(F.col("__serve_batch") == 1))
+    assert got1 == _topk_map(_inline(full, q1, cent, cb))
+    # an identical-embedding twin ranks: new ids CAN surface as neighbors
+    assert any(nid >= 100000 for nid in got1.values())
+
+    # replay both sides: maintain overwrites its own subtree (same
+    # content), serving skips at-or-below the committed watermark
+    n_idx, n_res = mj.index().count(), res.count()
+    mj.apply_batch(half0, 0)
+    sj.apply_batch(q1, 1)
+    sj.apply_batch(q0, 0)
+    assert mj.index().count() == n_idx
+    assert sj.results().count() == n_res
+    wm = sj.target.seq_watermark(SCHEMA_NAME, RESULTS_TABLE)
+    assert wm == {"__serve_batch": 1}
+
+
+def test_serving_rerank_against_current_corpus(spark, tmp_path):
+    """rerank > 0 re-scores the ADC pool with exact fp32 cosine; the
+    corpus is passed as a CALLABLE so each batch reranks against the
+    current table. Pinned equal to the inline rerank tier."""
+    e = _embeddings(spark)
+    cent, cb = _model(e)
+    index_root = str(tmp_path / "index")
+    sim.ivf_pq_build_index(
+        e, cent, cb, m=PQ["m"], ksub=PQ["ksub"], dim=PQ["dim"],
+    ).write.partitionBy("cell").mode("overwrite").parquet(
+        os.path.join(index_root, "ingest_batch=0")
+    )
+
+    qsrc = str(tmp_path / "queries")
+    os.makedirs(qsrc)
+    q = e.filter(F.col("vec_id") % 53 == 0)
+    q.coalesce(1).write.parquet(os.path.join(qsrc, "q0"))
+
+    sj = AnnServingJob(
+        spark, os.path.join(qsrc, "*"), index_root, str(tmp_path / "results"),
+        str(tmp_path / "sck"), cent, cb, rerank=50, vectors=lambda: e, **PQ,
+    )
+    sj.start()
+    sj.process_available()
+    assert _topk_map(sj.results()) == _topk_map(_inline(e, q, cent, cb, rerank=50))
+
+
+def test_serving_rejects_unusable_models(spark, tmp_path):
+    """Stale-model failures happen at JOB CONSTRUCTION, not per-batch
+    mid-stream: a gapped codebook and a rerank request without the fp32
+    corpus are both rejected before any stream starts."""
+    import pytest
+
+    e = _embeddings(spark)
+    cent, cb = _model(e)
+    args = (
+        spark, str(tmp_path / "q"), str(tmp_path / "i"),
+        str(tmp_path / "r"), str(tmp_path / "c"),
+    )
+    with pytest.raises(ValueError, match="codebook"):
+        AnnServingJob(*args, cent, cb.filter("sub != 3"), **PQ)
+    with pytest.raises(ValueError, match="vectors"):
+        AnnServingJob(*args, cent, cb, rerank=50, **PQ)
+    with pytest.raises(ValueError, match="callable"):
+        AnnServingJob(*args, cent, cb, rerank=50, vectors=e, **PQ)
+    with pytest.raises(ValueError, match="codebook"):
+        VectorIndexMaintainJob(*args[:4], cent, cb.filter("code != 7"))
