@@ -1066,6 +1066,26 @@ def _ivf_pq_adc(
     return _exact_rerank(vectors, q0, cand, k, id_col, vec_col, carry=("cell",))
 
 
+def apply_tombstones(index: DataFrame, tombstones: DataFrame) -> DataFrame:
+    """Filter an index view down to its LIVE rows under CDC-style
+    tombstones (id, tomb_batch): a row is dead iff some tombstone for
+    its id carries a batch STRICTLY greater than the row's
+    ``ingest_batch``. Upsert batches tombstone their own ids at their
+    own batch number, so the new version survives (tomb <= ingest) and
+    every older version dies — the reference's update = delete(before)
+    + replace(after) semantics (driver/mysql/applier_incr.go, SURVEY
+    §2.3 A3) transplanted to the vector index. Left join + filter: AQE
+    broadcasts the tombstone side while it is small (it is Δ-bounded —
+    compaction applies and drops it)."""
+    t = tombstones.groupBy("id").agg(F.max("tomb_batch").alias("__tomb"))
+    return (
+        index.join(t, "id", "left")
+        .filter(F.col("__tomb").isNull()
+                | (F.col("__tomb") <= F.col("ingest_batch")))
+        .drop("__tomb")
+    )
+
+
 def ivf_pq_topk_indexed(
     spark,
     index_path: str,
@@ -1081,6 +1101,7 @@ def ivf_pq_topk_indexed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rerank: int = 0,
+    tombstones: DataFrame | None = None,
 ) -> DataFrame:
     """Search a PERSISTED cell-partitioned IVF-PQ index: compute the
     probe set (tiny), collect its distinct cells driver-side (bounded
@@ -1089,7 +1110,11 @@ def ivf_pq_topk_indexed(
     cell's files. This is the 100 TB read path the partitioned layout
     exists for: per-query cost is N * nprobe/n_cells CODE rows read
     from disk, not N rows scanned and filtered. Result ==
-    ivf_pq_topk on the same tables (pytest-pinned, shared ADC stage)."""
+    ivf_pq_topk on the same tables (pytest-pinned, shared ADC stage).
+
+    ``tombstones`` (id, tomb_batch) excludes deleted/superseded rows
+    BEFORE ranking (see apply_tombstones) — the serving path for
+    streams that carry deletes/upserts."""
     # the persisted-index path is where codebook REUSE (and therefore
     # staleness) is the norm — validate before any positional lookup,
     # exactly as the inline tier does in pq_encode
@@ -1098,6 +1123,8 @@ def ivf_pq_topk_indexed(
     probes = probes.localCheckpoint()  # consumed twice: cells + join
     cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
     index = spark.read.parquet(index_path).filter(F.col("cell").isin(cells))
+    if tombstones is not None:
+        index = apply_tombstones(index, tombstones)
     return _ivf_pq_adc(
         index, probes, codebook, vectors, k=k, m=m, ksub=ksub, dim=dim,
         id_col=id_col, vec_col=vec_col, rerank=rerank,

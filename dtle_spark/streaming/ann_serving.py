@@ -25,6 +25,25 @@ scan per micro-batch, so vectors appended by the maintain job between
 two query batches are candidates for the second batch with no
 coordination — the partition tree IS the synchronization point.
 
+:func:`compact_index` is the off-path OPTIMIZE chore: it folds the
+accumulated per-batch subtrees into one cell-partitioned subtree in a
+NEW generation dir and atomically swaps the ``_CURRENT`` pointer
+(readers resolve it per micro-batch; a compaction watermark keeps
+replayed pre-compaction batches no-ops).
+
+**Deletes and upserts (CDC mode)**: when a maintain batch carries an
+``op`` column, rows with ``op='delete'`` remove their id from service
+and every batch additionally tombstones ALL its touched ids at its own
+batch number — the reference's update = delete(before)+replace(after)
+contract (SURVEY §2.3 A3) applied to vectors, so re-ingesting an id
+supersedes its old encoding and GDPR/opt-out removals take effect at
+the NEXT serve batch without touching the accumulated index files.
+Tombstones live in an underscore-prefixed ``_tombstones/`` sidecar
+(invisible to the index's partition discovery), are Δ-bounded (only
+ids touched since the last compaction), and are applied PHYSICALLY and
+dropped by compact_index — the lake merge-on-read → copy-on-write
+hand-off, in miniature.
+
 At 100 TB: the model (16 centroids + m*ksub codebook rows) is
 broadcast-sized by construction; maintain cost is O(new vectors) with
 no history reads; serving cost is |Q| * nprobe/n_cells code rows read
@@ -41,6 +60,7 @@ incremental apply loop) to the ANN family, SURVEY §2.6.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -53,6 +73,134 @@ RESULTS_TABLE = "ann_results"
 _WM_KEY = "__serve_batch"
 
 VECTOR_SCHEMA = "vec_id long, embedding array<float>"
+
+_CURRENT = "_CURRENT"
+_COMPACT_WM_FILE = "_COMPACTED_THROUGH"
+_TOMBSTONES = "_tombstones"
+
+CDC_VECTOR_SCHEMA = VECTOR_SCHEMA + ", op string"
+
+
+def resolve_index_path(index_root: str) -> str:
+    """The ACTIVE index generation: ``index_root`` itself until the
+    first compaction, then the generation dir the ``_CURRENT`` pointer
+    names. The pointer swap is one ``os.replace`` — the rename IS the
+    commit point, the same discipline as the table manifests. All
+    control files here are underscore-prefixed, which Spark's file
+    index skips, so a reader racing the swap sees a consistent old OR
+    new generation, never a mix."""
+    try:
+        with open(os.path.join(index_root, _CURRENT)) as f:
+            return os.path.join(index_root, f.read().strip())
+    except FileNotFoundError:
+        return index_root
+
+
+def _compacted_through(gen_dir: str) -> int:
+    try:
+        with open(os.path.join(gen_dir, _COMPACT_WM_FILE)) as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return -1
+
+
+def _gen_number(index_root: str) -> int:
+    base = os.path.basename(resolve_index_path(index_root))
+    return int(base.split("-", 1)[1]) if base.startswith("gen-") else 0
+
+
+def _ingest_batches(gen_dir: str) -> list[str]:
+    try:
+        return sorted(
+            d for d in os.listdir(gen_dir) if d.startswith("ingest_batch=")
+        )
+    except FileNotFoundError:
+        return []
+
+
+def read_tombstones(spark: SparkSession, gen_dir: str) -> DataFrame | None:
+    """The generation's tombstone sidecar as (id, tomb_batch), or None
+    when the stream has never carried an op column. Read by explicit
+    subtree list (the sidecar dir is underscore-prefixed precisely so
+    the INDEX read's partition discovery skips it)."""
+    root = os.path.join(gen_dir, _TOMBSTONES)
+    batches = _ingest_batches(root)
+    if not batches:
+        return None
+    return (
+        spark.read.option("basePath", root)
+        .parquet(*[os.path.join(root, b) for b in batches])
+        .select("id", F.col("ingest_batch").cast("long").alias("tomb_batch"))
+    )
+
+
+def compact_index(
+    spark: SparkSession,
+    index_root: str,
+    max_batches: int = 16,
+    gc_previous: bool = False,
+) -> int:
+    """Small-file chore for the streaming index: when more than
+    ``max_batches`` ingest subtrees have accumulated, rewrite them into
+    ONE cell-partitioned subtree inside a NEW generation dir and swap
+    the ``_CURRENT`` pointer — the lake OPTIMIZE analogue,
+    compact_segments' sibling for the raw-parquet index layout.
+
+    The compacted generation carries ``_COMPACTED_THROUGH`` = the
+    highest folded batch id; the maintain job skips any (replayed)
+    batch at or below it, so folding never un-does replay idempotence.
+    Returns subtrees folded (0 = nothing to do).
+
+    Tombstones (CDC deletes/upserts) are applied PHYSICALLY here: dead
+    rows are dropped from the folded subtree and the sidecar does NOT
+    carry into the new generation — merge-on-read debt is settled at
+    compaction, exactly like a lake table's OPTIMIZE after a
+    merge-on-read delete. A pure-delete trailing batch still advances
+    the watermark (hi spans index AND tombstone batch ids).
+
+    Run OFF the ingest path with the maintain job quiesced (a batch
+    landing in the old generation between the compaction read and the
+    pointer swap would be dropped — the same contract as
+    compact_segments vs concurrent appends). SERVING needs no quiesce:
+    probes resolve the pointer per micro-batch. ``gc_previous`` deletes
+    the superseded generation immediately; leave it False when
+    long-running probes may still hold the old listing (lake VACUUM
+    retention, in miniature)."""
+    gen = resolve_index_path(index_root)
+    batches = _ingest_batches(gen)
+    if len(batches) <= max_batches:
+        return 0
+    tomb = read_tombstones(spark, gen)
+    tomb_batches = _ingest_batches(os.path.join(gen, _TOMBSTONES))
+    hi = max(
+        int(b.split("=", 1)[1]) for b in batches + tomb_batches
+    )
+    cur = spark.read.option("basePath", gen).parquet(
+        *[os.path.join(gen, b) for b in batches]
+    )
+    if tomb is not None:
+        cur = sim.apply_tombstones(cur, tomb)
+    cur = cur.select("id", "codes", "rnorm", "cell")
+    new_gen_name = f"gen-{_gen_number(index_root) + 1}"
+    new_gen = os.path.join(index_root, new_gen_name)
+    (
+        cur.write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(os.path.join(new_gen, f"ingest_batch={hi}"))
+    )
+    with open(os.path.join(new_gen, _COMPACT_WM_FILE), "w") as f:
+        f.write(str(hi))
+    tmp = os.path.join(index_root, _CURRENT + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(new_gen_name)
+    os.replace(tmp, os.path.join(index_root, _CURRENT))  # <- the commit point
+    if gc_previous:
+        if gen == index_root:
+            for b in batches + [_TOMBSTONES]:
+                shutil.rmtree(os.path.join(index_root, b), ignore_errors=True)
+        else:
+            shutil.rmtree(gen, ignore_errors=True)
+    return len(batches)
 
 
 class VectorIndexMaintainJob:
@@ -97,8 +245,29 @@ class VectorIndexMaintainJob:
     # -- batch core (exposed for tests/replay) ---------------------------
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        gen = resolve_index_path(self.index_root)
+        if batch_id <= _compacted_through(gen):
+            return  # folded into the compacted subtree already — skip
+        upserts = batch
+        if "op" in batch.columns:
+            # CDC mode: delete rows carry no payload; EVERY touched id
+            # is tombstoned at this batch number so an upsert
+            # supersedes the id's older encodings (A3: update =
+            # delete(before)+replace(after)) and a delete removes it
+            # from service at the next probe. The sidecar write is
+            # replay-idempotent the same way the index write is — the
+            # batch overwrites its own subtree.
+            (
+                batch.select(F.col(self.id_col).alias("id"))
+                .write.mode("overwrite")
+                .parquet(os.path.join(
+                    gen, _TOMBSTONES, f"ingest_batch={batch_id}"))
+            )
+            upserts = batch.filter(F.col("op") != F.lit("delete")).drop("op")
+            if upserts.isEmpty():
+                return  # pure-delete batch: tombstones are the whole write
         celled = sim.ivf_pq_build_index(
-            batch, self.centroids, self.codebook,
+            upserts, self.centroids, self.codebook,
             m=self.m, ksub=self.ksub, dim=self.dim,
             id_col=self.id_col, vec_col=self.vec_col,
         )
@@ -107,7 +276,7 @@ class VectorIndexMaintainJob:
         (
             celled.write.partitionBy("cell")
             .mode("overwrite")
-            .parquet(os.path.join(self.index_root, f"ingest_batch={batch_id}"))
+            .parquet(os.path.join(gen, f"ingest_batch={batch_id}"))
         )
 
     # -- lifecycle -------------------------------------------------------
@@ -136,8 +305,17 @@ class VectorIndexMaintainJob:
     def index(self) -> DataFrame:
         """The whole accumulated index (partition discovery adds the
         ingest_batch/cell columns). Probes never read it this way —
-        they go through ivf_pq_topk_indexed's static cell filter."""
-        return self.spark.read.parquet(self.index_root)
+        they go through ivf_pq_topk_indexed's static cell filter.
+        Includes dead versions in CDC mode — see live_index."""
+        return self.spark.read.parquet(resolve_index_path(self.index_root))
+
+    def live_index(self) -> DataFrame:
+        """index() minus tombstoned rows — the logical current state a
+        probe sees (serving applies the same filter pre-ranking)."""
+        gen = resolve_index_path(self.index_root)
+        idx = self.spark.read.parquet(gen)
+        tomb = read_tombstones(self.spark, gen)
+        return idx if tomb is None else sim.apply_tombstones(idx, tomb)
 
 
 class AnnServingJob:
@@ -205,13 +383,15 @@ class AnnServingJob:
         wm = self.target.seq_watermark(SCHEMA_NAME, RESULTS_TABLE)
         if wm.get(_WM_KEY, -1) >= batch_id:
             return  # replayed batch already committed — skip (idempotent)
+        gen = resolve_index_path(self.index_root)
         out = sim.ivf_pq_topk_indexed(
-            self.spark, self.index_root, batch,
+            self.spark, gen, batch,
             self.centroids, self.codebook,
             vectors=self.vectors() if self.vectors is not None else None,
             k=self.k, nprobe=self.nprobe,
             m=self.m, ksub=self.ksub, dim=self.dim,
             id_col=self.id_col, vec_col=self.vec_col, rerank=self.rerank,
+            tombstones=read_tombstones(self.spark, gen),
         )
         self.target.append(
             out.withColumn(_WM_KEY, F.lit(batch_id)),

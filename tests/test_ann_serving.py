@@ -158,6 +158,202 @@ def test_serving_rerank_against_current_corpus(spark, tmp_path):
     assert _topk_map(sj.results()) == _topk_map(_inline(e, q, cent, cb, rerank=50))
 
 
+def test_index_compaction_generation_swap(spark, tmp_path):
+    """compact_index folds the per-batch subtrees into one subtree in a
+    new generation and swaps the _CURRENT pointer atomically: served
+    results are IDENTICAL before and after, replays of folded batches
+    become no-ops (compaction watermark), new batches land in the new
+    generation, and a second compaction stacks a further generation."""
+    from dtle_spark.streaming.ann_serving import (
+        _ingest_batches,
+        compact_index,
+        resolve_index_path,
+    )
+
+    e = _embeddings(spark)
+    cent, cb = _model(e)
+    index_root = str(tmp_path / "index")
+    mj = VectorIndexMaintainJob(
+        spark, "unused", index_root, str(tmp_path / "mck"), cent, cb
+    )
+    parts = [e.filter(F.col("vec_id") % 4 == i) for i in range(4)]
+    for i, p in enumerate(parts):
+        mj.apply_batch(p, i)
+    n0 = mj.index().count()
+    assert n0 == e.count()
+
+    q = e.filter(F.col("vec_id") % 53 == 0)
+    sj = AnnServingJob(
+        spark, "unused", index_root, str(tmp_path / "results"),
+        str(tmp_path / "sck"), cent, cb, **PQ,
+    )
+    sj.apply_batch(q, 0)
+    before = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in sj.results().filter(F.col("__serve_batch") == 0).collect()
+    }
+
+    assert compact_index(spark, index_root, max_batches=8) == 0  # under cap
+    folded = compact_index(spark, index_root, max_batches=2, gc_previous=True)
+    assert folded == 4
+    gen1 = resolve_index_path(index_root)
+    assert os.path.basename(gen1) == "gen-1"
+    assert _ingest_batches(gen1) == ["ingest_batch=3"]
+    assert not _ingest_batches(index_root)  # old subtrees GC'd
+    assert mj.index().count() == n0
+
+    # identical service from the compacted generation
+    sj.apply_batch(q, 1)
+    after = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in sj.results().filter(F.col("__serve_batch") == 1).collect()
+    }
+    assert after == before
+
+    # a replayed pre-compaction batch is a no-op (watermark guard)
+    mj.apply_batch(parts[0], 2)
+    assert _ingest_batches(gen1) == ["ingest_batch=3"]
+    assert mj.index().count() == n0
+
+    # new batches land in the ACTIVE generation and a second compaction
+    # stacks gen-2 on top
+    extra = e.limit(100).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    mj.apply_batch(extra, 4)
+    mj.apply_batch(
+        extra.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding"), 5
+    )
+    assert _ingest_batches(gen1) == [
+        "ingest_batch=3", "ingest_batch=4", "ingest_batch=5"
+    ]
+    assert compact_index(spark, index_root, max_batches=2, gc_previous=True) == 3
+    gen2 = resolve_index_path(index_root)
+    assert os.path.basename(gen2) == "gen-2"
+    assert not os.path.exists(gen1)
+    assert mj.index().count() == n0 + 200
+
+
+def test_cdc_deletes_and_upserts(spark, tmp_path):
+    """CDC-mode maintenance (op column): deletes leave service at the
+    next probe, an upsert SUPERSEDES the id's older encoding (A3:
+    update = delete(before)+replace(after)), delete+upsert of the same
+    id in one batch resolves to the upsert, replay is a no-op,
+    compaction applies tombstones physically and drops the sidecar, a
+    pure-delete batch writes only tombstones yet still advances the
+    compaction watermark, and a deleted id can be revived."""
+    from dtle_spark.streaming.ann_serving import (
+        _TOMBSTONES,
+        _ingest_batches,
+        compact_index,
+        read_tombstones,
+        resolve_index_path,
+    )
+
+    e = _embeddings(spark)
+    cent, cb = _model(e)
+    index_root = str(tmp_path / "index")
+    mj = VectorIndexMaintainJob(
+        spark, "unused", index_root, str(tmp_path / "mck"), cent, cb
+    )
+
+    # batch 0: the whole corpus as upserts
+    mj.apply_batch(e.withColumn("op", F.lit("upsert")), 0)
+    n = e.count()
+    assert read_tombstones(spark, index_root).count() == n
+    assert mj.live_index().count() == n
+
+    # batch 1: delete ids %7, upsert ids %11 with a CHANGED embedding
+    # (ids %77 appear as BOTH ops in the batch -> the upsert wins)
+    dels = e.filter(F.col("vec_id") % 7 == 0)
+    ups = e.filter(F.col("vec_id") % 11 == 0).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    mj.apply_batch(
+        dels.withColumn("op", F.lit("delete"))
+        .unionByName(ups.withColumn("op", F.lit("upsert"))),
+        1,
+    )
+    current = (
+        e.filter((F.col("vec_id") % 7 != 0) & (F.col("vec_id") % 11 != 0))
+        .unionByName(ups)
+        .localCheckpoint()
+    )
+    assert mj.live_index().count() == current.count()
+    # physically the dead versions are still there (merge-on-read)
+    assert mj.index().count() == n + ups.count()
+
+    q = e.filter(F.col("vec_id") % 53 == 0)
+    sj = AnnServingJob(
+        spark, "unused", index_root, str(tmp_path / "results"),
+        str(tmp_path / "sck"), cent, cb, **PQ,
+    )
+    sj.apply_batch(q, 0)
+    served0 = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in sj.results().filter(F.col("__serve_batch") == 0).collect()
+    }
+    assert served0 == _topk_map(_inline(current, q, cent, cb))
+
+    # replayed CDC batch overwrites its own subtrees — nothing changes
+    mj.apply_batch(
+        dels.withColumn("op", F.lit("delete"))
+        .unionByName(ups.withColumn("op", F.lit("upsert"))),
+        1,
+    )
+    assert mj.live_index().count() == current.count()
+
+    # compaction applies tombstones PHYSICALLY and drops the sidecar
+    assert compact_index(spark, index_root, max_batches=1, gc_previous=True) == 2
+    gen1 = resolve_index_path(index_root)
+    assert read_tombstones(spark, gen1) is None
+    assert mj.index().count() == current.count()
+    sj.apply_batch(q, 1)
+    served1 = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in sj.results().filter(F.col("__serve_batch") == 1).collect()
+    }
+    assert served1 == served0
+
+    # pure-delete batch: tombstones only, no index subtree
+    late_dels = current.limit(5).localCheckpoint()
+    mj.apply_batch(late_dels.withColumn("op", F.lit("delete")), 2)
+    assert not os.path.exists(os.path.join(gen1, "ingest_batch=2"))
+    assert _ingest_batches(os.path.join(gen1, _TOMBSTONES)) == ["ingest_batch=2"]
+    assert mj.live_index().count() == current.count() - 5
+    sj.apply_batch(q, 2)
+    served2 = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in sj.results().filter(F.col("__serve_batch") == 2).collect()
+    }
+    current2 = current.join(
+        late_dels.select("vec_id"), "vec_id", "left_anti"
+    ).localCheckpoint()
+    assert served2 == _topk_map(_inline(current2, q, cent, cb))
+
+    # the trailing pure-delete batch still advances the watermark: after
+    # a second compaction its replay must stay a no-op
+    assert compact_index(spark, index_root, max_batches=0, gc_previous=True) == 1
+    gen2 = resolve_index_path(index_root)
+    assert mj.index().count() == current2.count()
+    mj.apply_batch(late_dels.withColumn("op", F.lit("delete")), 2)  # replay
+    assert read_tombstones(spark, gen2) is None  # skipped via watermark
+    assert mj.live_index().count() == current2.count()
+
+    # revive: a deleted id re-ingested later is served again
+    revived = late_dels.limit(1)
+    mj.apply_batch(revived.withColumn("op", F.lit("upsert")), 3)
+    assert mj.live_index().count() == current2.count() + 1
+    sj.apply_batch(q, 3)
+    served3 = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in sj.results().filter(F.col("__serve_batch") == 3).collect()
+    }
+    assert served3 == _topk_map(
+        _inline(current2.unionByName(revived), q, cent, cb)
+    )
+
+
 def test_serving_rejects_unusable_models(spark, tmp_path):
     """Stale-model failures happen at JOB CONSTRUCTION, not per-batch
     mid-stream: a gapped codebook and a rerank request without the fp32
