@@ -44,6 +44,14 @@ ids touched since the last compaction), and are applied PHYSICALLY and
 dropped by compact_index — the lake merge-on-read → copy-on-write
 hand-off, in miniature.
 
+**Model drift**: :func:`reindex` re-encodes the current fp32 corpus
+under a retrained model into a fresh generation (same atomic pointer
+swap). Every generation is stamped with its model's content hash
+(``_MODEL_FP``); a maintain or serving job still holding the old model
+fails loudly at its next batch rather than silently mixing
+incomparable codes. Lifecycle: build → maintain → serve → compact →
+reindex, all against one layout.
+
 At 100 TB: the model (16 centroids + m*ksub codebook rows) is
 broadcast-sized by construction; maintain cost is O(new vectors) with
 no history reads; serving cost is |Q| * nprobe/n_cells code rows read
@@ -59,6 +67,7 @@ incremental apply loop) to the ANN family, SURVEY §2.6.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 
@@ -77,6 +86,7 @@ VECTOR_SCHEMA = "vec_id long, embedding array<float>"
 _CURRENT = "_CURRENT"
 _COMPACT_WM_FILE = "_COMPACTED_THROUGH"
 _TOMBSTONES = "_tombstones"
+_MODEL_FP_FILE = "_MODEL_FP"
 
 CDC_VECTOR_SCHEMA = VECTOR_SCHEMA + ", op string"
 
@@ -116,6 +126,49 @@ def _ingest_batches(gen_dir: str) -> list[str]:
         )
     except FileNotFoundError:
         return []
+
+
+def model_fingerprint(centroids: DataFrame, codebook: DataFrame) -> str:
+    """Content hash of the frozen model (both tables are broadcast-
+    sized by construction, so the collect is control-plane). Stamped
+    into each generation as ``_MODEL_FP`` so a job holding a DIFFERENT
+    model than the one the generation was encoded with fails loudly at
+    its next batch instead of silently mixing incomparable codes —
+    the stale-model seam reindex() opens."""
+    cents = sorted(
+        (r["cent_id"], tuple(r["c_vec"])) for r in centroids.collect()
+    )
+    cbs = sorted(
+        (r["sub"], r["code"], tuple(r["cvec"])) for r in codebook.collect()
+    )
+    return hashlib.md5(repr((cents, cbs)).encode()).hexdigest()
+
+
+def _check_model_stamp(gen_dir: str, fp: str, stamp_if_missing: bool) -> None:
+    path = os.path.join(gen_dir, _MODEL_FP_FILE)
+    try:
+        with open(path) as f:
+            current = f.read().strip()
+    except FileNotFoundError:
+        if stamp_if_missing:
+            os.makedirs(gen_dir, exist_ok=True)
+            with open(path, "w") as f:
+                f.write(fp)
+        return
+    if current != fp:
+        raise ValueError(
+            f"model fingerprint mismatch for generation {gen_dir}: the "
+            f"index was encoded with {current}, this job holds {fp} — "
+            "after reindex(), retire jobs built on the old model and "
+            "construct new ones with the generation's model"
+        )
+
+
+def _swap_current(index_root: str, new_gen_name: str) -> None:
+    tmp = os.path.join(index_root, _CURRENT + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(new_gen_name)
+    os.replace(tmp, os.path.join(index_root, _CURRENT))  # the commit point
 
 
 def read_tombstones(spark: SparkSession, gen_dir: str) -> DataFrame | None:
@@ -190,17 +243,93 @@ def compact_index(
     )
     with open(os.path.join(new_gen, _COMPACT_WM_FILE), "w") as f:
         f.write(str(hi))
-    tmp = os.path.join(index_root, _CURRENT + ".tmp")
-    with open(tmp, "w") as f:
-        f.write(new_gen_name)
-    os.replace(tmp, os.path.join(index_root, _CURRENT))  # <- the commit point
+    old_fp = os.path.join(gen, _MODEL_FP_FILE)
+    if os.path.exists(old_fp):  # same model, same stamp
+        shutil.copy(old_fp, os.path.join(new_gen, _MODEL_FP_FILE))
+    _swap_current(index_root, new_gen_name)
     if gc_previous:
-        if gen == index_root:
-            for b in batches + [_TOMBSTONES]:
-                shutil.rmtree(os.path.join(index_root, b), ignore_errors=True)
-        else:
-            shutil.rmtree(gen, ignore_errors=True)
+        _gc_generation(index_root, gen, batches)
     return len(batches)
+
+
+def _gc_generation(index_root: str, gen: str, batches: list[str]) -> None:
+    """Delete a superseded generation. The pre-compaction layout lives
+    at index_root itself, so there only the subtrees/sidecars are
+    removed (never the root, which holds the _CURRENT pointer and the
+    surviving generations)."""
+    if gen == index_root:
+        for b in batches + [_TOMBSTONES]:
+            shutil.rmtree(os.path.join(index_root, b), ignore_errors=True)
+        try:
+            os.remove(os.path.join(index_root, _MODEL_FP_FILE))
+        except FileNotFoundError:
+            pass
+    else:
+        shutil.rmtree(gen, ignore_errors=True)
+
+
+def reindex(
+    spark: SparkSession,
+    index_root: str,
+    vectors: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    gc_previous: bool = False,
+) -> str:
+    """Rebuild the index under a NEW (retrained) model — the answer to
+    model drift: when the corpus distribution has moved away from the
+    frozen centroids/codebook, retrain on the current corpus and
+    re-encode it wholesale into a fresh generation, swapped in by the
+    same atomic ``_CURRENT`` pointer compaction uses. Returns the new
+    generation path.
+
+    ``vectors`` is the CURRENT fp32 corpus (the same source-of-truth
+    table the rerank callable reads) — codes cannot be re-encoded from
+    codes, so reindex reads the corpus, not the old index. Any
+    tombstone state is considered already reflected in that corpus
+    view; the new generation starts with an empty sidecar.
+
+    The compaction watermark carries forward (hi = highest batch id
+    seen by the OLD generation), so replays of pre-reindex batches
+    stay no-ops. The new generation is stamped with the new model's
+    fingerprint: maintain/serving jobs still holding the old model
+    fail loudly at their next batch (_check_model_stamp) instead of
+    mixing incomparable encodings — retire them and construct new jobs
+    with the retrained model. Quiesce contract: maintain quiesced
+    (same as compact_index); serving either quiesced or expected to
+    hit the loud stamp check at the swap."""
+    sim._require_dense_codebook(codebook, m, ksub, dim // m)
+    gen = resolve_index_path(index_root)
+    batches = _ingest_batches(gen)
+    tomb_batches = _ingest_batches(os.path.join(gen, _TOMBSTONES))
+    hi = max(
+        [int(b.split("=", 1)[1]) for b in batches + tomb_batches],
+        default=-1,
+    )
+    celled = sim.ivf_pq_build_index(
+        vectors, centroids, codebook, m=m, ksub=ksub, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    )
+    new_gen_name = f"gen-{_gen_number(index_root) + 1}"
+    new_gen = os.path.join(index_root, new_gen_name)
+    (
+        celled.write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(os.path.join(new_gen, f"ingest_batch={hi}"))
+    )
+    with open(os.path.join(new_gen, _COMPACT_WM_FILE), "w") as f:
+        f.write(str(hi))
+    with open(os.path.join(new_gen, _MODEL_FP_FILE), "w") as f:
+        f.write(model_fingerprint(centroids, codebook))
+    _swap_current(index_root, new_gen_name)
+    if gc_previous:
+        _gc_generation(index_root, gen, batches)
+    return new_gen
 
 
 class VectorIndexMaintainJob:
@@ -235,6 +364,7 @@ class VectorIndexMaintainJob:
         sim._require_dense_codebook(codebook, m, ksub, dim // m)
         self.centroids = centroids.localCheckpoint()
         self.codebook = codebook.localCheckpoint()
+        self.model_fp = model_fingerprint(self.centroids, self.codebook)
         self.m, self.ksub, self.dim = m, ksub, dim
         self.id_col, self.vec_col = id_col, vec_col
         self.schema = schema
@@ -248,6 +378,10 @@ class VectorIndexMaintainJob:
         gen = resolve_index_path(self.index_root)
         if batch_id <= _compacted_through(gen):
             return  # folded into the compacted subtree already — skip
+        # the first write stamps the generation with this job's model;
+        # after a reindex() the stamp differs and this raises — a job
+        # holding the superseded model must not encode into the new gen
+        _check_model_stamp(gen, self.model_fp, stamp_if_missing=True)
         upserts = batch
         if "op" in batch.columns:
             # CDC mode: delete rows carry no payload; EVERY touched id
@@ -366,6 +500,7 @@ class AnnServingJob:
         sim._require_dense_codebook(codebook, m, ksub, dim // m)
         self.centroids = centroids.localCheckpoint()
         self.codebook = codebook.localCheckpoint()
+        self.model_fp = model_fingerprint(self.centroids, self.codebook)
         self.k, self.nprobe = k, nprobe
         self.m, self.ksub, self.dim = m, ksub, dim
         self.rerank = rerank
@@ -384,6 +519,10 @@ class AnnServingJob:
         if wm.get(_WM_KEY, -1) >= batch_id:
             return  # replayed batch already committed — skip (idempotent)
         gen = resolve_index_path(self.index_root)
+        # probing with a model other than the one the generation was
+        # encoded with mis-scores silently — fail loudly instead (an
+        # unstamped pre-reindex generation passes: nothing to compare)
+        _check_model_stamp(gen, self.model_fp, stamp_if_missing=False)
         out = sim.ivf_pq_topk_indexed(
             self.spark, gen, batch,
             self.centroids, self.codebook,

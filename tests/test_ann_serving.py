@@ -354,6 +354,81 @@ def test_cdc_deletes_and_upserts(spark, tmp_path):
     )
 
 
+def test_reindex_model_refresh(spark, tmp_path):
+    """reindex() answers model drift: the corpus is re-encoded under a
+    RETRAINED model into a fresh generation behind the same atomic
+    pointer swap. Jobs holding the superseded model fail LOUDLY at
+    their next batch (generation model stamp); new jobs built on the
+    retrained model serve results equal to the inline tier under that
+    model; replays of pre-reindex batches stay no-ops."""
+    import pytest
+
+    from dtle_spark.streaming.ann_serving import (
+        read_tombstones,
+        reindex,
+        resolve_index_path,
+    )
+
+    e = _embeddings(spark)
+    cent_a, cb_a = _model(e)
+
+    index_root = str(tmp_path / "index")
+    mj_a = VectorIndexMaintainJob(
+        spark, "unused", index_root, str(tmp_path / "mck"), cent_a, cb_a
+    )
+    halves = [e.filter(F.col("vec_id") % 2 == i) for i in range(2)]
+    mj_a.apply_batch(halves[0], 0)
+    mj_a.apply_batch(halves[1], 1)
+
+    # model B: retrained on the FULL current corpus (drift answer)
+    cent_b = sim.ivf_exact_mean_centroids(e, k=16).localCheckpoint()
+    cb_b = sim.pq_refine(
+        e, sim.pq_codebook(e, m=8, ksub=16, means=cent_b), steps=2, m=8, ksub=16
+    )
+    new_gen = reindex(spark, index_root, e, cent_b, cb_b, gc_previous=True)
+    assert resolve_index_path(index_root) == new_gen
+    assert read_tombstones(spark, new_gen) is None
+    assert mj_a.index().count() == e.count()
+
+    # the old-model jobs hit the stamp, loudly
+    with pytest.raises(ValueError, match="model fingerprint mismatch"):
+        mj_a.apply_batch(halves[0].limit(5), 2)
+    sj_a = AnnServingJob(
+        spark, "unused", index_root, str(tmp_path / "ra"),
+        str(tmp_path / "sa"), cent_a, cb_a, **PQ,
+    )
+    q = e.filter(F.col("vec_id") % 53 == 0)
+    with pytest.raises(ValueError, match="model fingerprint mismatch"):
+        sj_a.apply_batch(q, 0)
+
+    # replay of a pre-reindex batch is a no-op even for a NEW-model job
+    # (the carried watermark, not the stamp, short-circuits it)
+    mj_b = VectorIndexMaintainJob(
+        spark, "unused", index_root, str(tmp_path / "mckb"), cent_b, cb_b
+    )
+    mj_b.apply_batch(halves[0], 1)
+    assert mj_b.index().count() == e.count()
+
+    # new-model ingest + serving == inline tier under model B
+    extra = e.limit(50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    mj_b.apply_batch(extra, 2)
+    full = e.unionByName(extra)
+    assert mj_b.index().count() == full.count()
+    sj_b = AnnServingJob(
+        spark, "unused", index_root, str(tmp_path / "rb"),
+        str(tmp_path / "sb"), cent_b, cb_b, **PQ,
+    )
+    sj_b.apply_batch(q, 0)
+    assert _topk_map(sj_b.results()) == _topk_map(
+        sim.ivf_pq_topk(
+            full, q, k=PQ["k"], nprobe=PQ["nprobe"], n_cells=16, m=PQ["m"],
+            ksub=PQ["ksub"], centroids=cent_b, codebook=cb_b,
+        )
+    )
+
+
 def test_serving_rejects_unusable_models(spark, tmp_path):
     """Stale-model failures happen at JOB CONSTRUCTION, not per-batch
     mid-stream: a gapped codebook and a rerank request without the fp32
