@@ -977,6 +977,7 @@ def ivf_pq_build_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     path: str | None = None,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Build the IVF-PQ index table (id, cell, codes array<int>,
     rnorm) — cell assignment + PQ encoding, both map-only over
@@ -984,7 +985,12 @@ def ivf_pq_build_index(
     at 100 TB this is the on-disk layout that lets probes prune the
     scan itself (only nprobe/n_cells of the files are read — verified
     by plan pin in tests); the in-memory shape feeds ivf_pq_topk
-    directly."""
+    directly.
+
+    ``carry_cols`` copies metadata columns from ``vectors`` into the
+    index rows (attribute storage for FILTERED search): a predicate on
+    a carried column reaches the parquet scan of the probed cells as a
+    pushed filter — no join against the corpus at query time."""
     enc = pq_encode(vectors, codebook, m=m, ksub=ksub, dim=dim,
                     id_col=id_col, vec_col=vec_col)
     celled = (
@@ -993,6 +999,9 @@ def ivf_pq_build_index(
         .join(enc, "id")
         .select("id", "cell", "codes", "rnorm")
     )
+    if carry_cols:
+        meta = vectors.select(F.col(id_col).alias("id"), *carry_cols)
+        celled = celled.join(meta, "id")
     if path is not None:
         celled.write.partitionBy("cell").mode("overwrite").parquet(path)
     return celled
@@ -1102,6 +1111,7 @@ def ivf_pq_topk_indexed(
     vec_col: str = "embedding",
     rerank: int = 0,
     tombstones: DataFrame | None = None,
+    where=None,
 ) -> DataFrame:
     """Search a PERSISTED cell-partitioned IVF-PQ index: compute the
     probe set (tiny), collect its distinct cells driver-side (bounded
@@ -1114,7 +1124,14 @@ def ivf_pq_topk_indexed(
 
     ``tombstones`` (id, tomb_batch) excludes deleted/superseded rows
     BEFORE ranking (see apply_tombstones) — the serving path for
-    streams that carry deletes/upserts."""
+    streams that carry deletes/upserts.
+
+    ``where`` (Column or SQL string over carried metadata columns —
+    see ivf_pq_build_index carry_cols) restricts candidates BEFORE
+    ranking: top-k among rows satisfying the predicate (filtered /
+    hybrid search). The predicate reaches the probed cells' parquet
+    scan as a pushed filter; result == ivf_pq_topk over the
+    pre-filtered corpus (same codes, same probes — pytest-pinned)."""
     # the persisted-index path is where codebook REUSE (and therefore
     # staleness) is the norm — validate before any positional lookup,
     # exactly as the inline tier does in pq_encode
@@ -1123,6 +1140,8 @@ def ivf_pq_topk_indexed(
     probes = probes.localCheckpoint()  # consumed twice: cells + join
     cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
     index = spark.read.parquet(index_path).filter(F.col("cell").isin(cells))
+    if where is not None:
+        index = index.filter(where)
     if tombstones is not None:
         index = apply_tombstones(index, tombstones)
     return _ivf_pq_adc(

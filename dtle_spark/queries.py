@@ -815,6 +815,33 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("rank", "rnk")
 
 
+_ANN_FILTERED_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding AS n_vec FROM embeddings WHERE label < 3),
+scored AS (
+  SELECT query_id, neighbor_id, {_duck_cosine('q_vec', 'n_vec')} AS cosine
+  FROM c, q WHERE query_id <> neighbor_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored)
+SELECT query_id, neighbor_id, rnk, cosine FROM r WHERE rnk <= 10
+"""
+
+
+@query("ann_topk_filtered", _ANN_FILTERED_ORACLE)
+def ann_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED (hybrid) search, exact lane: top-10 among corpus rows
+    satisfying a metadata predicate (label < 3, ~30% selectivity).
+    The predicate is pushed into the corpus scan before the broadcast
+    score stage. The persisted-index lane (ivf_pq_topk_indexed
+    where=...) over carry_cols-attributed indexes is pinned equal to
+    the inline tier over the pre-filtered corpus in pytest."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    out = sim.brute_force_topk(e.filter(F.col("label") < 3), q, k=10)
+    return out.withColumnRenamed("rank", "rnk")
+
+
 _ANN_LSH_ORACLE = f"""
 WITH v AS (SELECT vec_id, embedding, {_duck_sign_bucket('embedding')} AS bucket FROM embeddings),
 q AS (SELECT vec_id AS query_id, embedding AS q_vec, bucket FROM v WHERE vec_id % 50 = 0),

@@ -233,7 +233,9 @@ def compact_index(
     )
     if tomb is not None:
         cur = sim.apply_tombstones(cur, tomb)
-    cur = cur.select("id", "codes", "rnorm", "cell")
+    # keep carried metadata columns (filtered-search attributes); only
+    # the per-batch partition column folds away
+    cur = cur.drop("ingest_batch")
     new_gen_name = f"gen-{_gen_number(index_root) + 1}"
     new_gen = os.path.join(index_root, new_gen_name)
     (
@@ -280,6 +282,7 @@ def reindex(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     gc_previous: bool = False,
+    carry_cols: tuple[str, ...] = (),
 ) -> str:
     """Rebuild the index under a NEW (retrained) model — the answer to
     model drift: when the corpus distribution has moved away from the
@@ -313,7 +316,7 @@ def reindex(
     )
     celled = sim.ivf_pq_build_index(
         vectors, centroids, codebook, m=m, ksub=ksub, dim=dim,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, carry_cols=carry_cols,
     )
     new_gen_name = f"gen-{_gen_number(index_root) + 1}"
     new_gen = os.path.join(index_root, new_gen_name)
@@ -355,11 +358,13 @@ class VectorIndexMaintainJob:
         schema: str = VECTOR_SCHEMA,
         max_files_per_trigger: int = 1,
         reader=None,
+        carry_cols: tuple[str, ...] = (),
     ):
         self.spark = spark
         self.source_dir = source_dir
         self.index_root = index_root
         self.checkpoint_dir = checkpoint_dir
+        self.carry_cols = tuple(carry_cols)
         # stale/gapped models fail HERE, not per-batch mid-stream
         sim._require_dense_codebook(codebook, m, ksub, dim // m)
         self.centroids = centroids.localCheckpoint()
@@ -404,6 +409,7 @@ class VectorIndexMaintainJob:
             upserts, self.centroids, self.codebook,
             m=self.m, ksub=self.ksub, dim=self.dim,
             id_col=self.id_col, vec_col=self.vec_col,
+            carry_cols=self.carry_cols,
         )
         # idempotent append: the batch owns its own partition subtree —
         # a redelivery overwrites it in place, never duplicating codes
@@ -462,7 +468,12 @@ class AnnServingJob:
     ``rerank > 0`` — in production the corpus table the index was built
     from. Passed as a zero-arg callable returning a DataFrame so each
     batch reranks against the CURRENT corpus, not a snapshot bound at
-    job construction."""
+    job construction.
+
+    ``where`` (optional) is a filtered-search predicate over metadata
+    columns the maintain job carried into the index (carry_cols):
+    every served batch returns top-k among rows satisfying it — one
+    serving job per audience/tenant predicate, all off one index."""
 
     def __init__(
         self,
@@ -485,6 +496,7 @@ class AnnServingJob:
         schema: str = VECTOR_SCHEMA,
         max_files_per_trigger: int = 1,
         reader=None,
+        where=None,
     ):
         self.spark = spark
         self.query_source_dir = query_source_dir
@@ -509,6 +521,7 @@ class AnnServingJob:
         self.schema = schema
         self.max_files_per_trigger = max_files_per_trigger
         self.reader = reader
+        self.where = where
         self.target = ParquetTableTarget(results_root)
         self.query = None
 
@@ -531,6 +544,7 @@ class AnnServingJob:
             m=self.m, ksub=self.ksub, dim=self.dim,
             id_col=self.id_col, vec_col=self.vec_col, rerank=self.rerank,
             tombstones=read_tombstones(self.spark, gen),
+            where=self.where,
         )
         self.target.append(
             out.withColumn(_WM_KEY, F.lit(batch_id)),

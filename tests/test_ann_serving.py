@@ -429,6 +429,53 @@ def test_reindex_model_refresh(spark, tmp_path):
     )
 
 
+def test_filtered_serving_with_carry_cols(spark, tmp_path):
+    """A maintain job with carry_cols writes metadata into the index;
+    a serving job with a where predicate returns top-k among matching
+    rows only (== inline tier over the pre-filtered corpus), and
+    compaction PRESERVES carried columns so the filtered service is
+    identical afterwards."""
+    from dtle_spark.streaming.ann_serving import compact_index
+
+    e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).select(
+        "vec_id", "embedding", "label"
+    )
+    cent, cb = _model(e.select("vec_id", "embedding"))
+    index_root = str(tmp_path / "index")
+    mj = VectorIndexMaintainJob(
+        spark, "unused", index_root, str(tmp_path / "mck"), cent, cb,
+        carry_cols=("label",),
+    )
+    parts = [e.filter(F.col("vec_id") % 3 == i) for i in range(3)]
+    for i, p in enumerate(parts):
+        mj.apply_batch(p, i)
+
+    q = e.filter(F.col("vec_id") % 53 == 0).select("vec_id", "embedding")
+    pred = F.col("label") < 3
+    sj = AnnServingJob(
+        spark, "unused", index_root, str(tmp_path / "results"),
+        str(tmp_path / "sck"), cent, cb, where=pred, **PQ,
+    )
+    sj.apply_batch(q, 0)
+    want = _topk_map(_inline(e.filter(pred).select("vec_id", "embedding"),
+                             q, cent, cb))
+    got0 = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in sj.results().filter(F.col("__serve_batch") == 0).collect()
+    }
+    assert got0 == want and len(got0) > 0
+
+    # compaction keeps the carried column -> identical filtered service
+    assert compact_index(spark, index_root, max_batches=1, gc_previous=True) == 3
+    assert "label" in mj.index().columns
+    sj.apply_batch(q, 1)
+    got1 = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in sj.results().filter(F.col("__serve_batch") == 1).collect()
+    }
+    assert got1 == want
+
+
 def test_serving_rejects_unusable_models(spark, tmp_path):
     """Stale-model failures happen at JOB CONSTRUCTION, not per-batch
     mid-stream: a gapped codebook and a rerank request without the fp32

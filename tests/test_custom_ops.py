@@ -1588,6 +1588,45 @@ class TestIvfPqPersistedIndex:
         b = {key(r): (r["neighbor_id"], r["cell"], r["cosine"]) for r in indexed.collect()}
         assert a == b and len(a) > 0
 
+    def test_filtered_search_equals_inline_on_filtered_corpus(
+        self, spark, tmp_path
+    ):
+        """FILTERED (hybrid) search over a carry_cols-attributed index:
+        ivf_pq_topk_indexed(where=...) == ivf_pq_topk over the
+        pre-filtered corpus — same model means same codes and same
+        probes, so restricting candidates by the carried metadata
+        column commutes with encoding. The predicate reaches the probed
+        cells' parquet scan as a PushedFilter."""
+        import re
+
+        from pyspark.sql import functions as F
+
+        from dtle_spark.functions.similarity import (
+            ivf_pq_build_index, ivf_pq_topk, ivf_pq_topk_indexed,
+        )
+        from dtle_spark.tableio import load_table
+
+        e, q, cent, cb = self._tables(spark)
+        labeled = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        path = str(tmp_path / "ivfpq_index")
+        ivf_pq_build_index(labeled, cent, cb, path=path,
+                           carry_cols=("label",))
+        indexed = ivf_pq_topk_indexed(
+            spark, path, q, cent, cb, k=10, nprobe=4,
+            where=F.col("label") < 3,
+        )
+        inline = ivf_pq_topk(
+            labeled.filter(F.col("label") < 3), q, k=10, nprobe=4,
+            centroids=cent, codebook=cb,
+        )
+        key = lambda r: (r["query_id"], r["rank"])
+        a = {key(r): (r["neighbor_id"], r["qcos"]) for r in indexed.collect()}
+        b = {key(r): (r["neighbor_id"], r["qcos"]) for r in inline.collect()}
+        assert a == b and len(a) > 0
+        plan = indexed._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+        assert m and "label" in m.group(1), plan[:2000]
+
     def test_probe_scan_prunes_partitions(self, spark, tmp_path):
         """The layout's whole point: the indexed search's scan reads
         ONLY the probed cells' partitions — PartitionFilters carry the
