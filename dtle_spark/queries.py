@@ -842,6 +842,69 @@ def ann_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("rank", "rnk")
 
 
+_RP_NEIGHBOR_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+    list_transform(list_transform({_duck_toks()}, x -> md5(x)),
+                   m -> {{hx}}) AS th
+  FROM documents
+),
+e AS (
+  SELECT doc_id,
+    list_transform(range(0, {{bits}}), b ->
+      CAST(2 * len(list_filter(th, h -> (h // CAST(pow(2, b) AS BIGINT)) % 2 = 1))
+           - len(th) AS BIGINT)) AS embedding
+  FROM t
+),
+nz AS (SELECT doc_id, embedding FROM e
+       WHERE list_sum(list_transform(embedding, x -> x * x)) > 0),
+q AS (SELECT doc_id AS query_id, embedding AS q_vec FROM nz WHERE doc_id % 97 = 0),
+c AS (SELECT doc_id AS neighbor_id, embedding AS n_vec FROM nz WHERE doc_id % 97 <> 0),
+scored AS (
+  SELECT query_id, neighbor_id, {_duck_cosine('q_vec', 'n_vec')} AS cosine
+  FROM c, q
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored)
+SELECT query_id, neighbor_id, rnk, cosine FROM r WHERE rnk <= 5
+"""
+
+
+@query(
+    "rp_embed_neighbors",
+    _RP_NEIGHBOR_ORACLE.format(
+        hx=dd.hex_window_sql("m", 1, "duckdb", width=15), bits=dd.SIMHASH_BITS
+    ),
+)
+def rp_embed_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-to-text nearest neighbors END TO END without an external
+    model: rp_text_embedding (the oracle-gated feature-hashing lane,
+    dedup.py) -> exact cosine top-5 of each held-out doc (doc_id % 97
+    = 0, the decontaminate convention) against the rest. Zero-norm
+    docs (empty after tokenization) are excluded on both sides —
+    cosine is undefined there and cross-engine inf/NULL semantics
+    differ. Cosine folds over the integer-count vectors cast to
+    double, bit-identical across engines. The same embeddings feed the
+    IVF-PQ index (dim 60, m=6) — composition pinned in pytest."""
+    d = load_table(spark, sf_dir, "documents")
+    e = dd.rp_text_embedding(d, "doc_id", "text").select(
+        "doc_id", F.col("emb").alias("embedding")
+    )
+    # checkpoint BEFORE the zero-norm filter: predicate pushdown would
+    # substitute the embed fold into the filter and sink it below the
+    # spread() repartition, serializing the whole O(dims x tokens)
+    # fold onto the one-split fixture scan (measured 25 s -> 1 s); the
+    # barrier also keeps the pair join from recomputing the embeddings
+    e = e.localCheckpoint()
+    nz = e.filter(
+        F.expr("aggregate(embedding, 0L, (acc, x) -> acc + x * x)") > 0
+    )
+    q = nz.filter(F.col("doc_id") % 97 == 0)
+    c = nz.filter(F.col("doc_id") % 97 != 0)
+    out = sim.brute_force_topk(c, q, id_col="doc_id", k=5)
+    return out.withColumnRenamed("rank", "rnk")
+
+
 _ANN_LSH_ORACLE = f"""
 WITH v AS (SELECT vec_id, embedding, {_duck_sign_bucket('embedding')} AS bucket FROM embeddings),
 q AS (SELECT vec_id AS query_id, embedding AS q_vec, bucket FROM v WHERE vec_id % 50 = 0),

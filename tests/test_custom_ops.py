@@ -1549,6 +1549,64 @@ def test_ivf_index_append_equals_rebuild(spark):
     assert appended.count() == e.count()
 
 
+class TestRpEmbedAnn:
+    """rp_text_embedding (the oracle-gated feature-hashing lane,
+    dedup.py) composed into the ANN stack: the documents table flows
+    into the persisted IVF-PQ index with no external model. The
+    neighbor semantics are oracle-gated by the rp_embed_neighbors
+    registry query; here the index composition is pinned."""
+
+    def test_docs_to_ann_index_composition(self, spark, tmp_path):
+        """rp embeddings (60-dim int counts) feed the IVF-PQ stack with
+        m=6 (60 % 6 == 0): train on the md5 sample, build the persisted
+        index, and the indexed+reranked search recalls a solid majority
+        of the exact top-5 — the docs->vector bridge end to end."""
+        from pyspark.sql import functions as F
+
+        from dtle_spark.functions import dedup as dd
+        from dtle_spark.functions import similarity as sim
+        from dtle_spark.tableio import load_table
+
+        d = load_table(spark, "/root/testdata/sf0.001", "documents")
+        e = (
+            dd.rp_text_embedding(d, "doc_id", "text")
+            .select(
+                F.col("doc_id").alias("vec_id"),
+                F.expr("transform(emb, x -> CAST(x AS FLOAT))").alias(
+                    "embedding"
+                ),
+            )
+            .filter(
+                F.expr(
+                    "aggregate(embedding, CAST(0 AS DOUBLE),"
+                    " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+                )
+                > 0
+            )
+            .localCheckpoint()
+        )
+        m, dim = 6, 60
+        tr = sim.md5_train_sample(e)
+        cent = sim.ivf_exact_mean_centroids(tr, k=16, dim=dim).localCheckpoint()
+        cb = sim.pq_refine(
+            tr, sim.pq_codebook(tr, m=m, ksub=16, dim=dim, means=cent),
+            steps=2, m=m, ksub=16, dim=dim,
+        ).localCheckpoint()
+        path = str(tmp_path / "docvec_index")
+        sim.ivf_pq_build_index(e, cent, cb, m=m, ksub=16, dim=dim, path=path)
+        q = e.filter(F.col("vec_id") % 97 == 0)
+        got = sim.ivf_pq_topk_indexed(
+            spark, path, q, cent, cb, vectors=e, k=5, nprobe=8,
+            m=m, ksub=16, dim=dim, rerank=50,
+        )
+        exact = sim.brute_force_topk(e, q, id_col="vec_id", k=5)
+        g = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+        x = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+        assert len(x) > 0
+        recall = len(g & x) / len(x)
+        assert recall >= 0.6, recall
+
+
 class TestIvfPqPersistedIndex:
     """ivf_pq_build_index(path=...) + ivf_pq_topk_indexed: the on-disk
     cell-partitioned layout and its partition-pruned read path."""
