@@ -87,6 +87,7 @@ _CURRENT = "_CURRENT"
 _COMPACT_WM_FILE = "_COMPACTED_THROUGH"
 _TOMBSTONES = "_tombstones"
 _MODEL_FP_FILE = "_MODEL_FP"
+_MODEL_DIR = "_model"
 
 CDC_VECTOR_SCHEMA = VECTOR_SCHEMA + ", op string"
 
@@ -142,6 +143,35 @@ def model_fingerprint(centroids: DataFrame, codebook: DataFrame) -> str:
         (r["sub"], r["code"], tuple(r["cvec"])) for r in codebook.collect()
     )
     return hashlib.md5(repr((cents, cbs)).encode()).hexdigest()
+
+
+def save_model(gen_dir: str, centroids: DataFrame, codebook: DataFrame) -> None:
+    """Persist the frozen model BESIDE the index it encodes (underscore
+    dir — invisible to the index scan), making every generation
+    self-describing: a restarted job reloads it with load_model instead
+    of retraining. Both tables are broadcast-sized, so this is a
+    control-plane write."""
+    root = os.path.join(gen_dir, _MODEL_DIR)
+    centroids.write.mode("overwrite").parquet(os.path.join(root, "centroids"))
+    codebook.write.mode("overwrite").parquet(os.path.join(root, "codebook"))
+
+
+def load_model(spark: SparkSession, index_root: str) -> tuple[DataFrame, DataFrame]:
+    """The active generation's persisted model (centroids, codebook).
+    Raises FileNotFoundError when the generation was never stamped with
+    one — construct the job with explicit tables in that case."""
+    gen = resolve_index_path(index_root)
+    root = os.path.join(gen, _MODEL_DIR)
+    if not os.path.isdir(root):
+        raise FileNotFoundError(
+            f"no persisted model under {root}: the index generation was "
+            "built before any model was saved — pass centroids/codebook "
+            "explicitly (save_model persists them for next time)"
+        )
+    return (
+        spark.read.parquet(os.path.join(root, "centroids")),
+        spark.read.parquet(os.path.join(root, "codebook")),
+    )
 
 
 def _check_model_stamp(gen_dir: str, fp: str, stamp_if_missing: bool) -> None:
@@ -248,6 +278,11 @@ def compact_index(
     old_fp = os.path.join(gen, _MODEL_FP_FILE)
     if os.path.exists(old_fp):  # same model, same stamp
         shutil.copy(old_fp, os.path.join(new_gen, _MODEL_FP_FILE))
+    old_model = os.path.join(gen, _MODEL_DIR)
+    if os.path.isdir(old_model):  # the persisted model rides along
+        shutil.copytree(
+            old_model, os.path.join(new_gen, _MODEL_DIR), dirs_exist_ok=True
+        )
     _swap_current(index_root, new_gen_name)
     if gc_previous:
         _gc_generation(index_root, gen, batches)
@@ -329,6 +364,7 @@ def reindex(
         f.write(str(hi))
     with open(os.path.join(new_gen, _MODEL_FP_FILE), "w") as f:
         f.write(model_fingerprint(centroids, codebook))
+    save_model(new_gen, centroids, codebook)
     _swap_current(index_root, new_gen_name)
     if gc_previous:
         _gc_generation(index_root, gen, batches)
@@ -348,8 +384,8 @@ class VectorIndexMaintainJob:
         source_dir: str,
         index_root: str,
         checkpoint_dir: str,
-        centroids: DataFrame,
-        codebook: DataFrame,
+        centroids: DataFrame | None = None,
+        codebook: DataFrame | None = None,
         m: int = 8,
         ksub: int = 16,
         dim: int = 64,
@@ -365,6 +401,11 @@ class VectorIndexMaintainJob:
         self.index_root = index_root
         self.checkpoint_dir = checkpoint_dir
         self.carry_cols = tuple(carry_cols)
+        if (centroids is None) != (codebook is None):
+            raise ValueError("pass BOTH centroids and codebook, or neither")
+        if centroids is None:
+            # restart path: the generation is self-describing
+            centroids, codebook = load_model(spark, index_root)
         # stale/gapped models fail HERE, not per-batch mid-stream
         sim._require_dense_codebook(codebook, m, ksub, dim // m)
         self.centroids = centroids.localCheckpoint()
@@ -383,10 +424,13 @@ class VectorIndexMaintainJob:
         gen = resolve_index_path(self.index_root)
         if batch_id <= _compacted_through(gen):
             return  # folded into the compacted subtree already — skip
-        # the first write stamps the generation with this job's model;
+        # the first write stamps the generation with this job's model
+        # (fingerprint + the model tables themselves, for restarts);
         # after a reindex() the stamp differs and this raises — a job
         # holding the superseded model must not encode into the new gen
         _check_model_stamp(gen, self.model_fp, stamp_if_missing=True)
+        if not os.path.isdir(os.path.join(gen, _MODEL_DIR)):
+            save_model(gen, self.centroids, self.codebook)
         upserts = batch
         if "op" in batch.columns:
             # CDC mode: delete rows carry no payload; EVERY touched id
@@ -442,6 +486,37 @@ class VectorIndexMaintainJob:
         if self.query is not None:
             self.query.awaitTermination()
 
+    def pause(self) -> None:
+        """Stop the stream; the checkpoint keeps the position (same
+        contract as ReplicationJob.pause)."""
+        if self.query is not None:
+            self.query.stop()
+            self.query = None
+
+    def resume(self) -> "VectorIndexMaintainJob":
+        if self.query is None:
+            self.start()
+        return self
+
+    def position(self) -> dict:
+        gen = resolve_index_path(self.index_root)
+        batches = [int(b.split("=", 1)[1]) for b in _ingest_batches(gen)]
+        return {
+            "generation": os.path.basename(gen),
+            "compacted_through": _compacted_through(gen),
+            "max_ingest_batch": max(batches, default=-1),
+        }
+
+    def stats(self) -> dict:
+        gen = resolve_index_path(self.index_root)
+        return {
+            "type": "vector_maintain",
+            "active": self.query is not None and self.query.isActive,
+            "model_fp": self.model_fp,
+            "ingest_batches": len(_ingest_batches(gen)),
+            **self.position(),
+        }
+
     def index(self) -> DataFrame:
         """The whole accumulated index (partition discovery adds the
         ingest_batch/cell columns). Probes never read it this way —
@@ -482,8 +557,8 @@ class AnnServingJob:
         index_root: str,
         results_root: str,
         checkpoint_dir: str,
-        centroids: DataFrame,
-        codebook: DataFrame,
+        centroids: DataFrame | None = None,
+        codebook: DataFrame | None = None,
         k: int = 10,
         nprobe: int = 4,
         m: int = 8,
@@ -509,6 +584,10 @@ class AnnServingJob:
             )
         if rerank and vectors is None:
             raise ValueError("rerank > 0 needs the fp32 `vectors` callable")
+        if (centroids is None) != (codebook is None):
+            raise ValueError("pass BOTH centroids and codebook, or neither")
+        if centroids is None:
+            centroids, codebook = load_model(spark, index_root)
         sim._require_dense_codebook(codebook, m, ksub, dim // m)
         self.centroids = centroids.localCheckpoint()
         self.codebook = codebook.localCheckpoint()
@@ -573,6 +652,31 @@ class AnnServingJob:
     def process_available(self) -> None:
         if self.query is not None:
             self.query.awaitTermination()
+
+    def pause(self) -> None:
+        if self.query is not None:
+            self.query.stop()
+            self.query = None
+
+    def resume(self) -> "AnnServingJob":
+        if self.query is None:
+            self.start()
+        return self
+
+    def position(self) -> dict:
+        wm = self.target.seq_watermark(SCHEMA_NAME, RESULTS_TABLE)
+        return {_WM_KEY: wm.get(_WM_KEY, -1)}
+
+    def stats(self) -> dict:
+        return {
+            "type": "ann_serving",
+            "active": self.query is not None and self.query.isActive,
+            "model_fp": self.model_fp,
+            "k": self.k,
+            "nprobe": self.nprobe,
+            "rerank": self.rerank,
+            **self.position(),
+        }
 
     def results(self) -> DataFrame | None:
         return self.target.read(self.spark, SCHEMA_NAME, RESULTS_TABLE)

@@ -206,6 +206,111 @@ class JobManager:
             sj.start()
         return sj
 
+    def create_vector_maintain(
+        self,
+        name: str,
+        source_dir: str,
+        index_root: str,
+        checkpoint_dir: str,
+        centroids=None,
+        codebook=None,
+        start: bool = True,
+        **kw,
+    ):
+        """The vector-index maintain job (streaming/ann_serving.py) as
+        a MANAGED job: same create/pause/resume/metrics/delete/recover
+        control plane as replication and subscription jobs. The model
+        tables are NOT part of the spec (DataFrames do not serialize) —
+        they are persisted beside the index (save_model) at create and
+        reloaded from the active generation on recover, so the spec
+        stays a plain JSON descriptor."""
+        from dtle_spark.streaming.ann_serving import (
+            VectorIndexMaintainJob,
+            resolve_index_path,
+            save_model,
+        )
+
+        if name in self._jobs:
+            raise ValueError(f"job {name!r} already exists")
+        vj = VectorIndexMaintainJob(
+            self.spark, source_dir, index_root, checkpoint_dir,
+            centroids, codebook, **kw,
+        )
+        # make the generation self-describing NOW, not at first batch:
+        # recover() must be able to reload the model before any data.
+        # Skip when already persisted (recover path / reindexed gen) —
+        # rewriting identical tables races concurrent serving reads.
+        gen = resolve_index_path(index_root)
+        from dtle_spark.streaming.ann_serving import _MODEL_DIR
+
+        if not os.path.isdir(os.path.join(gen, _MODEL_DIR)):
+            save_model(gen, vj.centroids, vj.codebook)
+        self._persist_spec(name, {
+            "type": "vector_maintain",
+            "source_dir": source_dir,
+            "index_root": index_root,
+            "checkpoint_dir": checkpoint_dir,
+            "kw": _persistable_kwargs(kw),
+        })
+        self._jobs[name] = vj
+        if start:
+            vj.start()
+        return vj
+
+    def create_ann_serving(
+        self,
+        name: str,
+        query_source_dir: str,
+        index_root: str,
+        results_root: str,
+        checkpoint_dir: str,
+        centroids=None,
+        codebook=None,
+        start: bool = True,
+        **kw,
+    ):
+        """The ANN serving job as a MANAGED job (see
+        create_vector_maintain). ``where`` filtered-search predicates
+        must be SQL strings here (Columns do not serialize into the
+        spec); the non-serializable ``vectors`` rerank callable is
+        rejected by the spec round-trip check."""
+        from dtle_spark.streaming.ann_serving import AnnServingJob
+
+        if name in self._jobs:
+            raise ValueError(f"job {name!r} already exists")
+        where = kw.get("where")
+        if where is not None and not isinstance(where, str):
+            raise ValueError(
+                "managed serving jobs take `where` as a SQL string "
+                "(Column predicates cannot be persisted for recover())"
+            )
+        sj = AnnServingJob(
+            self.spark, query_source_dir, index_root, results_root,
+            checkpoint_dir, centroids, codebook, **kw,
+        )
+        self._persist_spec(name, {
+            "type": "ann_serving",
+            "source_dir": query_source_dir,
+            "index_root": index_root,
+            "results_root": results_root,
+            "checkpoint_dir": checkpoint_dir,
+            "kw": _persistable_kwargs(kw),
+        })
+        self._jobs[name] = sj
+        if start:
+            sj.start()
+        return sj
+
+    def _persist_spec(self, name: str, spec: dict) -> None:
+        sp = self._spec_path(name)
+        if sp is None:
+            return
+        os.makedirs(self.spec_root, exist_ok=True)
+        tmp = sp + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(spec, f)
+        os.replace(tmp, sp)
+
     def recover(self, start: bool = True) -> list[str]:
         """Restore every persisted job spec into this (fresh) manager:
         catalog from the checkpoint's post-DDL snapshot when one exists
@@ -220,6 +325,25 @@ class JobManager:
                 continue
             with open(os.path.join(self.spec_root, fname)) as f:
                 spec = json.load(f)
+            if spec.get("type") in ("vector_maintain", "ann_serving"):
+                vname = fname[: -len(".json")]
+                if vname in self._jobs:
+                    continue
+                # model reloads from the index's active generation
+                if spec["type"] == "vector_maintain":
+                    self.create_vector_maintain(
+                        vname, spec["source_dir"], spec["index_root"],
+                        spec["checkpoint_dir"], start=start,
+                        **spec.get("kw", {}),
+                    )
+                else:
+                    self.create_ann_serving(
+                        vname, spec["source_dir"], spec["index_root"],
+                        spec["results_root"], spec["checkpoint_dir"],
+                        start=start, **spec.get("kw", {}),
+                    )
+                out.append(vname)
+                continue
             job = job_config_from_dict(spec["job"])
             if job.name in self._jobs:
                 continue

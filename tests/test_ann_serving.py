@@ -476,6 +476,80 @@ def test_filtered_serving_with_carry_cols(spark, tmp_path):
     assert got1 == want
 
 
+def test_manager_vector_jobs_lifecycle_and_recover(spark, tmp_path):
+    """Vector jobs under the SAME control plane as replication jobs:
+    JobManager create/list/metrics/pause/resume/position/delete plus
+    recover() on a fresh manager — the model reloads from the
+    generation's persisted copy (save_model at create), never from
+    memory, and recovered jobs resume their checkpoints."""
+    from dtle_spark.streaming.jobs import JobManager
+
+    e = _embeddings(spark)
+    cent, cb = _model(e)
+    spec_root = str(tmp_path / "specs")
+    index_root = str(tmp_path / "index")
+    results_root = str(tmp_path / "results")
+    vsrc, qsrc = str(tmp_path / "vecs"), str(tmp_path / "queries")
+    os.makedirs(vsrc)
+    os.makedirs(qsrc)
+    half0 = e.filter(F.col("vec_id") % 2 == 0)
+    half0.coalesce(1).write.parquet(os.path.join(vsrc, "b0"))
+    q = e.filter(F.col("vec_id") % 53 == 0)
+    q.coalesce(1).write.parquet(os.path.join(qsrc, "q0"))
+
+    mgr = JobManager(spark, spec_root=spec_root)
+    mj = mgr.create_vector_maintain(
+        "vec-maintain", os.path.join(vsrc, "*"), index_root,
+        str(tmp_path / "mck"), cent, cb,
+    )
+    mj.process_available()
+    assert mj.index().count() == half0.count()
+    # serving constructed WITHOUT model tables: loads the persisted one
+    sj = mgr.create_ann_serving(
+        "ann-serve", os.path.join(qsrc, "*"), index_root, results_root,
+        str(tmp_path / "sck"), **PQ,
+    )
+    sj.process_available()
+    assert _topk_map(sj.results()) == _topk_map(_inline(half0, q, cent, cb))
+
+    st = mgr.list()
+    assert st["vec-maintain"]["type"] == "vector_maintain"
+    assert st["ann-serve"]["type"] == "ann_serving"
+    assert mgr.position("vec-maintain")["max_ingest_batch"] == 0
+    assert mgr.metrics("ann-serve")["__serve_batch"] == 0
+    mgr.pause("ann-serve")
+    assert not mgr.get("ann-serve").stats()["active"]
+    mgr.resume("ann-serve")
+
+    # fresh manager: recover restores both jobs from specs alone
+    mgr.pause("vec-maintain")
+    mgr.pause("ann-serve")
+    mgr2 = JobManager(spark, spec_root=spec_root)
+    assert sorted(mgr2.recover(start=False)) == ["ann-serve", "vec-maintain"]
+
+    # recovered jobs resume their checkpoints: only NEW files process
+    half1 = e.filter(F.col("vec_id") % 2 == 1)
+    half1.coalesce(1).write.parquet(os.path.join(vsrc, "b1"))
+    q.coalesce(1).write.parquet(os.path.join(qsrc, "q1"))
+    mgr2.resume("vec-maintain")
+    mgr2.get("vec-maintain").process_available()
+    assert mgr2.get("vec-maintain").index().count() == e.count()
+    assert mgr2.position("vec-maintain")["max_ingest_batch"] == 1
+    mgr2.resume("ann-serve")
+    mgr2.get("ann-serve").process_available()
+    res = mgr2.get("ann-serve").results()
+    got1 = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in res.filter(F.col("__serve_batch") == 1).collect()
+    }
+    assert got1 == _topk_map(_inline(e, q, cent, cb))
+
+    # delete = stop + deregister + spec removal
+    mgr2.delete("ann-serve")
+    assert "ann-serve" not in mgr2.list()
+    assert not os.path.exists(os.path.join(spec_root, "ann-serve.json"))
+
+
 def test_serving_rejects_unusable_models(spark, tmp_path):
     """Stale-model failures happen at JOB CONSTRUCTION, not per-batch
     mid-stream: a gapped codebook and a rerank request without the fp32
