@@ -109,6 +109,10 @@ class _Handler(BaseHTTPRequestHandler):
             self._route(method)
         except KeyError as e:
             self._send(404, {"error": f"not found: {e}"})
+        except FileNotFoundError as e:
+            # e.g. vector-job create against an index with no persisted
+            # model — a caller mistake, not a server fault
+            self._send(400, {"error": str(e)})
         except ValueError as e:
             self._send(400, {"error": str(e)})
         except Exception as e:  # surface, don't kill the server thread
@@ -129,6 +133,33 @@ class _Handler(BaseHTTPRequestHandler):
                     return self._send(400, {
                         "error": "target_format does not apply to "
                                  "subscription jobs (frames log only)"})
+                if d.get("type") in ("vector_maintain", "ann_serving"):
+                    # vector jobs (4th/5th job types): the model is NOT
+                    # in the request body — it loads from the index
+                    # generation's persisted copy (save_model), so the
+                    # index must be bootstrapped before HTTP create
+                    keys = (
+                        ("m", "ksub", "dim", "id_col", "vec_col", "schema",
+                         "max_files_per_trigger", "carry_cols")
+                        if d["type"] == "vector_maintain"
+                        else ("k", "nprobe", "m", "ksub", "dim", "rerank",
+                              "where", "id_col", "vec_col", "schema",
+                              "max_files_per_trigger")
+                    )
+                    kw = {k: d[k] for k in keys if k in d}
+                    if d["type"] == "vector_maintain":
+                        self.manager.create_vector_maintain(
+                            d["name"], d["source_dir"], d["index_root"],
+                            d["checkpoint_dir"],
+                            start=bool(d.get("start", True)), **kw,
+                        )
+                    else:
+                        self.manager.create_ann_serving(
+                            d["name"], d["source_dir"], d["index_root"],
+                            d["results_root"], d["checkpoint_dir"],
+                            start=bool(d.get("start", True)), **kw,
+                        )
+                    return self._send(201, {"created": d["name"]})
                 if d.get("type") == "subscription":
                     # third job type: change log -> Debezium frames
                     # (api/handler/v2/job.go:1222-1235)

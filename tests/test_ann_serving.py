@@ -550,6 +550,52 @@ def test_manager_vector_jobs_lifecycle_and_recover(spark, tmp_path):
     assert not os.path.exists(os.path.join(spec_root, "ann-serve.json"))
 
 
+def test_cdc_random_script_matches_dict_replay(spark, tmp_path):
+    """Randomized (seeded) op scripts: a sequence of upsert/delete
+    batches with interleaved compactions must leave the live index
+    EQUAL to a plain last-op-wins dict replay — the generalization of
+    the handwritten delete/upsert/revive scenarios. Catches ordering
+    rules the examples can't sweep (tombstone vs ingest_batch
+    comparisons across compaction watermark resets)."""
+    import random
+
+    from dtle_spark.streaming.ann_serving import compact_index
+
+    e = _embeddings(spark).limit(200).localCheckpoint()
+    cent, cb = _model(e)
+    base = {r["vec_id"]: r["embedding"] for r in e.collect()}
+    ids = sorted(base)
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        index_root = str(tmp_path / f"index{seed}")
+        mj = VectorIndexMaintainJob(
+            spark, "unused", index_root, str(tmp_path / f"ck{seed}"),
+            cent, cb,
+        )
+        live: dict[int, int] = {}  # id -> batch of last upsert
+        for batch_id in range(6):
+            ups = rng.sample(ids, rng.randint(5, 40))
+            dels = rng.sample(ids, rng.randint(5, 40))
+            # same-batch overlap resolves to the upsert (A3 contract)
+            updf = e.filter(F.col("vec_id").isin(ups)).withColumn(
+                "op", F.lit("upsert")
+            )
+            dedf = e.filter(F.col("vec_id").isin(dels)).withColumn(
+                "op", F.lit("delete")
+            )
+            mj.apply_batch(dedf.unionByName(updf), batch_id)
+            for i in dels:
+                live.pop(i, None)
+            for i in ups:
+                live[i] = batch_id
+            if rng.random() < 0.4:
+                compact_index(spark, index_root, max_batches=1,
+                              gc_previous=True)
+            got = {r["id"] for r in mj.live_index().select("id").collect()}
+            assert got == set(live), (seed, batch_id)
+
+
 def test_serving_rejects_unusable_models(spark, tmp_path):
     """Stale-model failures happen at JOB CONSTRUCTION, not per-batch
     mid-stream: a gapped codebook and a rerank request without the fp32

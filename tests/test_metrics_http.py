@@ -491,3 +491,79 @@ def test_http_create_with_target_format(spark, job_dirs_factory):
         assert code == 400 and "subscription" in body["error"]
     finally:
         server.stop()
+
+
+def test_http_create_vector_jobs(spark, tmp_path):
+    """POST /v2/jobs with type=vector_maintain / ann_serving creates
+    the vector job types through the same route; the model is never in
+    the body — it loads from the index generation's persisted copy, so
+    create against an un-bootstrapped index is a clean 400. The
+    per-job GET/position/pause/DELETE routes are type-agnostic."""
+    from dtle_spark.catalog import SchemaCatalog
+    from dtle_spark.functions import similarity as sim
+    from dtle_spark.streaming.ann_serving import save_model
+    from dtle_spark.streaming.http_api import ControlServer
+    from dtle_spark.streaming.jobs import JobManager
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    tr = sim.md5_train_sample(e)
+    cent = sim.ivf_exact_mean_centroids(tr, k=16).localCheckpoint()
+    cb = sim.pq_refine(
+        tr, sim.pq_codebook(tr, m=8, ksub=16, means=cent), steps=2, m=8, ksub=16
+    ).localCheckpoint()
+    index_root = str(tmp_path / "index")
+    vsrc, qsrc = str(tmp_path / "vecs"), str(tmp_path / "queries")
+    os.makedirs(vsrc)
+    os.makedirs(qsrc)
+    e.coalesce(1).write.parquet(os.path.join(vsrc, "b0"))
+    e.filter(F.col("vec_id") % 53 == 0).coalesce(1).write.parquet(
+        os.path.join(qsrc, "q0")
+    )
+
+    manager = JobManager(spark)
+    server = ControlServer(manager, SchemaCatalog()).start()
+    url = f"http://127.0.0.1:{server.port}"
+    maintain_body = {
+        "name": "vm1", "type": "vector_maintain",
+        "source_dir": os.path.join(vsrc, "*"),
+        "index_root": index_root,
+        "checkpoint_dir": str(tmp_path / "mck"),
+    }
+    try:
+        # un-bootstrapped index -> clean 400, not a dead server
+        code, err = _http("POST", f"{url}/v2/jobs", maintain_body)
+        assert code == 400 and "model" in err["error"]
+
+        save_model(index_root, cent, cb)  # offline bootstrap
+        code, _ = _http("POST", f"{url}/v2/jobs", maintain_body)
+        assert code == 201
+        manager.get("vm1").process_available()
+
+        code, _ = _http("POST", f"{url}/v2/jobs", {
+            "name": "as1", "type": "ann_serving",
+            "source_dir": os.path.join(qsrc, "*"),
+            "index_root": index_root,
+            "results_root": str(tmp_path / "results"),
+            "checkpoint_dir": str(tmp_path / "sck"),
+            "k": 10, "nprobe": 4,
+        })
+        assert code == 201
+        manager.get("as1").process_available()
+
+        code, d = _http("GET", f"{url}/v2/job/vm1")
+        assert code == 200 and d["type"] == "vector_maintain"
+        assert d["max_ingest_batch"] == 0
+        code, pos = _http("GET", f"{url}/v2/job/as1/position")
+        assert code == 200 and pos["__serve_batch"] == 0
+        assert manager.get("as1").results().count() > 0
+
+        code, _ = _http("POST", f"{url}/v2/job/vm1/pause")
+        assert code == 200
+        for name in ("as1", "vm1"):
+            code, _ = _http("DELETE", f"{url}/v2/job/{name}")
+            assert code == 200
+        assert manager.list() == {}
+    finally:
+        server.stop()
