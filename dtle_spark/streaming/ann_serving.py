@@ -88,6 +88,7 @@ _COMPACT_WM_FILE = "_COMPACTED_THROUGH"
 _TOMBSTONES = "_tombstones"
 _MODEL_FP_FILE = "_MODEL_FP"
 _MODEL_DIR = "_model"
+_CKPT_ID_FILE = "_CHECKPOINT_ID"
 
 CDC_VECTOR_SCHEMA = VECTOR_SCHEMA + ", op string"
 
@@ -194,6 +195,34 @@ def _check_model_stamp(gen_dir: str, fp: str, stamp_if_missing: bool) -> None:
         )
 
 
+def _check_stream_stamp(root: str, checkpoint_dir: str) -> None:
+    """Batch ids are meaningful only relative to ONE stream checkpoint:
+    a job recreated with a fresh checkpoint restarts them at 0, so the
+    replay watermarks would silently SKIP genuinely new batches (ids at
+    or below the watermark) and re-ingest already-folded data above it.
+    The first writer stamps its checkpoint identity; any later job must
+    present the same one — resume the original checkpoint_dir to keep
+    the position, or start a fresh index/results root."""
+    path = os.path.join(root, _CKPT_ID_FILE)
+    ident = os.path.abspath(checkpoint_dir)
+    try:
+        with open(path) as f:
+            current = f.read().strip()
+    except FileNotFoundError:
+        os.makedirs(root, exist_ok=True)
+        with open(path, "w") as f:
+            f.write(ident)
+        return
+    if current != ident:
+        raise ValueError(
+            f"checkpoint mismatch for {root}: its batch watermarks were "
+            f"written under checkpoint {current}, this job runs under "
+            f"{ident} — batch ids from a fresh checkpoint restart at 0 "
+            "and the watermarks would silently skip or duplicate data. "
+            "Reuse the original checkpoint_dir, or start a new root."
+        )
+
+
 def _swap_current(index_root: str, new_gen_name: str) -> None:
     tmp = os.path.join(index_root, _CURRENT + ".tmp")
     with open(tmp, "w") as f:
@@ -251,28 +280,36 @@ def compact_index(
     retention, in miniature)."""
     gen = resolve_index_path(index_root)
     batches = _ingest_batches(gen)
-    if len(batches) <= max_batches:
+    tomb_batches = _ingest_batches(os.path.join(gen, _TOMBSTONES))
+    # the tombstone sidecar counts toward the trigger: a delete-heavy
+    # stream accumulates sidecar subtrees without growing the index,
+    # and the Δ-bounded claim holds only if folding drains them too
+    if len(batches) + len(tomb_batches) <= max_batches:
         return 0
     tomb = read_tombstones(spark, gen)
-    tomb_batches = _ingest_batches(os.path.join(gen, _TOMBSTONES))
     hi = max(
         int(b.split("=", 1)[1]) for b in batches + tomb_batches
     )
-    cur = spark.read.option("basePath", gen).parquet(
-        *[os.path.join(gen, b) for b in batches]
-    )
-    if tomb is not None:
-        cur = sim.apply_tombstones(cur, tomb)
-    # keep carried metadata columns (filtered-search attributes); only
-    # the per-batch partition column folds away
-    cur = cur.drop("ingest_batch")
     new_gen_name = f"gen-{_gen_number(index_root) + 1}"
     new_gen = os.path.join(index_root, new_gen_name)
-    (
-        cur.write.partitionBy("cell")
-        .mode("overwrite")
-        .parquet(os.path.join(new_gen, f"ingest_batch={hi}"))
-    )
+    if batches:
+        cur = spark.read.option("basePath", gen).parquet(
+            *[os.path.join(gen, b) for b in batches]
+        )
+        if tomb is not None:
+            cur = sim.apply_tombstones(cur, tomb)
+        # keep carried metadata columns (filtered-search attributes);
+        # only the per-batch partition column folds away
+        cur = cur.drop("ingest_batch")
+        (
+            cur.write.partitionBy("cell")
+            .mode("overwrite")
+            .parquet(os.path.join(new_gen, f"ingest_batch={hi}"))
+        )
+    else:
+        # everything was deleted: the folded generation is EMPTY (no
+        # subtree at all) — only the watermark/model control files land
+        os.makedirs(new_gen, exist_ok=True)
     with open(os.path.join(new_gen, _COMPACT_WM_FILE), "w") as f:
         f.write(str(hi))
     old_fp = os.path.join(gen, _MODEL_FP_FILE)
@@ -283,10 +320,13 @@ def compact_index(
         shutil.copytree(
             old_model, os.path.join(new_gen, _MODEL_DIR), dirs_exist_ok=True
         )
+    old_ck = os.path.join(gen, _CKPT_ID_FILE)
+    if os.path.exists(old_ck):  # the stream identity rides along too
+        shutil.copy(old_ck, os.path.join(new_gen, _CKPT_ID_FILE))
     _swap_current(index_root, new_gen_name)
     if gc_previous:
         _gc_generation(index_root, gen, batches)
-    return len(batches)
+    return len(batches) + len(tomb_batches)
 
 
 def _gc_generation(index_root: str, gen: str, batches: list[str]) -> None:
@@ -295,7 +335,7 @@ def _gc_generation(index_root: str, gen: str, batches: list[str]) -> None:
     removed (never the root, which holds the _CURRENT pointer and the
     surviving generations)."""
     if gen == index_root:
-        for b in batches + [_TOMBSTONES]:
+        for b in batches + [_TOMBSTONES, _MODEL_DIR]:
             shutil.rmtree(os.path.join(index_root, b), ignore_errors=True)
         try:
             os.remove(os.path.join(index_root, _MODEL_FP_FILE))
@@ -365,6 +405,11 @@ def reindex(
     with open(os.path.join(new_gen, _MODEL_FP_FILE), "w") as f:
         f.write(model_fingerprint(centroids, codebook))
     save_model(new_gen, centroids, codebook)
+    old_ck = os.path.join(gen, _CKPT_ID_FILE)
+    if os.path.exists(old_ck):
+        # the maintain STREAM identity survives reindex: the successor
+        # job must resume the same checkpoint so batch ids keep meaning
+        shutil.copy(old_ck, os.path.join(new_gen, _CKPT_ID_FILE))
     _swap_current(index_root, new_gen_name)
     if gc_previous:
         _gc_generation(index_root, gen, batches)
@@ -422,6 +467,9 @@ class VectorIndexMaintainJob:
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         gen = resolve_index_path(self.index_root)
+        # BEFORE the watermark skip: ids from a different checkpoint
+        # are not comparable to the recorded watermark at all
+        _check_stream_stamp(gen, self.checkpoint_dir)
         if batch_id <= _compacted_through(gen):
             return  # folded into the compacted subtree already — skip
         # the first write stamps the generation with this job's model
@@ -431,37 +479,49 @@ class VectorIndexMaintainJob:
         _check_model_stamp(gen, self.model_fp, stamp_if_missing=True)
         if not os.path.isdir(os.path.join(gen, _MODEL_DIR)):
             save_model(gen, self.centroids, self.codebook)
-        upserts = batch
-        if "op" in batch.columns:
+        upserts, cdc = batch, "op" in batch.columns
+        if cdc:
             # CDC mode: delete rows carry no payload; EVERY touched id
             # is tombstoned at this batch number so an upsert
             # supersedes the id's older encodings (A3: update =
             # delete(before)+replace(after)) and a delete removes it
-            # from service at the next probe. The sidecar write is
-            # replay-idempotent the same way the index write is — the
-            # batch overwrites its own subtree.
+            # from service at the next probe. Both writes are
+            # replay-idempotent (the batch overwrites its own subtrees).
+            # The batch is pinned once — the tombstone write, emptiness
+            # check, and index build would otherwise each rescan it.
+            batch = batch.localCheckpoint()
+            # a NULL op is a plain insert, NOT a delete — != would drop
+            # the row from upserts while still tombstoning its id,
+            # silently deleting the vector
+            upserts = batch.filter(
+                (F.col("op") != F.lit("delete")) | F.col("op").isNull()
+            ).drop("op")
+        if not (cdc and upserts.isEmpty()):
+            celled = sim.ivf_pq_build_index(
+                upserts, self.centroids, self.codebook,
+                m=self.m, ksub=self.ksub, dim=self.dim,
+                id_col=self.id_col, vec_col=self.vec_col,
+                carry_cols=self.carry_cols,
+            )
+            # idempotent append: the batch owns its own partition
+            # subtree — a redelivery overwrites it in place, never
+            # duplicating codes
+            (
+                celled.write.partitionBy("cell")
+                .mode("overwrite")
+                .parquet(os.path.join(gen, f"ingest_batch={batch_id}"))
+            )
+        if cdc:
+            # tombstones land AFTER the index subtree: a serve batch
+            # (or crash) between the two writes then sees transient
+            # DUPLICATE versions of an upserted id — fail-safe — rather
+            # than the id vanishing (old version killed, new one absent)
             (
                 batch.select(F.col(self.id_col).alias("id"))
                 .write.mode("overwrite")
                 .parquet(os.path.join(
                     gen, _TOMBSTONES, f"ingest_batch={batch_id}"))
             )
-            upserts = batch.filter(F.col("op") != F.lit("delete")).drop("op")
-            if upserts.isEmpty():
-                return  # pure-delete batch: tombstones are the whole write
-        celled = sim.ivf_pq_build_index(
-            upserts, self.centroids, self.codebook,
-            m=self.m, ksub=self.ksub, dim=self.dim,
-            id_col=self.id_col, vec_col=self.vec_col,
-            carry_cols=self.carry_cols,
-        )
-        # idempotent append: the batch owns its own partition subtree —
-        # a redelivery overwrites it in place, never duplicating codes
-        (
-            celled.write.partitionBy("cell")
-            .mode("overwrite")
-            .parquet(os.path.join(gen, f"ingest_batch={batch_id}"))
-        )
 
     # -- lifecycle -------------------------------------------------------
 
@@ -601,12 +661,14 @@ class AnnServingJob:
         self.max_files_per_trigger = max_files_per_trigger
         self.reader = reader
         self.where = where
+        self.results_root = results_root
         self.target = ParquetTableTarget(results_root)
         self.query = None
 
     # -- batch core (exposed for tests/replay) ---------------------------
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        _check_stream_stamp(self.results_root, self.checkpoint_dir)
         wm = self.target.seq_watermark(SCHEMA_NAME, RESULTS_TABLE)
         if wm.get(_WM_KEY, -1) >= batch_id:
             return  # replayed batch already committed — skip (idempotent)

@@ -138,6 +138,16 @@ class _Handler(BaseHTTPRequestHandler):
                     # in the request body — it loads from the index
                     # generation's persisted copy (save_model), so the
                     # index must be bootstrapped before HTTP create
+                    required = ["name", "source_dir", "index_root",
+                                "checkpoint_dir"]
+                    if d["type"] == "ann_serving":
+                        required.append("results_root")
+                    missing = [k for k in required if not d.get(k)]
+                    if missing:
+                        # a malformed body is a 400, not the 404 a bare
+                        # KeyError would become in _dispatch
+                        return self._send(400, {
+                            "error": f"missing required fields: {missing}"})
                     keys = (
                         ("m", "ksub", "dim", "id_col", "vec_col", "schema",
                          "max_files_per_trigger", "carry_cols")

@@ -139,24 +139,18 @@ class JobManager:
         rj = ReplicationJob(
             self.spark, job, source_dir, target_root, checkpoint_dir, catalog, **kw
         )
-        sp = self._spec_path(job.name)
-        if sp is not None:
-            os.makedirs(self.spec_root, exist_ok=True)
+        if self.spec_root is not None:
             spec_kw = {k: v for k, v in kw.items() if k != "target"}
             if kw.get("target") is not None:
                 spec_kw.update(_target_spec(kw["target"]))
-            spec = {
+            self._persist_spec(job.name, {
                 "job": job_config_to_dict(job),
                 "source_dir": source_dir,
                 "target_root": target_root,
                 "checkpoint_dir": checkpoint_dir,
                 "catalog": catalog.to_dict(),
-                "kw": _persistable_kwargs(spec_kw),
-            }
-            tmp = sp + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(spec, f)
-            os.replace(tmp, sp)
+                "kw": spec_kw,
+            })
         self._jobs[job.name] = rj
         if start:
             rj.start()
@@ -185,22 +179,15 @@ class JobManager:
         sj = SubscriptionJob(
             self.spark, job, source_dir, output_root, checkpoint_dir, catalog, **kw
         )
-        sp = self._spec_path(job.name)
-        if sp is not None:
-            os.makedirs(self.spec_root, exist_ok=True)
-            spec = {
-                "type": "subscription",
-                "job": job_config_to_dict(job),
-                "source_dir": source_dir,
-                "target_root": output_root,
-                "checkpoint_dir": checkpoint_dir,
-                "catalog": catalog.to_dict(),
-                "kw": _persistable_kwargs(kw),
-            }
-            tmp = sp + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(spec, f)
-            os.replace(tmp, sp)
+        self._persist_spec(job.name, {
+            "type": "subscription",
+            "job": job_config_to_dict(job),
+            "source_dir": source_dir,
+            "target_root": output_root,
+            "checkpoint_dir": checkpoint_dir,
+            "catalog": catalog.to_dict(),
+            "kw": kw,
+        })
         self._jobs[job.name] = sj
         if start:
             sj.start()
@@ -250,7 +237,7 @@ class JobManager:
             "source_dir": source_dir,
             "index_root": index_root,
             "checkpoint_dir": checkpoint_dir,
-            "kw": _persistable_kwargs(kw),
+            "kw": kw,
         })
         self._jobs[name] = vj
         if start:
@@ -294,7 +281,7 @@ class JobManager:
             "index_root": index_root,
             "results_root": results_root,
             "checkpoint_dir": checkpoint_dir,
-            "kw": _persistable_kwargs(kw),
+            "kw": kw,
         })
         self._jobs[name] = sj
         if start:
@@ -302,9 +289,15 @@ class JobManager:
         return sj
 
     def _persist_spec(self, name: str, spec: dict) -> None:
+        """Atomic spec write. Kwarg serializability is validated HERE,
+        after the spec_root check — a manager without persistence must
+        accept non-serializable kwargs (e.g. a rerank `vectors`
+        callable) since nothing needs to round-trip."""
         sp = self._spec_path(name)
         if sp is None:
             return
+        if "kw" in spec:
+            spec["kw"] = _persistable_kwargs(spec["kw"])
         os.makedirs(self.spec_root, exist_ok=True)
         tmp = sp + ".tmp"
         with open(tmp, "w") as f:
@@ -428,10 +421,7 @@ class JobManager:
             with open(sp) as f:
                 spec = json.load(f)
             spec["job"] = job_config_to_dict(new_job)
-            tmp = sp + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(spec, f)
-            os.replace(tmp, sp)
+            self._persist_spec(name, spec)
         if was_active:
             rj.resume()
 

@@ -258,7 +258,15 @@ def apply_ddl_to_target(
         if cur is not None and action.column in cur.columns:
             target.overwrite(cur.drop(action.column), cfg.target_schema, cfg.target_table)
     elif action.kind == "rename_column":
-        if cur is not None and action.column in cur.columns:
+        # the new name must also be ABSENT: a replayed batch carrying
+        # [rename a->b, add_column a] re-adds `a`, and renaming it
+        # again would create a second `b` (AMBIGUOUS_REFERENCE on
+        # every later read)
+        if (
+            cur is not None
+            and action.column in cur.columns
+            and action.new_name not in cur.columns
+        ):
             target.overwrite(
                 cur.withColumnRenamed(action.column, action.new_name),
                 cfg.target_schema,
@@ -272,7 +280,12 @@ def apply_ddl_to_target(
                 cfg.target_table,
             )
     elif action.kind == "change_column":
-        if cur is not None and action.column in cur.columns:
+        # same double-name hazard as rename_column above
+        if (
+            cur is not None
+            and action.column in cur.columns
+            and action.new_name not in cur.columns
+        ):
             target.overwrite(
                 cur.withColumn(action.column, F.col(action.column).cast(action.dtype))
                 .withColumnRenamed(action.column, action.new_name),

@@ -304,7 +304,8 @@ def test_cdc_deletes_and_upserts(spark, tmp_path):
     assert mj.live_index().count() == current.count()
 
     # compaction applies tombstones PHYSICALLY and drops the sidecar
-    assert compact_index(spark, index_root, max_batches=1, gc_previous=True) == 2
+    # (folded count spans index subtrees AND tombstone subtrees: 2 + 2)
+    assert compact_index(spark, index_root, max_batches=1, gc_previous=True) == 4
     gen1 = resolve_index_path(index_root)
     assert read_tombstones(spark, gen1) is None
     assert mj.index().count() == current.count()
@@ -332,8 +333,9 @@ def test_cdc_deletes_and_upserts(spark, tmp_path):
     assert served2 == _topk_map(_inline(current2, q, cent, cb))
 
     # the trailing pure-delete batch still advances the watermark: after
-    # a second compaction its replay must stay a no-op
-    assert compact_index(spark, index_root, max_batches=0, gc_previous=True) == 1
+    # a second compaction its replay must stay a no-op (1 index + 1
+    # tombstone subtree folded)
+    assert compact_index(spark, index_root, max_batches=0, gc_previous=True) == 2
     gen2 = resolve_index_path(index_root)
     assert mj.index().count() == current2.count()
     mj.apply_batch(late_dels.withColumn("op", F.lit("delete")), 2)  # replay
@@ -352,6 +354,15 @@ def test_cdc_deletes_and_upserts(spark, tmp_path):
     assert served3 == _topk_map(
         _inline(current2.unionByName(revived), q, cent, cb)
     )
+
+    # a NULL op is a plain INSERT: the row must be indexed, not
+    # tombstoned-without-replacement (the != 'delete' footgun)
+    null_ops = e.limit(3).select(
+        (F.col("vec_id") + 500000).alias("vec_id"), "embedding",
+        F.lit(None).cast("string").alias("op"),
+    )
+    mj.apply_batch(null_ops, 4)
+    assert mj.live_index().count() == current2.count() + 1 + 3
 
 
 def test_reindex_model_refresh(spark, tmp_path):
@@ -401,10 +412,19 @@ def test_reindex_model_refresh(spark, tmp_path):
     with pytest.raises(ValueError, match="model fingerprint mismatch"):
         sj_a.apply_batch(q, 0)
 
-    # replay of a pre-reindex batch is a no-op even for a NEW-model job
-    # (the carried watermark, not the stamp, short-circuits it)
-    mj_b = VectorIndexMaintainJob(
+    # a successor job must RESUME the original checkpoint — batch ids
+    # from a fresh checkpoint restart at 0 and are meaningless against
+    # the carried watermark, so that construction fails loudly
+    mj_fresh = VectorIndexMaintainJob(
         spark, "unused", index_root, str(tmp_path / "mckb"), cent_b, cb_b
+    )
+    with pytest.raises(ValueError, match="checkpoint mismatch"):
+        mj_fresh.apply_batch(halves[0], 0)
+
+    # replay of a pre-reindex batch is a no-op for the successor job on
+    # the SAME checkpoint (the carried watermark short-circuits it)
+    mj_b = VectorIndexMaintainJob(
+        spark, "unused", index_root, str(tmp_path / "mck"), cent_b, cb_b
     )
     mj_b.apply_batch(halves[0], 1)
     assert mj_b.index().count() == e.count()
@@ -548,6 +568,16 @@ def test_manager_vector_jobs_lifecycle_and_recover(spark, tmp_path):
     mgr2.delete("ann-serve")
     assert "ann-serve" not in mgr2.list()
     assert not os.path.exists(os.path.join(spec_root, "ann-serve.json"))
+
+    # a manager WITHOUT persistence must accept non-serializable kwargs
+    # (nothing round-trips) — e.g. the rerank corpus callable
+    mgr3 = JobManager(spark)
+    mgr3.create_ann_serving(
+        "rr", os.path.join(qsrc, "*"), index_root,
+        str(tmp_path / "rrres"), str(tmp_path / "rrck"),
+        rerank=20, vectors=lambda: e, start=False, **PQ,
+    )
+    assert mgr3.get("rr").rerank == 20
 
 
 def test_cdc_random_script_matches_dict_replay(spark, tmp_path):
