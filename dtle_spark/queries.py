@@ -905,6 +905,132 @@ def rp_embed_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("rank", "rnk")
 
 
+from dtle_spark.functions import retrieval as rt  # noqa: E402
+
+_BM25_TERMS = ["vector", "hash", "stream", "merge"]
+
+
+def _duck_rbm25_core(terms: list[str]) -> str:
+    """The oracle's half of the RBM25 arithmetic — same pivoted-column
+    shape and left-to-right term sum as retrieval._score_expr."""
+    score = " + ".join(
+        f"(CASE WHEN tf_{i} IS NULL THEN CAST(0 AS DOUBLE) ELSE"
+        f" ((CAST(n_docs AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5)"
+        f"  / (CAST(df_{i} AS DOUBLE) + 0.5))"
+        f" * (CAST(tf_{i} AS DOUBLE) * (1.2 + 1.0))"
+        f" / (CAST(tf_{i} AS DOUBLE)"
+        f"    + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)"
+        f"             * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE)))"
+        f" END)"
+        for i in range(len(terms))
+    )
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    dfs = ", ".join(
+        f"CAST(count(DISTINCT CASE WHEN term = '{t}' THEN id END) AS BIGINT)"
+        f" AS df_{i}"
+        for i, t in enumerate(terms)
+    )
+    piv = ", ".join(
+        f"max(CASE WHEN term = '{t}' THEN tf END) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    return f"""
+t AS (SELECT doc_id AS id, {_duck_toks()} AS toks FROM documents),
+lens AS (SELECT id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, SUM(dl) AS sum_dl FROM lens),
+p AS (SELECT id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT id, unnest(toks) AS term FROM t) u
+      WHERE term IN ({in_list}) GROUP BY id, term),
+d AS (SELECT {dfs} FROM p),
+piv AS (SELECT id, {piv} FROM p GROUP BY id),
+s AS (SELECT piv.id AS id, {score} AS score
+      FROM piv JOIN lens USING (id) CROSS JOIN g CROSS JOIN d)
+"""
+
+
+@query(
+    "bm25_topk",
+    f"""
+    WITH {_duck_rbm25_core(_BM25_TERMS)},
+    r AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rnk, score
+          FROM s)
+    SELECT id, rnk, score FROM r WHERE rnk <= 10
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword retrieval: top-10 documents for a 4-term query under
+    RBM25 (rational-idf BM25 — functions/retrieval.py; ln is not
+    cross-engine hash-safe, the textstats N/df precedent). Pivoted
+    per-term columns + a fixed-order term sum keep the float
+    arithmetic identical across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    out = rt.bm25_topk(d, _BM25_TERMS, k=10)
+    return out.withColumnRenamed("rank", "rnk")
+
+
+_HYBRID_ORACLE = f"""
+WITH {_duck_rbm25_core(_BM25_TERMS)},
+b AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rnk FROM s
+      QUALIFY rnk <= 20),
+th AS (
+  SELECT doc_id,
+    list_transform(list_transform({_duck_toks()}, x -> md5(x)),
+                   m -> {{hx}}) AS th
+  FROM documents
+),
+emb AS (
+  SELECT doc_id,
+    list_transform(range(0, {{bits}}), bb ->
+      CAST(2 * len(list_filter(th, h -> (h // CAST(pow(2, bb) AS BIGINT)) % 2 = 1))
+           - len(th) AS BIGINT)) AS embedding
+  FROM th
+),
+nz AS (SELECT doc_id, embedding FROM emb
+       WHERE list_sum(list_transform(embedding, x -> x * x)) > 0),
+qv AS (SELECT embedding AS q_vec FROM nz WHERE doc_id = 97),
+vs AS (SELECT doc_id AS id, {_duck_cosine('q_vec', 'embedding')} AS cosine
+       FROM nz CROSS JOIN qv WHERE doc_id <> 97),
+v AS (SELECT id, row_number() OVER (ORDER BY cosine DESC, id) AS rnk FROM vs
+      QUALIFY rnk <= 20),
+f AS (SELECT COALESCE(b.id, v.id) AS id,
+        coalesce(1.0 / (60 + CAST(b.rnk AS DOUBLE)), CAST(0 AS DOUBLE))
+      + coalesce(1.0 / (60 + CAST(v.rnk AS DOUBLE)), CAST(0 AS DOUBLE)) AS rrf
+      FROM b FULL JOIN v ON b.id = v.id),
+r AS (SELECT id, row_number() OVER (ORDER BY rrf DESC, id) AS rnk, rrf FROM f)
+SELECT id, rnk, rrf FROM r WHERE rnk <= 10
+"""
+
+
+@query(
+    "hybrid_rrf",
+    _HYBRID_ORACLE.format(
+        hx=dd.hex_window_sql("m", 1, "duckdb", width=15), bits=dd.SIMHASH_BITS
+    ),
+)
+def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval end to end: fuse the lexical ranking (RBM25
+    top-20 for the 4-term query) with the vector ranking (cosine
+    top-20 against doc 97's rp embedding) by reciprocal-rank fusion
+    (Cormack et al. 2009), 1/(60+rank), absent entries 0. The whole
+    lexical+vector+fusion pipeline is restated in one oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    bm = rt.bm25_topk(d, _BM25_TERMS, k=20).select("id", "rank")
+    e = dd.rp_text_embedding(d, "doc_id", "text").select(
+        "doc_id", F.col("emb").alias("embedding")
+    )
+    e = e.localCheckpoint()  # same pushdown barrier as rp_embed_neighbors
+    nz = e.filter(
+        F.expr("aggregate(embedding, 0L, (acc, x) -> acc + x * x)") > 0
+    )
+    vec = sim.brute_force_topk(
+        nz.filter(F.col("doc_id") != 97),
+        nz.filter(F.col("doc_id") == 97),
+        id_col="doc_id", k=20,
+    ).select(F.col("neighbor_id").alias("id"), "rank")
+    out = rt.rrf_fuse([bm, vec], k0=60, k=10)
+    return out.withColumnRenamed("rank", "rnk")
+
+
 _ANN_LSH_ORACLE = f"""
 WITH v AS (SELECT vec_id, embedding, {_duck_sign_bucket('embedding')} AS bucket FROM embeddings),
 q AS (SELECT vec_id AS query_id, embedding AS q_vec, bucket FROM v WHERE vec_id % 50 = 0),

@@ -1607,6 +1607,31 @@ class TestRpEmbedAnn:
         assert recall >= 0.6, recall
 
 
+class TestRetrieval:
+    """BM25/RRF beyond the oracle gates (bm25_topk / hybrid_rrf
+    registry queries): fusion algebra on handmade rankings."""
+
+    def test_rrf_fusion_algebra(self, spark):
+        """A doc ranked in BOTH lists outscores docs in one; ties break
+        by id; absent entries contribute zero, not null-poisoning."""
+        from dtle_spark.functions.retrieval import rrf_fuse
+
+        a = spark.createDataFrame(
+            [(1, 1), (2, 2), (3, 3)], "id long, rank int"
+        )
+        b = spark.createDataFrame(
+            [(2, 1), (9, 2), (3, 3)], "id long, rank int"
+        )
+        out = {r["id"]: (r["rank"], r["rrf"]) for r in
+               rrf_fuse([a, b], k0=60, k=10).collect()}
+        # doc 2: 1/62 + 1/61 tops everything; doc 3 in both beats
+        # single-list docs 1 (1/61) and 9 (1/62)
+        assert out[2][0] == 1 and out[3][0] == 2
+        assert out[1][0] == 3 and out[9][0] == 4
+        assert out[1][1] == 1.0 / 61 and out[9][1] == 1.0 / 62
+        assert abs(out[2][1] - (1 / 62 + 1 / 61)) < 1e-15
+
+
 class TestIvfPqPersistedIndex:
     """ivf_pq_build_index(path=...) + ivf_pq_topk_indexed: the on-disk
     cell-partitioned layout and its partition-pruned read path."""
