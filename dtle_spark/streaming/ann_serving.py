@@ -52,6 +52,16 @@ fails loudly at its next batch rather than silently mixing
 incomparable codes. Lifecycle: build → maintain → serve → compact →
 reindex, all against one layout.
 
+**Operations**: the model tables also PERSIST beside the index
+(``_model/`` — save_model/load_model), so jobs reconstruct with
+``centroids=None`` and specs stay plain JSON (JobManager
+create_vector_maintain / create_ann_serving put both jobs on the same
+control plane as replication jobs, including recover()). Batch
+watermarks are only meaningful relative to one stream checkpoint, so
+every root carries a ``_CHECKPOINT_ID`` stamp and a job on a fresh
+checkpoint fails loudly instead of silently skipping or duplicating
+(_check_stream_stamp).
+
 At 100 TB: the model (16 centroids + m*ksub codebook rows) is
 broadcast-sized by construction; maintain cost is O(new vectors) with
 no history reads; serving cost is |Q| * nprobe/n_cells code rows read
