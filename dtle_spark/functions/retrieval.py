@@ -66,6 +66,10 @@ def bm25_scores(
     avgdl division is expressed as ``dl * n_docs / sum_dl`` (integer
     numerators, one double division) so the oracle can restate it
     byte-for-byte."""
+    if not terms:
+        # a punctuation-only query tokenizes to nothing; fail with a
+        # clear contract error, not a zero-expr groupBy deep inside
+        raise ValueError("bm25 needs at least one query term")
     toks = spread(docs).select(
         F.col(id_col).alias("id"),
         F.expr(

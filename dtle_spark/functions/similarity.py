@@ -1044,21 +1044,29 @@ def _ivf_pq_adc(
     id_col: str,
     vec_col: str,
     rerank: int,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """ADC over the probed cells + optional exact rerank — shared by
     the inline tier (ivf_pq_topk) and the persisted-index tier
     (ivf_pq_topk_indexed), so the two CANNOT diverge. ``vectors`` is
-    only consulted when rerank > 0 (exact cosine needs fp32)."""
+    only consulted when rerank > 0 (exact cosine needs fp32).
+
+    ``exclude_self`` drops candidates whose id EQUALS the query id —
+    correct when queries are drawn from the corpus (the inline tiers'
+    contract), WRONG when the query stream has its own id space (a
+    request counter would silently erase the corpus vector sharing its
+    number) — pass False there."""
     d = dim // m
     probes_l = (
         probes.crossJoin(F.broadcast(_pq_cb_row(codebook)))
         .withColumn("luts", F.expr(f"transform(cb, c -> {_pq_lut_dot_expr(d)})"))
         .select("query_id", "qnorm", "cell", "luts")
     )
-    hits = (
-        index.join(F.broadcast(probes_l), "cell")
-        .filter(F.col("query_id") != F.col("id"))
-        .withColumn("qcos", F.expr(f"({_adc_score_expr(m, ksub)}) / (qnorm * rnorm)"))
+    hits = index.join(F.broadcast(probes_l), "cell")
+    if exclude_self:
+        hits = hits.filter(F.col("query_id") != F.col("id"))
+    hits = hits.withColumn(
+        "qcos", F.expr(f"({_adc_score_expr(m, ksub)}) / (qnorm * rnorm)")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("qcos").desc(), F.col("id"))
     ranked = hits.withColumn("rank", F.row_number().over(w))
@@ -1112,6 +1120,7 @@ def ivf_pq_topk_indexed(
     rerank: int = 0,
     tombstones: DataFrame | None = None,
     where=None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Search a PERSISTED cell-partitioned IVF-PQ index: compute the
     probe set (tiny), collect its distinct cells driver-side (bounded
@@ -1131,7 +1140,11 @@ def ivf_pq_topk_indexed(
     ranking: top-k among rows satisfying the predicate (filtered /
     hybrid search). The predicate reaches the probed cells' parquet
     scan as a pushed filter; result == ivf_pq_topk over the
-    pre-filtered corpus (same codes, same probes — pytest-pinned)."""
+    pre-filtered corpus (same codes, same probes — pytest-pinned).
+
+    ``exclude_self=False`` when the query stream's ids are NOT corpus
+    ids (see _ivf_pq_adc) — the id-match filter would silently erase
+    the corpus vector sharing a query's number."""
     # the persisted-index path is where codebook REUSE (and therefore
     # staleness) is the norm — validate before any positional lookup,
     # exactly as the inline tier does in pq_encode
@@ -1147,6 +1160,7 @@ def ivf_pq_topk_indexed(
     return _ivf_pq_adc(
         index, probes, codebook, vectors, k=k, m=m, ksub=ksub, dim=dim,
         id_col=id_col, vec_col=vec_col, rerank=rerank,
+        exclude_self=exclude_self,
     )
 
 

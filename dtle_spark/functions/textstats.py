@@ -472,19 +472,27 @@ def _band_label(buckets: int):
 BAND_SAMPLE_HEX = "0123"  # leading md5 nibble -> deterministic 25% draw
 
 
-def fit_band_thresholds(scores, buckets: int = 3,
-                        hex_chars: str = BAND_SAMPLE_HEX) -> list[float]:
+def fit_band_thresholds(
+    scores, buckets: int = 3,
+    hex_chars: str | tuple[str, ...] = BAND_SAMPLE_HEX,
+) -> list[float]:
     """Fit CCNet-style band thresholds on a deterministic sample of the
     per-doc scores: exact percentiles of ``mean_bits`` over the rows
-    whose md5(id) leads with one of ``hex_chars`` (a pure function of
-    the id, so reruns fit identical thresholds; the same draw family
-    the PQ train uses). No global sort of the CORPUS anywhere — but
-    Spark's exact `percentile` buffers one counter per DISTINCT sampled
-    value in the final merge, so the SAMPLE must be bounded: size it
-    with ``hex_chars`` (each entry may be a multi-nibble md5 PREFIX —
-    one char = 1/16 of docs, two chars = 1/256, three = 1/4096 …;
-    CCNet itself fits on a bounded reference corpus, not the full
-    crawl). Swap in `approx_percentile` for an unbounded-sample
+    whose md5(id) leads with one of the ``hex_chars`` prefixes (a pure
+    function of the id, so reruns fit identical thresholds; the same
+    draw family the PQ train uses). No global sort of the CORPUS
+    anywhere — but Spark's exact `percentile` buffers one counter per
+    DISTINCT sampled value in the final merge, so the SAMPLE must be
+    bounded, sized by the prefixes:
+
+    - a plain ``str`` is a SET OF SINGLE NIBBLES — ``"0123"`` keeps
+      4/16 of docs (iterating a string yields chars, so a string can
+      never express a multi-nibble prefix);
+    - pass a tuple/list for finer draws — ``("ab",)`` keeps 1/256,
+      ``("abc", "d01")`` keeps 2/4096. Entries must share one length.
+
+    (CCNet itself fits on a bounded reference corpus, not the full
+    crawl.) Swap in `approx_percentile` for an unbounded-sample
     variant when threshold tolerance allows (not oracle-restatable —
     its t-digest is engine-specific). Returns buckets-1 descending cut
     points (driver-side floats — a bounded, fail-loud control-plane

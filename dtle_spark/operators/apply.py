@@ -148,26 +148,25 @@ def merge_into_versioned(
         # schema drift between the stored image and the incoming
         # segment — a mid-batch-DDL retry against a partially-evolved
         # target, or a pre-DDL segment replayed after the physical
-        # ADD COLUMN landed. Align both structs BY NAME over the union
-        # (stored order first, new-only fields appended), null-filling
-        # absent fields and casting to one agreed type per name
-        # (stored wins), so the merge stays a well-typed CASE WHEN
-        # instead of an AnalysisException.
+        # DDL landed. The STORED schema is authoritative: it reflects
+        # every physically-applied DDL, and a legitimately ADDed column
+        # is always physical before its post-DDL segment merges
+        # (apply_ddl_to_target runs first in the barrier loop and is
+        # replay-idempotent). Align the incoming struct to the stored
+        # columns — null-fill what it lacks, DROP what only it carries
+        # (a replayed pre-rename/pre-drop image whose values the seq
+        # comparison discards anyway). Appending incoming-only fields
+        # instead would permanently write a spurious null column on a
+        # rename-crash retry AND make a later legitimate ADD COLUMN of
+        # that name a silent no-op (its presence guard would see it).
         cur_types = {c: versioned_target.schema[c].dataType for c in data_cols}
-        new_types = {f.name: f.dataType for f in new_type.fields}
-        typ = {**new_types, **cur_types}
-        out_cols = data_cols + [n for n in new_names if n not in cur_types]
-
-        def _aligned(present: set, get):
-            return F.struct(*[
-                (get(c).cast(typ[c]) if c in present
-                 else F.lit(None).cast(typ[c])).alias(c)
-                for c in out_cols
-            ])
-
-        cur_struct = _aligned(set(data_cols), F.col)
-        new_struct = _aligned(set(new_names), lambda c: F.col("row").getField(c))
-        data_cols = out_cols
+        present = set(new_names)
+        cur_struct = F.struct(*[F.col(c) for c in data_cols])
+        new_struct = F.struct(*[
+            (F.col("row").getField(c).cast(cur_types[c]) if c in present
+             else F.lit(None).cast(cur_types[c])).alias(c)
+            for c in data_cols
+        ])
     else:
         cur_struct = F.struct(*[F.col(c) for c in data_cols])
         new_struct = F.col("row")

@@ -426,7 +426,51 @@ def reindex(
     return new_gen
 
 
-class VectorIndexMaintainJob:
+class _StreamedVectorJob:
+    """Shared micro-batch lifecycle for the two vector jobs: file
+    stream (or ``reader`` hook) → foreachBatch(apply_batch) with an
+    availableNow trigger; pause stops the query and the checkpoint
+    keeps the position (the ReplicationJob.pause contract). Subclasses
+    set ``_stream_source`` / ``_ckpt_sub`` and implement apply_batch."""
+
+    _ckpt_sub: str
+
+    def start(self):
+        if self.reader is not None:
+            stream = self.reader(self.spark)
+        else:
+            stream = (
+                self.spark.readStream.schema(self.schema)
+                .option("maxFilesPerTrigger", self.max_files_per_trigger)
+                .parquet(self._stream_source)
+            )
+        self.query = (
+            stream.writeStream.foreachBatch(self.apply_batch)
+            .option(
+                "checkpointLocation",
+                os.path.join(self.checkpoint_dir, self._ckpt_sub),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        return self
+
+    def process_available(self) -> None:
+        if self.query is not None:
+            self.query.awaitTermination()
+
+    def pause(self) -> None:
+        if self.query is not None:
+            self.query.stop()
+            self.query = None
+
+    def resume(self):
+        if self.query is None:
+            self.start()
+        return self
+
+
+class VectorIndexMaintainJob(_StreamedVectorJob):
     """Fold a vector stream into the cell-partitioned IVF-PQ index
     against a frozen model. ``centroids`` / ``codebook`` are the pinned
     training outputs (similarity.ivf_exact_mean_centroids / pq_refine);
@@ -533,40 +577,13 @@ class VectorIndexMaintainJob:
                     gen, _TOMBSTONES, f"ingest_batch={batch_id}"))
             )
 
-    # -- lifecycle -------------------------------------------------------
+    # -- lifecycle: start/pause/resume from _StreamedVectorJob -----------
 
-    def start(self) -> "VectorIndexMaintainJob":
-        if self.reader is not None:
-            stream = self.reader(self.spark)
-        else:
-            stream = (
-                self.spark.readStream.schema(self.schema)
-                .option("maxFilesPerTrigger", self.max_files_per_trigger)
-                .parquet(self.source_dir)
-            )
-        self.query = (
-            stream.writeStream.foreachBatch(self.apply_batch)
-            .option("checkpointLocation", os.path.join(self.checkpoint_dir, "index"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        return self
+    _ckpt_sub = "index"
 
-    def process_available(self) -> None:
-        if self.query is not None:
-            self.query.awaitTermination()
-
-    def pause(self) -> None:
-        """Stop the stream; the checkpoint keeps the position (same
-        contract as ReplicationJob.pause)."""
-        if self.query is not None:
-            self.query.stop()
-            self.query = None
-
-    def resume(self) -> "VectorIndexMaintainJob":
-        if self.query is None:
-            self.start()
-        return self
+    @property
+    def _stream_source(self) -> str:
+        return self.source_dir
 
     def position(self) -> dict:
         gen = resolve_index_path(self.index_root)
@@ -603,7 +620,7 @@ class VectorIndexMaintainJob:
         return idx if tomb is None else sim.apply_tombstones(idx, tomb)
 
 
-class AnnServingJob:
+class AnnServingJob(_StreamedVectorJob):
     """Serve a query-vector stream from the persisted index. Results
     land in a manifest-committed table with the batch watermark, so a
     replayed micro-batch is skipped — at-least-once delivery converges
@@ -618,7 +635,12 @@ class AnnServingJob:
     ``where`` (optional) is a filtered-search predicate over metadata
     columns the maintain job carried into the index (carry_cols):
     every served batch returns top-k among rows satisfying it — one
-    serving job per audience/tenant predicate, all off one index."""
+    serving job per audience/tenant predicate, all off one index.
+
+    ``exclude_self=False`` when the query stream's ids are an
+    INDEPENDENT id space (request counters, uuid hashes): the default
+    drops any corpus vector whose id equals the query's id — right for
+    corpus-drawn queries, silently wrong for request ids."""
 
     def __init__(
         self,
@@ -642,6 +664,7 @@ class AnnServingJob:
         max_files_per_trigger: int = 1,
         reader=None,
         where=None,
+        exclude_self: bool = True,
     ):
         self.spark = spark
         self.query_source_dir = query_source_dir
@@ -671,6 +694,7 @@ class AnnServingJob:
         self.max_files_per_trigger = max_files_per_trigger
         self.reader = reader
         self.where = where
+        self.exclude_self = exclude_self
         self.results_root = results_root
         self.target = ParquetTableTarget(results_root)
         self.query = None
@@ -696,44 +720,20 @@ class AnnServingJob:
             id_col=self.id_col, vec_col=self.vec_col, rerank=self.rerank,
             tombstones=read_tombstones(self.spark, gen),
             where=self.where,
+            exclude_self=self.exclude_self,
         )
         self.target.append(
             out.withColumn(_WM_KEY, F.lit(batch_id)),
             SCHEMA_NAME, RESULTS_TABLE, seq_watermark={_WM_KEY: batch_id},
         )
 
-    # -- lifecycle -------------------------------------------------------
+    # -- lifecycle: start/pause/resume from _StreamedVectorJob -----------
 
-    def start(self) -> "AnnServingJob":
-        if self.reader is not None:
-            stream = self.reader(self.spark)
-        else:
-            stream = (
-                self.spark.readStream.schema(self.schema)
-                .option("maxFilesPerTrigger", self.max_files_per_trigger)
-                .parquet(self.query_source_dir)
-            )
-        self.query = (
-            stream.writeStream.foreachBatch(self.apply_batch)
-            .option("checkpointLocation", os.path.join(self.checkpoint_dir, "serve"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        return self
+    _ckpt_sub = "serve"
 
-    def process_available(self) -> None:
-        if self.query is not None:
-            self.query.awaitTermination()
-
-    def pause(self) -> None:
-        if self.query is not None:
-            self.query.stop()
-            self.query = None
-
-    def resume(self) -> "AnnServingJob":
-        if self.query is None:
-            self.start()
-        return self
+    @property
+    def _stream_source(self) -> str:
+        return self.query_source_dir
 
     def position(self) -> dict:
         wm = self.target.seq_watermark(SCHEMA_NAME, RESULTS_TABLE)

@@ -153,8 +153,8 @@ class _Handler(BaseHTTPRequestHandler):
                          "max_files_per_trigger", "carry_cols")
                         if d["type"] == "vector_maintain"
                         else ("k", "nprobe", "m", "ksub", "dim", "rerank",
-                              "where", "id_col", "vec_col", "schema",
-                              "max_files_per_trigger")
+                              "where", "exclude_self", "id_col", "vec_col",
+                              "schema", "max_files_per_trigger")
                     )
                     kw = {k: d[k] for k in keys if k in d}
                     if d["type"] == "vector_maintain":

@@ -377,6 +377,20 @@ def apply_batch(
                 key=lambda r: r["seq"],
             )
             dml = rows.filter(F.col("op") != "ddl")
+            if ddls:
+                # same contract as SubscriptionJob: segmentation uses
+                # STRICT inequalities around the DDL seqs, so a DML row
+                # SHARING a seq with a barrier would silently drop from
+                # every segment — fail loud instead
+                clash = dml.filter(
+                    F.col("seq").isin([d["seq"] for d in ddls])
+                ).count()
+                if clash:
+                    raise ValueError(
+                        f"{clash} DML row(s) share a seq with a DDL "
+                        f"barrier in {cfg.schema_name}.{cfg.table_name}"
+                        f" (batch {batch_id}); wire seqs must be unique"
+                    )
             lo = None
             for ddl_row in ddls + [None]:
                 hi = ddl_row["seq"] if ddl_row is not None else None

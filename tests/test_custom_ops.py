@@ -1710,6 +1710,32 @@ class TestIvfPqPersistedIndex:
         m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
         assert m and "label" in m.group(1), plan[:2000]
 
+    def test_exclude_self_off_for_independent_query_ids(self, spark, tmp_path):
+        """Query streams with their OWN id space must not lose the
+        corpus vector sharing a query's number: exclude_self=False
+        keeps it (here the query IS corpus vector 0 relabeled, so the
+        self-match surfaces at rank 1, cosine 1); the default True is
+        the corpus-drawn-queries contract and drops it."""
+        from pyspark.sql import functions as F
+
+        from dtle_spark.functions.similarity import (
+            ivf_pq_build_index, ivf_pq_topk_indexed,
+        )
+
+        e, q, cent, cb = self._tables(spark)
+        path = str(tmp_path / "ivfpq_index")
+        ivf_pq_build_index(e, cent, cb, path=path)
+        probe = e.filter(F.col("vec_id") == 0)  # query_id 0 = corpus id 0
+        kept = ivf_pq_topk_indexed(
+            spark, path, probe, cent, cb, k=5, nprobe=4, exclude_self=False
+        ).collect()
+        top = {r["rank"]: r["neighbor_id"] for r in kept}
+        assert top[1] == 0
+        dropped = ivf_pq_topk_indexed(
+            spark, path, probe, cent, cb, k=5, nprobe=4
+        ).collect()
+        assert 0 not in {r["neighbor_id"] for r in dropped}
+
     def test_probe_scan_prunes_partitions(self, spark, tmp_path):
         """The layout's whole point: the indexed search's scan reads
         ONLY the probed cells' partitions — PartitionFilters carry the

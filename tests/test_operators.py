@@ -253,6 +253,32 @@ class TestVersionedMerge:
         rows = cur.filter("NOT __deleted").collect()
         assert len(rows) == 1 and rows[0]["name"] == "new"
 
+    def test_drift_stored_schema_wins(self, spark):
+        """Schema drift: the STORED columns are authoritative. A
+        replayed image carrying a pre-rename column name merges without
+        writing a spurious column (its values lose by seq anyway), and
+        an image MISSING a stored column null-fills it when it wins."""
+        from pyspark.sql import functions as F
+
+        from dtle_spark.operators.apply import merge_into_versioned
+
+        cur = spark.createDataFrame(
+            [(1, 10, 5, False)],
+            "id long, b long, __seq long, __deleted boolean",
+        )
+        net = spark.createDataFrame(
+            [(1, "u", 5)], "id long, __action string, seq long"
+        ).withColumn("row", F.expr("named_struct('id', id, 'a', 99L)"))
+        out = merge_into_versioned(cur, net, ["id"])
+        assert out.columns == ["id", "b", "__seq", "__deleted"]
+        r = out.collect()[0]
+        assert (r["b"], r["__seq"], r["__deleted"]) == (10, 5, False)
+        net2 = spark.createDataFrame(
+            [(2, "i", 9)], "id long, __action string, seq long"
+        ).withColumn("row", F.expr("named_struct('id', id)"))
+        got = {r["id"]: r["b"] for r in merge_into_versioned(out, net2, ["id"]).collect()}
+        assert got == {1: 10, 2: None}
+
     def test_tombstone_blocks_late_resurrection(self, spark):
         cur = self._versioned(spark, [Row(**_r(1, "a", 1.0))])
         cur = self._merge(spark, cur, [_base(seq=30, op="d", before=_r(1, "a", 1.0))])
