@@ -42,7 +42,10 @@ Tombstones live in an underscore-prefixed ``_tombstones/`` sidecar
 (invisible to the index's partition discovery), are Δ-bounded (only
 ids touched since the last compaction), and are applied PHYSICALLY and
 dropped by compact_index — the lake merge-on-read → copy-on-write
-hand-off, in miniature.
+hand-off, in miniature. :func:`wire_to_vector_ops` adapts the CDC WIRE
+stream itself (streaming/wire.py) into this shape, so a replicated
+MySQL embeddings table feeds the index directly: binlog → maintain →
+serve, A3 semantics the whole way.
 
 **Model drift**: :func:`reindex` re-encodes the current fp32 corpus
 under a retrained model into a fresh generation (same atomic pointer
@@ -83,6 +86,7 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from dtle_spark.functions import similarity as sim
 from dtle_spark.sinks.table_sink import ParquetTableTarget
@@ -426,6 +430,54 @@ def reindex(
     return new_gen
 
 
+def wire_to_vector_ops(
+    wire_batch: DataFrame,
+    schema_name: str,
+    table_name: str,
+    row_schema,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Adapt a CDC WIRE micro-batch (streaming/wire.py — the same
+    change stream the replication jobs consume) of an embeddings table
+    into the maintain job's CDC shape (id, vector, op): insert/update
+    become an upsert of the AFTER image, delete a delete keyed by the
+    BEFORE image's id (A3 semantics end to end — the binlog is now a
+    vector-index feed). Per id, only the NEWEST effect in the batch
+    survives (latest-image by seq, the apply family's collapse), so a
+    micro-batch never emits contradictory ops for one id. DDL rows are
+    out of scope: the vector table's shape is the serving model's
+    contract — evolve it through reindex, not ALTER.
+
+    Pass as the maintain job's ``transform`` with a wire ``reader``:
+    the window collapse is not streaming-legal, so it runs inside
+    foreachBatch, per micro-batch."""
+    from dtle_spark.streaming.wire import from_wire
+
+    rows = wire_batch.filter(
+        (F.col("schema_name") == schema_name)
+        & (F.col("table_name") == table_name)
+        & F.col("op").isin(["i", "u", "d"])
+    )
+    typed = from_wire(rows, row_schema)
+    img = F.when(F.col("op") == "d", F.col("before")).otherwise(F.col("after"))
+    keyed = typed.select(
+        img.getField(id_col).alias(id_col),
+        F.col("after").getField(vec_col).alias(vec_col),
+        *[F.col("after").getField(c).alias(c) for c in carry_cols],
+        F.when(F.col("op") == "d", F.lit("delete"))
+        .otherwise(F.lit("upsert")).alias("op"),
+        F.col("seq").alias("__seq"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__seq").desc())
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__seq")
+    )
+
+
 class _StreamedVectorJob:
     """Shared micro-batch lifecycle for the two vector jobs: file
     stream (or ``reader`` hook) → foreachBatch(apply_batch) with an
@@ -494,12 +546,17 @@ class VectorIndexMaintainJob(_StreamedVectorJob):
         max_files_per_trigger: int = 1,
         reader=None,
         carry_cols: tuple[str, ...] = (),
+        transform=None,
     ):
         self.spark = spark
         self.source_dir = source_dir
         self.index_root = index_root
         self.checkpoint_dir = checkpoint_dir
         self.carry_cols = tuple(carry_cols)
+        # per-batch adapter (e.g. wire_to_vector_ops — CDC wire rows
+        # -> (id, vector, op)); runs inside foreachBatch because
+        # latest-image collapse is not streaming-legal pre-batch
+        self.transform = transform
         if (centroids is None) != (codebook is None):
             raise ValueError("pass BOTH centroids and codebook, or neither")
         if centroids is None:
@@ -533,6 +590,8 @@ class VectorIndexMaintainJob(_StreamedVectorJob):
         _check_model_stamp(gen, self.model_fp, stamp_if_missing=True)
         if not os.path.isdir(os.path.join(gen, _MODEL_DIR)):
             save_model(gen, self.centroids, self.codebook)
+        if self.transform is not None:
+            batch = self.transform(batch)
         upserts, cdc = batch, "op" in batch.columns
         if cdc:
             # CDC mode: delete rows carry no payload; EVERY touched id

@@ -626,6 +626,92 @@ def test_cdc_random_script_matches_dict_replay(spark, tmp_path):
             assert got == set(live), (seed, batch_id)
 
 
+def test_wire_cdc_to_vector_index_e2e(spark, tmp_path):
+    """The binlog as a vector-index feed: a CDC WIRE stream of an
+    embeddings table (full insert batch, then a mixed
+    update/delete/update-then-delete batch) flows through
+    wire_to_vector_ops into the CDC maintain job via the reader +
+    transform hooks; the served top-k equals the inline tier over the
+    logically-current table — replication and vector serving joined
+    end to end."""
+    import json
+
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from dtle_spark.streaming.ann_serving import wire_to_vector_ops
+    from dtle_spark.streaming.wire import WIRE_SCHEMA
+
+    e = _embeddings(spark).limit(300).localCheckpoint()
+    cent, cb = _model(e)
+    row_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+
+    def wrow(seq, op, before=None, after=None):
+        return Row(
+            sid="ab12cd34-0000-1111-2222-333333333333", gno=seq, seq=seq,
+            lc=0, op=op, ts=None, schema_name="db1", table_name="vecs",
+            before=json.dumps(before) if before is not None else None,
+            after=json.dumps(after) if after is not None else None,
+            query=None,
+        )
+
+    def img(r, rev=False):
+        emb = list(reversed(r["embedding"])) if rev else list(r["embedding"])
+        return {"vec_id": r["vec_id"], "embedding": [float(x) for x in emb]}
+
+    rows = e.collect()
+    b0 = [wrow(i + 1, "i", after=img(r)) for i, r in enumerate(rows)]
+    # batch 1: update ids %11 (reversed embedding), then delete ids %7
+    # at HIGHER seqs — an id in both (%77) must resolve to the delete
+    b1 = [
+        wrow(1000 + r["vec_id"], "u", before=img(r), after=img(r, rev=True))
+        for r in rows if r["vec_id"] % 11 == 0
+    ] + [
+        wrow(2000 + r["vec_id"], "d", before=img(r))
+        for r in rows if r["vec_id"] % 7 == 0
+    ]
+    wsrc = str(tmp_path / "wire")
+    os.makedirs(wsrc)
+    spark.createDataFrame(b0, WIRE_SCHEMA).coalesce(1).write.parquet(
+        os.path.join(wsrc, "b0"))
+    spark.createDataFrame(b1, WIRE_SCHEMA).coalesce(1).write.parquet(
+        os.path.join(wsrc, "b1"))
+
+    index_root = str(tmp_path / "index")
+    mj = VectorIndexMaintainJob(
+        spark, "unused", index_root, str(tmp_path / "mck"), cent, cb,
+        reader=lambda s: (
+            s.readStream.schema(WIRE_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(wsrc, "*"))
+        ),
+        transform=lambda b: wire_to_vector_ops(b, "db1", "vecs", row_schema),
+    )
+    mj.start()
+    mj.process_available()
+
+    current = (
+        e.filter((F.col("vec_id") % 7 != 0) & (F.col("vec_id") % 11 != 0))
+        .unionByName(
+            e.filter((F.col("vec_id") % 11 == 0) & (F.col("vec_id") % 7 != 0))
+            .select("vec_id", F.reverse("embedding").alias("embedding"))
+        )
+        .localCheckpoint()
+    )
+    assert mj.live_index().count() == current.count()
+
+    q = e.filter(F.col("vec_id") % 53 == 0)
+    sj = AnnServingJob(
+        spark, "unused", index_root, str(tmp_path / "results"),
+        str(tmp_path / "sck"), cent, cb, **PQ,
+    )
+    sj.apply_batch(q, 0)
+    assert _topk_map(sj.results()) == _topk_map(_inline(current, q, cent, cb))
+
+
 def test_serving_rejects_unusable_models(spark, tmp_path):
     """Stale-model failures happen at JOB CONSTRUCTION, not per-batch
     mid-stream: a gapped codebook and a rerank request without the fp32
