@@ -478,6 +478,42 @@ def wire_to_vector_ops(
     )
 
 
+def wire_vector_hooks(
+    source_dir: str, wire_table: dict, max_files_per_trigger: int = 1
+):
+    """(reader, transform) pair for a CDC-wire-fed maintain job, built
+    from a plain-JSON descriptor so JobManager specs can persist it and
+    recover() can rebuild the bridge (callables do not survive a spec):
+
+    ``{"schema_name": .., "table_name": .., "row_schema": "vec_id
+    long, embedding array<float>", "id_col"?, "vec_col"?,
+    "carry_cols"?}`` — row_schema is a DDL string
+    (StructType.fromDDL)."""
+    from pyspark.sql import types as T
+
+    from dtle_spark.streaming.wire import WIRE_SCHEMA
+
+    row_schema = T.StructType.fromDDL(wire_table["row_schema"])
+
+    def reader(spark):
+        return (
+            spark.readStream.schema(WIRE_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(source_dir)
+        )
+
+    def transform(batch):
+        return wire_to_vector_ops(
+            batch, wire_table["schema_name"], wire_table["table_name"],
+            row_schema,
+            id_col=wire_table.get("id_col", "vec_id"),
+            vec_col=wire_table.get("vec_col", "embedding"),
+            carry_cols=tuple(wire_table.get("carry_cols", ())),
+        )
+
+    return reader, transform
+
+
 class _StreamedVectorJob:
     """Shared micro-batch lifecycle for the two vector jobs: file
     stream (or ``reader`` hook) → foreachBatch(apply_batch) with an

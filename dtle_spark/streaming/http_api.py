@@ -150,7 +150,7 @@ class _Handler(BaseHTTPRequestHandler):
                             "error": f"missing required fields: {missing}"})
                     keys = (
                         ("m", "ksub", "dim", "id_col", "vec_col", "schema",
-                         "max_files_per_trigger", "carry_cols")
+                         "max_files_per_trigger", "carry_cols", "wire_table")
                         if d["type"] == "vector_maintain"
                         else ("k", "nprobe", "m", "ksub", "dim", "rerank",
                               "where", "exclude_self", "id_col", "vec_col",

@@ -202,6 +202,7 @@ class JobManager:
         centroids=None,
         codebook=None,
         start: bool = True,
+        wire_table: dict | None = None,
         **kw,
     ):
         """The vector-index maintain job (streaming/ann_serving.py) as
@@ -210,15 +211,37 @@ class JobManager:
         tables are NOT part of the spec (DataFrames do not serialize) —
         they are persisted beside the index (save_model) at create and
         reloaded from the active generation on recover, so the spec
-        stays a plain JSON descriptor."""
+        stays a plain JSON descriptor.
+
+        ``wire_table`` makes the job a CDC-WIRE bridge (the replicated
+        embeddings table feeds the index): a plain-JSON descriptor
+        resolved through wire_vector_hooks, so — unlike raw
+        reader/transform callables — it persists in the spec and
+        recover() rebuilds the bridge."""
         from dtle_spark.streaming.ann_serving import (
             VectorIndexMaintainJob,
             resolve_index_path,
             save_model,
+            wire_vector_hooks,
         )
 
         if name in self._jobs:
             raise ValueError(f"job {name!r} already exists")
+        if wire_table is not None:
+            if "reader" in kw or "transform" in kw:
+                raise ValueError(
+                    "wire_table resolves its own reader/transform; pass "
+                    "one or the other"
+                )
+            kw["reader"], kw["transform"] = wire_vector_hooks(
+                source_dir, wire_table,
+                max_files_per_trigger=kw.get("max_files_per_trigger", 1),
+            )
+            kw.setdefault("id_col", wire_table.get("id_col", "vec_id"))
+            kw.setdefault("vec_col", wire_table.get("vec_col", "embedding"))
+            kw.setdefault(
+                "carry_cols", tuple(wire_table.get("carry_cols", ()))
+            )
         vj = VectorIndexMaintainJob(
             self.spark, source_dir, index_root, checkpoint_dir,
             centroids, codebook, **kw,
@@ -237,7 +260,12 @@ class JobManager:
             "source_dir": source_dir,
             "index_root": index_root,
             "checkpoint_dir": checkpoint_dir,
-            "kw": kw,
+            "wire_table": wire_table,
+            # the resolved hooks are NOT spec-persistable; wire_table
+            # regenerates them on recover
+            "kw": {k: v for k, v in kw.items()
+                   if not (wire_table is not None
+                           and k in ("reader", "transform"))},
         })
         self._jobs[name] = vj
         if start:
@@ -327,6 +355,7 @@ class JobManager:
                     self.create_vector_maintain(
                         vname, spec["source_dir"], spec["index_root"],
                         spec["checkpoint_dir"], start=start,
+                        wire_table=spec.get("wire_table"),
                         **spec.get("kw", {}),
                     )
                 else:

@@ -681,6 +681,8 @@ def test_wire_cdc_to_vector_index_e2e(spark, tmp_path):
         os.path.join(wsrc, "b1"))
 
     index_root = str(tmp_path / "index")
+    # direct hooks exercise the raw adapter path; the MANAGED leg below
+    # uses the JSON wire_table descriptor instead
     mj = VectorIndexMaintainJob(
         spark, "unused", index_root, str(tmp_path / "mck"), cent, cb,
         reader=lambda s: (
@@ -710,6 +712,41 @@ def test_wire_cdc_to_vector_index_e2e(spark, tmp_path):
     )
     sj.apply_batch(q, 0)
     assert _topk_map(sj.results()) == _topk_map(_inline(current, q, cent, cb))
+
+    # MANAGED + RECOVERABLE bridge: the same pipeline through a
+    # JobManager wire_table descriptor (plain JSON — callables cannot
+    # persist in a spec), then a fresh manager recovers it and drains
+    # a THIRD wire batch of new inserts
+    from dtle_spark.streaming.jobs import JobManager
+
+    spec_root = str(tmp_path / "specs")
+    mroot = str(tmp_path / "midx")
+    wire_table = {
+        "schema_name": "db1", "table_name": "vecs",
+        "row_schema": "vec_id long, embedding array<float>",
+    }
+    mgr = JobManager(spark, spec_root=spec_root)
+    wj = mgr.create_vector_maintain(
+        "wire-vec", os.path.join(wsrc, "*"), mroot,
+        str(tmp_path / "wck"), cent, cb, wire_table=wire_table,
+    )
+    wj.process_available()
+    assert wj.live_index().count() == current.count()
+    mgr.pause("wire-vec")
+
+    extra = [
+        wrow(3000 + i, "i",
+             after={"vec_id": 900000 + i,
+                    "embedding": img(rows[i])["embedding"]})
+        for i in range(40)
+    ]
+    spark.createDataFrame(extra, WIRE_SCHEMA).coalesce(1).write.parquet(
+        os.path.join(wsrc, "b2"))
+    mgr2 = JobManager(spark, spec_root=spec_root)
+    assert mgr2.recover(start=False) == ["wire-vec"]
+    mgr2.resume("wire-vec")
+    mgr2.get("wire-vec").process_available()
+    assert mgr2.get("wire-vec").live_index().count() == current.count() + 40
 
 
 def test_serving_rejects_unusable_models(spark, tmp_path):
