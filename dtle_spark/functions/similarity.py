@@ -1015,12 +1015,18 @@ def _ivf_pq_probes(
     vec_col: str,
 ) -> DataFrame:
     """Per-query nprobe best cells: (query_id, q_vec, qnorm, cell) —
-    the bounded-query-set stage (|Q| x n_cells rows, tiny)."""
+    the bounded-query-set stage (|Q| x n_cells rows, tiny).
+
+    Zero-norm queries are DROPPED here, matching the inline tiers'
+    both-sides norm filter: cosine is undefined for them, and the
+    0/0 = NaN score would otherwise sort ABOVE every real double in
+    descending order, handing the query an arbitrary id-ordered top-k
+    (the serving stream is where such vectors actually arrive)."""
     q0 = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         norm_expr(vec_col).alias("qnorm"),
-    )
+    ).filter(F.col("qnorm") > 0)
     qscored = q0.crossJoin(F.broadcast(centroids)).withColumn(
         "c_cos", cosine_expr("q_vec", "c_vec")
     )
@@ -1062,7 +1068,10 @@ def _ivf_pq_adc(
         .withColumn("luts", F.expr(f"transform(cb, c -> {_pq_lut_dot_expr(d)})"))
         .select("query_id", "qnorm", "cell", "luts")
     )
-    hits = index.join(F.broadcast(probes_l), "cell")
+    # zero-norm index rows mirror _ivf_pq_probes' query-side drop:
+    # 0-vectors have no cosine neighbors, and NaN scores corrupt the
+    # descending rank for every query probing their cell
+    hits = index.filter(F.col("rnorm") > 0).join(F.broadcast(probes_l), "cell")
     if exclude_self:
         hits = hits.filter(F.col("query_id") != F.col("id"))
     hits = hits.withColumn(
@@ -1105,7 +1114,7 @@ def apply_tombstones(index: DataFrame, tombstones: DataFrame) -> DataFrame:
 
 def ivf_pq_topk_indexed(
     spark,
-    index_path: str,
+    index_path,
     queries: DataFrame,
     centroids: DataFrame,
     codebook: DataFrame,
@@ -1144,7 +1153,15 @@ def ivf_pq_topk_indexed(
 
     ``exclude_self=False`` when the query stream's ids are NOT corpus
     ids (see _ivf_pq_adc) — the id-match filter would silently erase
-    the corpus vector sharing a query's number."""
+    the corpus vector sharing a query's number.
+
+    ``index_path`` may also be an already-read index DataFrame: the
+    serving path passes ann_serving.read_index's frame so a compacted
+    all-deleted generation (zero parquet files, schema sidecar only)
+    serves empty results instead of failing schema inference — the
+    static cell filter still prunes partitions when the frame is
+    parquet-backed (filters on partition columns push down wherever
+    they are applied)."""
     # the persisted-index path is where codebook REUSE (and therefore
     # staleness) is the norm — validate before any positional lookup,
     # exactly as the inline tier does in pq_encode
@@ -1152,7 +1169,10 @@ def ivf_pq_topk_indexed(
     probes = _ivf_pq_probes(queries, centroids, nprobe, id_col, vec_col)
     probes = probes.localCheckpoint()  # consumed twice: cells + join
     cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
-    index = spark.read.parquet(index_path).filter(F.col("cell").isin(cells))
+    base = index_path if isinstance(index_path, DataFrame) else (
+        spark.read.parquet(index_path)
+    )
+    index = base.filter(F.col("cell").isin(cells))
     if where is not None:
         index = index.filter(where)
     if tombstones is not None:

@@ -103,6 +103,7 @@ _TOMBSTONES = "_tombstones"
 _MODEL_FP_FILE = "_MODEL_FP"
 _MODEL_DIR = "_model"
 _CKPT_ID_FILE = "_CHECKPOINT_ID"
+_SCHEMA_FILE = "_SCHEMA"
 
 CDC_VECTOR_SCHEMA = VECTOR_SCHEMA + ", op string"
 
@@ -142,6 +143,45 @@ def _ingest_batches(gen_dir: str) -> list[str]:
         )
     except FileNotFoundError:
         return []
+
+
+def _write_schema_sidecar(gen_dir: str, schema) -> None:
+    import json as _json
+
+    with open(os.path.join(gen_dir, _SCHEMA_FILE), "w") as f:
+        f.write(_json.dumps(schema.jsonValue()))
+
+
+def _has_data_files(gen_dir: str) -> bool:
+    """True iff any ingest_batch subtree holds an actual parquet data
+    file. An all-deleted fold leaves the ``ingest_batch=<hi>`` dir in
+    place with only _SUCCESS inside, so listing subtrees is NOT enough
+    to know the generation is readable."""
+    for b in _ingest_batches(gen_dir):
+        for _root, _dirs, files in os.walk(os.path.join(gen_dir, b)):
+            if any(fn.endswith(".parquet") for fn in files):
+                return True
+    return False
+
+
+def read_index(spark: SparkSession, gen_dir: str) -> DataFrame:
+    """A generation's index data as a DataFrame. A fully-deleted
+    compacted generation holds NO parquet files (partitionBy of an
+    empty fold emits only _SUCCESS), which would fail partition
+    discovery with 'Unable to infer schema' — compact_index therefore
+    leaves a ``_SCHEMA`` sidecar, and this reader falls back to a
+    schema-bearing EMPTY frame so maintain batches, live_index() and
+    serving keep working until new data lands."""
+    sidecar = os.path.join(gen_dir, _SCHEMA_FILE)
+    if os.path.exists(sidecar) and not _has_data_files(gen_dir):
+        import json as _json
+
+        from pyspark.sql import types as T
+
+        with open(sidecar) as f:
+            schema = T.StructType.fromJson(_json.load(f))
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(gen_dir)
 
 
 def model_fingerprint(centroids: DataFrame, codebook: DataFrame) -> str:
@@ -320,10 +360,23 @@ def compact_index(
             .mode("overwrite")
             .parquet(os.path.join(new_gen, f"ingest_batch={hi}"))
         )
+        # schema sidecar: an all-deleted fold writes NO parquet files
+        # (partitionBy of an empty frame emits only _SUCCESS), so the
+        # reader-visible schema must survive out-of-band for read_index
+        from pyspark.sql import types as T
+
+        cell_f = next(f2 for f2 in cur.schema.fields if f2.name == "cell")
+        _write_schema_sidecar(new_gen, T.StructType(
+            [f2 for f2 in cur.schema.fields if f2.name != "cell"]
+            + [T.StructField("ingest_batch", T.IntegerType()), cell_f]
+        ))
     else:
         # everything was deleted: the folded generation is EMPTY (no
         # subtree at all) — only the watermark/model control files land
         os.makedirs(new_gen, exist_ok=True)
+        old_schema = os.path.join(gen, _SCHEMA_FILE)
+        if os.path.exists(old_schema):  # keep readers schema-aware
+            shutil.copy(old_schema, os.path.join(new_gen, _SCHEMA_FILE))
     with open(os.path.join(new_gen, _COMPACT_WM_FILE), "w") as f:
         f.write(str(hi))
     old_fp = os.path.join(gen, _MODEL_FP_FILE)
@@ -444,11 +497,18 @@ def wire_to_vector_ops(
     into the maintain job's CDC shape (id, vector, op): insert/update
     become an upsert of the AFTER image, delete a delete keyed by the
     BEFORE image's id (A3 semantics end to end — the binlog is now a
-    vector-index feed). Per id, only the NEWEST effect in the batch
-    survives (latest-image by seq, the apply family's collapse), so a
-    micro-batch never emits contradictory ops for one id. DDL rows are
-    out of scope: the vector table's shape is the serving model's
-    contract — evolve it through reindex, not ALTER.
+    vector-index feed). A PK-CHANGING update (before id != after id)
+    is the full A3 pair: a delete keyed on the before-image id PLUS
+    the upsert of the after image — keying only on the after id would
+    leave the stale vector served under the old id forever (reference
+    applier UpdateDML, driver/mysql/applier_incr.go). Per id, only the
+    NEWEST effect in the batch survives (latest-image by seq, the
+    apply family's collapse), so a micro-batch never emits
+    contradictory ops for one id; the synthesized delete carries its
+    update's seq, so a later re-insert of the old id in the same batch
+    still wins. DDL rows are out of scope: the vector table's shape is
+    the serving model's contract — evolve it through reindex, not
+    ALTER.
 
     Pass as the maintain job's ``transform`` with a wire ``reader``:
     the window collapse is not streaming-legal, so it runs inside
@@ -470,6 +530,23 @@ def wire_to_vector_ops(
         .otherwise(F.lit("upsert")).alias("op"),
         F.col("seq").alias("__seq"),
     )
+    # PK-changing updates additionally tombstone the OLD id; payload
+    # columns come from the before image purely for type fidelity (a
+    # delete's payload is never read)
+    pk_moved = typed.filter(
+        (F.col("op") == "u")
+        & F.col("before").getField(id_col).isNotNull()
+        & ~F.col("before").getField(id_col).eqNullSafe(
+            F.col("after").getField(id_col)
+        )
+    ).select(
+        F.col("before").getField(id_col).alias(id_col),
+        F.col("before").getField(vec_col).alias(vec_col),
+        *[F.col("before").getField(c).alias(c) for c in carry_cols],
+        F.lit("delete").alias("op"),
+        F.col("seq").alias("__seq"),
+    )
+    keyed = keyed.unionByName(pk_moved)
     w = Window.partitionBy(id_col).orderBy(F.col("__seq").desc())
     return (
         keyed.withColumn("__rn", F.row_number().over(w))
@@ -704,13 +781,13 @@ class VectorIndexMaintainJob(_StreamedVectorJob):
         ingest_batch/cell columns). Probes never read it this way —
         they go through ivf_pq_topk_indexed's static cell filter.
         Includes dead versions in CDC mode — see live_index."""
-        return self.spark.read.parquet(resolve_index_path(self.index_root))
+        return read_index(self.spark, resolve_index_path(self.index_root))
 
     def live_index(self) -> DataFrame:
         """index() minus tombstoned rows — the logical current state a
         probe sees (serving applies the same filter pre-ranking)."""
         gen = resolve_index_path(self.index_root)
-        idx = self.spark.read.parquet(gen)
+        idx = read_index(self.spark, gen)
         tomb = read_tombstones(self.spark, gen)
         return idx if tomb is None else sim.apply_tombstones(idx, tomb)
 
@@ -807,7 +884,7 @@ class AnnServingJob(_StreamedVectorJob):
         # unstamped pre-reindex generation passes: nothing to compare)
         _check_model_stamp(gen, self.model_fp, stamp_if_missing=False)
         out = sim.ivf_pq_topk_indexed(
-            self.spark, gen, batch,
+            self.spark, read_index(self.spark, gen), batch,
             self.centroids, self.codebook,
             vectors=self.vectors() if self.vectors is not None else None,
             k=self.k, nprobe=self.nprobe,

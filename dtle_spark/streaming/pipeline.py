@@ -364,6 +364,11 @@ def apply_batch(
                     marker = int(_json.load(f).get("__applied_batch", -1))
             except (OSError, ValueError):
                 marker = -1
+        # in-memory twin of the persisted marker, carried ON the
+        # catalog instance: without a catalog_path, a failure AFTER
+        # restore_from (gtid fold, metrics) would retry the batch
+        # against the already-evolved catalog and re-apply ADD COLUMN
+        marker = max(marker, getattr(catalog, "applied_batch_mem", -1))
         ddl_in_snapshot = batch_id is not None and marker >= batch_id
         cat = catalog.copy()
         # commit closures: every table (bucketed or whole-image) stages
@@ -429,6 +434,11 @@ def apply_batch(
                     extra={"__applied_batch": -1 if batch_id is None else int(batch_id)},
                 )
             catalog.restore_from(cat)
+            if batch_id is not None:
+                # set only after restore_from: a failure BEFORE it
+                # leaves the catalog pristine and the retry must
+                # re-apply; a failure after it must not
+                catalog.applied_batch_mem = int(batch_id)
         tx_rows = None
         if gtid_path is not None:
             from dtle_spark.sources.gtid import GtidSet

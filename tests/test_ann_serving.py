@@ -769,3 +769,139 @@ def test_serving_rejects_unusable_models(spark, tmp_path):
         AnnServingJob(*args, cent, cb, rerank=50, vectors=e, **PQ)
     with pytest.raises(ValueError, match="codebook"):
         VectorIndexMaintainJob(*args[:4], cent, cb.filter("code != 7"))
+
+
+def test_pk_changing_update_tombstones_old_id(spark):
+    """r8 ADVICE medium: an update whose BEFORE and AFTER ids differ
+    is the full A3 pair — delete(before id) + upsert(after id). Keying
+    only on the after image left the stale vector served under the old
+    id forever. Same-id updates still emit exactly one upsert, and a
+    later same-batch re-insert of the vacated id wins the per-id
+    latest-seq collapse."""
+    import json
+
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from dtle_spark.streaming.ann_serving import wire_to_vector_ops
+    from dtle_spark.streaming.wire import WIRE_SCHEMA
+
+    row_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+
+    def wrow(seq, op, before=None, after=None):
+        return Row(
+            sid="ab12cd34-0000-1111-2222-333333333333", gno=seq, seq=seq,
+            lc=0, op=op, ts=None, schema_name="db1", table_name="vecs",
+            before=json.dumps(before) if before is not None else None,
+            after=json.dumps(after) if after is not None else None,
+            query=None,
+        )
+
+    def img(i, v):
+        return {"vec_id": i, "embedding": [float(v), 0.0]}
+
+    batch = spark.createDataFrame([
+        # PK-changing update: 1 -> 2
+        wrow(10, "u", before=img(1, 1.0), after=img(2, 2.0)),
+        # same-id update: 3 stays 3 (no synthesized delete)
+        wrow(11, "u", before=img(3, 3.0), after=img(3, 3.5)),
+        # PK-change 4 -> 5 then re-insert of the vacated id 4 at a
+        # HIGHER seq: the collapse must keep the upsert, not the
+        # synthesized delete
+        wrow(12, "u", before=img(4, 4.0), after=img(5, 5.0)),
+        wrow(13, "i", after=img(4, 4.5)),
+    ], WIRE_SCHEMA)
+    ops = {
+        r["vec_id"]: r["op"]
+        for r in wire_to_vector_ops(batch, "db1", "vecs", row_schema).collect()
+    }
+    assert ops == {
+        1: "delete",   # the vacated id is tombstoned
+        2: "upsert",
+        3: "upsert",   # same-id update: upsert only
+        4: "upsert",   # re-insert outranks the synthesized delete
+        5: "upsert",
+    }
+
+
+def test_compact_all_deleted_index_stays_servable(spark, tmp_path):
+    """r8 ADVICE low: compacting a fully-deleted index produces a
+    generation with zero parquet data files. The _SCHEMA sidecar +
+    read_index fallback keep every reader working: live_index() is
+    EMPTY (not an error), a serve batch commits zero rows and its
+    watermark, and the next maintain batch revives the index."""
+    from dtle_spark.streaming.ann_serving import (
+        CDC_VECTOR_SCHEMA,
+        compact_index,
+    )
+
+    e = _embeddings(spark).limit(300).localCheckpoint()
+    cent, cb = _model(e)
+    index_root = str(tmp_path / "index")
+    mj = VectorIndexMaintainJob(
+        spark, str(tmp_path / "src"), index_root, str(tmp_path / "mck"),
+        cent, cb, schema=CDC_VECTOR_SCHEMA,
+    )
+    mj.apply_batch(e.withColumn("op", F.lit("upsert")), 0)
+    mj.apply_batch(e.withColumn("op", F.lit("delete")), 1)
+    assert compact_index(spark, index_root, max_batches=0,
+                         gc_previous=True) == 3  # 2 index + 1 tombstone
+    # all three readers survive the file-less generation
+    assert mj.live_index().count() == 0
+    assert mj.index().count() == 0
+    q = e.limit(5)
+    sj = AnnServingJob(
+        spark, "unused", index_root, str(tmp_path / "results"),
+        str(tmp_path / "sck"), cent, cb, **PQ,
+    )
+    sj.apply_batch(q, 0)
+    assert sj.results().count() == 0
+    assert sj.position()["__serve_batch"] == 0  # watermark committed
+    # new data revives the SAME generation: maintain, then serve again
+    revived = e.limit(40).withColumn("op", F.lit("upsert")).localCheckpoint()
+    mj.apply_batch(revived, 4)
+    assert mj.live_index().count() == 40
+    sj.apply_batch(q, 1)
+    served = sj.results().filter(F.col("__serve_batch") == 1)
+    inline = _inline(revived.drop("op"), q, cent, cb)
+    assert _topk_map(served) == _topk_map(inline)
+
+
+def test_zero_norm_query_yields_no_rows(spark, tmp_path):
+    """r8 ADVICE low: a zero-norm query vector used to score 0/0 = NaN
+    against every candidate, and NaN sorts ABOVE all doubles
+    descending — the query got an arbitrary top-k. The probe stage now
+    drops zero-norm queries (matching the inline tiers' both-sides
+    norm filter); real queries in the same batch are unaffected."""
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    e = _embeddings(spark).limit(200).localCheckpoint()
+    cent, cb = _model(e)
+    index_root = str(tmp_path / "index")
+    mj = VectorIndexMaintainJob(
+        spark, "unused", index_root, str(tmp_path / "mck"), cent, cb,
+    )
+    mj.apply_batch(e, 0)
+    dim = len(e.first()["embedding"])
+    qschema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    queries = spark.createDataFrame(
+        [Row(vec_id=777777, embedding=[0.0] * dim)], qschema
+    ).unionByName(e.limit(3))
+    sj = AnnServingJob(
+        spark, "unused", index_root, str(tmp_path / "results"),
+        str(tmp_path / "sck"), cent, cb, **PQ,
+    )
+    sj.apply_batch(queries, 0)
+    res = sj.results()
+    assert res.filter(F.col("query_id") == 777777).count() == 0
+    assert res.select("query_id").distinct().count() == 3
+    assert not any(
+        r["qcos"] != r["qcos"] for r in res.collect()  # no NaN scores
+    )

@@ -362,3 +362,56 @@ def test_replication_retry_after_failed_merge_no_duplicate_fields(
     rows = {r["id"]: (r["v"], r["c"])
             for r in target.read(spark, "db1", "t").collect()}
     assert rows == {1: (10, None), 2: (20, 7)}, rows
+
+
+def test_ddl_redelivery_without_catalog_path_no_double_apply(
+    spark, job_dirs
+):
+    """r8 ADVICE low (pipeline.py): the persisted __applied_batch
+    marker only exists when a catalog_path is configured. Without one,
+    a failure AFTER catalog.restore_from (gtid fold, metrics) retried
+    the batch against the already-evolved catalog and re-applied ADD
+    COLUMN. The in-memory applied_batch_mem marker on the catalog now
+    covers that window: a same-batch redelivery skips cat.apply."""
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    import dtle_spark.streaming.pipeline as pl
+    from dtle_spark.streaming.wire import WIRE_SCHEMA
+
+    def wire_row(seq, op, after=None, query=None):
+        return Row(sid="ab12cd34-0000-1111-2222-333333333333", gno=seq,
+                   seq=seq, lc=0, op=op, ts=None, schema_name="db1",
+                   table_name="t", before=None, after=after, query=query)
+
+    cat = SchemaCatalog()
+    cat.register("db1", "t", T.StructType([
+        T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]),
+        ["id"])
+    cfg = TableConfig("db1", "t", unique_key=["id"])
+    job = JobConfig(name="rnomark", tables=[cfg])
+    target = ParquetTableTarget(job_dirs["target"])
+    b0 = spark.createDataFrame([
+        wire_row(1, "i", after='{"id":1,"v":10}'),
+        wire_row(2, "ddl", query="ALTER TABLE db1.t ADD COLUMN c BIGINT"),
+        wire_row(3, "i", after='{"id":2,"v":20,"c":7}'),
+    ], WIRE_SCHEMA)
+    pl.apply_batch(spark, b0, job, target, cat, batch_id=0)  # no catalog_path
+    assert [f.name for f in cat.get("db1", "t").schema.fields] == [
+        "id", "v", "c"]
+    assert cat.applied_batch_mem == 0
+    # in-process redelivery of the SAME batch (the post-restore_from
+    # failure window): must not raise and must not duplicate the field
+    pl.apply_batch(spark, b0, job, target, cat, batch_id=0)
+    assert [f.name for f in cat.get("db1", "t").schema.fields] == [
+        "id", "v", "c"]
+    rows = {r["id"]: (r["v"], r["c"])
+            for r in target.read(spark, "db1", "t").collect()}
+    assert rows == {1: (10, None), 2: (20, 7)}, rows
+    # the NEXT batch's DDL still applies (marker is strictly per-batch)
+    b1 = spark.createDataFrame([
+        wire_row(4, "ddl", query="ALTER TABLE db1.t ADD COLUMN d BIGINT"),
+    ], WIRE_SCHEMA)
+    pl.apply_batch(spark, b1, job, target, cat, batch_id=1)
+    assert [f.name for f in cat.get("db1", "t").schema.fields] == [
+        "id", "v", "c", "d"]
