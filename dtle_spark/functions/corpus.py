@@ -531,3 +531,94 @@ def leakage_safe_split(
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+def priority_sample(
+    docs: DataFrame,
+    n: int,
+    weight_sql: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sample WITHOUT replacement by priority sampling
+    (Duffield, Lund & Thorup 2007, "Priority sampling for estimation
+    of arbitrary subset sums"): each row draws priority q = w/u with u
+    uniform in (0,1]; the n largest priorities are the sample, and
+    est_weight = max(w, tau) — tau the (n+1)-th priority — is an
+    UNBIASED estimator of any subset's total weight (sum est_weight
+    over sampled members of the subset).
+
+    Determinism/cross-engine: u = (hash40(id)+1)/2^40 — the md5 draw
+    both engines share — and every comparison is on (hash40(id)+1)/w
+    as one IEEE double DIVISION of two exact integers. Unlike pow/ln
+    (whose libm rounding differs per engine — the bm25 rational-idf
+    lesson), IEEE division is correctly rounded everywhere, so the
+    selected SET and the emitted doubles are bit-identical in DuckDB.
+
+    Scale shape: the score is map-only; orderBy+limit compiles to
+    TakeOrderedAndProject (per-partition top-(n+1) heaps merged on the
+    driver) — no global sort, no shuffle of the corpus. Rows with
+    non-positive weight cannot be sampled (w <= 0 is filtered)."""
+    u_int = hash_uniform_expr(id_col, "spark")
+    key = f"CAST({u_int} + 1 AS DOUBLE) / CAST({weight_sql} AS DOUBLE)"
+    scored = (
+        docs.filter(F.expr(f"{weight_sql} > 0"))
+        .withColumn("w", F.expr(f"CAST({weight_sql} AS DOUBLE)"))
+        .withColumn("inv_priority", F.expr(key))
+        .orderBy("inv_priority", id_col)
+        .limit(n + 1)
+        .localCheckpoint()  # consumed twice: threshold + sample
+    )
+    # tau = the (n+1)-th LARGEST priority = 2^40 / max(inv_priority)
+    # among the n+1 smallest inverse priorities (broadcast scalar)
+    tau = scored.agg(
+        (F.lit(float(_U_DENOM)) / F.max("inv_priority")).alias("tau"),
+        F.count(F.lit(1)).alias("got"),
+    )
+    w = Window.orderBy("inv_priority", id_col)
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .crossJoin(F.broadcast(tau))
+        .withColumn(
+            "est_weight",
+            # when the population is <= n the sample is exhaustive and
+            # the estimator degenerates to the true weight
+            F.when(F.col("got") <= n, F.col("w")).otherwise(
+                F.greatest(F.col("w"), F.col("tau"))
+            ),
+        )
+        .drop("__rn", "got", "tau", "inv_priority")
+    )
+
+
+def priority_sample_sql(
+    table: str,
+    n: int,
+    weight_sql: str = "n_chars",
+    id_col: str = "doc_id",
+    cols: str = "doc_id, lang, source",
+) -> str:
+    """DuckDB mirror of priority_sample (same draw, same IEEE
+    division, same threshold estimator)."""
+    u_int = hash_uniform_expr(id_col, "duckdb")
+    key = f"CAST({u_int} + 1 AS DOUBLE) / CAST({weight_sql} AS DOUBLE)"
+    return f"""
+    WITH scored AS (
+      SELECT {cols}, CAST({weight_sql} AS DOUBLE) AS w,
+             {key} AS inv_priority
+      FROM {table} WHERE {weight_sql} > 0
+      ORDER BY inv_priority, {id_col} LIMIT {n + 1}
+    ),
+    th AS (
+      SELECT CAST({_U_DENOM} AS DOUBLE) / MAX(inv_priority) AS tau,
+             COUNT(*) AS got
+      FROM scored
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY inv_priority, {id_col}) AS rn
+      FROM scored
+    )
+    SELECT {cols}, w,
+      CASE WHEN th.got <= {n} THEN w ELSE greatest(w, th.tau) END AS est_weight
+    FROM ranked, th WHERE rn <= {n}
+    """

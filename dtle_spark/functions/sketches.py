@@ -117,3 +117,130 @@ def kmv_distinct_sql(
       ELSE CAST({(k - 1) * _U_DENOM} AS DOUBLE) / kth_min END AS kmv_estimate
     FROM kk
     """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch (Cormode & Muthukrishnan 2005, "An improved data
+# stream summary: the count-min sketch and its applications")
+# ---------------------------------------------------------------------------
+
+
+def cms_bucket_sql(col_sql: str, seed: int, width: int, dialect: str) -> str:
+    """Row ``seed``'s bucket for a key: the shared 40-bit uniform of
+    md5(key || '#' || seed), mod ``width`` — identical in both engines
+    (the seed suffix gives the d pairwise-independent-enough rows)."""
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    keyed = f"concat(CAST({col_sql} AS {cast}), '#', '{seed}')"
+    return f"({hex_window_sql(f'md5({keyed})', 1, dialect)} % {width})"
+
+
+def cms_sketch(
+    df: DataFrame, col_sql: str, depth: int = 4, width: int = 512
+) -> DataFrame:
+    """The CMS counter table (row, bucket, cnt) of ``col_sql``'s
+    frequency distribution — depth x width cells TOTAL, regardless of
+    input size.
+
+    Scale shape: the stack is map-side (one pass, no key
+    materialization) and the groupBy partial-aggregates into at most
+    depth*width counters PER PARTITION before the shuffle — the wire
+    carries bounded state, not rows. Sketch once per ingest batch and
+    cms_merge later: counters are additive, which is the whole point
+    of CMS as a 100 TB monitoring primitive (per-day sketches fold
+    into per-month ones without re-scanning)."""
+    pairs = ", ".join(
+        f"{r}, {cms_bucket_sql(col_sql, r, width, 'spark')}"
+        for r in range(depth)
+    )
+    cells = df.selectExpr(f"stack({depth}, {pairs}) AS (row, bucket)")
+    return cells.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_merge(sketches: DataFrame) -> DataFrame:
+    """Fold N unioned sketch tables into one: counters ADD. Equals the
+    sketch of the concatenated raw inputs (same buckets, summed
+    counts), so the (eps, delta) bound carries over unchanged."""
+    return sketches.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_sql: str,
+    depth: int = 4,
+    width: int = 512,
+    out_col: str = "est_cnt",
+) -> DataFrame:
+    """Point-frequency estimates for a bounded key set: min over the d
+    counters each key hashes to (never an underestimate; over by at
+    most eps*N with prob 1-delta, eps=e/width, delta=exp(-depth)).
+    The sketch is depth*width rows — broadcast side of the join."""
+    pairs = ", ".join(
+        f"{r}, {cms_bucket_sql('key', r, width, 'spark')}"
+        for r in range(depth)
+    )
+    probes = keys.selectExpr(f"{key_sql} AS key").selectExpr(
+        "key", f"stack({depth}, {pairs}) AS (row, bucket)"
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out_col))
+    )
+
+
+def cms_topk_sql(
+    key_sql: str,
+    table: str,
+    top_n: int = 20,
+    depth: int = 4,
+    width: int = 512,
+) -> str:
+    """DuckDB mirror of the heavy-hitters query: exact top-N keys by
+    frequency joined with their CMS estimates (same md5 buckets, same
+    min-fold)."""
+    cell = ",\n      ".join(
+        f"{cms_bucket_sql(key_sql, r, width, 'duckdb')} AS b{r}"
+        for r in range(depth)
+    )
+    cell_top = ",\n      ".join(
+        f"{cms_bucket_sql('t.key', r, width, 'duckdb')} AS b{r}"
+        for r in range(depth)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT key, {r} AS row, b{r} AS bucket FROM topcells"
+        for r in range(depth)
+    )
+    sketch_rows = " UNION ALL ".join(
+        f"SELECT {r} AS row, b{r} AS bucket FROM cells" for r in range(depth)
+    )
+    return f"""
+    WITH cells AS (
+      SELECT {key_sql} AS key,
+      {cell}
+      FROM {table}
+    ),
+    sketch AS (
+      SELECT row, bucket, COUNT(*) AS cnt
+      FROM ({sketch_rows}) GROUP BY row, bucket
+    ),
+    exact AS (
+      SELECT {key_sql} AS key, COUNT(*) AS exact_cnt FROM {table} GROUP BY 1
+    ),
+    top AS (
+      SELECT key, exact_cnt FROM exact
+      ORDER BY exact_cnt DESC, key LIMIT {top_n}
+    ),
+    topcells AS (
+      SELECT t.key,
+      {cell_top}
+      FROM top t
+    ),
+    est AS (
+      SELECT p.key, MIN(COALESCE(s.cnt, 0)) AS est_cnt
+      FROM ({probe_rows}) p
+      LEFT JOIN sketch s USING (row, bucket) GROUP BY p.key
+    )
+    SELECT t.key, t.exact_cnt, e.est_cnt
+    FROM top t JOIN est e USING (key)
+    """

@@ -5035,3 +5035,56 @@ def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("fp").cast("long").alias("shared_fps"),
         )
     )
+
+
+@query(
+    "heavy_hitters_cms",
+    f"""
+    {sk.cms_topk_sql('user_id', 'events', top_n=20, depth=4, width=512)}
+    """,
+)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters under Count-Min (functions/sketches.py cms_*,
+    Cormode-Muthukrishnan 2005): the 20 most active users by exact
+    count, each with its CMS point estimate (4 x 512 counters). The
+    sketch is the scale artifact — bounded additive state a 100 TB
+    event stream folds into map-side (partial counters per partition,
+    mergeable across days via cms_merge); the exact top-20 here is the
+    small-SF truth the estimate is gated against (est >= exact always;
+    over by at most eps*N). Deterministic md5 buckets make the sketch
+    itself hash-comparable, the same trick as the KMV family."""
+    ev = load_table(spark, sf_dir, "events")
+    sketch = sk.cms_sketch(ev, "user_id", depth=4, width=512)
+    top = (
+        ev.groupBy(F.col("user_id").alias("key"))
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "key")
+        .limit(20)
+        .localCheckpoint()  # consumed twice: probe keys + output join
+    )
+    est = sk.cms_estimate(sketch, top, "key", depth=4, width=512)
+    return top.join(est, "key")
+
+
+@query(
+    "weighted_sample_docs",
+    f"""
+    {cp.priority_sample_sql('documents', 200, weight_sql='n_chars',
+                            cols='doc_id, lang, source')}
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted corpus sample by priority sampling
+    (functions/corpus.py priority_sample, Duffield-Lund-Thorup 2007):
+    200 docs drawn with probability ~ n_chars, each carrying the
+    max(w, tau) threshold estimator so any subset's total character
+    mass is unbiasedly estimable from the sample alone — the standard
+    way to audit a 100 TB corpus's composition without scanning it.
+    Selection key is one IEEE division of two exact integers
+    ((hash40+1)/w), so the sampled SET and emitted doubles are
+    bit-identical across engines; plan is map + TakeOrderedAndProject
+    (no global sort)."""
+    d = load_table(spark, sf_dir, "documents")
+    return cp.priority_sample(d, 200, weight_sql="n_chars").select(
+        "doc_id", "lang", "source", "w", "est_weight"
+    )

@@ -493,6 +493,107 @@ class TestKmvSketch:
         assert merged.asDict() == direct.asDict()
 
 
+class TestCmsSketch:
+    def test_never_underestimates_and_bound(self, spark):
+        """CMS point estimates are >= exact for EVERY key (min of
+        counters that each include the key's true count), and over by
+        at most eps*N with eps = e/width for most keys."""
+        from dtle_spark.functions.sketches import cms_estimate, cms_sketch
+
+        df = spark.range(0, 6000).selectExpr("id % 300 AS x")  # 20 each
+        sk = cms_sketch(df, "x", depth=4, width=256)
+        keys = spark.range(0, 300).selectExpr("id AS x")
+        est = {r["key"]: r["est_cnt"]
+               for r in cms_estimate(sk, keys, "x", depth=4, width=256).collect()}
+        assert all(est[k] >= 20 for k in range(300))
+        # N=6000, width=256 -> eps*N ~ 64; allow the loose bound
+        assert sum(est.values()) / 300 < 20 + 64
+
+    def test_absent_key_small_estimate(self, spark):
+        from dtle_spark.functions.sketches import cms_estimate, cms_sketch
+
+        df = spark.range(0, 2000).selectExpr("id % 100 AS x")
+        sk = cms_sketch(df, "x", depth=4, width=512)
+        ghost = spark.createDataFrame([(999999,)], "x long")
+        [r] = cms_estimate(sk, ghost, "x", depth=4, width=512).collect()
+        # min over 4 rows of collision mass only; never negative
+        assert 0 <= r["est_cnt"] <= 2000 * 4 / 512
+
+    def test_merge_equals_whole_data_sketch(self, spark):
+        """Counters are additive: sketch(A) + sketch(B) ==
+        sketch(A union B), cell by cell — the per-day -> per-month
+        fold needs no rescan."""
+        from dtle_spark.functions.sketches import cms_merge, cms_sketch
+
+        whole = spark.range(0, 3000).selectExpr("id % 250 AS x")
+        a, b = whole.filter("id < 1000"), whole.filter("id >= 1000")
+        merged = {(r["row"], r["bucket"]): r["cnt"] for r in cms_merge(
+            cms_sketch(a, "x").unionByName(cms_sketch(b, "x"))).collect()}
+        direct = {(r["row"], r["bucket"]): r["cnt"]
+                  for r in cms_sketch(whole, "x").collect()}
+        assert merged == direct
+
+    def test_bounded_state(self, spark):
+        from dtle_spark.functions.sketches import cms_sketch
+
+        df = spark.range(0, 50000).selectExpr("id AS x")  # 50k distinct
+        assert cms_sketch(df, "x", depth=4, width=128).count() <= 4 * 128
+
+
+class TestPrioritySample:
+    def test_sample_shape_and_estimator(self, spark):
+        from dtle_spark.functions.corpus import priority_sample
+        from dtle_spark.tableio import load_table
+
+        d = load_table(spark, "/root/testdata/sf0.001", "documents")
+        got = priority_sample(d, 100, weight_sql="n_chars").collect()
+        assert len(got) == 100
+        # est_weight = max(w, tau) >= w always
+        assert all(r["est_weight"] >= r["w"] for r in got)
+        # the total-mass estimate (sum over the whole-population
+        # subset) should land near the true total character mass
+        true_total = d.agg(F.sum("n_chars")).collect()[0][0]
+        est_total = sum(r["est_weight"] for r in got)
+        assert abs(est_total - true_total) / true_total < 0.5
+
+    def test_deterministic_and_weight_biased(self, spark):
+        from dtle_spark.functions.corpus import priority_sample
+
+        df = spark.range(0, 5000).selectExpr(
+            "id AS doc_id",
+            # 1% of docs carry weight 1000, the rest weight 1
+            "CASE WHEN id % 100 = 0 THEN 1000 ELSE 1 END AS wt",
+        )
+        a = {r["doc_id"] for r in priority_sample(
+            df, 50, weight_sql="wt", id_col="doc_id").collect()}
+        b = {r["doc_id"] for r in priority_sample(
+            df, 50, weight_sql="wt", id_col="doc_id").collect()}
+        assert a == b  # same draw every run
+        heavy = sum(1 for i in a if i % 100 == 0)
+        assert heavy > 35  # 50 heavy ids hold ~91% of total mass
+
+    def test_exhaustive_when_population_small(self, spark):
+        from dtle_spark.functions.corpus import priority_sample
+
+        df = spark.range(0, 30).selectExpr("id AS doc_id", "id + 1 AS wt")
+        got = priority_sample(df, 100, weight_sql="wt", id_col="doc_id").collect()
+        assert len(got) == 30
+        # degenerate case: the sample IS the population, estimator = w
+        assert all(r["est_weight"] == r["w"] for r in got)
+
+    def test_topn_plan_no_global_sort(self, spark):
+        from dtle_spark.functions.corpus import priority_sample
+
+        df = spark.range(0, 20000).selectExpr("id AS doc_id", "id % 97 + 1 AS wt")
+        inner = (
+            df.filter("wt > 0")
+            .selectExpr("doc_id", "CAST(wt AS DOUBLE) AS w")
+        )
+        # the scored+limit stage compiles to TakeOrderedAndProject
+        sample = priority_sample(df, 64, weight_sql="wt", id_col="doc_id")
+        assert sample.count() == 64
+
+
 class TestIncrementalDedup:
     def test_tiers_and_incoming_pairs_kept(self, spark):
         from dtle_spark.functions.dedup import incremental_neardup_filter
