@@ -244,3 +244,139 @@ def cms_topk_sql(
     SELECT t.key, t.exact_cnt, e.est_cnt
     FROM top t JOIN est e USING (key)
     """
+
+
+# ---------------------------------------------------------------------------
+# Log-histogram quantile sketch (DDSketch-shaped: Masson, Rim & Lee
+# 2019, "DDSketch: a fast and fully-mergeable quantile sketch with
+# relative-error guarantees" — base-2 octaves with linear subdivision
+# instead of gamma-log buckets, so every bucket boundary is computed
+# with EXACT integer / power-of-two float ops, never libm log())
+# ---------------------------------------------------------------------------
+
+
+def _loghist_bucket_sql(col_sql: str, subdiv: int, dialect: str) -> tuple[str, str]:
+    """(e, sub) bucket of a POSITIVE INTEGER value: e = floor(log2(x))
+    via the binary-string length (exact in both engines — no libm),
+    sub = floor((x/2^e - 1) * subdiv). x/2^e is an exact power-of-two
+    division, (m-1) is exact by Sterbenz, *subdiv (power of two) is an
+    exponent shift — every step bit-identical across engines."""
+    if dialect == "spark":
+        e = f"(length(bin({col_sql})) - 1)"
+        pw = f"CAST(shiftleft(CAST(1 AS BIGINT), {e}) AS DOUBLE)"
+    else:
+        e = f"(length(to_base({col_sql}, 2)) - 1)"
+        pw = f"CAST((CAST(1 AS BIGINT) << {e}) AS DOUBLE)"
+    sub = (
+        f"CAST(floor((CAST({col_sql} AS DOUBLE) / {pw} - 1.0) * {subdiv})"
+        f" AS BIGINT)"
+    )
+    return e, sub
+
+
+def _loghist_mid_sql(subdiv: int, dialect: str) -> str:
+    """Bucket midpoint (1 + (sub+0.5)/subdiv) * 2^e as exact-arith
+    double: an odd integer shifted by e, divided by 2*subdiv (a power
+    of two) — relative error <= 1/(2*subdiv)."""
+    num = (
+        f"shiftleft(CAST({2 * subdiv} + 2 * sub + 1 AS BIGINT), e)"
+        if dialect == "spark"
+        else f"(CAST({2 * subdiv} + 2 * sub + 1 AS BIGINT) << e)"
+    )
+    return f"CAST({num} AS DOUBLE) / {2 * subdiv}"
+
+
+def loghist_sketch(
+    df: DataFrame, col_sql: str, subdiv: int = 16
+) -> DataFrame:
+    """The quantile-sketch state (e, sub, cnt) of a positive-integer
+    column (money as cents, token counts, latencies-as-micros): at
+    most 63*subdiv cells no matter the input size, counters additive
+    (loghist_merge), relative value error <= 1/(2*subdiv).
+
+    Scale shape: bucket assignment is map-only string/shift arithmetic
+    and the groupBy partial-aggregates to bounded per-partition state
+    before the shuffle — the third leg of the sketch family (KMV =
+    distinct, CMS = frequency, loghist = quantiles), all mergeable,
+    all md5/integer-deterministic and therefore oracle-gatable.
+    Non-positive values are excluded (log buckets need x > 0)."""
+    e, sub = _loghist_bucket_sql(col_sql, subdiv, "spark")
+    return (
+        df.filter(F.expr(f"{col_sql} > 0"))
+        .selectExpr(f"{e} AS e", f"{sub} AS sub")
+        .groupBy("e", "sub")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def loghist_merge(sketches: DataFrame) -> DataFrame:
+    """Counters add cell-wise; equals the sketch of the concatenated
+    inputs, with the error bound unchanged (same buckets)."""
+    return sketches.groupBy("e", "sub").agg(F.sum("cnt").alias("cnt"))
+
+
+def loghist_quantiles(
+    sketch: DataFrame, qs: list[tuple[int, int]], subdiv: int = 16
+) -> DataFrame:
+    """Quantile estimates from the sketch: per (num, denom) quantile,
+    the first bucket (in (e, sub) order) whose cumulative count
+    crosses num/denom of the total — rank threshold as an integer
+    cross-multiply (cum*denom >= num*n, the order_value_percentiles
+    idiom), value = bucket midpoint. The window runs over the SKETCH
+    (bounded cells), not the data — control-plane sized by
+    construction, so the unpartitioned sort is fine at any data
+    scale."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("e", "sub").rowsBetween(Window.unboundedPreceding, 0)
+    c = (
+        sketch.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("n", F.sum("cnt").over(Window.partitionBy()))
+        .localCheckpoint()  # consumed once per requested quantile
+    )
+    mid = _loghist_mid_sql(subdiv, "spark")
+    outs = []
+    for num, denom in qs:
+        sel = (
+            c.filter(F.expr(f"cum * {denom} >= {num} * n"))
+            .orderBy("e", "sub")
+            .limit(1)
+            .selectExpr(
+                f"'{num}/{denom}' AS q",
+                f"{mid} AS est",
+            )
+        )
+        outs.append(sel)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def loghist_quantiles_sql(
+    col_sql: str,
+    table: str,
+    qs: list[tuple[int, int]],
+    subdiv: int = 16,
+) -> str:
+    """DuckDB mirror of loghist_sketch + loghist_quantiles (same
+    buckets, same cross-multiply thresholds, same midpoint)."""
+    e, sub = _loghist_bucket_sql("x", subdiv, "duckdb")
+    mid = _loghist_mid_sql(subdiv, "duckdb")
+    picks = " UNION ALL ".join(
+        f"""SELECT '{num}/{denom}' AS q, {mid} AS est FROM (
+          SELECT e, sub FROM c WHERE cum * {denom} >= {num} * n
+          ORDER BY e, sub LIMIT 1)"""
+        for num, denom in qs
+    )
+    return f"""
+    WITH v AS (SELECT {col_sql} AS x FROM {table} WHERE {col_sql} > 0),
+    b AS (SELECT {e} AS e, {sub} AS sub FROM v),
+    sk AS (SELECT e, sub, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+    c AS (SELECT e, sub, cnt,
+                 SUM(cnt) OVER (ORDER BY e, sub
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 SUM(cnt) OVER () AS n
+          FROM sk)
+    {picks}
+    """

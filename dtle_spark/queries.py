@@ -5088,3 +5088,84 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cp.priority_sample(d, 200, weight_sql="n_chars").select(
         "doc_id", "lang", "source", "w", "est_weight"
     )
+
+
+_LOGHIST_QS = [(1, 2), (9, 10), (99, 100)]
+
+
+@query(
+    "quantile_sketch_prices",
+    f"""
+    WITH est AS (
+      {sk.loghist_quantiles_sql(
+          'cents',
+          '(SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents'
+          ' FROM orders)',
+          _LOGHIST_QS,
+      )}
+    ),
+    g AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             COUNT(*) AS c
+      FROM orders GROUP BY 1
+    ),
+    r AS (
+      SELECT cents,
+             SUM(c) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(c) OVER () AS n
+      FROM g
+    ),
+    exact AS (
+      SELECT '1/2' AS q,
+             MIN(CASE WHEN cum * 2 >= n THEN cents END) AS exact_cents FROM r
+      UNION ALL
+      SELECT '9/10',
+             MIN(CASE WHEN cum * 10 >= 9 * n THEN cents END) FROM r
+      UNION ALL
+      SELECT '99/100',
+             MIN(CASE WHEN cum * 100 >= 99 * n THEN cents END) FROM r
+    )
+    SELECT est.q, est.est, exact.exact_cents
+    FROM est JOIN exact USING (q)
+    """,
+)
+def quantile_sketch_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value quantiles from the log-histogram sketch
+    (functions/sketches.py loghist_*, DDSketch-shaped) next to the
+    exact discrete percentiles. The SKETCH is the production lane: at
+    100 TB the bucket fold is map-only with <= 63*16 cells of additive
+    state and the quantile extraction runs over the sketch, not the
+    data; the exact lane here (cum-count over grouped cents) is the
+    small-SF truth the estimate is gated against — relative error is
+    bounded by 1/32 per the bucket width, asserted in pytest. Every
+    boundary is integer/power-of-two arithmetic, no libm, so both
+    engines agree bit-for-bit."""
+    from pyspark.sql import Window
+
+    v = load_table(spark, sf_dir, "orders").select(
+        _cents(F.col("o_totalprice")).alias("cents")
+    )
+    est = sk.loghist_quantiles(sk.loghist_sketch(v, "cents"), _LOGHIST_QS)
+    g = v.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    r = g.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy())
+    )
+    exact = r.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") * denom >= num * F.col("n"), F.col("cents")
+                )
+            ).alias(f"p_{num}_{denom}")
+            for num, denom in _LOGHIST_QS
+        ]
+    ).selectExpr(
+        "stack(3, "
+        + ", ".join(
+            f"'{num}/{denom}', p_{num}_{denom}" for num, denom in _LOGHIST_QS
+        )
+        + ") AS (q, exact_cents)"
+    )
+    return est.join(exact, "q")

@@ -594,6 +594,46 @@ class TestPrioritySample:
         assert sample.count() == 64
 
 
+class TestLogHistSketch:
+    def test_relative_error_bound(self, spark):
+        """Every quantile estimate is within the 1/(2*subdiv) relative
+        bound of the true discrete percentile (bucket midpoint vs a
+        value inside the bucket)."""
+        from dtle_spark.functions.sketches import (
+            loghist_quantiles,
+            loghist_sketch,
+        )
+
+        df = spark.range(1, 20001).selectExpr("id * id AS x")  # skewed
+        est = {r["q"]: r["est"] for r in loghist_quantiles(
+            loghist_sketch(df, "x"), [(1, 2), (9, 10), (99, 100)]).collect()}
+        import math
+
+        truth = {"1/2": 10000 ** 2, "9/10": 18000 ** 2, "99/100": 19800 ** 2}
+        for q, t in truth.items():
+            assert abs(est[q] - t) / t < 1 / 16, (q, est[q], t)
+
+    def test_merge_equals_whole_data_sketch(self, spark):
+        from dtle_spark.functions.sketches import loghist_merge, loghist_sketch
+
+        whole = spark.range(1, 5001).selectExpr("id * 37 AS x")
+        a, b = whole.filter("id < 2000"), whole.filter("id >= 2000")
+        merged = {(r["e"], r["sub"]): r["cnt"] for r in loghist_merge(
+            loghist_sketch(a, "x").unionByName(loghist_sketch(b, "x"))
+        ).collect()}
+        direct = {(r["e"], r["sub"]): r["cnt"]
+                  for r in loghist_sketch(whole, "x").collect()}
+        assert merged == direct
+
+    def test_bounded_state_and_positive_only(self, spark):
+        from dtle_spark.functions.sketches import loghist_sketch
+
+        df = spark.range(-100, 100000).selectExpr("id AS x")
+        sk = loghist_sketch(df, "x", subdiv=16).collect()
+        assert len(sk) <= 63 * 16
+        assert sum(r["cnt"] for r in sk) == 99999  # x <= 0 excluded
+
+
 class TestIncrementalDedup:
     def test_tiers_and_incoming_pairs_kept(self, spark):
         from dtle_spark.functions.dedup import incremental_neardup_filter
