@@ -133,6 +133,25 @@ class _Handler(BaseHTTPRequestHandler):
                     return self._send(400, {
                         "error": "target_format does not apply to "
                                  "subscription jobs (frames log only)"})
+                if d.get("type") == "stream_profile":
+                    # sixth job type: the sketch profiler — the spec is
+                    # plain JSON end to end (SQL-string key/value exprs)
+                    required = ["name", "source_dir", "profile_root",
+                                "checkpoint_dir", "key_sql", "value_sql"]
+                    missing = [k for k in required if not d.get(k)]
+                    if missing:
+                        return self._send(400, {
+                            "error": f"missing required fields: {missing}"})
+                    kw = {k: d[k] for k in (
+                        "schema", "depth", "width", "k", "subdiv",
+                        "max_files_per_trigger",
+                    ) if k in d}
+                    self.manager.create_stream_profile(
+                        d["name"], d["source_dir"], d["profile_root"],
+                        d["checkpoint_dir"], d["key_sql"], d["value_sql"],
+                        start=bool(d.get("start", True)), **kw,
+                    )
+                    return self._send(201, {"created": d["name"]})
                 if d.get("type") in ("vector_maintain", "ann_serving"):
                     # vector jobs (4th/5th job types): the model is NOT
                     # in the request body — it loads from the index

@@ -316,6 +316,45 @@ class JobManager:
             sj.start()
         return sj
 
+    def create_stream_profile(
+        self,
+        name: str,
+        source_dir: str,
+        profile_root: str,
+        checkpoint_dir: str,
+        key_sql: str,
+        value_sql: str,
+        start: bool = True,
+        **kw,
+    ):
+        """The sketch profiler (streaming/profile.py) as a MANAGED job:
+        the spec is already plain JSON (key_sql/value_sql are SQL
+        strings, sketch dims are ints — no model tables, no callables),
+        so recover() rebuilds it verbatim and the stream resumes from
+        its checkpoint against the same profile root (the
+        _CHECKPOINT_ID stamp guarantees the pairing)."""
+        from dtle_spark.streaming.profile import StreamProfileJob
+
+        if name in self._jobs:
+            raise ValueError(f"job {name!r} already exists")
+        pj = StreamProfileJob(
+            self.spark, source_dir, profile_root, checkpoint_dir,
+            key_sql, value_sql, **kw,
+        )
+        self._persist_spec(name, {
+            "type": "stream_profile",
+            "source_dir": source_dir,
+            "profile_root": profile_root,
+            "checkpoint_dir": checkpoint_dir,
+            "key_sql": key_sql,
+            "value_sql": value_sql,
+            "kw": kw,
+        })
+        self._jobs[name] = pj
+        if start:
+            pj.start()
+        return pj
+
     def _persist_spec(self, name: str, spec: dict) -> None:
         """Atomic spec write. Kwarg serializability is validated HERE,
         after the spec_root check — a manager without persistence must
@@ -346,6 +385,17 @@ class JobManager:
                 continue
             with open(os.path.join(self.spec_root, fname)) as f:
                 spec = json.load(f)
+            if spec.get("type") == "stream_profile":
+                pname = fname[: -len(".json")]
+                if pname in self._jobs:
+                    continue
+                self.create_stream_profile(
+                    pname, spec["source_dir"], spec["profile_root"],
+                    spec["checkpoint_dir"], spec["key_sql"],
+                    spec["value_sql"], start=start, **spec.get("kw", {}),
+                )
+                out.append(pname)
+                continue
             if spec.get("type") in ("vector_maintain", "ann_serving"):
                 vname = fname[: -len(".json")]
                 if vname in self._jobs:

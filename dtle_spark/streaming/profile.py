@@ -1,0 +1,296 @@
+"""Streaming corpus/stream profiler: the mergeable sketch trio
+(functions/sketches.py — KMV distinct, Count-Min frequency,
+log-histogram quantiles) maintained ONLINE over a micro-batch stream.
+
+Each micro-batch is reduced to its three bounded sketch states and
+each lands as its own ``ingest_batch=<id>/`` parquet subtree under the
+sketch's subdir — the vector index's layout discipline
+(streaming/ann_serving.py) applied to monitoring state:
+
+- replay-idempotent by construction: a redelivered batch OVERWRITES
+  its own subtree (at-least-once delivery converges to exactly-once
+  sketch content), no watermark file needed;
+- profile() merges on read: every sketch is additive (cms_merge /
+  kmv_merge / loghist_merge equal the whole-data sketch, pytest-pinned
+  in their function tests), and a batch's state is <= a few thousand
+  cells, so the merge cost is O(batches x cells) — control-plane
+  sized, never a re-scan of the data;
+- compact() folds the accumulated subtrees into one inside a NEW
+  generation dir and atomically swaps a ``_CURRENT`` pointer (the
+  ann_serving generation protocol), bounding merge-on-read for
+  long-lived streams. A compaction watermark keeps replayed
+  pre-compaction batches no-ops.
+- batch ids are only meaningful relative to one stream checkpoint, so
+  the root carries the same ``_CHECKPOINT_ID`` stamp as the vector
+  index roots (fail-loud on a fresh checkpoint against an old root).
+
+Why this exists: a 100 TB training-data pipeline needs per-increment
+answers to "how many distinct sources/users so far", "which keys are
+suddenly hot", and "did the length/value distribution drift" WITHOUT
+re-scanning history. Sketch-per-batch + additive merge is the standard
+production answer (per-day sketches fold into per-month ones); the
+md5/integer-deterministic construction keeps every number oracle-
+gatable, which is what lets the batch queries (heavy_hitters_cms,
+kmv_distinct_sketch, quantile_sketch_prices) gate the SAME arithmetic
+this job runs online.
+
+Reference context: the reference has no profiling surface; this
+extends its streaming metrics bookkeeping (driver/mysql/extractor.go's
+counter snapshots) to content statistics, SURVEY §2.6.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dtle_spark.functions import sketches as sk
+from dtle_spark.streaming.ann_serving import (
+    _check_stream_stamp,
+    _ingest_batches,
+    _swap_current,
+)
+
+_CURRENT = "_CURRENT"
+_COMPACT_WM_FILE = "_COMPACTED_THROUGH"
+_SKETCHES = ("cms", "kmv", "loghist")
+
+
+def _resolve(profile_root: str) -> str:
+    try:
+        with open(os.path.join(profile_root, _CURRENT)) as f:
+            return os.path.join(profile_root, f.read().strip())
+    except FileNotFoundError:
+        return profile_root
+
+
+def _compacted_through(gen: str) -> int:
+    try:
+        with open(os.path.join(gen, _COMPACT_WM_FILE)) as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return -1
+
+
+class StreamProfileJob:
+    """Maintain the three sketches over a stream of rows.
+
+    ``key_sql`` feeds KMV (distinct keys) and CMS (key frequencies);
+    ``value_sql`` feeds the log-histogram (it must evaluate to a
+    positive integer — cents, token counts, byte sizes). Both are SQL
+    expressions over the stream's columns, so derived keys
+    (``concat(lang, '/', source)``) profile as naturally as columns."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        profile_root: str,
+        checkpoint_dir: str,
+        key_sql: str,
+        value_sql: str,
+        schema: str = "doc_id long, text string, lang string, source string",
+        depth: int = 4,
+        width: int = 512,
+        k: int = 256,
+        subdiv: int = 16,
+        max_files_per_trigger: int = 1,
+        reader=None,
+    ):
+        self.spark = spark
+        self.source_dir = source_dir
+        self.profile_root = profile_root
+        self.checkpoint_dir = checkpoint_dir
+        self.key_sql = key_sql
+        self.value_sql = value_sql
+        self.schema = schema
+        self.depth, self.width = depth, width
+        self.k, self.subdiv = k, subdiv
+        self.max_files_per_trigger = max_files_per_trigger
+        self.reader = reader
+        self.query = None
+
+    # -- batch core (exposed for tests/replay) ---------------------------
+
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        gen = _resolve(self.profile_root)
+        _check_stream_stamp(gen, self.checkpoint_dir)
+        if batch_id <= _compacted_through(gen):
+            return  # already folded by a compaction — skip
+        batch = batch.localCheckpoint()  # three sketches scan it
+        parts = {
+            "cms": sk.cms_sketch(
+                batch, self.key_sql, depth=self.depth, width=self.width
+            ),
+            "kmv": sk.kmv_minima(batch, self.key_sql, k=self.k),
+            "loghist": sk.loghist_sketch(
+                batch, self.value_sql, subdiv=self.subdiv
+            ),
+        }
+        for name, df in parts.items():
+            # idempotent append: the batch owns its subtree; a replay
+            # overwrites in place, never double-counting
+            (
+                df.coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(gen, name, f"ingest_batch={batch_id}"))
+            )
+
+    # -- reads ------------------------------------------------------------
+
+    def _read(self, name: str) -> DataFrame | None:
+        gen = _resolve(self.profile_root)
+        root = os.path.join(gen, name)
+        batches = _ingest_batches(root)
+        if not batches:
+            return None
+        return self.spark.read.option("basePath", root).parquet(
+            *[os.path.join(root, b) for b in batches]
+        ).drop("ingest_batch")
+
+    def profile(self) -> dict[str, DataFrame] | None:
+        """The MERGED sketch states: {'cms': (row,bucket,cnt), 'kmv':
+        (k,got_k,kth_min,kmv_estimate), 'loghist': (e,sub,cnt)} — each
+        equal to the sketch of all data seen, by additivity."""
+        cms = self._read("cms")
+        if cms is None:
+            return None
+        return {
+            "cms": sk.cms_merge(cms),
+            "kmv": sk.kmv_merge(self._read("kmv"), k=self.k),
+            "loghist": sk.loghist_merge(self._read("loghist")),
+        }
+
+    def distinct_keys(self) -> float | None:
+        p = self.profile()
+        if p is None:
+            return None
+        return p["kmv"].collect()[0]["kmv_estimate"]
+
+    def key_counts(self, keys: DataFrame, key_sql: str = "key") -> DataFrame:
+        """CMS point estimates for a bounded candidate key set."""
+        return sk.cms_estimate(
+            self.profile()["cms"], keys, key_sql,
+            depth=self.depth, width=self.width,
+        )
+
+    def value_quantiles(self, qs: list[tuple[int, int]]) -> DataFrame:
+        """Quantile estimates of the value distribution, from the merged
+        log-histogram ((num, denom) integer quantiles)."""
+        return sk.loghist_quantiles(
+            self.profile()["loghist"], qs, subdiv=self.subdiv
+        )
+
+    # -- compaction --------------------------------------------------------
+
+    def compact(self, max_batches: int = 16, gc_previous: bool = True) -> int:
+        """Fold the per-batch subtrees into one subtree per sketch in a
+        NEW generation and swap the ``_CURRENT`` pointer atomically —
+        run OFF the ingest path with the job quiesced (same contract as
+        ann_serving.compact_index). Returns the number of subtrees
+        folded (0 = under the cap, nothing done)."""
+        gen = _resolve(self.profile_root)
+        per = {name: _ingest_batches(os.path.join(gen, name)) for name in _SKETCHES}
+        n_subtrees = sum(len(v) for v in per.values())
+        if len(per["cms"]) <= max_batches:
+            return 0
+        hi = max(
+            int(b.split("=", 1)[1]) for bs in per.values() for b in bs
+        )
+        base = os.path.basename(gen)
+        n = int(base.split("-", 1)[1]) if base.startswith("gen-") else 0
+        new_gen_name = f"gen-{n + 1}"
+        new_gen = os.path.join(self.profile_root, new_gen_name)
+        merged = {
+            "cms": sk.cms_merge(self._read("cms")),
+            # kmv folds by re-minimizing the union of stored minima
+            # arrays (the state form, not the estimate form)
+            "kmv": (
+                self._read("kmv")
+                .select(F.explode("hvs").alias("hv"))
+                .distinct()
+                .orderBy("hv")
+                .limit(self.k)
+                .agg(F.expr("sort_array(collect_list(hv))").alias("hvs"))
+            ),
+            "loghist": sk.loghist_merge(self._read("loghist")),
+        }
+        for name, df in merged.items():
+            (
+                df.coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(new_gen, name, f"ingest_batch={hi}"))
+            )
+        with open(os.path.join(new_gen, _COMPACT_WM_FILE), "w") as f:
+            f.write(str(hi))
+        old_ck = os.path.join(gen, "_CHECKPOINT_ID")
+        if os.path.exists(old_ck):  # stream identity rides along
+            shutil.copy(old_ck, os.path.join(new_gen, "_CHECKPOINT_ID"))
+        _swap_current(self.profile_root, new_gen_name)
+        if gc_previous:
+            if gen == self.profile_root:
+                for name in _SKETCHES:
+                    shutil.rmtree(os.path.join(gen, name), ignore_errors=True)
+            else:
+                shutil.rmtree(gen, ignore_errors=True)
+        return n_subtrees
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self) -> "StreamProfileJob":
+        if self.reader is not None:
+            stream = self.reader(self.spark)
+        else:
+            stream = (
+                self.spark.readStream.schema(self.schema)
+                .option("maxFilesPerTrigger", self.max_files_per_trigger)
+                .parquet(self.source_dir)
+            )
+        self.query = (
+            stream.writeStream.foreachBatch(self.apply_batch)
+            .option(
+                "checkpointLocation", os.path.join(self.checkpoint_dir, "profile")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        return self
+
+    def process_available(self) -> None:
+        if self.query is not None:
+            self.query.awaitTermination()
+
+    def pause(self) -> None:
+        if self.query is not None:
+            self.query.stop()
+            self.query = None
+
+    def resume(self) -> "StreamProfileJob":
+        if self.query is None:
+            self.start()
+        return self
+
+    def position(self) -> dict:
+        gen = _resolve(self.profile_root)
+        batches = [
+            int(b.split("=", 1)[1])
+            for b in _ingest_batches(os.path.join(gen, "cms"))
+        ]
+        return {
+            "generation": os.path.basename(gen),
+            "compacted_through": _compacted_through(gen),
+            "max_ingest_batch": max(batches, default=-1),
+        }
+
+    def stats(self) -> dict:
+        gen = _resolve(self.profile_root)
+        return {
+            "type": "stream_profile",
+            "active": self.query is not None and self.query.isActive,
+            "generation": os.path.basename(gen),
+            "compacted_through": _compacted_through(gen),
+            "ingest_batches": len(_ingest_batches(os.path.join(gen, "cms"))),
+        }

@@ -1,0 +1,228 @@
+"""Streaming sketch profiler (streaming/profile.py): the mergeable
+sketch trio maintained per micro-batch, replay-idempotent, compacted
+through the generation-pointer protocol. The invariant under test
+everywhere: the ONLINE profile equals the batch sketch of all data
+seen (additivity, pinned per-sketch in TestCmsSketch/TestKmvSketch/
+TestLogHistSketch — here end to end through the layout)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dtle_spark.functions import sketches as sk
+from dtle_spark.streaming.profile import StreamProfileJob
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+def _job(spark, tmp_path, **kw):
+    return StreamProfileJob(
+        spark,
+        str(tmp_path / "src" / "*"),
+        str(tmp_path / "profile"),
+        str(tmp_path / "ck"),
+        key_sql="concat(lang, '/', source)",
+        value_sql="n_chars",
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+        **kw,
+    )
+
+
+def _cms_cells(df):
+    return {(r["row"], r["bucket"]): r["cnt"] for r in df.collect()}
+
+
+def _loghist_cells(df):
+    return {(r["e"], r["sub"]): r["cnt"] for r in df.collect()}
+
+
+def test_stream_profile_e2e(spark, tmp_path):
+    """Three source files -> three micro-batches; the merged profile
+    equals the whole-data sketches; a replayed batch is a no-op; CMS
+    point estimates and loghist quantiles answer from the profile."""
+    d = _docs(spark).localCheckpoint()
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    parts = [
+        d.filter("doc_id % 3 = 0"),
+        d.filter("doc_id % 3 = 1"),
+        d.filter("doc_id % 3 = 2"),
+    ]
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.parquet(os.path.join(src, f"b{i}"))
+
+    job = _job(spark, tmp_path)
+    job.start()
+    job.process_available()
+    assert job.stats()["ingest_batches"] == 3
+
+    key = "concat(lang, '/', source)"
+    p = job.profile()
+    assert _cms_cells(p["cms"]) == _cms_cells(sk.cms_sketch(d, key))
+    assert _loghist_cells(p["loghist"]) == _loghist_cells(
+        sk.loghist_sketch(d, "n_chars")
+    )
+    direct_kmv = sk.kmv_distinct(d, key).collect()[0]
+    assert job.distinct_keys() == direct_kmv["kmv_estimate"]
+
+    # point estimates through the job == batch cms_estimate
+    keys = d.selectExpr(f"{key} AS key").distinct().limit(10).localCheckpoint()
+    online = {r["key"]: r["est_cnt"] for r in job.key_counts(keys).collect()}
+    batch = {r["key"]: r["est_cnt"]
+             for r in sk.cms_estimate(sk.cms_sketch(d, key), keys, "key").collect()}
+    assert online == batch
+
+    # quantiles through the job == batch loghist path
+    on_q = {r["q"]: r["est"] for r in job.value_quantiles([(1, 2), (9, 10)]).collect()}
+    bat_q = {r["q"]: r["est"] for r in sk.loghist_quantiles(
+        sk.loghist_sketch(d, "n_chars"), [(1, 2), (9, 10)]).collect()}
+    assert on_q == bat_q
+
+    # replay idempotence: re-apply an already-landed batch
+    job.apply_batch(parts[1], 1)
+    assert _cms_cells(job.profile()["cms"]) == _cms_cells(sk.cms_sketch(d, key))
+
+
+def test_compact_and_post_compact_ingest(spark, tmp_path):
+    """compact folds the subtrees into one per sketch in a new
+    generation; the merged values are unchanged; a replayed
+    pre-compaction batch is a no-op; new batches keep landing."""
+    d = _docs(spark).localCheckpoint()
+    job = _job(spark, tmp_path)
+    key = "concat(lang, '/', source)"
+    parts = [d.filter(f"doc_id % 4 = {i}") for i in range(4)]
+    for i, p in enumerate(parts):
+        job.apply_batch(p, i)
+    assert job.compact(max_batches=8) == 0  # under cap: no-op
+    assert job.compact(max_batches=2) == 12  # 4 subtrees x 3 sketches
+    assert job.stats()["generation"] == "gen-1"
+    assert job.stats()["compacted_through"] == 3
+    p = job.profile()
+    assert _cms_cells(p["cms"]) == _cms_cells(sk.cms_sketch(d, key))
+    assert job.distinct_keys() == sk.kmv_distinct(d, key).collect()[0][
+        "kmv_estimate"
+    ]
+    # replayed pre-compaction batch: folded already -> skip
+    job.apply_batch(parts[2], 2)
+    assert job.stats()["ingest_batches"] == 1
+    # fresh data still lands and merges
+    extra = spark.range(900000, 900200).selectExpr(
+        "id AS doc_id", "'x' AS text", "'zz' AS lang",
+        "'new-source' AS source", "CAST(id % 977 + 1 AS LONG) AS n_chars",
+    )
+    job.apply_batch(extra, 4)
+    whole = d.unionByName(extra)
+    assert _cms_cells(job.profile()["cms"]) == _cms_cells(sk.cms_sketch(whole, key))
+    assert _loghist_cells(job.profile()["loghist"]) == _loghist_cells(
+        sk.loghist_sketch(whole, "n_chars")
+    )
+
+
+def test_fresh_checkpoint_fails_loudly(spark, tmp_path):
+    d = _docs(spark).limit(50)
+    job = _job(spark, tmp_path)
+    job.apply_batch(d, 0)
+    stranger = StreamProfileJob(
+        spark, str(tmp_path / "src"), str(tmp_path / "profile"),
+        str(tmp_path / "other-ck"),
+        key_sql="lang", value_sql="n_chars",
+    )
+    with pytest.raises(ValueError, match="checkpoint mismatch"):
+        stranger.apply_batch(d, 0)
+
+
+def test_manager_profile_job_lifecycle_recover_and_http(spark, tmp_path):
+    """The profiler as the sixth managed job type: JobManager create/
+    list/metrics/pause/resume/position, recover() on a fresh manager
+    (spec is plain JSON end to end), and the HTTP create route —
+    including the 400 on a missing required field."""
+    import json
+    import urllib.request
+
+    from dtle_spark.catalog import SchemaCatalog
+    from dtle_spark.streaming.http_api import ControlServer
+    from dtle_spark.streaming.jobs import JobManager
+
+    d = _docs(spark).localCheckpoint()
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    d.filter("doc_id % 2 = 0").coalesce(1).write.parquet(
+        os.path.join(src, "b0"))
+
+    spec_root = str(tmp_path / "specs")
+    mgr = JobManager(spark, spec_root=spec_root)
+    pj = mgr.create_stream_profile(
+        "doc-profile", os.path.join(src, "*"), str(tmp_path / "profile"),
+        str(tmp_path / "ck"), key_sql="source", value_sql="n_chars",
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    pj.process_available()
+    st = mgr.list()["doc-profile"]
+    assert st["type"] == "stream_profile" and st["ingest_batches"] == 1
+    assert mgr.position("doc-profile")["max_ingest_batch"] == 0
+    mgr.pause("doc-profile")
+
+    # second source file while paused; a FRESH manager recovers the job
+    # from its JSON spec and drains it from the same checkpoint
+    d.filter("doc_id % 2 = 1").coalesce(1).write.parquet(
+        os.path.join(src, "b1"))
+    mgr2 = JobManager(spark, spec_root=spec_root)
+    assert mgr2.recover(start=False) == ["doc-profile"]
+    mgr2.resume("doc-profile")
+    pj2 = mgr2.get("doc-profile")
+    pj2.process_available()
+    assert _cms_cells(pj2.profile()["cms"]) == _cms_cells(
+        sk.cms_sketch(d, "source"))
+
+    # HTTP create (sixth type) + the missing-field 400
+    manager = JobManager(spark)
+    server = ControlServer(manager, SchemaCatalog()).start()
+    url = f"http://127.0.0.1:{server.port}"
+
+    def _http(method, path, body=None):
+        req = urllib.request.Request(
+            url + path, method=method,
+            data=json.dumps(body).encode() if body is not None else None,
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req) as r:
+                return r.status, json.loads(r.read() or b"{}")
+        except urllib.error.HTTPError as ex:
+            return ex.code, json.loads(ex.read() or b"{}")
+
+    try:
+        code, err = _http("POST", "/v2/jobs", {
+            "name": "p1", "type": "stream_profile",
+            "source_dir": os.path.join(src, "*"),
+            "profile_root": str(tmp_path / "hprofile"),
+            "checkpoint_dir": str(tmp_path / "hck"),
+            "key_sql": "lang",
+        })
+        assert code == 400 and "value_sql" in err["error"]
+        code, _ = _http("POST", "/v2/jobs", {
+            "name": "p1", "type": "stream_profile",
+            "source_dir": os.path.join(src, "*"),
+            "profile_root": str(tmp_path / "hprofile"),
+            "checkpoint_dir": str(tmp_path / "hck"),
+            "key_sql": "lang", "value_sql": "n_chars",
+            "width": 128,
+            "schema": "doc_id long, text string, lang string, "
+                      "source string, n_chars long",
+        })
+        assert code == 201
+        manager.get("p1").process_available()
+        assert manager.get("p1").stats()["ingest_batches"] == 2
+        code, got = _http("GET", "/v2/job/p1")
+        assert code == 200 and got["type"] == "stream_profile"
+    finally:
+        server.stop()
