@@ -1994,6 +1994,48 @@ def range_join_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "skew_salted_join_spend",
+    """
+    WITH spend AS (
+      SELECT user_id,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS spend_cents
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT s.spend_cents // 100000 AS spend_band,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN spend s ON e.user_id = s.user_id
+    GROUP BY spend_band
+    """,
+)
+def skew_salted_join_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join (operators/skewjoin.py): the full event stream
+    (big, hot users concentrate traffic) joined to per-user purchase
+    totals (dimension-sized) on a deterministically salted key, then
+    rolled up into spend bands. The oracle is the PLAIN join — the
+    salt must be invisible in the result; what it buys is that at
+    100 TB a single hot user's events spread over n_salts reducers
+    instead of one straggler (AQE skew-split only reaches sort-merge
+    shuffles; the salt works under any strategy, including when the
+    small side broadcasts)."""
+    from dtle_spark.operators.skewjoin import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    spend = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(_cents(F.col("value"))).alias("spend_cents"))
+    )
+    joined = salted_join(ev, spend, on="user_id", n_salts=8)
+    return joined.groupBy(
+        F.expr("spend_cents DIV 100000").alias("spend_band")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 def _duck_cc_sql() -> str:
     return f"""
     WITH RECURSIVE pairs AS ({_duck_minhash_sql()}),
@@ -3381,6 +3423,80 @@ def moving_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "day", "rev_cents", F.sum("rev_cents").over(w).alias("rev_7d_cents")
     )
+
+
+@query(
+    "gapfill_daily_revenue",
+    f"""
+    WITH rev AS (
+      SELECT n_name, epoch_us(o_orderdate) // {_DAY_US} AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY n_name, day
+    ),
+    b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM rev),
+    spine AS (
+      SELECT k.n_name, gs.day
+      FROM (SELECT DISTINCT n_name FROM rev) k
+      CROSS JOIN (SELECT UNNEST(generate_series(lo, hi)) AS day FROM b) gs
+    ),
+    f AS (
+      SELECT s.n_name, s.day, r.rev_cents
+      FROM spine s LEFT JOIN rev r USING (n_name, day)
+    )
+    SELECT n_name, day, rev_cents,
+      COALESCE(rev_cents, 0) AS rev_cents_zf,
+      last_value(rev_cents IGNORE NULLS) OVER wprev AS rev_cents_locf,
+      CASE
+        WHEN rev_cents IS NOT NULL THEN CAST(rev_cents AS DOUBLE)
+        WHEN (last_value(rev_cents IGNORE NULLS) OVER wprev) IS NOT NULL
+         AND (first_value(rev_cents IGNORE NULLS) OVER wnext) IS NOT NULL
+        THEN CAST(last_value(rev_cents IGNORE NULLS) OVER wprev AS DOUBLE)
+             + (CAST(first_value(rev_cents IGNORE NULLS) OVER wnext AS DOUBLE)
+                - CAST(last_value(rev_cents IGNORE NULLS) OVER wprev AS DOUBLE))
+               * CAST(day - (last_value(CASE WHEN rev_cents IS NOT NULL THEN day END IGNORE NULLS) OVER wprev) AS DOUBLE)
+               / CAST((first_value(CASE WHEN rev_cents IS NOT NULL THEN day END IGNORE NULLS) OVER wnext)
+                      - (last_value(CASE WHEN rev_cents IS NOT NULL THEN day END IGNORE NULLS) OVER wprev) AS DOUBLE)
+      END AS rev_cents_interp
+    FROM f
+    WINDOW
+      wprev AS (PARTITION BY n_name ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      wnext AS (PARTITION BY n_name ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    """,
+)
+def gapfill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar resample + gap-fill (operators/timeseries.py): daily
+    1995 revenue per nation landed on the dense union calendar with
+    zero-fill, LOCF, and linear-interpolation columns in one pass —
+    the time-series surface the reference engine lacks (SURVEY §2.6
+    family). The spine is generated map-side from a broadcast one-row
+    bound; the fill windows run per nation over at most |days| rows,
+    so nothing here is proportional to raw order volume except the
+    initial partial-aggregable groupBy. The interpolation is integer-
+    fed IEEE arithmetic in a pinned op order, bit-identical across
+    engines (see gapfill's docstring)."""
+    from dtle_spark.operators.timeseries import gapfill
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            "n_name",
+            F.expr(f"unix_micros(o_orderdate) DIV {_DAY_US}").alias("day"),
+        )
+        .agg(F.sum(_cents(F.col("o_totalprice"))).alias("rev_cents"))
+    )
+    return gapfill(rev, key_col="n_name", tick_col="day", val_col="rev_cents")
 
 
 @query(

@@ -482,3 +482,107 @@ def test_write_query_hashes_round_trip(tmp_path, monkeypatch):
     assert second[names[0]]["round"] == 4  # changed: restamped
     assert second[names[1]]["round"] == 2  # kept
     assert second[names[0]]["hash"] == q._definition_hash(names[0])
+
+
+# ---------------------------------------------------------------------------
+# Calendar resample + gap-fill (operators/timeseries.py)
+# ---------------------------------------------------------------------------
+
+
+class TestGapfill:
+    def _obs(self, spark):
+        return spark.createDataFrame(
+            [("a", 10, 100), ("a", 13, 400), ("b", 11, 50)],
+            "k string, t long, v long",
+        )
+
+    def test_spine_is_dense_union_calendar(self, spark):
+        from dtle_spark.operators.timeseries import calendar_spine
+
+        spine = calendar_spine(self._obs(spark), "k", "t")
+        got = sorted((r["k"], r["t"]) for r in spine.collect())
+        assert got == [(k, t) for k in "ab" for t in range(10, 14)]
+
+    def test_fill_columns(self, spark):
+        from dtle_spark.operators.timeseries import gapfill
+
+        out = gapfill(self._obs(spark), "k", "t", "v")
+        rows = {(r["k"], r["t"]): r for r in out.collect()}
+        assert len(rows) == 8
+        # observed cells pass through in every lane
+        assert (rows[("a", 10)]["v"], rows[("a", 10)]["v_zf"],
+                rows[("a", 10)]["v_locf"], rows[("a", 10)]["v_interp"]) == (
+            100, 100, 100, 100.0)
+        # interior gap: zero-fill 0, LOCF carries, interp is the line
+        # 100 -> 400 over 3 steps
+        assert rows[("a", 11)]["v"] is None
+        assert rows[("a", 11)]["v_zf"] == 0
+        assert rows[("a", 11)]["v_locf"] == 100
+        assert rows[("a", 11)]["v_interp"] == 200.0
+        assert rows[("a", 12)]["v_interp"] == 300.0
+        # before the first observation: locf and interp are null
+        assert rows[("b", 10)]["v_locf"] is None
+        assert rows[("b", 10)]["v_interp"] is None
+        assert rows[("b", 10)]["v_zf"] == 0
+        # after the last observation: locf carries, interp is null
+        assert rows[("b", 13)]["v_locf"] == 50
+        assert rows[("b", 13)]["v_interp"] is None
+
+
+# ---------------------------------------------------------------------------
+# Salted skew join (operators/skewjoin.py)
+# ---------------------------------------------------------------------------
+
+
+class TestSaltedJoin:
+    def _sides(self, spark):
+        # key 1 is hot (60 of 63 rows), keys 2/3 normal, key 9 unmatched
+        big = spark.createDataFrame(
+            [(1, i) for i in range(60)] + [(2, 0), (3, 0), (9, 0)],
+            "k long, payload long",
+        )
+        small = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, name string"
+        )
+        return big, small
+
+    def test_inner_equals_plain_join(self, spark):
+        from dtle_spark.operators.skewjoin import salted_join
+
+        big, small = self._sides(spark)
+        got = salted_join(big, small, "k", n_salts=4)
+        want = big.join(small, "k")
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+        assert got.columns == want.columns
+
+    def test_left_keeps_unmatched_once(self, spark):
+        from dtle_spark.operators.skewjoin import salted_join
+
+        big, small = self._sides(spark)
+        got = salted_join(big, small, "k", n_salts=4, how="left")
+        want = big.join(small, "k", "left")
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    def test_hot_key_spreads_over_salts(self, spark):
+        from pyspark.sql import functions as F
+
+        big, _ = self._sides(spark)
+        salts = (
+            big.filter(F.col("k") == 1)
+            .select(F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(4)).alias("s"))
+            .distinct()
+            .count()
+        )
+        assert salts == 4  # the hot key's rows land in every salt bucket
+
+    def test_rejects_right_full_and_salt_collision(self, spark):
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from dtle_spark.operators.skewjoin import salted_join
+
+        big, small = self._sides(spark)
+        with _pytest.raises(ValueError, match="inner/left"):
+            salted_join(big, small, "k", how="full")
+        with _pytest.raises(ValueError, match="already exists"):
+            salted_join(big.withColumn("__salt", F.lit(1)), small, "k")
