@@ -348,6 +348,46 @@ def cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_changes(base, changes, ["o_orderkey"])
 
 
+@query(
+    "cdc_rollup_orders",
+    f"""
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+           COUNT(*) AS n_orders
+    FROM ({cdc_demo.ORDERS_CDC_ORACLE}) GROUP BY o_orderpriority
+    """,
+)
+def cdc_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-rollup maintenance (operators/
+    rollup.py): the per-priority revenue rollup of the orders snapshot
+    is folded forward by the scripted change batch's per-group DELTAS
+    — old images read with one keyed join (rollup_delta_vs_target,
+    correct for this stream's self-conflicting interior images), new
+    images from the apply operator's own per-key winners. The oracle
+    is the FULL RECOMPUTE over the applied table, so the gate is
+    exactly the incremental-view-maintenance invariant: delta-folded
+    state == groupBy of the final table. At 100 TB the delta is
+    group-grain and the join rides the apply merge's own key
+    partitioning — the rollup never rescans the table."""
+    from dtle_spark.operators.apply import dedupe_redelivered
+    from dtle_spark.operators.rollup import (
+        merge_rollup, rollup_delta_vs_target, rollup_of,
+    )
+
+    base = cdc_demo.orders_base(spark, sf_dir)
+    changes = dedupe_redelivered(cdc_demo.orders_changes(spark, sf_dir))
+    groups = {"o_orderpriority": "o_orderpriority"}
+    measures = {"rev_cents": "CAST(round(o_totalprice * 100) AS BIGINT)"}
+    state = rollup_of(base, groups, measures)
+    delta = rollup_delta_vs_target(
+        base, changes, ["o_orderkey"], groups, measures
+    )
+    view = merge_rollup(state, delta, ["o_orderpriority"], ["rev_cents"])
+    return view.select(
+        "o_orderpriority", "rev_cents", F.col("__n").alias("n_orders")
+    )
+
+
 @query("update_pair_filter", cdc_demo.CUSTOMER_FILTER_ORACLE)
 def update_pair_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3 update-pair Where semantics (binlog_reader.go:1927-1983):

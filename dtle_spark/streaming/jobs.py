@@ -355,6 +355,65 @@ class JobManager:
             pj.start()
         return pj
 
+    def create_agg_maintain(
+        self,
+        name: str,
+        source_dir: str,
+        view_root: str,
+        checkpoint_dir: str,
+        group_sqls: dict,
+        measure_sqls: dict,
+        row_schema_ddl: str | None = None,
+        start: bool = True,
+        **kw,
+    ):
+        """Incremental rollup maintenance (streaming/agg_maintain.py)
+        as the seventh managed job type. The spec is plain JSON
+        (group/measure SQL-expression dicts, the row schema as a DDL
+        string from which the change-record schema is rebuilt), so
+        recover() reconstructs the job verbatim and the stream resumes
+        against the same view root (_CHECKPOINT_ID pairing)."""
+        from pyspark.sql import types as T
+
+        from dtle_spark.model import change_schema
+        from dtle_spark.streaming.agg_maintain import AggMaintainJob
+
+        if name in self._jobs:
+            raise ValueError(f"job {name!r} already exists")
+        if (
+            self.spec_root is not None
+            and row_schema_ddl is None
+            and "schema" in kw
+            and "reader" not in kw
+        ):
+            # a raw StructType cannot round-trip through the JSON spec:
+            # recover() would rebuild a job that fails at start()
+            raise ValueError(
+                "persistent managers need row_schema_ddl (a DDL string), "
+                "not schema=: the spec must rebuild the stream schema on "
+                "recover()"
+            )
+        if row_schema_ddl is not None:
+            kw = {**kw, "schema": change_schema(T.StructType.fromDDL(row_schema_ddl))}
+        aj = AggMaintainJob(
+            self.spark, source_dir, view_root, checkpoint_dir,
+            group_sqls, measure_sqls, **kw,
+        )
+        self._persist_spec(name, {
+            "type": "agg_maintain",
+            "source_dir": source_dir,
+            "view_root": view_root,
+            "checkpoint_dir": checkpoint_dir,
+            "group_sqls": dict(group_sqls),
+            "measure_sqls": dict(measure_sqls),
+            "row_schema_ddl": row_schema_ddl,
+            "kw": {k: v for k, v in kw.items() if k != "schema"},
+        })
+        self._jobs[name] = aj
+        if start:
+            aj.start()
+        return aj
+
     def _persist_spec(self, name: str, spec: dict) -> None:
         """Atomic spec write. Kwarg serializability is validated HERE,
         after the spec_root check — a manager without persistence must
@@ -395,6 +454,19 @@ class JobManager:
                     spec["value_sql"], start=start, **spec.get("kw", {}),
                 )
                 out.append(pname)
+                continue
+            if spec.get("type") == "agg_maintain":
+                aname = fname[: -len(".json")]
+                if aname in self._jobs:
+                    continue
+                self.create_agg_maintain(
+                    aname, spec["source_dir"], spec["view_root"],
+                    spec["checkpoint_dir"], spec["group_sqls"],
+                    spec["measure_sqls"],
+                    row_schema_ddl=spec.get("row_schema_ddl"),
+                    start=start, **spec.get("kw", {}),
+                )
+                out.append(aname)
                 continue
             if spec.get("type") in ("vector_maintain", "ann_serving"):
                 vname = fname[: -len(".json")]

@@ -1,0 +1,305 @@
+"""Incremental rollup maintenance (operators/rollup.py +
+streaming/agg_maintain.py). The invariant everywhere: delta-folded
+state == full recompute over the applied table — the incremental-
+view-maintenance contract, also oracle-gated end to end by the
+cdc_rollup_orders registry query."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dtle_spark.model import change_schema
+from dtle_spark.operators.rollup import (
+    merge_rollup,
+    rollup_delta,
+    rollup_delta_vs_target,
+    rollup_of,
+)
+from dtle_spark.streaming.agg_maintain import AggMaintainJob
+
+ROW = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("grp", T.StringType()),
+        T.StructField("amount", T.LongType()),
+    ]
+)
+
+GROUPS = {"grp": "grp"}
+MEASURES = {"amt": "amount"}
+SID = "22222222-2222-2222-2222-222222222222"
+
+
+def _chg(spark, rows):
+    return spark.createDataFrame(rows, change_schema(ROW))
+
+
+def _c(op, before, after, seq):
+    return (SID, seq, seq, 0, op, None, "db1", "t", before, after, None)
+
+
+def _base(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)], ROW
+    )
+
+
+# the image-CONSISTENT stream: every before equals the state it replaces
+CONSISTENT = [
+    _c("i", None, (4, "b", 40), 1),
+    _c("u", (2, "a", 20), (2, "b", 25), 2),   # group move
+    _c("u", (1, "a", 10), (1, "a", 15), 3),   # measure change
+    _c("d", (3, "b", 30), None, 4),
+    _c("u", (4, "b", 40), (5, "b", 40), 5),   # PK move: rollup-neutral
+    _c("i", None, (4, "b", 40), 1),           # redelivered duplicate
+]
+
+# the table state after applying CONSISTENT onto _base
+FINAL = [(1, "a", 15), (2, "b", 25), (5, "b", 40)]
+
+
+def _view_dict(df):
+    return {r["grp"]: (r["amt"], r["__n"]) for r in df.collect()}
+
+
+class TestRollupDelta:
+    def test_consistent_stream_matches_recompute(self, spark):
+        base = _base(spark)
+        delta = rollup_delta(
+            _chg(spark, CONSISTENT).dropDuplicates(["sid", "gno", "seq"]),
+            GROUPS, MEASURES,
+        )
+        got = merge_rollup(
+            rollup_of(base, GROUPS, MEASURES), delta, ["grp"], ["amt"]
+        )
+        want = rollup_of(spark.createDataFrame(FINAL, ROW), GROUPS, MEASURES)
+        assert _view_dict(got) == _view_dict(want)
+
+    def test_vanished_group_is_dropped(self, spark):
+        base = _base(spark)
+        kill_a = [
+            _c("d", (1, "a", 10), None, 1),
+            _c("d", (2, "a", 20), None, 2),
+        ]
+        got = merge_rollup(
+            rollup_of(base, GROUPS, MEASURES),
+            rollup_delta(_chg(spark, kill_a), GROUPS, MEASURES),
+            ["grp"], ["amt"],
+        )
+        assert _view_dict(got) == {"b": (30, 1)}
+
+    def test_vs_target_handles_stale_interior_images(self, spark):
+        # self-conflicting batch: update then delete of the same key,
+        # the delete's before-image is the ORIGINAL row (stale)
+        base = _base(spark)
+        stale = [
+            _c("u", (1, "a", 10), (1, "a", 99), 1),
+            _c("d", (1, "a", 10), None, 2),  # stale before; seq winner
+        ]
+        delta = rollup_delta_vs_target(
+            base, _chg(spark, stale), ["id"], GROUPS, MEASURES
+        )
+        got = merge_rollup(
+            rollup_of(base, GROUPS, MEASURES), delta, ["grp"], ["amt"]
+        )
+        want = rollup_of(
+            spark.createDataFrame([(2, "a", 20), (3, "b", 30)], ROW),
+            GROUPS, MEASURES,
+        )
+        assert _view_dict(got) == _view_dict(want)
+
+    def test_derived_group_and_measure_exprs(self, spark):
+        base = _base(spark)
+        groups = {"band": "amount DIV 20"}
+        measures = {"amt2": "amount * 2"}
+        delta = rollup_delta(
+            _chg(spark, [_c("i", None, (9, "z", 20), 1)]), groups, measures
+        )
+        got = merge_rollup(
+            rollup_of(base, groups, measures), delta, ["band"], ["amt2"]
+        )
+        assert {r["band"]: (r["amt2"], r["__n"]) for r in got.collect()} == {
+            0: (20, 1),      # amount 10
+            1: (140, 3),     # amounts 20, 30, 20 doubled -> 40+60+40
+        }
+
+
+class TestAggMaintainJob:
+    def _job(self, spark, tmp_path, **kw):
+        return AggMaintainJob(
+            spark,
+            str(tmp_path / "src" / "*"),
+            str(tmp_path / "view"),
+            str(tmp_path / "ck"),
+            GROUPS,
+            MEASURES,
+            schema=change_schema(ROW),
+            **kw,
+        )
+
+    def test_e2e_and_replay_idempotence(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        # batch 0 seeds the base as inserts; batch 1 is the scripted stream
+        seed = [_c("i", None, r, i) for i, r in enumerate(
+            [(1, "a", 10), (2, "a", 20), (3, "b", 30)]
+        )]
+        _chg(spark, seed).coalesce(1).write.parquet(os.path.join(src, "b0"))
+        _chg(spark, CONSISTENT).coalesce(1).write.parquet(os.path.join(src, "b1"))
+
+        job = self._job(spark, tmp_path)
+        job.start()
+        job.process_available()
+        assert job.stats()["ingest_batches"] == 2
+
+        want = rollup_of(spark.createDataFrame(FINAL, ROW), GROUPS, MEASURES)
+        assert _view_dict(job.view()) == _view_dict(want)
+
+        # replaying a batch overwrites its own subtree: view unchanged
+        job.apply_batch(_chg(spark, CONSISTENT), 1)
+        assert job.stats()["ingest_batches"] == 2
+        assert _view_dict(job.view()) == _view_dict(want)
+
+    def test_compaction_folds_and_guards_replay(self, spark, tmp_path):
+        os.makedirs(str(tmp_path / "src"))
+        job = self._job(spark, tmp_path)
+        # drive batches through the core directly
+        for i in range(5):
+            job.apply_batch(_chg(spark, [_c("i", None, (i, "g", i), i)]), i)
+        before = _view_dict(job.view())
+        assert job.compact(max_batches=2) == 5
+        assert job.stats()["generation"] == "gen-1"
+        assert job.stats()["ingest_batches"] == 1
+        assert _view_dict(job.view()) == before
+        # replayed pre-compaction batch: no-op under the watermark
+        job.apply_batch(_chg(spark, [_c("i", None, (2, "g", 2), 2)]), 2)
+        assert job.stats()["ingest_batches"] == 1
+        assert _view_dict(job.view()) == before
+        # post-compaction ingest still lands
+        job.apply_batch(_chg(spark, [_c("i", None, (9, "h", 90), 9)]), 9)
+        got = _view_dict(job.view())
+        assert got["h"] == (90, 1) and got["g"] == before["g"]
+
+    def test_zero_balanced_group_survives_compaction(self, spark, tmp_path):
+        """A group at net zero when compacted must still cancel later
+        retractions' complements — the fold keeps zero rows; only
+        view() filters them."""
+        os.makedirs(str(tmp_path / "src"))
+        job = self._job(spark, tmp_path)
+        job.apply_batch(_chg(spark, [_c("i", None, (1, "z", 5), 1)]), 1)
+        job.apply_batch(_chg(spark, [_c("d", (1, "z", 5), None, 2)]), 2)
+        for i in range(3, 7):
+            job.apply_batch(_chg(spark, [_c("i", None, (i, "g", 1), i)]), i)
+        assert job.compact(max_batches=2) == 6
+        assert "z" not in _view_dict(job.view())
+        # group z returns after compaction
+        job.apply_batch(_chg(spark, [_c("i", None, (8, "z", 7), 8)]), 8)
+        assert _view_dict(job.view())["z"] == (7, 1)
+
+    def test_fresh_checkpoint_against_old_root_fails(self, spark, tmp_path):
+        os.makedirs(str(tmp_path / "src"))
+        job = self._job(spark, tmp_path)
+        job.apply_batch(_chg(spark, [_c("i", None, (1, "a", 1), 1)]), 1)
+        other = AggMaintainJob(
+            spark,
+            str(tmp_path / "src" / "*"),
+            str(tmp_path / "view"),
+            str(tmp_path / "ck2"),  # fresh checkpoint, same root
+            GROUPS,
+            MEASURES,
+            schema=change_schema(ROW),
+        )
+        with pytest.raises(Exception, match="checkpoint"):
+            other.apply_batch(_chg(spark, [_c("i", None, (2, "a", 2), 2)]), 1)
+
+
+def test_manager_agg_job_lifecycle_recover_and_http(spark, tmp_path):
+    """The rollup maintainer as the seventh managed job type:
+    JobManager create/list/position/pause/resume, recover() on a fresh
+    manager (plain-JSON spec incl. the row schema as DDL), and the
+    HTTP create route with its missing-field 400."""
+    import json
+    import urllib.request
+
+    from dtle_spark.catalog import SchemaCatalog
+    from dtle_spark.streaming.http_api import ControlServer
+    from dtle_spark.streaming.jobs import JobManager
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    seed = [_c("i", None, r, i) for i, r in enumerate(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)]
+    )]
+    _chg(spark, seed).coalesce(1).write.parquet(os.path.join(src, "b0"))
+
+    spec_root = str(tmp_path / "specs")
+    mgr = JobManager(spark, spec_root=spec_root)
+    aj = mgr.create_agg_maintain(
+        "rev-by-grp", os.path.join(src, "*"), str(tmp_path / "view"),
+        str(tmp_path / "ck"), GROUPS, MEASURES,
+        row_schema_ddl="id long, grp string, amount long",
+    )
+    aj.process_available()
+    st = mgr.list()["rev-by-grp"]
+    assert st["type"] == "agg_maintain" and st["ingest_batches"] == 1
+    # a raw StructType cannot round-trip the JSON spec: fail at create
+    with pytest.raises(ValueError, match="row_schema_ddl"):
+        mgr.create_agg_maintain(
+            "bad", os.path.join(src, "*"), str(tmp_path / "v2"),
+            str(tmp_path / "ck2"), GROUPS, MEASURES,
+            schema=change_schema(ROW),
+        )
+    assert mgr.position("rev-by-grp")["max_ingest_batch"] == 0
+    mgr.pause("rev-by-grp")
+
+    # a second batch lands while paused; a FRESH manager recovers from
+    # the JSON spec and drains it from the same checkpoint
+    _chg(spark, CONSISTENT).coalesce(1).write.parquet(os.path.join(src, "b1"))
+    mgr2 = JobManager(spark, spec_root=spec_root)
+    assert mgr2.recover(start=False) == ["rev-by-grp"]
+    mgr2.resume("rev-by-grp")
+    aj2 = mgr2.get("rev-by-grp")
+    aj2.process_available()
+    want = rollup_of(spark.createDataFrame(FINAL, ROW), GROUPS, MEASURES)
+    assert _view_dict(aj2.view()) == _view_dict(want)
+
+    # HTTP create (seventh type) + the missing-field 400
+    manager = JobManager(spark)
+    server = ControlServer(manager, SchemaCatalog()).start()
+    url = f"http://127.0.0.1:{server.port}"
+
+    def _http(method, path, body=None):
+        req = urllib.request.Request(
+            url + path, method=method,
+            data=json.dumps(body).encode() if body is not None else None,
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req) as r:
+                return r.status, json.loads(r.read() or b"{}")
+        except urllib.error.HTTPError as ex:
+            return ex.code, json.loads(ex.read() or b"{}")
+
+    try:
+        body = {
+            "name": "a1", "type": "agg_maintain",
+            "source_dir": os.path.join(src, "*"),
+            "view_root": str(tmp_path / "hview"),
+            "checkpoint_dir": str(tmp_path / "hck"),
+            "group_sqls": GROUPS, "measure_sqls": MEASURES,
+        }
+        code, err = _http("POST", "/v2/jobs", body)
+        assert code == 400 and "row_schema_ddl" in err["error"]
+        body["row_schema_ddl"] = "id long, grp string, amount long"
+        code, _ = _http("POST", "/v2/jobs", body)
+        assert code == 201
+        manager.get("a1").process_available()
+        assert manager.get("a1").stats()["ingest_batches"] == 2
+        code, got = _http("GET", "/v2/job/a1")
+        assert code == 200 and got["type"] == "agg_maintain"
+    finally:
+        server.stop()
