@@ -1,0 +1,121 @@
+"""Snapshot diff: derive the minimal change set between two keyed
+table states — the validation / changelog-derivation companion to the
+apply family.
+
+Uses: verify a replica against its source (the reference's only
+validation surface is row COUNTING for progress —
+/root/reference/driver/mysql/extractor.go:859-879 CountTableRows;
+content-level table comparison is the standard external tool this
+replaces), re-derive a change stream from periodic snapshots when no
+binlog is available, and round-trip-test the apply operators
+(diff(base, apply(base, changes)) == the net effect of changes).
+
+Semantics: one row per differing key —
+- key only in ``new``              -> op 'i' (after image only)
+- key only in ``old``              -> op 'd' (before image only)
+- key in both, any column differs  -> op 'u' (both images)
+Identical rows produce nothing. Column comparison is NULL-safe, over
+``new``'s column set (schemas must match; validate upstream).
+
+Scale shape: ONE full-outer join co-partitioned on the unique key —
+the same shuffle the apply merge performs — with the row-equality
+test a single struct eqNullSafe expression (codegen, no per-column
+join re-evaluation). At 100 TB, prune first when snapshots are
+chunked: aggregate a per-key-range digest (xxhash64 of the row struct
+summed per range) on each side, compare digests, and diff only the
+ranges that disagree — the pt-table-checksum strategy; the range
+digest is a partial-aggregable map-side fold, so unchanged data never
+shuffles. This module provides the exact differ; the digest pre-pass
+composes from existing pieces (groupBy range -> sum of hashes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dtle_spark.model import OP_DELETE, OP_INSERT, OP_UPDATE
+
+
+def range_digests(
+    df: DataFrame,
+    key_col: str,
+    range_width: int = 100_000,
+) -> DataFrame:
+    """Per-key-range content digest for the chunked-compare pre-pass.
+
+    Returns (rng, n_rows, digest): the key range ``key DIV width``,
+    its row count, and an order-free digest (the BIGINT sum of
+    31-bit-truncated xxhash64 over the full row struct — commutative,
+    so it needs no sort and partial-aggregates map-side; the
+    truncation keeps the sum inside BIGINT under ANSI overflow checks
+    for any range up to ~2^32 rows). Compare two sides' digests
+    and run :func:`snapshot_diff` only on ranges that disagree: at
+    100 TB the digest pass shuffles |ranges| rows of three longs,
+    never data, and unchanged ranges (the vast majority in
+    replication validation) are proven equal without moving a row.
+
+    sum-of-hashes caveat: multiset-insensitive collisions require
+    forging xxhash64 sums — fine for validation triage (the exact
+    differ re-checks every flagged range), not for adversarial
+    integrity proofs.
+    """
+    cols = df.columns
+    return df.groupBy(
+        F.expr(f"CAST({key_col} AS BIGINT) DIV {range_width}").alias("rng")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.xxhash64(F.struct(*[F.col(c) for c in cols])).bitwiseAND(
+                F.lit(0x7FFFFFFF)
+            )
+        ).alias("digest"),
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """Minimal change set turning ``old`` into ``new``.
+
+    Returns key cols + ``op`` ('i'|'u'|'d') + ``before``/``after`` row
+    structs (null per the op, like the change model's images).
+    """
+    cols = new.columns
+    non_key = [c for c in cols if c not in key_cols]
+    o = old.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in key_cols],
+        F.struct(*[F.col(c) for c in cols]).alias("before"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__nk_{k}") for k in key_cols],
+        F.struct(*[F.col(c) for c in cols]).alias("after"),
+    )
+    cond = None
+    for k in key_cols:
+        c = F.col(f"__ok_{k}") == F.col(f"__nk_{k}")
+        cond = c if cond is None else cond & c
+    joined = o.join(n, cond, "full_outer")
+
+    in_old = F.col(f"__ok_{key_cols[0]}").isNotNull() | F.col("before").isNotNull()
+    in_new = F.col(f"__nk_{key_cols[0]}").isNotNull() | F.col("after").isNotNull()
+    same = F.struct(*[F.col(f"before.{c}") for c in non_key]).eqNullSafe(
+        F.struct(*[F.col(f"after.{c}") for c in non_key])
+    )
+    op = (
+        F.when(~in_old, F.lit(OP_INSERT))
+        .when(~in_new, F.lit(OP_DELETE))
+        .when(~same, F.lit(OP_UPDATE))
+    )
+    out = joined.withColumn("op", op).filter(F.col("op").isNotNull())
+    return out.select(
+        *[
+            F.coalesce(F.col(f"__nk_{k}"), F.col(f"__ok_{k}")).alias(k)
+            for k in key_cols
+        ],
+        "op",
+        F.when(F.col("op") != OP_INSERT, F.col("before")).alias("before"),
+        F.when(F.col("op") != OP_DELETE, F.col("after")).alias("after"),
+    )

@@ -388,6 +388,58 @@ def cdc_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "snapshot_diff_orders",
+    f"""
+    WITH b0 AS (SELECT * FROM orders WHERE o_orderkey % 5 <> 0),
+    final AS ({cdc_demo.ORDERS_CDC_ORACLE}),
+    j AS (
+      SELECT b.o_orderkey AS bk, f.o_orderkey AS fk,
+             b.o_totalprice AS bp, f.o_totalprice AS fp,
+             CASE WHEN b.o_orderkey IS NULL THEN 'i'
+                  WHEN f.o_orderkey IS NULL THEN 'd'
+                  WHEN (b.o_custkey IS DISTINCT FROM f.o_custkey)
+                    OR (b.o_orderstatus IS DISTINCT FROM f.o_orderstatus)
+                    OR (b.o_totalprice IS DISTINCT FROM f.o_totalprice)
+                    OR (b.o_orderdate IS DISTINCT FROM f.o_orderdate)
+                    OR (b.o_orderpriority IS DISTINCT FROM f.o_orderpriority)
+                  THEN 'u' END AS op
+      FROM b0 b FULL OUTER JOIN final f ON b.o_orderkey = f.o_orderkey
+    )
+    SELECT COALESCE(fk, bk) AS o_orderkey, op,
+           CASE WHEN op <> 'i' THEN CAST(round(bp * 100) AS BIGINT) END AS before_price_cents,
+           CASE WHEN op <> 'd' THEN CAST(round(fp * 100) AS BIGINT) END AS after_price_cents
+    FROM j WHERE op IS NOT NULL
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/diff.py): the minimal change set
+    between the orders snapshot and its post-CDC state — the apply
+    round-trip closed: diff(base, apply(base, changes)) recovers
+    exactly the NET effect (inserts, content updates, deletes, and a
+    PK move surfacing as its delete + insert pair). One full-outer
+    join co-partitioned on the PK with a single struct eqNullSafe row
+    comparison; the oracle restates it as FULL OUTER JOIN + IS
+    DISTINCT FROM classification over the applied table."""
+    from dtle_spark.operators.apply import apply_changes
+    from dtle_spark.operators.diff import snapshot_diff
+
+    base = cdc_demo.orders_base(spark, sf_dir)
+    changes = cdc_demo.orders_changes(spark, sf_dir)
+    final = apply_changes(base, changes, ["o_orderkey"])
+    d = snapshot_diff(base, final, ["o_orderkey"])
+    return d.select(
+        "o_orderkey",
+        "op",
+        F.when(F.col("op") != "i", _cents(F.col("before.o_totalprice"))).alias(
+            "before_price_cents"
+        ),
+        F.when(F.col("op") != "d", _cents(F.col("after.o_totalprice"))).alias(
+            "after_price_cents"
+        ),
+    )
+
+
 @query("update_pair_filter", cdc_demo.CUSTOMER_FILTER_ORACLE)
 def update_pair_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3 update-pair Where semantics (binlog_reader.go:1927-1983):
