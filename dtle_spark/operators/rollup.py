@@ -46,11 +46,10 @@ from dtle_spark.operators.apply import latest_image_per_key
 _N = "__n"
 
 
-def _signed(img: str, changes: DataFrame, ops, weight: int,
+def _signed(img: str, changes: DataFrame, cond,
+            weight: int,
             group_sqls: dict[str, str], measure_sqls: dict[str, str]) -> DataFrame:
-    rows = changes.filter(
-        F.col("op").isin(*ops) & F.col(img).isNotNull()
-    ).select(f"{img}.*")
+    rows = changes.filter(cond).select(f"{img}.*")
     return rows.select(
         *[F.expr(sql).alias(name) for name, sql in group_sqls.items()],
         *[(F.lit(weight) * F.expr(sql)).alias(name) for name, sql in measure_sqls.items()],
@@ -77,9 +76,29 @@ def rollup_delta(
     ``o_totalprice DIV 10000`` work). Returns group cols + one signed
     sum per measure + ``__n`` (signed row-count delta). Map-only +
     one partial-aggregable groupBy at group grain.
+
+    Malformed rows contribute NOTHING — an update missing either
+    image is dropped whole (never a one-sided delta), matching the
+    apply family's null-image guards (latest_image_per_key), so a
+    rollup maintained from the same stream as an applied table can
+    never diverge from it on malformed input.
     """
-    plus = _signed("after", changes, (OP_INSERT, OP_UPDATE), 1, group_sqls, measure_sqls)
-    minus = _signed("before", changes, (OP_DELETE, OP_UPDATE), -1, group_sqls, measure_sqls)
+    op = F.col("op")
+    upd_ok = (
+        (op == OP_UPDATE)
+        & F.col("before").isNotNull()
+        & F.col("after").isNotNull()
+    )
+    plus = _signed(
+        "after", changes,
+        ((op == OP_INSERT) & F.col("after").isNotNull()) | upd_ok,
+        1, group_sqls, measure_sqls,
+    )
+    minus = _signed(
+        "before", changes,
+        ((op == OP_DELETE) & F.col("before").isNotNull()) | upd_ok,
+        -1, group_sqls, measure_sqls,
+    )
     return _fold(plus.unionByName(minus), group_sqls, measure_sqls)
 
 

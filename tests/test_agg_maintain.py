@@ -303,3 +303,18 @@ def test_manager_agg_job_lifecycle_recover_and_http(spark, tmp_path):
         assert code == 200 and got["type"] == "agg_maintain"
     finally:
         server.stop()
+
+
+def test_malformed_updates_contribute_nothing(spark):
+    """An update missing either image is dropped WHOLE — never a
+    one-sided delta — matching the apply family's null-image guards,
+    so a maintained rollup cannot diverge from the applied table on
+    malformed input."""
+    malformed = [
+        _c("u", None, (7, "a", 70), 1),   # no before
+        _c("u", (8, "a", 80), None, 2),   # no after
+        _c("i", None, None, 3),           # no after at all
+        _c("d", None, None, 4),           # no before at all
+    ]
+    delta = rollup_delta(_chg(spark, malformed), GROUPS, MEASURES)
+    assert delta.count() == 0
