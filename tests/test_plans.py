@@ -315,3 +315,45 @@ def test_pq_search_corpus_side_broadcast_only(spark):
     hash_ex = [l for l in plan.splitlines()
                if "Exchange hashpartitioning" in l]
     assert all("query_id" in l for l in hash_ex), hash_ex
+
+
+def test_gapfill_spine_generated_not_shuffled(spark):
+    """The calendar spine comes from explode(sequence) over broadcast
+    one-row bounds — generated map-side, never a data-proportional
+    shuffle; losing the broadcast would turn the crossJoin into a
+    shuffled product."""
+    plan = plan_of("gapfill_daily_revenue", spark)
+    assert "explode(sequence(" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row bounds crossJoin
+    assert "CartesianProduct" not in plan
+
+
+def test_salted_join_salt_survives_to_shuffle(spark):
+    """The salt must reach the join keys (spreading the hot key across
+    reducers) and be deterministic (xxhash64, not rand)."""
+    plan = plan_of("skew_salted_join_spend", spark)
+    assert "__salt" in plan
+    assert "xxhash64" in plan
+    assert "rand(" not in plan
+
+
+def test_rollup_delta_partial_aggregates(spark):
+    """Group-grain deltas partial-aggregate map-side before the
+    shuffle — the property that keeps the delta wire cost at group
+    cardinality, not batch size."""
+    plan = plan_of("cdc_rollup_orders", spark)
+    assert "partial_sum" in plan
+
+
+def test_snapshot_diff_single_full_outer_join(spark):
+    """One co-partitioned full-outer join on the PK; the row equality
+    fold must not add a second pass over either side."""
+    plan = plan_of("snapshot_diff_orders", spark)
+    assert plan.count("FullOuter") == 1
+
+
+def test_sketch_queries_partial_aggregate(spark):
+    """All three sketch lanes reduce to bounded state map-side."""
+    for q in ("heavy_hitters_cms", "quantile_sketch_prices"):
+        plan = plan_of(q, spark)
+        assert "partial_count" in plan or "partial_sum" in plan, q
