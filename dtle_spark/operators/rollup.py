@@ -150,9 +150,21 @@ def rollup_of(
 
 def merge_rollup(state: DataFrame, delta: DataFrame,
                  group_names: list[str], measure_names: list[str]) -> DataFrame:
-    """Fold deltas into the rollup state: sum per group, drop groups
-    whose row count reaches zero. Additivity makes this order-free —
-    batches may merge in any grouping (per-batch, compacted,
-    all-at-once) and converge to the same view."""
+    """Fold deltas into the rollup state. Additivity makes this
+    order-free — batches may merge in any grouping AND any order
+    (per-batch, compacted, all-at-once, shuffled) and converge to the
+    same view.
+
+    Vanished groups: only rows that are zero in the count AND every
+    measure are dropped — the additive identity, always safe. A group
+    transiently at count zero with a nonzero measure residual (batches
+    merging ahead of the batch they cancel against) MUST survive to
+    cancel later, or order-freeness breaks by losing the residual; in
+    the true final state of a consistent integral-measure stream a
+    vanished group's sums are exactly zero, so it is still removed.
+    (Found by the randomized cross-operator invariant test.)"""
     merged = _fold(state.unionByName(delta), group_names, measure_names)
-    return merged.filter(F.col(_N) != 0)
+    nonzero = F.col(_N) != 0
+    for m in measure_names:
+        nonzero = nonzero | (F.col(m) != 0)
+    return merged.filter(nonzero)

@@ -440,6 +440,62 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "scd2_orders_history",
+    """
+    WITH ev AS (
+      SELECT o_orderkey AS k, CAST(-1 AS BIGINT) AS seq, 'o' AS kind, o_totalprice
+      FROM orders WHERE o_orderkey % 5 <> 0
+      UNION ALL
+      SELECT o_orderkey, o_orderkey*10+1, 'o', o_totalprice
+      FROM orders WHERE o_orderkey % 5 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderkey*10+2, 'o', o_totalprice * 2
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_orderkey*10+4, 'o', o_totalprice
+      FROM orders WHERE o_orderkey % 17 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderkey*10+3, 'c', NULL
+      FROM orders WHERE o_orderkey % 11 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderkey*10+4, 'c', NULL
+      FROM orders WHERE o_orderkey % 17 = 0
+    ),
+    v AS (
+      SELECT k, seq, kind, o_totalprice,
+             lead(seq) OVER (PARTITION BY k ORDER BY seq, kind) AS valid_to_seq
+      FROM ev
+    )
+    SELECT k AS o_orderkey, seq AS valid_from_seq, valid_to_seq,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+           (valid_to_seq IS NULL) AS is_current
+    FROM v WHERE kind = 'o'
+    """,
+)
+def scd2_orders_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 temporal history (operators/scd2.py): the scripted orders
+    stream rendered as versioned rows with validity intervals —
+    snapshot seed at seq -1, every insert/update opening a version,
+    deletes and PK-move-aways bounding the previous one (A3: update =
+    delete(before)+open(after)). One per-key lead() window over the
+    unioned event stream — a single key shuffle, no state reads; the
+    oracle restates the event union + lead in SQL."""
+    from dtle_spark.operators.apply import dedupe_redelivered
+    from dtle_spark.operators.scd2 import scd2_history
+
+    base = cdc_demo.orders_base(spark, sf_dir)
+    changes = dedupe_redelivered(cdc_demo.orders_changes(spark, sf_dir))
+    h = scd2_history(changes, ["o_orderkey"], base=base)
+    return h.select(
+        "o_orderkey",
+        "valid_from_seq",
+        "valid_to_seq",
+        _cents(F.col("row.o_totalprice")).alias("price_cents"),
+        "is_current",
+    )
+
+
 @query("update_pair_filter", cdc_demo.CUSTOMER_FILTER_ORACLE)
 def update_pair_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3 update-pair Where semantics (binlog_reader.go:1927-1983):

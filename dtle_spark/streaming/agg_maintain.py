@@ -119,7 +119,13 @@ class AggMaintainJob:
             return None
         g = list(self.group_sqls)
         m = list(self.measure_sqls)
-        return _fold(deltas, g, m).filter(F.col(_N) != 0)
+        # drop only all-zero rows (the additive identity) — the same
+        # rule as merge_rollup: a zero-count group with a residual
+        # indicates an inconsistent stream and must stay visible
+        nonzero = F.col(_N) != 0
+        for name in m:
+            nonzero = nonzero | (F.col(name) != 0)
+        return _fold(deltas, g, m).filter(nonzero)
 
     # -- compaction --------------------------------------------------------
 

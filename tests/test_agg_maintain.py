@@ -318,3 +318,89 @@ def test_malformed_updates_contribute_nothing(spark):
     ]
     delta = rollup_delta(_chg(spark, malformed), GROUPS, MEASURES)
     assert delta.count() == 0
+
+
+def test_random_consistent_streams_cross_operator_invariants(spark):
+    """Seeded random image-consistent streams, three invariants at
+    once, per trial:
+      1. rollup: base state + per-batch additive deltas (batches split
+         and merged in ARBITRARY order) == rollup of the applied table;
+      2. snapshot_diff(base, final) reapplied onto base == final
+         (diffs are valid change sets, random edition);
+      3. scd2_history's current versions == the applied table, and
+         every version row count equals the number of opens."""
+    import random
+
+    from dtle_spark.operators.apply import apply_changes
+    from dtle_spark.operators.diff import snapshot_diff
+    from dtle_spark.operators.scd2 import scd2_history
+
+    rng = random.Random(20260815)
+    for trial in range(3):
+        alive = {k: (k, rng.choice("ab"), k * 10) for k in range(1, 5)}
+        base_rows = list(alive.values())
+        events, n_opens = [], 0
+        for seq in range(1, 25):
+            roll = rng.random()
+            live = sorted(alive)
+            if not live or roll < 0.25:
+                k = rng.randint(1, 60)
+                if k in alive:
+                    continue
+                alive[k] = (k, rng.choice("ab"), seq * 7)
+                events.append(_c("i", None, alive[k], seq)); n_opens += 1
+            elif roll < 0.45:
+                k = rng.choice(live)
+                events.append(_c("d", alive.pop(k), None, seq))
+            elif roll < 0.6 and any(j not in alive for j in range(1, 61)):
+                k = rng.choice(live)  # PK move
+                nk = rng.choice([j for j in range(1, 61) if j not in alive])
+                old = alive.pop(k)
+                alive[nk] = (nk, old[1], old[2])
+                events.append(_c("u", old, alive[nk], seq)); n_opens += 1
+            else:
+                k = rng.choice(live)
+                old = alive[k]
+                alive[k] = (k, rng.choice("ab"), old[2] + seq)
+                events.append(_c("u", old, alive[k], seq)); n_opens += 1
+
+        base = spark.createDataFrame(base_rows, ROW)
+        final = apply_changes(base, _chg(spark, events), ["id"])
+        want_rows = sorted(map(tuple, final.collect()))
+        assert want_rows == sorted(alive.values()), f"trial {trial} sim"
+
+        # 1: rollup additivity under arbitrary batch splits + order
+        batches, i = [], 0
+        while i < len(events):
+            j = i + rng.randint(1, 5)
+            batches.append(events[i:j]); i = j
+        rng.shuffle(batches)
+        state = rollup_of(base, GROUPS, MEASURES)
+        for b in batches:
+            state = merge_rollup(
+                state, rollup_delta(_chg(spark, b), GROUPS, MEASURES),
+                ["grp"], ["amt"],
+            )
+        assert _view_dict(state) == _view_dict(
+            rollup_of(final, GROUPS, MEASURES)
+        ), f"trial {trial} rollup"
+
+        # 2: diff round trip on random data
+        d = snapshot_diff(base, final, ["id"])
+        chg = d.select(
+            F.lit("s").alias("sid"), F.col("id").alias("gno"),
+            F.lit(0).cast("long").alias("seq"), F.lit(0).cast("long").alias("lc"),
+            "op", F.lit(None).cast("timestamp").alias("ts"),
+            F.lit("db").alias("schema_name"), F.lit("t").alias("table_name"),
+            "before", "after", F.lit(None).cast("string").alias("query"),
+        )
+        got = sorted(map(tuple, apply_changes(base, chg, ["id"]).collect()))
+        assert got == want_rows, f"trial {trial} diff"
+
+        # 3: scd2 current == final; version count == opens (+ base seeds)
+        h = scd2_history(_chg(spark, events), ["id"], base=base)
+        cur = sorted(
+            tuple(r["row"]) for r in h.filter("is_current").collect()
+        )
+        assert cur == want_rows, f"trial {trial} scd2"
+        assert h.count() == n_opens + len(base_rows), f"trial {trial} scd2 n"

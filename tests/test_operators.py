@@ -663,3 +663,63 @@ class TestSnapshotDiff:
         assert set(a) == set(b) == {0, 1, 2, 3}
         disagree = [rng for rng in a if a[rng] != b[rng]]
         assert disagree == [2]  # id 25 lives in range 2 only
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history (operators/scd2.py)
+# ---------------------------------------------------------------------------
+
+
+class TestScd2History:
+    def _hist(self, spark, changes, base=None):
+        from dtle_spark.operators.scd2 import scd2_history
+
+        chg = spark.createDataFrame(changes, change_schema(ROW))
+        h = scd2_history(chg, ["id"], base=base)
+        return {
+            (r["id"], r["valid_from_seq"]): (
+                r["valid_to_seq"], r["is_current"],
+                r["row"]["amount"] if r["row"] else None,
+            )
+            for r in h.collect()
+        }
+
+    def test_versions_chain_and_close(self, spark):
+        sid = "s"
+        rows = [
+            (sid, 1, 1, 0, "i", None, "d", "t", None, (1, "x", 10.0), None),
+            (sid, 2, 2, 0, "u", None, "d", "t", (1, "x", 10.0), (1, "x", 20.0), None),
+            (sid, 3, 3, 0, "d", None, "d", "t", (1, "x", 20.0), None, None),
+            (sid, 4, 4, 0, "i", None, "d", "t", None, (1, "x", 30.0), None),  # re-insert
+            (sid, 5, 5, 0, "i", None, "d", "t", None, (2, "y", 50.0), None),
+        ]
+        got = self._hist(spark, rows)
+        assert got == {
+            (1, 1): (2, False, 10.0),   # superseded by v2
+            (1, 2): (3, False, 20.0),   # closed by the delete
+            (1, 4): (None, True, 30.0),  # re-opened, current
+            (2, 5): (None, True, 50.0),
+        }
+
+    def test_pk_move_closes_old_opens_new(self, spark):
+        sid = "s"
+        rows = [
+            (sid, 1, 1, 0, "i", None, "d", "t", None, (1, "x", 10.0), None),
+            (sid, 2, 2, 0, "u", None, "d", "t", (1, "x", 10.0), (9, "x", 10.0), None),
+        ]
+        got = self._hist(spark, rows)
+        assert got == {
+            (1, 1): (2, False, 10.0),    # closed by the move-away
+            (9, 2): (None, True, 10.0),  # the new key's open
+        }
+
+    def test_base_seed_opens_at_base_seq(self, spark):
+        base = spark.createDataFrame([(7, "b", 70.0)], ROW)
+        rows = [
+            ("s", 1, 1, 0, "u", None, "d", "t", (7, "b", 70.0), (7, "b", 75.0), None),
+        ]
+        got = self._hist(spark, rows, base=base)
+        assert got == {
+            (7, -1): (1, False, 70.0),
+            (7, 1): (None, True, 75.0),
+        }
