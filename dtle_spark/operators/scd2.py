@@ -32,19 +32,13 @@ from pyspark.sql import functions as F
 from dtle_spark.model import OP_DELETE, OP_INSERT, OP_UPDATE
 
 
-def scd2_history(
-    changes: DataFrame,
-    key_cols: list[str],
-    base: DataFrame | None = None,
-    base_seq: int = -1,
-) -> DataFrame:
-    """Versioned history of a (deduped) change batch, optionally
-    seeded by a snapshot whose rows open at ``base_seq``.
-
-    Returns key cols + ``row`` (the version's image struct) +
-    ``valid_from_seq`` / ``valid_to_seq`` (null = still open) +
-    ``is_current``.
-    """
+def events_of_changes(changes: DataFrame, key_cols: list[str]) -> DataFrame:
+    """The version-event stream of a (deduped) change batch: key cols
+    + ``seq`` + ``kind`` ('o' opens a version carrying ``row``, 'c'
+    closes one) — the persistable half of the history derivation
+    (streaming/history.py stores these per batch; closed versions are
+    immutable once both events exist, which is what makes the
+    fold-on-compaction protocol correct)."""
     key_of = lambda img: [F.col(f"{img}.{k}").alias(k) for k in key_cols]  # noqa: E731
 
     opens = (
@@ -74,19 +68,28 @@ def scd2_history(
         .select(*key_of("before"), F.col("seq"), F.lit("c").alias("kind"),
                 F.lit(None).cast(opens.schema["row"].dataType).alias("row"))
     )
-    events = opens.unionByName(closes).unionByName(move_aways)
-    if base is not None:
-        seed = base.select(
-            *[F.col(k) for k in key_cols],
-            F.lit(base_seq).cast("long").alias("seq"),
-            F.lit("o").alias("kind"),
-            F.struct(*[F.col(c) for c in base.columns]).alias("row"),
-        )
-        events = seed.unionByName(events)
+    return opens.unionByName(closes).unionByName(move_aways)
 
-    # 'c' sorts before 'o' at equal seq so a same-seq close cannot
-    # swallow the version it accompanies; the stream contract keeps
-    # seq unique per key, this only pins determinism if violated
+
+def seed_events(base: DataFrame, key_cols: list[str], base_seq: int = -1) -> DataFrame:
+    """Snapshot rows as open events at ``base_seq`` (before every
+    change) — the initial-load leg of the event stream."""
+    return base.select(
+        *[F.col(k) for k in key_cols],
+        F.lit(base_seq).cast("long").alias("seq"),
+        F.lit("o").alias("kind"),
+        F.struct(*[F.col(c) for c in base.columns]).alias("row"),
+    )
+
+
+def versions_of_events(events: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Fold an event stream into version rows: per key, each open's
+    valid_to is the next event's seq (lead window — one key shuffle).
+
+    'c' sorts before 'o' at equal seq so a same-seq close cannot
+    swallow the version it accompanies; the stream contract keeps seq
+    unique per key, the tie-break only pins determinism if violated.
+    """
     w = Window.partitionBy(*key_cols).orderBy("seq", "kind")
     versions = events.withColumn("valid_to_seq", F.lead("seq").over(w))
     return (
@@ -99,3 +102,22 @@ def scd2_history(
             F.col("valid_to_seq").isNull().alias("is_current"),
         )
     )
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_cols: list[str],
+    base: DataFrame | None = None,
+    base_seq: int = -1,
+) -> DataFrame:
+    """Versioned history of a (deduped) change batch, optionally
+    seeded by a snapshot whose rows open at ``base_seq``.
+
+    Returns key cols + ``row`` (the version's image struct) +
+    ``valid_from_seq`` / ``valid_to_seq`` (null = still open) +
+    ``is_current``.
+    """
+    events = events_of_changes(changes, key_cols)
+    if base is not None:
+        events = seed_events(base, key_cols, base_seq).unionByName(events)
+    return versions_of_events(events, key_cols)

@@ -1,0 +1,262 @@
+"""Streaming SCD2 history maintenance: the versioned temporal table
+(operators/scd2.py) kept current over a CDC change stream — the
+eighth managed job type, on the subtree/generation protocol the
+profiler and rollup maintainer use.
+
+Storage insight that makes the protocol fit: a version row is only
+MUTATED when it closes, and it closes exactly when its key's next
+event arrives. So instead of updating rows in place, each micro-batch
+persists its EVENTS (opens carrying the image, closes) as an
+idempotent ``ingest_batch=<id>/`` subtree, and:
+
+- history() derives versions on read: one lead() window over the
+  stored events (versions_of_events) — events only, never the source
+  table;
+- replay is idempotent: a redelivered batch overwrites its own
+  subtree (same events -> same derived versions); within a batch,
+  redelivered (sid, gno, seq) rows are deduped (A10);
+- compact() splits the derived versions: CLOSED versions are
+  immutable forever, so they fold into a ``closed/`` store (appended
+  once, never rewritten); each key's still-OPEN event is retained as
+  the folded events subtree so a later close can bound it. The swap
+  is the atomic ``_CURRENT`` generation pointer; a compaction
+  watermark keeps replayed pre-compaction batches no-ops;
+- the ``_CHECKPOINT_ID`` stamp pairs batch ids with one stream
+  checkpoint (fail-loud on a fresh checkpoint against an old root).
+
+Read cost: |closed versions| + a window over events-since-compaction
+(Δ-bounded). Write cost per batch: O(batch). At 100 TB the closed
+store is the large immutable artifact — partition it by close time
+downstream if needed; the live working set is one open event per key.
+
+Reference context: the reference replicates current state only; audit
+/ temporal history is the downstream product its users build by hand.
+SURVEY §2.6 family.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dtle_spark.operators.apply import dedupe_redelivered
+from dtle_spark.operators.scd2 import (
+    events_of_changes,
+    seed_events,
+    versions_of_events,
+)
+from dtle_spark.streaming.ann_serving import (
+    _check_stream_stamp,
+    _ingest_batches,
+    _swap_current,
+)
+from dtle_spark.streaming.profile import _compacted_through, _resolve
+
+_COMPACT_WM_FILE = "_COMPACTED_THROUGH"
+_EVENTS = "events"
+_CLOSED = "closed"
+_SEED_BATCH = -1
+
+
+class Scd2HistoryJob:
+    """Maintain the SCD2 history of one keyed table over its change
+    stream. ``key_cols`` name the unique key inside the row images;
+    the optional snapshot seed lands as its own idempotent subtree at
+    batch id -1 (seed once, before or after starting the stream)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        history_root: str,
+        checkpoint_dir: str,
+        key_cols: list[str],
+        schema=None,
+        max_files_per_trigger: int = 1,
+        reader=None,
+    ):
+        self.spark = spark
+        self.source_dir = source_dir
+        self.history_root = history_root
+        self.checkpoint_dir = checkpoint_dir
+        self.key_cols = list(key_cols)
+        self.schema = schema
+        self.max_files_per_trigger = max_files_per_trigger
+        self.reader = reader
+        self.query = None
+
+    # -- batch core (exposed for tests/replay) ---------------------------
+
+    def _write_events(self, events: DataFrame, batch_id: int) -> None:
+        gen = _resolve(self.history_root)
+        (
+            events.coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(gen, _EVENTS, f"ingest_batch={batch_id}"))
+        )
+
+    def seed(self, base: DataFrame, base_seq: int = -1) -> None:
+        """Snapshot seed: every base row opens at ``base_seq``. Lands
+        as subtree -1, so re-seeding overwrites idempotently."""
+        self._write_events(
+            seed_events(base, self.key_cols, base_seq), _SEED_BATCH
+        )
+
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        gen = _resolve(self.history_root)
+        _check_stream_stamp(gen, self.checkpoint_dir)
+        if batch_id <= _compacted_through(gen):
+            return  # already folded by a compaction — skip
+        events = events_of_changes(dedupe_redelivered(batch), self.key_cols)
+        self._write_events(events, batch_id)
+
+    # -- reads ------------------------------------------------------------
+
+    def _read_events(self) -> DataFrame | None:
+        gen = _resolve(self.history_root)
+        root = os.path.join(gen, _EVENTS)
+        batches = _ingest_batches(root)
+        if not batches:
+            return None
+        return self.spark.read.option("basePath", root).parquet(
+            *[os.path.join(root, b) for b in batches]
+        ).drop("ingest_batch")
+
+    def _read_closed(self) -> DataFrame | None:
+        gen = _resolve(self.history_root)
+        root = os.path.join(gen, _CLOSED)
+        if not os.path.isdir(root) or not any(
+            f.endswith(".parquet") for f in os.listdir(root)
+        ):
+            return None
+        return self.spark.read.parquet(root)
+
+    def history(self) -> DataFrame | None:
+        """The full versioned history: closed versions (immutable
+        store) + versions derived from events since compaction."""
+        ev = self._read_events()
+        if ev is None:
+            return self._read_closed()
+        live = versions_of_events(ev, self.key_cols)
+        closed = self._read_closed()
+        if closed is None:
+            return live
+        return closed.unionByName(live)
+
+    def current(self) -> DataFrame | None:
+        h = self.history()
+        return None if h is None else h.filter("is_current")
+
+    # -- compaction --------------------------------------------------------
+
+    def compact(self, max_batches: int = 16, gc_previous: bool = True) -> int:
+        """Fold: closed versions append to the immutable ``closed/``
+        store of a NEW generation; each key's still-open EVENT is
+        retained as the folded events subtree (a later close must be
+        able to bound it). Atomic ``_CURRENT`` swap; run with the job
+        quiesced (the family contract). Returns subtrees folded."""
+        gen = _resolve(self.history_root)
+        batches = _ingest_batches(os.path.join(gen, _EVENTS))
+        if len(batches) <= max_batches:
+            return 0
+        hi = max(int(b.split("=", 1)[1]) for b in batches)
+        base = os.path.basename(gen)
+        n = int(base.split("-", 1)[1]) if base.startswith("gen-") else 0
+        new_gen_name = f"gen-{n + 1}"
+        new_gen = os.path.join(self.history_root, new_gen_name)
+
+        ev = self._read_events().localCheckpoint()  # versions + open fold
+        vers = versions_of_events(ev, self.key_cols)
+        newly_closed = vers.filter(~F.col("is_current"))
+        closed_parts = [c for c in (self._read_closed(),) if c is not None]
+        all_closed = newly_closed
+        for c in closed_parts:
+            all_closed = all_closed.unionByName(c)
+        all_closed.write.mode("overwrite").parquet(os.path.join(new_gen, _CLOSED))
+
+        open_events = ev.filter(F.col("kind") == "o").join(
+            vers.filter("is_current").select(
+                *self.key_cols, F.col("valid_from_seq").alias("seq")
+            ),
+            self.key_cols + ["seq"],
+            "inner",
+        ).select(*ev.columns)
+        (
+            open_events.coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(new_gen, _EVENTS, f"ingest_batch={hi}"))
+        )
+        with open(os.path.join(new_gen, _COMPACT_WM_FILE), "w") as f:
+            f.write(str(hi))
+        old_ck = os.path.join(gen, "_CHECKPOINT_ID")
+        if os.path.exists(old_ck):  # stream identity rides along
+            shutil.copy(old_ck, os.path.join(new_gen, "_CHECKPOINT_ID"))
+        _swap_current(self.history_root, new_gen_name)
+        if gc_previous:
+            if gen == self.history_root:
+                for sub in (_EVENTS, _CLOSED):
+                    shutil.rmtree(os.path.join(gen, sub), ignore_errors=True)
+            else:
+                shutil.rmtree(gen, ignore_errors=True)
+        return len(batches)
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self) -> "Scd2HistoryJob":
+        if self.reader is not None:
+            stream = self.reader(self.spark)
+        else:
+            stream = (
+                self.spark.readStream.schema(self.schema)
+                .option("maxFilesPerTrigger", self.max_files_per_trigger)
+                .parquet(self.source_dir)
+            )
+        self.query = (
+            stream.writeStream.foreachBatch(self.apply_batch)
+            .option(
+                "checkpointLocation",
+                os.path.join(self.checkpoint_dir, "scd2_history"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        return self
+
+    def process_available(self) -> None:
+        if self.query is not None:
+            self.query.awaitTermination()
+
+    def pause(self) -> None:
+        if self.query is not None:
+            self.query.stop()
+            self.query = None
+
+    def resume(self) -> "Scd2HistoryJob":
+        if self.query is None:
+            self.start()
+        return self
+
+    def position(self) -> dict:
+        gen = _resolve(self.history_root)
+        batches = [
+            int(b.split("=", 1)[1])
+            for b in _ingest_batches(os.path.join(gen, _EVENTS))
+        ]
+        return {
+            "generation": os.path.basename(gen),
+            "compacted_through": _compacted_through(gen),
+            "max_ingest_batch": max(batches, default=-1),
+        }
+
+    def stats(self) -> dict:
+        gen = _resolve(self.history_root)
+        return {
+            "type": "scd2_history",
+            "active": self.query is not None and self.query.isActive,
+            "generation": os.path.basename(gen),
+            "compacted_through": _compacted_through(gen),
+            "ingest_batches": len(_ingest_batches(os.path.join(gen, _EVENTS))),
+        }

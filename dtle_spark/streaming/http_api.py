@@ -172,6 +172,24 @@ class _Handler(BaseHTTPRequestHandler):
                         start=bool(d.get("start", True)), **kw,
                     )
                     return self._send(201, {"created": d["name"]})
+                if d.get("type") == "scd2_history":
+                    # eighth job type: SCD2 temporal-history maintenance
+                    required = ["name", "source_dir", "history_root",
+                                "checkpoint_dir", "key_cols",
+                                "row_schema_ddl"]
+                    missing = [k for k in required if not d.get(k)]
+                    if missing:
+                        return self._send(400, {
+                            "error": f"missing required fields: {missing}"})
+                    kw = {k: d[k] for k in ("max_files_per_trigger",)
+                          if k in d}
+                    self.manager.create_scd2_history(
+                        d["name"], d["source_dir"], d["history_root"],
+                        d["checkpoint_dir"], d["key_cols"],
+                        row_schema_ddl=d["row_schema_ddl"],
+                        start=bool(d.get("start", True)), **kw,
+                    )
+                    return self._send(201, {"created": d["name"]})
                 if d.get("type") in ("vector_maintain", "ann_serving"):
                     # vector jobs (4th/5th job types): the model is NOT
                     # in the request body — it loads from the index

@@ -414,6 +414,58 @@ class JobManager:
             aj.start()
         return aj
 
+    def create_scd2_history(
+        self,
+        name: str,
+        source_dir: str,
+        history_root: str,
+        checkpoint_dir: str,
+        key_cols: list,
+        row_schema_ddl: str | None = None,
+        start: bool = True,
+        **kw,
+    ):
+        """SCD2 history maintenance (streaming/history.py) as the
+        eighth managed job type — same plain-JSON spec discipline as
+        the rollup maintainer (key_cols list + row schema as DDL)."""
+        from pyspark.sql import types as T
+
+        from dtle_spark.model import change_schema
+        from dtle_spark.streaming.history import Scd2HistoryJob
+
+        if name in self._jobs:
+            raise ValueError(f"job {name!r} already exists")
+        if (
+            self.spec_root is not None
+            and row_schema_ddl is None
+            and "schema" in kw
+            and "reader" not in kw
+        ):
+            raise ValueError(
+                "persistent managers need row_schema_ddl (a DDL string), "
+                "not schema=: the spec must rebuild the stream schema on "
+                "recover()"
+            )
+        if row_schema_ddl is not None:
+            kw = {**kw, "schema": change_schema(T.StructType.fromDDL(row_schema_ddl))}
+        hj = Scd2HistoryJob(
+            self.spark, source_dir, history_root, checkpoint_dir,
+            list(key_cols), **kw,
+        )
+        self._persist_spec(name, {
+            "type": "scd2_history",
+            "source_dir": source_dir,
+            "history_root": history_root,
+            "checkpoint_dir": checkpoint_dir,
+            "key_cols": list(key_cols),
+            "row_schema_ddl": row_schema_ddl,
+            "kw": {k: v for k, v in kw.items() if k != "schema"},
+        })
+        self._jobs[name] = hj
+        if start:
+            hj.start()
+        return hj
+
     def _persist_spec(self, name: str, spec: dict) -> None:
         """Atomic spec write. Kwarg serializability is validated HERE,
         after the spec_root check — a manager without persistence must
@@ -467,6 +519,18 @@ class JobManager:
                     start=start, **spec.get("kw", {}),
                 )
                 out.append(aname)
+                continue
+            if spec.get("type") == "scd2_history":
+                hname = fname[: -len(".json")]
+                if hname in self._jobs:
+                    continue
+                self.create_scd2_history(
+                    hname, spec["source_dir"], spec["history_root"],
+                    spec["checkpoint_dir"], spec["key_cols"],
+                    row_schema_ddl=spec.get("row_schema_ddl"),
+                    start=start, **spec.get("kw", {}),
+                )
+                out.append(hname)
                 continue
             if spec.get("type") in ("vector_maintain", "ann_serving"):
                 vname = fname[: -len(".json")]

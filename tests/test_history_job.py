@@ -1,0 +1,203 @@
+"""Streaming SCD2 history maintenance (streaming/history.py): events
+per batch, versions on read, closed-fold compaction. The invariant
+everywhere: the online history equals scd2_history over all changes
+seen (the batch operator the registry gates)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dtle_spark.model import change_schema
+from dtle_spark.operators.scd2 import scd2_history
+from dtle_spark.streaming.history import Scd2HistoryJob
+
+ROW = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("grp", T.StringType()),
+        T.StructField("amount", T.LongType()),
+    ]
+)
+SID = "33333333-3333-3333-3333-333333333333"
+
+
+def _chg(spark, rows):
+    return spark.createDataFrame(rows, change_schema(ROW))
+
+
+def _c(op, before, after, seq):
+    return (SID, seq, seq, 0, op, None, "db1", "t", before, after, None)
+
+
+BASE = [(1, "a", 10), (2, "a", 20), (3, "b", 30)]
+
+STREAM_A = [
+    _c("i", None, (4, "b", 40), 1),
+    _c("u", (2, "a", 20), (2, "b", 25), 2),
+]
+STREAM_B = [
+    _c("d", (3, "b", 30), None, 3),
+    _c("u", (4, "b", 40), (5, "b", 40), 4),   # PK move
+    _c("i", None, (3, "b", 33), 5),           # re-insert after delete
+]
+
+
+def _hist_dict(df):
+    return {
+        (r["id"], r["valid_from_seq"]): (
+            r["valid_to_seq"], r["is_current"],
+            r["row"]["amount"] if r["row"] else None,
+        )
+        for r in df.collect()
+    }
+
+
+def _want(spark):
+    base = spark.createDataFrame(BASE, ROW)
+    return _hist_dict(
+        scd2_history(_chg(spark, STREAM_A + STREAM_B), ["id"], base=base)
+    )
+
+
+def _job(spark, tmp_path, **kw):
+    return Scd2HistoryJob(
+        spark,
+        str(tmp_path / "src" / "*"),
+        str(tmp_path / "hist"),
+        str(tmp_path / "ck"),
+        ["id"],
+        schema=change_schema(ROW),
+        **kw,
+    )
+
+
+class TestScd2HistoryJob:
+    def test_e2e_matches_batch_operator_and_replay(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        _chg(spark, STREAM_A).coalesce(1).write.parquet(os.path.join(src, "b0"))
+        _chg(spark, STREAM_B).coalesce(1).write.parquet(os.path.join(src, "b1"))
+
+        job = _job(spark, tmp_path)
+        job.seed(spark.createDataFrame(BASE, ROW))
+        job.start()
+        job.process_available()
+        assert job.stats()["ingest_batches"] == 3  # seed + 2
+
+        want = _want(spark)
+        assert _hist_dict(job.history()) == want
+        cur = {r["id"] for r in job.current().collect()}
+        assert cur == {1, 2, 3, 5}
+
+        # replayed batch overwrites its own subtree: history unchanged
+        job.apply_batch(_chg(spark, STREAM_B), 1)
+        assert _hist_dict(job.history()) == want
+
+    def test_compaction_folds_closed_and_still_closes_open(self, spark, tmp_path):
+        os.makedirs(str(tmp_path / "src"))
+        job = _job(spark, tmp_path)
+        job.seed(spark.createDataFrame(BASE, ROW))
+        job.apply_batch(_chg(spark, STREAM_A), 0)
+        job.apply_batch(_chg(spark, STREAM_B), 1)
+        before = _hist_dict(job.history())
+        assert job.compact(max_batches=1) == 3
+        assert job.stats()["generation"] == "gen-1"
+        assert _hist_dict(job.history()) == before
+
+        # a post-compaction close must bound a version opened BEFORE
+        # compaction (the retained open event)
+        job.apply_batch(_chg(spark, [_c("d", (5, "b", 40), None, 9)]), 9)
+        after = _hist_dict(job.history())
+        assert after[(5, 4)] == (9, False, 40)
+        # replayed pre-compaction batch is a no-op under the watermark
+        job.apply_batch(_chg(spark, STREAM_A), 0)
+        assert _hist_dict(job.history()) == after
+
+    def test_fresh_checkpoint_against_old_root_fails(self, spark, tmp_path):
+        os.makedirs(str(tmp_path / "src"))
+        job = _job(spark, tmp_path)
+        job.apply_batch(_chg(spark, STREAM_A), 0)
+        other = Scd2HistoryJob(
+            spark, str(tmp_path / "src" / "*"), str(tmp_path / "hist"),
+            str(tmp_path / "ck2"), ["id"], schema=change_schema(ROW),
+        )
+        with pytest.raises(Exception, match="checkpoint"):
+            other.apply_batch(_chg(spark, STREAM_B), 1)
+
+
+def test_manager_scd2_job_lifecycle_recover_and_http(spark, tmp_path):
+    """The eighth managed job type through the whole control plane:
+    create/list/position/pause/resume, fresh-manager recover() from
+    the plain-JSON spec, HTTP create + missing-field 400."""
+    import json
+    import urllib.request
+
+    from dtle_spark.catalog import SchemaCatalog
+    from dtle_spark.streaming.http_api import ControlServer
+    from dtle_spark.streaming.jobs import JobManager
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _chg(spark, STREAM_A).coalesce(1).write.parquet(os.path.join(src, "b0"))
+
+    spec_root = str(tmp_path / "specs")
+    mgr = JobManager(spark, spec_root=spec_root)
+    hj = mgr.create_scd2_history(
+        "orders-history", os.path.join(src, "*"), str(tmp_path / "hist"),
+        str(tmp_path / "ck"), ["id"],
+        row_schema_ddl="id long, grp string, amount long",
+    )
+    hj.seed(spark.createDataFrame(BASE, ROW))
+    hj.process_available()
+    st = mgr.list()["orders-history"]
+    assert st["type"] == "scd2_history" and st["ingest_batches"] == 2
+    mgr.pause("orders-history")
+
+    _chg(spark, STREAM_B).coalesce(1).write.parquet(os.path.join(src, "b1"))
+    mgr2 = JobManager(spark, spec_root=spec_root)
+    assert mgr2.recover(start=False) == ["orders-history"]
+    mgr2.resume("orders-history")
+    hj2 = mgr2.get("orders-history")
+    hj2.process_available()
+    assert _hist_dict(hj2.history()) == _want(spark)
+
+    # HTTP create (eighth type) + missing-field 400
+    manager = JobManager(spark)
+    server = ControlServer(manager, SchemaCatalog()).start()
+    url = f"http://127.0.0.1:{server.port}"
+
+    def _http(method, path, body=None):
+        req = urllib.request.Request(
+            url + path, method=method,
+            data=json.dumps(body).encode() if body is not None else None,
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req) as r:
+                return r.status, json.loads(r.read() or b"{}")
+        except urllib.error.HTTPError as ex:
+            return ex.code, json.loads(ex.read() or b"{}")
+
+    try:
+        body = {
+            "name": "h1", "type": "scd2_history",
+            "source_dir": os.path.join(src, "*"),
+            "history_root": str(tmp_path / "hhist"),
+            "checkpoint_dir": str(tmp_path / "hck"),
+            "key_cols": ["id"],
+        }
+        code, err = _http("POST", "/v2/jobs", body)
+        assert code == 400 and "row_schema_ddl" in err["error"]
+        body["row_schema_ddl"] = "id long, grp string, amount long"
+        code, _ = _http("POST", "/v2/jobs", body)
+        assert code == 201
+        manager.get("h1").process_available()
+        assert manager.get("h1").stats()["ingest_batches"] == 2
+        code, got = _http("GET", "/v2/job/h1")
+        assert code == 200 and got["type"] == "scd2_history"
+    finally:
+        server.stop()
