@@ -496,6 +496,64 @@ def scd2_orders_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dq_orders_report",
+    """
+    WITH r AS (
+      SELECT
+        CAST(COUNT(*) FILTER (WHERE o_orderstatus IS NULL
+              OR o_orderstatus NOT IN ('O','F','P')) AS BIGINT) AS v_accept,
+        CAST(COUNT(*) FILTER (WHERE o_orderpriority IS NULL
+              OR NOT (length(o_orderpriority) >= 3)) AS BIGINT) AS v_expr,
+        CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS v_notnull,
+        CAST(COUNT(*) FILTER (WHERE o_totalprice IS NULL
+              OR o_totalprice < 0 OR o_totalprice > 400000) AS BIGINT) AS v_range,
+        CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v_unique,
+        COUNT(*) AS n
+      FROM orders
+    ),
+    ref AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS v,
+             (SELECT COUNT(*) FROM orders) AS n
+      FROM orders o WHERE o_custkey IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    )
+    SELECT * FROM (
+      SELECT 'accepted_values:o_orderstatus' AS check_name,
+             v_accept AS violations, n AS n_rows FROM r
+      UNION ALL SELECT 'expression:priority_format', v_expr, n FROM r
+      UNION ALL SELECT 'not_null:o_custkey', v_notnull, n FROM r
+      UNION ALL SELECT 'range:o_totalprice', v_range, n FROM r
+      UNION ALL SELECT 'referential:o_custkey->c_custkey', v, n FROM ref
+      UNION ALL SELECT 'unique:o_orderkey', v_unique, n FROM r
+    ) ORDER BY check_name
+    """,
+)
+def dq_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint suite (functions/dq.py): five row-level
+    checks compiled into ONE aggregation pass over orders (conditional
+    counts — N checks, one scan) plus the referential anti-join
+    against customer, all as integral violation counts. The range
+    check is calibrated to actually fire (orders above $400k exist),
+    so the gate covers nonzero violations, not just all-green."""
+    from dtle_spark.functions.dq import dq_referential, dq_report
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    checks = [
+        {"check": "not_null", "col": "o_custkey"},
+        {"check": "unique", "cols": ["o_orderkey"]},
+        {"check": "accepted_values", "col": "o_orderstatus",
+         "values": ["O", "F", "P"]},
+        {"check": "range", "col": "o_totalprice", "lo": 0, "hi": 400000},
+        {"check": "expression", "name": "priority_format",
+         "sql": "length(o_orderpriority) >= 3"},
+    ]
+    rep = dq_report(o, checks)
+    ref = dq_referential(o, c, "o_custkey", "c_custkey")
+    return rep.unionByName(ref).orderBy("check_name")
+
+
 @query("update_pair_filter", cdc_demo.CUSTOMER_FILTER_ORACLE)
 def update_pair_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3 update-pair Where semantics (binlog_reader.go:1927-1983):

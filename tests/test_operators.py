@@ -723,3 +723,57 @@ class TestScd2History:
             (7, -1): (1, False, 70.0),
             (7, 1): (None, True, 75.0),
         }
+
+
+# ---------------------------------------------------------------------------
+# Data-quality checks (functions/dq.py)
+# ---------------------------------------------------------------------------
+
+
+class TestDqChecks:
+    def test_all_kinds_count_violations(self, spark):
+        from dtle_spark.functions.dq import dq_report
+
+        df = spark.createDataFrame(
+            [(1, "x", 10.0), (1, "y", -5.0), (2, None, 500.0), (3, "zz", None)],
+            "id long, name string, val double",
+        )
+        rep = dq_report(df, [
+            {"check": "not_null", "col": "name"},
+            {"check": "unique", "cols": ["id"]},
+            {"check": "accepted_values", "col": "name", "values": ["x", "y"]},
+            {"check": "range", "col": "val", "lo": 0, "hi": 100},
+            {"check": "expression", "name": "short_name",
+             "sql": "length(name) <= 1"},
+        ])
+        got = {r["check_name"]: r["violations"] for r in rep.collect()}
+        assert got == {
+            "not_null:name": 1,
+            "unique:id": 1,                    # id 1 twice
+            "accepted_values:name": 2,         # None + 'zz'
+            "range:val": 3,                    # -5, 500, NULL
+            "expression:short_name": 2,        # 'zz' + NULL name
+        }
+        assert all(r["n_rows"] == 4 for r in rep.collect())
+
+    def test_referential_orphans(self, spark):
+        from dtle_spark.functions.dq import dq_referential
+
+        child = spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 99), (4, None)], "id long, fk long"
+        )
+        parent = spark.createDataFrame([(10,), (20,)], "pk long")
+        row = dq_referential(child, parent, "fk", "pk").collect()[0]
+        # NULL fk is not an orphan (not_null is its own check)
+        assert (row["check_name"], row["violations"], row["n_rows"]) == (
+            "referential:fk->pk", 1, 4
+        )
+
+    def test_unknown_kind_and_empty_suite_raise(self, spark):
+        from dtle_spark.functions.dq import dq_report
+
+        df = spark.createDataFrame([(1,)], "id long")
+        with pytest.raises(ValueError, match="unknown check"):
+            dq_report(df, [{"check": "nope"}])
+        with pytest.raises(ValueError, match="at least one"):
+            dq_report(df, [])
