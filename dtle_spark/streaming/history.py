@@ -100,7 +100,17 @@ class Scd2HistoryJob:
 
     def seed(self, base: DataFrame, base_seq: int = -1) -> None:
         """Snapshot seed: every base row opens at ``base_seq``. Lands
-        as subtree -1, so re-seeding overwrites idempotently."""
+        as subtree -1, so re-seeding overwrites idempotently — but
+        only BEFORE the first compaction: afterwards the seed's opens
+        are already folded (closed versions + retained open events),
+        and a fresh subtree -1 would double-open every seeded key."""
+        gen = _resolve(self.history_root)
+        if os.path.exists(os.path.join(gen, _COMPACT_WM_FILE)):
+            raise ValueError(
+                "cannot seed after compaction: the seed batch is "
+                "already folded into the closed store / retained open "
+                "events — start a fresh history_root to re-seed"
+            )
         self._write_events(
             seed_events(base, self.key_cols, base_seq), _SEED_BATCH
         )

@@ -201,3 +201,16 @@ def test_manager_scd2_job_lifecycle_recover_and_http(spark, tmp_path):
         assert code == 200 and got["type"] == "scd2_history"
     finally:
         server.stop()
+
+
+def test_seed_after_compaction_fails_loud(spark, tmp_path):
+    """A post-compaction re-seed would double-open every seeded key
+    (its opens are already folded) — refused at the call."""
+    os.makedirs(str(tmp_path / "src"))
+    job = _job(spark, tmp_path)
+    job.seed(spark.createDataFrame(BASE, ROW))
+    job.apply_batch(_chg(spark, STREAM_A), 0)
+    job.apply_batch(_chg(spark, STREAM_B), 1)
+    assert job.compact(max_batches=1) == 3
+    with pytest.raises(ValueError, match="seed after compaction"):
+        job.seed(spark.createDataFrame(BASE, ROW))
