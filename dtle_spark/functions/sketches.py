@@ -380,3 +380,59 @@ def loghist_quantiles_sql(
           FROM sk)
     {picks}
     """
+
+
+def loghist_sketch_grouped(
+    df: DataFrame, group_sql: str, col_sql: str, subdiv: int = 16
+) -> DataFrame:
+    """Per-group quantile-sketch states (grp, e, sub, cnt): the
+    log-histogram keyed by a group expression — at most 63*subdiv
+    cells PER GROUP, additive within each group (merge = groupBy
+    (grp, e, sub) sum), so per-day/per-source sketches fold into
+    horizon sketches exactly like the global lane. Same libm-free
+    bucket arithmetic; non-positive values excluded."""
+    e, sub = _loghist_bucket_sql(col_sql, subdiv, "spark")
+    return (
+        df.filter(F.expr(f"{col_sql} > 0"))
+        .selectExpr(f"{group_sql} AS grp", f"{e} AS e", f"{sub} AS sub")
+        .groupBy("grp", "e", "sub")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def loghist_quantiles_grouped(
+    sketch: DataFrame, qs: list[tuple[int, int]], subdiv: int = 16
+) -> DataFrame:
+    """Per-group quantile estimates (grp, q, est) from grouped sketch
+    states: per group, the first (e, sub) bucket whose cumulative
+    count crosses the integer rank threshold (cum*denom >= num*n),
+    value = bucket midpoint. Windows run over the SKETCH cells
+    partitioned by group — bounded per group by construction, so the
+    sort is control-plane sized at any data scale."""
+    from pyspark.sql import Window
+
+    wcum = (
+        Window.partitionBy("grp")
+        .orderBy("e", "sub")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = (
+        sketch.withColumn("cum", F.sum("cnt").over(wcum))
+        .withColumn("n", F.sum("cnt").over(Window.partitionBy("grp")))
+        .localCheckpoint()  # consumed once per requested quantile
+    )
+    mid = _loghist_mid_sql(subdiv, "spark")
+    wpick = Window.partitionBy("grp").orderBy("e", "sub")
+    outs = []
+    for num, denom in qs:
+        sel = (
+            c.filter(F.expr(f"cum * {denom} >= {num} * n"))
+            .withColumn("__rn", F.row_number().over(wpick))
+            .filter(F.col("__rn") == 1)
+            .selectExpr("grp", f"'{num}/{denom}' AS q", f"{mid} AS est")
+        )
+        outs.append(sel)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

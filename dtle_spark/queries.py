@@ -5415,6 +5415,51 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LOGHIST_QS = [(1, 2), (9, 10), (99, 100)]
 
 
+def _grouped_loghist_oracle() -> str:
+    e, sub = sk._loghist_bucket_sql("x", 16, "duckdb")
+    mid = sk._loghist_mid_sql(16, "duckdb")
+    picks = " UNION ALL ".join(
+        f"""SELECT grp, '{num}/{denom}' AS q, {mid} AS est FROM (
+          SELECT grp, e, sub,
+                 row_number() OVER (PARTITION BY grp ORDER BY e, sub) AS rn
+          FROM c WHERE cum * {denom} >= {num} * n) WHERE rn = 1"""
+        for num, denom in [(1, 2), (9, 10)]
+    )
+    return f"""
+    WITH v AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS x
+      FROM orders WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0
+    ),
+    b AS (SELECT grp, {e} AS e, {sub} AS sub FROM v),
+    sk AS (SELECT grp, e, sub, COUNT(*) AS cnt FROM b GROUP BY 1, 2, 3),
+    c AS (
+      SELECT grp, e, sub, cnt,
+             SUM(cnt) OVER (PARTITION BY grp ORDER BY e, sub
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER (PARTITION BY grp) AS n
+      FROM c0
+    )
+    {picks}
+    """.replace("FROM c0", "FROM sk")
+
+
+@query("quantile_sketch_by_priority", _grouped_loghist_oracle())
+def quantile_sketch_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP quantile sketch (functions/sketches.py
+    loghist_sketch_grouped): p50/p90 order value per priority from
+    one keyed log-histogram fold — <= 63*16 additive cells per group,
+    partial-aggregable map-side, quantile extraction over the sketch
+    cells partitioned by group (never the data). The grouped form is
+    what a per-source/per-day latency or size dashboard runs at
+    100 TB: one pass, bounded state per key, horizon merges by cell
+    addition."""
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select("o_orderpriority", _cents(F.col("o_totalprice")).alias("cents"))
+    sketch = sk.loghist_sketch_grouped(v, "o_orderpriority", "cents")
+    return sk.loghist_quantiles_grouped(sketch, [(1, 2), (9, 10)])
+
+
 @query(
     "quantile_sketch_prices",
     f"""

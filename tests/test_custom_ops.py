@@ -633,6 +633,44 @@ class TestLogHistSketch:
         assert len(sk) <= 63 * 16
         assert sum(r["cnt"] for r in sk) == 99999  # x <= 0 excluded
 
+    def test_grouped_sketch_merge_and_error_bound(self, spark):
+        """The grouped lane: per-group merge == whole-data grouped
+        sketch (cell addition within each group), and each group's
+        p50 estimate stays inside the 1/(2*subdiv) relative bound of
+        its own exact median."""
+        from dtle_spark.functions.sketches import (
+            loghist_quantiles_grouped,
+            loghist_sketch_grouped,
+        )
+
+        whole = spark.range(1, 10001).selectExpr(
+            "CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END AS g",
+            "id * id AS x",
+        )
+        a, b = whole.filter("x < 2000 * 2000"), whole.filter("x >= 2000 * 2000")
+        merged = {
+            (r["grp"], r["e"], r["sub"]): r["cnt"]
+            for r in loghist_sketch_grouped(a, "g", "x")
+            .unionByName(loghist_sketch_grouped(b, "g", "x"))
+            .groupBy("grp", "e", "sub").agg(F.sum("cnt").alias("cnt"))
+            .collect()
+        }
+        direct = {
+            (r["grp"], r["e"], r["sub"]): r["cnt"]
+            for r in loghist_sketch_grouped(whole, "g", "x").collect()
+        }
+        assert merged == direct
+
+        est = {
+            (r["grp"], r["q"]): r["est"]
+            for r in loghist_quantiles_grouped(
+                loghist_sketch_grouped(whole, "g", "x"), [(1, 2)]
+            ).collect()
+        }
+        truth = {"even": 5000 ** 2, "odd": 5001 ** 2}
+        for g, t in truth.items():
+            assert abs(est[(g, "1/2")] - t) / t < 1 / 16, (g, est[(g, "1/2")], t)
+
 
 class TestIncrementalDedup:
     def test_tiers_and_incoming_pairs_kept(self, spark):
