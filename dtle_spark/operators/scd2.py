@@ -121,3 +121,21 @@ def scd2_history(
     if base is not None:
         events = seed_events(base, key_cols, base_seq).unionByName(events)
     return versions_of_events(events, key_cols)
+
+
+def as_of_seq(history: DataFrame, seq: int) -> DataFrame:
+    """Time-travel read: the table state as of (inclusive) ``seq``,
+    reconstructed from the history — the version open at that point
+    per key, flattened back to row shape.
+
+    A version covers seq s when ``valid_from_seq <= s`` and
+    (``valid_to_seq`` is null or ``s < valid_to_seq``) — intervals are
+    half-open [from, to), so the event AT s is visible and a delete
+    at s removes the row. Map-only over the history (one filter, no
+    window): the history's disjoint-interval invariant (at most one
+    open version per key at any seq) is what makes the read a filter
+    instead of a per-key argmax."""
+    cover = (F.col("valid_from_seq") <= F.lit(seq)) & (
+        F.col("valid_to_seq").isNull() | (F.lit(seq) < F.col("valid_to_seq"))
+    )
+    return history.filter(cover).select("row.*")

@@ -554,6 +554,62 @@ def dq_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rep.unionByName(ref).orderBy("check_name")
 
 
+_AS_OF_SEQ = 600_000
+
+
+@query(
+    "orders_as_of_seq",
+    f"""
+    WITH ev AS (
+      SELECT o_orderkey AS k, CAST(-1 AS BIGINT) AS seq, 'o' AS kind, o_totalprice
+      FROM orders WHERE o_orderkey % 5 <> 0
+      UNION ALL
+      SELECT o_orderkey, o_orderkey*10+1, 'o', o_totalprice
+      FROM orders WHERE o_orderkey % 5 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderkey*10+2, 'o', o_totalprice * 2
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_orderkey*10+4, 'o', o_totalprice
+      FROM orders WHERE o_orderkey % 17 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderkey*10+3, 'c', NULL
+      FROM orders WHERE o_orderkey % 11 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderkey*10+4, 'c', NULL
+      FROM orders WHERE o_orderkey % 17 = 0
+    ),
+    last AS (
+      SELECT * FROM (
+        SELECT k, seq, kind, o_totalprice,
+               row_number() OVER (PARTITION BY k ORDER BY seq DESC, kind DESC) AS rn
+        FROM ev WHERE seq <= {_AS_OF_SEQ}
+      ) WHERE rn = 1
+    )
+    SELECT k AS o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM last WHERE kind = 'o'
+    """,
+)
+def orders_as_of_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel read (operators/scd2.py as_of_seq): the orders
+    state at a mid-stream seq, reconstructed from the SCD2 history by
+    one interval filter — no window, no replay; the history's
+    disjoint-interval invariant makes the temporal read map-only. The
+    oracle reconstructs the same point independently (last event per
+    key at-or-before the cutoff), so the gate pins history derivation
+    AND the half-open [from, to) read semantics together."""
+    from dtle_spark.operators.apply import dedupe_redelivered
+    from dtle_spark.operators.scd2 import as_of_seq, scd2_history
+
+    base = cdc_demo.orders_base(spark, sf_dir)
+    changes = dedupe_redelivered(cdc_demo.orders_changes(spark, sf_dir))
+    h = scd2_history(changes, ["o_orderkey"], base=base)
+    return as_of_seq(h, _AS_OF_SEQ).select(
+        "o_orderkey", _cents(F.col("o_totalprice")).alias("price_cents")
+    )
+
+
 @query("update_pair_filter", cdc_demo.CUSTOMER_FILTER_ORACLE)
 def update_pair_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3 update-pair Where semantics (binlog_reader.go:1927-1983):

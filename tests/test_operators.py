@@ -777,3 +777,28 @@ class TestDqChecks:
             dq_report(df, [{"check": "nope"}])
         with pytest.raises(ValueError, match="at least one"):
             dq_report(df, [])
+
+    def test_as_of_seq_reconstructs_past_states(self, spark):
+        """as_of(history, s) == apply(base, changes with seq <= s) for
+        every prefix — the temporal-read contract, checked at each
+        event boundary of a stream with updates, deletes, re-inserts,
+        and a PK move."""
+        from dtle_spark.operators.apply import apply_changes
+        from dtle_spark.operators.scd2 import as_of_seq, scd2_history
+
+        base = spark.createDataFrame([(1, "a", 10.0), (2, "b", 20.0)], ROW)
+        sid = "s"
+        rows = [
+            (sid, 1, 1, 0, "u", None, "d", "t", (1, "a", 10.0), (1, "a", 15.0), None),
+            (sid, 2, 2, 0, "d", None, "d", "t", (2, "b", 20.0), None, None),
+            (sid, 3, 3, 0, "i", None, "d", "t", None, (2, "b", 22.0), None),
+            (sid, 4, 4, 0, "u", None, "d", "t", (1, "a", 15.0), (9, "a", 15.0), None),
+        ]
+        chg = spark.createDataFrame(rows, change_schema(ROW))
+        hist = scd2_history(chg, ["id"], base=base).localCheckpoint()
+        for s in [-1, 0, 1, 2, 3, 4, 99]:
+            got = sorted(map(tuple, as_of_seq(hist, s).collect()))
+            want = sorted(map(tuple, apply_changes(
+                base, chg.filter(F.col("seq") <= s), ["id"]
+            ).collect()))
+            assert got == want, f"seq {s}"
