@@ -25,8 +25,8 @@ chunked: aggregate a per-key-range digest (xxhash64 of the row struct
 summed per range) on each side, compare digests, and diff only the
 ranges that disagree — the pt-table-checksum strategy; the range
 digest is a partial-aggregable map-side fold, so unchanged data never
-shuffles. This module provides the exact differ; the digest pre-pass
-composes from existing pieces (groupBy range -> sum of hashes).
+shuffles. Both halves live here: :func:`snapshot_diff` is the exact
+differ, :func:`range_digests` the triage pre-pass.
 """
 
 from __future__ import annotations

@@ -18,10 +18,10 @@ Spark shape: one unioned event stream, one per-key window (lead over
 seq) — a single shuffle on the key, the same layout every apply-
 family operator uses. No state reads: history is derived purely from
 the ordered events, so it scales as a window over the batch (plus the
-optional snapshot seed). At 100 TB the history table appends
-monotonically; derive per-batch and append, closing each batch's
-still-open versions on the next batch by merging on (key,
-valid_to_seq IS NULL) — the same keyed merge apply.py performs.
+optional snapshot seed). The streaming form (streaming/history.py
+Scd2HistoryJob) stores EVENTS per batch and derives versions on read
+— closed versions are immutable, so its compaction folds them
+append-only; no version row is ever updated in place.
 """
 
 from __future__ import annotations
