@@ -357,3 +357,32 @@ def test_sketch_queries_partial_aggregate(spark):
     for q in ("heavy_hitters_cms", "quantile_sketch_prices"):
         plan = plan_of(q, spark)
         assert "partial_count" in plan or "partial_sum" in plan, q
+
+
+def test_grouped_sketch_partial_aggregates(spark):
+    """The per-group log-histogram reduces to bounded cells map-side
+    (the registry query's final plan starts from the extraction
+    checkpoint, so pin the sketch stage itself)."""
+    from dtle_spark.functions.sketches import loghist_sketch_grouped
+    from dtle_spark.queries import _cents
+    from dtle_spark.tableio import load_table
+    from pyspark.sql import functions as F
+
+    v = load_table(spark, SF_DIR, "orders").select(
+        "o_orderpriority", _cents(F.col("o_totalprice")).alias("cents")
+    )
+    plan = (
+        loghist_sketch_grouped(v, "o_orderpriority", "cents")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_count" in plan
+
+
+def test_as_of_read_has_no_extra_key_shuffle(spark):
+    """The history derivation owns the one per-key window sort; the
+    as-of read adds only a filter on the version intervals — exactly
+    one window operator in the whole plan."""
+    plan = plan_of("orders_as_of_seq", spark)
+    assert plan.count("RunningWindowFunction") + plan.count("Window") >= 1
+    # the interval read must not introduce a join or second window
+    assert "SortMergeJoin" not in plan.split("Window")[0]
