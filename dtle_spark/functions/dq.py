@@ -42,11 +42,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _zsum(col: F.Column) -> F.Column:
+    """SUM that reports 0 (not NULL) over zero rows — an empty or
+    fully-filtered table has zero violations, and callers comparing
+    ``violations == 0`` must not get NULL (a threshold policy would
+    silently mis-evaluate)."""
+    return F.coalesce(F.sum(col), F.lit(0))
+
+
 def _violation_expr(spec: dict) -> tuple[str, F.Column]:
     kind = spec["check"]
     if kind == "not_null":
         c = spec["col"]
-        return f"not_null:{c}", F.sum(
+        return f"not_null:{c}", _zsum(
             F.when(F.col(c).isNull(), 1).otherwise(0)
         )
     if kind == "unique":
@@ -59,7 +67,7 @@ def _violation_expr(spec: dict) -> tuple[str, F.Column]:
     if kind == "accepted_values":
         c, vals = spec["col"], list(spec["values"])
         ok = F.col(c).isin(*vals)
-        return f"accepted_values:{c}", F.sum(
+        return f"accepted_values:{c}", _zsum(
             F.when(ok, 0).otherwise(1)
         )
     if kind == "range":
@@ -69,11 +77,11 @@ def _violation_expr(spec: dict) -> tuple[str, F.Column]:
             ok = ok & (F.col(c) >= F.lit(lo))
         if hi is not None:
             ok = ok & (F.col(c) <= F.lit(hi))
-        return f"range:{c}", F.sum(F.when(ok, 0).otherwise(1))
+        return f"range:{c}", _zsum(F.when(ok, 0).otherwise(1))
     if kind == "expression":
         name, sql = spec["name"], spec["sql"]
         ok = F.expr(sql)
-        return f"expression:{name}", F.sum(F.when(ok, 0).otherwise(1))
+        return f"expression:{name}", _zsum(F.when(ok, 0).otherwise(1))
     raise ValueError(f"unknown check kind {kind!r}")
 
 

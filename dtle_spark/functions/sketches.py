@@ -42,10 +42,17 @@ def kmv_distinct(
     driver, never a global sort. At 100 TB the wire cost is the
     distinct-hash shuffle; for repeated profiling keep the k-minima per
     partition file and merge sketches instead (same estimator).
+
+    NULL values draw no hash (md5(NULL) = NULL) and are filtered
+    BEFORE the k-minima fold — otherwise Spark's ascending orderBy
+    (NULLS FIRST) would burn a minima slot on the NULL while DuckDB
+    (NULLS LAST) would not, skewing the estimate and diverging the
+    engines. KMV estimates DISTINCT NON-NULL, like COUNT(DISTINCT).
     """
     h = F.expr(hash40_expr(col_sql, "spark"))
     kth = (
         df.select(h.alias("hv"))
+        .filter(F.col("hv").isNotNull())
         .distinct()
         .orderBy("hv")
         .limit(k)
@@ -67,10 +74,12 @@ def kmv_minima(df: DataFrame, col_sql: str, k: int = 256) -> DataFrame:
     """The sketch STATE: the k smallest distinct hashes as one-row
     (hvs array<bigint>). Persist per partition/day/table and merge —
     the mergeability is what makes KMV a fleet-wide profiling tool
-    (sketch once per ingest batch, union later, never re-scan)."""
+    (sketch once per ingest batch, union later, never re-scan).
+    NULLs draw no hash and are excluded, as in kmv_distinct."""
     h = F.expr(hash40_expr(col_sql, "spark"))
     return (
         df.select(h.alias("hv"))
+        .filter(F.col("hv").isNotNull())
         .distinct()
         .orderBy("hv")
         .limit(k)
@@ -106,10 +115,11 @@ def kmv_distinct_sql(
     k: int = 256,
 ) -> str:
     """DuckDB mirror of kmv_distinct (identical hash, fold, and
-    estimate arithmetic)."""
+    estimate arithmetic; same NULL-draw exclusion)."""
     h = hash40_expr(col_sql, "duckdb")
     return f"""
-    WITH h AS (SELECT DISTINCT {h} AS hv FROM {table}),
+    WITH h AS (SELECT DISTINCT hv FROM
+               (SELECT {h} AS hv FROM {table}) WHERE hv IS NOT NULL),
     kk AS (SELECT MAX(hv) AS kth_min, COUNT(*) AS got_k
            FROM (SELECT hv FROM h ORDER BY hv LIMIT {k}))
     SELECT {k} AS k, got_k, kth_min,
@@ -260,7 +270,17 @@ def _loghist_bucket_sql(col_sql: str, subdiv: int, dialect: str) -> tuple[str, s
     via the binary-string length (exact in both engines — no libm),
     sub = floor((x/2^e - 1) * subdiv). x/2^e is an exact power-of-two
     division, (m-1) is exact by Sterbenz, *subdiv (power of two) is an
-    exponent shift — every step bit-identical across engines."""
+    exponent shift — every step bit-identical across engines.
+
+    Domain note: the arithmetic is EXACT for x <= 2^53 (cents, token
+    counts, micros all fit). Above that, CAST(x AS DOUBLE) rounds, and
+    a mantissa that rounds UP to the next power of two would compute
+    x/2^e = 2.0 and land sub at ``subdiv`` — outside the documented
+    [0, subdiv) range, shifting the midpoint into the next octave. The
+    least() clamp below pins sub to subdiv-1 in that case: buckets
+    stay in range for the full bigint domain (both engines round the
+    same IEEE way, so cross-engine agreement held even unclamped, but
+    the 1/(2*subdiv) relative-error bound only holds for x <= 2^53)."""
     if dialect == "spark":
         e = f"(length(bin({col_sql})) - 1)"
         pw = f"CAST(shiftleft(CAST(1 AS BIGINT), {e}) AS DOUBLE)"
@@ -268,8 +288,8 @@ def _loghist_bucket_sql(col_sql: str, subdiv: int, dialect: str) -> tuple[str, s
         e = f"(length(to_base({col_sql}, 2)) - 1)"
         pw = f"CAST((CAST(1 AS BIGINT) << {e}) AS DOUBLE)"
     sub = (
-        f"CAST(floor((CAST({col_sql} AS DOUBLE) / {pw} - 1.0) * {subdiv})"
-        f" AS BIGINT)"
+        f"least(CAST(floor((CAST({col_sql} AS DOUBLE) / {pw} - 1.0) * {subdiv})"
+        f" AS BIGINT), CAST({subdiv - 1} AS BIGINT))"
     )
     return e, sub
 

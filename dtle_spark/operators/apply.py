@@ -68,14 +68,24 @@ def latest_image_per_key(changes: DataFrame, key_cols: list[str]) -> DataFrame:
         .select(*key_expr("before"), F.lit("delete").alias("__action"),
                 F.lit(None).alias("row"), F.col("seq"))
     )
-    # update whose before-key != after-key also deletes the old key
+    # update whose before-key != after-key also deletes the old key.
+    # after.isNotNull() keeps the malformed-row convention uniform
+    # across the family (rollup/scd2/apply all DROP an update missing
+    # either image whole): without it, a null-after update makes
+    # key_changed trivially true and this leg would delete the before
+    # key while no other operator sees the row at all.
     key_changed = F.lit(False)
     for k in key_cols:
         key_changed = key_changed | ~(
             F.col(f"before.{k}").eqNullSafe(F.col(f"after.{k}"))
         )
     update_deletes = (
-        changes.filter((F.col("op") == OP_UPDATE) & F.col("before").isNotNull() & key_changed)
+        changes.filter(
+            (F.col("op") == OP_UPDATE)
+            & F.col("before").isNotNull()
+            & F.col("after").isNotNull()
+            & key_changed
+        )
         .select(*key_expr("before"), F.lit("delete").alias("__action"),
                 F.lit(None).alias("row"), F.col("seq"))
     )

@@ -492,6 +492,22 @@ class TestKmvSketch:
         direct = kmv_distinct(part1.unionByName(part2), "x", k=128).collect()[0]
         assert merged.asDict() == direct.asDict()
 
+    def test_null_values_draw_no_minima_slot(self, spark):
+        """NULL keys hash to NULL and must be excluded BEFORE the
+        k-minima fold: Spark sorts NULLS FIRST (a NULL would occupy a
+        slot and inflate got_k) while DuckDB sorts NULLS LAST — the
+        filter keeps both engines' sketch state identical, and KMV
+        estimates distinct NON-NULL like COUNT(DISTINCT)."""
+        from dtle_spark.functions.sketches import kmv_distinct, kmv_minima
+
+        df = spark.createDataFrame(
+            [(None,)] * 5 + [(i,) for i in range(1, 11)], "x long"
+        )
+        r = kmv_distinct(df, "x", k=256).collect()[0]
+        assert r["got_k"] == 10 and r["kmv_estimate"] == 10.0
+        hvs = kmv_minima(df, "x", k=256).collect()[0]["hvs"]
+        assert len(hvs) == 10 and all(h is not None for h in hvs)
+
 
 class TestCmsSketch:
     def test_never_underestimates_and_bound(self, spark):
@@ -632,6 +648,21 @@ class TestLogHistSketch:
         sk = loghist_sketch(df, "x", subdiv=16).collect()
         assert len(sk) <= 63 * 16
         assert sum(r["cnt"] for r in sk) == 99999  # x <= 0 excluded
+
+    def test_huge_values_clamped_inside_octave(self, spark):
+        """Above 2^53 CAST(x AS DOUBLE) rounds; a mantissa rounding UP
+        to the next power of two would put sub at subdiv (outside
+        [0, subdiv)) without the least() clamp. 2^63-1 rounds to 2^63
+        exactly — the worst case — and must still land in-bucket."""
+        from dtle_spark.functions.sketches import loghist_sketch
+
+        df = spark.createDataFrame(
+            [(9223372036854775807,), (9223371487098961920,), (1,)], "x long"
+        )
+        sk = loghist_sketch(df, "x", subdiv=16).collect()
+        assert sum(r["cnt"] for r in sk) == 3
+        for r in sk:
+            assert 0 <= r["sub"] < 16, (r["e"], r["sub"])
 
     def test_grouped_sketch_merge_and_error_bound(self, spark):
         """The grouped lane: per-group merge == whole-data grouped

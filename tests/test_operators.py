@@ -116,6 +116,20 @@ class TestApplyChanges:
         out = apply_changes(target, changes, ["id"]).collect()
         assert len(out) == 1 and out[0]["id"] == 1
 
+    def test_malformed_null_after_update_dropped_whole(self, spark):
+        """An update missing its after-image is malformed input and
+        contributes NOTHING — in particular it must not fire the
+        PK-move delete leg (null after makes key_changed trivially
+        true), which would silently delete the before key while the
+        scd2/rollup maintainers (which require both images) never see
+        the row: the family-wide drop-whole convention."""
+        target = spark.createDataFrame([Row(**_r(1, "a", 1.0))], ROW)
+        changes = _chg(
+            spark, [_base(op="u", before=_r(1, "a", 1.0), after=None)]
+        )
+        out = apply_changes(target, changes, ["id"]).collect()
+        assert len(out) == 1 and out[0]["id"] == 1 and out[0]["amount"] == 1.0
+
 
 class TestApplyNoPk:
     def test_delete_removes_exactly_one_duplicate(self, spark):
@@ -777,6 +791,24 @@ class TestDqChecks:
             dq_report(df, [{"check": "nope"}])
         with pytest.raises(ValueError, match="at least one"):
             dq_report(df, [])
+
+    def test_empty_table_reports_zero_violations_not_null(self, spark):
+        """SUM over zero rows is NULL; every check must still report
+        violations = 0 on an empty (or fully-filtered) table so a
+        ``violations == 0`` threshold policy evaluates correctly."""
+        from dtle_spark.functions.dq import dq_report
+
+        df = spark.createDataFrame([], "id long, name string, val double")
+        rep = dq_report(df, [
+            {"check": "not_null", "col": "name"},
+            {"check": "unique", "cols": ["id"]},
+            {"check": "accepted_values", "col": "name", "values": ["x"]},
+            {"check": "range", "col": "val", "lo": 0},
+            {"check": "expression", "name": "e", "sql": "val > 0"},
+        ]).collect()
+        assert len(rep) == 5
+        for r in rep:
+            assert r["violations"] == 0 and r["n_rows"] == 0, r
 
     def test_as_of_seq_reconstructs_past_states(self, spark):
         """as_of(history, s) == apply(base, changes with seq <= s) for
