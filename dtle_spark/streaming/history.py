@@ -16,18 +16,34 @@ idempotent ``ingest_batch=<id>/`` subtree, and:
   subtree (same events -> same derived versions); within a batch,
   redelivered (sid, gno, seq) rows are deduped (A10);
 - compact() splits the derived versions: CLOSED versions are
-  immutable forever, so they fold into a ``closed/`` store (appended
-  once, never rewritten); each key's still-OPEN event is retained as
-  the folded events subtree so a later close can bound it. The swap
-  is the atomic ``_CURRENT`` generation pointer; a compaction
-  watermark keeps replayed pre-compaction batches no-ops;
+  immutable forever, so each compaction appends exactly the
+  newly-closed ones as a ``closed/fold=<watermark>/`` SEGMENT of a
+  store shared across generations (appended once, never rewritten —
+  a version closes exactly once, so it lands in exactly one fold);
+  each key's still-OPEN event is retained as the folded events
+  subtree so a later close can bound it. The swap is the atomic
+  ``_CURRENT`` generation pointer; a compaction watermark keeps
+  replayed pre-compaction batches no-ops. Compaction cost is
+  O(events-since-last-compaction), NOT O(|history|): prior folds are
+  never read, copied, or rewritten.
+- crash safety: a fold whose generation swap never landed (crash
+  between the segment write and ``_swap_current``) is orphaned ABOVE
+  the committed watermark and GC'd at the next compact() before any
+  new segment is written, so a retry at a different watermark cannot
+  double-count its versions;
 - the ``_CHECKPOINT_ID`` stamp pairs batch ids with one stream
   checkpoint (fail-loud on a fresh checkpoint against an old root).
 
+Write shape: every parquet write here is multi-task (one file per
+upstream partition — no coalesce(1) funnel): the per-batch event
+subtree is O(batch) rows and the retained-open subtree O(live keys),
+both unbounded at 100 TB, so neither may serialize through one core.
+
 Read cost: |closed versions| + a window over events-since-compaction
 (Δ-bounded). Write cost per batch: O(batch). At 100 TB the closed
-store is the large immutable artifact — partition it by close time
-downstream if needed; the live working set is one open event per key.
+store is the large immutable artifact — its fold segments are already
+time-ordered (fold = compaction watermark), so retention/archival can
+drop whole segments; the live working set is one open event per key.
 
 Reference context: the reference replicates current state only; audit
 / temporal history is the downstream product its users build by hand.
@@ -91,10 +107,11 @@ class Scd2HistoryJob:
     # -- batch core (exposed for tests/replay) ---------------------------
 
     def _write_events(self, events: DataFrame, batch_id: int) -> None:
+        # no coalesce: the subtree is O(batch) rows — it must write
+        # with the batch's own parallelism, never through one task
         gen = _resolve(self.history_root)
         (
-            events.coalesce(1)
-            .write.mode("overwrite")
+            events.write.mode("overwrite")
             .parquet(os.path.join(gen, _EVENTS, f"ingest_batch={batch_id}"))
         )
 
@@ -135,18 +152,37 @@ class Scd2HistoryJob:
             *[os.path.join(root, b) for b in batches]
         ).drop("ingest_batch")
 
+    def _closed_root(self) -> str:
+        # the closed store is SHARED across generations (history_root
+        # level): folds are immutable segments, so a generation swap
+        # has nothing to copy — carry-by-reference is just "don't move"
+        return os.path.join(self.history_root, _CLOSED)
+
+    def _fold_dirs(self) -> list[str]:
+        root = self._closed_root()
+        if not os.path.isdir(root):
+            return []
+        return sorted(
+            d for d in os.listdir(root)
+            if d.startswith("fold=")
+            and os.path.isdir(os.path.join(root, d))
+        )
+
     def _read_closed(self) -> DataFrame | None:
-        gen = _resolve(self.history_root)
-        root = os.path.join(gen, _CLOSED)
-        if not os.path.isdir(root) or not any(
-            f.endswith(".parquet") for f in os.listdir(root)
-        ):
+        root = self._closed_root()
+        folds = self._fold_dirs()
+        if not folds:
             return None
-        return self.spark.read.parquet(root)
+        return (
+            self.spark.read.option("basePath", root)
+            .parquet(*[os.path.join(root, f) for f in folds])
+            .drop("fold")
+        )
 
     def history(self) -> DataFrame | None:
         """The full versioned history: closed versions (immutable
-        store) + versions derived from events since compaction."""
+        fold segments) + versions derived from events since
+        compaction."""
         ev = self._read_events()
         if ev is None:
             return self._read_closed()
@@ -163,29 +199,46 @@ class Scd2HistoryJob:
     # -- compaction --------------------------------------------------------
 
     def compact(self, max_batches: int = 16, gc_previous: bool = True) -> int:
-        """Fold: closed versions append to the immutable ``closed/``
-        store of a NEW generation; each key's still-open EVENT is
-        retained as the folded events subtree (a later close must be
-        able to bound it). Atomic ``_CURRENT`` swap; run with the job
-        quiesced (the family contract). Returns subtrees folded."""
+        """Fold: the NEWLY closed versions append as one immutable
+        ``closed/fold=<watermark>/`` segment (prior folds untouched —
+        O(Δ-since-last-compaction), never O(|history|)); each key's
+        still-open EVENT is retained as the folded events subtree (a
+        later close must be able to bound it). Atomic ``_CURRENT``
+        swap; run with the job quiesced (the family contract).
+        Returns subtrees folded."""
         gen = _resolve(self.history_root)
         batches = _ingest_batches(os.path.join(gen, _EVENTS))
         if len(batches) <= max_batches:
             return 0
         hi = max(int(b.split("=", 1)[1]) for b in batches)
+        if hi <= _compacted_through(gen):
+            # nothing ingested since the committed watermark: a re-run
+            # would reuse fold=<hi> and overwrite a COMMITTED segment
+            return 0
         base = os.path.basename(gen)
         n = int(base.split("-", 1)[1]) if base.startswith("gen-") else 0
         new_gen_name = f"gen-{n + 1}"
         new_gen = os.path.join(self.history_root, new_gen_name)
 
+        # GC folds orphaned by a crashed compaction (segment written,
+        # pointer swap never landed): any fold above the COMMITTED
+        # watermark was never referenced, and a retry at a different
+        # watermark would otherwise double-count its versions
+        wm = _compacted_through(gen)
+        for f in self._fold_dirs():
+            if int(f.split("=", 1)[1]) > wm:
+                shutil.rmtree(
+                    os.path.join(self._closed_root(), f), ignore_errors=True
+                )
+
         ev = self._read_events().localCheckpoint()  # versions + open fold
         vers = versions_of_events(ev, self.key_cols)
         newly_closed = vers.filter(~F.col("is_current"))
-        closed_parts = [c for c in (self._read_closed(),) if c is not None]
-        all_closed = newly_closed
-        for c in closed_parts:
-            all_closed = all_closed.unionByName(c)
-        all_closed.write.mode("overwrite").parquet(os.path.join(new_gen, _CLOSED))
+        # append-only: exactly the versions closed since the last
+        # compaction — each closes once, so each lands in one fold
+        newly_closed.write.mode("overwrite").parquet(
+            os.path.join(self._closed_root(), f"fold={hi}")
+        )
 
         open_events = ev.filter(F.col("kind") == "o").join(
             vers.filter("is_current").select(
@@ -194,9 +247,10 @@ class Scd2HistoryJob:
             self.key_cols + ["seq"],
             "inner",
         ).select(*ev.columns)
+        # no coalesce: O(live keys) rows — same no-funnel rule as the
+        # per-batch event write
         (
-            open_events.coalesce(1)
-            .write.mode("overwrite")
+            open_events.write.mode("overwrite")
             .parquet(os.path.join(new_gen, _EVENTS, f"ingest_batch={hi}"))
         )
         with open(os.path.join(new_gen, _COMPACT_WM_FILE), "w") as f:
@@ -207,8 +261,9 @@ class Scd2HistoryJob:
         _swap_current(self.history_root, new_gen_name)
         if gc_previous:
             if gen == self.history_root:
-                for sub in (_EVENTS, _CLOSED):
-                    shutil.rmtree(os.path.join(gen, sub), ignore_errors=True)
+                # root-as-generation: only the events subtree belongs
+                # to the old generation — closed/ is the shared store
+                shutil.rmtree(os.path.join(gen, _EVENTS), ignore_errors=True)
             else:
                 shutil.rmtree(gen, ignore_errors=True)
         return len(batches)
@@ -269,4 +324,5 @@ class Scd2HistoryJob:
             "generation": os.path.basename(gen),
             "compacted_through": _compacted_through(gen),
             "ingest_batches": len(_ingest_batches(os.path.join(gen, _EVENTS))),
+            "closed_folds": len(self._fold_dirs()),
         }

@@ -203,6 +203,97 @@ def test_manager_scd2_job_lifecycle_recover_and_http(spark, tmp_path):
         server.stop()
 
 
+class TestAppendOnlyClosedStore:
+    def test_second_compaction_does_not_rewrite_prior_folds(self, spark, tmp_path):
+        """The 100 TB contract: compaction cost is O(events since the
+        last compaction). Prior ``closed/fold=*`` segments must be
+        bit-identical after a later compaction — appended once, never
+        rewritten — and the derived history still equals the batch
+        operator over all changes."""
+        os.makedirs(str(tmp_path / "src"))
+        job = _job(spark, tmp_path)
+        job.seed(spark.createDataFrame(BASE, ROW))
+        job.apply_batch(_chg(spark, STREAM_A), 0)
+        job.apply_batch(_chg(spark, STREAM_B), 1)
+        assert job.compact(max_batches=1) == 3
+        folds1 = job._fold_dirs()
+        assert folds1 == ["fold=1"]
+
+        def _fold_files(fold):
+            root = os.path.join(str(tmp_path / "hist"), "closed", fold)
+            return {
+                f: (os.path.getsize(os.path.join(root, f)),
+                    os.path.getmtime(os.path.join(root, f)))
+                for f in os.listdir(root) if f.endswith(".parquet")
+            }
+
+        before_files = _fold_files("fold=1")
+        assert before_files  # the first fold actually has segments
+
+        stream_c = [
+            _c("d", (5, "b", 40), None, 9),        # closes the PK-move open
+            _c("u", (1, "a", 10), (1, "a", 11), 10),
+        ]
+        job.apply_batch(_chg(spark, stream_c), 2)
+        job.apply_batch(_chg(spark, [_c("i", None, (7, "c", 70), 11)]), 3)
+        assert job.compact(max_batches=1) == 3  # retained-open + 2 new
+        assert job._fold_dirs() == ["fold=1", "fold=3"]
+        assert _fold_files("fold=1") == before_files  # untouched on disk
+
+        base = spark.createDataFrame(BASE, ROW)
+        want = _hist_dict(scd2_history(
+            _chg(spark, STREAM_A + STREAM_B + stream_c
+                 + [_c("i", None, (7, "c", 70), 11)]),
+            ["id"], base=base,
+        ))
+        assert _hist_dict(job.history()) == want
+        assert job.stats()["closed_folds"] == 2
+
+    def test_orphaned_fold_from_crashed_compaction_is_gcd(self, spark, tmp_path):
+        """A fold written by a compaction whose pointer swap never
+        landed sits above the committed watermark; the next compact()
+        must GC it before writing, or its versions double-count."""
+        os.makedirs(str(tmp_path / "src"))
+        job = _job(spark, tmp_path)
+        job.seed(spark.createDataFrame(BASE, ROW))
+        job.apply_batch(_chg(spark, STREAM_A), 0)
+        job.apply_batch(_chg(spark, STREAM_B), 1)
+        want = _hist_dict(job.history())
+
+        # simulate the crash: fold segment lands, _CURRENT never swaps
+        ev = job._read_events().localCheckpoint()
+        from dtle_spark.operators.scd2 import versions_of_events
+
+        versions_of_events(ev, ["id"]).filter("NOT is_current").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(str(tmp_path / "hist"), "closed", "fold=1"))
+
+        assert job.compact(max_batches=1) == 3  # retries, GCs the orphan
+        assert job._fold_dirs() == ["fold=1"]
+        assert _hist_dict(job.history()) == want
+
+    def test_event_writes_are_not_single_task(self, spark, tmp_path):
+        """The per-batch event subtree is O(batch) — _write_events
+        must preserve the events frame's own parallelism (one part
+        file per partition), never funnel through a coalesce(1).
+        (apply_batch's dedupe shuffle is AQE-sized, so on production
+        volumes the frame arrives with many partitions.)"""
+        from dtle_spark.operators.scd2 import events_of_changes
+
+        os.makedirs(str(tmp_path / "src"))
+        job = _job(spark, tmp_path)
+        many = [
+            _c("i", None, (100 + i, "a", i), 100 + i) for i in range(64)
+        ]
+        events = events_of_changes(_chg(spark, many), ["id"]).repartition(8)
+        job._write_events(events, 0)
+        subtree = os.path.join(
+            str(tmp_path / "hist"), "events", "ingest_batch=0"
+        )
+        parts = [f for f in os.listdir(subtree) if f.endswith(".parquet")]
+        assert len(parts) == 8, parts
+
+
 def test_seed_after_compaction_fails_loud(spark, tmp_path):
     """A post-compaction re-seed would double-open every seeded key
     (its opens are already folded) — refused at the call."""
