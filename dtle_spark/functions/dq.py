@@ -111,6 +111,104 @@ def dq_report(df: DataFrame, checks: list[dict]) -> DataFrame:
     )
 
 
+def _tv_distance(
+    baseline: DataFrame, current: DataFrame, cell_cols: list[str],
+    label: str, denom_scale: int = 1,
+) -> DataFrame:
+    """Total-variation distance between two sketch-cell histograms,
+    computed as an EXACT rational: TV = sum_i |b_i*n_c - c_i*n_b| /
+    (2*n_b*n_c) — integer cross-multiplication in decimal(38,0) (cnt
+    and totals are longs, products need > 64 bits at fleet scale), one
+    double division at the end. Returns (check_name, drift_num,
+    drift_denom, stat): num/denom are the exact rational (engine- and
+    order-independent — summing exact integers), stat the convenience
+    double in [0, 1]. ``denom_scale`` divides multi-histogram stacks
+    (CMS: depth independent rows share one total)."""
+    d38 = "decimal(38,0)"
+    b = baseline.groupBy(*cell_cols).agg(F.sum("cnt").alias("b_cnt"))
+    c = current.groupBy(*cell_cols).agg(F.sum("cnt").alias("c_cnt"))
+    j = (
+        b.join(c, cell_cols, "full_outer")
+        .select(
+            F.coalesce("b_cnt", F.lit(0)).cast(d38).alias("b_cnt"),
+            F.coalesce("c_cnt", F.lit(0)).cast(d38).alias("c_cnt"),
+        )
+        .localCheckpoint()  # totals + the cross-multiplied fold
+    )
+    tot = j.agg(
+        (F.sum("b_cnt") / denom_scale).cast(d38).alias("n_b"),
+        (F.sum("c_cnt") / denom_scale).cast(d38).alias("n_c"),
+    )
+    num = j.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.abs(F.col("b_cnt") * F.col("n_c") - F.col("c_cnt") * F.col("n_b"))
+        ).cast(d38).alias("drift_num"),
+        F.first(
+            (F.lit(2 * denom_scale).cast(d38) * F.col("n_b") * F.col("n_c"))
+        ).cast(d38).alias("drift_denom"),
+    )
+    return num.select(
+        F.lit(label).alias("check_name"),
+        "drift_num",
+        "drift_denom",
+        (F.col("drift_num").cast("double") / F.col("drift_denom").cast("double")
+         ).alias("stat"),
+    )
+
+
+def dq_drift_report(
+    baseline: dict[str, DataFrame], current: dict[str, DataFrame],
+    depth: int = 4,
+) -> DataFrame:
+    """Distribution-drift checks between two profiler sketch states
+    (streaming/profile.py StreamProfileJob.profile() dicts) — the
+    bridge that turns the profiler from a dashboard into a GATE: run
+    a batch's (or day's) sketches against a stored baseline before
+    promoting data.
+
+    Rows (check_name, drift_num, drift_denom, stat):
+
+    - ``drift:kmv_ratio`` — current distinct-count estimate over
+      baseline's (growth/shrink of key cardinality; 1.0 = stable).
+      Its num/denom are NULL: the estimates are doubles (already
+      bit-deterministic — one IEEE division of gated values), not
+      integer rationals.
+    - ``drift:loghist_tv`` — total-variation distance of the value
+      distributions, from the log-histogram cells. 0 = identical,
+      1 = disjoint; the sketch's 1/(2*subdiv) relative value error
+      bounds how much within-bucket movement can hide.
+    - ``drift:cms_tv`` — TV distance of the hashed key-frequency
+      histograms (all depth rows jointly). Hash collisions only ever
+      LOWER it (mass lands in shared buckets), so a large value is
+      always real drift.
+
+    Thresholds are the caller's policy, like dq_report's violation
+    counts. Cost: joins/aggregates over BOUNDED sketch cells —
+    control-plane sized regardless of data volume; the num/denom
+    rationals are exact integers, so two engines (or two runs) agree
+    bit-for-bit even where the convenience double would not."""
+    kb, kc = baseline["kmv"], current["kmv"]
+    ratio = (
+        kc.select(F.col("kmv_estimate").alias("c_est"))
+        .crossJoin(F.broadcast(kb.select(F.col("kmv_estimate").alias("b_est"))))
+        .select(
+            F.lit("drift:kmv_ratio").alias("check_name"),
+            F.lit(None).cast("decimal(38,0)").alias("drift_num"),
+            F.lit(None).cast("decimal(38,0)").alias("drift_denom"),
+            (F.col("c_est") / F.col("b_est")).alias("stat"),
+        )
+    )
+    lh = _tv_distance(
+        baseline["loghist"], current["loghist"], ["e", "sub"],
+        "drift:loghist_tv",
+    )
+    cms = _tv_distance(
+        baseline["cms"], current["cms"], ["row", "bucket"],
+        "drift:cms_tv", denom_scale=depth,
+    )
+    return ratio.unionByName(lh).unionByName(cms).orderBy("check_name")
+
+
 def dq_referential(
     child: DataFrame,
     parent: DataFrame,

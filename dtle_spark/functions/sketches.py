@@ -129,6 +129,116 @@ def kmv_distinct_sql(
     """
 
 
+def kmv_distinct_grouped(
+    df: DataFrame, group_sql: str, col_sql: str, k: int = 256
+) -> DataFrame:
+    """Per-group distinct-count sketch (grp, k, got_k, kth_min,
+    kmv_estimate) — the per-source dashboard shape (distinct users per
+    day, distinct keys per table) at sketch cost. Same estimator and
+    NULL-draw exclusion as the global lane, keyed by a group
+    expression.
+
+    Scale shape: the (grp, hv) distinct partial-aggregates per
+    partition before one shuffle on the group key; the k-minima fold
+    is a row_number window over DISTINCT HASHES per group — the window
+    input is |distinct keys| rows of (grp, 8-byte hash), never source
+    data, and the output is bounded at k per group."""
+    from pyspark.sql import Window
+
+    h = F.expr(hash40_expr(col_sql, "spark"))
+    w = Window.partitionBy("grp").orderBy("hv")
+    kth = (
+        df.select(F.expr(group_sql).alias("grp"), h.alias("hv"))
+        .filter(F.col("hv").isNotNull())
+        .distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy("grp")
+        .agg(F.max("hv").alias("kth_min"), F.count(F.lit(1)).alias("got_k"))
+    )
+    est = (
+        f"CASE WHEN got_k < {k} THEN CAST(got_k AS DOUBLE)"
+        f" ELSE CAST({(k - 1) * _U_DENOM} AS DOUBLE) / kth_min END"
+    )
+    return kth.select(
+        "grp",
+        F.lit(k).alias("k"),
+        "got_k",
+        "kth_min",
+        F.expr(est).alias("kmv_estimate"),
+    )
+
+
+def kmv_minima_grouped(
+    df: DataFrame, group_sql: str, col_sql: str, k: int = 256
+) -> DataFrame:
+    """Per-group sketch STATE (grp, hvs array<bigint>): the k smallest
+    distinct hashes of each group — persist per batch/day and merge
+    with :func:`kmv_merge_grouped`, exactly like the global lane."""
+    from pyspark.sql import Window
+
+    h = F.expr(hash40_expr(col_sql, "spark"))
+    w = Window.partitionBy("grp").orderBy("hv")
+    return (
+        df.select(F.expr(group_sql).alias("grp"), h.alias("hv"))
+        .filter(F.col("hv").isNotNull())
+        .distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy("grp")
+        .agg(F.expr("sort_array(collect_list(hv))").alias("hvs"))
+    )
+
+
+def kmv_merge_grouped(sketches: DataFrame, k: int = 256) -> DataFrame:
+    """Union N per-group sketch states -> one estimate row per group
+    (same columns as kmv_distinct_grouped), estimating each group's
+    distinct union. Explode, re-dedup per group, keep the k per-group
+    minima — identical to what kmv_distinct_grouped computes on the
+    concatenated raw data, so the accuracy bound carries over."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy("hv")
+    kth = (
+        sketches.select("grp", F.explode("hvs").alias("hv"))
+        .distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy("grp")
+        .agg(F.max("hv").alias("kth_min"), F.count(F.lit(1)).alias("got_k"))
+    )
+    est = (
+        f"CASE WHEN got_k < {k} THEN CAST(got_k AS DOUBLE)"
+        f" ELSE CAST({(k - 1) * _U_DENOM} AS DOUBLE) / kth_min END"
+    )
+    return kth.select(
+        "grp", F.lit(k).alias("k"), "got_k", "kth_min",
+        F.expr(est).alias("kmv_estimate"),
+    )
+
+
+def kmv_distinct_grouped_sql(
+    group_sql: str, col_sql: str, table: str, k: int = 256
+) -> str:
+    """DuckDB mirror of kmv_distinct_grouped (identical hash, per-group
+    k-minima fold, and estimate arithmetic)."""
+    h = hash40_expr(col_sql, "duckdb")
+    return f"""
+    WITH h AS (SELECT DISTINCT grp, hv FROM
+               (SELECT {group_sql} AS grp, {h} AS hv FROM {table})
+               WHERE hv IS NOT NULL),
+    r AS (SELECT grp, hv,
+                 row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn
+          FROM h),
+    kk AS (SELECT grp, MAX(hv) AS kth_min, COUNT(*) AS got_k
+           FROM r WHERE rn <= {k} GROUP BY grp)
+    SELECT grp, {k} AS k, got_k, kth_min,
+      CASE WHEN got_k < {k} THEN CAST(got_k AS DOUBLE)
+      ELSE CAST({(k - 1) * _U_DENOM} AS DOUBLE) / kth_min END AS kmv_estimate
+    FROM kk
+    """
+
+
 # ---------------------------------------------------------------------------
 # Count-Min Sketch (Cormode & Muthukrishnan 2005, "An improved data
 # stream summary: the count-min sketch and its applications")
@@ -197,6 +307,127 @@ def cms_estimate(
         .groupBy("key")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out_col))
     )
+
+
+def cms_sketch_grouped(
+    df: DataFrame, group_sql: str, col_sql: str,
+    depth: int = 4, width: int = 512,
+) -> DataFrame:
+    """Per-group CMS counter tables (grp, row, bucket, cnt): depth x
+    width cells PER GROUP regardless of input size — the per-source
+    frequency monitor (per-table hot keys, per-day heavy hitters).
+    Same additive-merge contract as the global lane
+    (:func:`cms_merge_grouped`); the stack is map-side and the groupBy
+    partial-aggregates to bounded per-partition state per group."""
+    pairs = ", ".join(
+        f"{r}, {cms_bucket_sql(col_sql, r, width, 'spark')}"
+        for r in range(depth)
+    )
+    cells = df.selectExpr(
+        f"{group_sql} AS grp", f"stack({depth}, {pairs}) AS (row, bucket)"
+    )
+    return cells.groupBy("grp", "row", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_merge_grouped(sketches: DataFrame) -> DataFrame:
+    """Counters add cell-wise within each group; equals the grouped
+    sketch of the concatenated inputs."""
+    return sketches.groupBy("grp", "row", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def cms_estimate_grouped(
+    sketch: DataFrame,
+    keys: DataFrame,
+    depth: int = 4,
+    width: int = 512,
+    out_col: str = "est_cnt",
+) -> DataFrame:
+    """Per-group point-frequency estimates for a bounded (grp, key)
+    probe set: min over the d counters each key hashes to within its
+    group's own table. The sketch is |groups|*depth*width rows —
+    still the broadcast side of the join for any dashboard-sized
+    group count."""
+    pairs = ", ".join(
+        f"{r}, {cms_bucket_sql('key', r, width, 'spark')}"
+        for r in range(depth)
+    )
+    probes = keys.selectExpr(
+        "grp", "key", f"stack({depth}, {pairs}) AS (row, bucket)"
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["grp", "row", "bucket"], "left")
+        .groupBy("grp", "key")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out_col))
+    )
+
+
+def cms_topk_grouped_sql(
+    group_sql: str,
+    key_sql: str,
+    table: str,
+    top_n: int = 5,
+    depth: int = 4,
+    width: int = 512,
+) -> str:
+    """DuckDB mirror of the per-group heavy-hitters query: each
+    group's exact top-N keys by frequency joined with their grouped
+    CMS estimates (same md5 buckets, same min-fold within the
+    group)."""
+    cell = ",\n      ".join(
+        f"{cms_bucket_sql(key_sql, r, width, 'duckdb')} AS b{r}"
+        for r in range(depth)
+    )
+    cell_top = ",\n      ".join(
+        f"{cms_bucket_sql('t.key', r, width, 'duckdb')} AS b{r}"
+        for r in range(depth)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT grp, key, {r} AS row, b{r} AS bucket FROM topcells"
+        for r in range(depth)
+    )
+    sketch_rows = " UNION ALL ".join(
+        f"SELECT grp, {r} AS row, b{r} AS bucket FROM cells"
+        for r in range(depth)
+    )
+    return f"""
+    WITH cells AS (
+      SELECT {group_sql} AS grp, {key_sql} AS key,
+      {cell}
+      FROM {table}
+    ),
+    sketch AS (
+      SELECT grp, row, bucket, COUNT(*) AS cnt
+      FROM ({sketch_rows}) GROUP BY grp, row, bucket
+    ),
+    exact AS (
+      SELECT {group_sql} AS grp, {key_sql} AS key, COUNT(*) AS exact_cnt
+      FROM {table} GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT grp, key, exact_cnt FROM (
+        SELECT grp, key, exact_cnt,
+               row_number() OVER (PARTITION BY grp
+                 ORDER BY exact_cnt DESC, key) AS rn
+        FROM exact
+      ) WHERE rn <= {top_n}
+    ),
+    topcells AS (
+      SELECT t.grp, t.key,
+      {cell_top}
+      FROM top t
+    ),
+    est AS (
+      SELECT p.grp, p.key, MIN(COALESCE(s.cnt, 0)) AS est_cnt
+      FROM ({probe_rows}) p
+      LEFT JOIN sketch s USING (grp, row, bucket) GROUP BY p.grp, p.key
+    )
+    SELECT t.grp, t.key, t.exact_cnt, e.est_cnt
+    FROM top t JOIN est e USING (grp, key)
+    """
 
 
 def cms_topk_sql(

@@ -25,8 +25,11 @@ chunked: aggregate a per-key-range digest (xxhash64 of the row struct
 summed per range) on each side, compare digests, and diff only the
 ranges that disagree — the pt-table-checksum strategy; the range
 digest is a partial-aggregable map-side fold, so unchanged data never
-shuffles. Both halves live here: :func:`snapshot_diff` is the exact
-differ, :func:`range_digests` the triage pre-pass.
+shuffles. All three layers live here: :func:`snapshot_diff` is the
+exact differ, :func:`range_digests` the triage pre-pass, and
+:func:`snapshot_diff_triaged` the composed 100 TB path (digest →
+disagreeing ranges → exact diff of only those ranges), oracle-gated
+to equal the full diff.
 """
 
 from __future__ import annotations
@@ -71,6 +74,71 @@ def range_digests(
             )
         ).alias("digest"),
     )
+
+
+def disagreeing_ranges(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    range_width: int = 100_000,
+) -> DataFrame:
+    """Key ranges whose (count, digest) differ between the two sides —
+    the triage verdict of the chunked-compare pre-pass. One row (rng)
+    per range that needs an exact re-diff; ranges absent from one side
+    entirely also disagree (full-outer + null-unsafe compare).
+
+    Scale shape: two map-side-partial digest folds + one join over
+    |ranges| rows of three longs. Unchanged ranges are proven equal
+    without shuffling a single data row."""
+    d_old = range_digests(old, key_col, range_width).select(
+        "rng", F.col("n_rows").alias("o_n"), F.col("digest").alias("o_d")
+    )
+    d_new = range_digests(new, key_col, range_width).select(
+        "rng", F.col("n_rows").alias("n_n"), F.col("digest").alias("n_d")
+    )
+    j = d_old.join(d_new, ["rng"], "full_outer")
+    differ = ~(
+        F.col("o_n").eqNullSafe(F.col("n_n"))
+        & F.col("o_d").eqNullSafe(F.col("n_d"))
+    )
+    return j.filter(differ).select("rng")
+
+
+def snapshot_diff_triaged(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    range_width: int = 100_000,
+    range_key: str | None = None,
+) -> DataFrame:
+    """The 100 TB diff: digest both sides per key range, exact-diff
+    ONLY the ranges whose digests disagree — pt-table-checksum's
+    strategy (the reference's validation surface stops at row counts,
+    extractor.go:859-879; this is the content-level tool its users
+    bolt on). Equivalent to :func:`snapshot_diff` by construction:
+    a range with equal (count, digest) contributes no diff rows, and
+    every key lives in exactly one range on each side, so restricting
+    both sides to the disagreeing ranges preserves the full-outer
+    join's pairing for every differing key.
+
+    Scale shape: the digest pre-pass shuffles |ranges| rows; the
+    disagreeing range set (tiny in replication validation — drift is
+    localized) broadcasts into a semi-join that prunes both sides
+    BEFORE the expensive full-outer key shuffle. Unchanged data never
+    shuffles. ``range_key`` defaults to the first key column (must be
+    integer-castable)."""
+    rk = range_key or key_cols[0]
+    rngs = disagreeing_ranges(old, new, rk, range_width)
+    rng_of = F.expr(f"CAST({rk} AS BIGINT) DIV {range_width}")
+
+    def prune(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("__rng", rng_of)
+            .join(F.broadcast(rngs), F.col("__rng") == F.col("rng"), "left_semi")
+            .drop("__rng")
+        )
+
+    return snapshot_diff(prune(old), prune(new), key_cols)
 
 
 def snapshot_diff(

@@ -6,10 +6,13 @@ BY groups`` can be kept current under inserts/updates/deletes without
 rescanning T: every change contributes signed per-group deltas
 (+after, -before), deltas are additive and commutative, and the view
 is the running sum with groups whose count reaches zero removed. Only
-SUM/COUNT-class (additive) measures qualify — MIN/MAX are not
-maintainable under deletes without the full group. Use integral
-measures (cents, counts) so retractions cancel exactly; float deltas
-drift.
+SUM/COUNT-class (additive) measures ride the delta lanes — MIN/MAX
+are not delta-maintainable under deletes (retracting the extremum
+needs the runner-up), so they get the DIRTY-GROUP RECOMPUTE lane
+instead (:func:`dirty_groups` + :func:`maintain_minmax_rollup`):
+recompute only the groups the batch touched from the applied table,
+keep every other state row. Use integral measures (cents, counts) so
+retractions cancel exactly; float deltas drift.
 
 Two delta lanes, two contracts:
 
@@ -146,6 +149,88 @@ def rollup_of(
         F.lit(1).alias(_N),
     )
     return _fold(rows, group_sqls, measure_sqls)
+
+
+def dirty_groups(
+    target: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    group_sqls: dict[str, str],
+) -> DataFrame:
+    """The groups a change batch TOUCHES: the groups of the old images
+    of every net-affected key (read from ``target`` with one keyed
+    join — correct for self-conflicting batches, like
+    rollup_delta_vs_target) plus the groups of the new upsert images.
+    Bounded by the batch's key count; this is the recompute scope of
+    the non-additive maintenance lane."""
+    net = latest_image_per_key(changes, key_cols)
+    old_groups = target.join(net.select(*key_cols), key_cols, "inner").select(
+        *[F.expr(sql).alias(name) for name, sql in group_sqls.items()]
+    )
+    new_groups = net.filter(F.col("__action") == "upsert").select("row.*").select(
+        *[F.expr(sql).alias(name) for name, sql in group_sqls.items()]
+    )
+    return old_groups.unionByName(new_groups).distinct()
+
+
+def minmax_rollup_of(
+    table: DataFrame,
+    group_sqls: dict[str, str],
+    agg_sqls: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """The full-recompute MIN/MAX rollup: ``agg_sqls`` maps output
+    names to ('min'|'max', sql-over-the-row-image). The initial state,
+    and the shape :func:`maintain_minmax_rollup` keeps current."""
+    rows = table.select(
+        *[F.expr(sql).alias(name) for name, sql in group_sqls.items()],
+        *[F.expr(sql).alias(name) for name, (_, sql) in agg_sqls.items()],
+    )
+    aggs = [
+        (F.min(name) if kind == "min" else F.max(name)).alias(name)
+        for name, (kind, _) in agg_sqls.items()
+    ]
+    return rows.groupBy(*group_sqls.keys()).agg(*aggs)
+
+
+def maintain_minmax_rollup(
+    state: DataFrame,
+    applied: DataFrame,
+    dirty: DataFrame,
+    group_sqls: dict[str, str],
+    agg_sqls: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """Keep a MIN/MAX rollup current under a change batch by
+    DIRTY-GROUP RECOMPUTE — the standard answer to non-additive
+    maintenance: MIN/MAX are not delta-maintainable under deletes
+    (retracting the current extremum needs the group's runner-up,
+    which the delta doesn't carry), so recompute exactly the groups
+    the batch touched from the APPLIED table and keep every other
+    state row untouched.
+
+    ``state`` is the previous rollup (minmax_rollup_of shape),
+    ``applied`` the post-merge table, ``dirty`` the touched groups
+    (:func:`dirty_groups` — compute it from the PRE-apply target).
+    Cost: one broadcast semi-join to carve the dirty partition of the
+    applied table + an aggregation over only those groups' rows, plus
+    a broadcast anti-join on the bounded state. Nothing is
+    proportional to |table| except the carve scan itself, which
+    partition-prunes when the table is stored partitioned/clustered
+    by a group-correlated key; groups that vanish (all rows deleted)
+    drop out naturally — they recompute to no rows.
+    """
+    group_names = list(group_sqls.keys())
+    applied_groups = applied.select(
+        F.struct(*[F.expr(sql).alias(name) for name, sql in group_sqls.items()]).alias("__g"),
+        "*",
+    )
+    dirty_rows = applied_groups.join(
+        F.broadcast(dirty.select(F.struct(*group_names).alias("__g"))),
+        ["__g"],
+        "left_semi",
+    ).drop("__g")
+    recomputed = minmax_rollup_of(dirty_rows, group_sqls, agg_sqls)
+    untouched = state.join(F.broadcast(dirty), group_names, "left_anti")
+    return untouched.unionByName(recomputed)
 
 
 def merge_rollup(state: DataFrame, delta: DataFrame,

@@ -45,12 +45,13 @@ def events_of_changes(changes: DataFrame, key_cols: list[str]) -> DataFrame:
         changes.filter(
             F.col("op").isin(OP_INSERT, OP_UPDATE) & F.col("after").isNotNull()
         )
-        .select(*key_of("after"), F.col("seq"), F.lit("o").alias("kind"),
-                F.col("after").alias("row"))
+        .select(*key_of("after"), F.col("seq"), F.col("ts"),
+                F.lit("o").alias("kind"), F.col("after").alias("row"))
     )
     closes = (
         changes.filter((F.col("op") == OP_DELETE) & F.col("before").isNotNull())
-        .select(*key_of("before"), F.col("seq"), F.lit("c").alias("kind"),
+        .select(*key_of("before"), F.col("seq"), F.col("ts"),
+                F.lit("c").alias("kind"),
                 F.lit(None).cast(opens.schema["row"].dataType).alias("row"))
     )
     key_changed = F.lit(False)
@@ -65,18 +66,27 @@ def events_of_changes(changes: DataFrame, key_cols: list[str]) -> DataFrame:
             & F.col("after").isNotNull()
             & key_changed
         )
-        .select(*key_of("before"), F.col("seq"), F.lit("c").alias("kind"),
+        .select(*key_of("before"), F.col("seq"), F.col("ts"),
+                F.lit("c").alias("kind"),
                 F.lit(None).cast(opens.schema["row"].dataType).alias("row"))
     )
     return opens.unionByName(closes).unionByName(move_aways)
 
 
-def seed_events(base: DataFrame, key_cols: list[str], base_seq: int = -1) -> DataFrame:
+def seed_events(
+    base: DataFrame,
+    key_cols: list[str],
+    base_seq: int = -1,
+    base_ts=None,
+) -> DataFrame:
     """Snapshot rows as open events at ``base_seq`` (before every
-    change) — the initial-load leg of the event stream."""
+    change) — the initial-load leg of the event stream. ``base_ts``
+    is the seed's event time; leave None for an un-timed seed (it
+    reads as "open since before all time" in :func:`as_of_ts`)."""
     return base.select(
         *[F.col(k) for k in key_cols],
         F.lit(base_seq).cast("long").alias("seq"),
+        F.lit(base_ts).cast("timestamp").alias("ts"),
         F.lit("o").alias("kind"),
         F.struct(*[F.col(c) for c in base.columns]).alias("row"),
     )
@@ -89,9 +99,24 @@ def versions_of_events(events: DataFrame, key_cols: list[str]) -> DataFrame:
     'c' sorts before 'o' at equal seq so a same-seq close cannot
     swallow the version it accompanies; the stream contract keeps seq
     unique per key, the tie-break only pins determinism if violated.
+
+    When the events carry a ``ts`` column (event time), versions also
+    get ``valid_from_ts`` / ``valid_to_ts`` — the SAME lead window
+    (both leads share one window spec, so Catalyst plans a single
+    Window operator; the as-of plan pin stays at exactly one), so the
+    ts intervals inherit the seq intervals' disjointness as long as ts
+    is non-decreasing in seq per key (true of binlog streams: commit
+    time orders the log).
     """
     w = Window.partitionBy(*key_cols).orderBy("seq", "kind")
     versions = events.withColumn("valid_to_seq", F.lead("seq").over(w))
+    ts_cols = []
+    if "ts" in events.columns:
+        versions = versions.withColumn("valid_to_ts", F.lead("ts").over(w))
+        ts_cols = [
+            F.col("ts").alias("valid_from_ts"),
+            F.col("valid_to_ts"),
+        ]
     return (
         versions.filter(F.col("kind") == "o")
         .select(
@@ -99,6 +124,7 @@ def versions_of_events(events: DataFrame, key_cols: list[str]) -> DataFrame:
             "row",
             F.col("seq").alias("valid_from_seq"),
             "valid_to_seq",
+            *ts_cols,
             F.col("valid_to_seq").isNull().alias("is_current"),
         )
     )
@@ -109,17 +135,22 @@ def scd2_history(
     key_cols: list[str],
     base: DataFrame | None = None,
     base_seq: int = -1,
+    base_ts=None,
 ) -> DataFrame:
     """Versioned history of a (deduped) change batch, optionally
-    seeded by a snapshot whose rows open at ``base_seq``.
+    seeded by a snapshot whose rows open at ``base_seq`` (and
+    ``base_ts`` event time, if the stream is timed).
 
     Returns key cols + ``row`` (the version's image struct) +
     ``valid_from_seq`` / ``valid_to_seq`` (null = still open) +
+    ``valid_from_ts`` / ``valid_to_ts`` (event-time intervals) +
     ``is_current``.
     """
     events = events_of_changes(changes, key_cols)
     if base is not None:
-        events = seed_events(base, key_cols, base_seq).unionByName(events)
+        events = seed_events(base, key_cols, base_seq, base_ts).unionByName(
+            events
+        )
     return versions_of_events(events, key_cols)
 
 
@@ -138,4 +169,27 @@ def as_of_seq(history: DataFrame, seq: int) -> DataFrame:
     cover = (F.col("valid_from_seq") <= F.lit(seq)) & (
         F.col("valid_to_seq").isNull() | (F.lit(seq) < F.col("valid_to_seq"))
     )
+    return history.filter(cover).select("row.*")
+
+
+def as_of_ts(history, ts) -> DataFrame:
+    """Event-time time-travel: the table state as of (inclusive)
+    timestamp ``ts`` — "what did orders look like on 2026-07-01" —
+    the read real temporal users ask for (seq is the replication
+    cursor, not a business time).
+
+    Same half-open [from, to) pinning as :func:`as_of_seq`, over the
+    ``valid_from_ts`` / ``valid_to_ts`` intervals: the event AT ts is
+    visible, a delete at ts removes the row. A NULL ``valid_from_ts``
+    (un-timed snapshot seed) reads as "open since before all time".
+    Requires a uniformly TIMED change stream — if closes can carry a
+    NULL ts the version would read as still open past it; seed the
+    history with ``base_ts`` or accept the -infinity convention only
+    for the seed. Map-only over the history, like the seq read: the
+    disjoint-interval invariant (ts non-decreasing in seq per key)
+    makes it a filter, not a per-key argmax."""
+    t = F.lit(ts).cast("timestamp")
+    cover = (
+        F.col("valid_from_ts").isNull() | (F.col("valid_from_ts") <= t)
+    ) & (F.col("valid_to_ts").isNull() | (t < F.col("valid_to_ts")))
     return history.filter(cover).select("row.*")

@@ -19,6 +19,24 @@ from dtle_spark.model import OP_DELETE, OP_INSERT, OP_UPDATE
 
 SID_A = "11111111-1111-1111-1111-111111111111"
 
+# Session-scoped fixture cache: the CDC demo family (apply, rollup,
+# minmax, diff, triaged diff, scd2, as-of x2) each rebuild the same
+# scripted streams; materializing them ONCE per (SparkContext, sf_dir)
+# with localCheckpoint removes the rebuild from every query after the
+# first — bench and driver-gate sessions pay fixture cost once. The
+# applicationId key makes a restarted context (new tests session)
+# start fresh; entries from dead contexts are never touched again.
+_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _cached(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _CACHE.get(key)
+    if df is None:
+        df = build().localCheckpoint()
+        _CACHE[key] = df
+    return df
+
 
 def _as_change(
     df: DataFrame,
@@ -49,11 +67,24 @@ def _as_change(
 
 def orders_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot state: orders except keys ≡ 0 (mod 5) — those arrive later
-    as stream inserts."""
-    return load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 != 0)
+    as stream inserts. Materialized once per session (_cached)."""
+    return _cached(
+        spark, sf_dir, "orders_base",
+        lambda: load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderkey") % 5 != 0
+        ),
+    )
 
 
 def orders_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached wrapper over :func:`_orders_changes_build`."""
+    return _cached(
+        spark, sf_dir, "orders_changes",
+        lambda: _orders_changes_build(spark, sf_dir),
+    )
+
+
+def _orders_changes_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scripted change stream over ``orders`` (PK = o_orderkey):
 
     - inserts   : keys ≡0 (mod 5), seq = k*10+1
@@ -97,6 +128,18 @@ def orders_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ins.unionByName(upd).unionByName(dels).unionByName(mov).unionByName(redelivered)
 
 
+def orders_changes_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``orders_changes`` with a deterministic EVENT TIME: ts = epoch
+    + seq seconds — strictly monotone in seq, so both engines can
+    reason about a timestamp cutoff as a seq cutoff without ever
+    comparing raw timestamps across engines (kept separate from
+    orders_changes: the Debezium envelope oracle pins ts_ms to the
+    NULL-ts fallback)."""
+    return orders_changes(spark, sf_dir).withColumn(
+        "ts", F.timestamp_seconds(F.col("seq"))
+    )
+
+
 # DuckDB restatement of orders_base + orders_changes + key-latest apply
 # (shared by the oracle registry and tests).
 ORDERS_CDC_ORACLE = """
@@ -137,6 +180,14 @@ CUSTOMER_WHERE = "c_acctbal > 1000.0 AND lower(c_mktsegment) <> 'machinery'"
 
 
 def customer_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached wrapper over :func:`_customer_changes_build`."""
+    return _cached(
+        spark, sf_dir, "customer_changes",
+        lambda: _customer_changes_build(spark, sf_dir),
+    )
+
+
+def _customer_changes_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change stream for the F3 update-pair filter scenario: every
     customer row gets an update (+4000 acctbal — crosses the Where
     threshold for some), keys ≡0 (mod 3) an insert (−2000), keys ≡0

@@ -389,6 +389,45 @@ def cdc_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_minmax_orders",
+    f"""
+    SELECT o_orderpriority,
+           CAST(MIN(round(o_totalprice * 100)) AS BIGINT) AS min_cents,
+           CAST(MAX(round(o_totalprice * 100)) AS BIGINT) AS max_cents
+    FROM ({cdc_demo.ORDERS_CDC_ORACLE}) GROUP BY o_orderpriority
+    """,
+)
+def cdc_minmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-additive rollup maintenance (operators/rollup.py
+    maintain_minmax_rollup): the per-priority MIN/MAX order value is
+    kept current under the scripted change stream by DIRTY-GROUP
+    RECOMPUTE — MIN/MAX can't ride signed deltas (a delete of the
+    extremum needs the runner-up), so exactly the groups the batch
+    touched (dirty_groups: old images via one keyed join + new upsert
+    images) recompute from the applied table while untouched state
+    rows pass through an anti-join. The oracle is the full recompute
+    over the final table, so the gate is the IVM invariant for the
+    non-additive half of the agg vocabulary: a missed dirty group
+    would surface as a stale extremum."""
+    from dtle_spark.operators.apply import apply_changes, dedupe_redelivered
+    from dtle_spark.operators.rollup import (
+        dirty_groups, maintain_minmax_rollup, minmax_rollup_of,
+    )
+
+    base = cdc_demo.orders_base(spark, sf_dir)
+    changes = dedupe_redelivered(cdc_demo.orders_changes(spark, sf_dir))
+    groups = {"o_orderpriority": "o_orderpriority"}
+    aggs = {
+        "min_cents": ("min", "CAST(round(o_totalprice * 100) AS BIGINT)"),
+        "max_cents": ("max", "CAST(round(o_totalprice * 100) AS BIGINT)"),
+    }
+    state = minmax_rollup_of(base, groups, aggs)
+    dirty = dirty_groups(base, changes, ["o_orderkey"], groups)
+    applied = apply_changes(base, changes, ["o_orderkey"])
+    return maintain_minmax_rollup(state, applied, dirty, groups, aggs)
+
+
+@query(
     "snapshot_diff_orders",
     f"""
     WITH b0 AS (SELECT * FROM orders WHERE o_orderkey % 5 <> 0),
@@ -428,6 +467,64 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes = cdc_demo.orders_changes(spark, sf_dir)
     final = apply_changes(base, changes, ["o_orderkey"])
     d = snapshot_diff(base, final, ["o_orderkey"])
+    return d.select(
+        "o_orderkey",
+        "op",
+        F.when(F.col("op") != "i", _cents(F.col("before.o_totalprice"))).alias(
+            "before_price_cents"
+        ),
+        F.when(F.col("op") != "d", _cents(F.col("after.o_totalprice"))).alias(
+            "after_price_cents"
+        ),
+    )
+
+
+@query(
+    "snapshot_diff_triaged_orders",
+    f"""
+    WITH b0 AS (SELECT * FROM orders WHERE o_orderkey % 5 <> 0),
+    final AS ({cdc_demo.ORDERS_CDC_ORACLE}),
+    j AS (
+      SELECT b.o_orderkey AS bk, f.o_orderkey AS fk,
+             b.o_totalprice AS bp, f.o_totalprice AS fp,
+             CASE WHEN b.o_orderkey IS NULL THEN 'i'
+                  WHEN f.o_orderkey IS NULL THEN 'd'
+                  WHEN (b.o_custkey IS DISTINCT FROM f.o_custkey)
+                    OR (b.o_orderstatus IS DISTINCT FROM f.o_orderstatus)
+                    OR (b.o_totalprice IS DISTINCT FROM f.o_totalprice)
+                    OR (b.o_orderdate IS DISTINCT FROM f.o_orderdate)
+                    OR (b.o_orderpriority IS DISTINCT FROM f.o_orderpriority)
+                  THEN 'u' END AS op
+      FROM b0 b FULL OUTER JOIN final f ON b.o_orderkey = f.o_orderkey
+    )
+    SELECT COALESCE(fk, bk) AS o_orderkey, op,
+           CASE WHEN op <> 'i' THEN CAST(round(bp * 100) AS BIGINT) END AS before_price_cents,
+           CASE WHEN op <> 'd' THEN CAST(round(fp * 100) AS BIGINT) END AS after_price_cents
+    FROM j WHERE op IS NOT NULL
+    """,
+)
+def snapshot_diff_triaged_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chunked-compare triage end-to-end (operators/diff.py
+    snapshot_diff_triaged): per-key-range digests on both sides
+    (map-side partial-aggregated sums of truncated xxhash64 — the
+    pt-table-checksum strategy, vs reference extractor.go:859-879
+    which only counts rows), exact re-diff of ONLY the disagreeing
+    ranges. The oracle is the FULL diff, so the gate is the
+    advertised 100 TB equivalence: triage + re-diff ≡ full diff —
+    ranges proven equal by digest contribute nothing, every differing
+    key lives in a flagged range. The xxhash64 digests never cross
+    engines (DuckDB re-derives the diff relationally); the FINAL rows
+    are what's compared. range_width=1024 makes the sf0.01 scenario
+    genuinely multi-range (~70 ranges, most pruned)."""
+    from dtle_spark.operators.apply import apply_changes
+    from dtle_spark.operators.diff import snapshot_diff_triaged
+
+    base = cdc_demo.orders_base(spark, sf_dir)
+    changes = cdc_demo.orders_changes(spark, sf_dir)
+    final = apply_changes(base, changes, ["o_orderkey"])
+    d = snapshot_diff_triaged(
+        base, final, ["o_orderkey"], range_width=1024
+    )
     return d.select(
         "o_orderkey",
         "op",
@@ -606,6 +703,66 @@ def orders_as_of_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes = dedupe_redelivered(cdc_demo.orders_changes(spark, sf_dir))
     h = scd2_history(changes, ["o_orderkey"], base=base)
     return as_of_seq(h, _AS_OF_SEQ).select(
+        "o_orderkey", _cents(F.col("o_totalprice")).alias("price_cents")
+    )
+
+
+@query(
+    "orders_as_of_ts",
+    f"""
+    WITH ev AS (
+      SELECT o_orderkey AS k, CAST(-1 AS BIGINT) AS seq, 'o' AS kind, o_totalprice
+      FROM orders WHERE o_orderkey % 5 <> 0
+      UNION ALL
+      SELECT o_orderkey, o_orderkey*10+1, 'o', o_totalprice
+      FROM orders WHERE o_orderkey % 5 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderkey*10+2, 'o', o_totalprice * 2
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_orderkey*10+4, 'o', o_totalprice
+      FROM orders WHERE o_orderkey % 17 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderkey*10+3, 'c', NULL
+      FROM orders WHERE o_orderkey % 11 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderkey*10+4, 'c', NULL
+      FROM orders WHERE o_orderkey % 17 = 0
+    ),
+    last AS (
+      SELECT * FROM (
+        SELECT k, seq, kind, o_totalprice,
+               row_number() OVER (PARTITION BY k ORDER BY seq DESC, kind DESC) AS rn
+        FROM ev WHERE seq <= {_AS_OF_SEQ}
+      ) WHERE rn = 1
+    )
+    SELECT k AS o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM last WHERE kind = 'o'
+    """,
+)
+def orders_as_of_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-TIME time travel (operators/scd2.py as_of_ts): "the
+    orders table as of epoch+{_AS_OF_SEQ}s", read from the SCD2
+    history's valid_from_ts/valid_to_ts intervals with the same
+    half-open pinning as the seq read. The demo stream's event time
+    is ts = epoch + seq seconds (cdc_demo.orders_changes_ts — strictly
+    monotone in seq), so the DuckDB oracle reconstructs the identical
+    point via the seq cutoff WITHOUT comparing raw timestamps across
+    engines: a gate on the ts threading (events -> lead window ->
+    intervals) and the boundary semantics, not on timestamp rendering.
+    The un-timed snapshot seed reads as open-since-before-all-time
+    (NULL valid_from_ts convention)."""
+    from dtle_spark.operators.apply import dedupe_redelivered
+    from dtle_spark.operators.scd2 import as_of_ts, scd2_history
+
+    base = cdc_demo.orders_base(spark, sf_dir)
+    changes = dedupe_redelivered(cdc_demo.orders_changes_ts(spark, sf_dir))
+    h = scd2_history(changes, ["o_orderkey"], base=base)
+    from datetime import datetime, timezone
+
+    cutoff = datetime.fromtimestamp(_AS_OF_SEQ, tz=timezone.utc)
+    return as_of_ts(h, cutoff).select(
         "o_orderkey", _cents(F.col("o_totalprice")).alias("price_cents")
     )
 
@@ -818,7 +975,15 @@ def write_query_hashes(round_no: int) -> dict[str, dict]:
         if prev is None:
             out[name] = {"hash": h, "round": last_green.get(name, 0)}
         elif prev.get("hash") == h:
-            out[name] = prev
+            # bootstrap-era entries carry round 0 from before their
+            # first green; once the unchanged definition HAS a green,
+            # promote the stamp to that round so the file's "round the
+            # definition dates from" semantics hold (a round-0 stamp
+            # would otherwise outlive the green it predates)
+            if prev.get("round", 0) == 0 and last_green.get(name, 0) > 0:
+                out[name] = {"hash": h, "round": last_green[name]}
+            else:
+                out[name] = prev
         else:
             out[name] = {"hash": h, "round": round_no}
     with open(os.path.join(_repo_root(), "QUERY_HASHES.json"), "w") as f:
@@ -5442,6 +5607,57 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est = sk.cms_estimate(sketch, top, "key", depth=4, width=512)
     return top.join(est, "key")
+
+
+@query(
+    "kmv_distinct_by_priority",
+    sk.kmv_distinct_grouped_sql("o_orderpriority", "o_custkey", "orders", k=64),
+)
+def kmv_distinct_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP distinct-count sketch (functions/sketches.py
+    kmv_distinct_grouped): distinct customers per order priority from
+    k=64 per-group hash minima — the per-source dashboard query
+    (distinct users per day, keys per table) at bounded state. k=64
+    keeps every priority in the ESTIMATING regime at both gate scales
+    (got_k = k), so the gate pins the estimator arithmetic, not the
+    exact-count fallback. The window that folds the minima runs over
+    distinct (grp, 8-byte hash) pairs, never source rows; per-batch
+    states merge via kmv_merge_grouped without re-scanning."""
+    o = load_table(spark, sf_dir, "orders")
+    return sk.kmv_distinct_grouped(o, "o_orderpriority", "o_custkey", k=64)
+
+
+@query(
+    "heavy_hitters_cms_by_type",
+    sk.cms_topk_grouped_sql("event_type", "user_id", "events",
+                            top_n=5, depth=4, width=512),
+)
+def heavy_hitters_cms_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP heavy hitters under Count-Min (functions/sketches.py
+    cms_sketch_grouped): each event type's 5 most active users with
+    their per-group CMS estimates — 4 x 512 additive counters PER
+    GROUP, map-side partial-aggregated, mergeable across days via
+    cms_merge_grouped. The grouped probe join broadcasts the sketch
+    (|groups| * depth * width rows — dashboard-sized). est >= exact
+    always, within eps*N_group per group."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    sketch = sk.cms_sketch_grouped(ev, "event_type", "user_id",
+                                   depth=4, width=512)
+    w = Window.partitionBy("grp").orderBy(F.desc("exact_cnt"), "key")
+    top = (
+        ev.groupBy(
+            F.col("event_type").alias("grp"), F.col("user_id").alias("key")
+        )
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+        .drop("__rn")
+        .localCheckpoint()  # consumed twice: probe keys + output join
+    )
+    est = sk.cms_estimate_grouped(sketch, top, depth=4, width=512)
+    return top.join(est, ["grp", "key"])
 
 
 @query(

@@ -184,6 +184,16 @@ class StreamProfileJob:
             self.profile()["loghist"], qs, subdiv=self.subdiv
         )
 
+    def drift_vs(self, baseline: dict[str, DataFrame]) -> DataFrame:
+        """Drift report of THIS profile against a stored baseline
+        profile (functions/dq.py dq_drift_report) — the profiler as a
+        GATE: persist a blessed period's profile() frames, then run
+        each new increment's sketches against them before promotion.
+        Cost: sketch-cell joins only, never data."""
+        from dtle_spark.functions.dq import dq_drift_report
+
+        return dq_drift_report(baseline, self.profile(), depth=self.depth)
+
     # -- compaction --------------------------------------------------------
 
     def compact(self, max_batches: int = 16, gc_previous: bool = True) -> int:

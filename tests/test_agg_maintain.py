@@ -320,6 +320,108 @@ def test_malformed_updates_contribute_nothing(spark):
     assert delta.count() == 0
 
 
+class TestMinMaxDirtyGroupLane:
+    AGGS = {"lo": ("min", "amount"), "hi": ("max", "amount")}
+
+    def _view(self, df):
+        return {r["grp"]: (r["lo"], r["hi"]) for r in df.collect()}
+
+    def test_delete_of_extremum_finds_runner_up(self, spark):
+        """The case the delta lanes can't do: deleting a group's MAX
+        must surface the runner-up — only a recompute over the group
+        knows it. Also: a group untouched by the batch must pass
+        through from state (anti-join), and a group whose last row
+        deletes vanishes."""
+        from dtle_spark.operators.apply import apply_changes
+        from dtle_spark.operators.rollup import (
+            dirty_groups, maintain_minmax_rollup, minmax_rollup_of,
+        )
+
+        base = spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 99), (3, "b", 30), (4, "c", 7)], ROW
+        )
+        batch = [
+            _c("d", (2, "a", 99), None, 1),   # delete group a's max
+            _c("d", (4, "c", 7), None, 2),    # group c vanishes
+        ]
+        state = minmax_rollup_of(base, GROUPS, self.AGGS)
+        dirty = dirty_groups(base, _chg(spark, batch), ["id"], GROUPS)
+        assert {r["grp"] for r in dirty.collect()} == {"a", "c"}
+        applied = apply_changes(base, _chg(spark, batch), ["id"])
+        got = self._view(
+            maintain_minmax_rollup(state, applied, dirty, GROUPS, self.AGGS)
+        )
+        assert got == {"a": (10, 10), "b": (30, 30)}
+
+    def test_group_move_dirties_both_sides(self, spark):
+        """An update that moves a row between groups must dirty BOTH
+        the old group (loses the value) and the new one (gains it)."""
+        from dtle_spark.operators.apply import apply_changes
+        from dtle_spark.operators.rollup import (
+            dirty_groups, maintain_minmax_rollup, minmax_rollup_of,
+        )
+
+        base = spark.createDataFrame([(1, "a", 50), (2, "b", 5)], ROW)
+        batch = [_c("u", (1, "a", 50), (1, "b", 50), 1)]
+        state = minmax_rollup_of(base, GROUPS, self.AGGS)
+        dirty = dirty_groups(base, _chg(spark, batch), ["id"], GROUPS)
+        assert {r["grp"] for r in dirty.collect()} == {"a", "b"}
+        applied = apply_changes(base, _chg(spark, batch), ["id"])
+        got = self._view(
+            maintain_minmax_rollup(state, applied, dirty, GROUPS, self.AGGS)
+        )
+        assert got == {"b": (5, 50)}
+
+    def test_random_streams_match_full_recompute(self, spark):
+        """Seeded random streams applied batch-by-batch IN ORDER (the
+        dirty-group lane maintains against the evolving target, unlike
+        the order-free additive lane): after every batch the
+        maintained MIN/MAX view equals the full recompute of the
+        applied table."""
+        import random
+
+        from dtle_spark.operators.apply import apply_changes
+        from dtle_spark.operators.rollup import (
+            dirty_groups, maintain_minmax_rollup, minmax_rollup_of,
+        )
+
+        rng = random.Random(101)
+        alive = {k: (k, rng.choice("abc"), k * 11) for k in range(1, 6)}
+        target = spark.createDataFrame(list(alive.values()), ROW)
+        state = minmax_rollup_of(target, GROUPS, self.AGGS)
+        for batch_no in range(4):
+            events = []
+            for seq in range(1, 7):
+                roll, live = rng.random(), sorted(alive)
+                s = batch_no * 10 + seq
+                if not live or roll < 0.35:
+                    k = rng.randint(1, 40)
+                    if k in alive:
+                        continue
+                    alive[k] = (k, rng.choice("abc"), s * 3)
+                    events.append(_c("i", None, alive[k], s))
+                elif roll < 0.6:
+                    k = rng.choice(live)
+                    events.append(_c("d", alive.pop(k), None, s))
+                else:
+                    k = rng.choice(live)
+                    old = alive[k]
+                    alive[k] = (k, rng.choice("abc"), old[2] - s)
+                    events.append(_c("u", old, alive[k], s))
+            if not events:
+                continue
+            chg = _chg(spark, events)
+            dirty = dirty_groups(target, chg, ["id"], GROUPS)
+            target = apply_changes(target, chg, ["id"]).localCheckpoint()
+            state = maintain_minmax_rollup(
+                state, target, dirty, GROUPS, self.AGGS
+            ).localCheckpoint()
+            assert self._view(state) == self._view(
+                minmax_rollup_of(target, GROUPS, self.AGGS)
+            ), f"batch {batch_no}"
+        assert sorted(map(tuple, target.collect())) == sorted(alive.values())
+
+
 def test_random_consistent_streams_cross_operator_invariants(spark):
     """Seeded random image-consistent streams, three invariants at
     once, per trial:

@@ -492,6 +492,43 @@ class TestKmvSketch:
         direct = kmv_distinct(part1.unionByName(part2), "x", k=128).collect()[0]
         assert merged.asDict() == direct.asDict()
 
+    def test_grouped_merge_equals_whole_data_sketch(self, spark):
+        """Per-group sketch-of-parts merged == grouped sketch-of-whole
+        (the mergeability contract, per group), and each group's
+        estimate matches the global-lane estimator on that group's
+        rows alone."""
+        from dtle_spark.functions.sketches import (
+            kmv_distinct,
+            kmv_distinct_grouped,
+            kmv_merge_grouped,
+            kmv_minima_grouped,
+        )
+
+        whole = spark.range(0, 6000).selectExpr(
+            "CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 THEN 'b'"
+            " ELSE 'c' END AS g",
+            "id * 104729 AS x",
+        )
+        a, b = whole.filter("id < 2500"), whole.filter("id >= 2000")  # overlap
+        merged = {
+            r["grp"]: (r["got_k"], r["kth_min"], r["kmv_estimate"])
+            for r in kmv_merge_grouped(
+                kmv_minima_grouped(a, "g", "x", k=64).unionByName(
+                    kmv_minima_grouped(b, "g", "x", k=64)
+                ),
+                k=64,
+            ).collect()
+        }
+        direct = {
+            r["grp"]: (r["got_k"], r["kth_min"], r["kmv_estimate"])
+            for r in kmv_distinct_grouped(whole, "g", "x", k=64).collect()
+        }
+        assert merged == direct and set(direct) == {"a", "b", "c"}
+        solo = kmv_distinct(whole.filter("g = 'b'"), "x", k=64).collect()[0]
+        assert direct["b"] == (
+            solo["got_k"], solo["kth_min"], solo["kmv_estimate"]
+        )
+
     def test_null_values_draw_no_minima_slot(self, spark):
         """NULL keys hash to NULL and must be excluded BEFORE the
         k-minima fold: Spark sorts NULLS FIRST (a NULL would occupy a
@@ -554,6 +591,46 @@ class TestCmsSketch:
 
         df = spark.range(0, 50000).selectExpr("id AS x")  # 50k distinct
         assert cms_sketch(df, "x", depth=4, width=128).count() <= 4 * 128
+
+    def test_grouped_merge_and_isolation(self, spark):
+        """Grouped CMS: merge-of-parts == sketch-of-whole per group;
+        each group's table is independent (a group's estimate equals
+        the global sketch of that group's rows alone — no cross-group
+        counter pollution); estimates never underestimate per group."""
+        from dtle_spark.functions.sketches import (
+            cms_estimate,
+            cms_estimate_grouped,
+            cms_merge_grouped,
+            cms_sketch,
+            cms_sketch_grouped,
+        )
+
+        whole = spark.range(0, 4000).selectExpr(
+            "CASE WHEN id % 2 = 0 THEN 'x' ELSE 'y' END AS g",
+            "id % 100 AS k",
+        )
+        a, b = whole.filter("id < 1500"), whole.filter("id >= 1500")
+        merged = {(r["grp"], r["row"], r["bucket"]): r["cnt"]
+                  for r in cms_merge_grouped(
+                      cms_sketch_grouped(a, "g", "k").unionByName(
+                          cms_sketch_grouped(b, "g", "k"))).collect()}
+        direct_g = cms_sketch_grouped(whole, "g", "k")
+        direct = {(r["grp"], r["row"], r["bucket"]): r["cnt"]
+                  for r in direct_g.collect()}
+        assert merged == direct
+
+        probes = whole.selectExpr("g AS grp", "k AS key").distinct()
+        est = {(r["grp"], r["key"]): r["est_cnt"]
+               for r in cms_estimate_grouped(direct_g, probes).collect()}
+        exact = {(r["g"], r["k"]): r["cnt"] for r in
+                 whole.groupBy("g", "k").agg(F.count("*").alias("cnt")).collect()}
+        assert all(est[p] >= exact[p] for p in exact)
+
+        xs = whole.filter("g = 'x'")
+        solo = {r["key"]: r["est_cnt"] for r in cms_estimate(
+            cms_sketch(xs, "k"), xs.selectExpr("k AS key").distinct(), "key"
+        ).collect()}
+        assert all(est[("x", k)] == v for k, v in solo.items())
 
 
 class TestPrioritySample:

@@ -496,6 +496,16 @@ def test_write_query_hashes_round_trip(tmp_path, monkeypatch):
     assert second[names[0]]["round"] == 4  # changed: restamped
     assert second[names[1]]["round"] == 2  # kept
     assert second[names[0]]["hash"] == q._definition_hash(names[0])
+    # bootstrap-era round-0 stamps PROMOTE to the green round once the
+    # unchanged definition earns one ("round the definition dates
+    # from" must not outlive the green it predates); never-green
+    # entries keep 0
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({
+        names[2]: {"hash_match": True, "rows_match": True},
+    }))
+    third = q.write_query_hashes(5)
+    assert third[names[2]]["round"] == 3  # promoted from 0
+    assert third[names[3]]["round"] == 0  # still never green
 
 
 # ---------------------------------------------------------------------------
@@ -678,6 +688,47 @@ class TestSnapshotDiff:
         disagree = [rng for rng in a if a[rng] != b[rng]]
         assert disagree == [2]  # id 25 lives in range 2 only
 
+    def test_triaged_diff_equals_full_diff(self, spark):
+        """snapshot_diff_triaged ≡ snapshot_diff while actually
+        pruning: localized drift (one update, one delete, one insert
+        in a disjoint range) flags a strict subset of ranges, and the
+        exact re-diff over only those ranges recovers the identical
+        change set — including a key range present on one side only."""
+        from dtle_spark.operators.diff import (
+            disagreeing_ranges,
+            snapshot_diff,
+            snapshot_diff_triaged,
+        )
+
+        old = spark.createDataFrame(
+            [(i, f"n{i}", float(i)) for i in range(100)],
+            "id long, name string, val double",
+        )
+        new = spark.createDataFrame(
+            [(i, f"n{i}", float(i) if i != 7 else -1.0)
+             for i in range(100) if i != 55]
+            + [(500, "new", 5.0)],  # a range that exists on one side only
+            "id long, name string, val double",
+        )
+        flagged = sorted(
+            r["rng"] for r in disagreeing_ranges(old, new, "id", 10).collect()
+        )
+        assert flagged == [0, 5, 50]  # update / delete / one-sided insert
+        full = sorted(map(repr, snapshot_diff(old, new, ["id"]).collect()))
+        triaged = sorted(map(repr, snapshot_diff_triaged(
+            old, new, ["id"], range_width=10
+        ).collect()))
+        assert triaged == full
+        assert len(full) == 3
+
+    def test_triaged_diff_identical_sides_empty(self, spark):
+        from dtle_spark.operators.diff import snapshot_diff_triaged
+
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(30)], "id long, val double"
+        )
+        assert snapshot_diff_triaged(df, df, ["id"], range_width=7).count() == 0
+
 
 # ---------------------------------------------------------------------------
 # SCD2 history (operators/scd2.py)
@@ -834,3 +885,41 @@ class TestDqChecks:
                 base, chg.filter(F.col("seq") <= s), ["id"]
             ).collect()))
             assert got == want, f"seq {s}"
+
+    def test_as_of_ts_reconstructs_past_states(self, spark):
+        """The event-time read: with a timed stream (ts = epoch + seq
+        seconds here), as_of_ts at each boundary instant — and just
+        before/after it — equals the seq prefix apply; the un-timed
+        snapshot seed reads as open-since-before-all-time."""
+        from datetime import datetime, timezone
+
+        from dtle_spark.operators.apply import apply_changes
+        from dtle_spark.operators.scd2 import as_of_ts, scd2_history
+
+        base = spark.createDataFrame([(1, "a", 10.0), (2, "b", 20.0)], ROW)
+        sid = "s"
+        rows = [
+            (sid, 1, 1, 0, "u", None, "d", "t", (1, "a", 10.0), (1, "a", 15.0), None),
+            (sid, 2, 2, 0, "d", None, "d", "t", (2, "b", 20.0), None, None),
+            (sid, 3, 3, 0, "i", None, "d", "t", None, (2, "b", 22.0), None),
+            (sid, 4, 4, 0, "u", None, "d", "t", (1, "a", 15.0), (9, "a", 15.0), None),
+        ]
+        chg = spark.createDataFrame(rows, change_schema(ROW)).withColumn(
+            "ts", F.timestamp_seconds(F.col("seq"))
+        )
+        hist = scd2_history(chg, ["id"], base=base).localCheckpoint()
+
+        def t(sec: float) -> datetime:
+            return datetime.fromtimestamp(sec, tz=timezone.utc)
+
+        for s in [1, 2, 3, 4]:
+            want = sorted(map(tuple, apply_changes(
+                base, chg.filter(F.col("seq") <= s), ["id"]
+            ).collect()))
+            got_at = sorted(map(tuple, as_of_ts(hist, t(s)).collect()))
+            assert got_at == want, f"at ts {s}"  # the event AT t is visible
+            got_after = sorted(map(tuple, as_of_ts(hist, t(s + 0.5)).collect()))
+            assert got_after == want, f"after ts {s}"
+        # before every change: the seed alone (null valid_from_ts)
+        got0 = sorted(map(tuple, as_of_ts(hist, t(0.5)).collect()))
+        assert got0 == sorted(map(tuple, base.collect()))

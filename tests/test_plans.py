@@ -352,9 +352,23 @@ def test_snapshot_diff_single_full_outer_join(spark):
     assert plan.count("FullOuter") == 1
 
 
+def test_triaged_diff_digest_partial_aggregated_and_broadcast_prune(spark):
+    """The triage pre-pass digests must partial-aggregate map-side
+    (unchanged ranges never shuffle a data row), and the disagreeing
+    range set must BROADCAST into the semi-join pruning both sides —
+    a shuffled prune would cost what it saves."""
+    plan = plan_of("snapshot_diff_triaged_orders", spark)
+    assert "partial_sum" in plan and "partial_count" in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # the exact differ still runs exactly one full-outer key join
+    assert plan.count("FullOuter") >= 1
+
+
 def test_sketch_queries_partial_aggregate(spark):
-    """All three sketch lanes reduce to bounded state map-side."""
-    for q in ("heavy_hitters_cms", "quantile_sketch_prices"):
+    """All sketch lanes (global and grouped) reduce to bounded state
+    map-side."""
+    for q in ("heavy_hitters_cms", "quantile_sketch_prices",
+              "heavy_hitters_cms_by_type", "kmv_distinct_by_priority"):
         plan = plan_of(q, spark)
         assert "partial_count" in plan or "partial_sum" in plan, q
 
@@ -383,6 +397,8 @@ def test_as_of_read_has_no_extra_key_shuffle(spark):
     as-of read adds only a filter on the version intervals — exactly
     one window operator in the whole plan."""
     plan = plan_of("orders_as_of_seq", spark)
-    assert plan.count("RunningWindowFunction") + plan.count("Window") >= 1
+    # exactly ONE window operator: the history derivation's lead();
+    # the as-of read itself must add none (docstring contract)
+    assert plan.count("RunningWindowFunction") + plan.count("Window") == 1
     # the interval read must not introduce a join or second window
     assert "SortMergeJoin" not in plan.split("Window")[0]

@@ -226,3 +226,73 @@ def test_manager_profile_job_lifecycle_recover_and_http(spark, tmp_path):
         assert code == 200 and got["type"] == "stream_profile"
     finally:
         server.stop()
+
+
+def test_drift_gate_detects_injected_shift(spark, tmp_path):
+    """The profiler -> DQ bridge (functions/dq.py dq_drift_report):
+    a same-distribution second sample reads as near-zero drift; an
+    injected shift (values x16, doubled key space) fires all three
+    checks. The TV stats' num/denom are exact integer rationals —
+    two evaluations agree bit-for-bit."""
+    base_rows = spark.range(0, 4000).selectExpr(
+        "id AS doc_id", "'t' AS text", "'en' AS lang",
+        "CAST(id % 80 AS STRING) AS source",
+        "1000 + id % 500 AS n_chars",
+    ).localCheckpoint()
+
+    def _profile(rows, name):
+        src = str(tmp_path / name / "src")
+        os.makedirs(src)
+        rows.coalesce(1).write.parquet(os.path.join(src, "b0"))
+        job = StreamProfileJob(
+            spark, os.path.join(src, "*"),
+            str(tmp_path / name / "profile"), str(tmp_path / name / "ck"),
+            key_sql="source", value_sql="n_chars",
+            schema="doc_id long, text string, lang string, "
+                   "source string, n_chars long",
+        )
+        job.start()
+        job.process_available()
+        return job
+
+    baseline = _profile(base_rows, "baseline").profile()
+
+    # control: a fresh sample from the SAME distribution
+    control_rows = spark.range(4000, 8000).selectExpr(
+        "id AS doc_id", "'t' AS text", "'en' AS lang",
+        "CAST(id % 80 AS STRING) AS source",
+        "1000 + id % 500 AS n_chars",
+    )
+    control = _profile(control_rows, "control")
+    ctl = {r["check_name"]: r for r in control.drift_vs(baseline).collect()}
+    assert abs(ctl["drift:kmv_ratio"]["stat"] - 1.0) < 0.01  # same keys
+    assert ctl["drift:loghist_tv"]["stat"] < 0.05
+    assert ctl["drift:cms_tv"]["stat"] < 0.10
+
+    # injected shift: values jump an octave (x16), key space doubles
+    shifted_rows = spark.range(0, 4000).selectExpr(
+        "id AS doc_id", "'t' AS text", "'en' AS lang",
+        "CAST(id % 160 AS STRING) AS source",
+        "(1000 + id % 500) * 16 AS n_chars",
+    )
+    shifted = _profile(shifted_rows, "shifted")
+    rep = shifted.drift_vs(baseline)
+    got = {r["check_name"]: r for r in rep.collect()}
+    assert got["drift:kmv_ratio"]["stat"] > 1.5
+    assert got["drift:loghist_tv"]["stat"] > 0.9  # disjoint octaves
+    assert got["drift:cms_tv"]["stat"] > 0.3
+
+    # exactness: rationals are integers, stat is num/denom, and a
+    # second evaluation reproduces them bit-for-bit
+    for name in ("drift:loghist_tv", "drift:cms_tv"):
+        r = got[name]
+        assert r["drift_num"] is not None and r["drift_denom"] is not None
+        assert float(r["drift_num"]) / float(r["drift_denom"]) == pytest.approx(
+            r["stat"], abs=0
+        )
+    again = {r["check_name"]: r for r in rep.collect()}
+    for name in got:
+        assert (got[name]["drift_num"], got[name]["drift_denom"],
+                got[name]["stat"]) == (
+            again[name]["drift_num"], again[name]["drift_denom"],
+            again[name]["stat"]), name
