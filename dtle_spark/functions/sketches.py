@@ -651,6 +651,13 @@ def loghist_sketch_grouped(
     )
 
 
+def loghist_merge_grouped(sketches: DataFrame) -> DataFrame:
+    """Counters add cell-wise within each group; equals the grouped
+    sketch of the concatenated inputs — completes the grouped trio's
+    merge surface (kmv_merge_grouped / cms_merge_grouped)."""
+    return sketches.groupBy("grp", "e", "sub").agg(F.sum("cnt").alias("cnt"))
+
+
 def loghist_quantiles_grouped(
     sketch: DataFrame, qs: list[tuple[int, int]], subdiv: int = 16
 ) -> DataFrame:

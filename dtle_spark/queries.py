@@ -5660,6 +5660,144 @@ def heavy_hitters_cms_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.join(est, ["grp", "key"])
 
 
+def _dq_drift_oracle() -> str:
+    """DuckDB mirror of dq_drift_orders: the same sketch cells on each
+    side, TV distance as the identical integer cross-multiplication
+    (DECIMAL(18) cells, totals as direct COUNTs), KMV ratio from the
+    two gated estimators."""
+    e, sub = sk._loghist_bucket_sql("x", 16, "duckdb")
+    cms_rows_b = " UNION ALL ".join(
+        f"SELECT {r} AS row, {sk.cms_bucket_sql('o_orderpriority', r, 512, 'duckdb')} AS bucket"
+        f" FROM orders WHERE o_orderkey % 2 = 0"
+        for r in range(4)
+    )
+    cms_rows_c = " UNION ALL ".join(
+        f"SELECT {r} AS row, {sk.cms_bucket_sql('o_orderstatus', r, 512, 'duckdb')} AS bucket"
+        f" FROM orders WHERE o_orderkey % 2 = 1"
+        for r in range(4)
+    )
+    kmv_b = sk.kmv_distinct_sql(
+        "o_custkey", "(SELECT * FROM orders WHERE o_orderkey % 2 = 0)", k=256
+    )
+    kmv_c = sk.kmv_distinct_sql(
+        "o_custkey", "(SELECT * FROM orders WHERE o_orderkey % 3 = 0)", k=256
+    )
+    return f"""
+    WITH bl_v AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x
+      FROM orders WHERE o_orderkey % 2 = 0
+        AND CAST(round(o_totalprice * 100) AS BIGINT) > 0
+    ),
+    cu_v AS (
+      SELECT CAST(round(o_totalprice * 300) AS BIGINT) AS x
+      FROM orders WHERE o_orderkey % 2 = 1
+        AND CAST(round(o_totalprice * 300) AS BIGINT) > 0
+    ),
+    bl_lh AS (SELECT e, sub, COUNT(*) AS cnt
+              FROM (SELECT {e} AS e, {sub} AS sub FROM bl_v) GROUP BY 1, 2),
+    cu_lh AS (SELECT e, sub, COUNT(*) AS cnt
+              FROM (SELECT {e} AS e, {sub} AS sub FROM cu_v) GROUP BY 1, 2),
+    lh_j AS (
+      SELECT CAST(COALESCE(b.cnt, 0) AS DECIMAL(18,0)) AS b_cnt,
+             CAST(COALESCE(c.cnt, 0) AS DECIMAL(18,0)) AS c_cnt
+      FROM bl_lh b FULL OUTER JOIN cu_lh c
+        ON b.e = c.e AND b.sub = c.sub
+    ),
+    lh_tot AS (
+      SELECT CAST((SELECT COUNT(*) FROM bl_v) AS DECIMAL(18,0)) AS n_b,
+             CAST((SELECT COUNT(*) FROM cu_v) AS DECIMAL(18,0)) AS n_c
+    ),
+    lh AS (
+      SELECT 'drift:loghist_tv' AS check_name,
+             CAST(SUM(ABS(b_cnt * n_c - c_cnt * n_b)) AS DECIMAL(38,0)) AS drift_num,
+             CAST(2 * n_b * n_c AS DECIMAL(38,0)) AS drift_denom
+      FROM lh_j, lh_tot GROUP BY n_b, n_c
+    ),
+    bl_cms AS (SELECT row, bucket, COUNT(*) AS cnt
+               FROM ({cms_rows_b}) GROUP BY 1, 2),
+    cu_cms AS (SELECT row, bucket, COUNT(*) AS cnt
+               FROM ({cms_rows_c}) GROUP BY 1, 2),
+    cms_j AS (
+      SELECT CAST(COALESCE(b.cnt, 0) AS DECIMAL(18,0)) AS b_cnt,
+             CAST(COALESCE(c.cnt, 0) AS DECIMAL(18,0)) AS c_cnt
+      FROM bl_cms b FULL OUTER JOIN cu_cms c
+        ON b.row = c.row AND b.bucket = c.bucket
+    ),
+    cms_tot AS (
+      SELECT CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0)
+                  AS DECIMAL(18,0)) AS n_b,
+             CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 1)
+                  AS DECIMAL(18,0)) AS n_c
+    ),
+    cms AS (
+      SELECT 'drift:cms_tv' AS check_name,
+             CAST(SUM(ABS(b_cnt * n_c - c_cnt * n_b)) AS DECIMAL(38,0)) AS drift_num,
+             CAST(2 * 4 * n_b * n_c AS DECIMAL(38,0)) AS drift_denom
+      FROM cms_j, cms_tot GROUP BY n_b, n_c
+    ),
+    kmv AS (
+      SELECT 'drift:kmv_ratio' AS check_name,
+             CAST(NULL AS DECIMAL(38,0)) AS drift_num,
+             CAST(NULL AS DECIMAL(38,0)) AS drift_denom,
+             c.kmv_estimate / b.kmv_estimate AS stat
+      FROM ({kmv_b}) b, ({kmv_c}) c
+    )
+    SELECT check_name, drift_num, drift_denom,
+           CAST(drift_num AS DOUBLE) / CAST(drift_denom AS DOUBLE) AS stat
+    FROM lh
+    UNION ALL
+    SELECT check_name, drift_num, drift_denom,
+           CAST(drift_num AS DOUBLE) / CAST(drift_denom AS DOUBLE) AS stat
+    FROM cms
+    UNION ALL
+    SELECT * FROM kmv
+    ORDER BY check_name
+    """
+
+
+@query("dq_drift_orders", _dq_drift_oracle())
+def dq_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift gate (functions/dq.py dq_drift_report — the
+    profiler -> DQ bridge): two fixture-derived sketch profiles
+    (baseline = even order keys, current = odd keys with prices x3
+    and a different CMS key column, plus a larger KMV population)
+    compared as KMV cardinality ratio + total-variation distances of
+    the loghist/CMS histograms. The TV stats are EXACT integer
+    rationals (cross-multiplied counts — engine- and order-
+    independent), which is what makes a drift METRIC hash-gatable at
+    all; the convenience double is one division of those integers.
+    At 100 TB the comparison runs over bounded sketch cells — the
+    gate a pipeline runs against a blessed baseline before promoting
+    an increment (StreamProfileJob.drift_vs)."""
+    from dtle_spark.functions.dq import dq_drift_report
+
+    o = load_table(spark, sf_dir, "orders")
+    even = o.filter("o_orderkey % 2 = 0")
+    odd = o.filter("o_orderkey % 2 = 1")
+    third = o.filter("o_orderkey % 3 = 0")
+    baseline = {
+        "kmv": sk.kmv_distinct(even, "o_custkey", k=256),
+        "cms": sk.cms_sketch(even, "o_orderpriority", depth=4, width=512),
+        "loghist": sk.loghist_sketch(
+            even.selectExpr(
+                "CAST(round(o_totalprice * 100) AS BIGINT) AS x"
+            ),
+            "x",
+        ),
+    }
+    current = {
+        "kmv": sk.kmv_distinct(third, "o_custkey", k=256),
+        "cms": sk.cms_sketch(odd, "o_orderstatus", depth=4, width=512),
+        "loghist": sk.loghist_sketch(
+            odd.selectExpr(
+                "CAST(round(o_totalprice * 300) AS BIGINT) AS x"
+            ),
+            "x",
+        ),
+    }
+    return dq_drift_report(baseline, current, depth=4)
+
+
 @query(
     "weighted_sample_docs",
     f"""

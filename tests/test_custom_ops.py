@@ -726,6 +726,24 @@ class TestLogHistSketch:
         assert len(sk) <= 63 * 16
         assert sum(r["cnt"] for r in sk) == 99999  # x <= 0 excluded
 
+    def test_grouped_merge_helper_equals_whole(self, spark):
+        from dtle_spark.functions.sketches import (
+            loghist_merge_grouped,
+            loghist_sketch_grouped,
+        )
+
+        whole = spark.range(1, 3001).selectExpr(
+            "CASE WHEN id % 2 = 0 THEN 'x' ELSE 'y' END AS g", "id * 13 AS x"
+        )
+        a, b = whole.filter("id < 1000"), whole.filter("id >= 1000")
+        merged = {(r["grp"], r["e"], r["sub"]): r["cnt"]
+                  for r in loghist_merge_grouped(
+                      loghist_sketch_grouped(a, "g", "x").unionByName(
+                          loghist_sketch_grouped(b, "g", "x"))).collect()}
+        direct = {(r["grp"], r["e"], r["sub"]): r["cnt"]
+                  for r in loghist_sketch_grouped(whole, "g", "x").collect()}
+        assert merged == direct
+
     def test_huge_values_clamped_inside_octave(self, spark):
         """Above 2^53 CAST(x AS DOUBLE) rounds; a mantissa rounding UP
         to the next power of two would put sub at subdiv (outside
