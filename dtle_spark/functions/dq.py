@@ -170,9 +170,16 @@ def dq_drift_report(
 
     - ``drift:kmv_ratio`` — current distinct-count estimate over
       baseline's (growth/shrink of key cardinality; 1.0 = stable).
-      Its num/denom are NULL: the estimates are doubles (already
-      bit-deterministic — one IEEE division of gated values), not
-      integer rationals.
+      Each KMV estimate is itself a rational — exact regime
+      (got_k < k): got_k / 1; estimating: (k-1)*2^40 / kth_min — and
+      the ratio is the exact integer cross-product c_num*b_den /
+      c_den*b_num. When BOTH sides are estimating, the shared 2^40
+      hash-domain factor is cancelled first ((c_k-1)*b_kth /
+      (b_k-1)*c_kth), so every emitted integer stays < 2^53 for
+      k <= 8192 — exactly representable even if a downstream
+      consumer (or hash canonicalizer) routes the decimals through
+      float64. A zero/empty baseline makes the denominator 0 —
+      callers must bless a non-empty baseline.
     - ``drift:loghist_tv`` — total-variation distance of the value
       distributions, from the log-histogram cells. 0 = identical,
       1 = disjoint; the sketch's 1/(2*subdiv) relative value error
@@ -187,15 +194,48 @@ def dq_drift_report(
     control-plane sized regardless of data volume; the num/denom
     rationals are exact integers, so two engines (or two runs) agree
     bit-for-bit even where the convenience double would not."""
+    d38 = "decimal(38,0)"
+
+    def _kmv_side(df: DataFrame, prefix: str) -> DataFrame:
+        # per-side rational (see docstring); 2^40 is the shared hash
+        # domain (functions/sketches.py _U_DENOM)
+        exact = F.col("got_k") < F.col("k")
+        num = F.when(exact, F.col("got_k")).otherwise(
+            (F.col("k") - 1).cast("long") * F.lit(1 << 40)
+        )
+        den = F.when(exact, F.lit(1).cast("long")).otherwise(F.col("kth_min"))
+        return df.select(
+            exact.alias(f"{prefix}_exact"),
+            num.alias(f"{prefix}_num"),
+            den.alias(f"{prefix}_den"),
+            (F.col("k") - 1).cast("long").alias(f"{prefix}_km1"),
+            F.col("kth_min").alias(f"{prefix}_kth"),
+        )
+
     kb, kc = baseline["kmv"], current["kmv"]
+    both_est = ~F.col("c_exact") & ~F.col("b_exact")
     ratio = (
-        kc.select(F.col("kmv_estimate").alias("c_est"))
-        .crossJoin(F.broadcast(kb.select(F.col("kmv_estimate").alias("b_est"))))
+        _kmv_side(kc, "c")
+        .crossJoin(F.broadcast(_kmv_side(kb, "b")))
         .select(
             F.lit("drift:kmv_ratio").alias("check_name"),
-            F.lit(None).cast("decimal(38,0)").alias("drift_num"),
-            F.lit(None).cast("decimal(38,0)").alias("drift_denom"),
-            (F.col("c_est") / F.col("b_est")).alias("stat"),
+            F.when(both_est, F.col("c_km1") * F.col("b_kth"))
+            .otherwise(
+                (F.col("c_num").cast(d38) * F.col("b_den").cast(d38)).cast("long")
+            )
+            .cast(d38).alias("drift_num"),
+            F.when(both_est, F.col("b_km1") * F.col("c_kth"))
+            .otherwise(
+                (F.col("c_den").cast(d38) * F.col("b_num").cast(d38)).cast("long")
+            )
+            .cast(d38).alias("drift_denom"),
+        )
+        .select(
+            "check_name",
+            "drift_num",
+            "drift_denom",
+            (F.col("drift_num").cast("double")
+             / F.col("drift_denom").cast("double")).alias("stat"),
         )
     )
     lh = _tv_distance(

@@ -5663,8 +5663,11 @@ def heavy_hitters_cms_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dq_drift_oracle() -> str:
     """DuckDB mirror of dq_drift_orders: the same sketch cells on each
     side, TV distance as the identical integer cross-multiplication
-    (DECIMAL(18) cells, totals as direct COUNTs), KMV ratio from the
-    two gated estimators."""
+    (DECIMAL(18) cells, totals as direct COUNTs), and the KMV ratio as
+    the same exact integer rational the Spark side emits (per-side
+    estimate = got_k/1 exact regime, (k-1)*2^40/kth_min estimating) —
+    every row is (name, decimal num, decimal denom, derived double),
+    with no NULL decimals anywhere in the gated output."""
     e, sub = sk._loghist_bucket_sql("x", 16, "duckdb")
     cms_rows_b = " UNION ALL ".join(
         f"SELECT {r} AS row, {sk.cms_bucket_sql('o_orderpriority', r, 512, 'duckdb')} AS bucket"
@@ -5736,10 +5739,26 @@ def _dq_drift_oracle() -> str:
       FROM cms_j, cms_tot GROUP BY n_b, n_c
     ),
     kmv AS (
+      -- the ratio as an exact integer rational; when BOTH sides are
+      -- in the estimating regime the shared 2^40 factor cancels so
+      -- every emitted integer stays < 2^53 (float64-exact)
       SELECT 'drift:kmv_ratio' AS check_name,
-             CAST(NULL AS DECIMAL(38,0)) AS drift_num,
-             CAST(NULL AS DECIMAL(38,0)) AS drift_denom,
-             c.kmv_estimate / b.kmv_estimate AS stat
+             CAST(CASE
+               WHEN c.got_k >= c.k AND b.got_k >= b.k
+                 THEN (c.k - 1) * b.kth_min
+               ELSE (CASE WHEN c.got_k < c.k THEN c.got_k
+                          ELSE (c.k - 1) * {1 << 40} END)
+                    * (CASE WHEN b.got_k < b.k THEN 1
+                            ELSE b.kth_min END)
+             END AS DECIMAL(38,0)) AS drift_num,
+             CAST(CASE
+               WHEN c.got_k >= c.k AND b.got_k >= b.k
+                 THEN (b.k - 1) * c.kth_min
+               ELSE (CASE WHEN c.got_k < c.k THEN 1
+                          ELSE c.kth_min END)
+                    * (CASE WHEN b.got_k < b.k THEN b.got_k
+                            ELSE (b.k - 1) * {1 << 40} END)
+             END AS DECIMAL(38,0)) AS drift_denom
       FROM ({kmv_b}) b, ({kmv_c}) c
     )
     SELECT check_name, drift_num, drift_denom,
@@ -5750,7 +5769,9 @@ def _dq_drift_oracle() -> str:
            CAST(drift_num AS DOUBLE) / CAST(drift_denom AS DOUBLE) AS stat
     FROM cms
     UNION ALL
-    SELECT * FROM kmv
+    SELECT check_name, drift_num, drift_denom,
+           CAST(drift_num AS DOUBLE) / CAST(drift_denom AS DOUBLE) AS stat
+    FROM kmv
     ORDER BY check_name
     """
 
@@ -5762,10 +5783,14 @@ def dq_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     (baseline = even order keys, current = odd keys with prices x3
     and a different CMS key column, plus a larger KMV population)
     compared as KMV cardinality ratio + total-variation distances of
-    the loghist/CMS histograms. The TV stats are EXACT integer
-    rationals (cross-multiplied counts — engine- and order-
-    independent), which is what makes a drift METRIC hash-gatable at
-    all; the convenience double is one division of those integers.
+    the loghist/CMS histograms. ALL three stats are EXACT integer
+    rationals (cross-multiplied counts for TV; the cross-product of
+    the two KMV estimator rationals for the ratio — engine- and
+    order-independent), which is what makes a drift METRIC
+    hash-gatable at all; the convenience double is one division of
+    those integers, and no gated column is ever a NULL decimal
+    (r10's red row traced to NULL-decimal canonicalization in the
+    hash path).
     At 100 TB the comparison runs over bounded sketch cells — the
     gate a pipeline runs against a blessed baseline before promoting
     an increment (StreamProfileJob.drift_vs)."""

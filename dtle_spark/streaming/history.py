@@ -28,9 +28,12 @@ idempotent ``ingest_batch=<id>/`` subtree, and:
   never read, copied, or rewritten.
 - crash safety: a fold whose generation swap never landed (crash
   between the segment write and ``_swap_current``) is orphaned ABOVE
-  the committed watermark and GC'd at the next compact() before any
-  new segment is written, so a retry at a different watermark cannot
-  double-count its versions;
+  the committed watermark — INVISIBLE to reads (history() includes
+  only folds <= the current generation's watermark, since the
+  orphan's versions are still derivable from the old generation's
+  events) and GC'd at the next compact() before any new segment is
+  written, so neither a read in the window nor a retry at a
+  different watermark can double-count its versions;
 - the ``_CHECKPOINT_ID`` stamp pairs batch ids with one stream
   checkpoint (fail-loud on a fresh checkpoint against an old root).
 
@@ -42,8 +45,10 @@ both unbounded at 100 TB, so neither may serialize through one core.
 Read cost: |closed versions| + a window over events-since-compaction
 (Δ-bounded). Write cost per batch: O(batch). At 100 TB the closed
 store is the large immutable artifact — its fold segments are already
-time-ordered (fold = compaction watermark), so retention/archival can
-drop whole segments; the live working set is one open event per key.
+time-ordered (fold = compaction watermark), so retention/archival
+drops whole segments (``drop_folds_before``; the ``_RETAINED_FROM``
+floor makes as_of reads below the retained window fail loud); the
+live working set is one open event per key.
 
 Reference context: the reference replicates current state only; audit
 / temporal history is the downstream product its users build by hand.
@@ -60,6 +65,7 @@ from pyspark.sql import functions as F
 
 from dtle_spark.operators.apply import dedupe_redelivered
 from dtle_spark.operators.scd2 import (
+    as_of_seq,
     events_of_changes,
     seed_events,
     versions_of_events,
@@ -72,6 +78,7 @@ from dtle_spark.streaming.ann_serving import (
 from dtle_spark.streaming.profile import _compacted_through, _resolve
 
 _COMPACT_WM_FILE = "_COMPACTED_THROUGH"
+_RETAINED_FROM_FILE = "_RETAINED_FROM"
 _EVENTS = "events"
 _CLOSED = "closed"
 _SEED_BATCH = -1
@@ -170,7 +177,17 @@ class Scd2HistoryJob:
 
     def _read_closed(self) -> DataFrame | None:
         root = self._closed_root()
-        folds = self._fold_dirs()
+        # COMMITTED folds only (fold <= the current generation's
+        # watermark): a fold orphaned by a crashed compaction (segment
+        # written, _CURRENT swap never landed) sits ABOVE the committed
+        # watermark and its versions are still derivable from the old
+        # generation's events — reading it would double-count until the
+        # next compact() GCs it. Orphans are invisible to reads, not
+        # just GC'd later.
+        wm = _compacted_through(_resolve(self.history_root))
+        folds = [
+            f for f in self._fold_dirs() if int(f.split("=", 1)[1]) <= wm
+        ]
         if not folds:
             return None
         return (
@@ -195,6 +212,79 @@ class Scd2HistoryJob:
     def current(self) -> DataFrame | None:
         h = self.history()
         return None if h is None else h.filter("is_current")
+
+    # -- retention ---------------------------------------------------------
+
+    def retained_from_seq(self) -> int:
+        """The smallest seq at which :meth:`as_of` reads are still
+        EXACT. Until a retention drop it is ``-2^62`` (everything);
+        after :meth:`drop_folds_before` it is the max ``valid_to_seq``
+        across all dropped versions — at or above it no dropped
+        version was alive (intervals are half-open [from, to))."""
+        try:
+            with open(
+                os.path.join(self._closed_root(), _RETAINED_FROM_FILE)
+            ) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, NotADirectoryError):
+            return -(1 << 62)
+
+    def drop_folds_before(self, fold_watermark: int) -> int:
+        """Retention: delete the closed fold segments with
+        ``fold < fold_watermark`` — the archival path the append-only
+        store was designed for (folds are immutable, time-ordered by
+        compaction watermark, so aging out is whole-segment deletes,
+        never a rewrite). Only COMMITTED folds are eligible (orphans
+        above the generation watermark belong to compact()'s GC).
+
+        Before deleting, the max ``valid_to_seq`` across the doomed
+        segments is folded into the shared ``_RETAINED_FROM`` floor —
+        written BEFORE the deletes, so a crash mid-drop leaves the
+        floor conservatively high, never an unguarded partial window.
+        :meth:`history` afterwards returns the retained window only;
+        :meth:`as_of` at a seq below the floor fails loud instead of
+        silently returning a state missing the dropped versions.
+        Returns the number of folds dropped."""
+        wm = _compacted_through(_resolve(self.history_root))
+        root = self._closed_root()
+        doomed = [
+            f for f in self._fold_dirs()
+            if int(f.split("=", 1)[1]) < fold_watermark
+            and int(f.split("=", 1)[1]) <= wm
+        ]
+        if not doomed:
+            return 0
+        hi = (
+            self.spark.read.option("basePath", root)
+            .parquet(*[os.path.join(root, f) for f in doomed])
+            .agg(F.max("valid_to_seq"))
+            .collect()[0][0]
+        )
+        if hi is not None:
+            floor = max(self.retained_from_seq(), int(hi))
+            with open(
+                os.path.join(root, _RETAINED_FROM_FILE), "w"
+            ) as f:
+                f.write(str(floor))
+        for f in doomed:
+            shutil.rmtree(os.path.join(root, f), ignore_errors=True)
+        return len(doomed)
+
+    def as_of(self, seq: int) -> DataFrame | None:
+        """Exact time-travel read over the RETAINED window
+        (operators/scd2.py as_of_seq on :meth:`history`). Below the
+        retention floor the dropped folds' versions would be missing
+        from the answer, so the read refuses instead of lying."""
+        floor = self.retained_from_seq()
+        if seq < floor:
+            raise ValueError(
+                f"as_of({seq}) is below the retention floor {floor}: "
+                "closed folds covering that seq were dropped by "
+                "drop_folds_before — restore them from archive or "
+                "query a seq >= the floor"
+            )
+        h = self.history()
+        return None if h is None else as_of_seq(h, seq)
 
     # -- compaction --------------------------------------------------------
 
@@ -325,4 +415,5 @@ class Scd2HistoryJob:
             "compacted_through": _compacted_through(gen),
             "ingest_batches": len(_ingest_batches(os.path.join(gen, _EVENTS))),
             "closed_folds": len(self._fold_dirs()),
+            "retained_from_seq": self.retained_from_seq(),
         }

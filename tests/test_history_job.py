@@ -272,6 +272,78 @@ class TestAppendOnlyClosedStore:
         assert job._fold_dirs() == ["fold=1"]
         assert _hist_dict(job.history()) == want
 
+    def test_orphaned_fold_is_invisible_to_reads(self, spark, tmp_path):
+        """Crash window BEFORE the next compact(): the orphan fold's
+        versions are still derivable from the old generation's events,
+        so a history() read in the window must exclude it (folds above
+        the committed watermark are invisible, not merely GC'd later)
+        — otherwise every version it holds double-counts."""
+        os.makedirs(str(tmp_path / "src"))
+        job = _job(spark, tmp_path)
+        job.seed(spark.createDataFrame(BASE, ROW))
+        job.apply_batch(_chg(spark, STREAM_A), 0)
+        job.apply_batch(_chg(spark, STREAM_B), 1)
+        want = _hist_dict(job.history())
+
+        # simulate the crash: fold segment lands, _CURRENT never swaps
+        ev = job._read_events().localCheckpoint()
+        from dtle_spark.operators.scd2 import versions_of_events
+
+        versions_of_events(ev, ["id"]).filter("NOT is_current").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(str(tmp_path / "hist"), "closed", "fold=1"))
+
+        # read IN the crash window — no compaction has run yet
+        assert _hist_dict(job.history()) == want
+        assert job.history().count() == len(want)
+
+    def test_fold_retention_drop_and_exact_reads(self, spark, tmp_path):
+        """drop_folds_before: aging out whole closed segments (the
+        archival path the append-only store exists for). After the
+        drop, as_of reads at/above the recorded floor are EXACT
+        (bit-equal to the full-history read), reads below it fail
+        loud, and history() returns exactly the retained window."""
+        os.makedirs(str(tmp_path / "src"))
+        job = _job(spark, tmp_path)
+        job.seed(spark.createDataFrame(BASE, ROW))
+        job.apply_batch(_chg(spark, STREAM_A), 0)
+        job.apply_batch(_chg(spark, STREAM_B), 1)
+        assert job.compact(max_batches=1) == 3
+        stream_c = [
+            _c("d", (5, "b", 40), None, 9),
+            _c("u", (1, "a", 10), (1, "a", 11), 10),
+        ]
+        job.apply_batch(_chg(spark, stream_c), 2)
+        job.apply_batch(_chg(spark, [_c("i", None, (7, "c", 70), 11)]), 3)
+        assert job.compact(max_batches=1) == 3
+        assert job._fold_dirs() == ["fold=1", "fold=3"]
+
+        full = _hist_dict(job.history())
+        want_asof = {
+            s: {tuple(r) for r in job.as_of(s).collect()} for s in (4, 9, 10)
+        }
+
+        assert job.drop_folds_before(3) == 1
+        assert job._fold_dirs() == ["fold=3"]
+        # fold=1's max valid_to_seq is 4 (key 4 closed by the PK move)
+        assert job.retained_from_seq() == 4
+        assert job.stats()["retained_from_seq"] == 4
+
+        # retained window = full history minus the dropped fold's rows
+        kept = _hist_dict(job.history())
+        assert set(kept) < set(full)
+        assert all(full[k] == v for k, v in kept.items())
+
+        # exact at/above the floor
+        for s in (4, 9, 10):
+            assert {tuple(r) for r in job.as_of(s).collect()} == want_asof[s]
+        # refused below it
+        with pytest.raises(ValueError, match="retention floor"):
+            job.as_of(3)
+        # a second drop never lowers the floor
+        assert job.drop_folds_before(2) == 0
+        assert job.retained_from_seq() == 4
+
     def test_event_writes_are_not_single_task(self, spark, tmp_path):
         """The per-batch event subtree is O(batch) — _write_events
         must preserve the events frame's own parallelism (one part

@@ -282,11 +282,14 @@ def test_drift_gate_detects_injected_shift(spark, tmp_path):
     assert got["drift:loghist_tv"]["stat"] > 0.9  # disjoint octaves
     assert got["drift:cms_tv"]["stat"] > 0.3
 
-    # exactness: rationals are integers, stat is num/denom, and a
-    # second evaluation reproduces them bit-for-bit
-    for name in ("drift:loghist_tv", "drift:cms_tv"):
+    # exactness: ALL rows carry non-NULL integer rationals (the kmv
+    # row included since r11 — NULL decimals are a hash-canonicalizer
+    # hazard), every integer is float64-exact (< 2^53), stat is
+    # num/denom, and a second evaluation reproduces them bit-for-bit
+    for name in ("drift:kmv_ratio", "drift:loghist_tv", "drift:cms_tv"):
         r = got[name]
         assert r["drift_num"] is not None and r["drift_denom"] is not None
+        assert int(r["drift_num"]) < 2**53 and int(r["drift_denom"]) < 2**53
         assert float(r["drift_num"]) / float(r["drift_denom"]) == pytest.approx(
             r["stat"], abs=0
         )
