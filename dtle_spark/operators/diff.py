@@ -65,7 +65,7 @@ def range_digests(
     """
     cols = df.columns
     return df.groupBy(
-        F.expr(f"CAST({key_col} AS BIGINT) DIV {range_width}").alias("rng")
+        F.expr(f"TRY_CAST({key_col} AS BIGINT) DIV {range_width}").alias("rng")
     ).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(
@@ -91,17 +91,29 @@ def disagreeing_ranges(
     |ranges| rows of three longs. Unchanged ranges are proven equal
     without shuffling a single data row."""
     d_old = range_digests(old, key_col, range_width).select(
-        "rng", F.col("n_rows").alias("o_n"), F.col("digest").alias("o_d")
+        F.col("rng").alias("o_rng"),
+        F.col("n_rows").alias("o_n"),
+        F.col("digest").alias("o_d"),
     )
     d_new = range_digests(new, key_col, range_width).select(
-        "rng", F.col("n_rows").alias("n_n"), F.col("digest").alias("n_d")
+        F.col("rng").alias("n_rng"),
+        F.col("n_rows").alias("n_n"),
+        F.col("digest").alias("n_d"),
     )
-    j = d_old.join(d_new, ["rng"], "full_outer")
+    # null-safe pairing: rows whose key is NULL / not integer-castable
+    # all land in the NULL range — it must compare as ONE range on both
+    # sides (equal digests prove it clean like any other), not as two
+    # unpaired rows that flag forever
+    j = d_old.join(
+        d_new, F.col("o_rng").eqNullSafe(F.col("n_rng")), "full_outer"
+    )
     differ = ~(
         F.col("o_n").eqNullSafe(F.col("n_n"))
         & F.col("o_d").eqNullSafe(F.col("n_d"))
     )
-    return j.filter(differ).select("rng")
+    return j.filter(differ).select(
+        F.coalesce("o_rng", "n_rng").alias("rng")
+    )
 
 
 def snapshot_diff_triaged(
@@ -125,16 +137,28 @@ def snapshot_diff_triaged(
     disagreeing range set (tiny in replication validation — drift is
     localized) broadcasts into a semi-join that prunes both sides
     BEFORE the expensive full-outer key shuffle. Unchanged data never
-    shuffles. ``range_key`` defaults to the first key column (must be
-    integer-castable)."""
+    shuffles. ``range_key`` defaults to the first key column; keys
+    that are NULL or not integer-castable all land in the NULL range,
+    which digests, compares, and (when it disagrees) exact-diffs like
+    any other — a fully non-castable key degrades to the plain full
+    diff instead of a false 'replica clean'."""
     rk = range_key or key_cols[0]
     rngs = disagreeing_ranges(old, new, rk, range_width)
-    rng_of = F.expr(f"CAST({rk} AS BIGINT) DIV {range_width}")
+    # TRY_CAST: a non-castable key is the NULL range, not an ANSI abort
+    rng_of = F.expr(f"TRY_CAST({rk} AS BIGINT) DIV {range_width}")
 
     def prune(df: DataFrame) -> DataFrame:
+        # eqNullSafe: rows whose key casts to NULL belong to the NULL
+        # range — when it disagrees they must route to the exact
+        # differ, not silently vanish (a plain == never matches NULL,
+        # and a miscast key column would read as a clean replica)
         return (
             df.withColumn("__rng", rng_of)
-            .join(F.broadcast(rngs), F.col("__rng") == F.col("rng"), "left_semi")
+            .join(
+                F.broadcast(rngs),
+                F.col("__rng").eqNullSafe(F.col("rng")),
+                "left_semi",
+            )
             .drop("__rng")
         )
 

@@ -229,7 +229,18 @@ def maintain_minmax_rollup(
         "left_semi",
     ).drop("__g")
     recomputed = minmax_rollup_of(dirty_rows, group_sqls, agg_sqls)
-    untouched = state.join(F.broadcast(dirty), group_names, "left_anti")
+    # same null-safe struct key as the carve semi-join: a plain
+    # column-list anti-join is EqualTo, so a dirty group with a NULL
+    # group value would be recomputed AND keep its stale state row
+    untouched = (
+        state.select(F.struct(*group_names).alias("__g"), "*")
+        .join(
+            F.broadcast(dirty.select(F.struct(*group_names).alias("__g"))),
+            ["__g"],
+            "left_anti",
+        )
+        .drop("__g")
+    )
     return untouched.unionByName(recomputed)
 
 

@@ -25,12 +25,20 @@ SID_A = "11111111-1111-1111-1111-111111111111"
 # with localCheckpoint removes the rebuild from every query after the
 # first — bench and driver-gate sessions pay fixture cost once. The
 # applicationId key makes a restarted context (new tests session)
-# start fresh; entries from dead contexts are never touched again.
+# start fresh; entries from dead contexts are evicted on the next
+# _cached call (one active context per process).
 _CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _cached(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    app = spark.sparkContext.applicationId
+    # one active context per process: entries stamped with any OTHER
+    # applicationId belong to a stopped context — drop them so a
+    # long-lived multi-session process doesn't pin dead checkpointed
+    # frames for its lifetime
+    for k in [k for k in _CACHE if k[0] != app]:
+        del _CACHE[k]
+    key = (app, sf_dir, name)
     df = _CACHE.get(key)
     if df is None:
         df = build().localCheckpoint()

@@ -894,18 +894,112 @@ def _repo_root() -> str:
 def _definition_hash(name: str) -> str:
     """md5 of (spark_fn source + oracle text) — the query's definition
     fingerprint. Captures edits to the query body and to generated
-    oracle SQL (whose text re-expands on import); NOT captures edits
-    buried inside library helpers the body merely calls — those should
-    bump the caller or ship with their own gate."""
+    oracle SQL (whose text re-expands on import); edits buried inside
+    library modules the body calls are covered separately by
+    :func:`_dependency_hash` (r10 lesson: apply.py/dq.py changed under
+    six green queries and nothing flagged them for re-gating)."""
     import hashlib
-    import inspect
 
     pair = REGISTRY[name]
-    try:
-        src = inspect.getsource(pair.spark_fn)
-    except (OSError, TypeError):  # pragma: no cover - REPL-defined fn
-        src = name
+    src = _query_source(name)
     return hashlib.md5((src + (pair.oracle or "")).encode()).hexdigest()
+
+
+def _query_source(name: str) -> str:
+    import inspect
+
+    try:
+        return inspect.getsource(REGISTRY[name].spark_fn)
+    except (OSError, TypeError):  # pragma: no cover - REPL-defined fn
+        return name
+
+
+_MODULE_HASH_CACHE: dict[str, tuple[float, str, frozenset]] = {}
+
+
+def _module_info(modname: str) -> tuple[str, frozenset]:
+    """(content md5, direct dtle_spark imports) of one module's source
+    file, cached by mtime."""
+    import hashlib
+    import importlib.util
+    import os
+    import re
+
+    try:
+        spec = importlib.util.find_spec(modname)
+        path = spec.origin if spec else None
+    except (ImportError, ValueError):
+        path = None
+    if not path or not os.path.exists(path):
+        return "", frozenset()
+    mtime = os.path.getmtime(path)
+    hit = _MODULE_HASH_CACHE.get(modname)
+    if hit and hit[0] == mtime:
+        return hit[1], hit[2]
+    with open(path, "rb") as f:
+        data = f.read()
+    h = hashlib.md5(data).hexdigest()
+    imports = frozenset(
+        re.findall(
+            rb"(?:^|\n)\s*(?:from|import)\s+(dtle_spark[\w.]*)", data
+        )
+    )
+    imports = frozenset(m.decode() for m in imports)
+    _MODULE_HASH_CACHE[modname] = (mtime, h, imports)
+    return h, imports
+
+
+def _query_dep_modules(name: str) -> list[str]:
+    """The dtle_spark modules a query's body rides on: globals its
+    source references that resolve into the package (module aliases
+    like ``sk``/``dd``, imported functions like ``load_table``), plus
+    ``from dtle_spark...`` imports inside the body — closed
+    transitively over each module's own package imports. Over-
+    approximation is fine: the set only decides re-gate PRIORITY."""
+    import inspect
+    import re
+
+    src = _query_source(name)
+    fn = REGISTRY[name].spark_fn
+    names = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", src))
+    seeds: set[str] = set()
+    g = getattr(fn, "__globals__", {})
+    for n in names & set(g):
+        v = g[n]
+        if inspect.ismodule(v):
+            m = getattr(v, "__name__", "")
+        else:
+            m = getattr(v, "__module__", "") or ""
+        if m.startswith("dtle_spark") and m != __name__:
+            seeds.add(m)
+    seeds.update(
+        m for m in re.findall(r"from\s+(dtle_spark[\w.]*)\s+import", src)
+        if m != __name__
+    )
+    # transitive closure over package-internal imports
+    seen: set[str] = set()
+    work = sorted(seeds)
+    while work:
+        m = work.pop()
+        if m in seen or m == __name__:
+            continue
+        seen.add(m)
+        _, imps = _module_info(m)
+        work.extend(i for i in imps if i not in seen)
+    return sorted(seen)
+
+
+def _dependency_hash(name: str) -> str:
+    """md5 over the source of every dtle_spark module the query
+    depends on (transitively) — changes whenever ANY code the query
+    rides on changes, so the rotation can front-load "dependency
+    changed since last green" even when the query body didn't move."""
+    import hashlib
+
+    parts = [
+        f"{m}:{_module_info(m)[0]}" for m in _query_dep_modules(name)
+    ]
+    return hashlib.md5("|".join(parts).encode()).hexdigest()
 
 
 def _green_history() -> tuple[dict[str, int], dict[str, int]]:
@@ -948,12 +1042,30 @@ def _stored_hashes() -> dict[str, dict]:
         return {}
 
 
-def write_query_hashes(round_no: int) -> dict[str, dict]:
-    """Regenerate QUERY_HASHES.json: entries whose definition hash is
-    unchanged keep their stored round (the round the definition dates
-    from); changed or new entries are stamped with ``round_no``. Run at
-    the END of each round, after all query edits — the driver then
-    checks exactly the stamped definitions.
+def write_query_hashes(
+    round_no: int, force_stale: list[str] | None = None
+) -> dict[str, dict]:
+    """Regenerate QUERY_HASHES.json: entries whose definition AND
+    dependency hashes are unchanged keep their stored round (the round
+    the definition dates from); changed or new entries are stamped
+    with ``round_no``. Run at the END of each round, after all query
+    edits — the driver then checks exactly the stamped definitions.
+
+    ``deps`` is the transitive dtle_spark-module fingerprint
+    (:func:`_dependency_hash`): an operator-file edit under an
+    untouched query body bumps it, stamping the query with the
+    current round and front-loading it in the next driver window —
+    the r10 failure mode (apply.py/dq.py changed under six green
+    queries, nothing re-gated them). A stored entry WITHOUT a deps
+    key (pre-r11 format) is backfilled in place, keeping its round:
+    the migration can't know when deps last changed, so it doesn't
+    pretend to.
+
+    ``force_stale`` stamps the named queries with ``round_no`` even
+    when both hashes match — the manual lever for "I know this
+    definition's behavior moved under it" (used once in r11 for the
+    six queries whose operators changed in r10 before deps tracking
+    existed).
 
     Bootstrap (entry missing entirely, e.g. the file was deleted or a
     query predates the mechanism): stamp with the query's LAST GREEN
@@ -968,24 +1080,28 @@ def write_query_hashes(round_no: int) -> dict[str, dict]:
 
     stored = _stored_hashes()
     _, last_green = _green_history()
+    forced = set(force_stale or [])
     out: dict[str, dict] = {}
     for name in REGISTRY:
         h = _definition_hash(name)
+        d = _dependency_hash(name)
         prev = stored.get(name)
-        if prev is None:
-            out[name] = {"hash": h, "round": last_green.get(name, 0)}
-        elif prev.get("hash") == h:
+        if name in forced:
+            out[name] = {"hash": h, "deps": d, "round": round_no}
+        elif prev is None:
+            out[name] = {"hash": h, "deps": d, "round": last_green.get(name, 0)}
+        elif prev.get("hash") == h and prev.get("deps", d) == d:
             # bootstrap-era entries carry round 0 from before their
             # first green; once the unchanged definition HAS a green,
             # promote the stamp to that round so the file's "round the
             # definition dates from" semantics hold (a round-0 stamp
             # would otherwise outlive the green it predates)
-            if prev.get("round", 0) == 0 and last_green.get(name, 0) > 0:
-                out[name] = {"hash": h, "round": last_green[name]}
-            else:
-                out[name] = prev
+            rnd = prev.get("round", 0)
+            if rnd == 0 and last_green.get(name, 0) > 0:
+                rnd = last_green[name]
+            out[name] = {"hash": h, "deps": d, "round": rnd}
         else:
-            out[name] = {"hash": h, "round": round_no}
+            out[name] = {"hash": h, "deps": d, "round": round_no}
     with open(os.path.join(_repo_root(), "QUERY_HASHES.json"), "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
         f.write("\n")
@@ -1001,12 +1117,14 @@ def _registry_order() -> list[str]:
        longest without a driver check; the freshest greens rotate to
        the back. (r5 lesson: a boolean "in latest round" split left
        r1-era greens buried mid-list behind once-checked r4 entries.)
-       A query whose DEFINITION changed after its last green (its
-       QUERY_HASHES.json fingerprint mismatches, or is stamped with a
-       later round than the green) is treated as NEVER CHECKED — the
-       old green proves nothing about the new definition, so it must
-       lead the next window rather than rely on cohort tie-breaks
-       (r7 lesson: ann_topk_pq was rewritten behind its r6 green).
+       A query whose DEFINITION OR DEPENDENCIES changed after its
+       last green (its QUERY_HASHES.json definition or deps
+       fingerprint mismatches, or is stamped with a later round than
+       the green) is treated as NEVER CHECKED — the old green proves
+       nothing about the new behavior, so it must lead the next
+       window rather than rely on cohort tie-breaks (r7 lesson:
+       ann_topk_pq was rewritten behind its r6 green; r10 lesson:
+       apply.py/dq.py changed under six green queries unnoticed).
     2. fewest historical green rows (tie-break within a round cohort).
     3. definition order.
 
@@ -1023,9 +1141,10 @@ def _registry_order() -> list[str]:
         if stored and (
             entry is None
             or entry.get("hash") != _definition_hash(n)
+            or entry.get("deps", _dependency_hash(n)) != _dependency_hash(n)
             or entry.get("round", 0) > lg
         ):
-            return 0, 0  # definition newer than its last green: lead
+            return 0, 0  # definition/deps newer than last green: lead
         return lg, greens.get(n, 0)
 
     idx = {n: i for i, n in enumerate(names)}

@@ -372,6 +372,33 @@ class TestMinMaxDirtyGroupLane:
         )
         assert got == {"b": (5, 50)}
 
+    def test_null_group_value_does_not_duplicate(self, spark):
+        """A dirty group whose group VALUE is NULL must behave like
+        any other group: the untouched-state anti-join has to use the
+        same null-safe struct key as the carve semi-join, or the NULL
+        group is recomputed AND its stale state row survives — two
+        conflicting rows for one group."""
+        from dtle_spark.operators.apply import apply_changes
+        from dtle_spark.operators.rollup import (
+            dirty_groups, maintain_minmax_rollup, minmax_rollup_of,
+        )
+
+        base = spark.createDataFrame(
+            [(1, None, 10), (2, None, 99), (3, "b", 30)], ROW
+        )
+        batch = [_c("d", (2, None, 99), None, 1)]  # delete NULL grp's max
+        state = minmax_rollup_of(base, GROUPS, self.AGGS)
+        dirty = dirty_groups(base, _chg(spark, batch), ["id"], GROUPS)
+        assert [r["grp"] for r in dirty.collect()] == [None]
+        applied = apply_changes(base, _chg(spark, batch), ["id"])
+        out = maintain_minmax_rollup(state, applied, dirty, GROUPS, self.AGGS)
+        rows = out.collect()
+        assert len(rows) == 2  # one row per group, no stale duplicate
+        assert self._view(out) == {None: (10, 10), "b": (30, 30)}
+        assert self._view(out) == self._view(
+            minmax_rollup_of(applied, GROUPS, self.AGGS)
+        )
+
     def test_random_streams_match_full_recompute(self, spark):
         """Seeded random streams applied batch-by-batch IN ORDER (the
         dirty-group lane maintains against the evolving target, unlike

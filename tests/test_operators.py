@@ -508,6 +508,92 @@ def test_write_query_hashes_round_trip(tmp_path, monkeypatch):
     assert third[names[3]]["round"] == 0  # still never green
 
 
+def test_rotation_front_loads_dependency_changes(monkeypatch):
+    """The r10 failure mode: operator modules changed under six green
+    queries and nothing re-gated them. A stored deps fingerprint that
+    mismatches the current transitive module hash must lead the
+    window exactly like a body edit; entries WITHOUT a deps key
+    (pre-r11 format) must not front-load (backward compat)."""
+    import dtle_spark.queries as q
+
+    names = list(q.REGISTRY.keys())
+    a, b = names[0], names[1]
+    monkeypatch.setattr(
+        q, "_green_history",
+        lambda: ({n: 1 for n in names}, {n: 5 for n in names}),
+    )
+    real = {
+        n: {"hash": q._definition_hash(n), "round": 5} for n in names
+    }
+    real[a] = {**real[a], "deps": "0" * 32}        # deps moved under it
+    real[b] = {**real[b], "deps": q._dependency_hash(b)}  # in sync
+    monkeypatch.setattr(q, "_stored_hashes", lambda: real)
+    order = q._registry_order()
+    pos = {n: i for i, n in enumerate(order)}
+    assert pos[a] == 0
+    assert pos[b] > 0  # in-sync deps don't front-load
+    # no-deps entries (everything else) also stay back
+    assert pos[names[2]] > 0
+
+
+def test_write_query_hashes_deps_and_force(tmp_path, monkeypatch):
+    """deps lifecycle: the pre-r11 → r11 migration backfills deps
+    WITHOUT restamping (the migration can't know when deps last
+    changed); a real deps mismatch restamps with the current round;
+    force_stale restamps even a fully in-sync entry."""
+    import json
+
+    import dtle_spark.queries as q
+
+    monkeypatch.setattr(q, "_repo_root", lambda: str(tmp_path))
+    names = list(q.REGISTRY.keys())
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        n: {"hash_match": True, "rows_match": True} for n in names[:4]
+    }))
+    # pre-r11 format: hash + round only
+    old = {
+        n: {"hash": q._definition_hash(n), "round": 2} for n in names[:4]
+    }
+    (tmp_path / "QUERY_HASHES.json").write_text(json.dumps(old))
+    out = q.write_query_hashes(11)
+    assert out[names[0]]["round"] == 2  # migration: round kept
+    assert out[names[0]]["deps"] == q._dependency_hash(names[0])
+    # simulate an operator edit: tamper the stored deps, regen
+    stored = json.loads((tmp_path / "QUERY_HASHES.json").read_text())
+    stored[names[1]]["deps"] = "e" * 32
+    (tmp_path / "QUERY_HASHES.json").write_text(json.dumps(stored))
+    out2 = q.write_query_hashes(12)
+    assert out2[names[1]]["round"] == 12  # deps changed: restamped
+    assert out2[names[0]]["round"] == 2   # untouched: kept
+    # force_stale: restamp an in-sync entry
+    out3 = q.write_query_hashes(13, force_stale=[names[2]])
+    assert out3[names[2]]["round"] == 13
+    assert out3[names[0]]["round"] == 2
+
+
+def test_query_hashes_file_is_current_at_round_close():
+    """Close-of-round invariant (the artifact the judge audits): every
+    registry query is stamped in QUERY_HASHES.json, and every stamp's
+    definition AND dependency fingerprints match the code as it
+    ships. A red run of this test means 'regenerate the file'
+    (dtle_spark.queries.write_query_hashes) — the invariant it proves
+    is that the driver gates exactly the definitions on disk."""
+    import dtle_spark.queries as q
+
+    stored = q._stored_hashes()
+    missing = [n for n in q.REGISTRY if n not in stored]
+    assert not missing, f"unstamped queries: {missing}"
+    stale = [
+        n for n in q.REGISTRY
+        if stored[n].get("hash") != q._definition_hash(n)
+        or stored[n].get("deps") != q._dependency_hash(n)
+    ]
+    assert not stale, (
+        f"QUERY_HASHES.json is stale for {stale}: run "
+        "write_query_hashes(<round>) after the last query edit"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Calendar resample + gap-fill (operators/timeseries.py)
 # ---------------------------------------------------------------------------
@@ -728,6 +814,60 @@ class TestSnapshotDiff:
             [(i, float(i)) for i in range(30)], "id long, val double"
         )
         assert snapshot_diff_triaged(df, df, ["id"], range_width=7).count() == 0
+
+    def test_triaged_diff_null_range_routes_to_exact_differ(self, spark):
+        """Keys that are NULL-castable (string PKs, NULL keys) all
+        land in the NULL range. It must behave like any other range:
+        clean when digests agree, exact-diffed when they disagree —
+        a validation tool returning an empty diff on a miscast key
+        column is a false 'replica clean'."""
+        from dtle_spark.operators.diff import (
+            disagreeing_ranges,
+            snapshot_diff,
+            snapshot_diff_triaged,
+        )
+
+        # string keys: every CAST(id AS BIGINT) is NULL
+        old = spark.createDataFrame(
+            [(f"k{i}", float(i)) for i in range(20)], "id string, val double"
+        )
+        new = spark.createDataFrame(
+            [(f"k{i}", float(i) if i != 3 else -1.0) for i in range(20)],
+            "id string, val double",
+        )
+        full = sorted(map(repr, snapshot_diff(old, new, ["id"]).collect()))
+        triaged = sorted(map(repr, snapshot_diff_triaged(
+            old, new, ["id"], range_width=10
+        ).collect()))
+        assert triaged == full and len(full) == 1
+
+        # identical NULL-range content is proven clean (one paired
+        # range row, not two forever-flagging one-sided rows)
+        assert disagreeing_ranges(old, old, "id", 10).count() == 0
+
+        # mixed: castable ranges prune normally, the NULL range joins in
+        old2 = spark.createDataFrame(
+            [(str(i), float(i)) for i in range(40)]
+            + [("x1", 1.0), (None, 2.0)],
+            "id string, val double",
+        )
+        new2 = spark.createDataFrame(
+            [(str(i), float(i) if i != 25 else 9.0) for i in range(40)]
+            + [("x1", 1.5), (None, 2.0)],
+            "id string, val double",
+        )
+        flagged = {
+            r["rng"] for r in disagreeing_ranges(old2, new2, "id", 10).collect()
+        }
+        assert flagged == {2, None}
+        full2 = sorted(map(repr, snapshot_diff(old2, new2, ["id"]).collect()))
+        triaged2 = sorted(map(repr, snapshot_diff_triaged(
+            old2, new2, ["id"], range_width=10
+        ).collect()))
+        # x1 update + id-25 update + the NULL-key row's d/i pair (a
+        # NULL PK never joins to itself — same convention as the full
+        # differ, which the triage must reproduce, not shortcut)
+        assert triaged2 == full2 and len(full2) == 4
 
 
 # ---------------------------------------------------------------------------
