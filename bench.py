@@ -59,10 +59,30 @@ def main() -> None:
         except Exception:
             return 0, 0
 
+    def storage_bytes() -> int:
+        """Total memory held by cached/localCheckpointed RDD blocks —
+        the pile-up that taxed random queries (r8 rp_embed_neighbors,
+        r10 text_rp_embedding: in-bench 3-5x their isolated cost).
+        Recorded per query so a slow sample is attributable to block
+        pressure without a same-host A/B rerun."""
+        try:
+            infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            return int(sum(i.memSize() for i in infos))
+        except Exception:
+            return -1
+
+    # orphaned localCheckpoint blocks are freed only when a DRIVER GC
+    # collects their Python-side handles; gc when storage memory
+    # crosses a threshold (not on a blind every-N cadence — r10 showed
+    # a checkpoint-heavy neighbor can pile up GiBs inside one window)
+    gc_threshold = int(
+        os.environ.get("SPARK_GRAFT_BENCH_GC_BYTES", str(1 << 30))
+    )
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     all_samples: dict[str, list[float]] = {}
     gc_deltas: dict[str, dict[str, int]] = {}
+    storage: dict[str, dict[str, int]] = {}
     run_order: list[str] = []
     errors: dict[str, str] = {}
     since_gc = 0
@@ -72,11 +92,14 @@ def main() -> None:
         # ~100 queries in one JVM the orphaned blocks otherwise pile up
         # in storage memory and randomly tax later queries (observed:
         # 69-94 s total swing; with this nudge totals sit at the low
-        # end). One explicit GC per 10 queries costs ~nothing.
+        # end). One explicit GC per 10 queries costs ~nothing, plus an
+        # immediate one whenever block storage crosses the threshold.
         since_gc += 1
-        if since_gc >= 10:
+        pre_bytes = storage_bytes()
+        if since_gc >= 10 or pre_bytes > gc_threshold:
             since_gc = 0
             spark.sparkContext._jvm.System.gc()
+            pre_bytes = storage_bytes()
         run_order.append(name)
         gc0_n, gc0_t = gc_stats()
         samples = []
@@ -96,6 +119,7 @@ def main() -> None:
         timings[name] = round(min(samples), 3)
         all_samples[name] = [round(s, 3) for s in samples]
         gc_deltas[name] = {"collections": gc1_n - gc0_n, "ms": gc1_t - gc0_t}
+        storage[name] = {"pre": pre_bytes, "post": storage_bytes()}
         print(f"  {name}: {timings[name]:.3f}s (min of {len(samples)})", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
@@ -120,6 +144,7 @@ def main() -> None:
         "run_order": run_order,
         "samples": all_samples,
         "gc": gc_deltas,
+        "storage_bytes": storage,
     }
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

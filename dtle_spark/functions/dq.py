@@ -249,6 +249,177 @@ def dq_drift_report(
     return ratio.unionByName(lh).unionByName(cms).orderBy("check_name")
 
 
+def _tv_distance_grouped(
+    baseline: DataFrame, current: DataFrame, cell_cols: list[str],
+    label: str, denom_scale: int = 1,
+) -> DataFrame:
+    """Per-group total-variation distance between two grouped
+    sketch-cell histograms — the same exact cross-multiplied rational
+    as :func:`_tv_distance`, computed independently per group over
+    groups present on BOTH sides (one-sided groups are the presence
+    check's job; TV against an empty distribution is undefined).
+    Group keys join null-safely (struct-wrapped), so a NULL group
+    value is one group like any other. Cost: joins over |groups| x
+    bounded cells; the per-group totals broadcast."""
+    d38 = "decimal(38,0)"
+    b = baseline.groupBy(F.struct("grp").alias("__g"), *cell_cols).agg(
+        F.sum("cnt").alias("b_cnt")
+    )
+    c = current.groupBy(F.struct("grp").alias("__g"), *cell_cols).agg(
+        F.sum("cnt").alias("c_cnt")
+    )
+    bt = b.groupBy("__g").agg(
+        (F.sum("b_cnt") / denom_scale).cast(d38).alias("n_b")
+    )
+    ct = c.groupBy("__g").agg(
+        (F.sum("c_cnt") / denom_scale).cast(d38).alias("n_c")
+    )
+    tot = bt.join(ct, ["__g"], "inner")
+    j = (
+        b.join(c, ["__g", *cell_cols], "full_outer")
+        .select(
+            "__g",
+            F.coalesce("b_cnt", F.lit(0)).cast(d38).alias("b_cnt"),
+            F.coalesce("c_cnt", F.lit(0)).cast(d38).alias("c_cnt"),
+        )
+    )
+    num = (
+        j.join(F.broadcast(tot), ["__g"], "inner")
+        .groupBy("__g")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("b_cnt") * F.col("n_c")
+                    - F.col("c_cnt") * F.col("n_b")
+                )
+            ).cast(d38).alias("drift_num"),
+            F.first(
+                F.lit(2 * denom_scale).cast(d38)
+                * F.col("n_b") * F.col("n_c")
+            ).cast(d38).alias("drift_denom"),
+        )
+    )
+    return num.select(
+        F.lit(label).alias("check_name"),
+        F.col("__g.grp").alias("grp"),
+        "drift_num",
+        "drift_denom",
+        (F.col("drift_num").cast("double")
+         / F.col("drift_denom").cast("double")).alias("stat"),
+    )
+
+
+def dq_drift_report_grouped(
+    baseline: dict[str, DataFrame], current: dict[str, DataFrame],
+    depth: int = 4,
+) -> DataFrame:
+    """PER-GROUP drift checks between two grouped profiler states
+    (sketches.py kmv_distinct_grouped / cms_sketch_grouped /
+    loghist_sketch_grouped frames) — the gate for the actual 100 TB
+    failure mode: drift localized to ONE source/table/day that a
+    global comparison averages away. Provide the sketch kinds you
+    track; each contributes its rows.
+
+    Rows (check_name, grp, drift_num, drift_denom, stat), one per
+    group per check:
+
+    - ``drift:presence`` — from the kmv frames: drift_num = 1 if the
+      group exists in the baseline, drift_denom = 1 if in current
+      (exact-integer flags; the ONE check whose stat is num - denom,
+      not num/denom: +1.0 = group vanished, -1.0 = appeared, 0.0 =
+      stable — a division would be 1/0 for one-sided groups).
+    - ``drift:kmv_ratio`` — per-group distinct-count ratio, exact
+      integer rational with the same both-estimating 2^40
+      cancellation as the global lane; groups present on both sides.
+    - ``drift:loghist_tv`` / ``drift:cms_tv`` — per-group TV
+      distances of the value / hashed-key-frequency histograms;
+      groups present on both sides.
+
+    Same exactness contract as :func:`dq_drift_report`: every
+    drift_num/drift_denom is an exact integer (order- and engine-
+    independent), no NULL decimals, stat one derived double. Group
+    keys compare null-safely throughout. Cost: bounded sketch cells x
+    |groups| — control-plane sized at any data volume."""
+    d38 = "decimal(38,0)"
+    outs: list[DataFrame] = []
+
+    def _side(df: DataFrame, p: str) -> DataFrame:
+        exact = F.col("got_k") < F.col("k")
+        num = F.when(exact, F.col("got_k")).otherwise(
+            (F.col("k") - 1).cast("long") * F.lit(1 << 40)
+        )
+        den = F.when(exact, F.lit(1).cast("long")).otherwise(F.col("kth_min"))
+        return df.select(
+            F.struct("grp").alias("__g"),
+            exact.alias(f"{p}_exact"),
+            num.alias(f"{p}_num"),
+            den.alias(f"{p}_den"),
+            (F.col("k") - 1).cast("long").alias(f"{p}_km1"),
+            F.col("kth_min").alias(f"{p}_kth"),
+        )
+
+    if "kmv" in baseline and "kmv" in current:
+        kb, kc = _side(baseline["kmv"], "b"), _side(current["kmv"], "c")
+        pres = (
+            kb.select("__g", F.lit(1).alias("b_flag"))
+            .join(kc.select("__g", F.lit(1).alias("c_flag")),
+                  ["__g"], "full_outer")
+            .select(
+                F.lit("drift:presence").alias("check_name"),
+                F.col("__g.grp").alias("grp"),
+                F.coalesce("b_flag", F.lit(0)).cast(d38).alias("drift_num"),
+                F.coalesce("c_flag", F.lit(0)).cast(d38).alias("drift_denom"),
+                (F.coalesce("b_flag", F.lit(0))
+                 - F.coalesce("c_flag", F.lit(0))).cast("double").alias("stat"),
+            )
+        )
+        both_est = ~F.col("c_exact") & ~F.col("b_exact")
+        ratio = (
+            kc.join(kb, ["__g"], "inner")
+            .select(
+                F.lit("drift:kmv_ratio").alias("check_name"),
+                F.col("__g.grp").alias("grp"),
+                F.when(both_est, F.col("c_km1") * F.col("b_kth"))
+                .otherwise(
+                    (F.col("c_num").cast(d38)
+                     * F.col("b_den").cast(d38)).cast("long")
+                )
+                .cast(d38).alias("drift_num"),
+                F.when(both_est, F.col("b_km1") * F.col("c_kth"))
+                .otherwise(
+                    (F.col("c_den").cast(d38)
+                     * F.col("b_num").cast(d38)).cast("long")
+                )
+                .cast(d38).alias("drift_denom"),
+            )
+            .select(
+                "check_name", "grp", "drift_num", "drift_denom",
+                (F.col("drift_num").cast("double")
+                 / F.col("drift_denom").cast("double")).alias("stat"),
+            )
+        )
+        outs.extend([pres, ratio])
+    if "loghist" in baseline and "loghist" in current:
+        outs.append(_tv_distance_grouped(
+            baseline["loghist"], current["loghist"], ["e", "sub"],
+            "drift:loghist_tv",
+        ))
+    if "cms" in baseline and "cms" in current:
+        outs.append(_tv_distance_grouped(
+            baseline["cms"], current["cms"], ["row", "bucket"],
+            "drift:cms_tv", denom_scale=depth,
+        ))
+    if not outs:
+        raise ValueError(
+            "dq_drift_report_grouped needs at least one sketch kind "
+            "present in BOTH profiles (kmv / loghist / cms)"
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("check_name", "grp")
+
+
 def dq_referential(
     child: DataFrame,
     parent: DataFrame,

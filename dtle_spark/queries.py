@@ -5942,6 +5942,197 @@ def dq_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dq_drift_report(baseline, current, depth=4)
 
 
+def _dq_drift_grouped_oracle() -> str:
+    """DuckDB mirror of dq_drift_by_priority: per-group sketch cells
+    on each side, presence flags from a full-outer over the group
+    sets, the per-group KMV ratio as the same exact integer rational
+    (with the both-estimating 2^40 cancellation), per-group TV as the
+    identical integer cross-multiplication with per-group totals."""
+    u40 = 1 << 40
+    e, sub = sk._loghist_bucket_sql("x", 16, "duckdb")
+    kb = sk.kmv_distinct_grouped_sql(
+        "o_orderpriority", "o_custkey", "bl", k=64
+    )
+    kc = sk.kmv_distinct_grouped_sql(
+        "o_orderpriority", "o_custkey", "cu", k=64
+    )
+    cms_cells = lambda t: " UNION ALL ".join(  # noqa: E731
+        f"SELECT o_orderpriority AS grp, {r} AS row,"
+        f" {sk.cms_bucket_sql('o_orderstatus', r, 512, 'duckdb')} AS bucket"
+        f" FROM {t}"
+        for r in range(4)
+    )
+    rat = (
+        "CASE WHEN c.got_k >= c.k AND b.got_k >= b.k"
+        "  THEN (c.k - 1) * b.kth_min"
+        f" ELSE (CASE WHEN c.got_k < c.k THEN c.got_k"
+        f"            ELSE (c.k - 1) * {u40} END)"
+        "      * (CASE WHEN b.got_k < b.k THEN 1 ELSE b.kth_min END) END"
+    )
+    rat_d = (
+        "CASE WHEN c.got_k >= c.k AND b.got_k >= b.k"
+        "  THEN (b.k - 1) * c.kth_min"
+        f" ELSE (CASE WHEN c.got_k < c.k THEN 1 ELSE c.kth_min END)"
+        f"      * (CASE WHEN b.got_k < b.k THEN b.got_k"
+        f"              ELSE (b.k - 1) * {u40} END) END"
+    )
+    return f"""
+    WITH bl AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+    cu AS (SELECT * FROM orders
+           WHERE o_orderkey % 2 = 1 AND o_orderpriority <> '1-URGENT'),
+    kb AS ({kb}),
+    kc AS ({kc}),
+    pres AS (
+      SELECT 'drift:presence' AS check_name,
+             COALESCE(b.grp, c.grp) AS grp,
+             CAST(CASE WHEN b.grp IS NOT NULL THEN 1 ELSE 0 END
+                  AS DECIMAL(38,0)) AS drift_num,
+             CAST(CASE WHEN c.grp IS NOT NULL THEN 1 ELSE 0 END
+                  AS DECIMAL(38,0)) AS drift_denom,
+             CAST((CASE WHEN b.grp IS NOT NULL THEN 1 ELSE 0 END)
+                  - (CASE WHEN c.grp IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS stat
+      FROM kb b FULL OUTER JOIN kc c ON b.grp = c.grp
+    ),
+    ratio AS (
+      SELECT 'drift:kmv_ratio' AS check_name, c.grp,
+             CAST({rat} AS DECIMAL(38,0)) AS drift_num,
+             CAST({rat_d} AS DECIMAL(38,0)) AS drift_denom,
+             CAST(CAST({rat} AS DECIMAL(38,0)) AS DOUBLE)
+             / CAST(CAST({rat_d} AS DECIMAL(38,0)) AS DOUBLE) AS stat
+      FROM kc c JOIN kb b ON c.grp = b.grp
+    ),
+    bl_v AS (SELECT o_orderpriority AS grp,
+                    CAST(round(o_totalprice * 100) AS BIGINT) AS x
+             FROM bl WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0),
+    cu_v AS (SELECT o_orderpriority AS grp,
+                    CAST(round(o_totalprice * 300) AS BIGINT) AS x
+             FROM cu WHERE CAST(round(o_totalprice * 300) AS BIGINT) > 0),
+    bl_lh AS (SELECT grp, e, sub, COUNT(*) AS cnt
+              FROM (SELECT grp, {e} AS e, {sub} AS sub FROM bl_v)
+              GROUP BY 1, 2, 3),
+    cu_lh AS (SELECT grp, e, sub, COUNT(*) AS cnt
+              FROM (SELECT grp, {e} AS e, {sub} AS sub FROM cu_v)
+              GROUP BY 1, 2, 3),
+    lh_tot AS (
+      SELECT b.grp, b.n_b, c.n_c FROM
+        (SELECT grp, CAST(COUNT(*) AS DECIMAL(18,0)) AS n_b
+         FROM bl_v GROUP BY grp) b
+        JOIN
+        (SELECT grp, CAST(COUNT(*) AS DECIMAL(18,0)) AS n_c
+         FROM cu_v GROUP BY grp) c
+        ON b.grp = c.grp
+    ),
+    lh_j AS (
+      SELECT COALESCE(b.grp, c.grp) AS grp,
+             CAST(COALESCE(b.cnt, 0) AS DECIMAL(18,0)) AS b_cnt,
+             CAST(COALESCE(c.cnt, 0) AS DECIMAL(18,0)) AS c_cnt
+      FROM bl_lh b FULL OUTER JOIN cu_lh c
+        ON b.grp = c.grp AND b.e = c.e AND b.sub = c.sub
+    ),
+    lh AS (
+      SELECT 'drift:loghist_tv' AS check_name, t.grp,
+             CAST(SUM(ABS(b_cnt * n_c - c_cnt * n_b))
+                  AS DECIMAL(38,0)) AS drift_num,
+             CAST(2 * n_b * n_c AS DECIMAL(38,0)) AS drift_denom,
+             CAST(CAST(SUM(ABS(b_cnt * n_c - c_cnt * n_b))
+                       AS DECIMAL(38,0)) AS DOUBLE)
+             / CAST(CAST(2 * n_b * n_c AS DECIMAL(38,0)) AS DOUBLE) AS stat
+      FROM lh_j j JOIN lh_tot t ON j.grp = t.grp
+      GROUP BY t.grp, n_b, n_c
+    ),
+    bl_cms AS (SELECT grp, row, bucket, COUNT(*) AS cnt
+               FROM ({cms_cells("bl")}) GROUP BY 1, 2, 3),
+    cu_cms AS (SELECT grp, row, bucket, COUNT(*) AS cnt
+               FROM ({cms_cells("cu")}) GROUP BY 1, 2, 3),
+    cms_tot AS (
+      SELECT b.grp, b.n_b, c.n_c FROM
+        (SELECT o_orderpriority AS grp,
+                CAST(COUNT(*) AS DECIMAL(18,0)) AS n_b
+         FROM bl GROUP BY 1) b
+        JOIN
+        (SELECT o_orderpriority AS grp,
+                CAST(COUNT(*) AS DECIMAL(18,0)) AS n_c
+         FROM cu GROUP BY 1) c
+        ON b.grp = c.grp
+    ),
+    cms_j AS (
+      SELECT COALESCE(b.grp, c.grp) AS grp,
+             CAST(COALESCE(b.cnt, 0) AS DECIMAL(18,0)) AS b_cnt,
+             CAST(COALESCE(c.cnt, 0) AS DECIMAL(18,0)) AS c_cnt
+      FROM bl_cms b FULL OUTER JOIN cu_cms c
+        ON b.grp = c.grp AND b.row = c.row AND b.bucket = c.bucket
+    ),
+    cms AS (
+      SELECT 'drift:cms_tv' AS check_name, t.grp,
+             CAST(SUM(ABS(b_cnt * n_c - c_cnt * n_b))
+                  AS DECIMAL(38,0)) AS drift_num,
+             CAST(2 * 4 * n_b * n_c AS DECIMAL(38,0)) AS drift_denom,
+             CAST(CAST(SUM(ABS(b_cnt * n_c - c_cnt * n_b))
+                       AS DECIMAL(38,0)) AS DOUBLE)
+             / CAST(CAST(2 * 4 * n_b * n_c AS DECIMAL(38,0)) AS DOUBLE)
+               AS stat
+      FROM cms_j j JOIN cms_tot t ON j.grp = t.grp
+      GROUP BY t.grp, n_b, n_c
+    )
+    SELECT * FROM pres
+    UNION ALL SELECT * FROM ratio
+    UNION ALL SELECT * FROM lh
+    UNION ALL SELECT * FROM cms
+    ORDER BY check_name, grp
+    """
+
+
+@query("dq_drift_by_priority", _dq_drift_grouped_oracle())
+def dq_drift_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP drift gate (functions/dq.py dq_drift_report_grouped)
+    — the 100 TB failure mode the global gate misses: drift localized
+    to one source/priority/day that whole-corpus sketches average
+    away. Two fixture profiles over orders grouped by order priority
+    (baseline = even keys; current = odd keys with one priority
+    REMOVED, prices x3, and a different key population): per-group
+    presence flags (+1.0 = vanished group — fires here), per-group
+    KMV cardinality ratios, and per-group loghist/CMS TV distances.
+    Every drift_num/drift_denom is an exact integer rational (same
+    contract as dq_drift_orders), groups join null-safely, and the
+    whole report costs |groups| x bounded sketch cells — at fleet
+    scale this is the per-table promotion gate run from persisted
+    grouped sketch states (kmv/cms/loghist_merge_grouped), never a
+    rescan."""
+    from dtle_spark.functions.dq import dq_drift_report_grouped
+
+    o = load_table(spark, sf_dir, "orders")
+    bl = o.filter("o_orderkey % 2 = 0")
+    cu = o.filter(
+        "o_orderkey % 2 = 1 AND o_orderpriority <> '1-URGENT'"
+    )
+    baseline = {
+        "kmv": sk.kmv_distinct_grouped(bl, "o_orderpriority", "o_custkey", k=64),
+        "cms": sk.cms_sketch_grouped(bl, "o_orderpriority", "o_orderstatus",
+                                     depth=4, width=512),
+        "loghist": sk.loghist_sketch_grouped(
+            bl.selectExpr(
+                "o_orderpriority",
+                "CAST(round(o_totalprice * 100) AS BIGINT) AS x",
+            ),
+            "o_orderpriority", "x",
+        ),
+    }
+    current = {
+        "kmv": sk.kmv_distinct_grouped(cu, "o_orderpriority", "o_custkey", k=64),
+        "cms": sk.cms_sketch_grouped(cu, "o_orderpriority", "o_orderstatus",
+                                     depth=4, width=512),
+        "loghist": sk.loghist_sketch_grouped(
+            cu.selectExpr(
+                "o_orderpriority",
+                "CAST(round(o_totalprice * 300) AS BIGINT) AS x",
+            ),
+            "o_orderpriority", "x",
+        ),
+    }
+    return dq_drift_report_grouped(baseline, current, depth=4)
+
+
 @query(
     "weighted_sample_docs",
     f"""

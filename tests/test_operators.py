@@ -1001,6 +1001,65 @@ class TestDqChecks:
         for r in rep:
             assert r["violations"] == 0 and r["n_rows"] == 0, r
 
+    def test_grouped_drift_localizes_shift(self, spark):
+        """dq_drift_report_grouped catches drift confined to ONE group
+        (the 100 TB failure mode a global comparison averages away):
+        the shifted group fires loghist TV ~1 while the stable groups
+        read ~0; a group present on one side only shows in presence
+        (+1 vanished / -1 appeared) and in no ratio/TV row; a NULL
+        group value pairs null-safely like any other group."""
+        from dtle_spark.functions import sketches as sk
+        from dtle_spark.functions.dq import dq_drift_report_grouped
+
+        def tbl(rows):
+            return spark.createDataFrame(rows, "grp string, k long, v long")
+
+        base_rows = (
+            [("a", i, 1000 + i % 50) for i in range(400)]
+            + [("b", i, 1000 + i % 50) for i in range(400)]
+            + [("gone", i, 1000 + i % 50) for i in range(100)]
+            + [(None, i, 1000 + i % 50) for i in range(100)]
+        )
+        # group b's values jump an octave (x16); 'gone' vanishes,
+        # 'new' appears; a and the NULL group are stable
+        cur_rows = (
+            [("a", i, 1000 + i % 50) for i in range(400, 800)]
+            + [("b", i, (1000 + i % 50) * 16) for i in range(400)]
+            + [("new", i, 1000 + i % 50) for i in range(100)]
+            + [(None, i, 1000 + i % 50) for i in range(100, 200)]
+        )
+
+        def profile(df):
+            return {
+                "kmv": sk.kmv_distinct_grouped(df, "grp", "k", k=32),
+                "loghist": sk.loghist_sketch_grouped(df, "grp", "v"),
+            }
+
+        rep = dq_drift_report_grouped(
+            profile(tbl(base_rows)), profile(tbl(cur_rows))
+        )
+        got = {(r["check_name"], r["grp"]): r for r in rep.collect()}
+
+        pres = {g: r["stat"] for (c, g), r in got.items()
+                if c == "drift:presence"}
+        assert pres == {"a": 0.0, "b": 0.0, None: 0.0,
+                        "gone": 1.0, "new": -1.0}
+        # TV fires ONLY for the shifted group
+        assert got[("drift:loghist_tv", "b")]["stat"] > 0.9
+        assert got[("drift:loghist_tv", "a")]["stat"] < 0.05
+        assert got[("drift:loghist_tv", None)]["stat"] < 0.05
+        # one-sided groups have no ratio/TV rows
+        assert ("drift:kmv_ratio", "gone") not in got
+        assert ("drift:loghist_tv", "new") not in got
+        # exactness contract: non-NULL integer rationals everywhere,
+        # stat = num/denom except presence (num - denom)
+        for (c, g), r in got.items():
+            assert r["drift_num"] is not None and r["drift_denom"] is not None
+            if c == "drift:presence":
+                assert float(r["drift_num"]) - float(r["drift_denom"]) == r["stat"]
+            else:
+                assert float(r["drift_num"]) / float(r["drift_denom"]) == r["stat"]
+
     def test_as_of_seq_reconstructs_past_states(self, spark):
         """as_of(history, s) == apply(base, changes with seq <= s) for
         every prefix — the temporal-read contract, checked at each

@@ -368,7 +368,8 @@ def test_sketch_queries_partial_aggregate(spark):
     """All sketch lanes (global and grouped) reduce to bounded state
     map-side."""
     for q in ("heavy_hitters_cms", "quantile_sketch_prices",
-              "heavy_hitters_cms_by_type", "kmv_distinct_by_priority"):
+              "heavy_hitters_cms_by_type", "kmv_distinct_by_priority",
+              "dq_drift_by_priority"):
         plan = plan_of(q, spark)
         assert "partial_count" in plan or "partial_sum" in plan, q
 
