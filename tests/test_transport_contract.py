@@ -359,6 +359,85 @@ def test_kafka_producer_constructor_gated():
         kafka_producer("localhost:9092")
 
 
+def test_produce_frames_live_api_compaction_end_state(spark, tmp_path):
+    """The drain against a BEHAVIORAL kafka-python fake (async send
+    returning futures, delivery only at flush, broker offsets, log
+    compaction — tests/kafka_fake.py), not a call transcript: the
+    semantic the sink must guarantee is that after Kafka compacts the
+    topic, per-key state equals the applied table — updated keys hold
+    their last envelope, deleted keys are GONE (tombstone last), and
+    an at-least-once REDELIVERY of the same drain converges to the
+    identical compacted state. Also pins the flush barrier: nothing
+    is on the broker before flush (kafka3.go:684-1063 waits on
+    delivery; flush is that wait)."""
+    import json as _json
+    import os
+
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from dtle_spark.catalog import SchemaCatalog
+    from dtle_spark.model import JobConfig, TableConfig
+    from dtle_spark.sinks.debezium import produce_frames
+    from dtle_spark.streaming.jobs import JobManager
+    from tests.kafka_fake import FakeBroker, FakeKafkaProducer
+
+    def wire_row(seq, op, after=None, before=None):
+        return Row(sid=SID, gno=seq, seq=seq, lc=0, op=op, ts=None,
+                   schema_name="db1", table_name="t",
+                   before=before, after=after, query=None)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows = [
+        wire_row(1, "i", after='{"id":1,"v":10}'),
+        wire_row(2, "i", after='{"id":2,"v":20}'),
+        wire_row(3, "u", before='{"id":1,"v":10}', after='{"id":1,"v":11}'),
+        wire_row(4, "d", before='{"id":2,"v":20}'),
+    ]
+    spark.createDataFrame(rows, WIRE_SCHEMA).coalesce(1).write.parquet(f"{src}/b0")
+    cat = SchemaCatalog()
+    cat.register("db1", "t", T.StructType([
+        T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]),
+        ["id"])
+    mgr = JobManager(spark)
+    sj = mgr.create_subscription(
+        JobConfig("live1", [TableConfig("db1", "t", unique_key=["id"])]),
+        f"{src}/*", str(tmp_path / "out"), str(tmp_path / "ckpt"), cat,
+    )
+    sj.process_available()
+    mgr.pause("live1")
+    frames = sj.frames().localCheckpoint()  # drained twice below
+
+    broker = FakeBroker()
+    p = FakeKafkaProducer(broker)
+    fut = p.send("probe", value=b"x", key=b"k")  # async: not delivered
+    assert broker.log("probe") == [] and not fut.is_done()
+    p.flush()
+    assert fut.get().offset == 0  # delivered by the flush barrier
+
+    n = produce_frames(frames, p)
+    # i + i + u + d + tombstone
+    assert n == 5
+    log = broker.log("dtle.db1.t")
+    assert len(log) == 5  # all delivered: produce_frames flushed
+
+    state = broker.compacted("dtle.db1.t")
+    assert set(state) == {b'{"id":1}'}  # id=2 tombstoned away
+    last = _json.loads(state[b'{"id":1}'])
+    assert last["op"] == "u" and last["after"] == {"id": 1, "v": 11}
+
+    # at-least-once: redeliver the SAME drain; compaction converges
+    produce_frames(frames, p)
+    again = broker.compacted("dtle.db1.t")
+    assert again == state
+    assert len(broker.log("dtle.db1.t")) == 10
+
+    p.close()
+    with pytest.raises(RuntimeError, match="closed producer"):
+        p.send("dtle.db1.t", value=b"x")
+
+
 def test_subscription_full_lifecycle_contract(spark, tmp_path):
     """One scenario, the whole reference flow (kafka3.go + job.go):
     recorded binlog events -> MySQLBinlogBridge spool -> SubscriptionJob
