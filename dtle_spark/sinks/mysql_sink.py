@@ -15,11 +15,15 @@ errors (IgnoreError, driver/mysql/sql/errcode.go:897-913) warn and
 continue; deadlocks/lock-timeouts retry the whole tx (A13).
 
 This module reproduces that statement flow against any executor obeying
-a 4-method protocol (``begin/execute/commit/rollback``) — a DB-API
-connection adapts in 5 lines; the tests drive a recording fake. No
-MySQL client library exists in this container, so the transport itself
-stays a seam, but everything the reference's applier DOES between
-"binlog entry" and "wire bytes" is implemented and testable here.
+a 4-method protocol (``begin/execute/commit/rollback``).
+:class:`DbApiExecutor` is the live adapter: any PEP-249 MySQL
+connection (pymysql/mysql-connector) plugs in — paramstyle conversion,
+driver-errno normalization, and tx framing included — leaving only the
+client library itself absent from this container. The tests drive the
+SAME adapter over a behavioral DB-API fake (tests/dbapi_fake.py:
+cursors, format paramstyle, driver-shaped exceptions, commit/rollback
+visibility), so everything between "binlog entry" and "wire bytes",
+including the adapter, is exercised.
 """
 
 from __future__ import annotations
@@ -265,6 +269,89 @@ def _contiguous_runs(changes: list[dict]):
         run.append(ch)
     if run:
         yield key[0], key[1], run
+
+
+class DbApiExecutor:
+    """PEP-249 connection -> Executor protocol: the adapter a REAL
+    MySQL driver (pymysql / mysql-connector, both DB-API 2.0) plugs in
+    through — the live half of the K1 seam (reference
+    applier_incr.go:532-860 executes over database/sql the same way).
+
+    - tx framing maps to the connection's own transaction: ``begin``
+      opens one explicitly (``BEGIN`` statement — DB-API starts
+      transactions implicitly, but the sink's framing is explicit and
+      a stray earlier autocommit must not fold into our tx),
+      ``commit``/``rollback`` delegate to the connection.
+    - MySQL drivers use the ``format`` paramstyle (%s), the builder
+      emits ``?`` (the reference's prepared-statement style):
+      parameterized statements convert placeholder-for-placeholder.
+      Safe because builder DML NEVER inlines values (everything is
+      bound, identifiers are backtick-escaped); statements with no
+      args (DDL query text) pass through UNTOUCHED — a ``?`` inside a
+      DDL default/comment literal survives.
+    - driver exceptions normalize to :class:`MySQLError`: both
+      pymysql and mysql-connector carry the server errno as
+      ``exc.args[0]`` / ``exc.errno`` — the sink's A12/A13 policy
+      (ignorable errnos warn-and-continue, deadlock retries) then
+      works unchanged over a live connection.
+    """
+
+    def __init__(self, connection):
+        self.connection = connection
+
+    @staticmethod
+    def _errno(exc) -> int | None:
+        errno = getattr(exc, "errno", None)
+        if isinstance(errno, int):
+            return errno
+        args = getattr(exc, "args", ())
+        if args and isinstance(args[0], int):
+            return args[0]
+        return None
+
+    def _run(self, sql: str, args: list) -> None:
+        cur = self.connection.cursor()
+        try:
+            if args:
+                cur.execute(sql.replace("?", "%s"), tuple(args))
+            else:
+                cur.execute(sql)
+        except Exception as exc:  # noqa: BLE001 - normalize driver errors
+            errno = self._errno(exc)
+            if errno is None:
+                raise
+            raise MySQLError(errno, str(exc)) from exc
+        finally:
+            try:
+                cur.close()
+            except Exception:  # pragma: no cover - close is best-effort
+                pass
+
+    def begin(self) -> None:
+        self._run("BEGIN", [])
+
+    def execute(self, sql: str, args: list) -> None:
+        self._run(sql, args)
+
+    def commit(self) -> None:
+        self.connection.commit()
+
+    def rollback(self) -> None:
+        self.connection.rollback()
+
+
+def mysql_executor(**connect_kwargs) -> DbApiExecutor:
+    """Construct the live executor over pymysql (absent in this image;
+    the tests drive DbApiExecutor with a behavioral DB-API fake
+    instead — tests/dbapi_fake.py)."""
+    try:
+        import pymysql
+    except ImportError as e:
+        raise NotImplementedError(
+            "pymysql not installed; wrap any PEP-249 MySQL connection "
+            "in DbApiExecutor instead"
+        ) from e
+    return DbApiExecutor(pymysql.connect(**connect_kwargs))
 
 
 class RecordingExecutor:

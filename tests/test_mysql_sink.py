@@ -293,3 +293,99 @@ def test_drain_wire_batch_enforces_a9_bound(spark):
         drain_wire_batch(batch, sink, max_rows=5)
     # under the bound the same batch drains fine
     assert drain_wire_batch(batch, sink, max_rows=100) == 1
+
+
+# ---------------------------------------------------------------------------
+# DbApiExecutor: the LIVE adapter (PEP-249 -> Executor protocol) over a
+# behavioral DB-API fake — paramstyle conversion, errno normalization,
+# tx framing, and rollback visibility all exercised through the real
+# adapter code a pymysql connection would ride (tests/dbapi_fake.py).
+# ---------------------------------------------------------------------------
+
+
+def mk_dbapi_sink(**kw):
+    from dtle_spark.sinks.mysql_sink import DbApiExecutor
+    from tests.dbapi_fake import FakeDbApiConnection
+
+    conn = FakeDbApiConnection()
+    sink = MySQLApplierSink(
+        DbApiExecutor(conn), "job1",
+        {("mydb", "tbl"): TableSpec(cols()),
+         ("mydb", "tb2"): TableSpec(cols())},
+        **kw,
+    )
+    return sink, conn
+
+
+def test_dbapi_adapter_durable_tx_and_paramstyle():
+    """The full applier flow through the real adapter: placeholders
+    arrive at the 'driver' as %s with matching tuples (never '?'),
+    the whole tx (DML + gtid row) lands durably only at commit, no
+    cursor leaks, and redelivery is a no-op."""
+    sink, conn = mk_dbapi_sink()
+    assert sink.apply_tx(SID, 5, changes_basic()) is True
+    assert not conn.in_tx and not conn.tx
+    sqls = [norm(s) for s, _ in conn.durable]
+    assert sqls[0] == "replace into mydb.tbl values (%s,%s),(%s,%s)"
+    assert conn.durable[0][1] == (1, "a", 2, "b")
+    assert sqls[1].startswith("update mydb.tbl set id=%s, name=%s where")
+    assert sqls[3].startswith("replace into dtle.gtid_executed_v4")
+    import uuid as _u
+
+    assert conn.durable[3][1] == ("job1", _u.UUID(SID).bytes, 5)
+    assert all("?" not in s for s, a in conn.durable if a is not None)
+    assert conn.closed_cursors == conn.cursors_opened > 0
+    # redelivery: nothing new reaches the connection
+    n = len(conn.durable)
+    assert sink.apply_tx(SID, 5, changes_basic()) is False
+    assert len(conn.durable) == n
+
+
+def test_dbapi_adapter_normalizes_errno_for_a12_tolerance():
+    """A driver-shaped exception (args[0] = errno) must normalize to
+    MySQLError so the sink's ignorable-errno policy works over a live
+    connection: a 1062 on one statement warns, the rest of the tx
+    still commits durably."""
+    warns = []
+    sink, conn = mk_dbapi_sink(on_warn=warns.append)
+    conn.fail_matching("update", 1062)
+    assert sink.apply_tx(SID, 6, changes_basic()) is True
+    sqls = [norm(s) for s, _ in conn.durable]
+    assert any(s.startswith("replace into mydb.tbl") for s in sqls)
+    assert any(s.startswith("delete from mydb.tbl") for s in sqls)
+    assert not any(s.startswith("update") for s in sqls)  # the victim
+    assert warns and "1062" in warns[0]
+
+
+def test_dbapi_adapter_deadlock_retry_rolls_back_cleanly():
+    """A13 through the adapter: a deadlock (1213) on the first attempt
+    rolls the connection's open tx back (nothing partial becomes
+    durable) and the retry commits the full tx exactly once."""
+    sink, conn = mk_dbapi_sink()
+    conn.fail_matching("delete from", 1213, once=True)
+    assert sink.apply_tx(SID, 7, changes_basic()) is True
+    sqls = [norm(s) for s, _ in conn.durable]
+    # exactly one durable copy of each statement — attempt 1 was
+    # rolled back wholesale, not half-kept
+    assert sqls.count("replace into mydb.tbl values (%s,%s),(%s,%s)") == 1
+    assert sum(1 for s in sqls if s.startswith("delete from")) == 1
+    assert not conn.in_tx
+
+
+def test_dbapi_adapter_ddl_passthrough_keeps_literal_qmark():
+    """Statements with no args (DDL query text) must pass through
+    UNCONVERTED: a '?' inside a DDL string literal is data, not a
+    placeholder."""
+    sink, conn = mk_dbapi_sink()
+    ddl = [{"op": "ddl", "schema_name": "mydb", "table_name": "tbl",
+            "query": "ALTER TABLE `mydb`.`tbl` COMMENT 'what?'"}]
+    assert sink.apply_tx(SID, 8, ddl) is True
+    assert any(s == "ALTER TABLE `mydb`.`tbl` COMMENT 'what?'"
+               for s, _ in conn.durable)
+
+
+def test_mysql_executor_constructor_gated():
+    from dtle_spark.sinks.mysql_sink import mysql_executor
+
+    with pytest.raises(NotImplementedError, match="pymysql"):
+        mysql_executor(host="h", user="u")

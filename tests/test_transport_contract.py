@@ -192,6 +192,69 @@ def test_tail_without_reader_or_library_raises():
         MySQLBinlogBridge().tail()
 
 
+def test_tail_live_branch_wires_auto_position(spark, tmp_path, monkeypatch):
+    """The REAL live path (reader=None): tail() imports
+    pymysqlreplication, constructs BinlogStreamReader, and iterates —
+    run against the behavioral fake (tests/pymysqlreplication_fake.py)
+    installed in sys.modules. Proves what the injected-reader tests
+    cannot: the executed-GTID set is actually WIRED into the
+    constructor's auto_position, a fresh bridge sends None, a resumed
+    bridge sends its position and the SERVER-side skip keeps already-
+    executed transactions off the wire — reconnect-without-duplicates,
+    the property a crashed bridge restart stands on."""
+    import sys
+
+    from tests import pymysqlreplication_fake as fake
+    from tests.pymysqlreplication_fake import (
+        FakeReplicationServer,
+        make_event,
+    )
+
+    monkeypatch.setitem(sys.modules, "pymysqlreplication", fake)
+
+    def tx(gno, rows_events):
+        return [
+            make_event("GtidEvent", log_pos=gno * 100, gtid=f"{SID}:{gno}",
+                       last_committed=gno - 1, sequence_number=gno),
+            make_event("QueryEvent", log_pos=gno * 100 + 10, schema=b"db1",
+                       query="BEGIN", timestamp=1700000000 + gno),
+            *rows_events,
+            make_event("XidEvent", log_pos=gno * 100 + 90, xid=gno),
+        ]
+
+    def ins(gno, vid):
+        return make_event(
+            "WriteRowsEvent", log_pos=gno * 100 + 20, schema="db1",
+            table="tbl", timestamp=1700000000 + gno,
+            rows=[{"values": {"id": vid, "name": f"n{vid}"}}],
+        )
+
+    server = FakeReplicationServer()
+    server.append_tx(SID, 1, tx(1, [ins(1, 1)]))
+    server.append_tx(SID, 2, tx(2, [ins(2, 2)]))
+    monkeypatch.setattr(fake, "SERVER", server)
+
+    bridge = FileBridge(str(tmp_path / "spool"))
+    b1 = MySQLBinlogBridge()
+    assert b1.tail(spark, bridge, connection_settings={"host": "h"}) == 2
+    assert server.dump_requests[-1]["auto_position"] is None  # fresh
+    assert b1.position() == f"{SID}:1-2"
+
+    # crash/restart: a new tx lands; the resumed bridge reconnects
+    # with its executed set and the server skips tx1/tx2 on the wire
+    server.append_tx(SID, 3, tx(3, [ins(3, 3)]))
+    b2 = MySQLBinlogBridge(resume_from=GtidSet.from_str(b1.position()))
+    assert b2.tail(spark, bridge, connection_settings={"host": "h"}) == 1
+    assert server.dump_requests[-1]["auto_position"] == f"{SID}:1-2"
+    assert b2.position() == f"{SID}:1-3"
+
+    # the spool holds each row exactly once across both connections
+    rows = (spark.read.schema(WIRE_SCHEMA)
+            .parquet(str(tmp_path / "spool") + "/*")
+            .filter("op = 'i'").orderBy("seq").collect())
+    assert [r["gno"] for r in rows] == [1, 2, 3]
+
+
 # ---------------------------------------------------------------------------
 # Oracle LogMiner side: recorded SCN-window poll results drive
 # OracleLogMinerBridge.tail the same way (log_miner.go:238-255 poll ->
