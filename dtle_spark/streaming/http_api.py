@@ -144,7 +144,7 @@ class _Handler(BaseHTTPRequestHandler):
                             "error": f"missing required fields: {missing}"})
                     kw = {k: d[k] for k in (
                         "schema", "depth", "width", "k", "subdiv",
-                        "max_files_per_trigger",
+                        "max_files_per_trigger", "group_sql",
                     ) if k in d}
                     self.manager.create_stream_profile(
                         d["name"], d["source_dir"], d["profile_root"],

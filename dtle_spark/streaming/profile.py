@@ -82,7 +82,15 @@ class StreamProfileJob:
     ``value_sql`` feeds the log-histogram (it must evaluate to a
     positive integer — cents, token counts, byte sizes). Both are SQL
     expressions over the stream's columns, so derived keys
-    (``concat(lang, '/', source)``) profile as naturally as columns."""
+    (``concat(lang, '/', source)``) profile as naturally as columns.
+
+    ``group_sql`` switches the job to the PER-GROUP lane: every sketch
+    is keyed by the group expression (source/table/day), states stay
+    bounded at |groups| x cells, the same subtree/merge/compaction
+    protocol applies per group by additivity, and
+    :meth:`drift_vs` emits the per-group report
+    (functions/dq.py dq_drift_report_grouped) — the gate for drift
+    localized to ONE source that a global profile averages away."""
 
     def __init__(
         self,
@@ -99,6 +107,7 @@ class StreamProfileJob:
         subdiv: int = 16,
         max_files_per_trigger: int = 1,
         reader=None,
+        group_sql: str | None = None,
     ):
         self.spark = spark
         self.source_dir = source_dir
@@ -111,6 +120,7 @@ class StreamProfileJob:
         self.k, self.subdiv = k, subdiv
         self.max_files_per_trigger = max_files_per_trigger
         self.reader = reader
+        self.group_sql = group_sql
         self.query = None
 
     # -- batch core (exposed for tests/replay) ---------------------------
@@ -121,15 +131,30 @@ class StreamProfileJob:
         if batch_id <= _compacted_through(gen):
             return  # already folded by a compaction — skip
         batch = batch.localCheckpoint()  # three sketches scan it
-        parts = {
-            "cms": sk.cms_sketch(
-                batch, self.key_sql, depth=self.depth, width=self.width
-            ),
-            "kmv": sk.kmv_minima(batch, self.key_sql, k=self.k),
-            "loghist": sk.loghist_sketch(
-                batch, self.value_sql, subdiv=self.subdiv
-            ),
-        }
+        if self.group_sql is not None:
+            parts = {
+                "cms": sk.cms_sketch_grouped(
+                    batch, self.group_sql, self.key_sql,
+                    depth=self.depth, width=self.width,
+                ),
+                "kmv": sk.kmv_minima_grouped(
+                    batch, self.group_sql, self.key_sql, k=self.k
+                ),
+                "loghist": sk.loghist_sketch_grouped(
+                    batch, self.group_sql, self.value_sql,
+                    subdiv=self.subdiv,
+                ),
+            }
+        else:
+            parts = {
+                "cms": sk.cms_sketch(
+                    batch, self.key_sql, depth=self.depth, width=self.width
+                ),
+                "kmv": sk.kmv_minima(batch, self.key_sql, k=self.k),
+                "loghist": sk.loghist_sketch(
+                    batch, self.value_sql, subdiv=self.subdiv
+                ),
+            }
         for name, df in parts.items():
             # idempotent append: the batch owns its subtree; a replay
             # overwrites in place, never double-counting
@@ -154,10 +179,18 @@ class StreamProfileJob:
     def profile(self) -> dict[str, DataFrame] | None:
         """The MERGED sketch states: {'cms': (row,bucket,cnt), 'kmv':
         (k,got_k,kth_min,kmv_estimate), 'loghist': (e,sub,cnt)} — each
-        equal to the sketch of all data seen, by additivity."""
+        equal to the sketch of all data seen, by additivity. In the
+        grouped lane every frame carries a leading ``grp`` column and
+        the merge runs per group (same additivity, per cell-of-group)."""
         cms = self._read("cms")
         if cms is None:
             return None
+        if self.group_sql is not None:
+            return {
+                "cms": sk.cms_merge_grouped(cms),
+                "kmv": sk.kmv_merge_grouped(self._read("kmv"), k=self.k),
+                "loghist": sk.loghist_merge_grouped(self._read("loghist")),
+            }
         return {
             "cms": sk.cms_merge(cms),
             "kmv": sk.kmv_merge(self._read("kmv"), k=self.k),
@@ -168,10 +201,21 @@ class StreamProfileJob:
         p = self.profile()
         if p is None:
             return None
+        if self.group_sql is not None:
+            raise ValueError(
+                "distinct_keys() is the global scalar; in the grouped "
+                "lane read profile()['kmv'] (one estimate row per group)"
+            )
         return p["kmv"].collect()[0]["kmv_estimate"]
 
     def key_counts(self, keys: DataFrame, key_sql: str = "key") -> DataFrame:
-        """CMS point estimates for a bounded candidate key set."""
+        """CMS point estimates for a bounded candidate key set (in the
+        grouped lane ``keys`` must carry (grp, key) columns)."""
+        if self.group_sql is not None:
+            return sk.cms_estimate_grouped(
+                self.profile()["cms"], keys,
+                depth=self.depth, width=self.width,
+            )
         return sk.cms_estimate(
             self.profile()["cms"], keys, key_sql,
             depth=self.depth, width=self.width,
@@ -179,17 +223,30 @@ class StreamProfileJob:
 
     def value_quantiles(self, qs: list[tuple[int, int]]) -> DataFrame:
         """Quantile estimates of the value distribution, from the merged
-        log-histogram ((num, denom) integer quantiles)."""
+        log-histogram ((num, denom) integer quantiles); per group in
+        the grouped lane."""
+        if self.group_sql is not None:
+            return sk.loghist_quantiles_grouped(
+                self.profile()["loghist"], qs, subdiv=self.subdiv
+            )
         return sk.loghist_quantiles(
             self.profile()["loghist"], qs, subdiv=self.subdiv
         )
 
     def drift_vs(self, baseline: dict[str, DataFrame]) -> DataFrame:
         """Drift report of THIS profile against a stored baseline
-        profile (functions/dq.py dq_drift_report) — the profiler as a
-        GATE: persist a blessed period's profile() frames, then run
-        each new increment's sketches against them before promotion.
-        Cost: sketch-cell joins only, never data."""
+        profile — the profiler as a GATE: persist a blessed period's
+        profile() frames, then run each new increment's sketches
+        against them before promotion. Cost: sketch-cell joins only,
+        never data. Global lane -> functions/dq.py dq_drift_report;
+        grouped lane -> dq_drift_report_grouped (per-group presence/
+        ratio/TV — catches drift localized to one source)."""
+        if self.group_sql is not None:
+            from dtle_spark.functions.dq import dq_drift_report_grouped
+
+            return dq_drift_report_grouped(
+                baseline, self.profile(), depth=self.depth
+            )
         from dtle_spark.functions.dq import dq_drift_report
 
         return dq_drift_report(baseline, self.profile(), depth=self.depth)
@@ -214,20 +271,39 @@ class StreamProfileJob:
         n = int(base.split("-", 1)[1]) if base.startswith("gen-") else 0
         new_gen_name = f"gen-{n + 1}"
         new_gen = os.path.join(self.profile_root, new_gen_name)
-        merged = {
-            "cms": sk.cms_merge(self._read("cms")),
-            # kmv folds by re-minimizing the union of stored minima
-            # arrays (the state form, not the estimate form)
-            "kmv": (
-                self._read("kmv")
-                .select(F.explode("hvs").alias("hv"))
-                .distinct()
-                .orderBy("hv")
-                .limit(self.k)
-                .agg(F.expr("sort_array(collect_list(hv))").alias("hvs"))
-            ),
-            "loghist": sk.loghist_merge(self._read("loghist")),
-        }
+        if self.group_sql is not None:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("grp").orderBy("hv")
+            merged = {
+                "cms": sk.cms_merge_grouped(self._read("cms")),
+                # per-group re-minimize of the stored minima arrays
+                "kmv": (
+                    self._read("kmv")
+                    .select("grp", F.explode("hvs").alias("hv"))
+                    .distinct()
+                    .withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") <= self.k)
+                    .groupBy("grp")
+                    .agg(F.expr("sort_array(collect_list(hv))").alias("hvs"))
+                ),
+                "loghist": sk.loghist_merge_grouped(self._read("loghist")),
+            }
+        else:
+            merged = {
+                "cms": sk.cms_merge(self._read("cms")),
+                # kmv folds by re-minimizing the union of stored minima
+                # arrays (the state form, not the estimate form)
+                "kmv": (
+                    self._read("kmv")
+                    .select(F.explode("hvs").alias("hv"))
+                    .distinct()
+                    .orderBy("hv")
+                    .limit(self.k)
+                    .agg(F.expr("sort_array(collect_list(hv))").alias("hvs"))
+                ),
+                "loghist": sk.loghist_merge(self._read("loghist")),
+            }
         for name, df in merged.items():
             (
                 df.coalesce(1)
@@ -303,4 +379,5 @@ class StreamProfileJob:
             "generation": os.path.basename(gen),
             "compacted_through": _compacted_through(gen),
             "ingest_batches": len(_ingest_batches(os.path.join(gen, "cms"))),
+            "group_sql": self.group_sql,
         }

