@@ -420,6 +420,74 @@ def dq_drift_report_grouped(
     return out.orderBy("check_name", "grp")
 
 
+def dq_drift_keys(
+    baseline_cms: DataFrame, current_cms: DataFrame, probes: DataFrame,
+    key_sql: str = "key", depth: int = 4, width: int = 512,
+) -> DataFrame:
+    """PER-KEY frequency drift between two CMS profiles over a bounded
+    probe set — after the global/grouped gates say "it drifted", this
+    answers WHICH keys moved: for each probe key the change in
+    frequency SHARE |est_b/n_b - est_c/n_c| as the exact rational
+    |est_b*n_c - est_c*n_b| / (n_b*n_c). CMS estimates are integers
+    (min over counters, never under the true count), totals come from
+    the sketches themselves (sum(cnt)/depth), so the whole report is
+    engine-exact like the other drift lanes. A key absent from one
+    side estimates 0 there — appearing/vanishing hot keys rank at the
+    top naturally.
+
+    Rows (key, b_est, c_est, drift_num, drift_denom, stat), one per
+    probe key. Cost: the probe set (bounded — top-k output, watchlist)
+    joins against broadcast sketch cells; nothing data-sized. The
+    CMS error bound applies per estimate: share error <= e/width with
+    prob 1-exp(-depth), so rank the report, don't read 9th decimals.
+
+    Exactness contract (the r10 lesson): the gated decimals are never
+    NULL — empty-sketch sums coalesce to 0, and the totals fold with
+    integer DIV (sum(cnt) is exactly depth*N, so DIV is lossless at
+    ANY N, no float64 round-trip). An EMPTY side makes drift_denom 0
+    and stat NULL (Spark div-by-zero) — comparing against an empty
+    profile is a pipeline bug; gate on non-empty sketches upstream.
+    """
+    from dtle_spark.functions import sketches as sk
+
+    d38 = "decimal(38,0)"
+    b = sk.cms_estimate(
+        baseline_cms, probes, key_sql, depth, width, out_col="b_est"
+    )
+    c = sk.cms_estimate(
+        current_cms, probes, key_sql, depth, width, out_col="c_est"
+    )
+    n_b = baseline_cms.agg(
+        F.expr(f"CAST(coalesce(sum(cnt), 0) DIV {depth} AS {d38})")
+        .alias("n_b")
+    )
+    n_c = current_cms.agg(
+        F.expr(f"CAST(coalesce(sum(cnt), 0) DIV {depth} AS {d38})")
+        .alias("n_c")
+    )
+    return (
+        b.join(c, ["key"])
+        .crossJoin(F.broadcast(n_b))
+        .crossJoin(F.broadcast(n_c))
+        .select(
+            "key",
+            "b_est",
+            "c_est",
+            F.abs(
+                F.col("b_est").cast(d38) * F.col("n_c")
+                - F.col("c_est").cast(d38) * F.col("n_b")
+            ).cast(d38).alias("drift_num"),
+            (F.col("n_b") * F.col("n_c")).cast(d38).alias("drift_denom"),
+        )
+        .select(
+            "key", "b_est", "c_est", "drift_num", "drift_denom",
+            (F.col("drift_num").cast("double")
+             / F.col("drift_denom").cast("double")).alias("stat"),
+        )
+        .orderBy("key")
+    )
+
+
 def dq_referential(
     child: DataFrame,
     parent: DataFrame,

@@ -6133,6 +6133,102 @@ def dq_drift_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dq_drift_report_grouped(baseline, current, depth=4)
 
 
+def _dq_drift_keys_oracle() -> str:
+    """DuckDB mirror of dq_drift_keys_events: the same md5-bucket CMS
+    cells per side, the same min-fold probe estimates over the top-10
+    user watchlist, side totals as direct COUNTs (the Spark side folds
+    sum(cnt) DIV depth — identical integers), and the per-key share
+    drift as the same exact cross-multiplied rational. Cells cast to
+    DECIMAL(18,0) before multiplying so products fit DECIMAL(38,0)."""
+    def cells(pred: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT {r} AS row, "
+            f"{sk.cms_bucket_sql('user_id', r, 512, 'duckdb')} AS bucket"
+            f" FROM events WHERE {pred}"
+            for r in range(4)
+        )
+
+    probe_rows = " UNION ALL ".join(
+        f"SELECT key, {r} AS row, "
+        f"{sk.cms_bucket_sql('key', r, 512, 'duckdb')} AS bucket FROM top"
+        for r in range(4)
+    )
+    return f"""
+    WITH b_sketch AS (
+      SELECT row, bucket, COUNT(*) AS cnt
+      FROM ({cells('event_id % 2 = 0')}) GROUP BY row, bucket
+    ),
+    c_sketch AS (
+      SELECT row, bucket, COUNT(*) AS cnt
+      FROM ({cells('event_id % 3 = 0')}) GROUP BY row, bucket
+    ),
+    top AS (
+      SELECT user_id AS key, COUNT(*) AS cnt FROM events
+      GROUP BY 1 ORDER BY cnt DESC, key LIMIT 10
+    ),
+    b_est AS (
+      SELECT p.key, MIN(COALESCE(s.cnt, 0)) AS b_est
+      FROM ({probe_rows}) p
+      LEFT JOIN b_sketch s USING (row, bucket) GROUP BY p.key
+    ),
+    c_est AS (
+      SELECT p.key, MIN(COALESCE(s.cnt, 0)) AS c_est
+      FROM ({probe_rows}) p
+      LEFT JOIN c_sketch s USING (row, bucket) GROUP BY p.key
+    ),
+    tot AS (
+      SELECT CAST((SELECT COUNT(*) FROM events WHERE event_id % 2 = 0)
+                  AS DECIMAL(18,0)) AS n_b,
+             CAST((SELECT COUNT(*) FROM events WHERE event_id % 3 = 0)
+                  AS DECIMAL(18,0)) AS n_c
+    )
+    SELECT b.key, b.b_est, c.c_est,
+           CAST(ABS(CAST(b.b_est AS DECIMAL(18,0)) * n_c
+                    - CAST(c.c_est AS DECIMAL(18,0)) * n_b)
+                AS DECIMAL(38,0)) AS drift_num,
+           CAST(n_b * n_c AS DECIMAL(38,0)) AS drift_denom,
+           CAST(CAST(ABS(CAST(b.b_est AS DECIMAL(18,0)) * n_c
+                         - CAST(c.c_est AS DECIMAL(18,0)) * n_b)
+                     AS DECIMAL(38,0)) AS DOUBLE)
+           / CAST(CAST(n_b * n_c AS DECIMAL(38,0)) AS DOUBLE) AS stat
+    FROM b_est b JOIN c_est c USING (key), tot
+    ORDER BY key
+    """
+
+
+@query("dq_drift_keys_events", _dq_drift_keys_oracle())
+def dq_drift_keys_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-KEY drift attribution (functions/dq.py dq_drift_keys) — the
+    third rung of the drift ladder: the global gate says THAT the
+    distribution moved, the grouped gate says WHICH SOURCE, this says
+    WHICH KEYS. Two fixture CMS profiles of events.user_id (baseline =
+    even event ids, current = every-third ids — overlapping but
+    different populations) probed with the exact top-10 user watchlist;
+    each key's frequency-SHARE change |est_b/n_b - est_c/n_c| is
+    emitted as the exact integer rational |est_b*n_c - est_c*n_b| /
+    (n_b*n_c) — non-NULL decimals everywhere, one derived double.
+    At 100 TB both sketches are persisted bounded state (depth*width
+    counters, additive-mergeable) and the probe set is dashboard-sized,
+    so attribution never rescans either corpus."""
+    from dtle_spark.functions.dq import dq_drift_keys
+
+    ev = load_table(spark, sf_dir, "events")
+    base = sk.cms_sketch(
+        ev.filter("event_id % 2 = 0"), "user_id", depth=4, width=512
+    )
+    cur = sk.cms_sketch(
+        ev.filter("event_id % 3 = 0"), "user_id", depth=4, width=512
+    )
+    probes = (
+        ev.groupBy(F.col("user_id").alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "key")
+        .limit(10)
+        .select("key")
+    )
+    return dq_drift_keys(base, cur, probes)
+
+
 @query(
     "weighted_sample_docs",
     f"""

@@ -1060,6 +1060,48 @@ class TestDqChecks:
             else:
                 assert float(r["drift_num"]) / float(r["drift_denom"]) == r["stat"]
 
+    def test_drift_keys_ranks_moved_keys(self, spark):
+        """dq_drift_keys names WHICH keys moved once the global gate
+        fires: per-probe-key share drift as the exact rational
+        |est_b*n_c - est_c*n_b| / (n_b*n_c). With few distinct keys
+        and width=512 the CMS estimates are collision-free, so every
+        number is checkable by hand; a key absent from both sides
+        drifts 0, one absent from one side ranks at the top."""
+        from dtle_spark.functions import sketches as sk
+        from dtle_spark.functions.dq import dq_drift_keys
+
+        def tbl(counts):
+            rows = [(k,) for k, n in counts.items() for _ in range(n)]
+            return spark.createDataFrame(rows, "k string")
+
+        base = sk.cms_sketch(
+            tbl({"a": 100, "b": 50, "hot": 10}), "k", depth=4, width=512
+        )
+        cur = sk.cms_sketch(
+            tbl({"a": 100, "b": 5, "new": 60}), "k", depth=4, width=512
+        )
+        probes = spark.createDataFrame(
+            [("a",), ("b",), ("hot",), ("new",), ("ghost",)], "key string"
+        )
+        got = {r["key"]: r for r in
+               dq_drift_keys(base, cur, probes).collect()}
+
+        n_b, n_c = 160, 165
+        exact = {"a": (100, 100), "b": (50, 5), "hot": (10, 0),
+                 "new": (0, 60), "ghost": (0, 0)}
+        assert set(got) == set(exact)
+        for k, (eb, ec) in exact.items():
+            r = got[k]
+            assert (r["b_est"], r["c_est"]) == (eb, ec), k
+            assert int(r["drift_num"]) == abs(eb * n_c - ec * n_b), k
+            assert int(r["drift_denom"]) == n_b * n_c, k
+            assert r["drift_num"] is not None
+            assert r["stat"] == float(r["drift_num"]) / float(r["drift_denom"])
+        assert got["ghost"]["stat"] == 0.0
+        # the appeared/vanished keys out-rank the stable one
+        assert got["new"]["stat"] > got["a"]["stat"]
+        assert got["b"]["stat"] > got["a"]["stat"]
+
     def test_as_of_seq_reconstructs_past_states(self, spark):
         """as_of(history, s) == apply(base, changes with seq <= s) for
         every prefix — the temporal-read contract, checked at each
