@@ -349,6 +349,59 @@ def cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_join_view_orders",
+    f"""
+    SELECT a.o_orderkey, a.o_custkey, a.o_orderstatus, a.o_totalprice,
+           a.o_orderdate, a.o_orderpriority,
+           d.c_name AS cust_name, d.c_nationkey AS cust_nation,
+           d.c_acctbal AS cust_acctbal
+    FROM ({cdc_demo.ORDERS_CDC_ORACLE}) a
+    LEFT JOIN (
+      SELECT c_custkey, c_name, c_nationkey,
+             CASE WHEN c_custkey % 9 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS c_acctbal
+      FROM customer WHERE c_custkey % 13 <> 0
+    ) d ON a.o_custkey = d.c_custkey
+    """,
+)
+def cdc_join_view_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a materialized JOIN view (operators/
+    join_view.py — Blakeley-style delta-join IVM): the denormalized
+    orders ⟕ customer read table is folded forward by BOTH sides'
+    batches — the scripted orders change stream through the shared
+    apply core (A10 dedupe, per-key winners, PK moves), and a dim
+    mutation batch (every 9th customer's balance +100, every 13th
+    deleted — its rows go NULL, left-join semantics) as an
+    already-applied state plus its touched-key set. The oracle is the
+    FULL RECOMPUTE: applied orders LEFT JOIN mutated customers — the
+    IVM invariant, gated value-exact.
+    At 100 TB nothing data-sized shuffles: the view is carved by
+    broadcast anti/semi joins on the two bounded Δ-key sets and the
+    dim is pruned to visible keys before it broadcasts into the
+    rebuild join (pytest pins zero SortMergeJoin in the maintenance
+    plan) — the untouched mass of the view never moves."""
+    from dtle_spark.operators.join_view import join_view_of, maintain_join_view
+
+    rmap = {"c_name": "cust_name", "c_nationkey": "cust_nation",
+            "c_acctbal": "cust_acctbal"}
+    base = cdc_demo.orders_base(spark, sf_dir)
+    changes = cdc_demo.orders_changes(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    dim_new = c.filter(k % 13 != 0).withColumn(
+        "c_acctbal",
+        F.when(k % 9 == 0, F.col("c_acctbal") + 100.0)
+        .otherwise(F.col("c_acctbal")),
+    )
+    touched = c.filter((k % 9 == 0) | (k % 13 == 0)).select("c_custkey")
+    view0 = join_view_of(base, c, "o_custkey", "c_custkey", rmap)
+    return maintain_join_view(
+        view0, changes, ["o_orderkey"], "o_custkey",
+        dim_new, "c_custkey", rmap, touched,
+    )
+
+
+@query(
     "cdc_rollup_orders",
     f"""
     SELECT o_orderpriority,
