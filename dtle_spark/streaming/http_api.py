@@ -190,6 +190,26 @@ class _Handler(BaseHTTPRequestHandler):
                         start=bool(d.get("start", True)), **kw,
                     )
                     return self._send(201, {"created": d["name"]})
+                if d.get("type") == "join_maintain":
+                    # ninth job type: materialized join-view maintenance
+                    required = ["name", "source_dir", "dim_dir",
+                                "view_root", "checkpoint_dir", "key_cols",
+                                "fk", "right_pk", "right_cols",
+                                "row_schema_ddl"]
+                    missing = [k for k in required if not d.get(k)]
+                    if missing:
+                        return self._send(400, {
+                            "error": f"missing required fields: {missing}"})
+                    kw = {k: d[k] for k in ("max_files_per_trigger",)
+                          if k in d}
+                    self.manager.create_join_maintain(
+                        d["name"], d["source_dir"], d["dim_dir"],
+                        d["view_root"], d["checkpoint_dir"], d["key_cols"],
+                        d["fk"], d["right_pk"], d["right_cols"],
+                        row_schema_ddl=d["row_schema_ddl"],
+                        start=bool(d.get("start", True)), **kw,
+                    )
+                    return self._send(201, {"created": d["name"]})
                 if d.get("type") in ("vector_maintain", "ann_serving"):
                     # vector jobs (4th/5th job types): the model is NOT
                     # in the request body — it loads from the index

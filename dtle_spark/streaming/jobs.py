@@ -466,6 +466,71 @@ class JobManager:
             hj.start()
         return hj
 
+    def create_join_maintain(
+        self,
+        name: str,
+        source_dir: str,
+        dim_dir: str,
+        view_root: str,
+        checkpoint_dir: str,
+        key_cols: list,
+        fk: str,
+        right_pk: str,
+        right_cols: dict,
+        row_schema_ddl: str | None = None,
+        start: bool = True,
+        **kw,
+    ):
+        """Materialized join-view maintenance (streaming/
+        join_maintain.py) as the ninth managed job type — same
+        plain-JSON spec discipline (key list, fk/pk names, the
+        right-column map, the row schema as DDL), so recover()
+        rebuilds the job verbatim and the stream resumes against the
+        same view root (_CHECKPOINT_ID pairing). The dim side needs no
+        spec entry beyond its table path: the job derives per-batch
+        dim dirt from its own digest snapshots."""
+        from pyspark.sql import types as T
+
+        from dtle_spark.model import change_schema
+        from dtle_spark.streaming.join_maintain import JoinViewMaintainJob
+
+        if name in self._jobs:
+            raise ValueError(f"job {name!r} already exists")
+        if (
+            self.spec_root is not None
+            and row_schema_ddl is None
+            and "schema" in kw
+            and "reader" not in kw
+        ):
+            raise ValueError(
+                "persistent managers need row_schema_ddl (a DDL string), "
+                "not schema=: the spec must rebuild the stream schema on "
+                "recover()"
+            )
+        if row_schema_ddl is not None:
+            kw = {**kw, "schema": change_schema(T.StructType.fromDDL(row_schema_ddl))}
+        jj = JoinViewMaintainJob(
+            self.spark, source_dir, dim_dir, view_root, checkpoint_dir,
+            list(key_cols), fk, right_pk, dict(right_cols), **kw,
+        )
+        self._persist_spec(name, {
+            "type": "join_maintain",
+            "source_dir": source_dir,
+            "dim_dir": dim_dir,
+            "view_root": view_root,
+            "checkpoint_dir": checkpoint_dir,
+            "key_cols": list(key_cols),
+            "fk": fk,
+            "right_pk": right_pk,
+            "right_cols": dict(right_cols),
+            "row_schema_ddl": row_schema_ddl,
+            "kw": {k: v for k, v in kw.items() if k != "schema"},
+        })
+        self._jobs[name] = jj
+        if start:
+            jj.start()
+        return jj
+
     def _persist_spec(self, name: str, spec: dict) -> None:
         """Atomic spec write. Kwarg serializability is validated HERE,
         after the spec_root check — a manager without persistence must
@@ -531,6 +596,20 @@ class JobManager:
                     start=start, **spec.get("kw", {}),
                 )
                 out.append(hname)
+                continue
+            if spec.get("type") == "join_maintain":
+                jname = fname[: -len(".json")]
+                if jname in self._jobs:
+                    continue
+                self.create_join_maintain(
+                    jname, spec["source_dir"], spec["dim_dir"],
+                    spec["view_root"], spec["checkpoint_dir"],
+                    spec["key_cols"], spec["fk"], spec["right_pk"],
+                    spec["right_cols"],
+                    row_schema_ddl=spec.get("row_schema_ddl"),
+                    start=start, **spec.get("kw", {}),
+                )
+                out.append(jname)
                 continue
             if spec.get("type") in ("vector_maintain", "ann_serving"):
                 vname = fname[: -len(".json")]

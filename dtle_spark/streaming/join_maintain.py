@@ -1,0 +1,405 @@
+"""Streaming maintenance of a materialized JOIN view: the
+operators/join_view.py delta-join math (fact ⟕ dim, view keyed by the
+fact PK) kept current over a CDC micro-batch stream, with O(Δ)
+per-batch WRITES — the keyed sibling of the additive rollup maintainer
+(agg_maintain.py), sharing the generation / ingest-batch / merge-on-
+read / compaction storage protocol.
+
+Per batch the job persists ONLY the touched view rows as seq-versioned
+upserts and tombstones (`versions/ingest_batch=<id>/`, columns = view
+columns + __seq + __deleted); ``view()`` folds latest-per-key on read
+and drops tombstones — never a view rewrite on the ingest path. The
+seeded bootstrap lives in ``base/`` (implicit seq −1) and ``compact()``
+folds everything into a fresh generation's base behind the atomic
+``_CURRENT`` pointer, with the `_COMPACTED_THROUGH` watermark making
+replayed pre-compaction batches no-ops (tombstones are DROPPED by the
+fold: replays at or below the watermark are skipped, and every later
+batch re-emits its own rows, so a folded tombstone can never be needed
+to shadow anything again).
+
+The dim side needs no side channel: the dim's OWN apply lane publishes
+its table (any parquet path); this job keeps a per-batch PK→xxhash64
+digest snapshot (`_dimdigest/ingest_batch=<id>/`, O(|dim|) rows — dims
+are entity-bounded) and derives the touched-key set by diffing the
+current dim against the last snapshot BEFORE this batch id — exactly
+the snapshot-diff digest trick (operators/diff.py), turned inward.
+First batch after a digest-less seed conservatively treats every dim
+key as touched (correct, one-time refresh cost).
+
+Replay semantics (foreachBatch is at-least-once): a replayed batch
+OVERWRITES its own versions/ and _dimdigest/ subtrees, and both its
+refresh input (the fold is cut at `ingest_batch < batch_id`) and its
+digest baseline exclude its own prior attempt — so the replay
+converges regardless of how far the first attempt got. If the dim
+moved between attempts the replay refreshes against the NEWER dim:
+the view lands consistent with (applied facts, current dim), which is
+the only meaningful target an eventually-consistent dim feed offers.
+
+Reference note: dtle replicates the base tables only (driver/mysql/
+applier_incr.go) — consumers re-join downstream. At 100 TB the
+denormalized view IS the product; this keeps it current at batch-grain
+cost.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dtle_spark.operators.apply import dedupe_redelivered, latest_image_per_key
+from dtle_spark.streaming.ann_serving import (
+    _check_stream_stamp,
+    _ingest_batches,
+    _swap_current,
+)
+from dtle_spark.streaming.profile import _compacted_through, _resolve
+
+_COMPACT_WM_FILE = "_COMPACTED_THROUGH"
+_VERSIONS = "versions"
+_BASE = "base"
+_DIMDIG = "_dimdigest"
+_SEQ = "__seq"
+_DELETED = "__deleted"
+_RPK = "__rpk"
+_DIG = "__dig"
+
+
+def _batch_no(subtree: str) -> int:
+    return int(subtree.split("=", 1)[1])
+
+
+class JoinViewMaintainJob:
+    """Maintain one denormalized fact ⟕ dim view over a fact change
+    stream plus a dim table path. ``right_cols`` maps dim source
+    columns to their view names (must not collide with fact columns —
+    the operator's precondition)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        dim_dir: str,
+        view_root: str,
+        checkpoint_dir: str,
+        key_cols: list[str],
+        fk: str,
+        right_pk: str,
+        right_cols: dict[str, str],
+        schema=None,
+        max_files_per_trigger: int = 1,
+        reader=None,
+    ):
+        self.spark = spark
+        self.source_dir = source_dir
+        self.dim_dir = dim_dir
+        self.view_root = view_root
+        self.checkpoint_dir = checkpoint_dir
+        self.key_cols = list(key_cols)
+        self.fk = fk
+        self.right_pk = right_pk
+        self.right_cols = dict(right_cols)
+        self.schema = schema
+        self.max_files_per_trigger = max_files_per_trigger
+        self.reader = reader
+        self.query = None
+
+    # -- dim helpers --------------------------------------------------------
+
+    def _dim(self) -> DataFrame:
+        return self.spark.read.parquet(self.dim_dir)
+
+    def _renamed_dim(self, dim: DataFrame) -> DataFrame:
+        return dim.select(
+            F.col(self.right_pk).alias(_RPK),
+            *[F.col(s).alias(d) for s, d in self.right_cols.items()],
+        )
+
+    def _digest(self, dim: DataFrame) -> DataFrame:
+        return dim.select(
+            F.col(self.right_pk),
+            F.xxhash64(*sorted(dim.columns)).alias(_DIG),
+        )
+
+    def _latest_digest_before(self, batch_id: int) -> DataFrame | None:
+        gen = _resolve(self.view_root)
+        root = os.path.join(gen, _DIMDIG)
+        prior = [b for b in _ingest_batches(root) if _batch_no(b) < batch_id]
+        if not prior:
+            return None
+        last = max(prior, key=_batch_no)
+        return self.spark.read.parquet(os.path.join(root, last))
+
+    def _dirty_dim_keys(self, dim: DataFrame, batch_id: int) -> DataFrame:
+        """Dim PKs whose row changed since the last digest snapshot
+        strictly before ``batch_id`` (appeared / vanished / mutated);
+        every key when no snapshot exists (post-seed conservatism)."""
+        prev = self._latest_digest_before(batch_id)
+        if prev is None:
+            return dim.select(self.right_pk)
+        cur = self._digest(dim)
+        p = prev.select(
+            F.col(self.right_pk).alias("__pk_p"), F.col(_DIG).alias("__dig_p")
+        )
+        c = cur.select(
+            F.col(self.right_pk).alias("__pk_c"), F.col(_DIG).alias("__dig_c")
+        )
+        j = p.join(c, F.col("__pk_p") == F.col("__pk_c"), "full_outer")
+        return j.filter(
+            ~F.col("__dig_p").eqNullSafe(F.col("__dig_c"))
+        ).select(
+            F.coalesce(F.col("__pk_c"), F.col("__pk_p")).alias(self.right_pk)
+        )
+
+    # -- batch core (exposed for tests/replay) ------------------------------
+
+    def seed(self, view0: DataFrame, dim: DataFrame | None = None) -> None:
+        """Bootstrap: persist the full-recompute view (join_view_of)
+        as the base, and — when the dim used to build it is passed —
+        its digest snapshot, so batch 0 refreshes only real dim drift
+        instead of every key. Refuses to re-seed an existing base
+        (the history.py lesson: a second seed double-counts)."""
+        gen = _resolve(self.view_root)
+        base = os.path.join(gen, _BASE)
+        if os.path.exists(base):
+            raise ValueError(
+                f"{base} already exists — re-seeding a live view would "
+                "shadow its maintained versions; start a new view_root"
+            )
+        view0.write.mode("error").parquet(base)
+        if dim is not None:
+            self._digest(dim).write.mode("overwrite").parquet(
+                os.path.join(gen, _DIMDIG, "ingest_batch=-1")
+            )
+
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        gen = _resolve(self.view_root)
+        _check_stream_stamp(gen, self.checkpoint_dir)
+        if batch_id <= _compacted_through(gen):
+            return  # already folded by a compaction — skip
+        dim = self._dim()
+        r = self._renamed_dim(dim)
+        net = latest_image_per_key(
+            dedupe_redelivered(batch), self.key_cols
+        ).localCheckpoint()  # consumed three times below
+
+        view_cols = [
+            f.name for f in batch.schema["after"].dataType.fields
+        ] + list(self.right_cols.values())
+
+        # fact lane: rebuilt rows + tombstones
+        fresh_left = net.filter(F.col("__action") == "upsert").select("row.*")
+        r_fresh = r.join(
+            F.broadcast(fresh_left.select(F.col(self.fk).alias(_RPK)).distinct()),
+            _RPK,
+            "left_semi",
+        )
+        upserts = fresh_left.join(
+            F.broadcast(r_fresh), F.col(self.fk) == F.col(_RPK), "left"
+        ).drop(_RPK)
+
+        left_types = {
+            f.name: f.dataType for f in batch.schema["after"].dataType.fields
+        }
+        right_types = {
+            dst: dim.schema[src].dataType
+            for src, dst in self.right_cols.items()
+        }
+        tombs = net.filter(F.col("__action") == "delete").select(
+            *[F.col(k) for k in self.key_cols],
+            *[
+                F.lit(None).cast(left_types[c]).alias(c)
+                for c in left_types
+                if c not in self.key_cols
+            ],
+            *[
+                F.lit(None).cast(t).alias(c)
+                for c, t in right_types.items()
+            ],
+        ).select(*view_cols)
+
+        # dim lane: refresh kept rows whose dim row moved, excluding
+        # keys this batch already rewrote (their fresh row used the
+        # current dim) — otherwise one key gets two same-seq rows
+        dirty = self._dirty_dim_keys(dim, batch_id).select(
+            F.col(self.right_pk).alias(_RPK)
+        ).distinct()
+        cur = self._fold(before=batch_id)
+        key_struct = F.struct(*[F.col(k) for k in self.key_cols])
+        carve = (
+            cur.filter(~F.col(_DELETED))
+            .drop(_SEQ, _DELETED)
+            .join(F.broadcast(dirty), F.col(self.fk) == F.col(_RPK), "left_semi")
+            .join(
+                F.broadcast(net.select(key_struct.alias("__k")).distinct()),
+                key_struct.eqNullSafe(F.col("__k")),
+                "left_anti",
+            )
+        )
+        r_dirty = r.join(F.broadcast(dirty), _RPK, "left_semi")
+        refreshed = (
+            carve.drop(*self.right_cols.values())
+            .join(F.broadcast(r_dirty), F.col(self.fk) == F.col(_RPK), "left")
+            .drop(_RPK)
+        )
+
+        out = (
+            upserts.select(*view_cols)
+            .withColumn(_DELETED, F.lit(False))
+            .unionByName(tombs.withColumn(_DELETED, F.lit(True)))
+            .unionByName(refreshed.select(*view_cols).withColumn(_DELETED, F.lit(False)))
+            .withColumn(_SEQ, F.lit(batch_id).cast("long"))
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(gen, _VERSIONS, f"ingest_batch={batch_id}")
+        )
+        self._digest(dim).write.mode("overwrite").parquet(
+            os.path.join(gen, _DIMDIG, f"ingest_batch={batch_id}")
+        )
+
+    # -- reads ---------------------------------------------------------------
+
+    def _fold(self, before: int | None = None) -> DataFrame:
+        """Latest version per fact key across base + version subtrees
+        (cut strictly below ``before`` for a batch's own refresh read —
+        replay idempotence). Returns view columns + __seq + __deleted;
+        the caller filters tombstones."""
+        gen = _resolve(self.view_root)
+        parts = []
+        base = os.path.join(gen, _BASE)
+        if os.path.exists(base):
+            parts.append(
+                self.spark.read.parquet(base)
+                .withColumn(_SEQ, F.lit(-1).cast("long"))
+                .withColumn(_DELETED, F.lit(False))
+            )
+        vroot = os.path.join(gen, _VERSIONS)
+        subtrees = [
+            b for b in _ingest_batches(vroot)
+            if before is None or _batch_no(b) < before
+        ]
+        if subtrees:
+            parts.append(
+                self.spark.read.option("basePath", vroot)
+                .parquet(*[os.path.join(vroot, b) for b in subtrees])
+                .withColumn(_SEQ, F.col("ingest_batch").cast("long"))
+                .drop("ingest_batch")
+            )
+        if not parts:
+            raise ValueError(
+                f"{self.view_root}: no seeded base and no maintained "
+                "versions — seed() the view before reading it"
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        w = Window.partitionBy(*self.key_cols).orderBy(
+            F.col(_SEQ).desc(), F.col(_DELETED).desc()
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def view(self) -> DataFrame:
+        """The maintained denormalized view — equal to
+        join_view_of(applied facts, current dim) after every processed
+        batch (pytest-pinned, randomized)."""
+        return self._fold().filter(~F.col(_DELETED)).drop(_SEQ, _DELETED)
+
+    # -- compaction ------------------------------------------------------------
+
+    def compact(self, max_batches: int = 16, gc_previous: bool = True) -> int:
+        """Fold base + versions into a NEW generation's base behind the
+        atomic ``_CURRENT`` pointer (run quiesced, off the ingest
+        path). Alive rows only — see the module header for why folded
+        tombstones are safely droppable. Returns subtrees folded."""
+        gen = _resolve(self.view_root)
+        vroot = os.path.join(gen, _VERSIONS)
+        batches = _ingest_batches(vroot)
+        if len(batches) <= max_batches:
+            return 0
+        hi = max(_batch_no(b) for b in batches)
+        base_name = os.path.basename(gen)
+        n = int(base_name.split("-", 1)[1]) if base_name.startswith("gen-") else 0
+        new_gen = os.path.join(self.view_root, f"gen-{n + 1}")
+        self.view().write.mode("overwrite").parquet(os.path.join(new_gen, _BASE))
+        dig_root = os.path.join(gen, _DIMDIG)
+        digs = _ingest_batches(dig_root)
+        if digs:
+            last = max(digs, key=_batch_no)
+            self.spark.read.parquet(os.path.join(dig_root, last)).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(new_gen, _DIMDIG, f"ingest_batch={hi}"))
+        with open(os.path.join(new_gen, _COMPACT_WM_FILE), "w") as f:
+            f.write(str(hi))
+        old_ck = os.path.join(gen, "_CHECKPOINT_ID")
+        if os.path.exists(old_ck):
+            shutil.copy(old_ck, os.path.join(new_gen, "_CHECKPOINT_ID"))
+        _swap_current(self.view_root, f"gen-{n + 1}")
+        if gc_previous and gen != self.view_root:
+            shutil.rmtree(gen, ignore_errors=True)
+        return len(batches)
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self) -> "JoinViewMaintainJob":
+        if self.reader is not None:
+            stream = self.reader(self.spark)
+        else:
+            stream = (
+                self.spark.readStream.schema(self.schema)
+                .option("maxFilesPerTrigger", self.max_files_per_trigger)
+                .parquet(self.source_dir)
+            )
+        self.query = (
+            stream.writeStream.foreachBatch(self.apply_batch)
+            .option(
+                "checkpointLocation",
+                os.path.join(self.checkpoint_dir, "join_maintain"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        return self
+
+    def process_available(self) -> None:
+        if self.query is not None:
+            self.query.awaitTermination()
+
+    def pause(self) -> None:
+        if self.query is not None:
+            self.query.stop()
+            self.query = None
+
+    def resume(self) -> "JoinViewMaintainJob":
+        if self.query is None:
+            self.start()
+        return self
+
+    def position(self) -> dict:
+        gen = _resolve(self.view_root)
+        batches = [
+            _batch_no(b)
+            for b in _ingest_batches(os.path.join(gen, _VERSIONS))
+        ]
+        return {
+            "generation": os.path.basename(gen),
+            "compacted_through": _compacted_through(gen),
+            "max_ingest_batch": max(batches, default=-1),
+        }
+
+    def stats(self) -> dict:
+        gen = _resolve(self.view_root)
+        return {
+            "type": "join_maintain",
+            "active": self.query is not None and self.query.isActive,
+            "generation": os.path.basename(gen),
+            "compacted_through": _compacted_through(gen),
+            "ingest_batches": len(
+                _ingest_batches(os.path.join(gen, _VERSIONS))
+            ),
+        }

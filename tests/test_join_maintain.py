@@ -1,0 +1,350 @@
+"""Streaming join-view maintenance (streaming/join_maintain.py). The
+invariant everywhere: after every processed batch, ``job.view()``
+equals ``join_view_of(applied facts, current dim)`` — with O(Δ)
+per-batch writes, digest-derived dim dirt, replay idempotence, and
+compaction behind the atomic generation pointer."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dtle_spark.model import change_schema
+from dtle_spark.operators.apply import apply_changes
+from dtle_spark.operators.join_view import join_view_of
+from dtle_spark.streaming.join_maintain import JoinViewMaintainJob
+
+FACT = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("cust", T.LongType()),
+        T.StructField("amount", T.LongType()),
+    ]
+)
+DIM_COLS = {"name": "cust_name", "tier": "cust_tier"}
+SID = "44444444-4444-4444-4444-444444444444"
+
+BASE_FACTS = [(1, 10, 100), (2, 20, 200), (3, None, 300)]
+BASE_DIM = [(10, "alice", "gold"), (20, "bob", "base")]
+
+
+def _chg(spark, rows):
+    return spark.createDataFrame(rows, change_schema(FACT))
+
+
+def _c(op, before, after, seq):
+    return (SID, seq, seq, 0, op, None, "db1", "t", before, after, None)
+
+
+def _dim_df(spark, rows):
+    return spark.createDataFrame(rows, "cid long, name string, tier string")
+
+
+def _view(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _recompute(spark, facts_rows, dim_rows):
+    return join_view_of(
+        spark.createDataFrame(facts_rows, FACT),
+        _dim_df(spark, dim_rows),
+        "cust", "cid", DIM_COLS,
+    )
+
+
+class TestJoinViewMaintainJob:
+    def _job(self, spark, tmp_path, **kw):
+        return JoinViewMaintainJob(
+            spark,
+            str(tmp_path / "src" / "*"),
+            str(tmp_path / "dim"),
+            str(tmp_path / "view"),
+            str(tmp_path / "ck"),
+            ["id"],
+            "cust",
+            "cid",
+            DIM_COLS,
+            schema=change_schema(FACT),
+            **kw,
+        )
+
+    def _seeded(self, spark, tmp_path, **kw):
+        _dim_df(spark, BASE_DIM).write.mode("overwrite").parquet(
+            str(tmp_path / "dim")
+        )
+        job = self._job(spark, tmp_path, **kw)
+        dim = _dim_df(spark, BASE_DIM)
+        job.seed(
+            join_view_of(
+                spark.createDataFrame(BASE_FACTS, FACT), dim,
+                "cust", "cid", DIM_COLS,
+            ),
+            dim,
+        )
+        return job
+
+    def test_seed_roundtrip_and_refuse_reseed(self, spark, tmp_path):
+        job = self._seeded(spark, tmp_path)
+        assert _view(job.view()) == _view(
+            _recompute(spark, BASE_FACTS, BASE_DIM)
+        )
+        with pytest.raises(ValueError, match="re-seed"):
+            job.seed(_recompute(spark, BASE_FACTS, BASE_DIM))
+
+    def test_fact_and_dim_batches_match_recompute(self, spark, tmp_path):
+        """Three batches: fact-only, dim-only movement (update + delete
+        + insert, dirt derived from the digest diff, no side channel),
+        then both at once — view == recompute after each."""
+        job = self._seeded(spark, tmp_path)
+
+        # batch 0: facts only
+        job.apply_batch(_chg(spark, [
+            _c("i", None, (4, 20, 400), 1),
+            _c("u", (1, 10, 100), (1, 10, 150), 2),
+        ]), 0)
+        facts = [(1, 10, 150), (2, 20, 200), (3, None, 300), (4, 20, 400)]
+        assert _view(job.view()) == _view(_recompute(spark, facts, BASE_DIM))
+
+        # batch 1: dim only — 10 renamed, 20 deleted, 30 appears
+        dim1 = [(10, "alicia", "gold"), (30, "carol", "vip")]
+        _dim_df(spark, dim1).write.mode("overwrite").parquet(
+            str(tmp_path / "dim")
+        )
+        job.apply_batch(_chg(spark, []), 1)
+        assert _view(job.view()) == _view(_recompute(spark, facts, dim1))
+
+        # batch 2: both — fact retargets onto the new dim key, dim moves again
+        dim2 = [(10, "alicia", "plat"), (30, "carol", "vip")]
+        _dim_df(spark, dim2).write.mode("overwrite").parquet(
+            str(tmp_path / "dim")
+        )
+        job.apply_batch(_chg(spark, [
+            _c("u", (2, 20, 200), (2, 30, 200), 3),
+            _c("d", (4, 20, 400), None, 4),
+        ]), 2)
+        facts = [(1, 10, 150), (2, 30, 200), (3, None, 300)]
+        assert _view(job.view()) == _view(_recompute(spark, facts, dim2))
+        # O(Δ) writes: batch 2 persisted only the two touched fact rows
+        gen = str(tmp_path / "view")
+        b2 = spark.read.parquet(os.path.join(gen, "versions", "ingest_batch=2"))
+        assert b2.count() == 3  # upsert(2) + tombstone(4) + refresh(1: cust 10 moved)
+
+    def test_replay_overwrites_its_own_subtree(self, spark, tmp_path):
+        job = self._seeded(spark, tmp_path)
+        batch = _chg(spark, [_c("u", (1, 10, 100), (1, 10, 150), 1)])
+        job.apply_batch(batch, 0)
+        want = _view(job.view())
+        job.apply_batch(batch, 0)  # at-least-once replay
+        assert _view(job.view()) == want
+        assert job.stats()["ingest_batches"] == 1
+
+    def test_compaction_preserves_view_and_guards_replay(self, spark, tmp_path):
+        job = self._seeded(spark, tmp_path)
+        for i in range(5):
+            job.apply_batch(_chg(spark, [
+                _c("i", None, (10 + i, 10, i), i + 1),
+            ]), i)
+        before = _view(job.view())
+        assert job.compact(max_batches=2) == 5
+        assert job.stats()["generation"] == "gen-1"
+        assert _view(job.view()) == before
+        # replayed pre-compaction batch: no-op under the watermark
+        job.apply_batch(_chg(spark, [_c("i", None, (10, 10, 0), 1)]), 0)
+        assert job.stats()["ingest_batches"] == 0
+        assert _view(job.view()) == before
+        # post-compaction ingest still lands, incl. a delete of folded rows
+        job.apply_batch(_chg(spark, [_c("d", (10, 10, 0), None, 99)]), 9)
+        assert _view(job.view()) == [r for r in before if r[0] != 10]
+
+    def test_tombstoned_key_can_reappear(self, spark, tmp_path):
+        job = self._seeded(spark, tmp_path)
+        job.apply_batch(_chg(spark, [_c("d", (1, 10, 100), None, 1)]), 0)
+        assert 1 not in {r[0] for r in job.view().collect()}
+        job.apply_batch(_chg(spark, [_c("i", None, (1, 20, 111), 2)]), 1)
+        got = {r[0]: tuple(r) for r in job.view().collect()}
+        assert got[1] == (1, 20, 111, "bob", "base")
+
+    def test_fresh_checkpoint_against_old_root_fails(self, spark, tmp_path):
+        job = self._seeded(spark, tmp_path)
+        job.apply_batch(_chg(spark, [_c("i", None, (5, 10, 5), 1)]), 0)
+        other = JoinViewMaintainJob(
+            job.spark, job.source_dir, job.dim_dir, job.view_root,
+            str(tmp_path / "ck2"), ["id"], "cust", "cid", DIM_COLS,
+            schema=change_schema(FACT),
+        )
+        with pytest.raises(Exception, match="checkpoint"):
+            other.apply_batch(_chg(spark, [_c("i", None, (6, 10, 6), 2)]), 1)
+
+    def test_streaming_e2e(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        _chg(spark, [
+            _c("i", None, (4, 20, 400), 1),
+        ]).coalesce(1).write.parquet(os.path.join(src, "b0"))
+        _chg(spark, [
+            _c("u", (4, 20, 400), (4, 10, 440), 2),
+            _c("d", (2, 20, 200), None, 3),
+        ]).coalesce(1).write.parquet(os.path.join(src, "b1"))
+        job = self._seeded(spark, tmp_path)
+        job.start()
+        job.process_available()
+        assert job.stats()["ingest_batches"] == 2
+        facts = [(1, 10, 100), (3, None, 300), (4, 10, 440)]
+        assert _view(job.view()) == _view(_recompute(spark, facts, BASE_DIM))
+
+    def test_manager_lifecycle_recover_and_http(self, spark, tmp_path):
+        """The join-view maintainer as the ninth managed job type:
+        create/list/pause, recover() on a fresh manager from the
+        plain-JSON spec, and the HTTP create route with its
+        missing-field 400."""
+        import json
+        import urllib.request
+
+        from dtle_spark.catalog import SchemaCatalog
+        from dtle_spark.streaming.http_api import ControlServer
+        from dtle_spark.streaming.jobs import JobManager
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        _dim_df(spark, BASE_DIM).write.parquet(str(tmp_path / "dim"))
+        _chg(spark, [_c("i", None, (4, 20, 400), 1)]).coalesce(1).write.parquet(
+            os.path.join(src, "b0")
+        )
+        spec_root = str(tmp_path / "specs")
+        mgr = JobManager(spark, spec_root=spec_root)
+        jj = mgr.create_join_maintain(
+            "ordview", os.path.join(src, "*"), str(tmp_path / "dim"),
+            str(tmp_path / "view"), str(tmp_path / "ck"),
+            ["id"], "cust", "cid", DIM_COLS,
+            row_schema_ddl="id long, cust long, amount long",
+            start=False,
+        )
+        jj.seed(
+            _recompute(spark, BASE_FACTS, BASE_DIM), _dim_df(spark, BASE_DIM)
+        )
+        jj.start()
+        jj.process_available()
+        st = mgr.list()["ordview"]
+        assert st["type"] == "join_maintain" and st["ingest_batches"] == 1
+        with pytest.raises(ValueError, match="row_schema_ddl"):
+            mgr.create_join_maintain(
+                "bad", os.path.join(src, "*"), str(tmp_path / "dim"),
+                str(tmp_path / "v2"), str(tmp_path / "ck2"),
+                ["id"], "cust", "cid", DIM_COLS,
+                schema=change_schema(FACT),
+            )
+        mgr.pause("ordview")
+
+        # a second batch lands while paused; a FRESH manager recovers
+        _chg(spark, [_c("d", (2, 20, 200), None, 2)]).coalesce(1).write.parquet(
+            os.path.join(src, "b1")
+        )
+        mgr2 = JobManager(spark, spec_root=spec_root)
+        assert mgr2.recover(start=False) == ["ordview"]
+        mgr2.resume("ordview")
+        jj2 = mgr2.get("ordview")
+        jj2.process_available()
+        facts = [(1, 10, 100), (3, None, 300), (4, 20, 400)]
+        assert _view(jj2.view()) == _view(_recompute(spark, facts, BASE_DIM))
+
+        # HTTP create (ninth type) + the missing-field 400
+        manager = JobManager(spark)
+        server = ControlServer(manager, SchemaCatalog()).start()
+        url = f"http://127.0.0.1:{server.port}"
+
+        def _http(method, path, body=None):
+            req = urllib.request.Request(
+                url + path, method=method,
+                data=json.dumps(body).encode() if body is not None else None,
+                headers={"Content-Type": "application/json"},
+            )
+            try:
+                with urllib.request.urlopen(req) as r:
+                    return r.status, json.loads(r.read() or b"{}")
+            except urllib.error.HTTPError as ex:
+                return ex.code, json.loads(ex.read() or b"{}")
+
+        try:
+            body = {
+                "name": "j1", "type": "join_maintain",
+                "source_dir": os.path.join(src, "*"),
+                "dim_dir": str(tmp_path / "dim"),
+                "view_root": str(tmp_path / "hview"),
+                "checkpoint_dir": str(tmp_path / "hck"),
+                "key_cols": ["id"], "fk": "cust", "right_pk": "cid",
+                "right_cols": DIM_COLS, "start": False,
+            }
+            code, err = _http("POST", "/v2/jobs", body)
+            assert code == 400 and "row_schema_ddl" in err["error"]
+            body["row_schema_ddl"] = "id long, cust long, amount long"
+            code, _ = _http("POST", "/v2/jobs", body)
+            assert code == 201
+            j1 = manager.get("j1")
+            j1.seed(_recompute(spark, BASE_FACTS, BASE_DIM))
+            j1.start()
+            j1.process_available()
+            assert j1.stats()["ingest_batches"] == 2
+            code, got = _http("GET", "/v2/job/j1")
+            assert code == 200 and got["type"] == "join_maintain"
+        finally:
+            server.stop()
+
+    def test_random_batches_match_recompute(self, spark, tmp_path):
+        """Seeded random fact batches + dim churn, applied through the
+        job (digest-diff dirt, merge-on-read fold): view == recompute
+        after every batch, and again after a mid-stream compaction."""
+        import random
+
+        rng = random.Random(1107)
+        alive = dict((k, (k, rng.choice([10, 20, None]), k)) for k in range(1, 6))
+        dim = {10: (10, "a", "t1"), 20: (20, "b", "t2")}
+        _dim_df(spark, list(dim.values())).write.mode("overwrite").parquet(
+            str(tmp_path / "dim")
+        )
+        job = self._job(spark, tmp_path)
+        job.seed(
+            _recompute(spark, list(alive.values()), list(dim.values())),
+            _dim_df(spark, list(dim.values())),
+        )
+        for batch_no in range(5):
+            events = []
+            for seq in range(1, 5):
+                roll, live = rng.random(), sorted(alive)
+                s = batch_no * 10 + seq
+                if not live or roll < 0.3:
+                    k = rng.randint(1, 25)
+                    if k in alive:
+                        continue
+                    alive[k] = (k, rng.choice([10, 20, 30, None]), s)
+                    events.append(_c("i", None, alive[k], s))
+                elif roll < 0.55:
+                    k = rng.choice(live)
+                    events.append(_c("d", alive.pop(k), None, s))
+                else:
+                    k = rng.choice(live)
+                    old = alive[k]
+                    alive[k] = (k, rng.choice([10, 20, 30, None]), old[2] + s)
+                    events.append(_c("u", old, alive[k], s))
+            if rng.random() < 0.6:  # dim churn
+                if 30 in dim and rng.random() < 0.4:
+                    del dim[30]
+                elif 30 not in dim:
+                    dim[30] = (30, "c", "t3")
+                else:
+                    pick = rng.choice(sorted(dim))
+                    dim[pick] = (pick, dim[pick][1] + "x", dim[pick][2])
+                _dim_df(spark, list(dim.values())).write.mode(
+                    "overwrite"
+                ).parquet(str(tmp_path / "dim"))
+            job.apply_batch(_chg(spark, events), batch_no)
+            assert _view(job.view()) == _view(
+                _recompute(spark, list(alive.values()), list(dim.values()))
+            ), f"batch {batch_no}"
+            if batch_no == 3:
+                job.compact(max_batches=2)
+                assert _view(job.view()) == _view(
+                    _recompute(spark, list(alive.values()), list(dim.values()))
+                ), "post-compaction"
