@@ -251,6 +251,31 @@ class StreamProfileJob:
 
         return dq_drift_report(baseline, self.profile(), depth=self.depth)
 
+    def drift_keys_vs(
+        self, baseline_cms: DataFrame, probes: DataFrame
+    ) -> DataFrame:
+        """Per-KEY drift attribution against a stored baseline CMS —
+        the third rung of the drift ladder (drift_vs says THAT, the
+        grouped lane says WHICH SOURCE, this says WHICH KEYS): each
+        probe key's frequency-share change as the exact integer
+        rational of functions/dq.dq_drift_keys. ``probes`` is the
+        bounded watchlist (one ``key`` column — a stored top-k, an
+        alert list); cost is probes x broadcast sketch cells, never
+        data. Global lane only — per-group attribution is the same
+        call against one group's cells."""
+        if self.group_sql is not None:
+            raise ValueError(
+                "drift_keys_vs attributes within ONE sketch pair; in "
+                "the grouped lane filter both CMS frames to a group "
+                "and call functions/dq.dq_drift_keys directly"
+            )
+        from dtle_spark.functions.dq import dq_drift_keys
+
+        return dq_drift_keys(
+            baseline_cms, self.profile()["cms"], probes,
+            depth=self.depth, width=self.width,
+        )
+
     # -- compaction --------------------------------------------------------
 
     def compact(self, max_batches: int = 16, gc_previous: bool = True) -> int:

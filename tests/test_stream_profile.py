@@ -301,6 +301,64 @@ def test_drift_gate_detects_injected_shift(spark, tmp_path):
             again[name]["stat"]), name
 
 
+def test_drift_keys_attributes_moved_keys(spark, tmp_path):
+    """The drift ladder's third rung (drift_keys_vs): once the gate
+    fires, attribute it — one source's share quadruples while the rest
+    hold steady; its probe row must dominate the per-key report. The
+    grouped lane refuses the call (attribution is within one sketch
+    pair)."""
+    from dtle_spark.streaming.profile import StreamProfileJob
+
+    def _profile(rows, name, **kw):
+        src = str(tmp_path / name / "src")
+        os.makedirs(src)
+        rows.coalesce(1).write.parquet(os.path.join(src, "b0"))
+        job = StreamProfileJob(
+            spark, os.path.join(src, "*"),
+            str(tmp_path / name / "profile"), str(tmp_path / name / "ck"),
+            key_sql="source", value_sql="n_chars",
+            schema="doc_id long, source string, n_chars long",
+            **kw,
+        )
+        job.start()
+        job.process_available()
+        return job
+
+    base_rows = spark.range(0, 4000).selectExpr(
+        "id AS doc_id", "CAST(id % 10 AS STRING) AS source",
+        "1000 + id % 500 AS n_chars",
+    )
+    # source '3' quadruples its share; everything else unchanged
+    cur_rows = base_rows.unionAll(
+        spark.range(4000, 5200).selectExpr(
+            "id AS doc_id", "'3' AS source", "1100 AS n_chars"
+        )
+    )
+    baseline = _profile(base_rows, "kbase").profile()
+    cur = _profile(cur_rows, "kcur")
+    probes = spark.createDataFrame(
+        [(str(i),) for i in range(10)], "key string"
+    )
+    rep = cur.drift_keys_vs(baseline["cms"], probes)
+    rows = {r["key"]: r for r in rep.collect()}
+    assert set(rows) == {str(i) for i in range(10)}
+    moved, rest = rows["3"], [rows[k] for k in rows if k != "3"]
+    assert all(moved["stat"] > r["stat"] for r in rest)
+    for r in rows.values():  # the exactness contract, every row
+        assert r["drift_num"] is not None and r["drift_denom"] is not None
+        assert float(r["drift_num"]) / float(r["drift_denom"]) == r["stat"]
+
+    grouped = _profile(
+        spark.range(0, 100).selectExpr(
+            "id AS doc_id", "CAST(id % 3 AS STRING) AS source",
+            "1000 AS n_chars",
+        ),
+        "kgrp", group_sql="source",
+    )
+    with pytest.raises(ValueError, match="grouped lane"):
+        grouped.drift_keys_vs(baseline["cms"], probes)
+
+
 def test_grouped_profiler_end_to_end(spark, tmp_path):
     """The per-group lane (group_sql): grouped sketches per batch,
     per-group additive merge-on-read, compaction preserving the
