@@ -32,6 +32,8 @@ derive inner as ``view.filter(dim_pk_col.isNotNull())`` at read time.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -40,13 +42,54 @@ from dtle_spark.operators.apply import dedupe_redelivered, latest_image_per_key
 _RPK = "__rpk"
 
 
-def _renamed_right(
-    right: DataFrame, right_pk: str, right_cols: dict[str, str]
-) -> DataFrame:
+class DimSpec(NamedTuple):
+    """One dimension's wiring into a star view: the fact's foreign-key
+    column, the dim's PK column, and the src -> view-name column map."""
+
+    fk: str
+    pk: str
+    cols: dict[str, str]
+
+
+def _renamed_right(right: DataFrame, spec: DimSpec) -> DataFrame:
     return right.select(
-        F.col(right_pk).alias(_RPK),
-        *[F.col(src).alias(dst) for src, dst in right_cols.items()],
+        F.col(spec.pk).alias(_RPK),
+        *[F.col(src).alias(dst) for src, dst in spec.cols.items()],
     )
+
+
+def _check_collisions(
+    left: DataFrame, dims: list[tuple[DataFrame, DimSpec]]
+) -> None:
+    taken = set(left.columns)
+    for _, spec in dims:
+        clash = set(spec.cols.values()) & taken
+        if clash:
+            raise ValueError(
+                f"dim columns collide with the view's: {sorted(clash)}"
+            )
+        taken |= set(spec.cols.values())
+
+
+def star_view_of(
+    fact: DataFrame, dims: list[tuple[DataFrame, DimSpec]]
+) -> DataFrame:
+    """Full recompute of the denormalized STAR view: the fact LEFT
+    JOINed to each dimension on ``fact[spec.fk] = dim[spec.pk]``, dim
+    columns renamed per ``spec.cols`` (view names must not collide
+    with the fact's or each other's). This is the bootstrap/backfill
+    path and the oracle the incremental path is gated against; NULL or
+    dangling fks keep NULL dim columns (SQL join semantics).
+
+    Each dim's ``pk`` must be unique (it is a PK); a duplicate would
+    fan every referencing fact row out. The maintenance path inherits
+    the same precondition from each dim's own apply lane."""
+    _check_collisions(fact, dims)
+    out = fact
+    for dim, spec in dims:
+        r = _renamed_right(dim, spec)
+        out = out.join(r, F.col(spec.fk) == F.col(_RPK), "left").drop(_RPK)
+    return out
 
 
 def join_view_of(
@@ -56,21 +99,93 @@ def join_view_of(
     right_pk: str,
     right_cols: dict[str, str],
 ) -> DataFrame:
-    """Full recompute of the denormalized view: ``left`` LEFT JOIN
-    ``right`` on ``left[fk] = right[right_pk]``, dim columns renamed
-    per ``right_cols`` (src -> view name; names must not collide with
-    left's). This is the bootstrap/backfill path and the oracle the
-    incremental path is gated against; NULL fk rows keep NULL dim
-    columns (SQL join semantics — NULL matches nothing).
+    """Single-dim convenience over :func:`star_view_of`."""
+    return star_view_of(left, [(right, DimSpec(fk, right_pk, right_cols))])
 
-    ``right_pk`` must be unique in ``right`` (it is a PK); a duplicate
-    would fan every referencing fact row out. The maintenance path
-    inherits the same precondition from the dim's own apply lane."""
-    clash = set(right_cols.values()) & set(left.columns)
-    if clash:
-        raise ValueError(f"right_cols collide with left columns: {sorted(clash)}")
-    r = _renamed_right(right, right_pk, right_cols)
-    return left.join(r, F.col(fk) == F.col(_RPK), "left").drop(_RPK)
+
+def _refresh_dim(
+    kept: DataFrame, dim: DataFrame, spec: DimSpec, touched: DataFrame
+) -> DataFrame:
+    """Rewrite ONE dim's columns on the kept rows whose dim row moved.
+    The fk carve uses PLAIN equality ON PURPOSE: a NULL fk matches no
+    dim row in the view definition, so it must match no dirty key here
+    either — null-safe equality would wrongly refresh NULL-fk rows
+    against a NULL dim key."""
+    dirty = touched.select(F.col(spec.pk).alias(_RPK)).distinct()
+    carve = kept.join(
+        F.broadcast(dirty), F.col(spec.fk) == F.col(_RPK), "left_semi"
+    )
+    untouched = kept.join(
+        F.broadcast(dirty), F.col(spec.fk) == F.col(_RPK), "left_anti"
+    )
+    r_dirty = _renamed_right(dim, spec).join(
+        F.broadcast(dirty), _RPK, "left_semi"
+    )
+    refreshed = (
+        carve.drop(*spec.cols.values())
+        .join(F.broadcast(r_dirty), F.col(spec.fk) == F.col(_RPK), "left")
+        .drop(_RPK)
+        .select(*kept.columns)
+    )
+    return untouched.unionByName(refreshed)
+
+
+def maintain_star_view(
+    view: DataFrame,
+    fact_changes: DataFrame,
+    fact_keys: list[str],
+    dims: list[tuple[DataFrame, DimSpec, DataFrame | None]],
+) -> DataFrame:
+    """One maintenance step of a star view: fold a fact-side change
+    batch (standard change rows — insert/update/delete with
+    before/after images, A10 dedupe and PK-move semantics via the
+    shared apply core) and each dimension's already-applied state into
+    the materialized view.
+
+    ``dims`` entries are (state_after_its_batch, spec, touched_pks):
+    every dim's own apply lane runs first — that ordering is what
+    folds the ΔL ⋈ ΔR cross terms away — and ``touched_pks`` (one
+    column named ``spec.pk``; None = the dim didn't move) carries the
+    bounded set of dim keys whose rows changed. Dim refreshes apply
+    sequentially over the kept rows, each rewriting only its own
+    columns, so a fact row referencing two moved dims gets both.
+
+    Invariant (pytest-pinned, randomized):
+    ``maintain_star_view(star_view_of(F0, dims0), ΔF, dims1)``
+    equals ``star_view_of(apply_changes(F0, ΔF), dims1)``.
+
+    Join-key discipline: the fact-PK anti-join wraps keys in a struct
+    (null-safe — the minmax-rollup r11 lesson); the fk-side carves use
+    plain equality on purpose (see :func:`_refresh_dim`)."""
+    net = latest_image_per_key(dedupe_redelivered(fact_changes), fact_keys)
+
+    # --- fact side: drop every touched fact key, rebuild survivors ---
+    key_struct = F.struct(*[F.col(k) for k in fact_keys])
+    touched = net.select(key_struct.alias("__k")).distinct()
+    kept = view.join(
+        F.broadcast(touched), key_struct.eqNullSafe(F.col("__k")), "left_anti"
+    )
+
+    fresh = net.filter(F.col("__action") == "upsert").select("row.*")
+    for dim, spec, _ in dims:
+        # prune the dim to the fks the batch can see, then broadcast
+        # it: the rebuild join never shuffles the dim or the batch
+        r = _renamed_right(dim, spec)
+        r_fresh = r.join(
+            F.broadcast(fresh.select(F.col(spec.fk).alias(_RPK)).distinct()),
+            _RPK,
+            "left_semi",
+        )
+        fresh = fresh.join(
+            F.broadcast(r_fresh), F.col(spec.fk) == F.col(_RPK), "left"
+        ).drop(_RPK)
+
+    # --- dim side: refresh kept rows whose dim rows moved ---
+    for dim, spec, touched_pks in dims:
+        if touched_pks is not None:
+            kept = _refresh_dim(kept, dim, spec, touched_pks)
+
+    return kept.unionByName(fresh)
 
 
 def maintain_join_view(
@@ -83,64 +198,11 @@ def maintain_join_view(
     right_cols: dict[str, str],
     right_touched: DataFrame | None = None,
 ) -> DataFrame:
-    """One maintenance step: fold a fact-side change batch (standard
-    change rows — insert/update/delete with before/after images, A10
-    dedupe and PK-move semantics via the shared apply core) and an
-    already-applied dim state into the materialized view.
-
-    ``right_state`` is the dim AFTER its own batch applied (its apply
-    lane runs first — that ordering is what folds the ΔL ⋈ ΔR term
-    away). ``right_touched`` is the bounded set of dim PKs whose rows
-    changed this batch (one column named ``right_pk``); None means the
-    dim didn't move.
-
-    Invariant (pytest-pinned, randomized):
-    ``maintain_join_view(join_view_of(L, R0), ΔL, R1, touched)``
-    equals ``join_view_of(apply_changes(L, ΔL), R1)``.
-
-    Join-key discipline: the fact-PK anti-join wraps keys in a struct
-    (null-safe — the minmax-rollup r11 lesson); the fk-side carve uses
-    PLAIN equality ON PURPOSE: a NULL fk matches no dim row in the view
-    definition, so it must match no dirty key here either — null-safe
-    equality would wrongly refresh NULL-fk rows against a NULL dim key.
-    """
-    net = latest_image_per_key(dedupe_redelivered(left_changes), left_keys)
-
-    # --- fact side: drop every touched fact key, rebuild survivors ---
-    key_struct = F.struct(*[F.col(k) for k in left_keys])
-    touched = net.select(key_struct.alias("__k")).distinct()
-    kept = view.join(
-        F.broadcast(touched), key_struct.eqNullSafe(F.col("__k")), "left_anti"
+    """Single-dim convenience over :func:`maintain_star_view` (the
+    shape the streaming maintainer drives, one fact ⟕ one dim)."""
+    return maintain_star_view(
+        view,
+        left_changes,
+        left_keys,
+        [(right_state, DimSpec(fk, right_pk, right_cols), right_touched)],
     )
-
-    fresh_left = net.filter(F.col("__action") == "upsert").select("row.*")
-    r = _renamed_right(right_state, right_pk, right_cols)
-    # prune the dim to the fks the batch can see, then broadcast it:
-    # the rebuild join never shuffles the dim or the batch
-    r_for_fresh = r.join(
-        F.broadcast(fresh_left.select(F.col(fk).alias(_RPK)).distinct()),
-        _RPK,
-        "left_semi",
-    )
-    fresh = fresh_left.join(
-        F.broadcast(r_for_fresh), F.col(fk) == F.col(_RPK), "left"
-    ).drop(_RPK)
-
-    # --- dim side: refresh kept rows whose dim row moved ---
-    if right_touched is not None:
-        dirty = right_touched.select(F.col(right_pk).alias(_RPK)).distinct()
-        carve = kept.join(
-            F.broadcast(dirty), F.col(fk) == F.col(_RPK), "left_semi"
-        )
-        untouched = kept.join(
-            F.broadcast(dirty), F.col(fk) == F.col(_RPK), "left_anti"
-        )
-        r_dirty = r.join(F.broadcast(dirty), _RPK, "left_semi")
-        refreshed = (
-            carve.drop(*right_cols.values())
-            .join(F.broadcast(r_dirty), F.col(fk) == F.col(_RPK), "left")
-            .drop(_RPK)
-        )
-        kept = untouched.unionByName(refreshed)
-
-    return kept.unionByName(fresh)

@@ -243,3 +243,130 @@ FROM upd WHERE bp OR ap
 UNION ALL SELECT c_custkey, seq, 'i' FROM ins WHERE ap
 UNION ALL SELECT c_custkey, seq, 'd' FROM del WHERE bp
 """
+
+
+_LI_ORDER = (
+    "l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice, "
+    "l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate"
+)
+
+
+def _rekeyed_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem with a synthesized UNIQUE line id: the fixture data's
+    (l_orderkey, l_linenumber) is NOT unique (duplicate line rows), so
+    the star-view fact re-keys with a full-order row_number per order —
+    rows that tie on every column are bit-identical, so the resulting
+    MULTISET is engine-independent even though the assignment among
+    identical twins is arbitrary. PK = (l_orderkey, l_lineuid)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        *[F.col(c.strip()) for c in _LI_ORDER.split(",")]
+    )
+    return li.withColumn("l_lineuid", F.row_number().over(w))
+
+
+def lineitem_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-view snapshot state: re-keyed lineitem except order keys
+    ≡0 (mod 5) — those arrive later as stream inserts (composite PK =
+    (l_orderkey, l_lineuid))."""
+    return _cached(
+        spark, sf_dir, "lineitem_base",
+        lambda: _rekeyed_lineitem(spark, sf_dir).filter(
+            F.col("l_orderkey") % 5 != 0
+        ),
+    )
+
+
+def lineitem_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached wrapper over :func:`_lineitem_changes_build`."""
+    return _cached(
+        spark, sf_dir, "lineitem_changes",
+        lambda: _lineitem_changes_build(spark, sf_dir),
+    )
+
+
+def _lineitem_changes_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scripted change stream over the re-keyed lineitem (composite PK
+    = (l_orderkey, l_lineuid)):
+
+    - inserts : order keys ≡0 (mod 5), seq = (okey*1e5+uid)*10+1
+    - updates : order keys ≡0 (mod 7), l_quantity + 5, seq = ..+2
+    - deletes : order keys ≡0 (mod 11), seq = ..+3
+
+    A key ≡0 (mod 35) is inserted then updated; ≡0 (mod 77) updated
+    then deleted; the per-key seq winner decides (as for orders)."""
+    li = _rekeyed_lineitem(spark, sf_dir)
+    row_type = T.StructType(li.schema.fields)
+    k = F.col("l_orderkey")
+    row = F.struct(*[F.col(c) for c in li.columns])
+    updated_row = F.struct(
+        *[
+            ((F.col("l_quantity") + 5).alias("l_quantity")
+             if c == "l_quantity" else F.col(c))
+            for c in li.columns
+        ]
+    )
+    # seq must be UNIQUE PER EVENT ROW, not per order: every line of
+    # an order shares gno=okey, and the A10 dedupe drops duplicate
+    # (sid, gno, seq) triples — an order-grain seq would swallow all
+    # but one line of each leg (found the hard way in r11)
+    u = F.col("l_lineuid")
+    ins = _as_change(li.filter(k % 5 == 0), OP_INSERT, None, row,
+                     k, (k * 100000 + u) * 10 + 1, row_type, "lineitem")
+    upd = _as_change(li.filter(k % 7 == 0), OP_UPDATE, row, updated_row,
+                     k, (k * 100000 + u) * 10 + 2, row_type, "lineitem")
+    dels = _as_change(li.filter(k % 11 == 0), OP_DELETE, row, None,
+                      k, (k * 100000 + u) * 10 + 3, row_type, "lineitem")
+    return ins.unionByName(upd).unionByName(dels)
+
+
+_LI_COLS = (
+    "l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, "
+    "l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, "
+    "l_shipdate, l_lineuid"
+)
+
+# DuckDB restatement of lineitem_base + lineitem_changes + key-latest
+# apply on the composite PK (shared by the star-view oracle and tests).
+# The fixture data's (l_orderkey, l_linenumber) is NOT unique, so both
+# engines re-key with the same full-order row_number (see
+# _rekeyed_lineitem for why the multiset is engine-independent).
+LINEITEM_CDC_ORACLE = f"""
+WITH li AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY l_orderkey ORDER BY {_LI_ORDER}
+  ) AS INTEGER) AS l_lineuid
+  FROM lineitem
+),
+base AS (SELECT * FROM li WHERE l_orderkey % 5 <> 0),
+eff AS (
+  SELECT l_orderkey AS k1, l_lineuid AS k2, (l_orderkey*100000 + l_lineuid)*10+1 AS seq,
+         'upsert' AS action, {_LI_COLS}
+  FROM li WHERE l_orderkey % 5 = 0
+  UNION ALL
+  SELECT l_orderkey, l_lineuid, (l_orderkey*100000 + l_lineuid)*10+2, 'upsert',
+         l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity + 5,
+         l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+         l_shipdate, l_lineuid
+  FROM li WHERE l_orderkey % 7 = 0
+  UNION ALL
+  SELECT l_orderkey, l_lineuid, (l_orderkey*100000 + l_lineuid)*10+3, 'delete',
+         NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+         NULL
+  FROM li WHERE l_orderkey % 11 = 0
+),
+winner AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY k1, k2 ORDER BY seq DESC) AS rn
+    FROM eff
+  ) WHERE rn = 1
+)
+SELECT b.* FROM base b
+WHERE NOT EXISTS (
+  SELECT 1 FROM winner w WHERE w.k1 = b.l_orderkey AND w.k2 = b.l_lineuid
+)
+UNION ALL
+SELECT {_LI_COLS} FROM winner WHERE action = 'upsert'
+"""

@@ -402,6 +402,80 @@ def cdc_join_view_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_star_view_lineitem",
+    f"""
+    SELECT a.*, p.p_name AS part_name, p.p_brand AS part_brand,
+           s.s_name AS supp_name, s.s_nationkey AS supp_nation
+    FROM ({cdc_demo.LINEITEM_CDC_ORACLE}) a
+    LEFT JOIN (
+      SELECT p_partkey,
+             CASE WHEN p_partkey % 9 = 0 THEN p_name || '*' ELSE p_name END
+               AS p_name,
+             p_brand
+      FROM part WHERE p_partkey % 13 <> 0
+    ) p ON a.l_partkey = p.p_partkey
+    LEFT JOIN (
+      SELECT s_suppkey,
+             CASE WHEN s_suppkey % 4 = 0 THEN s_name || '*' ELSE s_name END
+               AS s_name,
+             s_nationkey
+      FROM supplier WHERE s_suppkey % 6 <> 0
+    ) s ON a.l_suppkey = s.s_suppkey
+    """,
+)
+def cdc_star_view_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAR-schema view maintenance (operators/join_view.py
+    maintain_star_view): the denormalized lineitem ⟕ part ⟕ supplier
+    read table folded forward by a composite-PK fact change stream
+    (inserts/updates/deletes on (l_orderkey, l_lineuid) — the fixture
+    re-keys lineitem with an engine-independent full-order row_number
+    because its (l_orderkey, l_linenumber) is NOT unique — through the
+    shared apply core) and BOTH dims moving in the same step (part:
+    every 9th renamed, every 13th deleted; supplier: every 4th
+    renamed, every 6th deleted) — a fact row referencing two moved
+    dims gets both rewrites sequentially. Oracle = the full recompute
+    (applied lineitem LEFT JOIN both mutated dims), the IVM invariant
+    value-exact.
+    At 100 TB this is the fact-table shape (lineitem is the big one):
+    per-dim broadcast carves over the bounded touched-key sets, dims
+    pruned to visible keys before the broadcast rebuild joins — the
+    view mass never shuffles, same plan discipline as the single-dim
+    lane (zero SortMergeJoin, pytest-pinned there)."""
+    from dtle_spark.operators.join_view import (
+        DimSpec, maintain_star_view, star_view_of,
+    )
+
+    base = cdc_demo.lineitem_base(spark, sf_dir)
+    changes = cdc_demo.lineitem_changes(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    pk, sk_ = F.col("p_partkey"), F.col("s_suppkey")
+    p_new = p.filter(pk % 13 != 0).withColumn(
+        "p_name",
+        F.when(pk % 9 == 0, F.concat(F.col("p_name"), F.lit("*")))
+        .otherwise(F.col("p_name")),
+    )
+    s_new = s.filter(sk_ % 6 != 0).withColumn(
+        "s_name",
+        F.when(sk_ % 4 == 0, F.concat(F.col("s_name"), F.lit("*")))
+        .otherwise(F.col("s_name")),
+    )
+    p_touched = p.filter((pk % 9 == 0) | (pk % 13 == 0)).select("p_partkey")
+    s_touched = s.filter((sk_ % 4 == 0) | (sk_ % 6 == 0)).select("s_suppkey")
+    specs = [
+        DimSpec("l_partkey", "p_partkey",
+                {"p_name": "part_name", "p_brand": "part_brand"}),
+        DimSpec("l_suppkey", "s_suppkey",
+                {"s_name": "supp_name", "s_nationkey": "supp_nation"}),
+    ]
+    view0 = star_view_of(base, [(p, specs[0]), (s, specs[1])])
+    return maintain_star_view(
+        view0, changes, ["l_orderkey", "l_lineuid"],
+        [(p_new, specs[0], p_touched), (s_new, specs[1], s_touched)],
+    )
+
+
+@query(
     "cdc_rollup_orders",
     f"""
     SELECT o_orderpriority,

@@ -177,6 +177,70 @@ class TestJoinView:
                 join_view_of(target, dim_df, "cust", "cid", DIM_COLS)
             ), f"batch {batch_no}"
 
+    def test_star_view_two_dims_match_recompute(self, spark):
+        """The star generalization: a fact with two fks, both dims
+        moving in the same step — a fact row referencing two moved
+        dims gets both rewrites; per-dim collision checks fire."""
+        from dtle_spark.operators.join_view import (
+            DimSpec, maintain_star_view, star_view_of,
+        )
+
+        star = T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("cust", T.LongType()),
+            T.StructField("prod", T.LongType()),
+            T.StructField("qty", T.LongType()),
+        ])
+        facts = spark.createDataFrame(
+            [(1, 10, 7, 5), (2, 20, 8, 6), (3, None, 7, 7), (4, 10, None, 8)],
+            star,
+        )
+        cust0 = _dim(spark, [(10, "alice", "gold"), (20, "bob", "base")])
+        prod0 = spark.createDataFrame(
+            [(7, "widget"), (8, "gadget")], "pid long, pname string"
+        )
+        specs = [
+            DimSpec("cust", "cid", DIM_COLS),
+            DimSpec("prod", "pid", {"pname": "prod_name"}),
+        ]
+        view0 = star_view_of(facts, [(cust0, specs[0]), (prod0, specs[1])])
+        assert view0.columns == [
+            "id", "cust", "prod", "qty", "cust_name", "cust_tier", "prod_name",
+        ]
+
+        with pytest.raises(ValueError, match="collide"):
+            star_view_of(facts, [
+                (cust0, specs[0]),
+                (prod0, DimSpec("prod", "pid", {"pname": "cust_name"})),
+            ])
+
+        chg = spark.createDataFrame(
+            [(SID, 1, 1, 0, "i", None, "db1", "t",
+              None, (5, 20, 8, 9), None)],
+            change_schema(star),
+        )
+        cust1 = _dim(spark, [(10, "alicia", "gold"), (20, "bob", "vip")])
+        prod1 = spark.createDataFrame(
+            [(7, "widget-x"), (8, "gadget")], "pid long, pname string"
+        )
+        got = maintain_star_view(view0, chg, ["id"], [
+            (cust1, specs[0],
+             spark.createDataFrame([(10,), (20,)], "cid long")),
+            (prod1, specs[1], spark.createDataFrame([(7,)], "pid long")),
+        ])
+        expect = star_view_of(
+            apply_changes(facts, chg, ["id"]),
+            [(cust1, specs[0]), (prod1, specs[1])],
+        )
+        assert _view(got) == _view(expect)
+        by_id = {r[0]: tuple(r) for r in got.collect()}
+        # row 1 references BOTH moved dims -> both rewrites landed
+        assert by_id[1] == (1, 10, 7, 5, "alicia", "gold", "widget-x")
+        assert by_id[2] == (2, 20, 8, 6, "bob", "vip", "gadget")
+        assert by_id[5] == (5, 20, 8, 9, "bob", "vip", "gadget")
+        assert by_id[3][4:] == (None, None, "widget-x")  # NULL cust fk
+        assert by_id[4][4:] == ("alicia", "gold", None)  # NULL prod fk
+
     def test_maintenance_never_sort_merge_joins(self, spark):
         """Every join in the maintenance plan must be broadcast-side
         (the view mass never shuffles) — the property that makes the
