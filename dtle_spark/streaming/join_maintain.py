@@ -91,6 +91,7 @@ class JoinViewMaintainJob:
         schema=None,
         max_files_per_trigger: int = 1,
         reader=None,
+        cluster_by: list[str] | None = None,
     ):
         self.spark = spark
         self.source_dir = source_dir
@@ -104,7 +105,21 @@ class JoinViewMaintainJob:
         self.schema = schema
         self.max_files_per_trigger = max_files_per_trigger
         self.reader = reader
+        # layout lever: cluster the seeded/compacted base on these
+        # columns (typically [fk]) so the dim-refresh carve's
+        # `fk IN (dirty)` read prunes row groups instead of scanning
+        # the view mass (tableio.write_clustered). Per-batch version
+        # subtrees stay as-written — they are Δ-sized anyway.
+        self.cluster_by = list(cluster_by) if cluster_by else None
         self.query = None
+
+    def _write_base(self, df: DataFrame, base: str, mode: str) -> None:
+        if self.cluster_by:
+            from dtle_spark.tableio import write_clustered
+
+            write_clustered(df, base, self.cluster_by, mode=mode)
+        else:
+            df.write.mode(mode).parquet(base)
 
     # -- dim helpers --------------------------------------------------------
 
@@ -168,7 +183,7 @@ class JoinViewMaintainJob:
                 f"{base} already exists — re-seeding a live view would "
                 "shadow its maintained versions; start a new view_root"
             )
-        view0.write.mode("error").parquet(base)
+        self._write_base(view0, base, "error")
         if dim is not None:
             self._digest(dim).write.mode("overwrite").parquet(
                 os.path.join(gen, _DIMDIG, "ingest_batch=-1")
@@ -326,7 +341,7 @@ class JoinViewMaintainJob:
         base_name = os.path.basename(gen)
         n = int(base_name.split("-", 1)[1]) if base_name.startswith("gen-") else 0
         new_gen = os.path.join(self.view_root, f"gen-{n + 1}")
-        self.view().write.mode("overwrite").parquet(os.path.join(new_gen, _BASE))
+        self._write_base(self.view(), os.path.join(new_gen, _BASE), "overwrite")
         dig_root = os.path.join(gen, _DIMDIG)
         digs = _ingest_batches(dig_root)
         if digs:

@@ -51,6 +51,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def write_clustered(
+    df: DataFrame, path: str, cols: list[str], mode: str = "overwrite",
+    n_files: int | None = None,
+) -> None:
+    """Write ``df`` as parquet CLUSTERED on ``cols``: a range
+    repartition (disjoint per-file key ranges) plus a within-file sort,
+    so every file's and row-group's min/max statistics on ``cols`` are
+    tight. A selective ``col = k`` / ``col IN (...)`` read then skips
+    all but the owning files' row groups via parquet predicate pushdown
+    — the scan cost becomes O(selected), not O(table).
+
+    This is the layout lever the incremental maintainers assume at
+    100 TB (rollup.py:217, join_maintain's dim-refresh carve): Spark
+    has no Z-order builtin, but for SINGLE-key locality a range-sort
+    is strictly tighter than an interleave; use multiple cols in
+    major->minor order for hierarchical keys (day, table). NULLs sort
+    first and land in the lowest file, pruned like any other range.
+    Measured in SCALE.md (r11): a 1-of-1000-keys filter reads ~1/Nth
+    of the clustered layout vs the whole unclustered table."""
+    out = df.repartitionByRange(*cols) if n_files is None else (
+        df.repartitionByRange(n_files, *cols)
+    )
+    out.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view (mirrors the driver's
     DuckDB-side view registration, so SQL text can be shared)."""

@@ -292,6 +292,67 @@ class TestJoinViewMaintainJob:
         finally:
             server.stop()
 
+    def test_clustered_base_roundtrip_and_tight_ranges(self, spark, tmp_path):
+        """cluster_by=[fk]: the seeded and compacted bases are written
+        range-clustered on the fk (tableio.write_clustered). Layout
+        proof lives in test_write_clustered_disjoint_file_ranges (AQE
+        coalesces this tiny fixture to one file); here the semantics
+        must be unchanged: view == recompute through batches +
+        compaction."""
+        _dim_df(spark, BASE_DIM).write.mode("overwrite").parquet(
+            str(tmp_path / "dim")
+        )
+        facts = [(i, (10, 20)[i % 2], i) for i in range(1, 401)]
+        job = self._job(spark, tmp_path, cluster_by=["cust"])
+        dim = _dim_df(spark, BASE_DIM)
+        job.seed(
+            join_view_of(
+                spark.createDataFrame(facts, FACT), dim, "cust", "cid", DIM_COLS
+            ),
+            dim,
+        )
+        for i in range(4):
+            job.apply_batch(_chg(spark, [
+                _c("u", (1 + i, (10, 20)[(1 + i) % 2], 1 + i),
+                   (1 + i, 20, 1000 + i), i + 1),
+            ]), i)
+        applied = [(i, (10, 20)[i % 2], i) for i in range(5, 401)] + [
+            (i, 20, 999 + i) for i in range(1, 5)
+        ]
+        assert _view(job.view()) == _view(_recompute(spark, applied, BASE_DIM))
+        assert job.compact(max_batches=2) == 4
+        assert _view(job.view()) == _view(_recompute(spark, applied, BASE_DIM))
+        assert os.path.isdir(str(tmp_path / "view" / "gen-1" / "base"))
+
+    def test_write_clustered_disjoint_file_ranges(self, spark, tmp_path):
+        """tableio.write_clustered: with an explicit file count, every
+        parquet file carries a DISJOINT min/max range on the cluster
+        column — the statistics a selective read prunes on."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from dtle_spark.tableio import write_clustered
+
+        df = spark.range(20_000).selectExpr(
+            "id", "id % 1000 AS fk", "id * 2 AS v"
+        )
+        out = str(tmp_path / "clustered")
+        write_clustered(df, out, ["fk"], n_files=8)
+        spans = []
+        for f in sorted(glob.glob(os.path.join(out, "*.parquet"))):
+            md = pq.read_metadata(f)
+            idx = md.schema.to_arrow_schema().get_field_index("fk")
+            stats = [md.row_group(i).column(idx).statistics
+                     for i in range(md.num_row_groups)]
+            spans.append((min(s.min for s in stats), max(s.max for s in stats)))
+        assert len(spans) >= 4
+        spans.sort()
+        for (_, hi1), (lo2, _) in zip(spans, spans[1:]):
+            assert hi1 <= lo2, f"overlapping file ranges: {spans}"
+        # round-trip intact
+        assert spark.read.parquet(out).count() == 20_000
+
     def test_random_batches_match_recompute(self, spark, tmp_path):
         """Seeded random fact batches + dim churn, applied through the
         job (digest-diff dirt, merge-on-read fold): view == recompute
