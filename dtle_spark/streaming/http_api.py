@@ -200,7 +200,9 @@ class _Handler(BaseHTTPRequestHandler):
                     if missing:
                         return self._send(400, {
                             "error": f"missing required fields: {missing}"})
-                    kw = {k: d[k] for k in ("max_files_per_trigger",)
+                    kw = {k: d[k]
+                          for k in ("max_files_per_trigger", "extra_dims",
+                                    "cluster_by")
                           if k in d}
                     self.manager.create_join_maintain(
                         d["name"], d["source_dir"], d["dim_dir"],

@@ -1,5 +1,6 @@
 """Streaming maintenance of a materialized JOIN view: the
-operators/join_view.py delta-join math (fact ⟕ dim, view keyed by the
+operators/join_view.py delta-join math (fact ⟕ dim(s) — one primary
+dim, optionally a full STAR via ``extra_dims`` — view keyed by the
 fact PK) kept current over a CDC micro-batch stream, with O(Δ)
 per-batch WRITES — the keyed sibling of the additive rollup maintainer
 (agg_maintain.py), sharing the generation / ingest-batch / merge-on-
@@ -50,6 +51,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dtle_spark.operators.apply import dedupe_redelivered, latest_image_per_key
+from dtle_spark.operators.join_view import DimSpec
 from dtle_spark.streaming.ann_serving import (
     _check_stream_stamp,
     _ingest_batches,
@@ -72,10 +74,14 @@ def _batch_no(subtree: str) -> int:
 
 
 class JoinViewMaintainJob:
-    """Maintain one denormalized fact ⟕ dim view over a fact change
-    stream plus a dim table path. ``right_cols`` maps dim source
-    columns to their view names (must not collide with fact columns —
-    the operator's precondition)."""
+    """Maintain one denormalized fact ⟕ dim(s) view over a fact change
+    stream plus dim table paths. ``right_cols`` maps the PRIMARY dim's
+    source columns to their view names (must not collide with fact
+    columns — the operator's precondition); ``extra_dims`` extends the
+    view to a STAR (each entry a plain dict {"dim_dir", "fk", "pk",
+    "cols"} so it rides the JSON job spec verbatim). Every dim gets
+    its own digest lane and refresh carve; a fact row referencing two
+    moved dims is carved once and rebuilt against ALL current dims."""
 
     def __init__(
         self,
@@ -92,6 +98,7 @@ class JoinViewMaintainJob:
         max_files_per_trigger: int = 1,
         reader=None,
         cluster_by: list[str] | None = None,
+        extra_dims: list[dict] | None = None,
     ):
         self.spark = spark
         self.source_dir = source_dir
@@ -111,6 +118,13 @@ class JoinViewMaintainJob:
         # the view mass (tableio.write_clustered). Per-batch version
         # subtrees stay as-written — they are Δ-sized anyway.
         self.cluster_by = list(cluster_by) if cluster_by else None
+        # dims[0] is the primary; extra_dims are JSON-shaped
+        self.dims: list[tuple[str, DimSpec]] = [
+            (dim_dir, DimSpec(fk, right_pk, dict(right_cols)))
+        ] + [
+            (d["dim_dir"], DimSpec(d["fk"], d["pk"], dict(d["cols"])))
+            for d in (extra_dims or [])
+        ]
         self.query = None
 
     def _write_base(self, df: DataFrame, base: str, mode: str) -> None:
@@ -123,59 +137,69 @@ class JoinViewMaintainJob:
 
     # -- dim helpers --------------------------------------------------------
 
-    def _dim(self) -> DataFrame:
-        return self.spark.read.parquet(self.dim_dir)
+    def _read_dims(self) -> list[DataFrame]:
+        return [self.spark.read.parquet(d) for d, _ in self.dims]
 
-    def _renamed_dim(self, dim: DataFrame) -> DataFrame:
+    @staticmethod
+    def _renamed_dim(dim: DataFrame, spec: DimSpec) -> DataFrame:
         return dim.select(
-            F.col(self.right_pk).alias(_RPK),
-            *[F.col(s).alias(d) for s, d in self.right_cols.items()],
+            F.col(spec.pk).alias(_RPK),
+            *[F.col(s).alias(d) for s, d in spec.cols.items()],
         )
 
-    def _digest(self, dim: DataFrame) -> DataFrame:
+    @staticmethod
+    def _digest(dim: DataFrame, spec: DimSpec) -> DataFrame:
         return dim.select(
-            F.col(self.right_pk),
+            F.col(spec.pk),
             F.xxhash64(*sorted(dim.columns)).alias(_DIG),
         )
 
-    def _latest_digest_before(self, batch_id: int) -> DataFrame | None:
-        gen = _resolve(self.view_root)
-        root = os.path.join(gen, _DIMDIG)
+    def _digest_root(self, gen: str, i: int) -> str:
+        return os.path.join(gen, _DIMDIG, f"dim={i}")
+
+    def _latest_digest_before(self, i: int, batch_id: int) -> DataFrame | None:
+        root = self._digest_root(_resolve(self.view_root), i)
         prior = [b for b in _ingest_batches(root) if _batch_no(b) < batch_id]
         if not prior:
             return None
         last = max(prior, key=_batch_no)
         return self.spark.read.parquet(os.path.join(root, last))
 
-    def _dirty_dim_keys(self, dim: DataFrame, batch_id: int) -> DataFrame:
-        """Dim PKs whose row changed since the last digest snapshot
-        strictly before ``batch_id`` (appeared / vanished / mutated);
-        every key when no snapshot exists (post-seed conservatism)."""
-        prev = self._latest_digest_before(batch_id)
+    def _dirty_dim_keys(
+        self, i: int, dim: DataFrame, batch_id: int
+    ) -> DataFrame:
+        """Dim ``i``'s PKs whose row changed since its last digest
+        snapshot strictly before ``batch_id`` (appeared / vanished /
+        mutated); every key when no snapshot exists (post-seed
+        conservatism). One column named ``_RPK``."""
+        spec = self.dims[i][1]
+        prev = self._latest_digest_before(i, batch_id)
         if prev is None:
-            return dim.select(self.right_pk)
-        cur = self._digest(dim)
+            return dim.select(F.col(spec.pk).alias(_RPK)).distinct()
+        cur = self._digest(dim, spec)
         p = prev.select(
-            F.col(self.right_pk).alias("__pk_p"), F.col(_DIG).alias("__dig_p")
+            F.col(spec.pk).alias("__pk_p"), F.col(_DIG).alias("__dig_p")
         )
         c = cur.select(
-            F.col(self.right_pk).alias("__pk_c"), F.col(_DIG).alias("__dig_c")
+            F.col(spec.pk).alias("__pk_c"), F.col(_DIG).alias("__dig_c")
         )
         j = p.join(c, F.col("__pk_p") == F.col("__pk_c"), "full_outer")
         return j.filter(
             ~F.col("__dig_p").eqNullSafe(F.col("__dig_c"))
         ).select(
-            F.coalesce(F.col("__pk_c"), F.col("__pk_p")).alias(self.right_pk)
-        )
+            F.coalesce(F.col("__pk_c"), F.col("__pk_p")).alias(_RPK)
+        ).distinct()
 
     # -- batch core (exposed for tests/replay) ------------------------------
 
-    def seed(self, view0: DataFrame, dim: DataFrame | None = None) -> None:
-        """Bootstrap: persist the full-recompute view (join_view_of)
-        as the base, and — when the dim used to build it is passed —
-        its digest snapshot, so batch 0 refreshes only real dim drift
-        instead of every key. Refuses to re-seed an existing base
-        (the history.py lesson: a second seed double-counts)."""
+    def seed(self, view0: DataFrame, dim: DataFrame | list | None = None) -> None:
+        """Bootstrap: persist the full-recompute view (join_view_of /
+        star_view_of) as the base, and — when the dim(s) used to build
+        it are passed (one DataFrame, or a list matching ``dims``
+        order) — their digest snapshots, so batch 0 refreshes only
+        real dim drift instead of every key. Refuses to re-seed an
+        existing base (the history.py lesson: a second seed
+        double-counts)."""
         gen = _resolve(self.view_root)
         base = os.path.join(gen, _BASE)
         if os.path.exists(base):
@@ -184,9 +208,10 @@ class JoinViewMaintainJob:
                 "shadow its maintained versions; start a new view_root"
             )
         self._write_base(view0, base, "error")
-        if dim is not None:
-            self._digest(dim).write.mode("overwrite").parquet(
-                os.path.join(gen, _DIMDIG, "ingest_batch=-1")
+        dims = [dim] if isinstance(dim, DataFrame) else (dim or [])
+        for i, d in enumerate(dims):
+            self._digest(d, self.dims[i][1]).write.mode("overwrite").parquet(
+                os.path.join(self._digest_root(gen, i), "ingest_batch=-1")
             )
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
@@ -194,33 +219,41 @@ class JoinViewMaintainJob:
         _check_stream_stamp(gen, self.checkpoint_dir)
         if batch_id <= _compacted_through(gen):
             return  # already folded by a compaction — skip
-        dim = self._dim()
-        r = self._renamed_dim(dim)
+        dim_dfs = self._read_dims()
         net = latest_image_per_key(
             dedupe_redelivered(batch), self.key_cols
         ).localCheckpoint()  # consumed three times below
 
+        all_dim_cols = [
+            c for _, spec in self.dims for c in spec.cols.values()
+        ]
         view_cols = [
             f.name for f in batch.schema["after"].dataType.fields
-        ] + list(self.right_cols.values())
+        ] + all_dim_cols
 
-        # fact lane: rebuilt rows + tombstones
-        fresh_left = net.filter(F.col("__action") == "upsert").select("row.*")
-        r_fresh = r.join(
-            F.broadcast(fresh_left.select(F.col(self.fk).alias(_RPK)).distinct()),
-            _RPK,
-            "left_semi",
-        )
-        upserts = fresh_left.join(
-            F.broadcast(r_fresh), F.col(self.fk) == F.col(_RPK), "left"
-        ).drop(_RPK)
+        # fact lane: rebuilt rows (joined to EVERY dim, each pruned to
+        # the batch's visible fks and broadcast) + tombstones
+        fresh = net.filter(F.col("__action") == "upsert").select("row.*")
+        for d, (_, spec) in zip(dim_dfs, self.dims):
+            r = self._renamed_dim(d, spec)
+            r_fresh = r.join(
+                F.broadcast(
+                    fresh.select(F.col(spec.fk).alias(_RPK)).distinct()
+                ),
+                _RPK,
+                "left_semi",
+            )
+            fresh = fresh.join(
+                F.broadcast(r_fresh), F.col(spec.fk) == F.col(_RPK), "left"
+            ).drop(_RPK)
 
         left_types = {
             f.name: f.dataType for f in batch.schema["after"].dataType.fields
         }
-        right_types = {
-            dst: dim.schema[src].dataType
-            for src, dst in self.right_cols.items()
+        dim_types = {
+            dst: d.schema[src].dataType
+            for d, (_, spec) in zip(dim_dfs, self.dims)
+            for src, dst in spec.cols.items()
         }
         tombs = net.filter(F.col("__action") == "delete").select(
             *[F.col(k) for k in self.key_cols],
@@ -229,39 +262,52 @@ class JoinViewMaintainJob:
                 for c in left_types
                 if c not in self.key_cols
             ],
-            *[
-                F.lit(None).cast(t).alias(c)
-                for c, t in right_types.items()
-            ],
+            *[F.lit(None).cast(dim_types[c]).alias(c) for c in dim_types],
         ).select(*view_cols)
 
-        # dim lane: refresh kept rows whose dim row moved, excluding
-        # keys this batch already rewrote (their fresh row used the
-        # current dim) — otherwise one key gets two same-seq rows
-        dirty = self._dirty_dim_keys(dim, batch_id).select(
-            F.col(self.right_pk).alias(_RPK)
-        ).distinct()
+        # dim lane: carve kept rows referencing ANY moved dim key
+        # (union of per-dim fk semi-joins, one row per fact key),
+        # excluding keys this batch already rewrote (their fresh row
+        # used the current dims) — then rebuild the carved rows' dim
+        # columns against ALL current dims (idempotent, and a row
+        # referencing two moved dims gets both in one emitted version)
+        dirties = [
+            self._dirty_dim_keys(i, d, batch_id)
+            for i, d in enumerate(dim_dfs)
+        ]
         cur = self._fold(before=batch_id)
         key_struct = F.struct(*[F.col(k) for k in self.key_cols])
+        alive = cur.filter(~F.col(_DELETED)).drop(_SEQ, _DELETED)
+        carve = None
+        for dirty, (_, spec) in zip(dirties, self.dims):
+            part = alive.join(
+                F.broadcast(dirty), F.col(spec.fk) == F.col(_RPK), "left_semi"
+            )
+            carve = part if carve is None else carve.unionByName(part)
         carve = (
-            cur.filter(~F.col(_DELETED))
-            .drop(_SEQ, _DELETED)
-            .join(F.broadcast(dirty), F.col(self.fk) == F.col(_RPK), "left_semi")
+            carve.dropDuplicates(self.key_cols)
             .join(
                 F.broadcast(net.select(key_struct.alias("__k")).distinct()),
                 key_struct.eqNullSafe(F.col("__k")),
                 "left_anti",
             )
+            .drop(*all_dim_cols)
         )
-        r_dirty = r.join(F.broadcast(dirty), _RPK, "left_semi")
-        refreshed = (
-            carve.drop(*self.right_cols.values())
-            .join(F.broadcast(r_dirty), F.col(self.fk) == F.col(_RPK), "left")
-            .drop(_RPK)
-        )
+        refreshed = carve
+        for d, (_, spec) in zip(dim_dfs, self.dims):
+            r_carve = self._renamed_dim(d, spec).join(
+                F.broadcast(
+                    carve.select(F.col(spec.fk).alias(_RPK)).distinct()
+                ),
+                _RPK,
+                "left_semi",
+            )
+            refreshed = refreshed.join(
+                F.broadcast(r_carve), F.col(spec.fk) == F.col(_RPK), "left"
+            ).drop(_RPK)
 
         out = (
-            upserts.select(*view_cols)
+            fresh.select(*view_cols)
             .withColumn(_DELETED, F.lit(False))
             .unionByName(tombs.withColumn(_DELETED, F.lit(True)))
             .unionByName(refreshed.select(*view_cols).withColumn(_DELETED, F.lit(False)))
@@ -270,9 +316,10 @@ class JoinViewMaintainJob:
         out.write.mode("overwrite").parquet(
             os.path.join(gen, _VERSIONS, f"ingest_batch={batch_id}")
         )
-        self._digest(dim).write.mode("overwrite").parquet(
-            os.path.join(gen, _DIMDIG, f"ingest_batch={batch_id}")
-        )
+        for i, (d, (_, spec)) in enumerate(zip(dim_dfs, self.dims)):
+            self._digest(d, spec).write.mode("overwrite").parquet(
+                os.path.join(self._digest_root(gen, i), f"ingest_batch={batch_id}")
+            )
 
     # -- reads ---------------------------------------------------------------
 
@@ -342,13 +389,16 @@ class JoinViewMaintainJob:
         n = int(base_name.split("-", 1)[1]) if base_name.startswith("gen-") else 0
         new_gen = os.path.join(self.view_root, f"gen-{n + 1}")
         self._write_base(self.view(), os.path.join(new_gen, _BASE), "overwrite")
-        dig_root = os.path.join(gen, _DIMDIG)
-        digs = _ingest_batches(dig_root)
-        if digs:
-            last = max(digs, key=_batch_no)
-            self.spark.read.parquet(os.path.join(dig_root, last)).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(new_gen, _DIMDIG, f"ingest_batch={hi}"))
+        for i in range(len(self.dims)):
+            dig_root = self._digest_root(gen, i)
+            digs = _ingest_batches(dig_root)
+            if digs:
+                last = max(digs, key=_batch_no)
+                self.spark.read.parquet(
+                    os.path.join(dig_root, last)
+                ).write.mode("overwrite").parquet(
+                    os.path.join(self._digest_root(new_gen, i), f"ingest_batch={hi}")
+                )
         with open(os.path.join(new_gen, _COMPACT_WM_FILE), "w") as f:
             f.write(str(hi))
         old_ck = os.path.join(gen, "_CHECKPOINT_ID")

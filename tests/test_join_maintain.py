@@ -324,6 +324,84 @@ class TestJoinViewMaintainJob:
         assert _view(job.view()) == _view(_recompute(spark, applied, BASE_DIM))
         assert os.path.isdir(str(tmp_path / "view" / "gen-1" / "base"))
 
+    def test_star_job_two_dims(self, spark, tmp_path):
+        """extra_dims: the job maintains a STAR view — per-dim digest
+        lanes, a single carved version per fact row even when BOTH its
+        dims move in one batch, and spec round-trip through a fresh
+        manager's recover()."""
+        from pyspark.sql import types as T2
+
+        from dtle_spark.operators.join_view import DimSpec, star_view_of
+        from dtle_spark.streaming.jobs import JobManager
+
+        star = T2.StructType([
+            T2.StructField("id", T2.LongType()),
+            T2.StructField("cust", T2.LongType()),
+            T2.StructField("prod", T2.LongType()),
+        ])
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        _dim_df(spark, BASE_DIM).write.parquet(str(tmp_path / "dim"))
+        prod0 = spark.createDataFrame(
+            [(7, "widget"), (8, "gadget")], "pid long, pname string"
+        )
+        prod0.write.parquet(str(tmp_path / "dim2"))
+        facts0 = [(1, 10, 7), (2, 20, 8), (3, None, 7)]
+
+        spec_root = str(tmp_path / "specs")
+        mgr = JobManager(spark, spec_root=spec_root)
+        job = mgr.create_join_maintain(
+            "star", os.path.join(src, "*"), str(tmp_path / "dim"),
+            str(tmp_path / "view"), str(tmp_path / "ck"),
+            ["id"], "cust", "cid", DIM_COLS,
+            row_schema_ddl="id long, cust long, prod long",
+            extra_dims=[{"dim_dir": str(tmp_path / "dim2"), "fk": "prod",
+                         "pk": "pid", "cols": {"pname": "prod_name"}}],
+            start=False,
+        )
+        specs = [DimSpec("cust", "cid", DIM_COLS),
+                 DimSpec("prod", "pid", {"pname": "prod_name"})]
+
+        def recompute(facts, dim_rows, prod_rows):
+            return star_view_of(
+                spark.createDataFrame(facts, star),
+                [(_dim_df(spark, dim_rows), specs[0]),
+                 (spark.createDataFrame(prod_rows, "pid long, pname string"),
+                  specs[1])],
+            )
+
+        job.seed(
+            recompute(facts0, BASE_DIM, [(7, "widget"), (8, "gadget")]),
+            [_dim_df(spark, BASE_DIM), prod0],
+        )
+
+        # both dims move + a fact change, one batch
+        dim1 = [(10, "alicia", "gold"), (20, "bob", "vip")]
+        prod1 = [(7, "widget-x"), (8, "gadget")]
+        _dim_df(spark, dim1).write.mode("overwrite").parquet(str(tmp_path / "dim"))
+        spark.createDataFrame(prod1, "pid long, pname string").write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / "dim2"))
+        chg = spark.createDataFrame(
+            [(SID, 1, 1, 0, "i", None, "d", "t", None, (4, 10, 8), None)],
+            change_schema(star),
+        )
+        job.apply_batch(chg, 0)
+        facts = facts0 + [(4, 10, 8)]
+        assert _view(job.view()) == _view(recompute(facts, dim1, prod1))
+        # row 1 references BOTH moved dims -> exactly ONE carved version
+        b0 = spark.read.parquet(
+            str(tmp_path / "view" / "versions" / "ingest_batch=0")
+        )
+        assert b0.filter("id = 1").count() == 1
+
+        # recover() rebuilds the star from the JSON spec
+        mgr2 = JobManager(spark, spec_root=spec_root)
+        assert mgr2.recover(start=False) == ["star"]
+        j2 = mgr2.get("star")
+        assert len(j2.dims) == 2
+        assert _view(j2.view()) == _view(recompute(facts, dim1, prod1))
+
     def test_write_clustered_disjoint_file_ranges(self, spark, tmp_path):
         """tableio.write_clustered: with an explicit file count, every
         parquet file carries a DISJOINT min/max range on the cluster
