@@ -364,6 +364,18 @@ def test_triaged_diff_digest_partial_aggregated_and_broadcast_prune(spark):
     assert plan.count("FullOuter") >= 1
 
 
+def test_join_view_maintenance_all_broadcast(spark):
+    """The join-view IVM queries must never sort-merge: the view mass
+    is carved by BROADCAST anti/semi joins on the bounded Δ-key sets
+    and the dims broadcast pruned — a shuffled carve would cost what
+    incremental maintenance saves (the O(Δ) contract at 100 TB)."""
+    for q in ("cdc_join_view_orders", "cdc_star_view_lineitem"):
+        plan = plan_of(q, spark)
+        assert "SortMergeJoin" not in plan, q
+        assert "BroadcastHashJoin" in plan, q
+        assert "LeftSemi" in plan and "LeftAnti" in plan, q
+
+
 def test_sketch_queries_partial_aggregate(spark):
     """All sketch lanes (global and grouped) reduce to bounded state
     map-side."""
