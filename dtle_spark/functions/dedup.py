@@ -751,26 +751,45 @@ def rp_text_embedding(
     embedding near-dup, semantic dedup) with zero model dependency.
 
     Integer-exact and engine-portable (same md5-bit formula as the
-    SimHash oracle), hence registry-gatable. Map-only per doc; one
-    md5 per token, one fold per doc."""
-    h = hex_window_sql("m", 1, "spark", width=15)
-    base = spread(docs).select(
-        id_col,
-        F.expr(
-            f"transform(transform({_toks(text_col)}, x -> md5(x)), m -> {h})"
-        ).alias("th"),
-    )
+    SimHash oracle), hence registry-gatable.
+
+    Shape note (r11 root-cause): this was first written as a map-only
+    nested higher-order fold (aggregate over transform lambdas).
+    HOF lambdas run on Spark's INTERPRETED expression-eval path, and
+    in a long-lived JVM that has executed ~100+ distinct codegen'd
+    queries the shared eval call sites go megamorphic — the same query
+    then runs a CONSISTENT 3-5x slower than in a fresh session
+    (bisected in r11: no GC, no code-cache pressure, not one culprit
+    query — purely cumulative class count; the r8 rp_embed_neighbors
+    and r10 text_rp_embedding bench 'regressions' were this). The
+    explode + groupBy form below stays inside whole-stage codegen's
+    hash aggregate, is immune to that pollution (measured 0.85 s
+    steady in a 118-query session vs 1.6 s for the fold form), and at
+    100 TB its one extra shuffle carries a single 61-long partial row
+    per doc per partition — far smaller than the text it replaces."""
+    h = hex_window_sql("md5(x)", 1, "spark", width=15)
+    tok = spread(docs).select(
+        id_col, F.explode_outer(F.expr(_toks(text_col))).alias("x")
+    ).select(id_col, F.expr(h).alias("hh"))
     one = "CAST(1 AS BIGINT)"
-    emb = (
-        f"aggregate(th, array_repeat(0, {dims}),"
-        f" (acc, h) -> transform(acc, (c, i) ->"
-        f"   c + CAST((h DIV shiftleft({one}, i)) % 2 AS INT)),"
-        f" acc -> transform(acc, c -> CAST(2 * c - size(th) AS BIGINT)))"
+    aggs = [F.count("hh").alias("n_tokens")] + [
+        F.coalesce(
+            F.sum(F.expr(f"CAST((hh DIV shiftleft({one}, {i})) % 2 AS INT)")),
+            F.lit(0),
+        ).alias(f"b{i}")
+        for i in range(dims)
+    ]
+    emb = F.array(
+        *[F.expr(f"CAST(2 * b{i} - n_tokens AS BIGINT)") for i in range(dims)]
     )
-    return base.select(
-        id_col,
-        F.expr("CAST(size(th) AS BIGINT)").alias("n_tokens"),
-        F.expr(emb).alias("emb"),
+    return (
+        tok.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            id_col,
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            emb.alias("emb"),
+        )
     )
 
 
