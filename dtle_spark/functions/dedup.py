@@ -782,7 +782,7 @@ def rp_text_embedding(
     emb = F.array(
         *[F.expr(f"CAST(2 * b{i} - n_tokens AS BIGINT)") for i in range(dims)]
     )
-    return (
+    out = (
         tok.groupBy(id_col)
         .agg(*aggs)
         .select(
@@ -791,6 +791,12 @@ def rp_text_embedding(
             emb.alias("emb"),
         )
     )
+    # AQE coalesces the doc-grain aggregate to a few small partitions;
+    # every consumer of these vectors does CPU-heavy per-row work
+    # (cosine scoring, PQ encode), so re-spread — the shuffle moves
+    # 61 longs per doc, the serialization it prevents cost 4x the
+    # whole query (r11: rp_embed_neighbors 0.9 s -> 3.6 s without it)
+    return spread(out)
 
 
 # --- persisted dedup index (the production incremental-ingest path) ---
