@@ -193,3 +193,56 @@ def as_of_ts(history, ts) -> DataFrame:
         F.col("valid_from_ts").isNull() | (F.col("valid_from_ts") <= t)
     ) & (F.col("valid_to_ts").isNull() | (t < F.col("valid_to_ts")))
     return history.filter(cover).select("row.*")
+
+
+def temporal_join(
+    facts: DataFrame,
+    history: DataFrame,
+    fk_map: dict[str, str],
+    ts_col: str,
+    select: dict[str, str],
+    how: str = "left",
+) -> DataFrame:
+    """PER-ROW temporal enrichment — the ``FOR SYSTEM_TIME AS OF``
+    every fact row asks individually: join each fact to the dim
+    VERSION whose event-time validity interval contains the fact's
+    own ``ts_col`` (late-arriving facts meet the dim as it was THEN,
+    not as it is now). ``fk_map`` maps fact fk columns to the
+    history's key columns; ``select`` maps history expressions
+    (``row.c_acctbal``, ``valid_from_seq``) to output names.
+
+    Semantics: half-open [from, to) pinning, exactly :func:`as_of_ts`
+    applied at each fact's own timestamp — the invariant test states
+    it that way. A NULL ``valid_from_ts`` (un-timed snapshot seed)
+    reads as open-since-forever; a NULL fact fk or NULL fact ts
+    matches nothing (unknown key/time enriches as NULL under 'left',
+    drops under 'inner'). The history's disjoint-interval invariant
+    guarantees AT MOST ONE version matches per fact row, so the join
+    never fans out.
+
+    Plan shape: Catalyst extracts the key equalities as the hash-join
+    keys and keeps the interval containment as the join residual —
+    one shuffle of facts on the fk (or a broadcast when the history
+    is dim-sized), never a time-range cross product. At 100 TB the
+    history side is version-grain (|dim| x churn), facts shuffle
+    once; pair with a fact-side fk clustering for the same row-group
+    pruning the join-view maintainer uses."""
+    clash = set(select.values()) & set(facts.columns)
+    if clash:
+        raise ValueError(f"select names collide with fact columns: {sorted(clash)}")
+    hks = list(fk_map.values())
+    h = history.select(
+        *[F.col(hk).alias(f"__hk_{i}") for i, hk in enumerate(hks)],
+        F.col("valid_from_ts").alias("__vf"),
+        F.col("valid_to_ts").alias("__vt"),
+        *[F.expr(src).alias(dst) for src, dst in select.items()],
+    )
+    t = F.col(ts_col)
+    cond = (F.col("__vf").isNull() | (F.col("__vf") <= t)) & (
+        F.col("__vt").isNull() | (t < F.col("__vt"))
+    )
+    for i, fc in enumerate(fk_map):
+        cond = cond & (F.col(fc) == F.col(f"__hk_{i}"))
+    return facts.join(h, cond, how).drop(
+        "__vf", "__vt", *[f"__hk_{i}" for i in range(len(hks))]
+    )

@@ -370,3 +370,12 @@ WHERE NOT EXISTS (
 UNION ALL
 SELECT {_LI_COLS} FROM winner WHERE action = 'upsert'
 """
+
+
+def customer_changes_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``customer_changes`` with the deterministic EVENT TIME ts =
+    epoch + seq seconds (same convention as orders_changes_ts) — the
+    timed dim stream the per-row temporal join enriches against."""
+    return customer_changes(spark, sf_dir).withColumn(
+        "ts", F.timestamp_seconds(F.col("seq"))
+    )

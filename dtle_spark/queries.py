@@ -894,6 +894,80 @@ def orders_as_of_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "orders_with_customer_version",
+    """
+    WITH ev AS (
+      SELECT c_custkey AS k, CAST(-1 AS BIGINT) AS seq, 'o' AS kind, c_acctbal
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, c_custkey*10+1, 'o', c_acctbal + 4000.0 FROM customer
+      UNION ALL
+      SELECT c_custkey, c_custkey*10+2, 'o', c_acctbal - 2000.0
+      FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT c_custkey, c_custkey*10+3, 'c', NULL
+      FROM customer WHERE c_custkey % 4 = 0
+    ),
+    v AS (
+      SELECT k, seq, kind, c_acctbal,
+             lead(seq) OVER (PARTITION BY k ORDER BY seq, kind) AS vto
+      FROM ev
+    ),
+    ver AS (SELECT * FROM v WHERE kind = 'o'),
+    f AS (
+      SELECT o_orderkey, o_custkey,
+             o_custkey*10 + (o_orderkey % 4) AS fact_s
+      FROM orders
+    )
+    SELECT f.o_orderkey, f.o_custkey, f.fact_s,
+           CAST(round(ver.c_acctbal * 100) AS BIGINT) AS cust_acctbal_cents,
+           ver.seq AS ver_from_seq
+    FROM f LEFT JOIN ver
+      ON ver.k = f.o_custkey AND ver.seq <= f.fact_s
+     AND (ver.vto IS NULL OR f.fact_s < ver.vto)
+    """,
+)
+def orders_with_customer_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-ROW temporal join (operators/scd2.py temporal_join): every
+    order enriched with the customer VERSION valid at the order's OWN
+    event time — late facts meet the dim as it was then. The customer
+    SCD2 history comes from a timed scripted stream (seed at -infinity,
+    +4000 update at 10k+1, %3 re-insert at 10k+2, %4 delete at 10k+3);
+    order event times land at per-customer offsets 0..3, so the fixture
+    exercises the seed window, the inclusive-from boundary (offset
+    exactly at the update's ts), the re-insert window, and the
+    post-delete hole (NULL enrichment under left join). Spark joins on
+    REAL timestamps (the operator's lane); the output emits the
+    integer second instead, so the gate pins boundary semantics and
+    version selection without cross-engine timestamp rendering (the
+    orders_as_of_ts convention).
+    At 100 TB: Catalyst extracts the fk equality as the hash-join key
+    with interval containment as the residual — facts shuffle once on
+    the fk (or the version-grain history broadcasts); the disjoint-
+    interval invariant means the join never fans out."""
+    from dtle_spark.operators.apply import dedupe_redelivered
+    from dtle_spark.operators.scd2 import scd2_history, temporal_join
+
+    c = load_table(spark, sf_dir, "customer")
+    ch = dedupe_redelivered(cdc_demo.customer_changes_ts(spark, sf_dir))
+    hist = scd2_history(ch, ["c_custkey"], base=c)
+    facts = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_custkey") * 10 + F.col("o_orderkey") % 4).alias("fact_s"),
+    ).withColumn("fact_ts", F.timestamp_seconds(F.col("fact_s")))
+    out = temporal_join(
+        facts, hist, {"o_custkey": "c_custkey"}, "fact_ts",
+        {"CAST(round(row.c_acctbal * 100) AS BIGINT)": "cust_acctbal_cents",
+         "valid_from_seq": "ver_from_seq"},
+    )
+    return out.select(
+        "o_orderkey", "o_custkey", "fact_s",
+        "cust_acctbal_cents", "ver_from_seq",
+    )
+
+
 @query("update_pair_filter", cdc_demo.CUSTOMER_FILTER_ORACLE)
 def update_pair_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3 update-pair Where semantics (binlog_reader.go:1927-1983):

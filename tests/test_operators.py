@@ -1102,6 +1102,66 @@ class TestDqChecks:
         assert got["new"]["stat"] > got["a"]["stat"]
         assert got["b"]["stat"] > got["a"]["stat"]
 
+    def test_temporal_join_equals_per_ts_as_of(self, spark):
+        """temporal_join == as_of_ts applied at each fact's own
+        timestamp (the defining invariant), checked at every fact:
+        seed window (NULL valid_from_ts), inclusive-from boundary,
+        exclusive-to boundary, post-delete hole -> NULL, NULL fk ->
+        NULL, NULL fact ts -> NULL, and inner-join drop of the
+        unmatched rows."""
+        from datetime import datetime, timezone
+
+        from dtle_spark.operators.scd2 import (
+            as_of_ts, scd2_history, temporal_join,
+        )
+
+        base = spark.createDataFrame([(1, "a", 10.0), (2, "b", 20.0)], ROW)
+        rows = [
+            ("s", 1, 5, 0, "u", datetime(2026, 1, 5, tzinfo=timezone.utc),
+             "d", "t", (1, "a", 10.0), (1, "a", 15.0), None),
+            ("s", 2, 7, 0, "d", datetime(2026, 1, 7, tzinfo=timezone.utc),
+             "d", "t", (2, "b", 20.0), None, None),
+        ]
+        chg = spark.createDataFrame(rows, change_schema(ROW))
+        hist = scd2_history(chg, ["id"], base=base).localCheckpoint()
+
+        def day(d):
+            return datetime(2026, 1, d, tzinfo=timezone.utc)
+
+        facts = spark.createDataFrame(
+            [(100, 1, day(2)),   # seed window (before the update)
+             (101, 1, day(5)),   # AT the update ts: inclusive-from
+             (102, 2, day(6)),   # last instant before the delete
+             (103, 2, day(7)),   # AT the delete ts: exclusive -> NULL
+             (104, None, day(5)),   # NULL fk
+             (105, 1, None),     # NULL fact ts
+             (106, 9, day(5))],  # unknown key
+            "fid long, fk long, fts timestamp",
+        )
+        got = {r["fid"]: r for r in temporal_join(
+            facts, hist, {"fk": "id"}, "fts",
+            {"row.amount": "dim_val", "valid_from_seq": "vfrom"},
+        ).collect()}
+        assert len(got) == 7
+        assert (got[100]["dim_val"], got[100]["vfrom"]) == (10.0, -1)
+        assert (got[101]["dim_val"], got[101]["vfrom"]) == (15.0, 5)
+        assert (got[102]["dim_val"], got[102]["vfrom"]) == (20.0, -1)
+        for fid in (103, 104, 105, 106):
+            assert got[fid]["dim_val"] is None, fid
+        # the defining invariant, at every timed fact
+        for r in facts.filter("fk IS NOT NULL AND fts IS NOT NULL").collect():
+            snap = {x["id"]: x["amount"]
+                    for x in as_of_ts(hist, r["fts"]).collect()}
+            assert got[r["fid"]]["dim_val"] == snap.get(r["fk"]), r["fid"]
+        # inner drops the unmatched
+        inner = temporal_join(
+            facts, hist, {"fk": "id"}, "fts", {"row.amount": "dim_val"},
+            how="inner",
+        )
+        assert {r["fid"] for r in inner.collect()} == {100, 101, 102}
+        with pytest.raises(ValueError, match="collide"):
+            temporal_join(facts, hist, {"fk": "id"}, "fts", {"row.amount": "fid"})
+
     def test_as_of_seq_reconstructs_past_states(self, spark):
         """as_of(history, s) == apply(base, changes with seq <= s) for
         every prefix — the temporal-read contract, checked at each

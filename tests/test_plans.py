@@ -376,6 +376,15 @@ def test_join_view_maintenance_all_broadcast(spark):
         assert "LeftSemi" in plan and "LeftAnti" in plan, q
 
 
+def test_temporal_join_extracts_equality_keys(spark):
+    """The per-row temporal join must hash-join on the extracted fk
+    equality with the interval containment as residual — a nested-loop
+    or cartesian over time ranges would be quadratic at scale."""
+    plan = plan_of("orders_with_customer_version", spark)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
 def test_sketch_queries_partial_aggregate(spark):
     """All sketch lanes (global and grouped) reduce to bounded state
     map-side."""
