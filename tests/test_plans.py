@@ -218,14 +218,21 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
 
 
-def test_text_rp_embedding_map_only_jvm_side(spark):
-    """Feature-hashing embeddings are one md5 per token + one fold per
-    doc: no data-movement-by-key at all (the only allowed exchange is
-    spread()'s round-robin CPU spread, a no-op on real multi-split
-    inputs), no Python eval nodes."""
+def test_text_rp_embedding_codegen_aggregate_jvm_side(spark):
+    """Feature-hashing embeddings run as explode + whole-stage-codegen
+    HASH AGGREGATE (the r11 rewrite: the earlier map-only HOF fold ran
+    on the interpreted eval path and degraded 3-5x in long sessions —
+    megamorphic profile pollution, adjudicated in BASELINE.md). Pin
+    the intended shape: partial aggregation map-side (the shuffle
+    carries one 61-long row per doc per partition), no Python eval
+    nodes, no interpreted-lambda HOFs in the hot path."""
     plan = plan_of("text_rp_embedding", spark)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "HashAggregate" in plan
+    # the per-token bit extraction must be codegen'd sums, not an
+    # interpreted aggregate() fold over the token array
+    assert "aggregate(th" not in plan
 
 
 def test_exported_shards_partition_pruning(spark, tmp_path):
