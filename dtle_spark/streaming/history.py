@@ -68,6 +68,7 @@ from dtle_spark.operators.scd2 import (
     as_of_seq,
     events_of_changes,
     seed_events,
+    temporal_join,
     versions_of_events,
 )
 from dtle_spark.streaming.ann_serving import (
@@ -79,6 +80,7 @@ from dtle_spark.streaming.profile import _compacted_through, _resolve
 
 _COMPACT_WM_FILE = "_COMPACTED_THROUGH"
 _RETAINED_FROM_FILE = "_RETAINED_FROM"
+_RETAINED_FROM_TS_FILE = "_RETAINED_FROM_TS"
 _EVENTS = "events"
 _CLOSED = "closed"
 _SEED_BATCH = -1
@@ -254,21 +256,98 @@ class Scd2HistoryJob:
         ]
         if not doomed:
             return 0
-        hi = (
-            self.spark.read.option("basePath", root)
-            .parquet(*[os.path.join(root, f) for f in doomed])
-            .agg(F.max("valid_to_seq"))
-            .collect()[0][0]
+        doomed_df = self.spark.read.option("basePath", root).parquet(
+            *[os.path.join(root, f) for f in doomed]
         )
+        aggs = [F.max("valid_to_seq")]
+        timed = "valid_to_ts" in doomed_df.columns
+        if timed:
+            aggs.append(F.max(F.unix_micros(F.col("valid_to_ts"))))
+        agg_row = doomed_df.agg(*aggs).collect()[0]
+        hi = agg_row[0]
         if hi is not None:
             floor = max(self.retained_from_seq(), int(hi))
             with open(
                 os.path.join(root, _RETAINED_FROM_FILE), "w"
             ) as f:
                 f.write(str(floor))
+        # the EVENT-TIME floor, for :meth:`enrich`'s window guard —
+        # written (before the deletes, same crash discipline) only
+        # when the dropped versions carried event times; an untimed
+        # stream leaves no ts floor and enrich() refuses after
+        # retention rather than guess
+        if timed and agg_row[1] is not None:
+            prev = self.retained_from_ts_micros()
+            ts_floor = max(prev if prev is not None else -(1 << 62),
+                           int(agg_row[1]))
+            with open(
+                os.path.join(root, _RETAINED_FROM_TS_FILE), "w"
+            ) as f:
+                f.write(str(ts_floor))
         for f in doomed:
             shutil.rmtree(os.path.join(root, f), ignore_errors=True)
         return len(doomed)
+
+    def retained_from_ts_micros(self) -> int | None:
+        """The event-time retention floor (epoch micros), or None when
+        no timed retention drop has happened — the bound below which
+        :meth:`enrich` cannot prove a fact's version still exists."""
+        try:
+            with open(
+                os.path.join(self._closed_root(), _RETAINED_FROM_TS_FILE)
+            ) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, NotADirectoryError):
+            return None
+
+    def enrich(
+        self,
+        facts: DataFrame,
+        fk_map: dict[str, str],
+        ts_col: str,
+        select: dict[str, str],
+        how: str = "left",
+        check_window: bool = True,
+    ) -> DataFrame:
+        """Per-row temporal enrichment over the RETAINED history
+        (operators/scd2.py temporal_join on :meth:`history`) — with
+        the guard :func:`temporal_join` alone cannot provide: after
+        :meth:`drop_folds_before`, a fact older than the retention
+        floor would SILENTLY enrich as NULL (its version's fold is
+        gone), which under left-join semantics is indistinguishable
+        from "the key never existed". So when retention has trimmed
+        the store, facts below the event-time floor fail loud; an
+        untimed store that was trimmed refuses entirely (no ts floor
+        exists to prove the window). ``check_window=False`` is the
+        explicit caller-takes-responsibility escape (e.g. facts known
+        newer by construction — the guard costs one pass over facts).
+        """
+        if check_window and self.retained_from_seq() > -(1 << 62):
+            ts_floor = self.retained_from_ts_micros()
+            if ts_floor is None:
+                raise ValueError(
+                    "enrich over a retention-trimmed UNTIMED history: "
+                    "no event-time floor exists, so out-of-window "
+                    "facts cannot be detected — pass "
+                    "check_window=False only if every fact is known "
+                    "to postdate the dropped folds"
+                )
+            n_below = facts.filter(
+                F.unix_micros(F.col(ts_col)) < F.lit(ts_floor)
+            ).count()
+            if n_below:
+                raise ValueError(
+                    f"{n_below} fact rows predate the retention floor "
+                    f"(epoch micros {ts_floor}): their dim versions "
+                    "were dropped by drop_folds_before and a left "
+                    "join would silently enrich them as NULL — "
+                    "restore the folds from archive or filter/split "
+                    "the batch at the floor"
+                )
+        h = self.history()
+        if h is None:
+            raise ValueError("enrich over an empty history: seed it first")
+        return temporal_join(facts, h, fk_map, ts_col, select, how)
 
     def as_of(self, seq: int) -> DataFrame | None:
         """Exact time-travel read over the RETAINED window

@@ -377,3 +377,103 @@ def test_seed_after_compaction_fails_loud(spark, tmp_path):
     assert job.compact(max_batches=1) == 3
     with pytest.raises(ValueError, match="seed after compaction"):
         job.seed(spark.createDataFrame(BASE, ROW))
+
+
+class TestEnrichRetentionGuard:
+    def _timed(self, op, before, after, seq):
+        from datetime import datetime, timezone
+
+        ts = datetime.fromtimestamp(seq, tz=timezone.utc)
+        return (SID, seq, seq, 0, op, ts, "db1", "t", before, after, None)
+
+    def test_enrich_guards_retention_window(self, spark, tmp_path):
+        """Scd2HistoryJob.enrich: per-row temporal enrichment over the
+        retained window. Before retention it equals temporal_join over
+        the full history; after drop_folds_before, facts BELOW the
+        event-time floor fail loud (a left join would silently NULL
+        them — indistinguishable from 'key never existed'), facts at
+        or above it enrich exactly, and check_window=False is the
+        explicit escape."""
+        os.makedirs(str(tmp_path / "src"))
+        job = _job(spark, tmp_path)
+        job.seed(spark.createDataFrame(BASE, ROW))
+        job.apply_batch(_chg(spark, [
+            self._timed("i", None, (4, "b", 40), 1),
+            self._timed("u", (2, "a", 20), (2, "b", 25), 2),
+        ]), 0)
+        job.apply_batch(_chg(spark, [
+            self._timed("d", (3, "b", 30), None, 3),
+            self._timed("u", (4, "b", 40), (5, "b", 40), 4),
+        ]), 1)
+        assert job.compact(max_batches=1) > 0
+        job.apply_batch(_chg(spark, [
+            self._timed("u", (1, "a", 10), (1, "a", 11), 10),
+        ]), 2)
+        job.apply_batch(_chg(spark, [
+            self._timed("i", None, (7, "c", 70), 11),
+        ]), 3)
+        assert job.compact(max_batches=1) > 0
+
+        from datetime import datetime, timezone
+
+        def day(s):
+            return datetime.fromtimestamp(s, tz=timezone.utc)
+
+        facts = spark.createDataFrame(
+            [(100, 2, day(2)), (101, 2, day(12)), (102, 3, day(12))],
+            "fid long, fk long, fts timestamp",
+        )
+        sel = {"row.amount": "dim_amount"}
+        got = {r["fid"]: r["dim_amount"] for r in job.enrich(
+            facts, {"fk": "id"}, "fts", sel
+        ).collect()}
+        assert got == {100: 25, 101: 25, 102: None}  # 3 deleted at ts 3
+
+        dropped = job.drop_folds_before(3)
+        assert dropped == 1
+        assert job.retained_from_ts_micros() == 4_000_000  # seq-4 close
+
+        # in-window facts still enrich exactly
+        ok = spark.createDataFrame(
+            [(101, 2, day(12)), (103, 1, day(11))],
+            "fid long, fk long, fts timestamp",
+        )
+        got = {r["fid"]: r["dim_amount"] for r in job.enrich(
+            ok, {"fk": "id"}, "fts", sel
+        ).collect()}
+        assert got == {101: 25, 103: 11}
+        # a fact below the floor fails loud...
+        with pytest.raises(ValueError, match="retention floor"):
+            job.enrich(facts, {"fk": "id"}, "fts", sel)
+        # ...unless the caller explicitly takes responsibility
+        n = job.enrich(
+            facts, {"fk": "id"}, "fts", sel, check_window=False
+        ).count()
+        assert n == 3
+
+    def test_enrich_refuses_trimmed_untimed_history(self, spark, tmp_path):
+        """An UNTIMED store that was retention-trimmed has no ts floor:
+        enrich refuses outright rather than guess which facts lost
+        their versions."""
+        from datetime import datetime, timezone
+
+        os.makedirs(str(tmp_path / "src"))
+        job = _job(spark, tmp_path)
+        job.seed(spark.createDataFrame(BASE, ROW))
+        job.apply_batch(_chg(spark, STREAM_A), 0)
+        job.apply_batch(_chg(spark, STREAM_B), 1)
+        assert job.compact(max_batches=1) == 3
+        job.apply_batch(_chg(spark, [_c("i", None, (7, "c", 70), 11)]), 2)
+        assert job.compact(max_batches=1) > 0
+        assert job.drop_folds_before(3) >= 1
+        facts = spark.createDataFrame(
+            [(1, 2, datetime.fromtimestamp(5, tz=timezone.utc))],
+            "fid long, fk long, fts timestamp",
+        )
+        with pytest.raises(ValueError, match="UNTIMED"):
+            job.enrich(facts, {"fk": "id"}, "fts", {"row.amount": "a"})
+        # the explicit escape still works
+        assert job.enrich(
+            facts, {"fk": "id"}, "fts", {"row.amount": "a"},
+            check_window=False,
+        ).count() == 1
