@@ -1345,7 +1345,15 @@ def _registry_order() -> list[str]:
             or entry.get("deps", _dependency_hash(n)) != _dependency_hash(n)
             or entry.get("round", 0) > lg
         ):
-            return 0, 0  # definition/deps newer than last green: lead
+            # definition/deps newer than last green: lead the window.
+            # Within this cohort, NEVER-GREEN queries outrank
+            # once-green ones (r11 lesson: an edit to a module every
+            # query depends on — tableio — stamps the WHOLE registry
+            # changed at once; plain definition order would then push
+            # the round's genuinely new queries past the driver's
+            # 50-query cap while it re-checks decade-stable TPC-H
+            # shapes first)
+            return 0, greens.get(n, 0)
         return lg, greens.get(n, 0)
 
     idx = {n: i for i, n in enumerate(names)}
