@@ -50,6 +50,40 @@ def _zsum(col: F.Column) -> F.Column:
     return F.coalesce(F.sum(col), F.lit(0))
 
 
+# Largest integer float64 represents exactly. Gated drift rationals are
+# emitted as BIGINT below this bound so every consumer (hash
+# canonicalizers included — the r11 lesson: DECIMAL(38,0) output columns
+# were the one shape two engines' hash paths disagreed on, int128 vs
+# java BigDecimal) sees the identical integer; emit_decimal=True keeps
+# the decimal(38,0) shape for fleets whose rationals genuinely exceed it.
+_GATE_MAX = 1 << 53
+
+
+def _gate_int(col: F.Column, name: str, emit_decimal: bool) -> F.Column:
+    """Final-emission cast for one drift-rational component.
+
+    Internal cross-multiplication stays decimal(38,0) (products of two
+    row counts need >64 bits at fleet scale); this picks the OUTPUT
+    type. Default: BIGINT with a loud per-row guard — NULL or |x| >=
+    2^53 raises instead of silently emitting a value float64 (or a
+    downstream hash canonicalizer) would corrupt. ``emit_decimal=True``
+    bypasses the guard and keeps decimal(38,0)."""
+    if emit_decimal:
+        return col.cast("decimal(38,0)").alias(name)
+    ok = col.isNotNull() & (F.abs(col) < F.lit(_GATE_MAX).cast("decimal(38,0)"))
+    return (
+        F.when(ok, col.cast("long"))
+        .otherwise(F.raise_error(F.concat(
+            F.lit(
+                f"{name} is NULL or exceeds the 2^53 float64-exact "
+                "BIGINT bound — re-run with emit_decimal=True: "
+            ),
+            F.coalesce(col.cast("string"), F.lit("NULL")),
+        )))
+        .alias(name)
+    )
+
+
 def _violation_expr(spec: dict) -> tuple[str, F.Column]:
     kind = spec["check"]
     if kind == "not_null":
@@ -113,7 +147,7 @@ def dq_report(df: DataFrame, checks: list[dict]) -> DataFrame:
 
 def _tv_distance(
     baseline: DataFrame, current: DataFrame, cell_cols: list[str],
-    label: str, denom_scale: int = 1,
+    label: str, denom_scale: int = 1, emit_decimal: bool = False,
 ) -> DataFrame:
     """Total-variation distance between two sketch-cell histograms,
     computed as an EXACT rational: TV = sum_i |b_i*n_c - c_i*n_b| /
@@ -121,9 +155,10 @@ def _tv_distance(
     and totals are longs, products need > 64 bits at fleet scale), one
     double division at the end. Returns (check_name, drift_num,
     drift_denom, stat): num/denom are the exact rational (engine- and
-    order-independent — summing exact integers), stat the convenience
-    double in [0, 1]. ``denom_scale`` divides multi-histogram stacks
-    (CMS: depth independent rows share one total)."""
+    order-independent — summing exact integers) emitted per
+    :func:`_gate_int`, stat the convenience double in [0, 1].
+    ``denom_scale`` divides multi-histogram stacks (CMS: depth
+    independent rows share one total)."""
     d38 = "decimal(38,0)"
     b = baseline.groupBy(*cell_cols).agg(F.sum("cnt").alias("b_cnt"))
     c = current.groupBy(*cell_cols).agg(F.sum("cnt").alias("c_cnt"))
@@ -149,8 +184,8 @@ def _tv_distance(
     )
     return num.select(
         F.lit(label).alias("check_name"),
-        "drift_num",
-        "drift_denom",
+        _gate_int(F.col("drift_num"), "drift_num", emit_decimal),
+        _gate_int(F.col("drift_denom"), "drift_denom", emit_decimal),
         (F.col("drift_num").cast("double") / F.col("drift_denom").cast("double")
          ).alias("stat"),
     )
@@ -158,7 +193,7 @@ def _tv_distance(
 
 def dq_drift_report(
     baseline: dict[str, DataFrame], current: dict[str, DataFrame],
-    depth: int = 4,
+    depth: int = 4, emit_decimal: bool = False,
 ) -> DataFrame:
     """Distribution-drift checks between two profiler sketch states
     (streaming/profile.py StreamProfileJob.profile() dicts) — the
@@ -176,9 +211,8 @@ def dq_drift_report(
       c_den*b_num. When BOTH sides are estimating, the shared 2^40
       hash-domain factor is cancelled first ((c_k-1)*b_kth /
       (b_k-1)*c_kth), so every emitted integer stays < 2^53 for
-      k <= 8192 — exactly representable even if a downstream
-      consumer (or hash canonicalizer) routes the decimals through
-      float64. A zero/empty baseline makes the denominator 0 —
+      k <= 8192 — which is what lets the gated output be BIGINT
+      (float64-exact) rather than decimal. A zero/empty baseline makes the denominator 0 —
       callers must bless a non-empty baseline.
     - ``drift:loghist_tv`` — total-variation distance of the value
       distributions, from the log-histogram cells. 0 = identical,
@@ -193,7 +227,13 @@ def dq_drift_report(
     counts. Cost: joins/aggregates over BOUNDED sketch cells —
     control-plane sized regardless of data volume; the num/denom
     rationals are exact integers, so two engines (or two runs) agree
-    bit-for-bit even where the convenience double would not."""
+    bit-for-bit even where the convenience double would not.
+
+    Emission contract: drift_num/drift_denom are BIGINT (every value
+    engineered < 2^53; a loud per-row guard raises otherwise — see
+    :func:`_gate_int`). Pass ``emit_decimal=True`` when the rationals
+    can exceed 2^53 (e.g. TV denominators 2*n_b*n_c beyond ~10^15 rows
+    per side) to keep decimal(38,0) output instead."""
     d38 = "decimal(38,0)"
 
     def _kmv_side(df: DataFrame, prefix: str) -> DataFrame:
@@ -232,26 +272,26 @@ def dq_drift_report(
         )
         .select(
             "check_name",
-            "drift_num",
-            "drift_denom",
+            _gate_int(F.col("drift_num"), "drift_num", emit_decimal),
+            _gate_int(F.col("drift_denom"), "drift_denom", emit_decimal),
             (F.col("drift_num").cast("double")
              / F.col("drift_denom").cast("double")).alias("stat"),
         )
     )
     lh = _tv_distance(
         baseline["loghist"], current["loghist"], ["e", "sub"],
-        "drift:loghist_tv",
+        "drift:loghist_tv", emit_decimal=emit_decimal,
     )
     cms = _tv_distance(
         baseline["cms"], current["cms"], ["row", "bucket"],
-        "drift:cms_tv", denom_scale=depth,
+        "drift:cms_tv", denom_scale=depth, emit_decimal=emit_decimal,
     )
     return ratio.unionByName(lh).unionByName(cms).orderBy("check_name")
 
 
 def _tv_distance_grouped(
     baseline: DataFrame, current: DataFrame, cell_cols: list[str],
-    label: str, denom_scale: int = 1,
+    label: str, denom_scale: int = 1, emit_decimal: bool = False,
 ) -> DataFrame:
     """Per-group total-variation distance between two grouped
     sketch-cell histograms — the same exact cross-multiplied rational
@@ -268,11 +308,15 @@ def _tv_distance_grouped(
     c = current.groupBy(F.struct("grp").alias("__g"), *cell_cols).agg(
         F.sum("cnt").alias("c_cnt")
     )
+    # integer DIV, never float `/`: sum(cnt) is exactly depth*N per
+    # group (CMS) so DIV is lossless at ANY N — a float64 round-trip
+    # would silently break the exact-integer contract past 2^53 rows
+    # per group (the same reason dq_drift_keys folds totals with DIV)
     bt = b.groupBy("__g").agg(
-        (F.sum("b_cnt") / denom_scale).cast(d38).alias("n_b")
+        F.expr(f"CAST(sum(b_cnt) DIV {denom_scale} AS {d38})").alias("n_b")
     )
     ct = c.groupBy("__g").agg(
-        (F.sum("c_cnt") / denom_scale).cast(d38).alias("n_c")
+        F.expr(f"CAST(sum(c_cnt) DIV {denom_scale} AS {d38})").alias("n_c")
     )
     tot = bt.join(ct, ["__g"], "inner")
     j = (
@@ -302,8 +346,8 @@ def _tv_distance_grouped(
     return num.select(
         F.lit(label).alias("check_name"),
         F.col("__g.grp").alias("grp"),
-        "drift_num",
-        "drift_denom",
+        _gate_int(F.col("drift_num"), "drift_num", emit_decimal),
+        _gate_int(F.col("drift_denom"), "drift_denom", emit_decimal),
         (F.col("drift_num").cast("double")
          / F.col("drift_denom").cast("double")).alias("stat"),
     )
@@ -311,7 +355,7 @@ def _tv_distance_grouped(
 
 def dq_drift_report_grouped(
     baseline: dict[str, DataFrame], current: dict[str, DataFrame],
-    depth: int = 4,
+    depth: int = 4, emit_decimal: bool = False,
 ) -> DataFrame:
     """PER-GROUP drift checks between two grouped profiler states
     (sketches.py kmv_distinct_grouped / cms_sketch_grouped /
@@ -335,11 +379,13 @@ def dq_drift_report_grouped(
       distances of the value / hashed-key-frequency histograms;
       groups present on both sides.
 
-    Same exactness contract as :func:`dq_drift_report`: every
-    drift_num/drift_denom is an exact integer (order- and engine-
-    independent), no NULL decimals, stat one derived double. Group
-    keys compare null-safely throughout. Cost: bounded sketch cells x
-    |groups| — control-plane sized at any data volume."""
+    Same exactness and emission contract as :func:`dq_drift_report`:
+    every drift_num/drift_denom is an exact integer (order- and
+    engine-independent) emitted as BIGINT under the 2^53 loud guard
+    (``emit_decimal=True`` for fleets beyond it), never NULL, stat one
+    derived double. Group keys compare null-safely throughout. Cost:
+    bounded sketch cells x |groups| — control-plane sized at any data
+    volume."""
     d38 = "decimal(38,0)"
     outs: list[DataFrame] = []
 
@@ -367,8 +413,10 @@ def dq_drift_report_grouped(
             .select(
                 F.lit("drift:presence").alias("check_name"),
                 F.col("__g.grp").alias("grp"),
-                F.coalesce("b_flag", F.lit(0)).cast(d38).alias("drift_num"),
-                F.coalesce("c_flag", F.lit(0)).cast(d38).alias("drift_denom"),
+                _gate_int(F.coalesce("b_flag", F.lit(0)).cast(d38),
+                          "drift_num", emit_decimal),
+                _gate_int(F.coalesce("c_flag", F.lit(0)).cast(d38),
+                          "drift_denom", emit_decimal),
                 (F.coalesce("b_flag", F.lit(0))
                  - F.coalesce("c_flag", F.lit(0))).cast("double").alias("stat"),
             )
@@ -393,7 +441,9 @@ def dq_drift_report_grouped(
                 .cast(d38).alias("drift_denom"),
             )
             .select(
-                "check_name", "grp", "drift_num", "drift_denom",
+                "check_name", "grp",
+                _gate_int(F.col("drift_num"), "drift_num", emit_decimal),
+                _gate_int(F.col("drift_denom"), "drift_denom", emit_decimal),
                 (F.col("drift_num").cast("double")
                  / F.col("drift_denom").cast("double")).alias("stat"),
             )
@@ -402,12 +452,12 @@ def dq_drift_report_grouped(
     if "loghist" in baseline and "loghist" in current:
         outs.append(_tv_distance_grouped(
             baseline["loghist"], current["loghist"], ["e", "sub"],
-            "drift:loghist_tv",
+            "drift:loghist_tv", emit_decimal=emit_decimal,
         ))
     if "cms" in baseline and "cms" in current:
         outs.append(_tv_distance_grouped(
             baseline["cms"], current["cms"], ["row", "bucket"],
-            "drift:cms_tv", denom_scale=depth,
+            "drift:cms_tv", denom_scale=depth, emit_decimal=emit_decimal,
         ))
     if not outs:
         raise ValueError(
@@ -423,6 +473,7 @@ def dq_drift_report_grouped(
 def dq_drift_keys(
     baseline_cms: DataFrame, current_cms: DataFrame, probes: DataFrame,
     key_sql: str = "key", depth: int = 4, width: int = 512,
+    emit_decimal: bool = False,
 ) -> DataFrame:
     """PER-KEY frequency drift between two CMS profiles over a bounded
     probe set — after the global/grouped gates say "it drifted", this
@@ -441,12 +492,15 @@ def dq_drift_keys(
     CMS error bound applies per estimate: share error <= e/width with
     prob 1-exp(-depth), so rank the report, don't read 9th decimals.
 
-    Exactness contract (the r10 lesson): the gated decimals are never
+    Exactness contract (the r10 lesson): the gated integers are never
     NULL — empty-sketch sums coalesce to 0, and the totals fold with
     integer DIV (sum(cnt) is exactly depth*N, so DIV is lossless at
-    ANY N, no float64 round-trip). An EMPTY side makes drift_denom 0
-    and stat NULL (Spark div-by-zero) — comparing against an empty
-    profile is a pipeline bug; gate on non-empty sketches upstream.
+    ANY N, no float64 round-trip). Emission follows
+    :func:`dq_drift_report`'s contract: BIGINT under the 2^53 loud
+    guard, ``emit_decimal=True`` past it. An EMPTY side makes
+    drift_denom 0 and stat NULL (Spark div-by-zero) — comparing
+    against an empty profile is a pipeline bug; gate on non-empty
+    sketches upstream.
     """
     from dtle_spark.functions import sketches as sk
 
@@ -480,7 +534,9 @@ def dq_drift_keys(
             (F.col("n_b") * F.col("n_c")).cast(d38).alias("drift_denom"),
         )
         .select(
-            "key", "b_est", "c_est", "drift_num", "drift_denom",
+            "key", "b_est", "c_est",
+            _gate_int(F.col("drift_num"), "drift_num", emit_decimal),
+            _gate_int(F.col("drift_denom"), "drift_denom", emit_decimal),
             (F.col("drift_num").cast("double")
              / F.col("drift_denom").cast("double")).alias("stat"),
         )

@@ -5994,8 +5994,11 @@ def _dq_drift_oracle() -> str:
     (DECIMAL(18) cells, totals as direct COUNTs), and the KMV ratio as
     the same exact integer rational the Spark side emits (per-side
     estimate = got_k/1 exact regime, (k-1)*2^40/kth_min estimating) —
-    every row is (name, decimal num, decimal denom, derived double),
-    with no NULL decimals anywhere in the gated output."""
+    every row is (name, BIGINT num, BIGINT denom, derived double) —
+    BIGINT emission because DECIMAL(38,0) was the one output shape the
+    two engines' hash canonicalizations disagreed on (r11: int128 vs
+    java BigDecimal; values bit-identical by repr, hash red), and every
+    emitted integer here is engineered < 2^53."""
     e, sub = sk._loghist_bucket_sql("x", 16, "duckdb")
     cms_rows_b = " UNION ALL ".join(
         f"SELECT {r} AS row, {sk.cms_bucket_sql('o_orderpriority', r, 512, 'duckdb')} AS bucket"
@@ -6089,15 +6092,21 @@ def _dq_drift_oracle() -> str:
              END AS DECIMAL(38,0)) AS drift_denom
       FROM ({kmv_b}) b, ({kmv_c}) c
     )
-    SELECT check_name, drift_num, drift_denom,
+    SELECT check_name,
+           CAST(drift_num AS BIGINT) AS drift_num,
+           CAST(drift_denom AS BIGINT) AS drift_denom,
            CAST(drift_num AS DOUBLE) / CAST(drift_denom AS DOUBLE) AS stat
     FROM lh
     UNION ALL
-    SELECT check_name, drift_num, drift_denom,
+    SELECT check_name,
+           CAST(drift_num AS BIGINT) AS drift_num,
+           CAST(drift_denom AS BIGINT) AS drift_denom,
            CAST(drift_num AS DOUBLE) / CAST(drift_denom AS DOUBLE) AS stat
     FROM cms
     UNION ALL
-    SELECT check_name, drift_num, drift_denom,
+    SELECT check_name,
+           CAST(drift_num AS BIGINT) AS drift_num,
+           CAST(drift_denom AS BIGINT) AS drift_denom,
            CAST(drift_num AS DOUBLE) / CAST(drift_denom AS DOUBLE) AS stat
     FROM kmv
     ORDER BY check_name
@@ -6116,9 +6125,12 @@ def dq_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two KMV estimator rationals for the ratio — engine- and
     order-independent), which is what makes a drift METRIC
     hash-gatable at all; the convenience double is one division of
-    those integers, and no gated column is ever a NULL decimal
-    (r10's red row traced to NULL-decimal canonicalization in the
-    hash path).
+    those integers, and no gated column is ever NULL (r10's red row
+    traced to NULL-decimal canonicalization in the hash path).
+    drift_num/drift_denom emit as BIGINT under a loud 2^53 guard —
+    r11's red rows isolated DECIMAL(38,0) output as the one shape the
+    two engines' hash canonicalizations disagree on (int128 vs java
+    BigDecimal) even with bit-identical values.
     At 100 TB the comparison runs over bounded sketch cells — the
     gate a pipeline runs against a blessed baseline before promoting
     an increment (StreamProfileJob.drift_vs)."""
@@ -6284,10 +6296,13 @@ def _dq_drift_grouped_oracle() -> str:
       FROM cms_j j JOIN cms_tot t ON j.grp = t.grp
       GROUP BY t.grp, n_b, n_c
     )
-    SELECT * FROM pres
-    UNION ALL SELECT * FROM ratio
-    UNION ALL SELECT * FROM lh
-    UNION ALL SELECT * FROM cms
+    SELECT check_name, grp,
+           CAST(drift_num AS BIGINT) AS drift_num,
+           CAST(drift_denom AS BIGINT) AS drift_denom, stat
+    FROM (SELECT * FROM pres
+          UNION ALL SELECT * FROM ratio
+          UNION ALL SELECT * FROM lh
+          UNION ALL SELECT * FROM cms)
     ORDER BY check_name, grp
     """
 
@@ -6394,8 +6409,8 @@ def _dq_drift_keys_oracle() -> str:
     SELECT b.key, b.b_est, c.c_est,
            CAST(ABS(CAST(b.b_est AS DECIMAL(18,0)) * n_c
                     - CAST(c.c_est AS DECIMAL(18,0)) * n_b)
-                AS DECIMAL(38,0)) AS drift_num,
-           CAST(n_b * n_c AS DECIMAL(38,0)) AS drift_denom,
+                AS BIGINT) AS drift_num,
+           CAST(n_b * n_c AS BIGINT) AS drift_denom,
            CAST(CAST(ABS(CAST(b.b_est AS DECIMAL(18,0)) * n_c
                          - CAST(c.c_est AS DECIMAL(18,0)) * n_b)
                      AS DECIMAL(38,0)) AS DOUBLE)
@@ -6415,7 +6430,8 @@ def dq_drift_keys_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     different populations) probed with the exact top-10 user watchlist;
     each key's frequency-SHARE change |est_b/n_b - est_c/n_c| is
     emitted as the exact integer rational |est_b*n_c - est_c*n_b| /
-    (n_b*n_c) — non-NULL decimals everywhere, one derived double.
+    (n_b*n_c) — non-NULL BIGINTs under the 2^53 loud guard (the r11
+    DECIMAL(38,0) hash-canonicalization lesson), one derived double.
     At 100 TB both sketches are persisted bounded state (depth*width
     counters, additive-mergeable) and the probe set is dashboard-sized,
     so attribution never rescans either corpus."""

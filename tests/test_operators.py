@@ -1102,6 +1102,33 @@ class TestDqChecks:
         assert got["new"]["stat"] > got["a"]["stat"]
         assert got["b"]["stat"] > got["a"]["stat"]
 
+    def test_drift_emits_bigint_with_loud_overflow_guard(self, spark):
+        """The r11 hash-gate lesson: DECIMAL(38,0) output was the one
+        shape two engines' hash canonicalizations disagreed on, so the
+        gated drift rationals emit BIGINT. The guard is LOUD: a value
+        at/above 2^53 (no longer float64-exact) raises instead of
+        silently emitting, and emit_decimal=True is the escape hatch
+        that keeps decimal(38,0) for fleets beyond the bound."""
+        from pyspark.sql import functions as F
+        from dtle_spark.functions.dq import _GATE_MAX, _gate_int
+
+        df = spark.createDataFrame(
+            [(1,), (_GATE_MAX,)], "v long"
+        ).select(F.col("v").cast("decimal(38,0)").alias("v"))
+        small = df.filter("v = 1").select(_gate_int(F.col("v"), "x", False))
+        assert small.dtypes == [("x", "bigint")]
+        assert small.collect()[0]["x"] == 1
+        with pytest.raises(Exception, match="2\\^53|emit_decimal"):
+            df.select(_gate_int(F.col("v"), "x", False)).collect()
+        # NULL is equally loud (the r10 NULL-decimal lesson)
+        nul = spark.sql("SELECT CAST(NULL AS decimal(38,0)) AS v")
+        with pytest.raises(Exception, match="NULL"):
+            nul.select(_gate_int(F.col("v"), "x", False)).collect()
+        # escape hatch: decimal shape preserved, no guard
+        big = df.select(_gate_int(F.col("v"), "x", True))
+        assert big.dtypes == [("x", "decimal(38,0)")]
+        assert {int(r["x"]) for r in big.collect()} == {1, _GATE_MAX}
+
     def test_temporal_join_equals_per_ts_as_of(self, spark):
         """temporal_join == as_of_ts applied at each fact's own
         timestamp (the defining invariant), checked at every fact:
