@@ -61,6 +61,18 @@ def _renamed_right(right: DataFrame, spec: DimSpec) -> DataFrame:
 def _check_collisions(
     left: DataFrame, dims: list[tuple[DataFrame, DimSpec]]
 ) -> None:
+    # the working names the join/carve plumbing aliases internally:
+    # a fact or dim view column literally named one of these would make
+    # the join condition ambiguous (or be silently dropped with them)
+    reserved = {_RPK, "__k"}
+    bad = (set(left.columns) | {
+        c for _, spec in dims for c in spec.cols.values()
+    }) & reserved
+    if bad:
+        raise ValueError(
+            f"column names {sorted(bad)} are reserved by the join-view "
+            "plumbing — rename them in the fact/dim projections"
+        )
     taken = set(left.columns)
     for _, spec in dims:
         clash = set(spec.cols.values()) & taken

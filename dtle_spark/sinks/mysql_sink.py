@@ -271,6 +271,61 @@ def _contiguous_runs(changes: list[dict]):
         yield key[0], key[1], run
 
 
+def _qmark_to_format(sql: str) -> str:
+    """Rewrite qmark placeholders to the ``format`` paramstyle MySQL
+    drivers use, QUOTE-AWARE: only a ``?`` OUTSIDE string literals and
+    backtick-quoted identifiers is a placeholder — a literal ``?``
+    inside ``'...'``/``"..."``/`` `...` `` survives (a blanket
+    ``replace`` would corrupt it AND desync the arg count). Literal
+    ``%`` doubles to ``%%`` everywhere (quoted or not): the driver's
+    interpolation is plain %-formatting, unaware of SQL quotes.
+    Backslash escapes inside string quotes and doubled closing quotes
+    (``''``/``""``/`` `` `` — MySQL's own escape) are honored."""
+    out: list[str] = []
+    quote: str | None = None
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if quote is None:
+            if ch == "?":
+                out.append("%s")
+            elif ch == "%":
+                out.append("%%")
+            else:
+                if ch in ("'", '"', "`"):
+                    quote = ch
+                out.append(ch)
+            i += 1
+        else:
+            if ch == "\\" and quote in ("'", '"') and i + 1 < n:
+                nxt = sql[i + 1]
+                out.append(ch)
+                out.append("%%" if nxt == "%" else nxt)
+                i += 2
+                continue
+            if ch == quote and i + 1 < n and sql[i + 1] == quote:
+                out.append(ch * 2)
+                i += 2
+                continue
+            if ch == quote:
+                quote = None
+            out.append("%%" if ch == "%" else ch)
+            i += 1
+    return "".join(out)
+
+
+# the PEP-249 exception taxonomy (pymysql.err and mysql.connector.errors
+# both follow it; pymysql roots it at MySQLError) — the names the errno
+# normalization accepts. Everything else, notably OSError/socket errors
+# whose args[0] is an OS errno, must NOT alias into the server-errno
+# ignorable/retry policy.
+_DBAPI_EXC_NAMES = frozenset({
+    "MySQLError", "Warning", "Error", "InterfaceError", "DatabaseError",
+    "DataError", "OperationalError", "IntegrityError", "InternalError",
+    "ProgrammingError", "NotSupportedError",
+})
+
+
 class DbApiExecutor:
     """PEP-249 connection -> Executor protocol: the adapter a REAL
     MySQL driver (pymysql / mysql-connector, both DB-API 2.0) plugs in
@@ -284,23 +339,39 @@ class DbApiExecutor:
       ``commit``/``rollback`` delegate to the connection.
     - MySQL drivers use the ``format`` paramstyle (%s), the builder
       emits ``?`` (the reference's prepared-statement style):
-      parameterized statements convert placeholder-for-placeholder.
-      Safe because builder DML NEVER inlines values (everything is
-      bound, identifiers are backtick-escaped); statements with no
-      args (DDL query text) pass through UNTOUCHED — a ``?`` inside a
-      DDL default/comment literal survives.
-    - driver exceptions normalize to :class:`MySQLError`: both
-      pymysql and mysql-connector carry the server errno as
-      ``exc.args[0]`` / ``exc.errno`` — the sink's A12/A13 policy
-      (ignorable errnos warn-and-continue, deadlock retries) then
-      works unchanged over a live connection.
+      parameterized statements convert via :func:`_qmark_to_format`
+      (quote-aware — a literal ``?`` inside a quoted identifier or
+      string survives, literal ``%`` doubles for the driver's
+      %-interpolation). Statements with no args (DDL query text) pass
+      through UNTOUCHED.
+    - DRIVER exceptions normalize to :class:`MySQLError`: both pymysql
+      and mysql-connector carry the server errno as ``exc.args[0]`` /
+      ``exc.errno`` — the sink's A12/A13 policy (ignorable errnos
+      warn-and-continue, deadlock retries) then works unchanged over a
+      live connection. Normalization is restricted to the driver's own
+      exception hierarchy (PEP-249 taxonomy names, OSError explicitly
+      rejected): an OS errno in ``OSError.args[0]`` must never alias
+      into the server-errno policy (errno 1062 the server means
+      "duplicate key — ignorable"; errno 1062 from the OS would be
+      nonsense to ignore).
     """
 
     def __init__(self, connection):
         self.connection = connection
 
     @staticmethod
-    def _errno(exc) -> int | None:
+    def _is_driver_error(exc) -> bool:
+        if isinstance(exc, OSError):
+            return False
+        return any(
+            k.__module__ != "builtins" and k.__name__ in _DBAPI_EXC_NAMES
+            for k in type(exc).__mro__
+        )
+
+    @classmethod
+    def _errno(cls, exc) -> int | None:
+        if not cls._is_driver_error(exc):
+            return None
         errno = getattr(exc, "errno", None)
         if isinstance(errno, int):
             return errno
@@ -313,7 +384,7 @@ class DbApiExecutor:
         cur = self.connection.cursor()
         try:
             if args:
-                cur.execute(sql.replace("?", "%s"), tuple(args))
+                cur.execute(_qmark_to_format(sql), tuple(args))
             else:
                 cur.execute(sql)
         except Exception as exc:  # noqa: BLE001 - normalize driver errors

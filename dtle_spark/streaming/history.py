@@ -243,6 +243,10 @@ class Scd2HistoryJob:
         segments is folded into the shared ``_RETAINED_FROM`` floor —
         written BEFORE the deletes, so a crash mid-drop leaves the
         floor conservatively high, never an unguarded partial window.
+        A doomed row with NULL ``valid_to_seq`` (a partially-written
+        or corrupted fold) makes the floor unprovable, so the drop
+        REFUSES rather than deleting unguarded; empty doomed segments
+        (zero rows) delete fine — there is nothing to guard.
         :meth:`history` afterwards returns the retained window only;
         :meth:`as_of` at a seq below the floor fails loud instead of
         silently returning a state missing the dropped versions.
@@ -259,12 +263,28 @@ class Scd2HistoryJob:
         doomed_df = self.spark.read.option("basePath", root).parquet(
             *[os.path.join(root, f) for f in doomed]
         )
-        aggs = [F.max("valid_to_seq")]
+        aggs = [
+            F.count(F.lit(1)),
+            F.count("valid_to_seq"),
+            F.max("valid_to_seq"),
+        ]
         timed = "valid_to_ts" in doomed_df.columns
         if timed:
             aggs.append(F.max(F.unix_micros(F.col("valid_to_ts"))))
         agg_row = doomed_df.agg(*aggs).collect()[0]
-        hi = agg_row[0]
+        n_rows, n_to, hi = agg_row[0], agg_row[1], agg_row[2]
+        if n_rows != n_to:
+            # a closed version ALWAYS carries valid_to_seq; a NULL
+            # means a corrupted / partially-written fold. Deleting it
+            # anyway would leave no _RETAINED_FROM floor for whatever
+            # it held, so the as_of/enrich guards would never engage —
+            # refuse instead of silently un-guarding the drop.
+            raise ValueError(
+                f"{n_rows - n_to} closed rows in {doomed} have NULL "
+                "valid_to_seq (partially written or corrupted fold) — "
+                "refusing to drop without a provable retention floor; "
+                "repair or remove the bad segment explicitly"
+            )
         if hi is not None:
             floor = max(self.retained_from_seq(), int(hi))
             with open(
@@ -276,10 +296,10 @@ class Scd2HistoryJob:
         # when the dropped versions carried event times; an untimed
         # stream leaves no ts floor and enrich() refuses after
         # retention rather than guess
-        if timed and agg_row[1] is not None:
+        if timed and agg_row[3] is not None:
             prev = self.retained_from_ts_micros()
             ts_floor = max(prev if prev is not None else -(1 << 62),
-                           int(agg_row[1]))
+                           int(agg_row[3]))
             with open(
                 os.path.join(root, _RETAINED_FROM_TS_FILE), "w"
             ) as f:

@@ -99,6 +99,7 @@ class JoinViewMaintainJob:
         reader=None,
         cluster_by: list[str] | None = None,
         extra_dims: list[dict] | None = None,
+        auto_compact_batches: int | None = None,
     ):
         self.spark = spark
         self.source_dir = source_dir
@@ -118,6 +119,14 @@ class JoinViewMaintainJob:
         # the view mass (tableio.write_clustered). Per-batch version
         # subtrees stay as-written — they are Δ-sized anyway.
         self.cluster_by = list(cluster_by) if cluster_by else None
+        # bounded read amplification without an operator in the loop:
+        # when set, apply_batch triggers compact() as soon as the
+        # version-subtree count exceeds this, so merge-on-read fold
+        # cost stays O(base + N segments) over any stream length. Runs
+        # on the foreachBatch thread — the only writer — so the
+        # "quiesced" precondition holds by construction; readers follow
+        # the atomic _CURRENT pointer swap.
+        self.auto_compact_batches = auto_compact_batches
         # dims[0] is the primary; extra_dims are JSON-shaped
         self.dims: list[tuple[str, DimSpec]] = [
             (dim_dir, DimSpec(fk, right_pk, dict(right_cols)))
@@ -219,7 +228,14 @@ class JoinViewMaintainJob:
         _check_stream_stamp(gen, self.checkpoint_dir)
         if batch_id <= _compacted_through(gen):
             return  # already folded by a compaction — skip
-        dim_dfs = self._read_dims()
+        # pin each dim ONCE per batch: a lazy spark.read re-evaluates
+        # per action, so the end-of-batch digest snapshot could capture
+        # a NEWER dim state than the one joined into fresh/refreshed
+        # rows if the dim's own apply lane rewrites its path mid-batch
+        # — those keys would be marked clean while the view holds older
+        # dim values (silent staleness until the key moves again). Dims
+        # are entity-bounded, so the pin is control-plane sized.
+        dim_dfs = [d.localCheckpoint() for d in self._read_dims()]
         net = latest_image_per_key(
             dedupe_redelivered(batch), self.key_cols
         ).localCheckpoint()  # consumed three times below
@@ -320,6 +336,8 @@ class JoinViewMaintainJob:
             self._digest(d, spec).write.mode("overwrite").parquet(
                 os.path.join(self._digest_root(gen, i), f"ingest_batch={batch_id}")
             )
+        if self.auto_compact_batches is not None:
+            self.compact(max_batches=self.auto_compact_batches)
 
     # -- reads ---------------------------------------------------------------
 

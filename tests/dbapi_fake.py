@@ -7,12 +7,17 @@ is exercised without a server.
 Modeled semantics:
 
 - ``format`` paramstyle: parameterized SQL must arrive with ``%s``
-  placeholders and a matching arg tuple — a leftover ``?`` in a
-  parameterized statement raises (the driver would send it to the
-  server verbatim and fail there; here it fails loudly at the fake).
-- driver-shaped errors: failures raise an exception whose
-  ``args[0]`` is the MySQL errno (pymysql.err.* shape), which
-  DbApiExecutor must normalize to MySQLError for the sink's
+  placeholders and a matching arg tuple. Placeholders are counted the
+  way the driver's %-interpolation would see them (``%%`` is a literal
+  percent, any other ``%<x>`` raises), and a leftover UNQUOTED ``?``
+  raises (the driver would send it to the server verbatim and fail
+  there; here it fails loudly at the fake) — while a ``?`` inside a
+  quoted string/identifier is legal SQL and passes, exactly what a
+  real server accepts.
+- driver-shaped errors: failures raise FakeDriverError, rooted at a
+  class NAMED ``MySQLError`` like pymysql.err's hierarchy root, whose
+  ``args[0]`` is the MySQL errno — DbApiExecutor must normalize it
+  (and must NOT normalize OS-level exceptions) for the sink's
   A12/A13 policy.
 - transaction visibility: executed statements buffer in the open
   transaction; ``commit()`` appends them to the durable log,
@@ -25,8 +30,15 @@ Modeled semantics:
 from __future__ import annotations
 
 
-class FakeDriverError(Exception):
-    """pymysql.err.MySQLError shape: args = (errno, message)."""
+class MySQLError(Exception):
+    """Analog of pymysql.err.MySQLError — the driver-hierarchy ROOT.
+    Distinct from the sink's own MySQLError class, like the real
+    driver's is; the executor recognizes it structurally (PEP-249
+    taxonomy name), never by import."""
+
+
+class FakeDriverError(MySQLError):
+    """pymysql.err shape: args = (errno, message)."""
 
 
 class FakeCursor:
@@ -78,6 +90,52 @@ class FakeDbApiConnection:
 
     # -- execution ----------------------------------------------------------
 
+    @staticmethod
+    def _count_placeholders(sql: str) -> int:
+        """Count %s placeholders the way the driver's %-interpolation
+        would: %% is a literal percent, any other %<x> is unsupported
+        format syntax (the driver would raise), and an UNQUOTED ? is a
+        qmark placeholder that never got converted — both loud. A ?
+        inside a quoted string/identifier is plain SQL and passes.
+        Independent scanner, deliberately NOT the executor's own
+        rewrite helper — the fake must catch the executor lying."""
+        n = 0
+        quote = None
+        i, ln = 0, len(sql)
+        while i < ln:
+            ch = sql[i]
+            if quote:
+                if ch == "\\" and quote in ("'", '"'):
+                    i += 2
+                    continue
+                if ch == quote and i + 1 < ln and sql[i + 1] == quote:
+                    i += 2
+                    continue
+                if ch == quote:
+                    quote = None
+                i += 1
+                continue
+            if ch in ("'", '"', "`"):
+                quote = ch
+            elif ch == "?":
+                raise FakeDriverError(
+                    1064, "syntax error: unquoted '?' placeholder "
+                    "reached the driver (MySQL drivers use %s)"
+                )
+            elif ch == "%":
+                nxt = sql[i + 1] if i + 1 < ln else ""
+                if nxt == "s":
+                    n += 1
+                elif nxt != "%":
+                    raise FakeDriverError(
+                        1064, f"unsupported format directive %{nxt!r} "
+                        "(literal % must arrive doubled)"
+                    )
+                i += 2
+                continue
+            i += 1
+        return n
+
     def _execute(self, sql: str, params) -> None:
         for rule in list(self._fail_when):
             needle, errno, once = rule
@@ -86,12 +144,7 @@ class FakeDbApiConnection:
                     self._fail_when.remove(rule)
                 raise FakeDriverError(errno, f"injected for {needle!r}")
         if params is not None:
-            n = sql.count("%s")
-            if "?" in sql:
-                raise FakeDriverError(
-                    1064, "syntax error: '?' placeholder reached the "
-                    "driver (MySQL drivers use %s)"
-                )
+            n = self._count_placeholders(sql)
             if n != len(params):
                 raise FakeDriverError(
                     1064, f"placeholder/arg mismatch: {n} vs {len(params)}"

@@ -344,6 +344,33 @@ class TestAppendOnlyClosedStore:
         assert job.drop_folds_before(2) == 0
         assert job.retained_from_seq() == 4
 
+    def test_drop_refuses_null_valid_to_seq(self, spark, tmp_path):
+        """A doomed fold row with NULL valid_to_seq (a partially
+        written / corrupted segment) makes the retention floor
+        unprovable: drop_folds_before must REFUSE — deleting anyway
+        would leave no _RETAINED_FROM floor, so the as_of/enrich
+        guards would never engage for whatever was dropped."""
+        os.makedirs(str(tmp_path / "src"))
+        job = _job(spark, tmp_path)
+        job.seed(spark.createDataFrame(BASE, ROW))
+        job.apply_batch(_chg(spark, STREAM_A), 0)
+        assert job.compact(max_batches=0) >= 1
+        folds = job._fold_dirs()
+        assert folds
+        # corrupt the fold: NULL out valid_to_seq on one row
+        root = job._closed_root()
+        seg = os.path.join(root, folds[0])
+        df = spark.read.parquet(seg)
+        broken = df.withColumn(
+            "valid_to_seq", F.lit(None).cast("long")
+        ).localCheckpoint()
+        broken.write.mode("overwrite").parquet(seg)
+        with pytest.raises(ValueError, match="NULL"):
+            job.drop_folds_before(1 << 40)
+        # nothing deleted, no floor written
+        assert job._fold_dirs() == folds
+        assert job.retained_from_seq() == -(1 << 62)
+
     def test_event_writes_are_not_single_task(self, spark, tmp_path):
         """The per-batch event subtree is O(batch) — _write_events
         must preserve the events frame's own parallelism (one part

@@ -402,6 +402,134 @@ class TestJoinViewMaintainJob:
         assert len(j2.dims) == 2
         assert _view(j2.view()) == _view(recompute(facts, dim1, prod1))
 
+    def test_dim_pin_prevents_silent_staleness(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The dim is pinned ONCE per batch: if the dim's own apply
+        lane rewrites its path MID-batch (simulated by a digest hook),
+        the end-of-batch digest snapshot must capture the state that
+        was actually JOINED — so the next batch's diff sees the rewrite
+        as dirt and refreshes. Without the pin, the lazy re-read would
+        snapshot the NEWER dim, mark its keys clean, and the view would
+        hold stale dim values until the key moved again."""
+        job = self._seeded(spark, tmp_path)
+        dim_v2 = [(10, "alice2", "gold"), (20, "bob", "base")]
+        orig = JoinViewMaintainJob._digest
+        fired = []
+
+        def hook(dim, spec):
+            if not fired:
+                fired.append(1)
+                _dim_df(spark, dim_v2).write.mode("overwrite").parquet(
+                    str(tmp_path / "dim")
+                )
+            return orig(dim, spec)
+
+        monkeypatch.setattr(
+            JoinViewMaintainJob, "_digest", staticmethod(hook)
+        )
+        # batch 0 touches only fact 2 (cust 20); fact 1 (cust 10) is
+        # untouched and rides the dim lane only
+        job.apply_batch(_chg(spark, [
+            _c("u", (2, 20, 200), (2, 20, 250), 1),
+        ]), 0)
+        assert fired
+        # batch 1 (hook spent): the digest diff must flag cust 10 as
+        # moved and refresh fact 1 to the v2 name
+        job.apply_batch(_chg(spark, []), 1)
+        facts = [(1, 10, 100), (2, 20, 250), (3, None, 300)]
+        assert _view(job.view()) == _view(_recompute(spark, facts, dim_v2))
+        got = {r["id"]: r["cust_name"] for r in job.view().collect()}
+        assert got[1] == "alice2"
+
+    def test_star_job_dim_delete_lane_across_compaction(self, spark, tmp_path):
+        """Job-level E2E of the dim-side DELETE change shape: a deleted
+        dim row NULLs the dim columns of every referencing fact (SQL
+        left-join semantics), via the digest diff alone (no fact
+        events) — and the lane still works AFTER a compaction boundary
+        (the folded generation carries the last digest snapshot)."""
+        from dtle_spark.operators.join_view import DimSpec, star_view_of
+
+        star = T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("cust", T.LongType()),
+            T.StructField("prod", T.LongType()),
+        ])
+        _dim_df(spark, BASE_DIM).write.parquet(str(tmp_path / "dim"))
+        prod0 = [(7, "widget"), (8, "gadget")]
+        spark.createDataFrame(prod0, "pid long, pname string").write.parquet(
+            str(tmp_path / "dim2")
+        )
+        facts = [(1, 10, 7), (2, 20, 8), (3, 20, 7), (4, None, 8)]
+        specs = [DimSpec("cust", "cid", DIM_COLS),
+                 DimSpec("prod", "pid", {"pname": "prod_name"})]
+
+        def recompute(dim_rows, prod_rows):
+            return star_view_of(
+                spark.createDataFrame(facts, star),
+                [(_dim_df(spark, dim_rows), specs[0]),
+                 (spark.createDataFrame(prod_rows, "pid long, pname string"),
+                  specs[1])],
+            )
+
+        job = JoinViewMaintainJob(
+            spark, str(tmp_path / "src" / "*"), str(tmp_path / "dim"),
+            str(tmp_path / "view"), str(tmp_path / "ck"),
+            ["id"], "cust", "cid", DIM_COLS, schema=change_schema(star),
+            extra_dims=[{"dim_dir": str(tmp_path / "dim2"), "fk": "prod",
+                         "pk": "pid", "cols": {"pname": "prod_name"}}],
+        )
+        job.seed(recompute(BASE_DIM, prod0), [
+            _dim_df(spark, BASE_DIM),
+            spark.createDataFrame(prod0, "pid long, pname string"),
+        ])
+
+        # dim DELETE: cust 20 vanishes; facts 2 and 3 must NULL out
+        dim1 = [(10, "alice", "gold")]
+        _dim_df(spark, dim1).write.mode("overwrite").parquet(
+            str(tmp_path / "dim")
+        )
+        job.apply_batch(
+            spark.createDataFrame([], change_schema(star)), 0
+        )
+        assert _view(job.view()) == _view(recompute(dim1, prod0))
+        nulled = {r["id"]: (r["cust_name"], r["cust_tier"])
+                  for r in job.view().collect()}
+        assert nulled[2] == (None, None) and nulled[3] == (None, None)
+
+        # compaction boundary, then the OTHER dim loses a row
+        assert job.compact(max_batches=0) == 1
+        prod1 = [(7, "widget")]
+        spark.createDataFrame(prod1, "pid long, pname string").write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / "dim2"))
+        job.apply_batch(
+            spark.createDataFrame([], change_schema(star)), 1
+        )
+        assert _view(job.view()) == _view(recompute(dim1, prod1))
+        got = {r["id"]: r["prod_name"] for r in job.view().collect()}
+        assert got[2] is None and got[4] is None and got[1] == "widget"
+
+    def test_auto_compact_bounds_segments_without_operator(self, spark, tmp_path):
+        """auto_compact_batches: a long stream keeps the version-
+        subtree count bounded (merge-on-read fold cost stays O(base +
+        N)) with ZERO manual compact() calls, and the view still equals
+        the recompute — the read-amplification bound SCALE.md promises
+        made self-enforcing."""
+        job = self._seeded(spark, tmp_path, auto_compact_batches=3)
+        compactions = 0
+        for i in range(10):
+            job.apply_batch(_chg(spark, [
+                _c("i", None, (100 + i, 10, i), i + 1),
+            ]), i)
+            st = job.stats()
+            assert st["ingest_batches"] <= 3, f"batch {i}: {st}"
+            compactions = max(compactions, st["compacted_through"])
+        assert compactions > 0  # it actually compacted, more than once
+        assert job.stats()["generation"].startswith("gen-")
+        facts = BASE_FACTS + [(100 + i, 10, i) for i in range(10)]
+        assert _view(job.view()) == _view(_recompute(spark, facts, BASE_DIM))
+
     def test_write_clustered_disjoint_file_ranges(self, spark, tmp_path):
         """tableio.write_clustered: with an explicit file count, every
         parquet file carries a DISJOINT min/max range on the cluster

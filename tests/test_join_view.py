@@ -63,6 +63,23 @@ class TestJoinView:
         with pytest.raises(ValueError, match="collide"):
             join_view_of(facts, dim, "cust", "cid", {"name": "amount"})
 
+    def test_reserved_working_names_fail_loud(self, spark):
+        """The plumbing's internal aliases (__rpk join key, __k carve
+        struct) are rejected up front: a fact or dim view column
+        literally named one of them would make the join condition
+        ambiguous or be silently dropped with the working column."""
+        dim = _dim(spark, [(10, "alice", "gold")])
+        facts_rpk = spark.createDataFrame(
+            [(1, 10, 100)], "id long, cust long, __rpk long"
+        )
+        with pytest.raises(ValueError, match="reserved"):
+            join_view_of(facts_rpk, dim, "cust", "cid", DIM_COLS)
+        facts = spark.createDataFrame([(1, 10, 100)], FACT)
+        with pytest.raises(ValueError, match="reserved"):
+            join_view_of(facts, dim, "cust", "cid", {"name": "__rpk"})
+        with pytest.raises(ValueError, match="reserved"):
+            join_view_of(facts, dim, "cust", "cid", {"name": "__k"})
+
     def test_maintain_covers_every_change_shape(self, spark):
         """One batch exercising: fact insert (matching and dangling fk),
         update (fk retarget), delete, PK move, redelivered duplicate;

@@ -384,6 +384,83 @@ def test_dbapi_adapter_ddl_passthrough_keeps_literal_qmark():
                for s, _ in conn.durable)
 
 
+def test_qmark_rewrite_is_quote_aware():
+    """The placeholder rewrite must not corrupt a literal '?' inside
+    backtick-quoted identifiers or string literals of PARAMETERIZED
+    DML, and must double literal '%' for the driver's %-interpolation
+    (quoted or not — %-formatting is unaware of SQL quotes)."""
+    from dtle_spark.sinks.mysql_sink import _qmark_to_format
+
+    assert _qmark_to_format("INSERT INTO t VALUES (?,?)") == \
+        "INSERT INTO t VALUES (%s,%s)"
+    # '?' inside a backtick identifier and a string literal is data
+    assert _qmark_to_format("UPDATE `is?` SET a=? WHERE b='c?d'") == \
+        "UPDATE `is?` SET a=%s WHERE b='c?d'"
+    # literal % doubles everywhere; placeholders stay single
+    assert _qmark_to_format("SELECT '10%' WHERE a LIKE ? ESCAPE '%'") == \
+        "SELECT '10%%' WHERE a LIKE %s ESCAPE '%%'"
+    # MySQL doubled-quote escape keeps the quote region open
+    assert _qmark_to_format("SET a='it''s?' , b=?") == \
+        "SET a='it''s?' , b=%s"
+    # backslash escape inside string quotes honored
+    assert _qmark_to_format(r"SET a='\'?' , b=?") == r"SET a='\'?' , b=%s"
+
+
+def test_dbapi_adapter_literal_qmark_in_parameterized_dml():
+    """End-to-end through the fake: a parameterized statement whose
+    quoted literal contains '?' executes with the right arg count —
+    the blanket-replace bug would have turned the literal into a
+    placeholder and desynced the args (fake raises loud)."""
+    from dtle_spark.sinks.mysql_sink import DbApiExecutor
+    from tests.dbapi_fake import FakeDbApiConnection
+
+    conn = FakeDbApiConnection()
+    ex = DbApiExecutor(conn)
+    ex.execute("UPDATE `q?tbl` SET name=? WHERE name='who?'", ["x"])
+    sql, params = conn.durable[-1]
+    assert sql == "UPDATE `q?tbl` SET name=%s WHERE name='who?'"
+    assert params == ("x",)
+
+
+def test_dbapi_adapter_os_errors_do_not_alias_into_errno_policy():
+    """An OSError with an int args[0] (an OS errno, e.g. 104
+    ECONNRESET — or even one that collides with an ignorable server
+    errno) must NOT normalize to MySQLError: the A12/A13 policy is
+    about SERVER errnos, and treating an OS failure as 'duplicate key,
+    ignorable' would silently drop statements. Driver-hierarchy errors
+    (PEP-249 taxonomy) still normalize."""
+    from dtle_spark.sinks.mysql_sink import DbApiExecutor, MySQLError
+
+    class _BoomConn:
+        def __init__(self, exc):
+            self._exc = exc
+
+        def cursor(self):
+            conn = self
+
+            class _Cur:
+                def execute(self, *a):
+                    raise conn._exc
+
+                def close(self):
+                    pass
+
+            return _Cur()
+
+    # 1062 is in IGNORABLE_ERRNOS — the worst-case alias
+    for exc in (OSError(1062, "reset"), ConnectionResetError(1062, "x"),
+                TimeoutError(1062, "t")):
+        ex = DbApiExecutor(_BoomConn(exc))
+        with pytest.raises(type(exc)):
+            ex.execute("UPDATE t SET a=?", [1])
+    from tests.dbapi_fake import FakeDriverError
+
+    ex = DbApiExecutor(_BoomConn(FakeDriverError(1213, "deadlock")))
+    with pytest.raises(MySQLError) as ei:
+        ex.execute("UPDATE t SET a=?", [1])
+    assert ei.value.errno == 1213
+
+
 def test_mysql_executor_constructor_gated():
     from dtle_spark.sinks.mysql_sink import mysql_executor
 
