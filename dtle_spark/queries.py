@@ -1150,56 +1150,243 @@ def _module_info(modname: str) -> tuple[str, frozenset]:
     return h, imports
 
 
-def _query_dep_modules(name: str) -> list[str]:
-    """The dtle_spark modules a query's body rides on: globals its
-    source references that resolve into the package (module aliases
-    like ``sk``/``dd``, imported functions like ``load_table``), plus
-    ``from dtle_spark...`` imports inside the body — closed
-    transitively over each module's own package imports. Over-
-    approximation is fine: the set only decides re-gate PRIORITY."""
+# deps fingerprint algorithm version, stored per entry. Algo 1 (r11)
+# hashed whole transitive MODULES — but tableio/session change almost
+# every round, so one common-module edit re-stamped the entire registry
+# (r11: 139/140 stamped current) and the 50-query driver window could
+# never chase genuinely-changed definitions. Algo 2 fingerprints the
+# OBJECTS the query actually rides on (functions/classes/constants,
+# closed transitively over what each one's own source references), so
+# adding write_clustered to tableio no longer re-stamps a query that
+# only calls load_table, and adding query 141 re-stamps nothing.
+_DEPS_ALGO = 2
+
+_OBJ_INFO_CACHE: dict[tuple[str, str], tuple[str, dict]] = {}
+
+
+def _stable_repr(v, depth: int = 0) -> str:
+    """repr that is stable across processes AND runtime states:
+    frozensets ordered (PYTHONHASH randomization must never move a
+    fingerprint), address-bearing default reprs reduced to the type
+    name, and MUTABLE containers (dict/list/set) reduced to a type tag
+    — a module-global dict is usually a runtime cache (the cdc_demo
+    lesson: running entry() populated one and re-stamped its queries),
+    and fingerprinting its contents would make the stamp depend on
+    what happened to execute first. Depth-capped: a fingerprint needs
+    sensitivity, not a faithful deep dump."""
+    if depth > 6:
+        return f"<deep:{type(v).__name__}>"
+    if isinstance(v, frozenset):
+        return "{" + ",".join(sorted(_stable_repr(x, depth + 1) for x in v)) + "}"
+    if isinstance(v, tuple):
+        return "[" + ",".join(_stable_repr(x, depth + 1) for x in v) + "]"
+    if isinstance(v, (dict, list, set)):
+        return f"<mutable:{type(v).__name__}>"
+    r = repr(v)
+    if " at 0x" in r:
+        return f"<{type(v).__module__}.{type(v).__name__}>"
+    return r
+
+
+def _local_pkg_imports(src: str) -> tuple[dict, dict]:
+    """(alias -> object, const components) for ``from dtle_spark...
+    import x [as y]`` and ``import dtle_spark... [as z]`` statements
+    appearing IN a source body (queries import operators inside the
+    def; operator functions import sibling modules inside theirs).
+    Imported plain CONSTANTS are returned as ready components keyed to
+    their defining module — the alias namespace can't recover that."""
+    import importlib
+    import re
+
+    out: dict = {}
+    consts: dict = {}
+    for m, names in re.findall(
+        r"from\s+(dtle_spark[\w.]*)\s+import\s+(\([^)]*\)|[^\n]+)", src
+    ):
+        try:
+            mod = importlib.import_module(m)
+        except ImportError:  # pragma: no cover - stale source reference
+            continue
+        for piece in names.strip("()").split(","):
+            parts = piece.split()
+            if not parts:
+                continue
+            orig = parts[0]
+            alias = parts[2] if len(parts) == 3 and parts[1] == "as" else orig
+            v = getattr(mod, orig, None)
+            if v is None:
+                # a submodule import (``from pkg import submod``): the
+                # package attr exists only once the submodule has been
+                # imported SOMEWHERE — import it explicitly so the
+                # fingerprint never depends on ambient import order
+                try:
+                    v = importlib.import_module(f"{m}.{orig}")
+                except ImportError:
+                    continue
+            out[alias] = v
+            import inspect as _i
+
+            if not (_i.isfunction(v) or _i.isclass(v) or _i.ismodule(v)) \
+                    and not callable(v):
+                consts[(m, f"<const:{orig}>")] = v
+    for m, alias in re.findall(
+        r"(?:^|\n)\s*import\s+(dtle_spark[\w.]*)(?:\s+as\s+(\w+))?", src
+    ):
+        try:
+            mod = importlib.import_module(m)
+        except ImportError:  # pragma: no cover
+            continue
+        out[alias or m.split(".", 1)[0]] = mod
+    return out, consts
+
+
+def _referenced_objects(src: str, ns: dict, ns_module: str) -> dict:
+    """{(module, qualname): object} for every dtle_spark object the
+    source references: direct names resolving in ``ns`` (functions,
+    classes, and — when scanning a package module's own namespace —
+    plain constants), plus ``alias.attr`` accesses through package
+    module aliases (module-level imports in ``ns`` or imports inside
+    the body). Over-approximation (names also match inside strings/
+    comments) is fine: the set only decides re-gate PRIORITY."""
     import inspect
     import re
 
-    src = _query_source(name)
-    fn = REGISTRY[name].spark_fn
-    names = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", src))
-    seeds: set[str] = set()
-    g = getattr(fn, "__globals__", {})
-    for n in names & set(g):
-        v = g[n]
+    eff = dict(ns)
+    local, out = _local_pkg_imports(src)
+    eff.update(local)
+    names = set(re.findall(r"[A-Za-z_]\w*", src))
+    for n in sorted(names & set(eff)):
+        v = eff[n]
         if inspect.ismodule(v):
-            m = getattr(v, "__name__", "")
-        else:
-            m = getattr(v, "__module__", "") or ""
-        if m.startswith("dtle_spark") and m != __name__:
-            seeds.add(m)
-    seeds.update(
-        m for m in re.findall(r"from\s+(dtle_spark[\w.]*)\s+import", src)
-        if m != __name__
-    )
-    # transitive closure over package-internal imports
-    seen: set[str] = set()
-    work = sorted(seeds)
-    while work:
-        m = work.pop()
-        if m in seen or m == __name__:
+            continue  # reached through attr accesses below
+        m = getattr(v, "__module__", "") or ""
+        if (inspect.isfunction(v) or inspect.isclass(v)):
+            if m.startswith("dtle_spark"):
+                out[(m, getattr(v, "__qualname__", n))] = v
+        elif not callable(v) and ns_module.startswith("dtle_spark") \
+                and n in ns and not n.startswith("__"):
+            out[(ns_module, f"<const:{n}>")] = v
+    for alias, attr in set(re.findall(r"\b([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)", src)):
+        mod = eff.get(alias)
+        if not (inspect.ismodule(mod)
+                and getattr(mod, "__name__", "").startswith("dtle_spark")):
             continue
-        seen.add(m)
-        _, imps = _module_info(m)
-        work.extend(i for i in imps if i not in seen)
-    return sorted(seen)
+        v = getattr(mod, attr, None)
+        if v is None:
+            # package-attr submodule access: resolve deterministically
+            # (see _local_pkg_imports) — never via ambient import state
+            if hasattr(mod, "__path__"):
+                import importlib
+
+                try:
+                    v = importlib.import_module(f"{mod.__name__}.{attr}")
+                except ImportError:
+                    continue
+            else:
+                continue
+        if inspect.isfunction(v) or inspect.isclass(v):
+            vm = getattr(v, "__module__", "") or mod.__name__
+            if vm.startswith("dtle_spark"):
+                out[(vm, getattr(v, "__qualname__", attr))] = v
+        elif inspect.ismodule(v):
+            if getattr(v, "__name__", "").startswith("dtle_spark"):
+                out[(v.__name__, "<module>")] = v
+        elif not callable(v):
+            out[(mod.__name__, f"<const:{attr}>")] = v
+    return out
+
+
+def _obj_info(key: tuple[str, str], obj) -> tuple[str, dict]:
+    """(own-source fingerprint, referenced dtle_spark objects) for one
+    object — NO recursive hashing (the traversal collects a flat
+    reachable set, so reference cycles need no special casing)."""
+    import hashlib
+    import inspect
+    import sys
+
+    hit = _OBJ_INFO_CACHE.get(key)
+    if hit is not None:
+        return hit
+    if inspect.ismodule(obj):
+        info = (_module_info(key[0])[0], {})
+    elif inspect.isfunction(obj) or inspect.isclass(obj):
+        try:
+            src = inspect.getsource(obj)
+        except (OSError, TypeError):  # pragma: no cover - builtin/REPL
+            src = f"{key[0]}.{key[1]}"
+            info = (hashlib.md5(src.encode()).hexdigest(), {})
+            _OBJ_INFO_CACHE[key] = info
+            return info
+        # import the defining module explicitly: sys.modules.get would
+        # make the scan namespace depend on ambient import order
+        try:
+            import importlib
+
+            ns = importlib.import_module(key[0]).__dict__
+        except ImportError:  # pragma: no cover - dynamic module
+            ns = getattr(sys.modules.get(key[0]), "__dict__", {})
+        info = (
+            hashlib.md5(src.encode()).hexdigest(),
+            _referenced_objects(src, ns, key[0]),
+        )
+    else:
+        info = (hashlib.md5(_stable_repr(obj).encode()).hexdigest(), {})
+    _OBJ_INFO_CACHE[key] = info
+    return info
+
+
+def _dep_components(name: str) -> dict[str, str]:
+    """{'module.qualname': fingerprint} for every dtle_spark object the
+    query's body transitively rides on — the query's own def and the
+    registry module as a whole are deliberately NOT components (the
+    def is _definition_hash's job; a whole-module component would
+    re-stamp all 140 queries on any edit to any one of them)."""
+    fn = REGISTRY[name].spark_fn
+    src = _query_source(name)
+    work = sorted(
+        _referenced_objects(
+            src, getattr(fn, "__globals__", {}), __name__
+        ).items()
+    )
+    self_key = (getattr(fn, "__module__", __name__), fn.__qualname__)
+    seen: set[tuple[str, str]] = {self_key}
+    comps: dict[str, str] = {}
+
+    def _is_registry_infra(key: tuple[str, str]) -> bool:
+        # the registry's own machinery is every query's neighbor, not a
+        # dependency: the @query decorator, module consts — notably the
+        # REGISTRY dict, whose stable-repr would embed ALL definitions
+        # (fingerprinting it re-creates exactly the re-stamp-everything
+        # regression this algo kills) — and the module itself. Helper
+        # functions AND sibling query defs a body actually calls
+        # (hybrid_rrf -> bm25_topk etc.) stay components: a callee
+        # rewrite must re-stamp its riders.
+        return key[0] == __name__ and (
+            key[1].startswith("<const:")
+            or key[1] in {"query", "QueryPair", "<module>"}
+        )
+
+    while work:
+        key, obj = work.pop()
+        if key in seen or _is_registry_infra(key):
+            continue
+        seen.add(key)
+        fp, refs = _obj_info(key, obj)
+        comps[f"{key[0]}.{key[1]}"] = fp
+        work.extend(sorted(refs.items()))
+    return comps
 
 
 def _dependency_hash(name: str) -> str:
-    """md5 over the source of every dtle_spark module the query
-    depends on (transitively) — changes whenever ANY code the query
-    rides on changes, so the rotation can front-load "dependency
-    changed since last green" even when the query body didn't move."""
+    """md5 over the per-OBJECT fingerprints of everything the query
+    transitively references inside the package (:func:`_dep_components`
+    — algo 2) — changes when code the query actually rides on changes,
+    and ONLY then, so the rotation can front-load "dependency changed
+    since last green" without a common-module edit invalidating the
+    whole registry."""
     import hashlib
 
-    parts = [
-        f"{m}:{_module_info(m)[0]}" for m in _query_dep_modules(name)
-    ]
+    parts = [f"{k}:{v}" for k, v in sorted(_dep_components(name).items())]
     return hashlib.md5("|".join(parts).encode()).hexdigest()
 
 
@@ -1252,15 +1439,20 @@ def write_query_hashes(
     with ``round_no``. Run at the END of each round, after all query
     edits — the driver then checks exactly the stamped definitions.
 
-    ``deps`` is the transitive dtle_spark-module fingerprint
-    (:func:`_dependency_hash`): an operator-file edit under an
-    untouched query body bumps it, stamping the query with the
-    current round and front-loading it in the next driver window —
+    ``deps`` is the per-OBJECT transitive fingerprint
+    (:func:`_dependency_hash`, ``algo`` 2): an edit to an operator
+    function a query actually rides bumps it, stamping the query with
+    the current round and front-loading it in the next driver window —
     the r10 failure mode (apply.py/dq.py changed under six green
-    queries, nothing re-gated them). A stored entry WITHOUT a deps
-    key (pre-r11 format) is backfilled in place, keeping its round:
-    the migration can't know when deps last changed, so it doesn't
-    pretend to.
+    queries, nothing re-gated them) — while an edit to something the
+    query does NOT ride (a new tableio writer, a sibling query's def)
+    moves nothing (the r11 failure mode: whole-module fingerprints
+    re-stamped 139/140 entries every round, so the 50-query window
+    could never chase genuinely-changed definitions). A stored entry
+    WITHOUT the current ``algo`` marker (pre-r11 format, or r11's
+    module-level deps) is backfilled in place, keeping its round: the
+    migration can't know when deps last changed under the new
+    granularity, so it doesn't pretend to.
 
     ``force_stale`` stamps the named queries with ``round_no`` even
     when both hashes match — the manual lever for "I know this
@@ -1286,23 +1478,37 @@ def write_query_hashes(
     for name in REGISTRY:
         h = _definition_hash(name)
         d = _dependency_hash(name)
+        entry = {"hash": h, "deps": d, "algo": _DEPS_ALGO}
         prev = stored.get(name)
         if name in forced:
-            out[name] = {"hash": h, "deps": d, "round": round_no}
+            out[name] = {**entry, "round": round_no}
         elif prev is None:
-            out[name] = {"hash": h, "deps": d, "round": last_green.get(name, 0)}
-        elif prev.get("hash") == h and prev.get("deps", d) == d:
-            # bootstrap-era entries carry round 0 from before their
+            out[name] = {**entry, "round": last_green.get(name, 0)}
+        elif prev.get("hash") == h and (
+            prev.get("algo") != _DEPS_ALGO or prev.get("deps") == d
+        ):
+            rnd = prev.get("round", 0)
+            if prev.get("algo") != _DEPS_ALGO:
+                # algo transition: the stored round may be POLLUTED by
+                # the old granularity (r11's module-level deps stamped
+                # 139/140 entries current at once). With the definition
+                # hash unchanged, the last green is the honest anchor;
+                # entries known to have genuinely moved under their
+                # deps are force_stale's job for the one transition
+                # round (the r11 precedent). Never-green entries keep
+                # the stored round — there is no green to anchor to.
+                lg = last_green.get(name, 0)
+                rnd = lg if lg > 0 else rnd
+            # Bootstrap-era entries carry round 0 from before their
             # first green; once the unchanged definition HAS a green,
             # promote the stamp to that round so the file's "round the
             # definition dates from" semantics hold (a round-0 stamp
             # would otherwise outlive the green it predates)
-            rnd = prev.get("round", 0)
             if rnd == 0 and last_green.get(name, 0) > 0:
                 rnd = last_green[name]
-            out[name] = {"hash": h, "deps": d, "round": rnd}
+            out[name] = {**entry, "round": rnd}
         else:
-            out[name] = {"hash": h, "deps": d, "round": round_no}
+            out[name] = {**entry, "round": round_no}
     with open(os.path.join(_repo_root(), "QUERY_HASHES.json"), "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
         f.write("\n")
@@ -1329,6 +1535,12 @@ def _registry_order() -> list[str]:
     2. fewest historical green rows (tie-break within a round cohort).
     3. definition order.
 
+    Rule 1's ascending last-green sort IS the oldest-green-fill rule:
+    after the changed cohort, remaining window slots go to whatever
+    has been green-stale longest, so no in-sync query's green age can
+    exceed ~(registry/window) rounds while newer greens keep rotating
+    to the back.
+
     Reads the accumulated CORRECTNESS_r*.json files and
     QUERY_HASHES.json at the repo root; falls back to plain definition
     order when none exist."""
@@ -1342,7 +1554,12 @@ def _registry_order() -> list[str]:
         if stored and (
             entry is None
             or entry.get("hash") != _definition_hash(n)
-            or entry.get("deps", _dependency_hash(n)) != _dependency_hash(n)
+            # deps compare only within the current algo: a pre-algo-2
+            # stored fingerprint would mismatch EVERY entry at once
+            # (whole-registry front-load, the regression the sort key
+            # exists to prevent); the migration backfills it instead
+            or (entry.get("algo") == _DEPS_ALGO
+                and entry.get("deps") != _dependency_hash(n))
             or entry.get("round", 0) > lg
         ):
             # definition/deps newer than last green: lead the window.

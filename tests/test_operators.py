@@ -511,13 +511,16 @@ def test_write_query_hashes_round_trip(tmp_path, monkeypatch):
 def test_rotation_front_loads_dependency_changes(monkeypatch):
     """The r10 failure mode: operator modules changed under six green
     queries and nothing re-gated them. A stored deps fingerprint that
-    mismatches the current transitive module hash must lead the
-    window exactly like a body edit; entries WITHOUT a deps key
-    (pre-r11 format) must not front-load (backward compat)."""
+    mismatches the current algo-2 object fingerprint must lead the
+    window exactly like a body edit; entries from an OLDER deps algo
+    (pre-r11 no-deps, or r11's module-level fingerprints) must not
+    front-load even when their stored value mismatches — a format
+    migration would otherwise invalidate the whole registry at once
+    (the r11 lesson, just one level up)."""
     import dtle_spark.queries as q
 
     names = list(q.REGISTRY.keys())
-    a, b = names[0], names[1]
+    a, b, c = names[0], names[1], names[2]
     monkeypatch.setattr(
         q, "_green_history",
         lambda: ({n: 1 for n in names}, {n: 5 for n in names}),
@@ -525,21 +528,74 @@ def test_rotation_front_loads_dependency_changes(monkeypatch):
     real = {
         n: {"hash": q._definition_hash(n), "round": 5} for n in names
     }
-    real[a] = {**real[a], "deps": "0" * 32}        # deps moved under it
-    real[b] = {**real[b], "deps": q._dependency_hash(b)}  # in sync
+    real[a] = {**real[a], "deps": "0" * 32, "algo": q._DEPS_ALGO}  # moved
+    real[b] = {**real[b], "deps": q._dependency_hash(b),
+               "algo": q._DEPS_ALGO}                               # in sync
+    real[c] = {**real[c], "deps": "0" * 32}  # pre-algo-2: mismatch ignored
     monkeypatch.setattr(q, "_stored_hashes", lambda: real)
     order = q._registry_order()
     pos = {n: i for i, n in enumerate(order)}
     assert pos[a] == 0
     assert pos[b] > 0  # in-sync deps don't front-load
+    assert pos[c] > 0  # old-algo deps don't front-load
     # no-deps entries (everything else) also stay back
-    assert pos[names[2]] > 0
+    assert pos[names[3]] > 0
+
+
+def test_dependency_hash_is_object_granular():
+    """The r11 regression this algo exists to kill: a common-module
+    edit must not re-stamp queries that don't ride the edited object.
+    Components of a plain scan-shaped query include the objects it
+    calls (load_table) but NOT unrelated functions in the same module
+    (write_clustered lives in tableio next to load_table), NOT other
+    query definitions, and NOT the registry module as a whole — so
+    adding query N+1 or a new tableio writer re-stamps nothing."""
+    import dtle_spark.queries as q
+
+    name = next(iter(q.REGISTRY))
+    comps = q._dep_components(name)
+    assert any(k.endswith(".load_table") for k in comps), comps
+    assert not any("write_clustered" in k for k in comps)
+    assert "dtle_spark.queries.<module>" not in comps
+    # deterministic across cache states (fresh process equivalence)
+    h1 = q._dependency_hash(name)
+    q._OBJ_INFO_CACHE.clear()
+    assert q._dependency_hash(name) == h1
+    # function-level sensitivity: the component set carries per-object
+    # fingerprints, so a changed load_table source WOULD move the hash
+    key = next(k for k in comps if k.endswith(".load_table"))
+    assert len(comps[key]) == 32  # an md5 of the function's own source
+
+
+def test_rotation_fills_oldest_green_first(monkeypatch):
+    """Task: after the changed cohort, window slots fill oldest-last-
+    green-first (rule 1's ascending sort) — with every stored hash in
+    sync, the order is exactly ascending green age, so no query's
+    green can silently outlive the rotation."""
+    import dtle_spark.queries as q
+
+    names = list(q.REGISTRY.keys())
+    lg = {n: (i % 7) + 2 for i, n in enumerate(names)}
+    monkeypatch.setattr(
+        q, "_green_history", lambda: ({n: 1 for n in names}, dict(lg))
+    )
+    real = {
+        n: {"hash": q._definition_hash(n),
+            "deps": q._dependency_hash(n),
+            "algo": q._DEPS_ALGO, "round": lg[n]}
+        for n in names
+    }
+    monkeypatch.setattr(q, "_stored_hashes", lambda: real)
+    order = q._registry_order()
+    ages = [lg[n] for n in order]
+    assert ages == sorted(ages)
 
 
 def test_write_query_hashes_deps_and_force(tmp_path, monkeypatch):
-    """deps lifecycle: the pre-r11 → r11 migration backfills deps
-    WITHOUT restamping (the migration can't know when deps last
-    changed); a real deps mismatch restamps with the current round;
+    """deps lifecycle: a format migration (pre-r11 no-deps, or an
+    older deps algo) backfills deps WITHOUT restamping (the migration
+    can't know when deps last changed under the new granularity); a
+    real same-algo deps mismatch restamps with the current round;
     force_stale restamps even a fully in-sync entry."""
     import json
 
@@ -550,14 +606,18 @@ def test_write_query_hashes_deps_and_force(tmp_path, monkeypatch):
     (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
         n: {"hash_match": True, "rows_match": True} for n in names[:4]
     }))
-    # pre-r11 format: hash + round only
+    # pre-r11 format (hash + round) and r11 format (module-level deps,
+    # no algo marker) — both migrate in place
     old = {
         n: {"hash": q._definition_hash(n), "round": 2} for n in names[:4]
     }
+    old[names[3]] = {**old[names[3]], "deps": "a" * 32}  # r11 format
     (tmp_path / "QUERY_HASHES.json").write_text(json.dumps(old))
     out = q.write_query_hashes(11)
     assert out[names[0]]["round"] == 2  # migration: round kept
     assert out[names[0]]["deps"] == q._dependency_hash(names[0])
+    assert out[names[0]]["algo"] == q._DEPS_ALGO
+    assert out[names[3]]["round"] == 2  # r11-format deps: also kept
     # simulate an operator edit: tamper the stored deps, regen
     stored = json.loads((tmp_path / "QUERY_HASHES.json").read_text())
     stored[names[1]]["deps"] = "e" * 32
@@ -580,12 +640,17 @@ def test_query_hashes_file_is_current_at_round_close():
     is that the driver gates exactly the definitions on disk."""
     import dtle_spark.queries as q
 
+    # cold cache: earlier tests monkeypatch module members (e.g.
+    # _repo_root), and _obj_info entries computed under a patched
+    # namespace would misreport the on-disk code here
+    q._OBJ_INFO_CACHE.clear()
     stored = q._stored_hashes()
     missing = [n for n in q.REGISTRY if n not in stored]
     assert not missing, f"unstamped queries: {missing}"
     stale = [
         n for n in q.REGISTRY
         if stored[n].get("hash") != q._definition_hash(n)
+        or stored[n].get("algo") != q._DEPS_ALGO
         or stored[n].get("deps") != q._dependency_hash(n)
     ]
     assert not stale, (
