@@ -104,6 +104,21 @@ class FakeDbApiConnection:
         i, ln = 0, len(sql)
         while i < ln:
             ch = sql[i]
+            # %-interpolation is QUOTE-UNAWARE (it's plain string
+            # formatting): check directives everywhere, even inside
+            # SQL string literals — a real driver would choke on an
+            # undoubled literal % no matter where it sits
+            if ch == "%":
+                nxt = sql[i + 1] if i + 1 < ln else ""
+                if nxt == "s":
+                    n += 1
+                elif nxt != "%":
+                    raise FakeDriverError(
+                        1064, f"unsupported format directive %{nxt!r} "
+                        "(literal % must arrive doubled)"
+                    )
+                i += 2
+                continue
             if quote:
                 if ch == "\\" and quote in ("'", '"'):
                     i += 2
@@ -118,21 +133,13 @@ class FakeDbApiConnection:
             if ch in ("'", '"', "`"):
                 quote = ch
             elif ch == "?":
+                # the SERVER-side rule, so quote-aware: a quoted '?'
+                # is data, an unquoted one is a qmark placeholder the
+                # adapter failed to convert
                 raise FakeDriverError(
                     1064, "syntax error: unquoted '?' placeholder "
                     "reached the driver (MySQL drivers use %s)"
                 )
-            elif ch == "%":
-                nxt = sql[i + 1] if i + 1 < ln else ""
-                if nxt == "s":
-                    n += 1
-                elif nxt != "%":
-                    raise FakeDriverError(
-                        1064, f"unsupported format directive %{nxt!r} "
-                        "(literal % must arrive doubled)"
-                    )
-                i += 2
-                continue
             i += 1
         return n
 

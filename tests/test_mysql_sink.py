@@ -466,3 +466,138 @@ def test_mysql_executor_constructor_gated():
 
     with pytest.raises(NotImplementedError, match="pymysql"):
         mysql_executor(host="h", user="u")
+
+
+# ---------------------------------------------------------------------------
+# Contract tests: the PEP-249 grammar the adapter speaks must be exactly
+# what a live pymysql connection would receive — pinned as an ordered
+# method-level transcript (connection.cursor / cursor.execute(sql,
+# params) / cursor.close / connection.commit / connection.rollback).
+# The fake only proves anything if its surface equals the live library's;
+# these pins are written from pymysql's public DB-API semantics (format
+# paramstyle, explicit tx framing, errno in exc.args[0]) so a real-
+# library run can later replay the same transcript assertions verbatim.
+# ---------------------------------------------------------------------------
+
+
+class _CallLog:
+    """Wraps any PEP-249 connection, recording every surface call in
+    order — the grammar transcript the contract pins."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.calls: list[tuple] = []
+
+    def cursor(self):
+        self.calls.append(("cursor",))
+        inner_cur = self.inner.cursor()
+        log = self
+
+        class _Cur:
+            def execute(self, sql, params=None):
+                log.calls.append(("execute", sql, params))
+                return inner_cur.execute(sql, params)
+
+            def close(self):
+                log.calls.append(("close",))
+                return inner_cur.close()
+
+        return _Cur()
+
+    def commit(self):
+        self.calls.append(("commit",))
+        return self.inner.commit()
+
+    def rollback(self):
+        self.calls.append(("rollback",))
+        return self.inner.rollback()
+
+
+def mk_contract_sink(**kw):
+    from dtle_spark.sinks.mysql_sink import DbApiExecutor
+    from tests.dbapi_fake import FakeDbApiConnection
+
+    conn = FakeDbApiConnection()
+    log = _CallLog(conn)
+    sink = MySQLApplierSink(
+        DbApiExecutor(log), "job1",
+        {("mydb", "tbl"): TableSpec(cols())}, **kw,
+    )
+    return sink, log, conn
+
+
+def test_contract_happy_path_transcript():
+    """Full-lifecycle grammar, happy path: every statement rides its
+    own cursor (open -> execute -> close, no leaks), BEGIN is an
+    explicit statement, commit/rollback are CONNECTION methods (never
+    statements), parameterized SQL arrives in format paramstyle with
+    tuple args, and the gtid row is inside the same tx."""
+    sink, log, conn = mk_contract_sink()
+    assert sink.apply_tx(SID, 5, changes_basic()) is True
+    kinds = [c[0] for c in log.calls]
+    # 5 statements (BEGIN + 3 DML + gtid), each: cursor/execute/close
+    assert kinds == ["cursor", "execute", "close"] * 5 + ["commit"]
+    stmts = [c for c in log.calls if c[0] == "execute"]
+    assert stmts[0][1] == "BEGIN" and stmts[0][2] is None
+    for _, sql, params in stmts[1:]:
+        assert "?" not in sql.replace("'", "")  # format paramstyle
+        assert isinstance(params, tuple)
+    assert "COMMIT" not in {s for _, s, _ in stmts}  # method, not stmt
+    assert conn.closed_cursors == conn.cursors_opened == 5
+
+
+def test_contract_deadlock_retry_transcript():
+    """A13 grammar: the deadlock attempt ends in connection.rollback()
+    (never a ROLLBACK statement), the retry replays the FULL tx from
+    BEGIN, and exactly one commit lands."""
+    sink, log, conn = mk_contract_sink()
+    conn.fail_matching("delete from", 1213, once=True)
+    assert sink.apply_tx(SID, 7, changes_basic()) is True
+    kinds = [c[0] for c in log.calls]
+    assert kinds.count("commit") == 1 and kinds.count("rollback") == 1
+    assert kinds.index("rollback") < kinds.index("commit")
+    begins = [i for i, c in enumerate(log.calls)
+              if c[0] == "execute" and c[1] == "BEGIN"]
+    assert len(begins) == 2  # attempt + retry, each explicitly framed
+    # the failing execute still closes its cursor (no leak on error)
+    assert conn.closed_cursors == conn.cursors_opened
+    # durable state holds exactly one copy of each statement
+    sqls = [norm(s) for s, _ in conn.durable]
+    assert sqls.count("replace into mydb.tbl values (%s,%s),(%s,%s)") == 1
+
+
+def test_contract_ignorable_errno_transcript():
+    """A12 grammar: an ignorable server errno (1062) on one statement
+    warns and the tx CONTINUES on the same connection — no rollback,
+    one commit, subsequent statements unaffected."""
+    warns = []
+    sink, log, conn = mk_contract_sink(on_warn=warns.append)
+    conn.fail_matching("update", 1062)
+    assert sink.apply_tx(SID, 6, changes_basic()) is True
+    kinds = [c[0] for c in log.calls]
+    assert kinds.count("rollback") == 0 and kinds.count("commit") == 1
+    assert warns and "1062" in warns[0]
+
+
+def test_contract_fake_enforces_driver_grammar():
+    """The rules a real driver/server enforces, verified to fire in the
+    fake (a fake that accepts what the live library rejects proves
+    nothing): unquoted '?' reaching the driver, placeholder/arg count
+    mismatch, unsupported %-directives, BEGIN inside an open tx, and
+    execute on a closed cursor all raise driver-shaped errors."""
+    from tests.dbapi_fake import FakeDbApiConnection, FakeDriverError
+
+    conn = FakeDbApiConnection()
+    cur = conn.cursor()
+    with pytest.raises(FakeDriverError, match="unquoted '\\?'"):
+        cur.execute("UPDATE t SET a=? WHERE b=%s", ("x",))
+    with pytest.raises(FakeDriverError, match="mismatch"):
+        cur.execute("UPDATE t SET a=%s, b=%s", ("x",))
+    with pytest.raises(FakeDriverError, match="format directive"):
+        cur.execute("SELECT '100%' WHERE a=%s", ("x",))  # undoubled %
+    cur.execute("BEGIN")
+    with pytest.raises(FakeDriverError, match="BEGIN inside"):
+        cur.execute("BEGIN")
+    cur.close()
+    with pytest.raises(FakeDriverError, match="closed"):
+        cur.execute("SELECT 1")
