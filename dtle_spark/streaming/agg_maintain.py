@@ -70,6 +70,7 @@ class AggMaintainJob:
         schema=None,
         max_files_per_trigger: int = 1,
         reader=None,
+        auto_compact_batches: int | None = None,
     ):
         self.spark = spark
         self.source_dir = source_dir
@@ -80,6 +81,9 @@ class AggMaintainJob:
         self.schema = schema
         self.max_files_per_trigger = max_files_per_trigger
         self.reader = reader
+        # self-bounding merge-on-read: apply_batch compacts once delta
+        # subtrees exceed this (see join_maintain.py for the pattern)
+        self.auto_compact_batches = auto_compact_batches
         self.query = None
 
     # -- batch core (exposed for tests/replay) ---------------------------
@@ -97,6 +101,8 @@ class AggMaintainJob:
             .write.mode("overwrite")
             .parquet(os.path.join(gen, _DELTAS, f"ingest_batch={batch_id}"))
         )
+        if self.auto_compact_batches is not None:
+            self.compact(max_batches=self.auto_compact_batches)
 
     # -- reads ------------------------------------------------------------
 

@@ -102,6 +102,7 @@ class Scd2HistoryJob:
         schema=None,
         max_files_per_trigger: int = 1,
         reader=None,
+        auto_compact_batches: int | None = None,
     ):
         self.spark = spark
         self.source_dir = source_dir
@@ -111,6 +112,11 @@ class Scd2HistoryJob:
         self.schema = schema
         self.max_files_per_trigger = max_files_per_trigger
         self.reader = reader
+        # self-bounding merge-on-read: when set, apply_batch triggers
+        # compact() once event subtrees exceed this bound (foreachBatch
+        # thread = the only writer, so the quiesce precondition holds
+        # by construction; rides the JSON job spec as a plain int)
+        self.auto_compact_batches = auto_compact_batches
         self.query = None
 
     # -- batch core (exposed for tests/replay) ---------------------------
@@ -148,6 +154,8 @@ class Scd2HistoryJob:
             return  # already folded by a compaction — skip
         events = events_of_changes(dedupe_redelivered(batch), self.key_cols)
         self._write_events(events, batch_id)
+        if self.auto_compact_batches is not None:
+            self.compact(max_batches=self.auto_compact_batches)
 
     # -- reads ------------------------------------------------------------
 

@@ -108,6 +108,7 @@ class StreamProfileJob:
         max_files_per_trigger: int = 1,
         reader=None,
         group_sql: str | None = None,
+        auto_compact_batches: int | None = None,
     ):
         self.spark = spark
         self.source_dir = source_dir
@@ -121,6 +122,9 @@ class StreamProfileJob:
         self.max_files_per_trigger = max_files_per_trigger
         self.reader = reader
         self.group_sql = group_sql
+        # self-bounding merge-on-read: apply_batch compacts once sketch
+        # subtrees exceed this (see join_maintain.py for the pattern)
+        self.auto_compact_batches = auto_compact_batches
         self.query = None
 
     # -- batch core (exposed for tests/replay) ---------------------------
@@ -163,6 +167,8 @@ class StreamProfileJob:
                 .write.mode("overwrite")
                 .parquet(os.path.join(gen, name, f"ingest_batch={batch_id}"))
             )
+        if self.auto_compact_batches is not None:
+            self.compact(max_batches=self.auto_compact_batches)
 
     # -- reads ------------------------------------------------------------
 

@@ -200,6 +200,20 @@ class TestAggMaintainJob:
         job.apply_batch(_chg(spark, [_c("i", None, (8, "z", 7), 8)]), 8)
         assert _view_dict(job.view())["z"] == (7, 1)
 
+    def test_auto_compact_bounds_delta_subtrees(self, spark, tmp_path):
+        """auto_compact_batches: delta subtrees self-bound over a long
+        stream (merge-on-read stays O(groups x bound)) with zero manual
+        compact() calls; the view still equals the additive recompute."""
+        os.makedirs(str(tmp_path / "src"))
+        job = self._job(spark, tmp_path, auto_compact_batches=2)
+        rows = [(i, ("a", "b")[i % 2], i * 10) for i in range(1, 9)]
+        for i, r in enumerate(rows):
+            job.apply_batch(_chg(spark, [_c("i", None, r, i + 1)]), i)
+            assert job.stats()["ingest_batches"] <= 2, f"batch {i}"
+        assert job.stats()["compacted_through"] > 0
+        want = rollup_of(spark.createDataFrame(rows, ROW), GROUPS, MEASURES)
+        assert _view_dict(job.view()) == _view_dict(want)
+
     def test_fresh_checkpoint_against_old_root_fails(self, spark, tmp_path):
         os.makedirs(str(tmp_path / "src"))
         job = self._job(spark, tmp_path)

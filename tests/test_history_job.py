@@ -128,6 +128,32 @@ class TestScd2HistoryJob:
         with pytest.raises(Exception, match="checkpoint"):
             other.apply_batch(_chg(spark, STREAM_B), 1)
 
+    def test_auto_compact_bounds_event_subtrees(self, spark, tmp_path):
+        """auto_compact_batches: a long stream keeps the event-subtree
+        count bounded with no manual compact() calls, generations roll,
+        and the history still equals the batch operator's recompute —
+        including versions opened before one auto-compaction and closed
+        after a later one."""
+        os.makedirs(str(tmp_path / "src"))
+        job = _job(spark, tmp_path, auto_compact_batches=2)
+        job.seed(spark.createDataFrame(BASE, ROW))
+        stream = STREAM_A + STREAM_B + [
+            _c("i", None, (100 + i, "c", i), 10 + i) for i in range(4)
+        ] + [_c("d", (5, "b", 40), None, 20)]
+        for i, ev in enumerate(stream):
+            job.apply_batch(_chg(spark, [ev]), i)
+            assert job.stats()["ingest_batches"] <= 2, f"batch {i}"
+        st = job.stats()
+        assert st["compacted_through"] > 0
+        assert st["generation"].startswith("gen-")
+        want = _hist_dict(scd2_history(
+            _chg(spark, stream), ["id"],
+            base=spark.createDataFrame(BASE, ROW),
+        ))
+        assert _hist_dict(job.history()) == want
+        # the cross-compaction close landed: version (5, open@4) bounded
+        assert want[(5, 4)][0] == 20 and not want[(5, 4)][1]
+
 
 def test_manager_scd2_job_lifecycle_recover_and_http(spark, tmp_path):
     """The eighth managed job type through the whole control plane:

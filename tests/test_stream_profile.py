@@ -228,6 +228,27 @@ def test_manager_profile_job_lifecycle_recover_and_http(spark, tmp_path):
         server.stop()
 
 
+def test_auto_compact_bounds_sketch_subtrees(spark, tmp_path):
+    """auto_compact_batches on the profiler: sketch subtrees self-bound
+    over a long stream with zero manual compact() calls, and the merged
+    profile still equals the whole-data sketches (additivity survives
+    the rolled generations)."""
+    d = _docs(spark).localCheckpoint()
+    os.makedirs(str(tmp_path / "src"))
+    job = _job(spark, tmp_path, auto_compact_batches=2)
+    for i in range(6):
+        job.apply_batch(d.filter(f"doc_id % 6 = {i}"), i)
+        assert job.stats()["ingest_batches"] <= 2, f"batch {i}"
+    st = job.stats()
+    assert st["compacted_through"] > 0 and st["generation"].startswith("gen-")
+    key = "concat(lang, '/', source)"
+    p = job.profile()
+    assert _cms_cells(p["cms"]) == _cms_cells(sk.cms_sketch(d, key))
+    assert _loghist_cells(p["loghist"]) == _loghist_cells(
+        sk.loghist_sketch(d, "n_chars")
+    )
+
+
 def test_drift_gate_detects_injected_shift(spark, tmp_path):
     """The profiler -> DQ bridge (functions/dq.py dq_drift_report):
     a same-distribution second sample reads as near-zero drift; an
