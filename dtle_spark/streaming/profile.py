@@ -257,6 +257,128 @@ class StreamProfileJob:
 
         return dq_drift_report(baseline, self.profile(), depth=self.depth)
 
+    # -- baseline lifecycle --------------------------------------------------
+    #
+    # The drift gate needs a BLESSED baseline to compare against;
+    # these make it a managed artifact instead of caller-side state:
+    # promote_baseline() persists the current merged profile behind an
+    # atomic pointer (baselines survive generations and compactions —
+    # profile_root level, like the history job's closed store), and
+    # drift_gate() is the promotion decision a pipeline runs before
+    # publishing an increment. Reference context: dtle has no content
+    # gate; this is the SURVEY §2.6 DQ family completing the
+    # profiler -> gate -> promote loop.
+
+    def promote_baseline(self, keep_previous: int = 1) -> str:
+        """Persist the CURRENT merged profile as the blessed baseline:
+        write ``_baseline/baseline-<n>/<sketch>/`` then swap the
+        ``_BASELINE`` pointer atomically (os.replace), so a reader
+        never sees a half-written baseline and a crash mid-promote
+        leaves the previous one in force. Older baselines beyond
+        ``keep_previous`` are GC'd. Returns the new baseline name."""
+        p = self.profile()
+        if p is None:
+            raise ValueError(
+                "promote_baseline before any profiled batch: nothing "
+                "to bless"
+            )
+        root = os.path.join(self.profile_root, "_baseline")
+        os.makedirs(root, exist_ok=True)
+        existing = sorted(
+            int(d.split("-", 1)[1]) for d in os.listdir(root)
+            if d.startswith("baseline-")
+            and os.path.isdir(os.path.join(root, d))
+        )
+        name = f"baseline-{(existing[-1] + 1) if existing else 0}"
+        for sketch, df in p.items():
+            df.coalesce(1).write.mode("error").parquet(
+                os.path.join(root, name, sketch)
+            )
+        tmp = os.path.join(root, "_BASELINE.tmp")
+        with open(tmp, "w") as f:
+            f.write(name)
+        os.replace(tmp, os.path.join(root, "_BASELINE"))
+        keep = {name} | {
+            f"baseline-{n}" for n in existing[-keep_previous:]
+        }
+        for n in existing:
+            d = f"baseline-{n}"
+            if d not in keep:
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        return name
+
+    def baseline(self) -> dict[str, DataFrame] | None:
+        """The promoted baseline profile frames, or None before the
+        first promote. Reads through the atomic pointer."""
+        root = os.path.join(self.profile_root, "_baseline")
+        try:
+            with open(os.path.join(root, "_BASELINE")) as f:
+                name = f.read().strip()
+        except FileNotFoundError:
+            return None
+        return {
+            sketch: self.spark.read.parquet(os.path.join(root, name, sketch))
+            for sketch in _SKETCHES
+        }
+
+    def drift_gate(
+        self, thresholds: dict[str, float]
+    ) -> tuple[bool, DataFrame]:
+        """The promotion decision: drift report of the current profile
+        against the promoted baseline, judged per check. ``thresholds``
+        maps check_name -> max allowed DEVIATION, where deviation is
+        |stat - 1| for ``drift:kmv_ratio`` (1.0 = stable cardinality)
+        and |stat| for the TV and presence checks (0.0 = identical /
+        both-sided). Every check the report emits MUST have a
+        threshold — an unnamed check silently passing is how gates
+        rot. Returns (passed, report with deviation + passed columns);
+        fails loud with no baseline."""
+        base = self.baseline()
+        if base is None:
+            raise ValueError(
+                "drift_gate before promote_baseline: no blessed "
+                "baseline exists to compare against"
+            )
+        rep = self.drift_vs(base)
+        dev = F.when(
+            F.col("check_name") == "drift:kmv_ratio",
+            F.abs(F.col("stat") - 1.0),
+        ).otherwise(F.abs(F.col("stat")))
+        thr = F.lit(None).cast("double")
+        for name, t in sorted(thresholds.items()):
+            thr = F.when(F.col("check_name") == name, F.lit(float(t))
+                         ).otherwise(thr)
+        judged = rep.select(
+            "*",
+            dev.alias("deviation"),
+            thr.alias("threshold"),
+            (dev <= thr).alias("passed"),
+        ).localCheckpoint()
+        unnamed = [
+            r["check_name"]
+            for r in judged.filter("threshold IS NULL")
+            .select("check_name").distinct().collect()
+        ]
+        if unnamed:
+            raise ValueError(
+                f"drift_gate thresholds missing for checks {unnamed}: "
+                "every emitted check needs an explicit policy"
+            )
+        passed = judged.filter(~F.col("passed")).limit(1).count() == 0
+        return passed, judged
+
+    def gate_and_promote(
+        self, thresholds: dict[str, float], keep_previous: int = 1
+    ) -> tuple[bool, DataFrame]:
+        """The pipeline promotion step in one call: run
+        :meth:`drift_gate`; on pass, bless the current profile as the
+        new baseline (the accepted state becomes the next comparison
+        point). Returns (passed, judged report) either way."""
+        passed, rep = self.drift_gate(thresholds)
+        if passed:
+            self.promote_baseline(keep_previous=keep_previous)
+        return passed, rep
+
     def drift_keys_vs(
         self, baseline_cms: DataFrame, probes: DataFrame
     ) -> DataFrame:
@@ -404,6 +526,13 @@ class StreamProfileJob:
 
     def stats(self) -> dict:
         gen = _resolve(self.profile_root)
+        try:
+            with open(os.path.join(
+                self.profile_root, "_baseline", "_BASELINE"
+            )) as f:
+                baseline = f.read().strip()
+        except FileNotFoundError:
+            baseline = None
         return {
             "type": "stream_profile",
             "active": self.query is not None and self.query.isActive,
@@ -411,4 +540,5 @@ class StreamProfileJob:
             "compacted_through": _compacted_through(gen),
             "ingest_batches": len(_ingest_batches(os.path.join(gen, "cms"))),
             "group_sql": self.group_sql,
+            "baseline": baseline,
         }

@@ -249,6 +249,54 @@ def test_auto_compact_bounds_sketch_subtrees(spark, tmp_path):
     )
 
 
+def test_baseline_lifecycle_gate_and_promote(spark, tmp_path):
+    """The profiler's promotion loop as a managed artifact: bless a
+    period (promote_baseline, atomic pointer), a same-distribution
+    increment passes drift_gate and re-blesses (gate_and_promote), an
+    injected shift FAILS the gate and the baseline stays the last
+    accepted one. Gating before any promote and gating with an
+    unnamed check both fail loud."""
+
+    def rows(lo, hi, keys=40, scale=1):
+        return spark.range(lo, hi).selectExpr(
+            "id AS doc_id", "'t' AS text", "'en' AS lang",
+            f"CAST(id % {keys} AS STRING) AS source",
+            f"(1000 + id % 500) * {scale} AS n_chars",
+        )
+
+    os.makedirs(str(tmp_path / "src"))
+    job = _job(spark, tmp_path)
+    job.apply_batch(rows(0, 3000), 0)
+
+    thr = {"drift:kmv_ratio": 0.05, "drift:loghist_tv": 0.10,
+           "drift:cms_tv": 0.15}
+    with pytest.raises(ValueError, match="no blessed baseline"):
+        job.drift_gate(thr)
+    assert job.promote_baseline() == "baseline-0"
+    assert job.stats()["baseline"] == "baseline-0"
+
+    # same-distribution increment: gate passes, state re-blessed
+    job.apply_batch(rows(3000, 6000), 1)
+    passed, rep = job.gate_and_promote(thr)
+    assert passed
+    assert rep.filter("NOT passed").count() == 0
+    assert {r["check_name"] for r in rep.collect()} == set(thr)
+    assert job.stats()["baseline"] == "baseline-1"
+
+    # injected shift (values x16, doubled key space): gate fails,
+    # baseline pointer unchanged
+    job.apply_batch(rows(6000, 12000, keys=80, scale=16), 2)
+    passed, rep = job.gate_and_promote(thr)
+    assert not passed
+    failed = {r["check_name"] for r in rep.filter("NOT passed").collect()}
+    assert "drift:loghist_tv" in failed
+    assert job.stats()["baseline"] == "baseline-1"
+
+    # every emitted check needs a named policy
+    with pytest.raises(ValueError, match="missing for checks"):
+        job.drift_gate({"drift:kmv_ratio": 0.05})
+
+
 def test_drift_gate_detects_injected_shift(spark, tmp_path):
     """The profiler -> DQ bridge (functions/dq.py dq_drift_report):
     a same-distribution second sample reads as near-zero drift; an
