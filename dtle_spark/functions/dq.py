@@ -544,6 +544,38 @@ def dq_drift_keys(
     )
 
 
+def judge_drift(report: DataFrame, thresholds: dict[str, float]) -> DataFrame:
+    """The promotion JUDGMENT over a drift report (any rung of the
+    ladder): appends ``deviation`` (|stat - 1| for ``drift:kmv_ratio``
+    — 1.0 means stable cardinality — |stat| for the TV and presence
+    checks, where 0.0 means identical/both-sided), the named
+    ``threshold``, and ``passed``. Pure plan — composes lazily with
+    the report and is oracle-gatable.
+
+    Policy is explicit per check: a report row whose check_name has no
+    entry in ``thresholds`` raises AT EXECUTION (raise_error) rather
+    than silently passing — an unnamed check silently passing is how
+    gates rot. StreamProfileJob.drift_gate folds this to the one
+    (passed, report) promotion decision."""
+    dev = F.when(
+        F.col("check_name") == "drift:kmv_ratio",
+        F.abs(F.col("stat") - 1.0),
+    ).otherwise(F.abs(F.col("stat")))
+    thr = F.raise_error(F.concat(
+        F.lit("no drift_gate threshold named for check "),
+        F.col("check_name"),
+    )).cast("double")
+    for name, t in sorted(thresholds.items(), reverse=True):
+        thr = F.when(F.col("check_name") == name, F.lit(float(t))
+                     ).otherwise(thr)
+    return report.select(
+        "*",
+        dev.alias("deviation"),
+        thr.alias("threshold"),
+        (dev <= thr).alias("passed"),
+    )
+
+
 def dq_referential(
     child: DataFrame,
     parent: DataFrame,

@@ -6671,6 +6671,82 @@ def dq_drift_keys_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dq_drift_keys(base, cur, probes)
 
 
+def _dq_drift_gate_oracle() -> str:
+    """DuckDB mirror of dq_drift_gate_orders: the drift report (the
+    dq_drift_orders oracle verbatim) judged by the same CASE ladder —
+    deviation |stat-1| for the kmv ratio / |stat| otherwise, named
+    per-check thresholds, passed = deviation <= threshold. Deviation
+    is derived from the SAME stat double by the same IEEE ops, so the
+    two engines agree bit-for-bit."""
+    return f"""
+    SELECT check_name, drift_num, drift_denom, stat,
+           CASE WHEN check_name = 'drift:kmv_ratio'
+                THEN ABS(stat - 1.0) ELSE ABS(stat) END AS deviation,
+           CAST(CASE check_name
+                WHEN 'drift:kmv_ratio' THEN 0.5
+                WHEN 'drift:loghist_tv' THEN 0.5
+                WHEN 'drift:cms_tv' THEN 1.0
+           END AS DOUBLE) AS threshold,
+           (CASE WHEN check_name = 'drift:kmv_ratio'
+                 THEN ABS(stat - 1.0) ELSE ABS(stat) END)
+           <= (CASE check_name
+                    WHEN 'drift:kmv_ratio' THEN 0.5
+                    WHEN 'drift:loghist_tv' THEN 0.5
+                    WHEN 'drift:cms_tv' THEN 1.0
+               END) AS passed
+    FROM ({_dq_drift_oracle()})
+    ORDER BY check_name
+    """
+
+
+@query("dq_drift_gate_orders", _dq_drift_gate_oracle())
+def dq_drift_gate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift gate's promotion JUDGMENT (functions/dq.py
+    judge_drift — the fourth rung of the drift ladder: report ->
+    decision): the dq_drift_orders fixture report judged against an
+    explicit per-check policy, appending deviation (|stat-1| for the
+    cardinality ratio, |stat| for the TV distances), the named
+    threshold, and passed. Thresholds chosen so the fixture yields a
+    MIX (the heavy loghist shift fails at 0.5; cms passes exactly at
+    its 1.0 boundary; the kmv ratio passes) — gating the judgment
+    logic itself, not just the report. At 100 TB this is
+    StreamProfileJob.gate_and_promote's decision plan over bounded
+    sketch cells; an emitted check with no named threshold raises at
+    execution instead of silently passing."""
+    from dtle_spark.functions.dq import dq_drift_report, judge_drift
+
+    o = load_table(spark, sf_dir, "orders")
+    even = o.filter("o_orderkey % 2 = 0")
+    odd = o.filter("o_orderkey % 2 = 1")
+    third = o.filter("o_orderkey % 3 = 0")
+    baseline = {
+        "kmv": sk.kmv_distinct(even, "o_custkey", k=256),
+        "cms": sk.cms_sketch(even, "o_orderpriority", depth=4, width=512),
+        "loghist": sk.loghist_sketch(
+            even.selectExpr(
+                "CAST(round(o_totalprice * 100) AS BIGINT) AS x"
+            ),
+            "x",
+        ),
+    }
+    current = {
+        "kmv": sk.kmv_distinct(third, "o_custkey", k=256),
+        "cms": sk.cms_sketch(odd, "o_orderstatus", depth=4, width=512),
+        "loghist": sk.loghist_sketch(
+            odd.selectExpr(
+                "CAST(round(o_totalprice * 300) AS BIGINT) AS x"
+            ),
+            "x",
+        ),
+    }
+    rep = dq_drift_report(baseline, current, depth=4)
+    return judge_drift(rep, {
+        "drift:kmv_ratio": 0.5,
+        "drift:loghist_tv": 0.5,
+        "drift:cms_tv": 1.0,
+    }).orderBy("check_name")
+
+
 @query(
     "weighted_sample_docs",
     f"""

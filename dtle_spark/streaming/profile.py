@@ -325,45 +325,24 @@ class StreamProfileJob:
         self, thresholds: dict[str, float]
     ) -> tuple[bool, DataFrame]:
         """The promotion decision: drift report of the current profile
-        against the promoted baseline, judged per check. ``thresholds``
-        maps check_name -> max allowed DEVIATION, where deviation is
-        |stat - 1| for ``drift:kmv_ratio`` (1.0 = stable cardinality)
-        and |stat| for the TV and presence checks (0.0 = identical /
-        both-sided). Every check the report emits MUST have a
-        threshold — an unnamed check silently passing is how gates
-        rot. Returns (passed, report with deviation + passed columns);
+        against the promoted baseline, judged per check by
+        functions/dq.py judge_drift. ``thresholds`` maps check_name ->
+        max allowed DEVIATION (|stat - 1| for ``drift:kmv_ratio``,
+        |stat| for the TV and presence checks). Every check the report
+        emits MUST have a threshold — an unnamed one raises. Returns
+        (passed, report with deviation/threshold/passed columns);
         fails loud with no baseline."""
+        from dtle_spark.functions.dq import judge_drift
+
         base = self.baseline()
         if base is None:
             raise ValueError(
                 "drift_gate before promote_baseline: no blessed "
                 "baseline exists to compare against"
             )
-        rep = self.drift_vs(base)
-        dev = F.when(
-            F.col("check_name") == "drift:kmv_ratio",
-            F.abs(F.col("stat") - 1.0),
-        ).otherwise(F.abs(F.col("stat")))
-        thr = F.lit(None).cast("double")
-        for name, t in sorted(thresholds.items()):
-            thr = F.when(F.col("check_name") == name, F.lit(float(t))
-                         ).otherwise(thr)
-        judged = rep.select(
-            "*",
-            dev.alias("deviation"),
-            thr.alias("threshold"),
-            (dev <= thr).alias("passed"),
-        ).localCheckpoint()
-        unnamed = [
-            r["check_name"]
-            for r in judged.filter("threshold IS NULL")
-            .select("check_name").distinct().collect()
-        ]
-        if unnamed:
-            raise ValueError(
-                f"drift_gate thresholds missing for checks {unnamed}: "
-                "every emitted check needs an explicit policy"
-            )
+        # judge_drift raises AT EXECUTION for a check with no named
+        # threshold — the localCheckpoint surfaces that loudly here
+        judged = judge_drift(self.drift_vs(base), thresholds).localCheckpoint()
         passed = judged.filter(~F.col("passed")).limit(1).count() == 0
         return passed, judged
 

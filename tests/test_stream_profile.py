@@ -292,8 +292,9 @@ def test_baseline_lifecycle_gate_and_promote(spark, tmp_path):
     assert "drift:loghist_tv" in failed
     assert job.stats()["baseline"] == "baseline-1"
 
-    # every emitted check needs a named policy
-    with pytest.raises(ValueError, match="missing for checks"):
+    # every emitted check needs a named policy (judge_drift raises at
+    # execution; the gate's localCheckpoint surfaces it here)
+    with pytest.raises(Exception, match="no drift_gate threshold"):
         job.drift_gate({"drift:kmv_ratio": 0.05})
 
 
