@@ -23,6 +23,15 @@ Routes (v2, mirroring api/handler/v2/job.go):
     POST   /v2/job/<name>/reverse_start  finish fwd, then start reverse
     POST   /v2/job/<name>/update         pause -> preflight new config
                                          -> resume (400 keeps old cfg)
+    POST   /v2/job/<name>/promote_baseline  bless the profiler's current
+                                         merged profile (stream_profile
+                                         jobs; body: keep_previous)
+    POST   /v2/job/<name>/drift_gate     promotion decision vs the
+                                         blessed baseline (body:
+                                         thresholds {check: max_dev},
+                                         promote: bool re-blesses on
+                                         pass); returns passed + the
+                                         judged report rows
     GET    /v2/schemas                   catalog browse (schemas)
     GET    /v2/schemas/<s>/tables        tables of a schema
     GET    /v2/schemas/<s>/tables/<t>/columns   columns + types + key
@@ -53,7 +62,8 @@ from dtle_spark.model import JobConfig, TableConfig
 from dtle_spark.streaming.jobs import JobManager
 
 _JOB_RE = re.compile(
-    r"^/v2/job/([^/]+)(?:/(pause|resume|position|metrics|reverse|versions|update|finish|reverse_start))?$"
+    r"^/v2/job/([^/]+)(?:/(pause|resume|position|metrics|reverse|versions"
+    r"|update|finish|reverse_start|promote_baseline|drift_gate))?$"
 )
 _SCHEMAS_RE = re.compile(
     r"^/v2/schemas(?:/([^/]+)/tables(?:/([^/]+)/columns)?)?$"
@@ -346,6 +356,38 @@ class _Handler(BaseHTTPRequestHandler):
             d.setdefault("name", name)
             self.manager.update(name, _job_config_from_json(d))
             return self._send(200, {"updated": name})
+        if method == "POST" and action in ("promote_baseline", "drift_gate"):
+            # profiler baseline lifecycle — stream_profile jobs only
+            job = self.manager.get(name)
+            if not hasattr(job, "drift_gate"):
+                return self._send(400, {
+                    "error": f"{action} applies to stream_profile jobs; "
+                             f"{name} is {job.stats().get('type')}"
+                })
+            d = self._body()
+            if action == "promote_baseline":
+                b = job.promote_baseline(
+                    keep_previous=int(d.get("keep_previous", 1))
+                )
+                return self._send(200, {"promoted": name, "baseline": b})
+            thresholds = d.get("thresholds")
+            if not isinstance(thresholds, dict) or not thresholds:
+                return self._send(400, {
+                    "error": "drift_gate needs thresholds: "
+                             "{check_name: max_deviation}"})
+            if d.get("promote"):
+                passed, rep = job.gate_and_promote(
+                    thresholds,
+                    keep_previous=int(d.get("keep_previous", 1)),
+                )
+            else:
+                passed, rep = job.drift_gate(thresholds)
+            # the judged report is dashboard-sized (checks x groups)
+            return self._send(200, {
+                "passed": passed,
+                "baseline": job.stats().get("baseline"),
+                "report": [r.asDict() for r in rep.collect()],
+            })
         if method == "POST" and action == "reverse_start":
             # full orchestration: finish forward at its frontier, wait,
             # start reverse (job.go:1836,1861-1900)

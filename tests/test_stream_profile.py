@@ -224,6 +224,28 @@ def test_manager_profile_job_lifecycle_recover_and_http(spark, tmp_path):
         assert manager.get("p1").stats()["ingest_batches"] == 2
         code, got = _http("GET", "/v2/job/p1")
         assert code == 200 and got["type"] == "stream_profile"
+
+        # baseline lifecycle over HTTP: gate without a baseline is the
+        # job's loud error (400); promote then gate (same data ->
+        # passes); thresholds are mandatory
+        thr = {"drift:kmv_ratio": 0.05, "drift:loghist_tv": 0.05,
+               "drift:cms_tv": 0.05}
+        code, err = _http("POST", "/v2/job/p1/drift_gate",
+                          {"thresholds": thr})
+        assert code == 400 and "no blessed baseline" in err["error"]
+        code, got = _http("POST", "/v2/job/p1/promote_baseline", {})
+        assert code == 200 and got["baseline"] == "baseline-0"
+        code, err = _http("POST", "/v2/job/p1/drift_gate", {})
+        assert code == 400 and "thresholds" in err["error"]
+        code, got = _http("POST", "/v2/job/p1/drift_gate",
+                          {"thresholds": thr, "promote": True})
+        assert code == 200 and got["passed"] is True
+        assert got["baseline"] == "baseline-1"
+        assert {r["check_name"] for r in got["report"]} == set(thr)
+        # a non-profiler job 400s
+        code, err = _http("POST", "/v2/job/nope/drift_gate",
+                          {"thresholds": thr})
+        assert code == 404 or code == 400
     finally:
         server.stop()
 
