@@ -233,7 +233,14 @@ def dq_drift_report(
     engineered < 2^53; a loud per-row guard raises otherwise — see
     :func:`_gate_int`). Pass ``emit_decimal=True`` when the rationals
     can exceed 2^53 (e.g. TV denominators 2*n_b*n_c beyond ~10^15 rows
-    per side) to keep decimal(38,0) output instead."""
+    per side) to keep decimal(38,0) output instead.
+
+    Like the grouped lane, each check contributes only when its sketch
+    kind is present in BOTH profiles — a batch-vs-corpus gate that only
+    tracks scale-invariant TV checks (kmv_ratio compares absolute
+    cardinalities, meaningless for an increment against its corpus)
+    builds only loghist/cms and gets only those rows. At least one
+    kind must be shared."""
     d38 = "decimal(38,0)"
 
     def _kmv_side(df: DataFrame, prefix: str) -> DataFrame:
@@ -252,41 +259,53 @@ def dq_drift_report(
             F.col("kth_min").alias(f"{prefix}_kth"),
         )
 
-    kb, kc = baseline["kmv"], current["kmv"]
-    both_est = ~F.col("c_exact") & ~F.col("b_exact")
-    ratio = (
-        _kmv_side(kc, "c")
-        .crossJoin(F.broadcast(_kmv_side(kb, "b")))
-        .select(
-            F.lit("drift:kmv_ratio").alias("check_name"),
-            F.when(both_est, F.col("c_km1") * F.col("b_kth"))
-            .otherwise(
-                (F.col("c_num").cast(d38) * F.col("b_den").cast(d38)).cast("long")
+    outs: list[DataFrame] = []
+    if "kmv" in baseline and "kmv" in current:
+        kb, kc = baseline["kmv"], current["kmv"]
+        both_est = ~F.col("c_exact") & ~F.col("b_exact")
+        outs.append(
+            _kmv_side(kc, "c")
+            .crossJoin(F.broadcast(_kmv_side(kb, "b")))
+            .select(
+                F.lit("drift:kmv_ratio").alias("check_name"),
+                F.when(both_est, F.col("c_km1") * F.col("b_kth"))
+                .otherwise(
+                    (F.col("c_num").cast(d38) * F.col("b_den").cast(d38)).cast("long")
+                )
+                .cast(d38).alias("drift_num"),
+                F.when(both_est, F.col("b_km1") * F.col("c_kth"))
+                .otherwise(
+                    (F.col("c_den").cast(d38) * F.col("b_num").cast(d38)).cast("long")
+                )
+                .cast(d38).alias("drift_denom"),
             )
-            .cast(d38).alias("drift_num"),
-            F.when(both_est, F.col("b_km1") * F.col("c_kth"))
-            .otherwise(
-                (F.col("c_den").cast(d38) * F.col("b_num").cast(d38)).cast("long")
+            .select(
+                "check_name",
+                _gate_int(F.col("drift_num"), "drift_num", emit_decimal),
+                _gate_int(F.col("drift_denom"), "drift_denom", emit_decimal),
+                (F.col("drift_num").cast("double")
+                 / F.col("drift_denom").cast("double")).alias("stat"),
             )
-            .cast(d38).alias("drift_denom"),
         )
-        .select(
-            "check_name",
-            _gate_int(F.col("drift_num"), "drift_num", emit_decimal),
-            _gate_int(F.col("drift_denom"), "drift_denom", emit_decimal),
-            (F.col("drift_num").cast("double")
-             / F.col("drift_denom").cast("double")).alias("stat"),
+    if "loghist" in baseline and "loghist" in current:
+        outs.append(_tv_distance(
+            baseline["loghist"], current["loghist"], ["e", "sub"],
+            "drift:loghist_tv", emit_decimal=emit_decimal,
+        ))
+    if "cms" in baseline and "cms" in current:
+        outs.append(_tv_distance(
+            baseline["cms"], current["cms"], ["row", "bucket"],
+            "drift:cms_tv", denom_scale=depth, emit_decimal=emit_decimal,
+        ))
+    if not outs:
+        raise ValueError(
+            "dq_drift_report needs at least one sketch kind present in "
+            "BOTH profiles (kmv / loghist / cms)"
         )
-    )
-    lh = _tv_distance(
-        baseline["loghist"], current["loghist"], ["e", "sub"],
-        "drift:loghist_tv", emit_decimal=emit_decimal,
-    )
-    cms = _tv_distance(
-        baseline["cms"], current["cms"], ["row", "bucket"],
-        "drift:cms_tv", denom_scale=depth, emit_decimal=emit_decimal,
-    )
-    return ratio.unionByName(lh).unionByName(cms).orderBy("check_name")
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("check_name")
 
 
 def _tv_distance_grouped(

@@ -20,7 +20,19 @@ Composition of existing pieces, no new algorithms:
   foreachBatch redelivers on crash; a batch id at or below the
   committed watermark is skipped, so at-least-once delivery converges
   to exactly-once corpus content),
-- manifest time travel gives per-batch corpus snapshots for free.
+- manifest time travel gives per-batch corpus snapshots for free,
+- OPTIONAL drift quarantine (``gate_thresholds``): each raw batch's
+  sketch profile is judged against a blessed corpus baseline
+  (functions/dq.py dq_drift_report + judge_drift) BEFORE it can touch
+  the corpus or its dedup index — a poisoned increment (wrong source
+  mix, truncated texts, a format break upstream) lands in the
+  ``quarantine`` table with its judged report instead of polluting
+  state that is expensive to unwind (dedup survivors depend on what
+  entered before them). Quarantined batches are releasable after
+  review (:meth:`release_quarantine` — re-runs the dedup path, no
+  gate). Gate checks default to the scale-invariant TV distances;
+  ``drift:kmv_ratio`` compares absolute cardinalities and is
+  meaningless batch-vs-corpus, so name it only when you track it.
 
 probe_index's equivalence to the re-hashing operator
 (incremental_neardup_filter) is pytest-pinned.
@@ -43,7 +55,16 @@ from dtle_spark.sinks.table_sink import ParquetTableTarget
 
 SCHEMA_NAME = "corpus"
 TABLE_NAME = "documents"
+Q_TABLE = "quarantine"
 _WM_KEY = "__ingest_batch"
+_Q_BATCH = "__q_batch"
+
+# gate check -> the sketch kind it needs (built per batch and at promote)
+_CHECK_KINDS = {
+    "drift:loghist_tv": "loghist",
+    "drift:cms_tv": "cms",
+    "drift:kmv_ratio": "kmv",
+}
 
 
 class CorpusIngestJob:
@@ -59,6 +80,9 @@ class CorpusIngestJob:
         threshold: float = 0.5,
         max_files_per_trigger: int = 1,
         reader=None,
+        gate_thresholds: dict[str, float] | None = None,
+        gate_key_sql: str = "source",
+        gate_value_sql: str = "length(text)",
     ):
         self.spark = spark
         self.source_dir = source_dir
@@ -68,6 +92,19 @@ class CorpusIngestJob:
         self.text_col = text_col
         self.threshold = threshold
         self.max_files_per_trigger = max_files_per_trigger
+        # drift quarantine config (module docstring): {check_name ->
+        # max deviation}; the sketch kinds built per batch derive from
+        # the named checks, so gate cost is only what the policy tracks
+        if gate_thresholds:
+            unknown = sorted(set(gate_thresholds) - set(_CHECK_KINDS))
+            if unknown:
+                raise ValueError(
+                    f"unknown gate checks {unknown}; known: "
+                    f"{sorted(_CHECK_KINDS)}"
+                )
+        self.gate_thresholds = dict(gate_thresholds or {})
+        self.gate_key_sql = gate_key_sql
+        self.gate_value_sql = gate_value_sql
         # raw-corpus on-ramp hook: a callable (spark) -> STREAMING
         # documents frame (e.g. sources/text_corpus.stream_jsonl_corpus
         # over a JSONL dump tree); None keeps the parquet default.
@@ -78,12 +115,150 @@ class CorpusIngestJob:
         self.target = ParquetTableTarget(target_root)
         self.query = None
 
+    # -- drift quarantine gate ---------------------------------------------
+
+    def _gate_root(self) -> str:
+        return os.path.join(self.target.root, "_gate_baseline")
+
+    def _gate_kinds(self) -> tuple[str, ...]:
+        return tuple(sorted(
+            {_CHECK_KINDS[c] for c in self.gate_thresholds}
+        ))
+
+    def _profile_of(self, df: DataFrame) -> dict[str, DataFrame]:
+        from dtle_spark.functions import sketches as sk
+
+        out: dict[str, DataFrame] = {}
+        kinds = self._gate_kinds()
+        if "loghist" in kinds:
+            out["loghist"] = sk.loghist_sketch(df, self.gate_value_sql)
+        if "cms" in kinds:
+            out["cms"] = sk.cms_sketch(df, self.gate_key_sql)
+        if "kmv" in kinds:
+            out["kmv"] = sk.kmv_distinct(df, self.gate_key_sql)
+        return out
+
+    def promote_baseline(self, keep_previous: int = 1) -> str:
+        """Bless the CURRENT corpus's sketch profile as the gate
+        baseline (atomic pointer — streaming/profile.py helpers). Run
+        after seeding/backfilling a known-good corpus, and again
+        whenever an accepted shift should become the new normal."""
+        from dtle_spark.streaming.profile import write_profile_baseline
+
+        if not self.gate_thresholds:
+            raise ValueError(
+                "promote_baseline on an ungated ingest: pass "
+                "gate_thresholds to enable the drift quarantine"
+            )
+        corpus = self.corpus()
+        if corpus is None:
+            raise ValueError(
+                "promote_baseline before any ingested batch: nothing "
+                "to bless"
+            )
+        return write_profile_baseline(
+            self._gate_root(), self._profile_of(corpus),
+            keep_previous=keep_previous,
+        )
+
+    def _judge(self, batch: DataFrame) -> DataFrame | None:
+        """The judged drift report of one raw batch against the
+        blessed baseline, or None when the gate is off / un-blessed
+        (an un-blessed gate ingests everything — bootstrap mode)."""
+        from dtle_spark.functions.dq import dq_drift_report, judge_drift
+        from dtle_spark.streaming.profile import read_profile_baseline
+
+        if not self.gate_thresholds:
+            return None
+        base = read_profile_baseline(
+            self.spark, self._gate_root(), self._gate_kinds()
+        )
+        if base is None:
+            return None
+        return judge_drift(
+            dq_drift_report(base, self._profile_of(batch)),
+            self.gate_thresholds,
+        )
+
+    def quarantine(self) -> DataFrame | None:
+        """Quarantined raw rows (with their ``__q_batch`` id), released
+        batches excluded; None when nothing was ever quarantined."""
+        q = self.target.read(self.spark, SCHEMA_NAME, Q_TABLE)
+        if q is None:
+            return None
+        released = self._released()
+        if released:
+            q = q.filter(~F.col(_Q_BATCH).isin(*sorted(released)))
+        return q
+
+    def gate_report(self, batch_id: int) -> DataFrame:
+        """The judged report recorded when ``batch_id`` was
+        quarantined — the reviewer's evidence."""
+        return self.spark.read.parquet(os.path.join(
+            self.target.path(SCHEMA_NAME, Q_TABLE) + "_reports",
+            f"batch={batch_id}",
+        ))
+
+    def _released_file(self) -> str:
+        return os.path.join(self.target.root, "_gate_released")
+
+    def _released(self) -> set[int]:
+        try:
+            with open(self._released_file()) as f:
+                return {int(x) for x in f.read().split()}
+        except FileNotFoundError:
+            return set()
+
+    def release_quarantine(self, batch_id: int) -> int:
+        """Operator decision: a reviewed quarantined batch enters the
+        corpus through the SAME dedup path (no gate). Idempotent — a
+        crash between the ingest commit and the released marker just
+        re-runs the dedup path, whose exact/near probes against the
+        corpus drop the already-landed rows. Returns rows released."""
+        if batch_id in self._released():
+            return 0
+        q = self.target.read(self.spark, SCHEMA_NAME, Q_TABLE)
+        rows = None if q is None else q.filter(
+            F.col(_Q_BATCH) == batch_id
+        ).drop(_Q_BATCH).localCheckpoint()
+        if rows is None or not rows.limit(1).count():
+            raise ValueError(f"no quarantined batch {batch_id}")
+        # never LOWER the corpus watermark: newer batches may have
+        # committed while this one sat in review
+        cur = self.target.seq_watermark(SCHEMA_NAME, TABLE_NAME)
+        self._ingest(rows, max(cur.get(_WM_KEY, -1), batch_id))
+        with open(self._released_file(), "a") as f:
+            f.write(f"{batch_id}\n")
+        return rows.count()
+
     # -- batch core (exposed for tests/replay) ---------------------------
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         wm = self.target.seq_watermark(SCHEMA_NAME, TABLE_NAME)
-        if wm.get(_WM_KEY, -1) >= batch_id:
+        qwm = self.target.seq_watermark(SCHEMA_NAME, Q_TABLE)
+        if max(wm.get(_WM_KEY, -1), qwm.get(_WM_KEY, -1)) >= batch_id:
             return  # replayed batch already committed — skip (idempotent)
+        judged = self._judge(batch)
+        if judged is not None:
+            judged = judged.localCheckpoint()
+            if judged.filter(~F.col("passed")).limit(1).count():
+                # report FIRST (overwrite — replay-idempotent), then the
+                # quarantine append whose watermark is the commit point
+                judged.coalesce(1).write.mode("overwrite").parquet(
+                    os.path.join(
+                        self.target.path(SCHEMA_NAME, Q_TABLE) + "_reports",
+                        f"batch={batch_id}",
+                    )
+                )
+                self.target.append(
+                    batch.withColumn(_Q_BATCH, F.lit(batch_id).cast("long")),
+                    SCHEMA_NAME, Q_TABLE,
+                    seq_watermark={_WM_KEY: batch_id},
+                )
+                return
+        self._ingest(batch, batch_id)
+
+    def _ingest(self, batch: DataFrame, wm_value: int) -> None:
         # hash the INCREMENT once: index columns computed here are both
         # the probe side now and the stored index afterwards
         indexed = with_dedup_index(batch, self.id_col, self.text_col).localCheckpoint(
@@ -125,7 +300,7 @@ class CorpusIngestJob:
             survivors = indexed
         # commit data + index + watermark in ONE manifest swap
         self.target.append(
-            survivors, SCHEMA_NAME, TABLE_NAME, seq_watermark={_WM_KEY: batch_id}
+            survivors, SCHEMA_NAME, TABLE_NAME, seq_watermark={_WM_KEY: wm_value}
         )
 
     # -- lifecycle -------------------------------------------------------

@@ -59,6 +59,63 @@ _COMPACT_WM_FILE = "_COMPACTED_THROUGH"
 _SKETCHES = ("cms", "kmv", "loghist")
 
 
+def write_profile_baseline(
+    root: str, profile: dict[str, "DataFrame"], keep_previous: int = 1
+) -> str:
+    """Persist sketch-profile frames as a blessed baseline: write
+    ``<root>/baseline-<n>/<sketch>/`` then swap the ``_BASELINE``
+    pointer atomically (os.replace), so a reader never sees a
+    half-written baseline and a crash mid-promote leaves the previous
+    one in force. Older baselines beyond ``keep_previous`` are GC'd.
+    Shared by StreamProfileJob and the corpus-ingest drift gate."""
+    os.makedirs(root, exist_ok=True)
+    existing = sorted(
+        int(d.split("-", 1)[1]) for d in os.listdir(root)
+        if d.startswith("baseline-") and os.path.isdir(os.path.join(root, d))
+    )
+    name = f"baseline-{(existing[-1] + 1) if existing else 0}"
+    for sketch, df in profile.items():
+        df.coalesce(1).write.mode("error").parquet(
+            os.path.join(root, name, sketch)
+        )
+    tmp = os.path.join(root, "_BASELINE.tmp")
+    with open(tmp, "w") as f:
+        f.write(name)
+    os.replace(tmp, os.path.join(root, "_BASELINE"))
+    keep = {name} | {f"baseline-{n}" for n in existing[-keep_previous:]}
+    for n in existing:
+        d = f"baseline-{n}"
+        if d not in keep:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    return name
+
+
+def profile_baseline_name(root: str) -> str | None:
+    """The promoted baseline's name (pointer read), or None."""
+    try:
+        with open(os.path.join(root, "_BASELINE")) as f:
+            return f.read().strip()
+    except FileNotFoundError:
+        return None
+
+
+def read_profile_baseline(
+    spark: "SparkSession", root: str, kinds=_SKETCHES
+) -> dict[str, "DataFrame"] | None:
+    """The promoted baseline's frames for the requested sketch kinds,
+    through the atomic pointer; None before the first promote. A
+    missing kind directory under a promoted baseline fails loud — it
+    means the promote and the gate disagree about which sketches are
+    tracked."""
+    name = profile_baseline_name(root)
+    if name is None:
+        return None
+    return {
+        sketch: spark.read.parquet(os.path.join(root, name, sketch))
+        for sketch in kinds
+    }
+
+
 def _resolve(profile_root: str) -> str:
     try:
         with open(os.path.join(profile_root, _CURRENT)) as f:
@@ -270,56 +327,27 @@ class StreamProfileJob:
     # profiler -> gate -> promote loop.
 
     def promote_baseline(self, keep_previous: int = 1) -> str:
-        """Persist the CURRENT merged profile as the blessed baseline:
-        write ``_baseline/baseline-<n>/<sketch>/`` then swap the
-        ``_BASELINE`` pointer atomically (os.replace), so a reader
-        never sees a half-written baseline and a crash mid-promote
-        leaves the previous one in force. Older baselines beyond
-        ``keep_previous`` are GC'd. Returns the new baseline name."""
+        """Persist the CURRENT merged profile as the blessed baseline
+        (:func:`write_profile_baseline` — atomic pointer swap, older
+        baselines GC'd past ``keep_previous``). Returns the name."""
         p = self.profile()
         if p is None:
             raise ValueError(
                 "promote_baseline before any profiled batch: nothing "
                 "to bless"
             )
-        root = os.path.join(self.profile_root, "_baseline")
-        os.makedirs(root, exist_ok=True)
-        existing = sorted(
-            int(d.split("-", 1)[1]) for d in os.listdir(root)
-            if d.startswith("baseline-")
-            and os.path.isdir(os.path.join(root, d))
+        return write_profile_baseline(
+            os.path.join(self.profile_root, "_baseline"), p,
+            keep_previous=keep_previous,
         )
-        name = f"baseline-{(existing[-1] + 1) if existing else 0}"
-        for sketch, df in p.items():
-            df.coalesce(1).write.mode("error").parquet(
-                os.path.join(root, name, sketch)
-            )
-        tmp = os.path.join(root, "_BASELINE.tmp")
-        with open(tmp, "w") as f:
-            f.write(name)
-        os.replace(tmp, os.path.join(root, "_BASELINE"))
-        keep = {name} | {
-            f"baseline-{n}" for n in existing[-keep_previous:]
-        }
-        for n in existing:
-            d = f"baseline-{n}"
-            if d not in keep:
-                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
-        return name
 
     def baseline(self) -> dict[str, DataFrame] | None:
         """The promoted baseline profile frames, or None before the
         first promote. Reads through the atomic pointer."""
-        root = os.path.join(self.profile_root, "_baseline")
-        try:
-            with open(os.path.join(root, "_BASELINE")) as f:
-                name = f.read().strip()
-        except FileNotFoundError:
-            return None
-        return {
-            sketch: self.spark.read.parquet(os.path.join(root, name, sketch))
-            for sketch in _SKETCHES
-        }
+        return read_profile_baseline(
+            self.spark, os.path.join(self.profile_root, "_baseline"),
+            _SKETCHES,
+        )
 
     def drift_gate(
         self, thresholds: dict[str, float]
@@ -505,13 +533,9 @@ class StreamProfileJob:
 
     def stats(self) -> dict:
         gen = _resolve(self.profile_root)
-        try:
-            with open(os.path.join(
-                self.profile_root, "_baseline", "_BASELINE"
-            )) as f:
-                baseline = f.read().strip()
-        except FileNotFoundError:
-            baseline = None
+        baseline = profile_baseline_name(
+            os.path.join(self.profile_root, "_baseline")
+        )
         return {
             "type": "stream_profile",
             "active": self.query is not None and self.query.isActive,

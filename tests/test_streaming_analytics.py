@@ -375,6 +375,90 @@ def test_streaming_corpus_ingest_within_batch_neardup(spark, tmp_path):
     assert ids == {1, 3}  # 2 near-dropped within the batch
 
 
+def test_corpus_ingest_drift_quarantine_lifecycle(spark, tmp_path):
+    """The drift quarantine on the streaming corpus builder: a batch
+    whose profile fails the gate lands in the quarantine table with
+    its judged report and NEVER touches the corpus or its dedup index;
+    clean batches keep flowing; a replayed quarantined batch is a
+    no-op; release_quarantine() admits a reviewed batch through the
+    same dedup path and is idempotent."""
+    import os
+
+    from dtle_spark.streaming.corpus_ingest import CorpusIngestJob
+
+    def docs(ids, source, tokens_per_doc=12):
+        # per-doc-unique tokens (no accidental near-dups), FIXED token
+        # width (doc length must not drift with the id's digit count —
+        # the gate tracks the length distribution)
+        rows = [
+            (i, " ".join(f"w{i:04d}x{j:03d}" for j in range(tokens_per_doc)),
+             "en", source)
+            for i in ids
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    job = CorpusIngestJob(
+        spark, os.path.join(src, "*"), str(tmp_path / "tgt"),
+        str(tmp_path / "ckpt"),
+        gate_thresholds={"drift:loghist_tv": 0.6, "drift:cms_tv": 0.6},
+    )
+    # unknown check names fail at construction
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown gate checks"):
+        CorpusIngestJob(
+            spark, os.path.join(src, "*"), str(tmp_path / "t2"),
+            str(tmp_path / "c2"), gate_thresholds={"drift:nope": 0.1},
+        )
+
+    # bootstrap: gate configured but un-blessed -> everything ingests
+    b0 = docs(range(0, 40), "s0").union(docs(range(40, 80), "s1"))
+    job.apply_batch(b0, 0)
+    assert job.corpus().count() == 80
+    assert job.promote_baseline() == "baseline-0"
+
+    # clean increment: same shape -> passes, corpus grows
+    b1 = docs(range(100, 120), "s0").union(docs(range(120, 140), "s1"))
+    job.apply_batch(b1, 1)
+    assert job.corpus().count() == 120
+    assert job.quarantine() is None
+
+    # poisoned increment: new source, 10x lengths -> quarantined
+    bad = docs(range(200, 240), "spam", tokens_per_doc=120)
+    job.apply_batch(bad, 2)
+    assert job.corpus().count() == 120  # corpus untouched
+    q = job.quarantine()
+    assert q.count() == 40
+    assert {r["__q_batch"] for r in q.select("__q_batch").collect()} == {2}
+    rep = job.gate_report(2)
+    failed = {r["check_name"] for r in rep.filter("NOT passed").collect()}
+    assert failed == {"drift:loghist_tv", "drift:cms_tv"}
+
+    # replayed quarantined batch: watermark makes it a no-op
+    job.apply_batch(bad, 2)
+    assert job.quarantine().count() == 40
+
+    # the gate keeps flowing for clean batches after a quarantine
+    b3 = docs(range(300, 320), "s0").union(docs(range(320, 340), "s1"))
+    job.apply_batch(b3, 3)
+    assert job.corpus().count() == 160
+
+    # reviewed + released: enters through the SAME dedup path
+    assert job.release_quarantine(2) == 40
+    assert job.corpus().count() == 200
+    assert job.quarantine().count() == 0
+    assert job.release_quarantine(2) == 0  # idempotent
+    with _pytest.raises(ValueError, match="no quarantined batch"):
+        job.release_quarantine(99)
+    # corpus watermark never lowered by the release
+    assert job.target.seq_watermark("corpus", "documents")[
+        "__ingest_batch"] == 3
+
+
 def test_subscription_job_streams_debezium_frames(spark, tmp_path):
     """The reference's third job type (subscription-to-Kafka,
     kafka3.go): change log -> Debezium envelope frames + tombstones +
