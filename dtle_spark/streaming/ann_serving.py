@@ -660,12 +660,20 @@ class VectorIndexMaintainJob(_StreamedVectorJob):
         reader=None,
         carry_cols: tuple[str, ...] = (),
         transform=None,
+        auto_compact_batches: int | None = None,
     ):
         self.spark = spark
         self.source_dir = source_dir
         self.index_root = index_root
         self.checkpoint_dir = checkpoint_dir
         self.carry_cols = tuple(carry_cols)
+        # self-bounding merge-on-read: when set, apply_batch triggers
+        # compact_index once ingest + tombstone subtrees exceed this.
+        # gc_previous stays False — serving probes resolve the pointer
+        # per micro-batch but a probe MID-batch may still hold the old
+        # generation's listing; deleting superseded generations is the
+        # separate VACUUM chore (lake retention, in miniature)
+        self.auto_compact_batches = auto_compact_batches
         # per-batch adapter (e.g. wire_to_vector_ops — CDC wire rows
         # -> (id, vector, op)); runs inside foreachBatch because
         # latest-image collapse is not streaming-legal pre-batch
@@ -747,6 +755,11 @@ class VectorIndexMaintainJob(_StreamedVectorJob):
                 .write.mode("overwrite")
                 .parquet(os.path.join(
                     gen, _TOMBSTONES, f"ingest_batch={batch_id}"))
+            )
+        if self.auto_compact_batches is not None:
+            compact_index(
+                self.spark, self.index_root,
+                max_batches=self.auto_compact_batches,
             )
 
     # -- lifecycle: start/pause/resume from _StreamedVectorJob -----------

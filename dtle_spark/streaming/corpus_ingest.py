@@ -83,6 +83,7 @@ class CorpusIngestJob:
         gate_thresholds: dict[str, float] | None = None,
         gate_key_sql: str = "source",
         gate_value_sql: str = "length(text)",
+        auto_compact_segments: int | None = None,
     ):
         self.spark = spark
         self.source_dir = source_dir
@@ -105,6 +106,12 @@ class CorpusIngestJob:
         self.gate_thresholds = dict(gate_thresholds or {})
         self.gate_key_sql = gate_key_sql
         self.gate_value_sql = gate_value_sql
+        # self-bounding small-file chore: when set, each committed
+        # batch triggers compact_segments once the corpus table's
+        # segment count exceeds this (foreachBatch thread = the only
+        # writer; the manifest swap keeps readers atomic) — same
+        # discipline as the maintainers' auto_compact_batches
+        self.auto_compact_segments = auto_compact_segments
         # raw-corpus on-ramp hook: a callable (spark) -> STREAMING
         # documents frame (e.g. sources/text_corpus.stream_jsonl_corpus
         # over a JSONL dump tree); None keeps the parquet default.
@@ -302,6 +309,11 @@ class CorpusIngestJob:
         self.target.append(
             survivors, SCHEMA_NAME, TABLE_NAME, seq_watermark={_WM_KEY: wm_value}
         )
+        if self.auto_compact_segments is not None:
+            self.target.compact_segments(
+                self.spark, SCHEMA_NAME, TABLE_NAME,
+                max_segments=self.auto_compact_segments,
+            )
 
     # -- lifecycle -------------------------------------------------------
 

@@ -234,6 +234,38 @@ def test_index_compaction_generation_swap(spark, tmp_path):
     assert mj.index().count() == n0 + 200
 
 
+def test_auto_compact_bounds_index_subtrees(spark, tmp_path):
+    """auto_compact_batches on the vector maintainer: ingest subtrees
+    self-bound over a long stream with zero manual compact_index()
+    calls (gc_previous stays False — superseded generations are the
+    separate VACUUM chore), and the served index equals the full
+    corpus throughout."""
+    from dtle_spark.streaming.ann_serving import (
+        _ingest_batches,
+        resolve_index_path,
+    )
+
+    e = _embeddings(spark)
+    cent, cb = _model(e)
+    index_root = str(tmp_path / "index")
+    mj = VectorIndexMaintainJob(
+        spark, "unused", index_root, str(tmp_path / "mck"), cent, cb,
+        auto_compact_batches=2,
+    )
+    for i in range(6):
+        mj.apply_batch(e.filter(F.col("vec_id") % 6 == i), i)
+        gen = resolve_index_path(index_root)
+        assert len(_ingest_batches(gen)) <= 2, f"batch {i}"
+    gen = resolve_index_path(index_root)
+    assert os.path.basename(gen).startswith("gen-")
+    assert mj.index().count() == e.count()
+    # superseded generations were NOT gc'd (VACUUM is separate)
+    assert any(
+        d.startswith("ingest_batch=") or d.startswith("gen-")
+        for d in os.listdir(index_root)
+    )
+
+
 def test_cdc_deletes_and_upserts(spark, tmp_path):
     """CDC-mode maintenance (op column): deletes leave service at the
     next probe, an upsert SUPERSEDES the id's older encoding (A3:

@@ -459,6 +459,43 @@ def test_corpus_ingest_drift_quarantine_lifecycle(spark, tmp_path):
         "__ingest_batch"] == 3
 
 
+def test_corpus_ingest_auto_compact_segments(spark, tmp_path):
+    """auto_compact_segments: the corpus table's segment count
+    self-bounds over a long append stream (the small-file chore wired
+    into the batch loop), content and the batch watermark intact."""
+    import os
+
+    from dtle_spark.sinks.manifest import TableManifest
+    from dtle_spark.streaming.corpus_ingest import CorpusIngestJob
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    job = CorpusIngestJob(
+        spark, os.path.join(src, "*"), str(tmp_path / "tgt"),
+        str(tmp_path / "ckpt"), auto_compact_segments=2,
+    )
+    for b in range(5):
+        rows = [
+            (b * 100 + i, " ".join(f"t{b}b{i}x{j}" for j in range(10)),
+             "en", "s0")
+            for i in range(4)
+        ]
+        job.apply_batch(spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        ), b)
+        m = TableManifest.load(job.target.path("corpus", "documents"))
+        assert len(m.entries) <= 2, f"batch {b}: {sorted(m.entries)}"
+    assert job.corpus().count() == 20
+    assert job.target.seq_watermark("corpus", "documents")[
+        "__ingest_batch"] == 4
+    # replay after a fold: still a no-op
+    job.apply_batch(spark.createDataFrame(
+        [(1, "x", "en", "s0")],
+        "doc_id long, text string, lang string, source string",
+    ), 3)
+    assert job.corpus().count() == 20
+
+
 def test_subscription_job_streams_debezium_frames(spark, tmp_path):
     """The reference's third job type (subscription-to-Kafka,
     kafka3.go): change log -> Debezium envelope frames + tombstones +
