@@ -338,6 +338,42 @@ class CorpusIngestJob:
         if self.query is not None:
             self.query.awaitTermination()
 
+    def pause(self) -> None:
+        if self.query is not None:
+            self.query.stop()
+            self.query = None
+
+    def resume(self) -> "CorpusIngestJob":
+        if self.query is None:
+            self.start()
+        return self
+
+    def position(self) -> dict:
+        wm = self.target.seq_watermark(SCHEMA_NAME, TABLE_NAME)
+        qwm = self.target.seq_watermark(SCHEMA_NAME, Q_TABLE)
+        return {
+            "max_ingest_batch": wm.get(_WM_KEY, -1),
+            "max_quarantined_batch": qwm.get(_WM_KEY, -1),
+            "released": sorted(self._released()),
+        }
+
+    def stats(self) -> dict:
+        from dtle_spark.sinks.manifest import TableManifest
+        from dtle_spark.streaming.profile import profile_baseline_name
+
+        m = TableManifest.load(self.target.path(SCHEMA_NAME, TABLE_NAME))
+        q = TableManifest.load(self.target.path(SCHEMA_NAME, Q_TABLE))
+        return {
+            "type": "corpus_ingest",
+            "active": self.query is not None and self.query.isActive,
+            "segments": len(m.entries) if m else 0,
+            "ingest_batch": m.seq_watermark.get(_WM_KEY, -1) if m else -1,
+            "quarantine_batches": len(q.entries) if q else 0,
+            "released": len(self._released()),
+            "gate": bool(self.gate_thresholds),
+            "baseline": profile_baseline_name(self._gate_root()),
+        }
+
     def corpus(self) -> DataFrame | None:
         """User view: the deduplicated documents, index columns hidden
         (they stay stored — the probe side of the next batch)."""

@@ -23,9 +23,10 @@ Routes (v2, mirroring api/handler/v2/job.go):
     POST   /v2/job/<name>/reverse_start  finish fwd, then start reverse
     POST   /v2/job/<name>/update         pause -> preflight new config
                                          -> resume (400 keeps old cfg)
-    POST   /v2/job/<name>/promote_baseline  bless the profiler's current
-                                         merged profile (stream_profile
-                                         jobs; body: keep_previous)
+    POST   /v2/job/<name>/promote_baseline  bless the current profile as
+                                         the drift baseline (stream_profile
+                                         and gated corpus_ingest jobs;
+                                         body: keep_previous)
     POST   /v2/job/<name>/drift_gate     promotion decision vs the
                                          blessed baseline (body:
                                          thresholds {check: max_dev},
@@ -155,6 +156,7 @@ class _Handler(BaseHTTPRequestHandler):
                     kw = {k: d[k] for k in (
                         "schema", "depth", "width", "k", "subdiv",
                         "max_files_per_trigger", "group_sql",
+                        "auto_compact_batches",
                     ) if k in d}
                     self.manager.create_stream_profile(
                         d["name"], d["source_dir"], d["profile_root"],
@@ -172,8 +174,9 @@ class _Handler(BaseHTTPRequestHandler):
                     if missing:
                         return self._send(400, {
                             "error": f"missing required fields: {missing}"})
-                    kw = {k: d[k] for k in ("max_files_per_trigger",)
-                          if k in d}
+                    kw = {k: d[k] for k in (
+                        "max_files_per_trigger", "auto_compact_batches",
+                    ) if k in d}
                     self.manager.create_agg_maintain(
                         d["name"], d["source_dir"], d["view_root"],
                         d["checkpoint_dir"], d["group_sqls"],
@@ -191,8 +194,9 @@ class _Handler(BaseHTTPRequestHandler):
                     if missing:
                         return self._send(400, {
                             "error": f"missing required fields: {missing}"})
-                    kw = {k: d[k] for k in ("max_files_per_trigger",)
-                          if k in d}
+                    kw = {k: d[k] for k in (
+                        "max_files_per_trigger", "auto_compact_batches",
+                    ) if k in d}
                     self.manager.create_scd2_history(
                         d["name"], d["source_dir"], d["history_root"],
                         d["checkpoint_dir"], d["key_cols"],
@@ -212,13 +216,35 @@ class _Handler(BaseHTTPRequestHandler):
                             "error": f"missing required fields: {missing}"})
                     kw = {k: d[k]
                           for k in ("max_files_per_trigger", "extra_dims",
-                                    "cluster_by")
+                                    "cluster_by", "auto_compact_batches")
                           if k in d}
                     self.manager.create_join_maintain(
                         d["name"], d["source_dir"], d["dim_dir"],
                         d["view_root"], d["checkpoint_dir"], d["key_cols"],
                         d["fk"], d["right_pk"], d["right_cols"],
                         row_schema_ddl=d["row_schema_ddl"],
+                        start=bool(d.get("start", True)), **kw,
+                    )
+                    return self._send(201, {"created": d["name"]})
+                if d.get("type") == "corpus_ingest":
+                    # tenth job type: the streaming corpus builder —
+                    # plain-JSON spec (DDL schema string, float dedup
+                    # threshold, drift-gate thresholds dict)
+                    required = ["name", "source_dir", "target_root",
+                                "checkpoint_dir"]
+                    missing = [k for k in required if not d.get(k)]
+                    if missing:
+                        return self._send(400, {
+                            "error": f"missing required fields: {missing}"})
+                    kw = {k: d[k] for k in (
+                        "schema", "id_col", "text_col", "threshold",
+                        "max_files_per_trigger", "gate_thresholds",
+                        "gate_key_sql", "gate_value_sql",
+                        "auto_compact_segments",
+                    ) if k in d}
+                    self.manager.create_corpus_ingest(
+                        d["name"], d["source_dir"], d["target_root"],
+                        d["checkpoint_dir"],
                         start=bool(d.get("start", True)), **kw,
                     )
                     return self._send(201, {"created": d["name"]})
@@ -239,7 +265,8 @@ class _Handler(BaseHTTPRequestHandler):
                             "error": f"missing required fields: {missing}"})
                     keys = (
                         ("m", "ksub", "dim", "id_col", "vec_col", "schema",
-                         "max_files_per_trigger", "carry_cols", "wire_table")
+                         "max_files_per_trigger", "carry_cols", "wire_table",
+                         "auto_compact_batches")
                         if d["type"] == "vector_maintain"
                         else ("k", "nprobe", "m", "ksub", "dim", "rerank",
                               "where", "exclude_self", "id_col", "vec_col",
@@ -357,12 +384,15 @@ class _Handler(BaseHTTPRequestHandler):
             self.manager.update(name, _job_config_from_json(d))
             return self._send(200, {"updated": name})
         if method == "POST" and action in ("promote_baseline", "drift_gate"):
-            # profiler baseline lifecycle — stream_profile jobs only
+            # drift-baseline lifecycle — the profiler (both actions)
+            # and the gated corpus builder (promote; its gate runs
+            # inside the batch loop, not on demand)
             job = self.manager.get(name)
-            if not hasattr(job, "drift_gate"):
+            needed = "drift_gate" if action == "drift_gate" else "promote_baseline"
+            if not hasattr(job, needed):
                 return self._send(400, {
-                    "error": f"{action} applies to stream_profile jobs; "
-                             f"{name} is {job.stats().get('type')}"
+                    "error": f"{action} does not apply to "
+                             f"{job.stats().get('type')} job {name!r}"
                 })
             d = self._body()
             if action == "promote_baseline":

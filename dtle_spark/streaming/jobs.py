@@ -531,6 +531,41 @@ class JobManager:
             jj.start()
         return jj
 
+    def create_corpus_ingest(
+        self,
+        name: str,
+        source_dir: str,
+        target_root: str,
+        checkpoint_dir: str,
+        start: bool = True,
+        **kw,
+    ):
+        """The streaming corpus builder (streaming/corpus_ingest.py) as
+        the tenth managed job type. The spec is plain JSON end to end —
+        schema is a DDL string, dedup threshold a float, the drift-gate
+        config a {check: max_deviation} dict plus two SQL expressions —
+        so recover() rebuilds the job verbatim and the stream resumes
+        against the same target (manifest watermarks make replays
+        no-ops)."""
+        from dtle_spark.streaming.corpus_ingest import CorpusIngestJob
+
+        if name in self._jobs:
+            raise ValueError(f"job {name!r} already exists")
+        cj = CorpusIngestJob(
+            self.spark, source_dir, target_root, checkpoint_dir, **kw
+        )
+        self._persist_spec(name, {
+            "type": "corpus_ingest",
+            "source_dir": source_dir,
+            "target_root": target_root,
+            "checkpoint_dir": checkpoint_dir,
+            "kw": kw,
+        })
+        self._jobs[name] = cj
+        if start:
+            cj.start()
+        return cj
+
     def _persist_spec(self, name: str, spec: dict) -> None:
         """Atomic spec write. Kwarg serializability is validated HERE,
         after the spec_root check — a manager without persistence must
@@ -610,6 +645,17 @@ class JobManager:
                     start=start, **spec.get("kw", {}),
                 )
                 out.append(jname)
+                continue
+            if spec.get("type") == "corpus_ingest":
+                cname = fname[: -len(".json")]
+                if cname in self._jobs:
+                    continue
+                self.create_corpus_ingest(
+                    cname, spec["source_dir"], spec["target_root"],
+                    spec["checkpoint_dir"], start=start,
+                    **spec.get("kw", {}),
+                )
+                out.append(cname)
                 continue
             if spec.get("type") in ("vector_maintain", "ann_serving"):
                 vname = fname[: -len(".json")]

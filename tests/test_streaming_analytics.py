@@ -496,6 +496,105 @@ def test_corpus_ingest_auto_compact_segments(spark, tmp_path):
     assert job.corpus().count() == 20
 
 
+def test_manager_corpus_ingest_lifecycle_recover_and_http(spark, tmp_path):
+    """The corpus builder as the tenth managed job type: create/list/
+    pause, recover() on a fresh manager from the plain-JSON spec
+    (including the gate config), the HTTP create route with its
+    missing-field 400, and promote_baseline over HTTP for a gated
+    ingest."""
+    import json
+    import os
+    import urllib.request
+
+    from dtle_spark.catalog import SchemaCatalog
+    from dtle_spark.streaming.http_api import ControlServer
+    from dtle_spark.streaming.jobs import JobManager
+
+    def docs(ids, source):
+        rows = [
+            (i, " ".join(f"w{i:04d}x{j:02d}" for j in range(10)),
+             "en", source)
+            for i in ids
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    docs(range(0, 30), "s0").coalesce(1).write.parquet(
+        os.path.join(src, "b0"))
+
+    spec_root = str(tmp_path / "specs")
+    mgr = JobManager(spark, spec_root=spec_root)
+    cj = mgr.create_corpus_ingest(
+        "corpus1", os.path.join(src, "*"), str(tmp_path / "tgt"),
+        str(tmp_path / "ck"),
+        gate_thresholds={"drift:loghist_tv": 0.5},
+    )
+    cj.process_available()
+    st = mgr.list()["corpus1"]
+    assert st["type"] == "corpus_ingest" and st["ingest_batch"] == 0
+    assert st["gate"] and st["baseline"] is None
+    mgr.pause("corpus1")
+
+    # second source file while paused; a FRESH manager recovers the
+    # job — with its gate config — from the JSON spec
+    docs(range(100, 130), "s0").coalesce(1).write.parquet(
+        os.path.join(src, "b1"))
+    mgr2 = JobManager(spark, spec_root=spec_root)
+    assert mgr2.recover(start=False) == ["corpus1"]
+    cj2 = mgr2.get("corpus1")
+    assert cj2.gate_thresholds == {"drift:loghist_tv": 0.5}
+    mgr2.resume("corpus1")
+    cj2.process_available()
+    assert cj2.corpus().count() == 60
+    assert mgr2.position("corpus1")["max_ingest_batch"] == 1
+
+    # HTTP: create (tenth type) + missing-field 400 + promote over HTTP
+    manager = JobManager(spark)
+    server = ControlServer(manager, SchemaCatalog()).start()
+    url = f"http://127.0.0.1:{server.port}"
+
+    def _http(method, path, body=None):
+        req = urllib.request.Request(
+            url + path, method=method,
+            data=json.dumps(body).encode() if body is not None else None,
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req) as r:
+                return r.status, json.loads(r.read() or b"{}")
+        except urllib.error.HTTPError as ex:
+            return ex.code, json.loads(ex.read() or b"{}")
+
+    try:
+        body = {
+            "name": "c1", "type": "corpus_ingest",
+            "source_dir": os.path.join(src, "*"),
+            "checkpoint_dir": str(tmp_path / "hck"),
+            "gate_thresholds": {"drift:loghist_tv": 0.5},
+        }
+        code, err = _http("POST", "/v2/jobs", body)
+        assert code == 400 and "target_root" in err["error"]
+        body["target_root"] = str(tmp_path / "htgt")
+        code, _ = _http("POST", "/v2/jobs", body)
+        assert code == 201
+        manager.get("c1").process_available()
+        code, got = _http("GET", "/v2/job/c1")
+        assert code == 200 and got["type"] == "corpus_ingest"
+        assert got["ingest_batch"] == 1
+        code, got = _http("POST", "/v2/job/c1/promote_baseline", {})
+        assert code == 200 and got["baseline"] == "baseline-0"
+        # drift_gate stays a profiler action: the corpus gate runs in
+        # the batch loop, not on demand
+        code, err = _http("POST", "/v2/job/c1/drift_gate",
+                          {"thresholds": {"drift:loghist_tv": 0.5}})
+        assert code == 400 and "does not apply" in err["error"]
+    finally:
+        server.stop()
+
+
 def test_subscription_job_streams_debezium_frames(spark, tmp_path):
     """The reference's third job type (subscription-to-Kafka,
     kafka3.go): change log -> Debezium envelope frames + tombstones +
