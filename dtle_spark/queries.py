@@ -6574,6 +6574,83 @@ def dq_drift_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dq_drift_report_grouped(baseline, current, depth=4)
 
 
+def _dq_drift_gate_grouped_oracle() -> str:
+    """DuckDB mirror of dq_drift_gate_by_priority: the grouped drift
+    report (the dq_drift_by_priority oracle verbatim) judged by the
+    same CASE ladder — including the presence rung, whose stat is
+    num - denom (not a ratio) and whose deviation is |stat| like the
+    TV checks. Thresholds CAST to DOUBLE (decimal literals are the
+    hash-divergent type class)."""
+    dev = ("CASE WHEN check_name = 'drift:kmv_ratio'"
+           " THEN ABS(stat - 1.0) ELSE ABS(stat) END")
+    thr = ("CAST(CASE check_name"
+           " WHEN 'drift:presence' THEN 0.5"
+           " WHEN 'drift:kmv_ratio' THEN 0.5"
+           " WHEN 'drift:loghist_tv' THEN 0.5"
+           " WHEN 'drift:cms_tv' THEN 0.5"
+           " END AS DOUBLE)")
+    return f"""
+    SELECT check_name, grp, drift_num, drift_denom, stat,
+           {dev} AS deviation,
+           {thr} AS threshold,
+           ({dev}) <= ({thr}) AS passed
+    FROM ({_dq_drift_grouped_oracle()})
+    ORDER BY check_name, grp
+    """
+
+
+@query("dq_drift_gate_by_priority", _dq_drift_gate_grouped_oracle())
+def dq_drift_gate_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The promotion judgment over the GROUPED drift report
+    (functions/dq.py judge_drift on dq_drift_report_grouped) — gating
+    the judgment's presence branch cross-engine: presence stat is
+    num - denom (+1 = group vanished, -1 = appeared), deviation |stat|
+    like the TV checks, so the removed '1-URGENT' group FAILS its
+    presence row while stable groups pass; the per-group loghist TV
+    (prices x3) fails everywhere, the per-group cms TV and kmv ratios
+    pass. One policy judges |groups| x checks rows in one plan — the
+    per-source promotion decision at fleet scale, over bounded sketch
+    cells."""
+    from dtle_spark.functions.dq import dq_drift_report_grouped, judge_drift
+
+    o = load_table(spark, sf_dir, "orders")
+    bl = o.filter("o_orderkey % 2 = 0")
+    cu = o.filter(
+        "o_orderkey % 2 = 1 AND o_orderpriority <> '1-URGENT'"
+    )
+    baseline = {
+        "kmv": sk.kmv_distinct_grouped(bl, "o_orderpriority", "o_custkey", k=64),
+        "cms": sk.cms_sketch_grouped(bl, "o_orderpriority", "o_orderstatus",
+                                     depth=4, width=512),
+        "loghist": sk.loghist_sketch_grouped(
+            bl.selectExpr(
+                "o_orderpriority",
+                "CAST(round(o_totalprice * 100) AS BIGINT) AS x",
+            ),
+            "o_orderpriority", "x",
+        ),
+    }
+    current = {
+        "kmv": sk.kmv_distinct_grouped(cu, "o_orderpriority", "o_custkey", k=64),
+        "cms": sk.cms_sketch_grouped(cu, "o_orderpriority", "o_orderstatus",
+                                     depth=4, width=512),
+        "loghist": sk.loghist_sketch_grouped(
+            cu.selectExpr(
+                "o_orderpriority",
+                "CAST(round(o_totalprice * 300) AS BIGINT) AS x",
+            ),
+            "o_orderpriority", "x",
+        ),
+    }
+    rep = dq_drift_report_grouped(baseline, current, depth=4)
+    return judge_drift(rep, {
+        "drift:presence": 0.5,
+        "drift:kmv_ratio": 0.5,
+        "drift:loghist_tv": 0.5,
+        "drift:cms_tv": 0.5,
+    }).orderBy("check_name", "grp")
+
+
 def _dq_drift_keys_oracle() -> str:
     """DuckDB mirror of dq_drift_keys_events: the same md5-bucket CMS
     cells per side, the same min-fold probe estimates over the top-10
