@@ -496,6 +496,81 @@ def test_corpus_ingest_auto_compact_segments(spark, tmp_path):
     assert job.corpus().count() == 20
 
 
+def test_corpus_quarantine_crash_windows_converge(spark, tmp_path):
+    """The quarantine lane's two crash windows, injected:
+
+    1. crash AFTER the report write, BEFORE the quarantine append (the
+       commit point): the replay overwrites the report and lands the
+       append exactly once — no duplicate quarantine rows.
+    2. crash AFTER release's ingest commit, BEFORE the released
+       marker: re-running release converges — the dedup path's exact
+       probes drop the already-landed rows, the corpus has one copy,
+       and the marker finally lands."""
+    import os
+
+    from dtle_spark.streaming.corpus_ingest import CorpusIngestJob
+
+    def docs(ids, source, tokens_per_doc=12):
+        rows = [
+            (i, " ".join(f"w{i:04d}x{j:03d}" for j in range(tokens_per_doc)),
+             "en", source)
+            for i in ids
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    job = CorpusIngestJob(
+        spark, os.path.join(src, "*"), str(tmp_path / "tgt"),
+        str(tmp_path / "ckpt"),
+        gate_thresholds={"drift:loghist_tv": 0.6, "drift:cms_tv": 0.6},
+    )
+    job.apply_batch(docs(range(0, 40), "s0"), 0)
+    job.promote_baseline()
+
+    # window 1: fail the quarantine APPEND on the poisoned batch
+    bad = docs(range(200, 220), "spam", tokens_per_doc=120)
+    orig_append = job.target.append
+    calls = []
+
+    def exploding_append(*a, **kw):
+        calls.append(1)
+        raise RuntimeError("injected crash before the commit point")
+
+    job.target.append = exploding_append
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="injected crash"):
+            job.apply_batch(bad, 1)
+    finally:
+        job.target.append = orig_append
+    assert calls  # the crash hit after the report, at the append
+    # report exists from the crashed attempt; table does not
+    assert job.gate_report(1).count() > 0
+    assert job.quarantine() is None
+    # replay converges: exactly one quarantined copy
+    job.apply_batch(bad, 1)
+    assert job.quarantine().count() == 20
+    assert job.gate_report(1).filter("NOT passed").count() > 0
+
+    # window 2: release crashes between the ingest commit and the
+    # released marker — simulated by running the ingest half manually
+    q = job.target.read(spark, "corpus", "quarantine")
+    rows = q.filter("__q_batch = 1").drop("__q_batch").localCheckpoint()
+    cur = job.target.seq_watermark("corpus", "documents")["__ingest_batch"]
+    job._ingest(rows, cur)            # the crash: marker never written
+    assert job.corpus().count() == 60
+    assert job.quarantine().count() == 20  # marker missing: still listed
+    released = job.release_quarantine(1)   # the retry
+    assert released == 20
+    assert job.corpus().count() == 60      # dedup dropped the re-ingest
+    assert job.quarantine().count() == 0
+    assert 1 in job._released()
+
+
 def test_manager_corpus_ingest_lifecycle_recover_and_http(spark, tmp_path):
     """The corpus builder as the tenth managed job type: create/list/
     pause, recover() on a fresh manager from the plain-JSON spec
