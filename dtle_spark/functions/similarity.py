@@ -388,6 +388,68 @@ def ivf_assign_cells(
     )
 
 
+def cluster_representatives(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    n: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Topic-balanced coreset selection: assign every vector to its
+    nearest centroid (the ivf_assign_cells argmax fold, keeping the
+    winning score) and keep the ``n`` most CENTRAL members per cell —
+    cluster-balanced representative picking, the corpus-curation move
+    behind per-topic inspection sets, balanced eval slices, and
+    cluster-proportional subsetting (each topic contributes its
+    medoid-like core regardless of cluster size).
+
+    Centrality is the true cosine to the winning centroid (the argmax
+    itself only needs dot/c_norm — the vector's own norm is constant
+    across candidates — but RANKING within a cell must not favor long
+    vectors). A zero-norm vector gets centrality 0.0 (deterministic
+    rank, not an engine-dependent NULL ordering). Returns (cell,
+    id, rank, centrality), rank 1 = most central, ties broken by id.
+
+    Scale shape: one broadcast of the (tiny, trained) centroid table,
+    a map-only argmax over the corpus, then a per-cell top-n window —
+    the window shuffles on cell; k cells bound the skew (each cell's
+    partition is corpus/k on a balanced train). Reference: dtle has no
+    vector surface; SURVEY §2.6 / the LLM-pipeline similarity family
+    (same coreset idea as FAISS's kmeans-sampling utilities)."""
+    from pyspark.sql import Window
+
+    cent_n = centroids.withColumn(
+        "c_norm", F.expr(f"sqrt({dot_expr('c_vec', 'c_vec')})")
+    )
+    cents_arr = cent_n.agg(
+        F.expr("sort_array(collect_list(struct(cent_id, c_vec, c_norm)))").alias("cents")
+    )
+    score = f"({dot_expr('vec', 'c.c_vec')}) / c.c_norm"
+    best = (
+        f"array_max(transform(cents, c -> struct({score} AS cos,"
+        f" c.cent_id AS cell)))"
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.desc("centrality"), F.col(id_col)
+    )
+    return (
+        vectors.select(F.col(id_col), F.col(vec_col).alias("vec"))
+        .crossJoin(F.broadcast(cents_arr))
+        .withColumn("__b", F.expr(best))
+        .withColumn("__vn", norm_expr("vec"))
+        .select(
+            F.col("__b.cell").alias("cell"),
+            F.col(id_col),
+            F.when(F.col("__vn") == 0, F.lit(0.0))
+            .otherwise(F.col("__b.cos") / F.col("__vn"))
+            .alias("centrality"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select("cell", id_col, "rank", "centrality")
+    )
+
+
 def ivf_index_append(
     index: DataFrame,
     new_vectors: DataFrame,

@@ -2204,6 +2204,62 @@ def ann_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("rank", "rnk")
 
 
+def _duck_cluster_reps_oracle(k: int = 16, n: int = 5, dim: int = 64) -> str:
+    """Oracle for cluster_representatives: the same integer-exact
+    trained centroids as ann_topk_ivf_trained, the same argmax
+    assignment keeping the winning dot/c_norm score, then TRUE cosine
+    (divide by the vector's own norm, 0.0 for a zero vector — never an
+    engine-ordered NULL) and a per-cell top-n window."""
+    sums = ", ".join(
+        f"CAST(SUM(CAST(round(CAST(embedding[{i + 1}] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS s{i}"
+        for i in range(dim)
+    )
+    comps = ", ".join(f"CAST(s{i} AS DOUBLE) / 1000000.0 / n" for i in range(dim))
+    return f"""
+WITH centsum AS (
+  SELECT vec_id % {k} AS cent_id, COUNT(*) AS n, {sums}
+  FROM embeddings WHERE {_duck_train_where()} GROUP BY cent_id),
+cent0 AS (SELECT cent_id, [{comps}] AS c_vec FROM centsum),
+cent AS (SELECT cent_id, c_vec, sqrt({_duck_dot('c_vec', 'c_vec')}) AS c_norm FROM cent0),
+cents AS (SELECT list({{'cent_id': cent_id, 'c_vec': c_vec, 'c_norm': c_norm}} ORDER BY cent_id) AS cents FROM cent),
+assigned AS (
+  SELECT vec_id,
+         sqrt({_duck_dot('embedding', 'embedding')}) AS vn,
+         list_max(list_transform(cents.cents,
+           c -> {{'cos': {_duck_ivf_assign_score()}, 'cell': c.cent_id}})) AS b
+  FROM embeddings, cents
+),
+scored AS (
+  SELECT b.cell AS cell, vec_id,
+         CASE WHEN vn = 0 THEN 0.0 ELSE b.cos / vn END AS centrality
+  FROM assigned
+),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY cell ORDER BY centrality DESC, vec_id) AS rank
+      FROM scored)
+SELECT cell, vec_id, rank, centrality FROM r WHERE rank <= {n}
+ORDER BY cell, rank
+"""
+
+
+@query("cluster_representatives", _duck_cluster_reps_oracle())
+def cluster_representatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-balanced coreset selection (similarity.py
+    cluster_representatives): embeddings clustered by the integer-exact
+    trained centroids (the ann_topk_ivf_trained model), each cell
+    contributing its n=5 most central members by TRUE cosine — the
+    corpus-curation move behind per-topic inspection sets and
+    cluster-proportional subsetting, where every topic is represented
+    regardless of its size. At 100 TB: one broadcast centroid table, a
+    map-only argmax over the corpus, a per-cell top-n window (k cells
+    bound the skew) — no pairwise anything."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = sim.ivf_exact_mean_centroids(
+        sim.md5_train_sample(e), k=16
+    ).localCheckpoint()
+    return sim.cluster_representatives(e, cent, n=5).orderBy("cell", "rank")
+
+
 _ANN_TRUNCATED_ORACLE = f"""
 WITH tr0 AS (SELECT vec_id, list_slice(embedding, 1, 32) AS t FROM embeddings),
 tr AS (

@@ -1854,6 +1854,51 @@ def test_ivf_index_append_equals_rebuild(spark):
     assert appended.count() == e.count()
 
 
+def test_cluster_representatives_semantics(spark):
+    """cluster_representatives: hand-checkable 2-D case — every vector
+    lands in its nearest centroid's cell, rank 1 is the TRUE-cosine
+    most-central member (a long vector must not outrank a better-
+    aligned short one), a zero vector gets centrality 0.0 (a
+    deterministic rank, not an engine-ordered NULL), and the n bound
+    holds per cell."""
+    from dtle_spark.functions.similarity import cluster_representatives
+
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "cent_id long, c_vec array<float>",
+    )
+    vecs = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0]),     # perfectly central in cell 0
+            (11, [9.0, 3.0]),     # long but tilted: cos < vec 10's
+            (12, [1.0, 0.4]),     # cell 0, less central than 10
+            (13, [0.0, 2.0]),     # cell 1, perfectly aligned
+            (14, [0.1, 1.0]),     # cell 1
+            (15, [0.0, 0.0]),     # zero vector: centrality 0.0
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["cell"], r["rank"]): (r["vec_id"], r["centrality"])
+        for r in cluster_representatives(vecs, cent, n=2).collect()
+    }
+    assert got[(0, 1)][0] == 10 and abs(got[(0, 1)][1] - 1.0) < 1e-9
+    # vec 11 has the biggest dot but NOT the best cosine: rank 2 goes
+    # to whichever of 11/12 is better aligned (12: cos ~0.928 > 11's
+    # ~0.949?) — compute: 11 cos = 9/sqrt(90)=0.9487; 12 cos =
+    # 1/sqrt(1.16)=0.9285 -> 11 wins rank 2 on true cosine
+    assert got[(0, 2)][0] == 11
+    assert got[(1, 1)][0] == 13 and abs(got[(1, 1)][1] - 1.0) < 1e-9
+    assert got[(1, 2)][0] == 14
+    # zero vector fell outside both cells' top-2; with n=3 it appears
+    # with centrality exactly 0.0
+    all3 = {r["vec_id"]: r["centrality"]
+            for r in cluster_representatives(vecs, cent, n=3).collect()}
+    assert all3[15] == 0.0
+    # n bound holds
+    assert cluster_representatives(vecs, cent, n=1).count() == 2
+
+
 class TestRpEmbedAnn:
     """rp_text_embedding (the oracle-gated feature-hashing lane,
     dedup.py) composed into the ANN stack: the documents table flows
