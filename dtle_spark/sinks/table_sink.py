@@ -46,6 +46,7 @@ from dtle_spark.operators.apply import (
     with_version_columns,
 )
 from dtle_spark.sinks.manifest import (
+    HISTORY_DIR,
     TableManifest,
     gc_unreferenced,
     unique_entry_name,
@@ -214,6 +215,78 @@ class ManifestedTarget:
             m.seq_watermark.update(seq_watermark)
         m.save(p)  # <- the commit point
         gc_unreferenced(p, m)
+
+    def purge_keys(
+        self,
+        spark: SparkSession,
+        schema_name: str,
+        table_name: str,
+        key_col: str,
+        keys: DataFrame,
+    ) -> int:
+        """HARD delete (takedown / right-to-be-forgotten): remove every
+        row whose ``key_col`` matches ``keys`` — physically, not a
+        tombstone. Only segments CONTAINING matches are rewritten
+        (anti-join per touched segment; untouched dirs are shared with
+        the new manifest unchanged), one atomic manifest swap commits
+        the purge, and retained HISTORY versions older than it are
+        dropped with their superseded dirs GC'd — time travel across a
+        purge is deliberately severed, because a takedown that survives
+        in a resolvable snapshot is not a takedown.
+
+        Contract notes: history severing happens on EVERY call (also
+        0-hit ones) — that makes the operation idempotent and lets a
+        re-run complete a purge that crashed between the manifest swap
+        and the history prune. The seq watermark rides the swap
+        untouched, so streaming replays stay no-ops. Cost: one scan +
+        conditional rewrite per segment — O(matching segments) writes;
+        at 100 TB, clustering/bucketing the table on the purge key
+        bounds the rewrite to the keys' own row groups. Returns rows
+        purged."""
+        p = self.path(schema_name, table_name)
+        m = TableManifest.load(p)
+        purged = 0
+        if m is not None:
+            keys = keys.select(F.col(key_col)).distinct().localCheckpoint()
+            new_entries: dict[str, str] = {}
+            staged: list[tuple[str, str]] = []  # (staged_dir, final_dir)
+            for logical, d in sorted(m.entries.items()):
+                seg = spark.read.parquet(os.path.join(p, d))
+                kept = seg.join(keys, [key_col], "left_anti").localCheckpoint()
+                n_seg, n_kept = seg.count(), kept.count()
+                if n_kept == n_seg:
+                    new_entries[logical] = d  # untouched: share the dir
+                    continue
+                purged += n_seg - n_kept
+                entry = unique_entry_name("purged")
+                sdir = f"{p}.staged-{entry}"
+                kept.write.mode("overwrite").parquet(sdir)
+                staged.append((sdir, entry))
+                # append-style manifests key logical BY dir name;
+                # bucketed ones key by bucket number / "_table"
+                new_entries[entry if logical == d else logical] = entry
+            if purged:
+                for sdir, entry in staged:
+                    os.rename(sdir, os.path.join(p, entry))
+                m.entries = new_entries
+                m.save(p)  # <- the commit point
+        # sever time travel: drop every retained version older than the
+        # live one, then GC the dirs only they referenced. Runs even on
+        # a 0-hit call so a crash between swap and prune is completable
+        # by re-running the purge.
+        m = TableManifest.load(p)
+        if m is not None:
+            hist = os.path.join(p, HISTORY_DIR)
+            if os.path.isdir(hist):
+                for name in os.listdir(hist):
+                    if name.startswith("_v") and name.endswith(".json") \
+                            and int(name[2:-5]) < m.version:
+                        try:
+                            os.remove(os.path.join(hist, name))
+                        except OSError:
+                            pass
+            gc_unreferenced(p, m)
+        return purged
 
     def compact_segments(
         self, spark: SparkSession, schema_name: str, table_name: str,

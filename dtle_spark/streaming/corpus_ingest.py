@@ -381,3 +381,28 @@ class CorpusIngestJob:
         if df is None:
             return None
         return df.drop(*INDEX_COLS)
+
+    def purge_documents(self, doc_ids: DataFrame) -> dict[str, int]:
+        """Takedown / right-to-be-forgotten: HARD-delete the named
+        documents from the corpus AND the quarantine table —
+        physically (ManifestedTarget.purge_keys: only matching segments
+        rewritten, one manifest swap each, time travel severed; a
+        takedown surviving in a resolvable snapshot is not a takedown).
+
+        Because the dedup index columns live IN the corpus rows, a
+        purged document's fingerprints vanish with it — a later
+        re-submission of the same text is NO LONGER a duplicate and
+        would re-enter the corpus. That is the correct takedown
+        semantics (the content's traces are gone), stated here so
+        nobody expects the purge to also blocklist; a blocklist is a
+        filter policy, not a delete. ``doc_ids``: one column named
+        like ``id_col``. Returns per-table purge counts."""
+        ids = doc_ids.select(F.col(self.id_col)).distinct().localCheckpoint()
+        return {
+            "documents": self.target.purge_keys(
+                self.spark, SCHEMA_NAME, TABLE_NAME, self.id_col, ids
+            ),
+            "quarantine": self.target.purge_keys(
+                self.spark, SCHEMA_NAME, Q_TABLE, self.id_col, ids
+            ),
+        }

@@ -294,6 +294,75 @@ class TestManifestModelProperty:
                     last_version = m.version
 
 
+def test_purge_keys_hard_deletes_and_severs_history(spark, tmp_path):
+    """purge_keys (takedown): matching rows vanish physically, only
+    segments CONTAINING matches are rewritten (untouched dirs shared
+    byte-for-byte), one manifest swap commits it, the seq watermark
+    rides untouched, and time travel across the purge is severed —
+    older retained versions (which still resolve the pre-purge rows)
+    are dropped and their dirs GC'd. A 0-hit call still severs
+    (idempotent crash completion)."""
+    t = ParquetTableTarget(str(tmp_path))
+    for b in range(3):
+        df = spark.createDataFrame(
+            [(b * 10 + i, f"d{b}-{i}") for i in range(4)], "id long, v string"
+        )
+        t.append(df, "s", "docs", seq_watermark={"__wm": b})
+    p = t.path("s", "docs")
+    m0 = TableManifest.load(p)
+    assert len(m0.entries) == 3 and len(TableManifest.versions(p)) == 3
+
+    keys = spark.createDataFrame([(10,), (12,)], "id long")  # segment 1 only
+    assert t.purge_keys(spark, "s", "docs", "id", keys) == 2
+    got = {r["id"] for r in t.read(spark, "s", "docs").collect()}
+    assert got == {0, 1, 2, 3, 11, 13, 20, 21, 22, 23}
+    m1 = TableManifest.load(p)
+    # untouched segments share their dirs; only segment 1 was rewritten
+    shared = set(m0.entries.values()) & set(m1.entries.values())
+    assert len(shared) == 2
+    assert any(e.startswith("purged-") for e in m1.entries.values())
+    # watermark preserved, history severed to the purge version only
+    assert m1.seq_watermark == {"__wm": 2}
+    assert TableManifest.versions(p) == [m1.version]
+    # pre-purge dirs are gone from disk (not just unreferenced)
+    for d in set(m0.entries.values()) - shared:
+        assert not os.path.exists(os.path.join(p, d))
+    # the purged rows resolve through NO retained version
+    for v in TableManifest.versions(p):
+        back = t.read_at_version(spark, "s", "docs", v)
+        assert not {10, 12} & {r["id"] for r in back.collect()}
+
+    # 0-hit purge: nothing rewritten, history still severed (one version)
+    t.append(spark.createDataFrame([(99, "x")], "id long, v string"), "s", "docs")
+    assert len(TableManifest.versions(p)) == 2
+    assert t.purge_keys(
+        spark, "s", "docs", "id",
+        spark.createDataFrame([(12345,)], "id long"),
+    ) == 0
+    assert len(TableManifest.versions(p)) == 1
+    assert t.read(spark, "s", "docs").count() == 11
+
+
+def test_purge_keys_bucketed_target(spark, tmp_path):
+    """purge_keys on a BUCKETED table: bucket-number manifest keys are
+    preserved (only the dir value changes), unaffected buckets share
+    dirs, and reads keep resolving per bucket."""
+    t = BucketedTableTarget(str(tmp_path), n_buckets=4)
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(40)], "id long, v string"
+    )
+    t.seed(df, "s", "tbl", ["id"])
+    m0 = TableManifest.load(t.path("s", "tbl"))
+    keys = spark.createDataFrame([(7,), (8,)], "id long")
+    assert t.purge_keys(spark, "s", "tbl", "id", keys) == 2
+    m1 = TableManifest.load(t.path("s", "tbl"))
+    assert set(m1.entries) == set(m0.entries)  # bucket keys stable
+    changed = [k for k in m0.entries if m0.entries[k] != m1.entries[k]]
+    assert 1 <= len(changed) <= 2
+    got = {r["id"] for r in t.read(spark, "s", "tbl").collect()}
+    assert got == set(range(40)) - {7, 8}
+
+
 def test_orphan_history_newer_than_live_is_ignored(tmp_path):
     """ADVICE r4: a crashed commit must never leave a resolvable
     version that never became live. New write ordering puts history

@@ -571,6 +571,54 @@ def test_corpus_quarantine_crash_windows_converge(spark, tmp_path):
     assert 1 in job._released()
 
 
+def test_corpus_purge_documents_takedown(spark, tmp_path):
+    """purge_documents: the named docs vanish physically from the
+    corpus AND the quarantine table, time travel across the purge is
+    severed, streaming replays stay no-ops (watermark rides the swap),
+    and — the documented takedown semantics — a re-submission of the
+    purged text RE-ENTERS the corpus (its fingerprints vanished with
+    the row; a blocklist is a filter policy, not a delete)."""
+    import os
+
+    from dtle_spark.sinks.manifest import TableManifest
+    from dtle_spark.streaming.corpus_ingest import CorpusIngestJob
+
+    def docs(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    job = CorpusIngestJob(
+        spark, os.path.join(src, "*"), str(tmp_path / "tgt"),
+        str(tmp_path / "ckpt"),
+    )
+    taken = "the exact sentence a rights holder asked us to remove now"
+    job.apply_batch(docs([
+        (1, taken, "en", "s0"),
+        (2, "a completely unrelated document about spark physical plans",
+         "en", "s0"),
+    ]), 0)
+    job.apply_batch(docs([
+        (3, "another unrelated one counting shuffle partitions and rows",
+         "en", "s0"),
+    ]), 1)
+    assert job.corpus().count() == 3
+
+    out = job.purge_documents(spark.createDataFrame([(1,)], "doc_id long"))
+    assert out == {"documents": 1, "quarantine": 0}
+    assert {r["doc_id"] for r in job.corpus().collect()} == {2, 3}
+    # time travel severed; watermark intact -> replays still no-op
+    p = job.target.path("corpus", "documents")
+    assert len(TableManifest.versions(p)) == 1
+    job.apply_batch(docs([(9, "late replay", "en", "s0")]), 1)
+    assert job.corpus().count() == 2
+    # the purged text re-enters: its index rows vanished with it
+    job.apply_batch(docs([(50, taken, "en", "s1")]), 2)
+    assert {r["doc_id"] for r in job.corpus().collect()} == {2, 3, 50}
+
+
 def test_manager_corpus_ingest_lifecycle_recover_and_http(spark, tmp_path):
     """The corpus builder as the tenth managed job type: create/list/
     pause, recover() on a fresh manager from the plain-JSON spec
