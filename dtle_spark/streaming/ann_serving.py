@@ -305,6 +305,7 @@ def compact_index(
     index_root: str,
     max_batches: int = 16,
     gc_previous: bool = False,
+    purge_ids: DataFrame | None = None,
 ) -> int:
     """Small-file chore for the streaming index: when more than
     ``max_batches`` ingest subtrees have accumulated, rewrite them into
@@ -323,6 +324,9 @@ def compact_index(
     compaction, exactly like a lake table's OPTIMIZE after a
     merge-on-read delete. A pure-delete trailing batch still advances
     the watermark (hi spans index AND tombstone batch ids).
+    ``purge_ids`` (see :func:`purge_index_ids`) additionally drops the
+    named ids at fold time and FORCES the fold regardless of
+    ``max_batches`` — the takedown path.
 
     Run OFF the ingest path with the maintain job quiesced (a batch
     landing in the old generation between the compaction read and the
@@ -337,12 +341,16 @@ def compact_index(
     tomb_batches = _ingest_batches(os.path.join(gen, _TOMBSTONES))
     # the tombstone sidecar counts toward the trigger: a delete-heavy
     # stream accumulates sidecar subtrees without growing the index,
-    # and the Δ-bounded claim holds only if folding drains them too
-    if len(batches) + len(tomb_batches) <= max_batches:
+    # and the Δ-bounded claim holds only if folding drains them too.
+    # A PURGE ignores the trigger: a takedown must fold NOW, whatever
+    # the subtree count — and there may be nothing to fold but the
+    # purged rows themselves.
+    if purge_ids is None and len(batches) + len(tomb_batches) <= max_batches:
         return 0
     tomb = read_tombstones(spark, gen)
     hi = max(
-        int(b.split("=", 1)[1]) for b in batches + tomb_batches
+        (int(b.split("=", 1)[1]) for b in batches + tomb_batches),
+        default=_compacted_through(gen),
     )
     new_gen_name = f"gen-{_gen_number(index_root) + 1}"
     new_gen = os.path.join(index_root, new_gen_name)
@@ -352,6 +360,18 @@ def compact_index(
         )
         if tomb is not None:
             cur = sim.apply_tombstones(cur, tomb)
+        if purge_ids is not None:
+            # HARD delete at fold time: purged ids drop from the new
+            # generation physically (takedown semantics — see
+            # purge_index_ids; a tombstone alone is merge-on-read
+            # hiding, and its sidecar would still NAME the ids)
+            cur = cur.join(
+                F.broadcast(
+                    purge_ids.selectExpr(f"{purge_ids.columns[0]} AS id")
+                    .distinct()
+                ),
+                ["id"], "left_anti",
+            )
         # keep carried metadata columns (filtered-search attributes);
         # only the per-batch partition column folds away
         cur = cur.drop("ingest_batch")
@@ -410,6 +430,25 @@ def _gc_generation(index_root: str, gen: str, batches: list[str]) -> None:
             pass
     else:
         shutil.rmtree(gen, ignore_errors=True)
+
+
+def purge_index_ids(
+    spark: SparkSession, index_root: str, ids: DataFrame
+) -> int:
+    """Takedown for the vector index: HARD-delete the named ids — a
+    forced fold (compact_index with ``purge_ids``, ignoring the
+    subtree-count trigger) that drops their codes from the new
+    generation physically and deletes the superseded generation
+    (gc_previous=True; a takedown surviving in an on-disk old
+    generation is not a takedown — run it quiesced like any
+    compaction, including serving). A CDC-delete tombstone is the
+    WRONG tool here: it is merge-on-read hiding whose sidecar still
+    names the ids; the purge leaves no trace of them in the live
+    layout. The corpus-side sibling is
+    CorpusIngestJob.purge_documents. Returns subtrees folded."""
+    return compact_index(
+        spark, index_root, gc_previous=True, purge_ids=ids
+    )
 
 
 def reindex(

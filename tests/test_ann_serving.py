@@ -234,6 +234,57 @@ def test_index_compaction_generation_swap(spark, tmp_path):
     assert mj.index().count() == n0 + 200
 
 
+def test_purge_index_ids_hard_deletes(spark, tmp_path):
+    """The vector-index takedown: purged ids vanish PHYSICALLY — gone
+    from index() and from served results, the superseded generation is
+    deleted from disk (no on-disk trace), no tombstone sidecar names
+    them, the purge forces a fold even under the subtree-count
+    trigger, and the stream keeps ingesting afterwards."""
+    from dtle_spark.streaming.ann_serving import (
+        _ingest_batches,
+        purge_index_ids,
+        resolve_index_path,
+    )
+
+    e = _embeddings(spark)
+    cent, cb = _model(e)
+    index_root = str(tmp_path / "index")
+    mj = VectorIndexMaintainJob(
+        spark, "unused", index_root, str(tmp_path / "mck"), cent, cb
+    )
+    mj.apply_batch(e, 0)
+    n0 = mj.index().count()
+    doomed = [int(r["vec_id"]) for r in
+              e.select("vec_id").limit(3).collect()]
+    ids = spark.createDataFrame([(i,) for i in doomed], "vec_id long")
+
+    gen0 = resolve_index_path(index_root)
+    # one subtree: under any sane trigger — the purge must fold anyway
+    assert purge_index_ids(spark, index_root, ids) == 1
+    gen1 = resolve_index_path(index_root)
+    assert gen1 != gen0 and not os.path.exists(os.path.join(gen0, "ingest_batch=0"))
+    assert mj.index().count() == n0 - 3
+    assert not {r["id"] for r in mj.index().collect()} & set(doomed)
+    # no tombstone sidecar names them in the live generation
+    assert not _ingest_batches(os.path.join(gen1, "_tombstones"))
+
+    # served results exclude the purged ids
+    q = e.filter(F.col("vec_id") % 53 == 0)
+    sj = AnnServingJob(
+        spark, "unused", index_root, str(tmp_path / "results"),
+        str(tmp_path / "sck"), cent, cb, **PQ,
+    )
+    sj.apply_batch(q, 0)
+    assert not {r["neighbor_id"] for r in sj.results().collect()} & set(doomed)
+
+    # the stream keeps ingesting into the purged generation
+    extra = e.limit(10).select(
+        (F.col("vec_id") + 500000).alias("vec_id"), "embedding"
+    )
+    mj.apply_batch(extra, 1)
+    assert mj.index().count() == n0 - 3 + 10
+
+
 def test_auto_compact_bounds_index_subtrees(spark, tmp_path):
     """auto_compact_batches on the vector maintainer: ingest subtrees
     self-bound over a long stream with zero manual compact_index()
