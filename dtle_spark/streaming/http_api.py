@@ -33,6 +33,12 @@ Routes (v2, mirroring api/handler/v2/job.go):
                                          promote: bool re-blesses on
                                          pass); returns passed + the
                                          judged report rows
+    POST   /v2/job/<name>/purge          takedown: hard-delete ids
+                                         (body: ids [..]) — corpus jobs
+                                         purge documents + quarantine;
+                                         vector maintain jobs purge
+                                         index codes (job must be
+                                         PAUSED: the fold needs quiesce)
     GET    /v2/schemas                   catalog browse (schemas)
     GET    /v2/schemas/<s>/tables        tables of a schema
     GET    /v2/schemas/<s>/tables/<t>/columns   columns + types + key
@@ -64,11 +70,17 @@ from dtle_spark.streaming.jobs import JobManager
 
 _JOB_RE = re.compile(
     r"^/v2/job/([^/]+)(?:/(pause|resume|position|metrics|reverse|versions"
-    r"|update|finish|reverse_start|promote_baseline|drift_gate))?$"
+    r"|update|finish|reverse_start|promote_baseline|drift_gate|purge))?$"
 )
 _SCHEMAS_RE = re.compile(
     r"^/v2/schemas(?:/([^/]+)/tables(?:/([^/]+)/columns)?)?$"
 )
+
+
+def _id_ddl(ids: list) -> str:
+    """DDL type for a JSON id list: ints -> long, everything else ->
+    string (JSON has no other id-shaped scalars)."""
+    return "long" if all(isinstance(i, int) for i in ids) else "string"
 
 
 def _job_config_from_json(d: dict) -> JobConfig:
@@ -417,6 +429,40 @@ class _Handler(BaseHTTPRequestHandler):
                 "passed": passed,
                 "baseline": job.stats().get("baseline"),
                 "report": [r.asDict() for r in rep.collect()],
+            })
+        if method == "POST" and action == "purge":
+            # takedown (right-to-be-forgotten): hard delete, never a
+            # tombstone — corpus jobs purge documents + quarantine,
+            # vector maintain jobs purge index codes via a forced fold
+            job = self.manager.get(name)
+            d = self._body()
+            ids = d.get("ids")
+            if not isinstance(ids, list) or not ids:
+                return self._send(400, {
+                    "error": "purge needs ids: a non-empty JSON list"})
+            if hasattr(job, "purge_documents"):
+                ids_df = job.spark.createDataFrame(
+                    [(i,) for i in ids], f"{job.id_col} {_id_ddl(ids)}"
+                )
+                return self._send(200, {
+                    "purged": job.purge_documents(ids_df)})
+            if hasattr(job, "index_root"):  # vector maintain job
+                from dtle_spark.streaming.ann_serving import purge_index_ids
+
+                if job.query is not None and job.query.isActive:
+                    return self._send(400, {
+                        "error": "purge needs the maintain job PAUSED: "
+                                 "the forced fold swaps the generation "
+                                 "under the ingest path"})
+                ids_df = job.spark.createDataFrame(
+                    [(i,) for i in ids], f"{job.id_col} {_id_ddl(ids)}"
+                )
+                return self._send(200, {
+                    "folded": purge_index_ids(
+                        job.spark, job.index_root, ids_df)})
+            return self._send(400, {
+                "error": f"purge does not apply to "
+                         f"{job.stats().get('type')} job {name!r}"
             })
         if method == "POST" and action == "reverse_start":
             # full orchestration: finish forward at its frontier, wait,

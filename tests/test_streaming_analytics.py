@@ -714,6 +714,14 @@ def test_manager_corpus_ingest_lifecycle_recover_and_http(spark, tmp_path):
         code, err = _http("POST", "/v2/job/c1/drift_gate",
                           {"thresholds": {"drift:loghist_tv": 0.5}})
         assert code == 400 and "does not apply" in err["error"]
+        # takedown over HTTP: hard delete, ids mandatory
+        code, err = _http("POST", "/v2/job/c1/purge", {"ids": []})
+        assert code == 400 and "non-empty" in err["error"]
+        n_before = manager.get("c1").corpus().count()
+        victim = manager.get("c1").corpus().select("doc_id").first()[0]
+        code, got = _http("POST", "/v2/job/c1/purge", {"ids": [victim]})
+        assert code == 200 and got["purged"]["documents"] == 1
+        assert manager.get("c1").corpus().count() == n_before - 1
     finally:
         server.stop()
 
