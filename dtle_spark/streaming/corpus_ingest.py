@@ -182,8 +182,15 @@ class CorpusIngestJob:
         )
         if base is None:
             return None
+        # emit_decimal=True: judge_drift reads only the `stat` double,
+        # and this report is reviewer evidence, never hash-gated output
+        # — whereas the default BIGINT lane's 2^53 raise_error guard
+        # would turn the gate into a stream-killer exactly at the
+        # large-corpus scale it exists to protect.
         return judge_drift(
-            dq_drift_report(base, self._profile_of(batch)),
+            dq_drift_report(
+                base, self._profile_of(batch), emit_decimal=True
+            ),
             self.gate_thresholds,
         )
 
@@ -216,12 +223,27 @@ class CorpusIngestJob:
         except FileNotFoundError:
             return set()
 
+    def _require_paused(self, op: str) -> None:
+        """Chore operations (purge, release) and the stream's
+        foreachBatch both do load-modify-save manifest swaps on the
+        same tables; interleaving erases whichever commit loses the
+        race (and purge's history-severing then physically deletes the
+        erased segment's data). Refuse loud instead of racing."""
+        if self.query is not None and self.query.isActive:
+            raise RuntimeError(
+                f"{op} needs the corpus ingest stream PAUSED: it swaps "
+                "the same manifests foreachBatch commits to (pause the "
+                "job, run the chore, resume)"
+            )
+
     def release_quarantine(self, batch_id: int) -> int:
         """Operator decision: a reviewed quarantined batch enters the
         corpus through the SAME dedup path (no gate). Idempotent — a
         crash between the ingest commit and the released marker just
         re-runs the dedup path, whose exact/near probes against the
-        corpus drop the already-landed rows. Returns rows released."""
+        corpus drop the already-landed rows. Returns rows released.
+        Refuses while the stream is active (manifest-swap race)."""
+        self._require_paused("release_quarantine")
         if batch_id in self._released():
             return 0
         q = self.target.read(self.spark, SCHEMA_NAME, Q_TABLE)
@@ -396,7 +418,9 @@ class CorpusIngestJob:
         semantics (the content's traces are gone), stated here so
         nobody expects the purge to also blocklist; a blocklist is a
         filter policy, not a delete. ``doc_ids``: one column named
-        like ``id_col``. Returns per-table purge counts."""
+        like ``id_col``. Returns per-table purge counts. Refuses while
+        the stream is active (manifest-swap race)."""
+        self._require_paused("purge_documents")
         ids = doc_ids.select(F.col(self.id_col)).distinct().localCheckpoint()
         return {
             "documents": self.target.purge_keys(

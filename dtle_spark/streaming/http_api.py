@@ -441,6 +441,15 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._send(400, {
                     "error": "purge needs ids: a non-empty JSON list"})
             if hasattr(job, "purge_documents"):
+                if job.query is not None and job.query.isActive:
+                    # same hazard as the vector branch: purge_keys and
+                    # the stream's foreachBatch both load-modify-save
+                    # the manifest — a concurrent append would be
+                    # erased and its segment physically GC'd
+                    return self._send(400, {
+                        "error": "purge needs the corpus job PAUSED: "
+                                 "it swaps the same manifests the "
+                                 "stream commits to"})
                 ids_df = job.spark.createDataFrame(
                     [(i,) for i in ids], f"{job.id_col} {_id_ddl(ids)}"
                 )
@@ -454,6 +463,21 @@ class _Handler(BaseHTTPRequestHandler):
                         "error": "purge needs the maintain job PAUSED: "
                                  "the forced fold swaps the generation "
                                  "under the ingest path"})
+                # the forced fold also gc's the superseded generation;
+                # a serving job probing the same index_root would have
+                # its files deleted mid-batch — quiesce those too
+                probers = [
+                    n for n, j in self.manager._jobs.items()
+                    if j is not job
+                    and getattr(j, "index_root", None) == job.index_root
+                    and j.query is not None and j.query.isActive
+                ]
+                if probers:
+                    return self._send(400, {
+                        "error": "purge gc's the superseded index "
+                                 "generation: pause serving jobs on "
+                                 f"the same index_root first: {probers}"
+                    })
                 ids_df = job.spark.createDataFrame(
                     [(i,) for i in ids], f"{job.id_col} {_id_ddl(ids)}"
                 )

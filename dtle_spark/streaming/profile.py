@@ -82,7 +82,10 @@ def write_profile_baseline(
     with open(tmp, "w") as f:
         f.write(name)
     os.replace(tmp, os.path.join(root, "_BASELINE"))
-    keep = {name} | {f"baseline-{n}" for n in existing[-keep_previous:]}
+    # keep_previous=0 must keep NONE of the old baselines — a bare
+    # [-0:] slice is the whole list, inverting the GC contract
+    kept_old = existing[-keep_previous:] if keep_previous > 0 else []
+    keep = {name} | {f"baseline-{n}" for n in kept_old}
     for n in existing:
         d = f"baseline-{n}"
         if d not in keep:

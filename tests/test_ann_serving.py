@@ -334,6 +334,22 @@ def test_purge_route_over_http(spark, tmp_path):
             code, err = _http("POST", "/v2/job/vm/purge", {"ids": doomed})
             assert code == 400 and "PAUSED" in err["error"]
         mgr.pause("vm")
+        # an ACTIVE serving job probing the same index_root blocks the
+        # purge: the forced fold gc's the superseded generation, which
+        # would be deleted out from under a mid-batch probe. Stubbed
+        # prober — the guard reads only (index_root, query.isActive).
+        class _Prober:
+            index_root = str(tmp_path / "index")
+
+            class _Q:
+                isActive = True
+
+            query = _Q()
+
+        mgr._jobs["serve-x"] = _Prober()
+        code, err = _http("POST", "/v2/job/vm/purge", {"ids": doomed})
+        assert code == 400 and "serve-x" in err["error"]
+        del mgr._jobs["serve-x"]
         code, got = _http("POST", "/v2/job/vm/purge", {"ids": doomed})
         assert code == 200 and got["folded"] >= 1
         assert mj.index().count() == n0 - 2

@@ -371,6 +371,29 @@ def test_baseline_lifecycle_gate_and_promote(spark, tmp_path):
         job.drift_gate({"drift:kmv_ratio": 0.05})
 
 
+def test_baseline_gc_keep_previous_bounds(spark, tmp_path):
+    """write_profile_baseline's GC contract at the edges:
+    keep_previous=0 keeps NONE of the old baselines (a bare [-0:]
+    slice would keep ALL of them — the inverted contract), and
+    keep_previous=1 keeps exactly the one before."""
+    from dtle_spark.streaming.profile import write_profile_baseline
+
+    root = str(tmp_path / "base")
+    prof = {"kmv": spark.range(3).selectExpr("id AS k")}
+
+    def on_disk():
+        return sorted(
+            d for d in os.listdir(root) if d.startswith("baseline-")
+        )
+
+    assert write_profile_baseline(root, prof, keep_previous=0) == "baseline-0"
+    assert write_profile_baseline(root, prof, keep_previous=0) == "baseline-1"
+    assert write_profile_baseline(root, prof, keep_previous=0) == "baseline-2"
+    assert on_disk() == ["baseline-2"]
+    assert write_profile_baseline(root, prof, keep_previous=1) == "baseline-3"
+    assert on_disk() == ["baseline-2", "baseline-3"]
+
+
 def test_drift_gate_detects_injected_shift(spark, tmp_path):
     """The profiler -> DQ bridge (functions/dq.py dq_drift_report):
     a same-distribution second sample reads as near-zero drift; an

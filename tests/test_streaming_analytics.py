@@ -437,6 +437,11 @@ def test_corpus_ingest_drift_quarantine_lifecycle(spark, tmp_path):
     rep = job.gate_report(2)
     failed = {r["check_name"] for r in rep.filter("NOT passed").collect()}
     assert failed == {"drift:loghist_tv", "drift:cms_tv"}
+    # the gate's report rides the decimal lane (emit_decimal=True):
+    # the BIGINT 2^53 raise_error guard must never become a
+    # stream-killer at large-corpus x large-batch scale; the report is
+    # reviewer evidence, not hash-gated output, so decimal is safe
+    assert dict(rep.dtypes)["drift_num"].startswith("decimal")
 
     # replayed quarantined batch: watermark makes it a no-op
     job.apply_batch(bad, 2)
@@ -619,6 +624,46 @@ def test_corpus_purge_documents_takedown(spark, tmp_path):
     assert {r["doc_id"] for r in job.corpus().collect()} == {2, 3, 50}
 
 
+def test_corpus_chores_refuse_while_stream_active(spark, tmp_path):
+    """purge_documents and release_quarantine REFUSE while the ingest
+    stream is live: both do load-modify-save manifest swaps on the
+    same tables foreachBatch commits to, so racing would erase a
+    committed append from the manifest and then physically GC its
+    segment. availableNow queries drain too fast to hold open, so the
+    guard is exercised against a stubbed live query object — the same
+    `query.isActive` surface the real stream exposes."""
+    import os
+
+    from dtle_spark.streaming.corpus_ingest import CorpusIngestJob
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    job = CorpusIngestJob(
+        spark, os.path.join(src, "*"), str(tmp_path / "tgt"),
+        str(tmp_path / "ckpt"),
+    )
+    job.apply_batch(spark.createDataFrame(
+        [(1, "a doc about manifest swap discipline", "en", "s0")],
+        "doc_id long, text string, lang string, source string",
+    ), 0)
+
+    class _LiveQuery:
+        isActive = True
+
+        def stop(self):
+            self.isActive = False
+
+    job.query = _LiveQuery()
+    ids = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(RuntimeError, match="PAUSED"):
+        job.purge_documents(ids)
+    with pytest.raises(RuntimeError, match="PAUSED"):
+        job.release_quarantine(0)
+    assert job.corpus().count() == 1  # nothing was half-purged
+    job.pause()
+    assert job.purge_documents(ids) == {"documents": 1, "quarantine": 0}
+
+
 def test_manager_corpus_ingest_lifecycle_recover_and_http(spark, tmp_path):
     """The corpus builder as the tenth managed job type: create/list/
     pause, recover() on a fresh manager from the plain-JSON spec
@@ -717,6 +762,18 @@ def test_manager_corpus_ingest_lifecycle_recover_and_http(spark, tmp_path):
         # takedown over HTTP: hard delete, ids mandatory
         code, err = _http("POST", "/v2/job/c1/purge", {"ids": []})
         assert code == 400 and "non-empty" in err["error"]
+        # refused while the stream is live (manifest-swap race) —
+        # stubbed active query, same isActive surface as the stream
+        class _Live:
+            isActive = True
+
+            def stop(self):
+                self.isActive = False
+
+        manager.get("c1").query = _Live()
+        code, err = _http("POST", "/v2/job/c1/purge", {"ids": [1]})
+        assert code == 400 and "PAUSED" in err["error"]
+        manager.get("c1").pause()
         n_before = manager.get("c1").corpus().count()
         victim = manager.get("c1").corpus().select("doc_id").first()[0]
         code, got = _http("POST", "/v2/job/c1/purge", {"ids": [victim]})
