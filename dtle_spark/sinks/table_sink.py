@@ -238,34 +238,50 @@ class ManifestedTarget:
         0-hit ones) — that makes the operation idempotent and lets a
         re-run complete a purge that crashed between the manifest swap
         and the history prune. The seq watermark rides the swap
-        untouched, so streaming replays stay no-ops. Cost: one scan +
-        conditional rewrite per segment — O(matching segments) writes;
-        at 100 TB, clustering/bucketing the table on the purge key
-        bounds the rewrite to the keys' own row groups. Returns rows
-        purged."""
+        untouched, so streaming replays stay no-ops. Cost: ONE scan of
+        the table (key column only, keys broadcast) computes the
+        touched-segment set and the per-segment purge counts via
+        input_file_name(), then one anti-join rewrite per TOUCHED
+        segment — O(touched) Spark jobs, not O(segments); at 100 TB,
+        clustering/bucketing the table on the purge key bounds the
+        rewrite to the keys' own row groups. Returns rows purged."""
         p = self.path(schema_name, table_name)
         m = TableManifest.load(p)
         purged = 0
-        if m is not None:
+        if m is not None and m.entries:
             keys = keys.select(F.col(key_col)).distinct().localCheckpoint()
-            new_entries: dict[str, str] = {}
-            staged: list[tuple[str, str]] = []  # (staged_dir, final_dir)
-            for logical, d in sorted(m.entries.items()):
-                seg = spark.read.parquet(os.path.join(p, d))
-                kept = seg.join(keys, [key_col], "left_anti").localCheckpoint()
-                n_seg, n_kept = seg.count(), kept.count()
-                if n_kept == n_seg:
-                    new_entries[logical] = d  # untouched: share the dir
-                    continue
-                purged += n_seg - n_kept
-                entry = unique_entry_name("purged")
-                sdir = f"{p}.staged-{entry}"
-                kept.write.mode("overwrite").parquet(sdir)
-                staged.append((sdir, entry))
-                # append-style manifests key logical BY dir name;
-                # bucketed ones key by bucket number / "_table"
-                new_entries[entry if logical == d else logical] = entry
+            dirs = sorted(set(m.entries.values()))
+            hits = (
+                spark.read.parquet(*(os.path.join(p, d) for d in dirs))
+                .select(F.col(key_col), F.input_file_name().alias("__file"))
+                .join(F.broadcast(keys), [key_col], "left_semi")
+                .groupBy("__file").agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            per_dir: dict[str, int] = {}  # touched segment -> match count
+            for r in hits:
+                for d in dirs:
+                    if f"/{d}/" in r["__file"]:
+                        per_dir[d] = per_dir.get(d, 0) + r["n"]
+                        break
+            purged = sum(per_dir.values())
             if purged:
+                new_entries: dict[str, str] = {}
+                staged: list[tuple[str, str]] = []  # (staged, final)
+                for logical, d in sorted(m.entries.items()):
+                    if d not in per_dir:
+                        new_entries[logical] = d  # untouched: share dir
+                        continue
+                    kept = spark.read.parquet(os.path.join(p, d)).join(
+                        F.broadcast(keys), [key_col], "left_anti"
+                    )
+                    entry = unique_entry_name("purged")
+                    sdir = f"{p}.staged-{entry}"
+                    kept.write.mode("overwrite").parquet(sdir)
+                    staged.append((sdir, entry))
+                    # append-style manifests key logical BY dir name;
+                    # bucketed ones key by bucket number / "_table"
+                    new_entries[entry if logical == d else logical] = entry
                 for sdir, entry in staged:
                     os.rename(sdir, os.path.join(p, entry))
                 m.entries = new_entries

@@ -48,6 +48,10 @@ from dtle_spark.streaming.ann_serving import (
     _swap_current,
 )
 from dtle_spark.streaming.profile import _compacted_through, _resolve
+from dtle_spark.streaming.schema_guard import (
+    check_upstream_schema,
+    struct_cols,
+)
 
 _COMPACT_WM_FILE = "_COMPACTED_THROUGH"
 _DELTAS = "deltas"
@@ -93,6 +97,16 @@ class AggMaintainJob:
         _check_stream_stamp(gen, self.checkpoint_dir)
         if batch_id <= _compacted_through(gen):
             return  # already folded by a compaction — skip
+        # schema-evolution contract (streaming/schema_guard.py): the
+        # rollup's SQL expressions reference only first-batch columns,
+        # so an upstream ADD COLUMN is ignored (not adopted — its later
+        # removal is also a non-event); a dropped or retyped pinned
+        # column fails loud with the rebuild path instead of feeding
+        # the measures a silently different expression result.
+        check_upstream_schema(
+            self.view_root, struct_cols(batch), "AggMaintainJob",
+            on_additive="ignore",
+        )
         delta = rollup_delta(
             dedupe_redelivered(batch), self.group_sqls, self.measure_sqls
         )

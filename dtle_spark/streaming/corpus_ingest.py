@@ -84,6 +84,7 @@ class CorpusIngestJob:
         gate_key_sql: str = "source",
         gate_value_sql: str = "length(text)",
         auto_compact_segments: int | None = None,
+        report_retention: int = 64,
     ):
         self.spark = spark
         self.source_dir = source_dir
@@ -112,6 +113,16 @@ class CorpusIngestJob:
         # writer; the manifest swap keeps readers atomic) — same
         # discipline as the maintainers' auto_compact_batches
         self.auto_compact_segments = auto_compact_segments
+        # gate-report retention: reports are batch-count-unbounded
+        # (one dir per quarantined batch, forever) and sit outside the
+        # manifest's compaction story — bound them like every other
+        # maintained store. A report whose batch is still AWAITING
+        # review is never pruned (it is the reviewer's evidence);
+        # beyond `report_retention`, the oldest RELEASED batches'
+        # reports are deleted.
+        if report_retention < 1:
+            raise ValueError("report_retention must be >= 1")
+        self.report_retention = report_retention
         # raw-corpus on-ramp hook: a callable (spark) -> STREAMING
         # documents frame (e.g. sources/text_corpus.stream_jsonl_corpus
         # over a JSONL dump tree); None keeps the parquet default.
@@ -208,10 +219,38 @@ class CorpusIngestJob:
     def gate_report(self, batch_id: int) -> DataFrame:
         """The judged report recorded when ``batch_id`` was
         quarantined — the reviewer's evidence."""
-        return self.spark.read.parquet(os.path.join(
-            self.target.path(SCHEMA_NAME, Q_TABLE) + "_reports",
-            f"batch={batch_id}",
-        ))
+        return self.spark.read.parquet(
+            os.path.join(self._reports_root(), f"batch={batch_id}")
+        )
+
+    def _reports_root(self) -> str:
+        return self.target.path(SCHEMA_NAME, Q_TABLE) + "_reports"
+
+    def _prune_reports(self) -> int:
+        """Delete the oldest RELEASED batches' report dirs beyond
+        ``report_retention``. Reports of batches still in review are
+        exempt — pruning pending evidence to meet a retention bound
+        would be worse than the unbounded growth it fixes (an operator
+        letting >retention batches pile up unreviewed has a bigger
+        problem than report-directory count). Returns dirs removed."""
+        import shutil
+
+        root = self._reports_root()
+        try:
+            names = os.listdir(root)
+        except FileNotFoundError:
+            return 0
+        released = self._released()
+        prunable = sorted(
+            int(n.split("=", 1)[1]) for n in names
+            if n.startswith("batch=") and int(n.split("=", 1)[1]) in released
+        )
+        removed = 0
+        for b in prunable[: max(0, len(prunable) - self.report_retention)]:
+            shutil.rmtree(os.path.join(root, f"batch={b}"),
+                          ignore_errors=True)
+            removed += 1
+        return removed
 
     def _released_file(self) -> str:
         return os.path.join(self.target.root, "_gate_released")
@@ -258,6 +297,7 @@ class CorpusIngestJob:
         self._ingest(rows, max(cur.get(_WM_KEY, -1), batch_id))
         with open(self._released_file(), "a") as f:
             f.write(f"{batch_id}\n")
+        self._prune_reports()
         return rows.count()
 
     # -- batch core (exposed for tests/replay) ---------------------------
@@ -274,10 +314,7 @@ class CorpusIngestJob:
                 # report FIRST (overwrite — replay-idempotent), then the
                 # quarantine append whose watermark is the commit point
                 judged.coalesce(1).write.mode("overwrite").parquet(
-                    os.path.join(
-                        self.target.path(SCHEMA_NAME, Q_TABLE) + "_reports",
-                        f"batch={batch_id}",
-                    )
+                    os.path.join(self._reports_root(), f"batch={batch_id}")
                 )
                 self.target.append(
                     batch.withColumn(_Q_BATCH, F.lit(batch_id).cast("long")),
@@ -419,7 +456,14 @@ class CorpusIngestJob:
         nobody expects the purge to also blocklist; a blocklist is a
         filter policy, not a delete. ``doc_ids``: one column named
         like ``id_col``. Returns per-table purge counts. Refuses while
-        the stream is active (manifest-swap race)."""
+        the stream is active (manifest-swap race).
+
+        Gate reports are deliberately EXEMPT from the takedown: a
+        report row is a (check_name, sketch-stat) aggregate over a
+        whole batch — no document rows, ids, or content ever land in
+        it, so there is nothing of the subject's to delete; their
+        directory count is bounded separately by ``report_retention``
+        (:meth:`_prune_reports`)."""
         self._require_paused("purge_documents")
         ids = doc_ids.select(F.col(self.id_col)).distinct().localCheckpoint()
         return {

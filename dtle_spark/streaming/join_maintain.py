@@ -58,6 +58,11 @@ from dtle_spark.streaming.ann_serving import (
     _swap_current,
 )
 from dtle_spark.streaming.profile import _compacted_through, _resolve
+from dtle_spark.streaming.schema_guard import (
+    check_upstream_schema,
+    require_columns,
+    struct_cols,
+)
 
 _COMPACT_WM_FILE = "_COMPACTED_THROUGH"
 _VERSIONS = "versions"
@@ -236,6 +241,22 @@ class JoinViewMaintainJob:
         # dim values (silent staleness until the key moves again). Dims
         # are entity-bounded, so the pin is control-plane sized.
         dim_dfs = [d.localCheckpoint() for d in self._read_dims()]
+        # schema-evolution contract (streaming/schema_guard.py): an
+        # upstream ADD COLUMN on the FACT widens the view — the new
+        # column is NULL on rows not rewritten since the change, the
+        # same state a freshly ALTERed warehouse table has — while a
+        # narrowed/retyped fact, or a dim losing a spec column, fails
+        # loud with the rebuild path instead of emitting garbage
+        # versions or an opaque AnalysisException mid-carve.
+        check_upstream_schema(
+            self.view_root, struct_cols(batch), "JoinViewMaintainJob",
+            on_additive="widen",
+        )
+        for d, (_, spec) in zip(dim_dfs, self.dims):
+            require_columns(
+                d.columns, [spec.pk, *spec.cols],
+                "JoinViewMaintainJob", f"dim joined on {spec.fk}",
+            )
         net = latest_image_per_key(
             dedupe_redelivered(batch), self.key_cols
         ).localCheckpoint()  # consumed three times below
@@ -322,6 +343,15 @@ class JoinViewMaintainJob:
                 F.broadcast(r_carve), F.col(spec.fk) == F.col(_RPK), "left"
             ).drop(_RPK)
 
+        # the carve folds PRE-widening state: a column adopted by this
+        # (or an earlier) widening may not exist there yet — it reads
+        # NULL until the row's key is next rewritten (schema_guard
+        # contract)
+        for c in view_cols:
+            if c not in refreshed.columns:
+                refreshed = refreshed.withColumn(
+                    c, F.lit(None).cast(left_types[c])
+                )
         out = (
             fresh.select(*view_cols)
             .withColumn(_DELETED, F.lit(False))
@@ -362,7 +392,11 @@ class JoinViewMaintainJob:
         ]
         if subtrees:
             parts.append(
+                # mergeSchema: version subtrees written before an
+                # additive fact-schema widening lack the new column —
+                # they fold with NULL there (schema_guard contract)
                 self.spark.read.option("basePath", vroot)
+                .option("mergeSchema", "true")
                 .parquet(*[os.path.join(vroot, b) for b in subtrees])
                 .withColumn(_SEQ, F.col("ingest_batch").cast("long"))
                 .drop("ingest_batch")
@@ -374,7 +408,9 @@ class JoinViewMaintainJob:
             )
         df = parts[0]
         for p in parts[1:]:
-            df = df.unionByName(p)
+            # allowMissingColumns: a pre-widening base folds with the
+            # widened versions (NULL for the adopted columns)
+            df = df.unionByName(p, allowMissingColumns=True)
         w = Window.partitionBy(*self.key_cols).orderBy(
             F.col(_SEQ).desc(), F.col(_DELETED).desc()
         )

@@ -231,6 +231,64 @@ class TestAggMaintainJob:
             other.apply_batch(_chg(spark, [_c("i", None, (2, "a", 2), 2)]), 1)
 
 
+class TestSchemaEvolution:
+    """The schema_guard contract on the rollup maintainer: additive
+    upstream columns are IGNORED (the measures reference only pinned
+    columns — and an ignored column's later removal is a non-event),
+    while dropping or retyping a pinned column fails loud with the
+    rebuild path."""
+
+    def _pinned_job(self, spark, tmp_path):
+        job = AggMaintainJob(
+            spark, str(tmp_path / "src" / "*"), str(tmp_path / "view"),
+            str(tmp_path / "ck"), GROUPS, MEASURES,
+            schema=change_schema(ROW),
+        )
+        job.apply_batch(_chg(spark, [_c("i", None, (1, "a", 10), 1)]), 0)
+        return job
+
+    def test_add_column_ignored_then_removed_ok(self, spark, tmp_path):
+        wide = T.StructType(ROW.fields + [T.StructField("extra", T.StringType())])
+        job = self._pinned_job(spark, tmp_path)
+        b = spark.createDataFrame(
+            [(SID, 2, 2, 0, "i", None, "db1", "t", None,
+              (2, "a", 20, "x"), None)],
+            change_schema(wide),
+        )
+        job.apply_batch(b, 1)
+        # back to the original shape: the ignored column's removal is
+        # a non-event, and the view accumulated both batches
+        job.apply_batch(_chg(spark, [_c("i", None, (3, "b", 30), 3)]), 2)
+        assert _view_dict(job.view()) == {"a": (30, 2), "b": (30, 1)}
+
+    def test_dropped_pinned_column_fails_loud(self, spark, tmp_path):
+        narrow = T.StructType([f for f in ROW.fields if f.name != "amount"])
+        job = self._pinned_job(spark, tmp_path)
+        b = spark.createDataFrame(
+            [(SID, 2, 2, 0, "i", None, "db1", "t", None, (2, "a"), None)],
+            change_schema(narrow),
+        )
+        with pytest.raises(RuntimeError, match="dropped.*amount"):
+            job.apply_batch(b, 1)
+
+    def test_retyped_pinned_column_fails_loud(self, spark, tmp_path):
+        retyped = T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("amount", T.DoubleType()),  # was long
+        ])
+        job = self._pinned_job(spark, tmp_path)
+        b = spark.createDataFrame(
+            [(SID, 2, 2, 0, "i", None, "db1", "t", None,
+              (2, "a", 20.0), None)],
+            change_schema(retyped),
+        )
+        with pytest.raises(RuntimeError, match="retyped.*amount"):
+            job.apply_batch(b, 1)
+        # the store is untouched by the refused batch
+        assert _view_dict(job.view()) == {"a": (10, 1)}
+
+
 def test_manager_agg_job_lifecycle_recover_and_http(spark, tmp_path):
     """The rollup maintainer as the seventh managed job type:
     JobManager create/list/position/pause/resume, recover() on a fresh

@@ -574,6 +574,73 @@ class TestJoinViewMaintainJob:
         assert back.count() == 5_000
         assert back.filter("fk IS NULL").count() == 500
 
+    def test_upstream_add_column_widens_view(self, spark, tmp_path):
+        """Schema-evolution contract (streaming/schema_guard.py): an
+        upstream ADD COLUMN on the fact WIDENS the view — new rows
+        carry the value, rows not rewritten since the change read
+        NULL (the state a freshly ALTERed warehouse table has), the
+        widening survives compaction, and once adopted the column is
+        part of the contract: a later batch WITHOUT it fails loud."""
+        wide = T.StructType(FACT.fields + [T.StructField("note", T.StringType())])
+        job = self._seeded(spark, tmp_path)
+        job.apply_batch(_chg(spark, [_c("i", None, (4, 10, 400), 1)]), 0)
+
+        b = spark.createDataFrame(
+            [(SID, 2, 2, 0, "i", None, "db1", "t", None,
+              (5, 20, 500, "hello"), None)],
+            change_schema(wide),
+        )
+        job.apply_batch(b, 1)
+        view = job.view()
+        assert "note" in view.columns
+        notes = {r["id"]: r["note"] for r in view.collect()}
+        assert notes[5] == "hello"
+        assert notes[4] is None and notes[1] is None  # pre-widening rows
+        # the join invariant still holds on the original columns
+        assert _view(view.drop("note")) == _view(_recompute(
+            spark, BASE_FACTS + [(4, 10, 400), (5, 20, 500)], BASE_DIM
+        ))
+
+        job.compact(max_batches=1)
+        assert {r["id"]: r["note"] for r in job.view().collect()}[5] == "hello"
+
+        with pytest.raises(RuntimeError, match="INCOMPATIBLY"):
+            job.apply_batch(
+                _chg(spark, [_c("i", None, (6, 10, 600), 3)]), 2
+            )
+
+    def test_upstream_retype_fails_loud(self, spark, tmp_path):
+        """A retyped fact column fails the NEXT batch with the rebuild
+        path in the message — never a silently misaligned version
+        subtree or an opaque mid-plan AnalysisException."""
+        retyped = T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("cust", T.LongType()),
+            T.StructField("amount", T.StringType()),  # was long
+        ])
+        job = self._seeded(spark, tmp_path)
+        job.apply_batch(_chg(spark, [_c("i", None, (4, 10, 400), 1)]), 0)
+        b = spark.createDataFrame(
+            [(SID, 2, 2, 0, "i", None, "db1", "t", None,
+              (5, 20, "oops"), None)],
+            change_schema(retyped),
+        )
+        with pytest.raises(RuntimeError, match="retyped.*amount"):
+            job.apply_batch(b, 1)
+
+    def test_dim_losing_spec_column_fails_loud(self, spark, tmp_path):
+        """The dim-side guard: a dim table rewritten WITHOUT a column
+        the spec maps into the view fails the next batch loud (dims
+        are re-read every batch, so this would otherwise surface as
+        an AnalysisException deep inside the carve plan)."""
+        job = self._seeded(spark, tmp_path)
+        job.apply_batch(_chg(spark, [_c("i", None, (4, 10, 400), 1)]), 0)
+        spark.createDataFrame(
+            [(10, "alice")], "cid long, name string"  # tier dropped
+        ).write.mode("overwrite").parquet(str(tmp_path / "dim"))
+        with pytest.raises(RuntimeError, match="tier"):
+            job.apply_batch(_chg(spark, [_c("i", None, (5, 20, 500), 2)]), 1)
+
     def test_random_batches_match_recompute(self, spark, tmp_path):
         """Seeded random fact batches + dim churn, applied through the
         job (digest-diff dirt, merge-on-read fold): view == recompute

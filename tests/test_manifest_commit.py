@@ -343,6 +343,38 @@ def test_purge_keys_hard_deletes_and_severs_history(spark, tmp_path):
     assert t.read(spark, "s", "docs").count() == 11
 
 
+def test_purge_keys_issues_o_touched_jobs(spark, tmp_path):
+    """The touched-segment set is found in ONE pass (input_file_name
+    aggregation, keys broadcast), then only touched segments are
+    rewritten — O(touched) Spark jobs, not the former count()+count()
+    per segment, which at thousands of 100 TB-table segments was an
+    O(N) sequential job ladder just to find the matches."""
+    t = ParquetTableTarget(str(tmp_path))
+    for b in range(12):
+        t.append(spark.createDataFrame(
+            [(b * 10 + i, f"d{b}-{i}") for i in range(4)],
+            "id long, v string",
+        ), "s", "docs")
+    keys = spark.createDataFrame([(51,), (53,)], "id long")  # seg 5 only
+
+    group = "purge-job-count"
+    spark.sparkContext.setJobGroup(group, "count purge jobs")
+    try:
+        assert t.purge_keys(spark, "s", "docs", "id", keys) == 2
+    finally:
+        spark.sparkContext.setJobGroup(None, None)
+    tracker = spark.sparkContext.statusTracker
+    jobs = tracker().getJobIdsForGroup(group)
+    # keys checkpoint + hit scan + one rewrite, with AQE/schema-read
+    # slack (observed 9): far below the 2-per-segment (24+) the old
+    # count()+count() loop issued
+    assert 0 < len(jobs) <= 12, jobs
+    got = {r["id"] for r in t.read(spark, "s", "docs").collect()}
+    assert len(got) == 46 and not {51, 53} & got
+    m = TableManifest.load(t.path("s", "docs"))
+    assert sum(e.startswith("purged-") for e in m.entries.values()) == 1
+
+
 def test_purge_keys_bucketed_target(spark, tmp_path):
     """purge_keys on a BUCKETED table: bucket-number manifest keys are
     preserved (only the dir value changes), unaffected buckets share

@@ -624,6 +624,71 @@ def test_corpus_purge_documents_takedown(spark, tmp_path):
     assert {r["doc_id"] for r in job.corpus().collect()} == {2, 3, 50}
 
 
+def test_gate_report_retention_bounds_report_dirs(spark, tmp_path):
+    """Gate reports are batch-sized but were unbounded in COUNT and
+    outside the manifest's compaction/takedown story. report_retention
+    bounds them: once a quarantined batch is RELEASED its report
+    becomes prunable, and only the newest `report_retention` released
+    reports survive — while a report whose batch still awaits review
+    is never pruned (the reviewer's evidence outranks the bound)."""
+    import os
+
+    from dtle_spark.streaming.corpus_ingest import CorpusIngestJob
+
+    def docs(ids, source, tokens_per_doc=12):
+        rows = [
+            (i, " ".join(f"w{i:04d}x{j:03d}" for j in range(tokens_per_doc)),
+             "en", source)
+            for i in ids
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with pytest.raises(ValueError, match="report_retention"):
+        CorpusIngestJob(
+            spark, os.path.join(src, "*"), str(tmp_path / "t0"),
+            str(tmp_path / "c0"), report_retention=0,
+        )
+    job = CorpusIngestJob(
+        spark, os.path.join(src, "*"), str(tmp_path / "tgt"),
+        str(tmp_path / "ckpt"),
+        gate_thresholds={"drift:loghist_tv": 0.5},
+        report_retention=2,
+    )
+    job.apply_batch(docs(range(0, 40), "s0"), 0)
+    assert job.promote_baseline() == "baseline-0"
+
+    def report_dirs():
+        root = job._reports_root()
+        return sorted(
+            int(n.split("=", 1)[1]) for n in os.listdir(root)
+            if n.startswith("batch=")
+        )
+
+    # four poisoned batches -> four quarantines, four report dirs
+    for b in range(1, 5):
+        job.apply_batch(
+            docs(range(1000 * b, 1000 * b + 10), "spam",
+                 tokens_per_doc=120), b)
+    assert report_dirs() == [1, 2, 3, 4]
+
+    # releasing makes reports prunable; the bound keeps the newest 2
+    # released, and batch 4's report (still pending) is untouchable
+    assert job.release_quarantine(1) == 10
+    assert report_dirs() == [1, 2, 3, 4]  # 1 released, under the bound
+    assert job.release_quarantine(2) == 10
+    assert report_dirs() == [1, 2, 3, 4]  # 2 released == retention
+    assert job.release_quarantine(3) == 10
+    assert report_dirs() == [2, 3, 4]     # oldest released pruned
+    assert job.release_quarantine(4) == 10
+    assert report_dirs() == [3, 4]
+    # the surviving reports still read back
+    assert job.gate_report(4).filter("NOT passed").count() >= 1
+
+
 def test_corpus_chores_refuse_while_stream_active(spark, tmp_path):
     """purge_documents and release_quarantine REFUSE while the ingest
     stream is live: both do load-modify-save manifest swaps on the
