@@ -160,6 +160,17 @@ def main() -> None:
         os.environ.get("SPARK_GRAFT_BENCH_GC_BYTES", str(1 << 30))
     )
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    # optional subset (comma-separated registry names) — the scale-tier
+    # sweeps (scripts/scale_sweep.py, SCALE.md) run only the heaviest
+    # queries at 3x/10x data; unknown names fail loud, not silently
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    registry = REGISTRY
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        unknown = sorted(set(names) - set(REGISTRY))
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY unknown: {unknown}")
+        registry = {n: REGISTRY[n] for n in names}
     timings: dict[str, float] = {}
     all_samples: dict[str, list[float]] = {}
     gc_deltas: dict[str, dict[str, int]] = {}
@@ -167,7 +178,7 @@ def main() -> None:
     run_order: list[str] = []
     errors: dict[str, str] = {}
     since_gc = 0
-    for name, pair in REGISTRY.items():
+    for name, pair in registry.items():
         # Spark's ContextCleaner releases localCheckpoint/broadcast
         # blocks only when a DRIVER GC collects their handles; across
         # ~100 queries in one JVM the orphaned blocks otherwise pile up

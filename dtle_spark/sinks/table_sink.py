@@ -45,6 +45,7 @@ from dtle_spark.operators.apply import (
     merge_into_versioned,
     with_version_columns,
 )
+from dtle_spark.sinks.lease import writer_lease
 from dtle_spark.sinks.manifest import (
     HISTORY_DIR,
     TableManifest,
@@ -172,14 +173,15 @@ class ManifestedTarget:
         state complete. GC of replaced dirs runs last and is restartable."""
         p = self.path(schema_name, table_name)
         os.makedirs(p, exist_ok=True)
-        entry = unique_entry_name("t")
-        os.rename(staged, os.path.join(p, entry))
-        m = TableManifest.load(p) or TableManifest()
-        m.entries = {"_table": entry}
-        if seq_watermark is not None:
-            m.seq_watermark = seq_watermark
-        m.save(p)  # <- the commit point
-        gc_unreferenced(p, m)
+        with writer_lease(p, "commit"):
+            entry = unique_entry_name("t")
+            os.rename(staged, os.path.join(p, entry))
+            m = TableManifest.load(p) or TableManifest()
+            m.entries = {"_table": entry}
+            if seq_watermark is not None:
+                m.seq_watermark = seq_watermark
+            m.save(p)  # <- the commit point
+            gc_unreferenced(p, m)
 
     def overwrite(self, df: DataFrame, schema_name: str, table_name: str) -> None:
         self.commit(self.stage(df, schema_name, table_name), schema_name, table_name)
@@ -207,14 +209,15 @@ class ManifestedTarget:
             )
         staged = self.stage(df, schema_name, table_name)
         os.makedirs(p, exist_ok=True)
-        entry = unique_entry_name("seg")
-        os.rename(staged, os.path.join(p, entry))
-        m = TableManifest.load(p) or TableManifest()
-        m.entries[entry] = entry  # key = dir: appends never replace
-        if seq_watermark is not None:
-            m.seq_watermark.update(seq_watermark)
-        m.save(p)  # <- the commit point
-        gc_unreferenced(p, m)
+        with writer_lease(p, "append"):
+            entry = unique_entry_name("seg")
+            os.rename(staged, os.path.join(p, entry))
+            m = TableManifest.load(p) or TableManifest()
+            m.entries[entry] = entry  # key = dir: appends never replace
+            if seq_watermark is not None:
+                m.seq_watermark.update(seq_watermark)
+            m.save(p)  # <- the commit point
+            gc_unreferenced(p, m)
 
     def purge_keys(
         self,
@@ -246,6 +249,14 @@ class ManifestedTarget:
         clustering/bucketing the table on the purge key bounds the
         rewrite to the keys' own row groups. Returns rows purged."""
         p = self.path(schema_name, table_name)
+        if not os.path.isdir(p):
+            return 0
+        with writer_lease(p, "purge_keys"):
+            return self._purge_keys_locked(spark, p, key_col, keys)
+
+    def _purge_keys_locked(
+        self, spark: SparkSession, p: str, key_col: str, keys: DataFrame
+    ) -> int:
         m = TableManifest.load(p)
         purged = 0
         if m is not None and m.entries:
@@ -323,16 +334,19 @@ class ManifestedTarget:
             return 0
         if all(k.lstrip("-").isdigit() for k in m.entries):
             return 0  # bucketed layout: compact() (tombstone GC) owns it
-        cur = self.read_internal(spark, schema_name, table_name)
-        if cur is None:
-            return 0
-        n = len(m.entries)
-        wm = self.seq_watermark(schema_name, table_name)
-        self.commit(
-            self.stage(cur, schema_name, table_name),
-            schema_name, table_name, seq_watermark=wm or None,
-        )
-        return n
+        # lease spans read->stage->commit: an append landing between
+        # the fold's read and its swap would be silently erased
+        with writer_lease(p, "compact_segments"):
+            cur = self.read_internal(spark, schema_name, table_name)
+            if cur is None:
+                return 0
+            n = len(TableManifest.load(p).entries)
+            wm = self.seq_watermark(schema_name, table_name)
+            self.commit(
+                self.stage(cur, schema_name, table_name),
+                schema_name, table_name, seq_watermark=wm or None,
+            )
+            return n
 
     def seq_watermark(self, schema_name: str, table_name: str) -> dict[str, int]:
         """Per-source applied-seq high-water mark, committed atomically
@@ -403,16 +417,17 @@ class BucketedTableTarget(ManifestedTarget):
         )
         os.makedirs(p, exist_ok=True)
         token = uuid.uuid4().hex[:8]
-        m = TableManifest(key_cols=list(key_cols), n_buckets=self.n_buckets)
-        for d in sorted(os.listdir(staged)):
-            if not d.startswith("__b="):
-                continue
-            b = d[4:]
-            entry = f"b{b}-{token}"
-            os.rename(os.path.join(staged, d), os.path.join(p, entry))
-            m.entries[b] = entry
-        m.save(p)  # <- commit point; replaces any previous table state
-        gc_unreferenced(p, m)
+        with writer_lease(p, "seed"):
+            m = TableManifest(key_cols=list(key_cols), n_buckets=self.n_buckets)
+            for d in sorted(os.listdir(staged)):
+                if not d.startswith("__b="):
+                    continue
+                b = d[4:]
+                entry = f"b{b}-{token}"
+                os.rename(os.path.join(staged, d), os.path.join(p, entry))
+                m.entries[b] = entry
+            m.save(p)  # <- commit point; replaces any previous table state
+            gc_unreferenced(p, m)
         shutil.rmtree(staged, ignore_errors=True)
 
     def overwrite(self, df: DataFrame, schema_name: str, table_name: str) -> None:
@@ -542,6 +557,10 @@ class BucketedTableTarget(ManifestedTarget):
 
         def commit_fn() -> None:
             os.makedirs(p, exist_ok=True)
+            with writer_lease(p, "merge"):
+                _commit_locked()
+
+        def _commit_locked() -> None:
             new_entries: dict[str, str] = {}
             for d in sorted(os.listdir(staged)):
                 if not d.startswith("__b="):

@@ -52,6 +52,7 @@ from dtle_spark.streaming.schema_guard import (
     check_upstream_schema,
     struct_cols,
 )
+from dtle_spark.sinks.lease import leased
 
 _COMPACT_WM_FILE = "_COMPACTED_THROUGH"
 _DELTAS = "deltas"
@@ -92,6 +93,7 @@ class AggMaintainJob:
 
     # -- batch core (exposed for tests/replay) ---------------------------
 
+    @leased("view_root", "agg_maintain")
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         gen = _resolve(self.view_root)
         _check_stream_stamp(gen, self.checkpoint_dir)
@@ -149,6 +151,7 @@ class AggMaintainJob:
 
     # -- compaction --------------------------------------------------------
 
+    @leased("view_root", "agg_maintain")
     def compact(self, max_batches: int = 16, gc_previous: bool = True) -> int:
         """Fold per-batch delta subtrees into one in a NEW generation
         behind the atomic ``_CURRENT`` pointer — run OFF the ingest

@@ -90,6 +90,7 @@ from pyspark.sql.window import Window
 
 from dtle_spark.functions import similarity as sim
 from dtle_spark.sinks.table_sink import ParquetTableTarget
+from dtle_spark.sinks.lease import leased, writer_lease
 
 SCHEMA_NAME = "serving"
 RESULTS_TABLE = "ann_results"
@@ -336,6 +337,19 @@ def compact_index(
     the superseded generation immediately; leave it False when
     long-running probes may still hold the old listing (lake VACUUM
     retention, in miniature)."""
+    with writer_lease(index_root, "compact_index"):
+        return _compact_index_locked(
+            spark, index_root, max_batches, gc_previous, purge_ids
+        )
+
+
+def _compact_index_locked(
+    spark: SparkSession,
+    index_root: str,
+    max_batches: int,
+    gc_previous: bool,
+    purge_ids: DataFrame | None,
+) -> int:
     gen = resolve_index_path(index_root)
     batches = _ingest_batches(gen)
     tomb_batches = _ingest_batches(os.path.join(gen, _TOMBSTONES))
@@ -488,6 +502,17 @@ def reindex(
     (same as compact_index); serving either quiesced or expected to
     hit the loud stamp check at the swap."""
     sim._require_dense_codebook(codebook, m, ksub, dim // m)
+    with writer_lease(index_root, "reindex"):
+        return _reindex_locked(
+            spark, index_root, vectors, centroids, codebook, m, ksub,
+            dim, id_col, vec_col, gc_previous, carry_cols,
+        )
+
+
+def _reindex_locked(
+    spark, index_root, vectors, centroids, codebook, m, ksub, dim,
+    id_col, vec_col, gc_previous, carry_cols,
+) -> str:
     gen = resolve_index_path(index_root)
     batches = _ingest_batches(gen)
     tomb_batches = _ingest_batches(os.path.join(gen, _TOMBSTONES))
@@ -736,6 +761,7 @@ class VectorIndexMaintainJob(_StreamedVectorJob):
 
     # -- batch core (exposed for tests/replay) ---------------------------
 
+    @leased("index_root", "vector_maintain")
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         gen = resolve_index_path(self.index_root)
         # BEFORE the watermark skip: ids from a different checkpoint

@@ -77,6 +77,7 @@ from dtle_spark.streaming.ann_serving import (
     _swap_current,
 )
 from dtle_spark.streaming.profile import _compacted_through, _resolve
+from dtle_spark.sinks.lease import leased
 
 _COMPACT_WM_FILE = "_COMPACTED_THROUGH"
 _RETAINED_FROM_FILE = "_RETAINED_FROM"
@@ -147,6 +148,7 @@ class Scd2HistoryJob:
             seed_events(base, self.key_cols, base_seq), _SEED_BATCH
         )
 
+    @leased("history_root", "history")
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         gen = _resolve(self.history_root)
         _check_stream_stamp(gen, self.checkpoint_dir)
@@ -395,6 +397,7 @@ class Scd2HistoryJob:
 
     # -- compaction --------------------------------------------------------
 
+    @leased("history_root", "history")
     def compact(self, max_batches: int = 16, gc_previous: bool = True) -> int:
         """Fold: the NEWLY closed versions append as one immutable
         ``closed/fold=<watermark>/`` segment (prior folds untouched —

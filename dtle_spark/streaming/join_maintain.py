@@ -63,6 +63,7 @@ from dtle_spark.streaming.schema_guard import (
     require_columns,
     struct_cols,
 )
+from dtle_spark.sinks.lease import leased
 
 _COMPACT_WM_FILE = "_COMPACTED_THROUGH"
 _VERSIONS = "versions"
@@ -228,6 +229,7 @@ class JoinViewMaintainJob:
                 os.path.join(self._digest_root(gen, i), "ingest_batch=-1")
             )
 
+    @leased("view_root", "join_maintain")
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         gen = _resolve(self.view_root)
         _check_stream_stamp(gen, self.checkpoint_dir)
@@ -428,6 +430,7 @@ class JoinViewMaintainJob:
 
     # -- compaction ------------------------------------------------------------
 
+    @leased("view_root", "join_maintain")
     def compact(self, max_batches: int = 16, gc_previous: bool = True) -> int:
         """Fold base + versions into a NEW generation's base behind the
         atomic ``_CURRENT`` pointer (run quiesced, off the ingest

@@ -53,6 +53,7 @@ from dtle_spark.streaming.ann_serving import (
     _ingest_batches,
     _swap_current,
 )
+from dtle_spark.sinks.lease import leased
 
 _CURRENT = "_CURRENT"
 _COMPACT_WM_FILE = "_COMPACTED_THROUGH"
@@ -189,6 +190,7 @@ class StreamProfileJob:
 
     # -- batch core (exposed for tests/replay) ---------------------------
 
+    @leased("profile_root", "profile")
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         gen = _resolve(self.profile_root)
         _check_stream_stamp(gen, self.checkpoint_dir)
@@ -416,6 +418,7 @@ class StreamProfileJob:
 
     # -- compaction --------------------------------------------------------
 
+    @leased("profile_root", "profile")
     def compact(self, max_batches: int = 16, gc_previous: bool = True) -> int:
         """Fold the per-batch subtrees into one subtree per sketch in a
         NEW generation and swap the ``_CURRENT`` pointer atomically —
