@@ -154,6 +154,22 @@ class Scd2HistoryJob:
         _check_stream_stamp(gen, self.checkpoint_dir)
         if batch_id <= _compacted_through(gen):
             return  # already folded by a compaction — skip
+        # schema-evolution contract (streaming/schema_guard.py): SCD2
+        # history pins the row-image schema hard — on_additive="fail".
+        # A widened image would give every OPEN interval a column its
+        # opening version never recorded (as-of reads before the change
+        # would have to invent values), so adopting new columns is a
+        # semantic decision: re-seed a new history root. Narrowed or
+        # retyped images fail loud with that rebuild path.
+        from dtle_spark.streaming.schema_guard import (
+            check_upstream_schema,
+            struct_cols,
+        )
+
+        check_upstream_schema(
+            self.history_root, struct_cols(batch), "HistoryJob",
+            on_additive="fail",
+        )
         events = events_of_changes(dedupe_redelivered(batch), self.key_cols)
         self._write_events(events, batch_id)
         if self.auto_compact_batches is not None:

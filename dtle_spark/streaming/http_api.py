@@ -70,7 +70,8 @@ from dtle_spark.streaming.jobs import JobManager
 
 _JOB_RE = re.compile(
     r"^/v2/job/([^/]+)(?:/(pause|resume|position|metrics|reverse|versions"
-    r"|update|finish|reverse_start|promote_baseline|drift_gate|purge))?$"
+    r"|update|finish|reverse_start|promote_baseline|drift_gate|purge"
+    r"|release_quarantine))?$"
 )
 _SCHEMAS_RE = re.compile(
     r"^/v2/schemas(?:/([^/]+)/tables(?:/([^/]+)/columns)?)?$"
@@ -430,6 +431,29 @@ class _Handler(BaseHTTPRequestHandler):
                 "baseline": job.stats().get("baseline"),
                 "report": [r.asDict() for r in rep.collect()],
             })
+        if method == "POST" and action == "release_quarantine":
+            # reviewer decision on a gated corpus job: admit a
+            # quarantined batch through the dedup path (no gate). The
+            # job method refuses while its stream is active (the same
+            # manifest-swap race purge guards against) — surface that
+            # as a 400, not a 500.
+            job = self.manager.get(name)
+            if not hasattr(job, "release_quarantine"):
+                return self._send(400, {
+                    "error": f"release_quarantine does not apply to "
+                             f"{job.stats().get('type')} job {name!r}"})
+            d = self._body()
+            if "batch_id" not in d:
+                return self._send(400, {
+                    "error": "release_quarantine needs batch_id"})
+            try:
+                released = job.release_quarantine(int(d["batch_id"]))
+            except RuntimeError as ex:  # stream active
+                return self._send(400, {"error": str(ex)})
+            except ValueError as ex:  # no such quarantined batch
+                return self._send(404, {"error": str(ex)})
+            return self._send(200, {
+                "released": released, "batch_id": int(d["batch_id"])})
         if method == "POST" and action == "purge":
             # takedown (right-to-be-forgotten): hard delete, never a
             # tombstone — corpus jobs purge documents + quarantine,

@@ -196,6 +196,20 @@ class StreamProfileJob:
         _check_stream_stamp(gen, self.checkpoint_dir)
         if batch_id <= _compacted_through(gen):
             return  # already folded by a compaction — skip
+        # schema-evolution contract (streaming/schema_guard.py): the
+        # profiler's key/value/group SQL expressions reference only
+        # first-batch columns, so additive upstream columns are ignored
+        # (not adopted); a dropped or retyped pinned column fails loud
+        # instead of quietly re-shaping the sketch distributions that a
+        # drift gate compares against a pre-change baseline.
+        from dtle_spark.streaming.schema_guard import check_upstream_schema
+
+        check_upstream_schema(
+            self.profile_root,
+            {f.name: f.dataType.simpleString() for f in batch.schema.fields},
+            "StreamProfileJob",
+            on_additive="ignore",
+        )
         batch = batch.localCheckpoint()  # three sketches scan it
         if self.group_sql is not None:
             parts = {

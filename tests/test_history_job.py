@@ -530,3 +530,39 @@ class TestEnrichRetentionGuard:
             facts, {"fk": "id"}, "fts", {"row.amount": "a"},
             check_window=False,
         ).count() == 1
+
+
+class TestHistorySchemaEvolution:
+    """schema_guard on the SCD2 maintainer: the row-image schema is
+    pinned HARD (on_additive='fail') — a widened image would give
+    every open interval a column its opening version never recorded,
+    so adopting columns is a re-seed decision, and narrowing/retyping
+    fails loud with that rebuild path."""
+
+    def _pinned(self, spark, tmp_path):
+        job = _job(spark, tmp_path)
+        job.apply_batch(_chg(spark, [_c("i", None, (1, "a", 10), 1)]), 0)
+        return job
+
+    def test_added_column_fails_loud(self, spark, tmp_path):
+        wide = T.StructType(ROW.fields + [T.StructField("note", T.StringType())])
+        job = self._pinned(spark, tmp_path)
+        b = spark.createDataFrame(
+            [(SID, 2, 2, 0, "i", None, "db1", "t", None,
+              (2, "a", 20, "x"), None)],
+            change_schema(wide),
+        )
+        with pytest.raises(RuntimeError, match="no additive policy"):
+            job.apply_batch(b, 1)
+        # the refused batch left the history untouched
+        assert job.history().count() == 1
+
+    def test_dropped_column_fails_loud(self, spark, tmp_path):
+        narrow = T.StructType([f for f in ROW.fields if f.name != "amount"])
+        job = self._pinned(spark, tmp_path)
+        b = spark.createDataFrame(
+            [(SID, 2, 2, 0, "i", None, "db1", "t", None, (2, "a"), None)],
+            change_schema(narrow),
+        )
+        with pytest.raises(RuntimeError, match="dropped.*amount"):
+            job.apply_batch(b, 1)

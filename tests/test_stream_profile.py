@@ -613,3 +613,37 @@ def test_grouped_profiler_end_to_end(spark, tmp_path):
     q = {(r["grp"], r["q"]): r["est"]
          for r in cur_job.value_quantiles([(1, 2)]).collect()}
     assert q[("b", "1/2")] > 8 * q[("a", "1/2")]
+
+
+def test_profiler_schema_guard(spark, tmp_path):
+    """schema_guard on the profiler: additive upstream columns are
+    ignored (SQL expressions reference only pinned columns); dropping
+    or retyping a pinned column fails loud instead of quietly
+    re-shaping the sketch distributions a drift gate compares against
+    a pre-change baseline."""
+    import pytest as _pytest
+
+    os.makedirs(str(tmp_path / "src"))
+    job = _job(spark, tmp_path)
+
+    def rows(schema_sql, vals):
+        return spark.createDataFrame(vals, schema_sql)
+
+    base = "doc_id long, text string, lang string, source string, n_chars long"
+    job.apply_batch(rows(base, [(1, "t", "en", "s0", 100)]), 0)
+    # additive column: ignored, the batch lands
+    job.apply_batch(rows(
+        base + ", extra string", [(2, "t", "en", "s0", 120, "x")]), 1)
+    # back to the original shape: non-event
+    job.apply_batch(rows(base, [(3, "t", "en", "s1", 140)]), 2)
+    assert job.stats()["ingest_batches"] == 3
+    # dropped pinned column: loud
+    with _pytest.raises(RuntimeError, match="dropped"):
+        job.apply_batch(rows(
+            "doc_id long, text string, lang string, source string",
+            [(4, "t", "en", "s0")]), 3)
+    # retyped pinned column: loud
+    with _pytest.raises(RuntimeError, match="retyped"):
+        job.apply_batch(rows(
+            base.replace("n_chars long", "n_chars double"),
+            [(4, "t", "en", "s0", 1.5)]), 3)

@@ -844,6 +844,34 @@ def test_manager_corpus_ingest_lifecycle_recover_and_http(spark, tmp_path):
         code, got = _http("POST", "/v2/job/c1/purge", {"ids": [victim]})
         assert code == 200 and got["purged"]["documents"] == 1
         assert manager.get("c1").corpus().count() == n_before - 1
+
+        # reviewer release over HTTP: a poisoned increment (10x doc
+        # lengths) is quarantined by the gate, then admitted by the
+        # control-plane decision; bad inputs get 400/404, not 500
+        code, err = _http("POST", "/v2/job/c1/release_quarantine", {})
+        assert code == 400 and "batch_id" in err["error"]
+        code, err = _http("POST", "/v2/job/c1/release_quarantine",
+                          {"batch_id": 99})
+        assert code == 404 and "no quarantined batch" in err["error"]
+        rows = [
+            (i, " ".join(f"s{i:04d}p{j:02d}" for j in range(100)),
+             "en", "spam")
+            for i in range(900, 920)
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        ).coalesce(1).write.parquet(os.path.join(src, "spam1"))
+        manager.get("c1").resume()
+        manager.get("c1").process_available()
+        manager.pause("c1")
+        cj1 = manager.get("c1")
+        assert cj1.quarantine().count() == 20
+        n = cj1.corpus().count()
+        code, got = _http("POST", "/v2/job/c1/release_quarantine",
+                          {"batch_id": 2})
+        assert code == 200 and got["released"] == 20
+        assert cj1.corpus().count() == n + 20
+        assert cj1.quarantine().count() == 0
     finally:
         server.stop()
 
