@@ -37,6 +37,7 @@ HA/failover scope note in PARITY.md.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import threading
@@ -44,9 +45,30 @@ import time
 from contextlib import contextmanager
 
 LEASE_FILE = "_WRITER_LEASE"
+LEASE_MUTEX = LEASE_FILE + ".lock"  # flock target serializing lease mutation
 
 _lock = threading.Lock()
 _held: dict[str, tuple[int, int]] = {}  # abs root -> (thread_id, depth)
+
+
+@contextmanager
+def _mutate_lock(root: str):
+    """flock-serialize every mutation of the lease FILE (create, stale
+    break, release). The r13 advice TOCTOU: writers B and C both read a
+    dead holder; C removes the stale file and creates its own live
+    lease; B's later os.remove then deletes C's FRESH lease and both
+    hold. flock closes it — check+break+create is one critical section,
+    across threads AND processes on this host (the protocol is
+    explicitly single-host; pid liveness is only checkable locally).
+    The kernel drops the flock on process death, so a crashed mutator
+    never wedges acquisition."""
+    os.makedirs(root, exist_ok=True)
+    fd = os.open(os.path.join(root, LEASE_MUTEX), os.O_CREAT | os.O_RDWR)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        os.close(fd)  # releases the flock
 
 
 def _pid_alive(pid: int) -> bool:
@@ -86,10 +108,32 @@ def writer_lease(root: str, owner: str = "writer"):
                 _held[key] = (tid, depth - 1)
                 return
             del _held[key]
+        _release(key)
+
+
+def _release(root: str) -> None:
+    """Ownership-checked release: remove the lease file ONLY if it
+    still names this pid+thread. The r13 advice cascade: gc swept the
+    holder's lease mid-section, a second writer acquired, and the first
+    holder's unconditional finally-remove deleted the SECOND writer's
+    lease — re-opening the lost-commit race the lease exists to
+    prevent. Verifying ownership under the mutation flock makes a
+    usurped release a loud no-op instead of a cascading theft."""
+    path = os.path.join(root, LEASE_FILE)
+    with _mutate_lock(root):
         try:
-            os.remove(os.path.join(key, LEASE_FILE))
-        except OSError:
-            pass
+            with open(path) as f:
+                info = json.load(f)
+        except (OSError, ValueError):
+            return  # already gone/unreadable: nothing of ours to drop
+        if (
+            int(info.get("pid", -1)) == os.getpid()
+            and int(info.get("thread", -1)) == threading.get_ident()
+        ):
+            try:
+                os.remove(path)
+            except OSError:
+                pass
 
 
 def leased(attr: str, owner: str):
@@ -111,6 +155,11 @@ def leased(attr: str, owner: str):
 def _acquire(root: str, owner: str) -> None:
     os.makedirs(root, exist_ok=True)
     path = os.path.join(root, LEASE_FILE)
+    with _mutate_lock(root):
+        _acquire_locked(path, root, owner)
+
+
+def _acquire_locked(path: str, root: str, owner: str) -> None:
     for attempt in (0, 1):
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -123,7 +172,9 @@ def _acquire(root: str, owner: str) -> None:
             pid = int(info.get("pid", -1))
             if attempt == 0 and pid > 0 and not _pid_alive(pid):
                 # crashed writer: the swap's atomicity left the store
-                # consistent; break the stale lease and retry once
+                # consistent; break the stale lease and retry once.
+                # Safe under the mutation flock: no other writer can
+                # replace the file between this read and this remove.
                 try:
                     os.remove(path)
                 except OSError:

@@ -208,6 +208,8 @@ def gc_unreferenced(table_dir: str, manifest: TableManifest) -> None:
     dirs past retention, move-in orphans from a crashed commit, stray
     legacy top-level part files, stale manifest temps. Safe to crash
     mid-GC — unreferenced garbage stays garbage."""
+    from dtle_spark.sinks.lease import LEASE_FILE
+
     live = set(manifest.entries.values())
     for v in TableManifest.versions(table_dir):
         past = TableManifest.load_version(table_dir, v)
@@ -215,6 +217,13 @@ def gc_unreferenced(table_dir: str, manifest: TableManifest) -> None:
             live.update(past.entries.values())
     for name in os.listdir(table_dir):
         if name == MANIFEST_NAME or name == HISTORY_DIR or name in live:
+            continue
+        if name.startswith(LEASE_FILE):
+            # writer-lease control files (the lease + its flock mutex):
+            # gc runs INSIDE writer_lease sections (commit/append/purge/
+            # seed/merge), so sweeping them would delete the HELD lease
+            # mid-critical-section and let a second writer acquire —
+            # the r13 advice lost-commit cascade
             continue
         p = os.path.join(table_dir, name)
         if os.path.isdir(p):

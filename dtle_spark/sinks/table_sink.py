@@ -263,7 +263,12 @@ class ManifestedTarget:
             keys = keys.select(F.col(key_col)).distinct().localCheckpoint()
             dirs = sorted(set(m.entries.values()))
             hits = (
-                spark.read.parquet(*(os.path.join(p, d) for d in dirs))
+                # mergeSchema: appended segments may carry evolved
+                # schemas (ADD COLUMN mid-stream); a single-file
+                # inferred schema could silently miss key matches in
+                # segments whose layout differs (r13 advice)
+                spark.read.option("mergeSchema", "true")
+                .parquet(*(os.path.join(p, d) for d in dirs))
                 .select(F.col(key_col), F.input_file_name().alias("__file"))
                 .join(F.broadcast(keys), [key_col], "left_semi")
                 .groupBy("__file").agg(F.count(F.lit(1)).alias("n"))

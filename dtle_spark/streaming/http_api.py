@@ -447,13 +447,22 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._send(400, {
                     "error": "release_quarantine needs batch_id"})
             try:
-                released = job.release_quarantine(int(d["batch_id"]))
+                batch_id = int(d["batch_id"])
+            except (TypeError, ValueError):
+                # validate BEFORE the job call: the except ValueError
+                # below means "no such quarantined batch" (404); a
+                # non-numeric batch_id is a 400 validation error
+                return self._send(400, {
+                    "error": f"batch_id must be an integer, got "
+                             f"{d['batch_id']!r}"})
+            try:
+                released = job.release_quarantine(batch_id)
             except RuntimeError as ex:  # stream active
                 return self._send(400, {"error": str(ex)})
             except ValueError as ex:  # no such quarantined batch
                 return self._send(404, {"error": str(ex)})
             return self._send(200, {
-                "released": released, "batch_id": int(d["batch_id"])})
+                "released": released, "batch_id": batch_id})
         if method == "POST" and action == "purge":
             # takedown (right-to-be-forgotten): hard delete, never a
             # tombstone — corpus jobs purge documents + quarantine,

@@ -103,6 +103,85 @@ def test_append_and_chores_refuse_under_foreign_lease(spark, tmp_path):
     assert t.read(spark, "s", "tbl").count() == 2
 
 
+def test_gc_preserves_held_lease(tmp_path):
+    """r13 advice (high): gc_unreferenced runs INSIDE writer_lease
+    sections, and its keep-set was manifest/history/live-entries only —
+    it deleted the held _WRITER_LEASE, a second writer acquired
+    mid-critical-section, and the first holder's release then deleted
+    the SECOND writer's lease. The lease control files must survive
+    every gc sweep."""
+    from dtle_spark.sinks.lease import LEASE_MUTEX
+    from dtle_spark.sinks.manifest import TableManifest, gc_unreferenced
+
+    root = str(tmp_path / "store")
+    with writer_lease(root, "committer"):
+        os.makedirs(os.path.join(root, "orphan-dir"))
+        gc_unreferenced(root, TableManifest())
+        assert os.path.exists(os.path.join(root, LEASE_FILE))
+        assert not os.path.exists(os.path.join(root, "orphan-dir"))
+        # still excluded: a second writer keeps failing loud after gc
+        errs = []
+
+        def racer():
+            try:
+                with writer_lease(root, "racer"):
+                    errs.append("racer acquired a HELD lease")
+            except RuntimeError:
+                pass  # the loud refusal is the correct outcome
+
+        t = threading.Thread(target=racer)
+        t.start()
+        t.join()
+        assert not errs, errs
+    assert not os.path.exists(os.path.join(root, LEASE_FILE))
+    assert os.path.exists(os.path.join(root, LEASE_MUTEX))  # mutex persists
+
+
+def test_release_is_ownership_checked(tmp_path):
+    """If the holder's lease file was usurped (the pre-fix gc cascade:
+    swept, then re-taken by another writer), the original holder's exit
+    must NOT delete the usurper's lease."""
+    root = str(tmp_path / "store")
+    with writer_lease(root, "victim"):
+        _foreign_lease(root)  # usurper's live lease replaces ours
+    with open(os.path.join(root, LEASE_FILE)) as f:
+        assert json.load(f)["owner"] == "other"  # survived victim's exit
+    os.remove(os.path.join(root, LEASE_FILE))
+
+
+def test_stale_break_is_race_free(tmp_path):
+    """r13 advice (medium): the read-then-remove stale break let two
+    writers both observe a dead holder and writer B delete writer C's
+    FRESH lease. The break now runs under a per-root flock, so N
+    threads hammering a stale lease yield exactly one holder at a time
+    — ever."""
+    root = str(tmp_path / "store")
+    holders = []
+    lock = threading.Lock()
+    errs = []
+
+    def contender(i):
+        for _ in range(5):
+            try:
+                with writer_lease(root, f"w{i}"):
+                    with lock:
+                        holders.append(i)
+                        if len(holders) > 1:
+                            errs.append(f"two holders: {holders}")
+                    with lock:
+                        holders.remove(i)
+            except RuntimeError:
+                pass  # someone else held it: correct loud refusal
+
+    _foreign_lease(root, pid=2 ** 22 + 7919)  # dead pid: stale
+    ts = [threading.Thread(target=contender, args=(i,)) for i in range(8)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+
+
 def test_index_chores_refuse_under_foreign_lease(spark, tmp_path):
     """compact_index / reindex / purge_index_ids take the index_root
     lease; the maintain job's apply_batch holds it per batch (with

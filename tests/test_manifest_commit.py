@@ -63,6 +63,7 @@ def test_whole_table_crash_before_manifest_keeps_old_state(spark, tmp_path, monk
         n
         for n in os.listdir(tdir)
         if n not in (mf.MANIFEST_NAME, mf.HISTORY_DIR) and n not in live
+        and not n.startswith("_WRITER_LEASE")  # lease control files persist
     ]
 
 
@@ -106,6 +107,7 @@ def test_bucketed_crash_before_manifest_keeps_old_state_then_converges(
         n
         for n in os.listdir(tdir)
         if n not in (mf.MANIFEST_NAME, mf.HISTORY_DIR) and n not in live
+        and not n.startswith("_WRITER_LEASE")  # lease control files persist
     ]
 
 
@@ -202,6 +204,7 @@ def test_time_travel_retention_prunes_and_gc_protects(spark, tmp_path):
         live.update(TableManifest.load_version(tdir, v).entries.values())
     on_disk = {
         n for n in os.listdir(tdir) if n not in (mf.MANIFEST_NAME, mf.HISTORY_DIR)
+        and not n.startswith("_WRITER_LEASE")
     }
     assert on_disk == live
 

@@ -567,3 +567,99 @@ def test_http_create_vector_jobs(spark, tmp_path):
         assert manager.list() == {}
     finally:
         server.stop()
+
+
+def test_http_mutation_routes_serialize_on_writer_lease(spark, tmp_path):
+    """E2E for the r13 writer lease on the HTTP mutation routes: the
+    isActive guards refuse while the stream is ACTIVE, but a purge
+    issued while a maintainer (or direct-call chore) is mid-manifest-
+    swap must contend on the SAME writer lease — fail loud naming the
+    holder, then succeed once the holder releases. Exercised for both
+    mutating route families: corpus purge (documents table root) and
+    vector purge (index_root)."""
+    import threading
+
+    from dtle_spark.catalog import SchemaCatalog
+    from dtle_spark.functions import similarity as sim
+    from dtle_spark.sinks.lease import writer_lease
+    from dtle_spark.streaming.ann_serving import save_model
+    from dtle_spark.streaming.http_api import ControlServer
+    from dtle_spark.streaming.jobs import JobManager
+
+    manager = JobManager(spark)
+    server = ControlServer(manager, SchemaCatalog()).start()
+    url = f"http://127.0.0.1:{server.port}"
+
+    class _Holder:
+        """A writer holding the store's lease from another thread —
+        the maintainer-mid-critical-section stand-in."""
+
+        def __init__(self, root):
+            self.root = root
+            self.held = threading.Event()
+            self.release = threading.Event()
+            self.t = threading.Thread(target=self._run)
+
+        def _run(self):
+            with writer_lease(self.root, "maintainer-swap"):
+                self.held.set()
+                self.release.wait(timeout=60)
+
+        def __enter__(self):
+            self.t.start()
+            assert self.held.wait(timeout=60)
+            return self
+
+        def __exit__(self, *exc):
+            self.release.set()
+            self.t.join()
+
+    try:
+        # --- corpus family: purge_documents contends on the table root
+        src = str(tmp_path / "csrc")
+        os.makedirs(src)
+        cj = manager.create_corpus_ingest(
+            "cj", os.path.join(src, "*"), str(tmp_path / "ctgt"),
+            str(tmp_path / "cck"), start=False,
+        )
+        cj.apply_batch(spark.createDataFrame(
+            [(1, "a doc that will be taken down end to end", "en", "s0"),
+             (2, "an unrelated survivor document about lease files",
+              "en", "s0")],
+            "doc_id long, text string, lang string, source string",
+        ), 0)
+        docs_root = cj.target.path("corpus", "documents")
+        with _Holder(docs_root):
+            code, d = _http("POST", f"{url}/v2/job/cj/purge", {"ids": [1]})
+            assert code == 500 and "writer lease held" in d["error"]
+            assert cj.corpus().count() == 2  # nothing half-purged
+        code, d = _http("POST", f"{url}/v2/job/cj/purge", {"ids": [1]})
+        assert code == 200 and d["purged"]["documents"] == 1
+        assert {r["doc_id"] for r in cj.corpus().collect()} == {2}
+
+        # --- vector family: purge (forced fold) contends on index_root
+        e = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select("vec_id", "embedding")
+        tr = sim.md5_train_sample(e)
+        cent = sim.ivf_exact_mean_centroids(tr, k=16).localCheckpoint()
+        cb = sim.pq_refine(
+            tr, sim.pq_codebook(tr, m=8, ksub=16, means=cent),
+            steps=2, m=8, ksub=16,
+        ).localCheckpoint()
+        index_root = str(tmp_path / "index")
+        save_model(index_root, cent, cb)
+        vm = manager.create_vector_maintain(
+            "vm", str(tmp_path / "vsrc-unused") + "/*", index_root,
+            str(tmp_path / "vck"), start=False,
+        )
+        vm.apply_batch(e.limit(64).localCheckpoint(), 0)
+        with _Holder(index_root):
+            code, d = _http("POST", f"{url}/v2/job/vm/purge",
+                            {"ids": [int(e.first()["vec_id"])]})
+            assert code == 500 and "writer lease held" in d["error"]
+        code, d = _http("POST", f"{url}/v2/job/vm/purge",
+                        {"ids": [int(e.first()["vec_id"])]})
+        assert code == 200
+    finally:
+        server.stop()
