@@ -119,17 +119,19 @@ def base_hash_columns(
 
 
 def minhash_signature(hx_col: str = "hx", hy_col: str = "hy") -> Column:
-    """MinHash signature from the base-hash arrays: lane i keeps
-    min((A[i]*x + B[i]*y) mod 2^40), serialized as decimal strings so
-    band digests concat portably.
+    """INTERPRETED REFERENCE implementation of the MinHash signature —
+    kept only to pin bit-identity of the production ``minhash_sigs``
+    rewrite (tests/test_custom_ops.py). Not on any query path.
 
-    ONE aggregate fold over the shingle hashes accumulating all 24 lane
-    minima at once (lane constants as a literal struct array), instead
-    of 24 zip_with+array_min passes — same integer minima (order-free),
-    but a ~24x smaller expression tree: the per-lane form dominated the
-    query's codegen/compile time, the same pathology the SimHash
-    signature fix removed in round 3. Products stay < 2^54 (a,b < 2^13
-    odd; x,y < 2^40), inside int64 in both engines."""
+    MinHash signature from the base-hash arrays: lane i keeps
+    min((A[i]*x + B[i]*y) mod 2^40), serialized as decimal strings so
+    band digests concat portably. ONE aggregate fold over the shingle
+    hashes accumulating all 24 lane minima at once. Retired from the
+    hot paths in r14: ``aggregate``/``zip_with`` lambdas run on Spark's
+    interpreted expression-eval path, whose shared call sites go
+    megamorphic in a long-lived JVM (~100+ distinct queries) and make
+    the SAME plan run 3-5x slower — the r11 text_rp_embedding disease,
+    re-diagnosed on the simhash family in the r13 bench adjudication."""
     consts = ", ".join(
         f"struct({a}L AS a, {b}L AS b)" for a, b in LANE_CONSTANTS
     )
@@ -142,6 +144,63 @@ def minhash_signature(hx_col: str = "hx", hy_col: str = "hy") -> Column:
         f"  (acc, e) -> zip_with(acc, array({consts}),"
         f"   (m, c) -> least(m, (c.a * e.x + c.b * e.y) % {_LANE_MOD}))),"
         f" v -> CAST(v AS STRING))"
+    )
+
+
+def minhash_sigs(
+    df: DataFrame,
+    key_cols: list[str],
+    hx_col: str = "hx",
+    hy_col: str = "hy",
+) -> DataFrame:
+    """(key_cols..., sig): the PRODUCTION MinHash signature — explode
+    the zipped base hashes and fold the 24 lane minima in a codegen'd
+    hash aggregate (24 ``min`` columns), instead of the per-row
+    ``aggregate(zip_with(...))`` lambda fold.
+
+    Why (r13 bench adjudication, same root cause r11 bisected for
+    text_rp_embedding): higher-order-function lambdas evaluate on
+    Spark's INTERPRETED expression path; after ~100+ distinct codegen'd
+    queries in one JVM the shared eval call sites go megamorphic and
+    the fold form runs a consistent 3-5x slower than fresh. The
+    explode + groupBy form stays inside whole-stage codegen's hash
+    aggregate and is immune. Scale cost: the explode is partition-local
+    and map-side partial aggregation folds each doc's shingles to ONE
+    25-column row before the exchange, so the shuffle carries one
+    narrow row per doc per partition — smaller than the sig itself
+    moves in every downstream band explode.
+
+    Bit-identical to ``minhash_signature`` (pinned by
+    tests/test_custom_ops.py::test_minhash_sigs_matches_reference):
+    min is order-free, empty shingle arrays keep the 2^40 lane init
+    via explode_outer's NULL row + coalesce, products stay < 2^54.
+    ``key_cols`` must uniquely identify rows (doc ids do)."""
+    # arrays_zip, not zip_with: same pair array, but arrays_zip is a
+    # regular codegen'd expression while zip_with is a lambda HOF on
+    # the interpreted path — the class this function exists to retire
+    pairs = df.select(
+        *key_cols,
+        F.explode_outer(
+            F.arrays_zip(F.col(hx_col).alias("x"), F.col(hy_col).alias("y"))
+        ).alias("__e"),
+    )
+    aggs = [
+        F.coalesce(
+            F.min(F.expr(f"({a}L * __e.x + {b}L * __e.y) % {_LANE_MOD}")),
+            F.lit(_LANE_MOD).cast("bigint"),
+        ).alias(f"__l{i}")
+        for i, (a, b) in enumerate(LANE_CONSTANTS)
+    ]
+    sig = F.array(*[
+        F.col(f"__l{i}").cast("string")
+        for i in range(len(LANE_CONSTANTS))
+    ])
+    # re-spread: AQE coalesces the doc-grain aggregate to few
+    # partitions, and every consumer does CPU-heavy per-row work
+    # (band digests) — same rationale as rp_text_embedding's
+    return spread(
+        pairs.groupBy(*key_cols).agg(*aggs)
+        .select(*key_cols, sig.alias("sig"))
     )
 
 
@@ -192,8 +251,9 @@ def minhash_buckets(
     """(id, band_idx, band_digest) — the LSH bucket assignment. Carries
     only the 16-byte digest + id through the explode/shuffle."""
     return (
-        doc_hash_sets(docs, id_col, text_col, hash_fn=hash_fn)
-        .withColumn("sig", minhash_signature())
+        minhash_sigs(
+            doc_hash_sets(docs, id_col, text_col, hash_fn=hash_fn), [id_col]
+        )
         .select(id_col, F.explode(lsh_bands("sig", hash_fn=hash_fn)).alias("band"))
         .select(id_col, "band.band_idx", "band.band_digest")
     )
@@ -240,7 +300,7 @@ def minhash_dedup_pairs(
     # id + two int arrays per doc)
     base = doc_hash_sets(docs, id_col, text_col, hash_fn=hash_fn).localCheckpoint()
     b = (
-        base.withColumn("sig", minhash_signature())
+        minhash_sigs(base, [id_col])
         .select(id_col, F.explode(lsh_bands("sig", hash_fn=hash_fn)).alias("band"))
         .select(id_col, "band.band_idx", "band.band_digest")
     )
@@ -311,7 +371,7 @@ def incremental_neardup_filter(
         "fp", F.md5(F.trim(F.regexp_replace(F.lower(F.col("txt")), "\\s+", " ")))
     ).drop("txt").localCheckpoint()
     buckets = (
-        base.withColumn("sig", minhash_signature())
+        minhash_sigs(base, ["id", "side"])
         .select("id", "side", F.explode(lsh_bands("sig")).alias("band"))
         .select("id", "side", "band.band_idx", "band.band_digest")
         # both side-branches read this: without the barrier the
@@ -357,16 +417,20 @@ SIMHASH_CHUNKS = 6  # 6 x 10-bit chunks: pigeonhole-exact for distance <= 5
 
 
 def simhash_bits_expr(hash_col: str = "th", bits: int = SIMHASH_BITS) -> Column:
-    """SimHash bits from a pre-computed token-hash int array: bit b is
-    set when more tokens have bit b set than clear (sum of +-1 > 0
-    <=> 2*count_set > n_tokens).
+    """INTERPRETED REFERENCE implementation of the SimHash signature —
+    kept only to pin bit-identity of the production
+    ``simhash_signatures`` rewrite (tests/test_custom_ops.py). Not on
+    any query path: the ``aggregate``/``transform`` lambdas evaluate
+    interpreted, and the r13 bench adjudication traced the
+    dedup_simhash(_pairs) position-dependent 2-4x slowdowns to exactly
+    this construct going megamorphic in a long-lived JVM (the r11
+    text_rp_embedding disease).
 
-    ONE ``aggregate`` pass over the array accumulating a ``bits``-slot
-    count vector (index lambda picks the bit per slot), then a fold of
-    the counts into the signature — replaces the previous 60 separate
-    ``size(filter(...))`` scans (r02 perf regression, VERDICT #6):
-    O(tokens x bits) element ops either way, but the array is now
-    traversed once with no per-bit closure re-entry."""
+    SimHash bits from a pre-computed token-hash int array: bit b is
+    set when more tokens have bit b set than clear (sum of +-1 > 0
+    <=> 2*count_set > n_tokens). ONE ``aggregate`` pass over the array
+    accumulating a ``bits``-slot count vector (index lambda picks the
+    bit per slot), then a fold of the counts into the signature."""
     one = "CAST(1 AS BIGINT)"
     return F.expr(
         f"""aggregate(
@@ -384,21 +448,46 @@ def simhash_bits_expr(hash_col: str = "th", bits: int = SIMHASH_BITS) -> Column:
 
 def simhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """60-bit SimHash over token frequency, pure integer expressions.
+    60 not 64: the hex window (first 15 md5 hex chars, positional
+    parse — portable, one digest per token) must parse into a SIGNED
+    64-bit int in both engines, so the top nibble is left clear.
 
-    Two-phase: token hashes (first 15 md5 hex chars = 60 bits,
-    positional parse — portable, one digest per token) materialize
-    once, then 60 cheap integer bit-count passes read the array.
-    60 not 64: the hex window must parse into a SIGNED 64-bit int in
-    both engines, so the top nibble is left clear.
-    """
-    h = hex_window_sql("m", 1, "spark", width=15)
-    base = spread(docs).select(
-        id_col,
-        F.expr(
-            f"transform(transform({_toks(text_col)}, x -> md5(x)), m -> {h})"
-        ).alias("th"),
+    Shape (r14, the r11 rp_text_embedding precedent applied here after
+    the r13 bench adjudication): explode the doc's token hashes and
+    accumulate the 60 per-bit set-counts + token count in a codegen'd
+    hash aggregate, then threshold (2*count_set > n_tokens) and fold
+    the bits in one flat 60-term sum. The previous per-row
+    ``aggregate(transform(...))`` fold (kept as ``simhash_bits_expr``
+    for the equivalence pin) evaluates its lambdas on the interpreted
+    expression path, which goes megamorphic after ~100+ distinct
+    queries in one JVM — the same plan then runs a consistent 2-4x
+    slower (dedup_simhash's r13 'regression' verdicts). This form
+    stays inside WholeStageCodegen; its one exchange carries a single
+    62-column partial row per doc per partition (map-side combine), far
+    lighter than the text scan feeding it. Bit-identical: counts are
+    order-free, an empty token list keeps simhash=0 via explode_outer's
+    NULL row + coalesce(sum, 0) with n_tokens=count(hh)=0."""
+    h = hex_window_sql("md5(x)", 1, "spark", width=15)
+    tok = spread(docs).select(
+        id_col, F.explode_outer(F.expr(_toks(text_col))).alias("x")
+    ).select(id_col, F.expr(h).alias("hh"))
+    one = "CAST(1 AS BIGINT)"
+    aggs = [F.count("hh").alias("__n")] + [
+        F.coalesce(
+            F.sum(F.expr(f"CAST((hh DIV shiftleft({one}, {i})) % 2 AS INT)")),
+            F.lit(0),
+        ).alias(f"__b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    bits = " + ".join(
+        f"IF(2 * __b{i} > __n, shiftleft({one}, {i}), 0 * {one})"
+        for i in range(SIMHASH_BITS)
     )
-    return base.select(id_col, simhash_bits_expr("th").alias("simhash"))
+    return spread(
+        tok.groupBy(id_col)
+        .agg(*aggs)
+        .select(id_col, F.expr(f"CAST({bits} AS BIGINT)").alias("simhash"))
+    )
 
 
 def simhash_near_pairs(
@@ -819,12 +908,21 @@ def with_dedup_index(
     base = base_hash_columns(
         docs.withColumn("__sh", shingles_expr(text_col)), "__sh"
     ).drop("__sh")
+    # signature on the NARROW side (id + hash arrays) via the codegen
+    # explode+min-aggregate, then ONE equi-join attaches the band
+    # digests back to the full rows. The join costs one shuffle of the
+    # corpus at build time (a one-time, linear lake-write cost); what
+    # it buys is keeping the signature fold out of the interpreted
+    # HOF path on the 100 TB build, where the megamorphic 3-5x tax
+    # would land on every row of history.
+    bands = minhash_sigs(base.select(id_col, "hx", "hy"), [id_col]).select(
+        id_col, lsh_bands("sig").alias("__bands")
+    )
     return (
         base.withColumn("__fp", doc_fingerprint(F.col(text_col)))
-        .withColumn("__sig", minhash_signature())
-        .withColumn("__bands", lsh_bands("__sig"))
         .withColumnRenamed("hx", "__hx")
-        .drop("hy", "__sig")
+        .drop("hy")
+        .join(bands, id_col)
     )
 
 

@@ -1150,6 +1150,65 @@ def test_minhash_hash_fn_lanes_agree(spark):
     assert md5_j == xx_j
 
 
+def test_codegen_signatures_match_interpreted_reference(spark):
+    """r14 rewrite pin: the codegen explode+hash-aggregate signature
+    paths (minhash_sigs, simhash_signatures) must be BIT-IDENTICAL to
+    the retired interpreted HOF folds (minhash_signature,
+    simhash_bits_expr) — including the empty-token-list edge (lane
+    init 2^40 / simhash 0)."""
+    from pyspark.sql import functions as F
+
+    from dtle_spark.functions.dedup import (
+        SIMHASH_BITS,
+        doc_hash_sets,
+        hex_window_sql,
+        minhash_signature,
+        minhash_sigs,
+        simhash_bits_expr,
+        simhash_signatures,
+        _toks,
+    )
+    from dtle_spark.tableio import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    # an empty-token doc exercises the explode_outer/coalesce edge
+    d = d.unionByName(
+        spark.createDataFrame([(10 ** 9, "!!! ...")], "doc_id long, text string")
+    )
+
+    base = doc_hash_sets(d, "doc_id", "text")
+    ref_min = {
+        r["doc_id"]: r["sig"]
+        for r in base.withColumn("sig", minhash_signature()).select(
+            "doc_id", "sig"
+        ).collect()
+    }
+    new_min = {
+        r["doc_id"]: r["sig"] for r in minhash_sigs(base, ["doc_id"]).collect()
+    }
+    assert new_min == ref_min and len(new_min) == d.count()
+
+    h = hex_window_sql("m", 1, "spark", width=15)
+    ref_sim = {
+        r["doc_id"]: r["simhash"]
+        for r in d.select(
+            "doc_id",
+            F.expr(
+                f"transform(transform({_toks('text')}, x -> md5(x)), m -> {h})"
+            ).alias("th"),
+        ).select(
+            "doc_id", simhash_bits_expr("th", SIMHASH_BITS).alias("simhash")
+        ).collect()
+    }
+    new_sim = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_signatures(d, "doc_id", "text").collect()
+    }
+    assert new_sim == ref_sim and new_sim[10 ** 9] == 0
+
+
 class TestBpeTrain:
     def _python_reference(self, texts, n_merges, min_count=2):
         """The classic reference algorithm, verbatim (Sennrich et al.):
