@@ -79,20 +79,38 @@ def _max_bench_round(repo_dir: str) -> int:
     return max(rounds, default=0)
 
 
+def _run_canary_ratio(rec: dict) -> float:
+    """A run's host-speed context: mean of its start/end canary ratios
+    (1.0 = the calibrated reference host speed). Pre-r13 records have
+    no canary fields — treat them as reference speed."""
+    c = rec.get("canary") or {}
+    rs = [c.get("start_ratio"), c.get("end_ratio")]
+    rs = [float(r) for r in rs if isinstance(r, (int, float)) and r > 0]
+    return round(sum(rs) / len(rs), 2) if rs else 1.0
+
+
 def _anchor_timings(
     repo_dir: str, sf: float | None,
-) -> dict[str, tuple[float, int]]:
-    """Per-query anchor: the MIN recorded bench time over the rounds
-    the query's CURRENT definition was in force (recorded round >= the
-    query's QUERY_HASHES round stamp) at the SAME scale factor ->
-    (sec, round). Sources, in order of reliability: the committed
-    bench_full.json (each round's close persists the FULL per-query
-    dict with a `round` stamp — the driver's BENCH_r files are
-    tail-truncated from r03 on) and any BENCH_r*.json that does carry
-    queries (top-level or under "parsed"). A query slowed by a real
-    definition change re-anchors automatically because its stamp
-    moves to the changing round; a bench at a different sf has no
-    anchors (and flags nothing) rather than comparing across scales."""
+) -> dict[str, tuple[float, int, float]]:
+    """Per-query anchor: the best CANARY-NORMALIZED bench time over the
+    rounds the query's CURRENT definition was in force (recorded round
+    >= the query's QUERY_HASHES round stamp) at the SAME scale factor
+    -> (sec, round, canary_ratio_at_measurement). Sources, in order of
+    reliability: the committed bench_full.json (each round's close
+    persists the FULL per-query dict with a `round` stamp — the
+    driver's BENCH_r files are tail-truncated from r03 on) and any
+    BENCH_r*.json that does carry queries (top-level or under
+    "parsed"). A query slowed by a real definition change re-anchors
+    automatically because its stamp moves to the changing round; a
+    bench at a different sf has no anchors (and flags nothing) rather
+    than comparing across scales.
+
+    Why normalized (r13 adjudication): ratcheting on the raw min is
+    burst-poisonable — dedup_simhash's 0.318 s anchor was captured at
+    canary ratio 0.66 (the box running 1.5x the reference speed), a
+    bar an HONEST idle-box run reads 1.5x over before any real change.
+    Selecting on sec/ratio and carrying the ratio lets the flag check
+    compare like with like."""
     import glob
     import re
 
@@ -103,7 +121,8 @@ def _anchor_timings(
     except OSError:
         pass
 
-    sources: list[tuple[int, dict]] = []
+    # (round, {name: sec}, run_canary_ratio)
+    sources: list[tuple[int, dict, float]] = []
     for path in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         try:
@@ -114,45 +133,85 @@ def _anchor_timings(
         qs = rec.get("queries") or (rec.get("parsed") or {}).get(
             "queries") or {}
         if qs and _sf_of(rec) == sf:
-            sources.append((int(m.group(1)), qs))
+            sources.append((int(m.group(1)), qs, _run_canary_ratio(rec)))
     try:
         with open(os.path.join(repo_dir, "bench_full.json")) as f:
             rec = json.load(f)
         if _sf_of(rec) == sf:
             if rec.get("queries"):
-                sources.append((
-                    int(rec.get("round", _max_bench_round(repo_dir))),
-                    rec["queries"],
-                ))
+                # a pre-r13 bench_full.json has no 'round' key; default
+                # it to 0 (conservatively OLD, so the QUERY_HASHES
+                # definition-stamp filter prunes it) — defaulting to
+                # the newest round let stale-definition timings become
+                # anchors and fire false regression flags
+                sources.append((int(rec.get("round", 0)), rec["queries"],
+                                _run_canary_ratio(rec)))
             # the ratcheting anchor map carried forward run-over-run —
             # without it, every bench run's overwrite of bench_full
             # would REPLACE the anchor history with its own (possibly
-            # hot-host) numbers and the 2x flag would drift upward
-            for name, (sec, rnd) in (rec.get("anchors") or {}).items():
-                sources.append((int(rnd), {name: float(sec)}))
+            # hot-host) numbers and the 2x flag would drift upward.
+            # Entries are [sec, round] (pre-r14) or [sec, round, ratio]
+            for name, entry in (rec.get("anchors") or {}).items():
+                sec, rnd = float(entry[0]), int(entry[1])
+                ratio = float(entry[2]) if len(entry) > 2 else 1.0
+                sources.append((rnd, {name: sec}, ratio))
     except (OSError, ValueError):
         pass
 
-    anchors: dict[str, tuple[float, int]] = {}
-    for rnd, qs in sources:
+    anchors: dict[str, tuple[float, int, float]] = {}
+    for rnd, qs, ratio in sources:
+        ratio = ratio if ratio > 0 else 1.0
         for name, sec in qs.items():
             if rnd < stamps.get(name, 0):
                 continue  # measured under an older definition
-            if name not in anchors or sec < anchors[name][0]:
-                anchors[name] = (float(sec), rnd)
+            best = anchors.get(name)
+            if best is None or sec / ratio < best[0] / best[2]:
+                anchors[name] = (float(sec), rnd, ratio)
     return anchors
 
 
 def _merge_anchors(
-    anchors: dict[str, tuple[float, int]],
+    anchors: dict[str, tuple[float, int, float]],
     timings: dict[str, float],
     this_round: int,
+    run_ratio: float,
 ) -> dict[str, list]:
-    out = {k: [v[0], v[1]] for k, v in anchors.items()}
+    out = {k: [v[0], v[1], v[2]] for k, v in anchors.items()}
+    run_ratio = run_ratio if run_ratio > 0 else 1.0
     for name, sec in timings.items():
-        if name not in out or sec < out[name][0]:
-            out[name] = [sec, this_round]
+        cur = out.get(name)
+        if cur is None or sec / run_ratio < cur[0] / (cur[2] or 1.0):
+            out[name] = [sec, this_round, run_ratio]
     return out
+
+
+def _freshcheck(repo_dir: str, name: str, sf_dir: str) -> dict | None:
+    """Re-measure ONE query in a brand-new subprocess JVM (warmups +
+    min-of-3). The r13 blind spot: the in-JVM 'isolated' recheck runs
+    AFTER the 143-query sweep in the same long-lived JVM, so a
+    megamorphic-pollution slowdown (interpreted-HOF call sites gone
+    polymorphic) survives it and gets stamped 'regression' — the one
+    verdict class a same-JVM recheck structurally cannot acquit."""
+    import subprocess
+
+    env = {**os.environ,
+           "SPARK_GRAFT_BENCH_FRESHCHECK": name,
+           "SPARK_GRAFT_SF_DIR": sf_dir}
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(repo_dir, "bench.py")],
+            env=env, capture_output=True, text=True, timeout=900,
+        )
+    except Exception:
+        return None
+    for line in reversed((out.stdout or "").strip().splitlines()):
+        try:
+            rec = json.loads(line)
+        except ValueError:
+            continue
+        if rec.get("freshcheck") == name:
+            return rec
+    return None
 
 
 def main() -> None:
@@ -167,6 +226,24 @@ def main() -> None:
     spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
         spark.sparkContext.defaultParallelism
     ).mapInPandas(lambda it: it, "id long").count()
+
+    fresh_name = os.environ.get("SPARK_GRAFT_BENCH_FRESHCHECK")
+    if fresh_name:
+        # subprocess mode for _freshcheck: measure ONE query min-of-3
+        # in THIS brand-new JVM and print a single JSON line
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            REGISTRY[fresh_name].spark_fn(spark, sf_dir).write.format(
+                "noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        print(json.dumps({
+            "freshcheck": fresh_name,
+            "min": round(min(samples), 3),
+            "samples": [round(s, 3) for s in samples],
+            "canary_ratio": round(_canary(spark) / _CANARY_REF_SEC, 2),
+        }))
+        return
 
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     canary_start = _canary(spark)
@@ -282,23 +359,34 @@ def main() -> None:
         "end_ratio": round(canary_end / _CANARY_REF_SEC, 2),
     }
 
-    # Flag queries whose min-of-N exceeds 2x their anchor (best bench
-    # time recorded under the SAME definition, per QUERY_HASHES stamp),
-    # re-run each isolated (post-sweep, post-GC, min-of-3 — a single
-    # recheck sample has the same 3-8x ambient noise the sweep's
-    # min-of-N exists for, and turned bursty-host runs into false
-    # "regression" verdicts), and record a one-word verdict — the
-    # field the judge reads instead of re-deriving ratios from prose.
-    # A recheck that is still slow on a provably hot host (recheck-time
-    # canary > 1.3x) is "host-suspect", not "regression": the one
-    # claim a loaded box cannot support is that the PLAN got slower.
+    # Flag queries whose CANARY-NORMALIZED min-of-N exceeds 2x their
+    # normalized anchor (best admissible time under the SAME definition
+    # per QUERY_HASHES stamp, each side divided by its run's canary
+    # ratio so a burst-fast anchor can't indict an honest idle-box
+    # run). Adjudication ladder, cheapest rung first, verdicts the
+    # judge reads as fields:
+    #   1. same-JVM isolated min-of-3 (post-sweep, post-GC) back at
+    #      anchor -> "host-tax" (transient load landed on the sweep)
+    #   2. still slow -> FRESH SUBPROCESS JVM min-of-3 (r13 blind spot:
+    #      a same-JVM recheck cannot acquit megamorphic interpreted-
+    #      expression pollution — it shares the polluted call sites);
+    #      fresh at anchor -> "position-tax" (in-session pollution, the
+    #      plan is fine; fix the query's expression class, not the plan)
+    #   3. fresh still slow on a provably hot host (fresh-JVM canary
+    #      > 1.3x) -> "host-suspect"; else -> "regression" (real).
     anchors = _anchor_timings(
         repo_dir, float(sf) if sf.replace(".", "").isdigit() else None
     )
+    run_ratio = max(0.25, (canary["start_ratio"] + canary["end_ratio"]) / 2)
+    fresh_budget = int(os.environ.get("SPARK_GRAFT_BENCH_FRESHCHECKS", "4"))
     flagged: dict[str, dict] = {}
     for name, sec in timings.items():
         anchor = anchors.get(name)
-        if anchor is None or sec <= 2 * anchor[0]:
+        if anchor is None:
+            continue
+        a_sec, a_rnd, a_ratio = anchor
+        norm_anchor = a_sec / (a_ratio or 1.0)
+        if sec / run_ratio <= 2 * norm_anchor:
             continue
         spark.sparkContext._jvm.System.gc()
         samples = []
@@ -312,23 +400,37 @@ def main() -> None:
         except Exception as exc:
             isolated = None
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+        fresh = None
         if isolated is None:
-            verdict, recheck_canary = "error", None
-        elif isolated <= 2 * anchor[0]:
-            verdict, recheck_canary = "host-tax", None
+            verdict = "error"
+        elif isolated / run_ratio <= 2 * norm_anchor:
+            verdict = "host-tax"
+        elif fresh_budget > 0:
+            fresh_budget -= 1
+            fresh = _freshcheck(repo_dir, name, sf_dir)
+            if fresh is None:
+                verdict = "fresh-check-failed"
+            else:
+                f_ratio = max(0.25, float(fresh.get("canary_ratio") or 1.0))
+                if float(fresh["min"]) / f_ratio <= 2 * norm_anchor:
+                    verdict = "position-tax"
+                elif f_ratio > 1.3:
+                    verdict = "host-suspect"
+                else:
+                    verdict = "regression"
         else:
-            recheck_canary = round(_canary(spark) / _CANARY_REF_SEC, 2)
-            verdict = (
-                "host-suspect" if recheck_canary > 1.3 else "regression"
-            )
+            verdict = "unadjudicated"  # fresh-JVM budget exhausted
         flagged[name] = {
-            "min": sec, "anchor": anchor[0], "anchor_round": anchor[1],
+            "min": sec, "anchor": a_sec, "anchor_round": a_rnd,
+            "anchor_canary": a_ratio, "run_canary": round(run_ratio, 2),
             "isolated": isolated, "verdict": verdict,
-            **({"recheck_canary": recheck_canary}
-               if recheck_canary is not None else {}),
+            **({"fresh": fresh["min"],
+                "fresh_canary": fresh.get("canary_ratio")}
+               if fresh else {}),
         }
-        print(f"  FLAG {name}: {sec:.3f}s vs anchor {anchor[0]:.3f}s "
-              f"(r{anchor[1]}) isolated={isolated} -> {verdict}",
+        print(f"  FLAG {name}: {sec:.3f}s vs anchor {a_sec:.3f}s "
+              f"(r{a_rnd}, canary {a_ratio}) isolated={isolated} "
+              f"fresh={fresh and fresh.get('min')} -> {verdict}",
               file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
@@ -361,12 +463,14 @@ def main() -> None:
         # current round does not exist yet at close time) — read back
         # by _anchor_timings' definition-stamp filter next round
         "round": _max_bench_round(repo_dir) + 1,
-        # ratchet the anchor map forward: min of everything admissible
-        # seen so far and this run — the durable per-query best that
-        # survives bench_full overwrites (stamp filter prunes entries
-        # whose definition changes later, at read time)
+        # ratchet the anchor map forward: the best CANARY-NORMALIZED
+        # admissible time seen so far or this run, each entry carrying
+        # [sec, round, canary_ratio] so the next run compares like with
+        # like — the durable per-query best that survives bench_full
+        # overwrites (stamp filter prunes entries whose definition
+        # changes later, at read time)
         "anchors": _merge_anchors(
-            anchors, timings, _max_bench_round(repo_dir) + 1
+            anchors, timings, _max_bench_round(repo_dir) + 1, run_ratio
         ),
     }
     try:
