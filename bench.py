@@ -473,12 +473,19 @@ def main() -> None:
             anchors, timings, _max_bench_round(repo_dir) + 1, run_ratio
         ),
     }
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "bench_full.json"), "w") as f:
-            json.dump(full, f, indent=1)
-    except OSError as exc:
-        print(f"  bench_full.json not written: {exc}", file=sys.stderr)
+    # scale-tier sweeps (scripts/scale_sweep.py) run bench at sf0.3/1/3
+    # dirs; letting them overwrite bench_full.json would REPLACE the
+    # sf0.1 record — and since _anchor_timings sf-filters, the ratchet
+    # map carried in that file would become unreadable at the next
+    # sf0.1 run (anchors silently reset). Tier runs set this env var.
+    if not os.environ.get("SPARK_GRAFT_BENCH_NO_FULL"):
+        try:
+            with open(os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "bench_full.json"), "w") as f:
+                json.dump(full, f, indent=1)
+        except OSError as exc:
+            print(f"  bench_full.json not written: {exc}", file=sys.stderr)
     print(json.dumps(payload))
 
 

@@ -169,6 +169,171 @@ def run_join_tier(
     return out
 
 
+def run_vector_tier(spark, name: str, sf_dir: str, work: str) -> dict:
+    """VectorIndexMaintainJob + AnnServingJob at tier scale: stream the
+    tier's embeddings in 500-row batches into the cell-partitioned
+    IVF-PQ index (auto_compact_batches=16 so the merge-on-read fold
+    triggers MID-STREAM and its pause is measured in-line), serving a
+    fixed query batch every 5 maintain batches. Claims under test:
+    (a) maintain cost is O(batch) — flat over stream age regardless of
+    accumulated index mass; (b) the compaction pause is bounded (one
+    fold of bounded subtrees, visible as isolated spikes, not a trend);
+    (c) serve cost tracks LIVE INDEX MASS in the probed cells (the
+    documented nprobe/n_cells pricing — it may grow within a tier as
+    the index fills; the scaling rule is cells ∝ corpus, re-train to
+    keep cell occupancy constant)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dtle_spark.functions import similarity as sim
+    from dtle_spark.streaming.ann_serving import (
+        AnnServingJob,
+        VectorIndexMaintainJob,
+    )
+
+    pq = dict(k=10, nprobe=4, m=8, ksub=16, dim=64)
+    e = spark.read.parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).select("vec_id", "embedding")
+    tr = sim.md5_train_sample(e)
+    cent = sim.ivf_exact_mean_centroids(tr, k=16).localCheckpoint()
+    cb = sim.pq_refine(
+        tr, sim.pq_codebook(tr, m=8, ksub=16, means=cent),
+        steps=2, m=8, ksub=16,
+    ).localCheckpoint()
+
+    rn = F.row_number().over(Window.orderBy("vec_id")) - 1
+    staged = os.path.join(work, "vbatches")
+    (
+        e.withColumn("__b", (rn / BATCH_ROWS).cast("long"))
+        .repartition("__b").write.partitionBy("__b")
+        .mode("overwrite").parquet(staged)
+    )
+    n_batches = len([d for d in os.listdir(staged) if d.startswith("__b=")])
+    queries = e.filter(F.col("vec_id") % 211 == 0).localCheckpoint()
+
+    index_root = os.path.join(work, "index")
+    mj = VectorIndexMaintainJob(
+        spark, os.path.join(work, "unused-src", "*"), index_root,
+        os.path.join(work, "mck"), cent, cb,
+        m=pq["m"], ksub=pq["ksub"], dim=pq["dim"],
+        auto_compact_batches=16,
+    )
+    sj = AnnServingJob(
+        spark, os.path.join(work, "unused-q", "*"), index_root,
+        os.path.join(work, "results"), os.path.join(work, "sck"),
+        cent, cb, **pq,
+    )
+    serve_every = 5 if n_batches >= 10 else 2
+    times, serve_times, compactions = [], [], []
+    for b in range(n_batches):
+        batch = spark.read.parquet(
+            os.path.join(staged, f"__b={b}")).localCheckpoint()
+        before = mj.position()["compacted_through"]
+        t0 = time.perf_counter()
+        mj.apply_batch(batch, b)
+        times.append(round(time.perf_counter() - t0, 3))
+        if mj.position()["compacted_through"] != before:
+            compactions.append(b)
+        served = b % serve_every == serve_every - 1
+        if served:
+            t0 = time.perf_counter()
+            sj.apply_batch(queries, b)
+            serve_times.append(round(time.perf_counter() - t0, 3))
+        print(f"  vector {name} batch {b}: {times[-1]:.3f}s"
+              + (f" serve={serve_times[-1]:.3f}s" if served else ""),
+              file=sys.stderr)
+    head = times[: max(3, len(times) // 10)]
+    tail = times[-max(3, len(times) // 10):]
+    out = {
+        "n_batches": n_batches,
+        "batch_rows": BATCH_ROWS,
+        "index_rows": mj.live_index().count(),
+        "batch_times": times,
+        "serve_times": serve_times,
+        "compaction_batches": compactions,
+        "head_mean": round(sum(head) / len(head), 3),
+        "tail_mean": round(sum(tail) / len(tail), 3),
+        "serve_head": serve_times[0] if serve_times else None,
+        "serve_tail": serve_times[-1] if serve_times else None,
+        "total": round(sum(times), 2),
+    }
+    print(f"vector {name}: {n_batches} batches, head {out['head_mean']}s "
+          f"tail {out['tail_mean']}s compactions@{compactions} "
+          f"serve {out['serve_head']}->{out['serve_tail']}s")
+    return out
+
+
+def run_history_tier(
+    spark, name: str, sf_dir: str, work: str, n_batches: int,
+) -> dict:
+    """Scd2HistoryJob at tier scale: seed the full orders snapshot,
+    then stream `n_batches` of 500 single-key updates with
+    auto_compact_batches=8. Claim under test: per-batch cost is
+    O(batch) event derivation + an O(batch)-keys merge-on-read fold
+    bounded by the compaction constant — flat over stream age; the
+    seeded history MASS (1x vs 10x) prices the compaction fold, not
+    the steady-state batch."""
+    from pyspark.sql import functions as F
+
+    from dtle_spark.streaming.history import Scd2HistoryJob
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    job = Scd2HistoryJob(
+        spark, os.path.join(work, "unused-src", "*"),
+        os.path.join(work, "hist"), os.path.join(work, "ckpt"),
+        key_cols=["o_orderkey"],
+        auto_compact_batches=8,
+    )
+    job.seed(orders)
+
+    row = F.struct(*[F.col(c) for c in orders.columns])
+    bumped = F.struct(*[
+        (F.col(c) + 1).alias(c) if c == "o_totalprice" else F.col(c)
+        for c in orders.columns
+    ])
+    times = []
+    for b in range(n_batches):
+        batch = (
+            orders.filter(F.col("o_orderkey") % n_batches == b)
+            .limit(500)
+            .select(
+                F.lit("66666666-6666-6666-6666-666666666666").alias("sid"),
+                F.col("o_orderkey").alias("gno"),
+                (F.col("o_orderkey") + 1_000_000_000).alias("seq"),
+                F.lit(0).cast("long").alias("lc"),
+                F.lit("u").alias("op"),
+                F.lit(None).cast("timestamp").alias("ts"),
+                F.lit("db1").alias("schema_name"),
+                F.lit("orders").alias("table_name"),
+                row.alias("before"),
+                bumped.alias("after"),
+                F.lit(None).cast("string").alias("query"),
+            )
+            .localCheckpoint()
+        )
+        t0 = time.perf_counter()
+        job.apply_batch(batch, b)
+        times.append(round(time.perf_counter() - t0, 3))
+        print(f"  history {name} batch {b}: {times[-1]:.3f}s",
+              file=sys.stderr)
+    head = times[: max(3, len(times) // 10)]
+    tail = times[-max(3, len(times) // 10):]
+    out = {
+        "n_batches": n_batches,
+        "batch_rows": 500,
+        "seeded_rows": orders.count(),
+        "batch_times": times,
+        "head_mean": round(sum(head) / len(head), 3),
+        "tail_mean": round(sum(tail) / len(tail), 3),
+        "total": round(sum(times), 2),
+    }
+    print(f"history {name}: {n_batches} batches, head {out['head_mean']}s "
+          f"tail {out['tail_mean']}s total {out['total']}s "
+          f"(tail/head {out['tail_mean']/out['head_mean']:.2f})")
+    return out
+
+
 def main() -> None:
     from dtle_spark.session import get_spark
 
@@ -194,6 +359,23 @@ def main() -> None:
             shutil.rmtree(work, ignore_errors=True)
             os.makedirs(work)
             results[f"join_{name}"] = run_join_tier(
+                spark, name, sf_dir, work, n)
+            shutil.rmtree(work, ignore_errors=True)
+    if which in ("vector", "all"):
+        for name, sf_dir in TIERS.items():
+            work = os.path.join(REPO, "scale_data", f"_vmaint_{name}")
+            shutil.rmtree(work, ignore_errors=True)
+            os.makedirs(work)
+            results[f"vector_{name}"] = run_vector_tier(
+                spark, name, sf_dir, work)
+            shutil.rmtree(work, ignore_errors=True)
+    if which in ("history", "all"):
+        for name, sf_dir in TIERS.items():
+            n = 20 if name == "1x" else 60
+            work = os.path.join(REPO, "scale_data", f"_hmaint_{name}")
+            shutil.rmtree(work, ignore_errors=True)
+            os.makedirs(work)
+            results[f"history_{name}"] = run_history_tier(
                 spark, name, sf_dir, work, n)
             shutil.rmtree(work, ignore_errors=True)
     with open(out_path, "w") as f:

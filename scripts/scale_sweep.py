@@ -35,18 +35,23 @@ QUERIES = [
     "cluster_representatives", "dedup_minhash_lsh", "q1_pricing_summary",
 ]
 
-TIERS = [
-    ("/root/testdata/sf0.1", 1.0),
-    (os.path.join(REPO, "scale_data", "sf0.3"), 3.0),
-    (os.path.join(REPO, "scale_data", "sf1"), 10.0),
-]
+ALL_TIERS = {
+    1.0: "/root/testdata/sf0.1",
+    3.0: os.path.join(REPO, "scale_data", "sf0.3"),
+    10.0: os.path.join(REPO, "scale_data", "sf1"),
+    30.0: os.path.join(REPO, "scale_data", "sf3"),
+}
+DEFAULT_TIERS = [1.0, 3.0, 10.0]
 
 
-def run_tier(sf_dir: str) -> dict:
+def run_tier(sf_dir: str, queries: list[str]) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR=sf_dir,
-        SPARK_GRAFT_BENCH_ONLY=",".join(QUERIES),
+        SPARK_GRAFT_BENCH_ONLY=",".join(queries),
+        # tier runs must not overwrite the sf0.1 bench_full.json (the
+        # anchor-ratchet carrier)
+        SPARK_GRAFT_BENCH_NO_FULL="1",
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -67,49 +72,80 @@ def slope(xs: list[float], ys: list[float]) -> float:
     return num / den
 
 
+def _label(scale: float) -> str:
+    return f"t_{scale:g}x"
+
+
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiers", type=float, nargs="+", default=DEFAULT_TIERS,
+                    help="scale multipliers to run (1 3 10 30)")
+    ap.add_argument("--queries", default=None,
+                    help="comma-separated subset (default: the full "
+                         "heavy set) — subset runs MERGE into the "
+                         "existing SCALE_SWEEP.json per-query rows")
+    args = ap.parse_args()
+    queries = ([q.strip() for q in args.queries.split(",") if q.strip()]
+               if args.queries else QUERIES)
+
     results = {}
-    for sf_dir, scale in TIERS:
+    for scale in args.tiers:
+        sf_dir = ALL_TIERS[scale]
         if not os.path.isdir(sf_dir):
             raise SystemExit(
                 f"{sf_dir} missing — run scripts/make_scale_tier.py first")
-        print(f"== tier {scale}x ({sf_dir}) ==", file=sys.stderr)
-        rec = run_tier(sf_dir)
+        print(f"== tier {scale:g}x ({sf_dir}) ==", file=sys.stderr)
+        rec = run_tier(sf_dir, queries)
         results[scale] = rec
         print(f"   total {rec['value']}s  canary "
               f"{rec['canary']['start_ratio']}/{rec['canary']['end_ratio']}",
               file=sys.stderr)
 
-    scales = [s for _, s in TIERS]
-    table = {}
-    for q in QUERIES:
-        ts = [results[s]["queries"].get(q) for s in scales]
-        if any(t is None for t in ts):
-            table[q] = {"error": "missing at some tier", "t": ts}
-            continue
-        table[q] = {
-            "t_1x": ts[0], "t_3x": ts[1], "t_10x": ts[2],
-            "r10x": round(ts[2] / ts[0], 2),
-            "exponent": round(slope(scales, ts), 2),
-        }
-    payload = {
-        "queries": table,
-        "tiers": {str(s): {"sf_dir": d, "total": results[s]["value"],
-                           "canary": results[s]["canary"]}
-                  for d, s in TIERS},
-    }
-    with open(os.path.join(REPO, "SCALE_SWEEP.json"), "w") as f:
+    out_path = os.path.join(REPO, "SCALE_SWEEP.json")
+    try:
+        with open(out_path) as f:
+            payload = json.load(f)
+    except (OSError, ValueError):
+        payload = {"queries": {}, "tiers": {}}
+    table = payload.setdefault("queries", {})
+    for q in queries:
+        row = dict(table.get(q) or {})
+        row.pop("error", None)
+        for scale in args.tiers:
+            t = results[scale]["queries"].get(q)
+            if t is not None:
+                row[_label(scale)] = t
+        pts = sorted(
+            (float(k[2:-1]), v) for k, v in row.items()
+            if k.startswith("t_") and isinstance(v, (int, float))
+        )
+        if len(pts) >= 2:
+            row["exponent"] = round(
+                slope([p[0] for p in pts], [p[1] for p in pts]), 2)
+            if pts[0][0] == 1.0:
+                row["r_max"] = round(pts[-1][1] / pts[0][1], 2)
+                row["max_scale"] = pts[-1][0]
+        table[q] = row
+    payload.setdefault("tiers", {}).update({
+        f"{s:g}": {"sf_dir": ALL_TIERS[s], "total": results[s]["value"],
+                   "canary": results[s]["canary"]}
+        for s in args.tiers
+    })
+    with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
-    w = max(len(q) for q in QUERIES)
-    print(f"{'query':<{w}}  {'1x':>7} {'3x':>7} {'10x':>7} "
-          f"{'r10x':>6} {'exp':>5}")
-    for q, row in sorted(table.items(), key=lambda kv: -kv[1].get("exponent", 9)):
-        if "error" in row:
-            print(f"{q:<{w}}  {row['error']}")
-            continue
-        print(f"{q:<{w}}  {row['t_1x']:>7.3f} {row['t_3x']:>7.3f} "
-              f"{row['t_10x']:>7.3f} {row['r10x']:>6.2f} "
-              f"{row['exponent']:>5.2f}")
+    w = max(len(q) for q in table)
+    cols = sorted({k for r in table.values() for k in r if k.startswith("t_")},
+                  key=lambda k: float(k[2:-1]))
+    print(f"{'query':<{w}}  " + " ".join(f"{c:>8}" for c in cols)
+          + f" {'exp':>5}")
+    for q, row in sorted(table.items(),
+                         key=lambda kv: -kv[1].get("exponent", 9)):
+        cells = " ".join(
+            f"{row[c]:>8.3f}" if isinstance(row.get(c), (int, float))
+            else f"{'—':>8}" for c in cols)
+        print(f"{q:<{w}}  {cells} {row.get('exponent', float('nan')):>5.2f}")
 
 
 if __name__ == "__main__":
