@@ -148,6 +148,7 @@ def test_bucketed_untouched_buckets_byte_identical(spark, tmp_path):
         n
         for n in os.listdir(tdir)
         if n not in ("_manifest.json", "_history") and n not in live
+        and not n.startswith("_WRITER_LEASE")  # lease control files persist
     ]
 
 
