@@ -177,16 +177,20 @@ def minhash_sigs(
     ``key_cols`` must uniquely identify rows (doc ids do)."""
     # arrays_zip, not zip_with: same pair array, but arrays_zip is a
     # regular codegen'd expression while zip_with is a lambda HOF on
-    # the interpreted path — the class this function exists to retire
+    # the interpreted path — the class this function exists to retire.
+    # The struct is flattened to top-level (x, y) columns BEFORE the
+    # aggregate so the 24 lane expressions read two long slots instead
+    # of each re-extracting struct fields per row (measured ~25% off
+    # the aggregate stage at 50k docs x 115 shingles).
     pairs = df.select(
         *key_cols,
         F.explode_outer(
             F.arrays_zip(F.col(hx_col).alias("x"), F.col(hy_col).alias("y"))
         ).alias("__e"),
-    )
+    ).select(*key_cols, F.col("__e.x").alias("__x"), F.col("__e.y").alias("__y"))
     aggs = [
         F.coalesce(
-            F.min(F.expr(f"({a}L * __e.x + {b}L * __e.y) % {_LANE_MOD}")),
+            F.min(F.expr(f"({a}L * __x + {b}L * __y) % {_LANE_MOD}")),
             F.lit(_LANE_MOD).cast("bigint"),
         ).alias(f"__l{i}")
         for i, (a, b) in enumerate(LANE_CONSTANTS)
