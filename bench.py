@@ -89,28 +89,20 @@ def _run_canary_ratio(rec: dict) -> float:
     return round(sum(rs) / len(rs), 2) if rs else 1.0
 
 
-def _anchor_timings(
+def _anchor_history(
     repo_dir: str, sf: float | None,
-) -> dict[str, tuple[float, int, float]]:
-    """Per-query anchor: the best CANARY-NORMALIZED bench time over the
-    rounds the query's CURRENT definition was in force (recorded round
-    >= the query's QUERY_HASHES round stamp) at the SAME scale factor
-    -> (sec, round, canary_ratio_at_measurement). Sources, in order of
-    reliability: the committed bench_full.json (each round's close
-    persists the FULL per-query dict with a `round` stamp — the
-    driver's BENCH_r files are tail-truncated from r03 on) and any
-    BENCH_r*.json that does carry queries (top-level or under
-    "parsed"). A query slowed by a real definition change re-anchors
-    automatically because its stamp moves to the changing round; a
-    bench at a different sf has no anchors (and flags nothing) rather
-    than comparing across scales.
-
-    Why normalized (r13 adjudication): ratcheting on the raw min is
-    burst-poisonable — dedup_simhash's 0.318 s anchor was captured at
-    canary ratio 0.66 (the box running 1.5x the reference speed), a
-    bar an HONEST idle-box run reads 1.5x over before any real change.
-    Selecting on sec/ratio and carrying the ratio lets the flag check
-    compare like with like."""
+) -> dict[str, list[list]]:
+    """Per-query history of PER-RUN minima: {name: [[sec, round,
+    run_canary_ratio], ...]} over the rounds the query's CURRENT
+    definition was in force (recorded round >= the query's
+    QUERY_HASHES round stamp) at the SAME scale factor. Sources: the
+    committed bench_full.json (its "anchors" map carries the history
+    forward run-over-run — without it every overwrite would erase it;
+    pre-r14 single-entry formats [sec, round] / [sec, round, ratio]
+    load as one-sample histories) plus any BENCH_r*.json that carries
+    queries. A query whose definition changes re-anchors automatically
+    (stamp filter); a bench at a different sf has no history and flags
+    nothing rather than comparing across scales."""
     import glob
     import re
 
@@ -121,8 +113,16 @@ def _anchor_timings(
     except OSError:
         pass
 
-    # (round, {name: sec}, run_canary_ratio)
-    sources: list[tuple[int, dict, float]] = []
+    hist: dict[str, list[list]] = {}
+
+    def add(name: str, sec: float, rnd: int, ratio: float) -> None:
+        if rnd < stamps.get(name, 0):
+            return  # measured under an older definition
+        samples = hist.setdefault(name, [])
+        entry = [float(sec), int(rnd), float(ratio) if ratio > 0 else 1.0]
+        if entry not in samples:
+            samples.append(entry)
+
     for path in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         try:
@@ -133,55 +133,67 @@ def _anchor_timings(
         qs = rec.get("queries") or (rec.get("parsed") or {}).get(
             "queries") or {}
         if qs and _sf_of(rec) == sf:
-            sources.append((int(m.group(1)), qs, _run_canary_ratio(rec)))
+            ratio = _run_canary_ratio(rec)
+            for name, sec in qs.items():
+                add(name, sec, int(m.group(1)), ratio)
     try:
         with open(os.path.join(repo_dir, "bench_full.json")) as f:
             rec = json.load(f)
         if _sf_of(rec) == sf:
             if rec.get("queries"):
                 # a pre-r13 bench_full.json has no 'round' key; default
-                # it to 0 (conservatively OLD, so the QUERY_HASHES
-                # definition-stamp filter prunes it) — defaulting to
-                # the newest round let stale-definition timings become
-                # anchors and fire false regression flags
-                sources.append((int(rec.get("round", 0)), rec["queries"],
-                                _run_canary_ratio(rec)))
-            # the ratcheting anchor map carried forward run-over-run —
-            # without it, every bench run's overwrite of bench_full
-            # would REPLACE the anchor history with its own (possibly
-            # hot-host) numbers and the 2x flag would drift upward.
-            # Entries are [sec, round] (pre-r14) or [sec, round, ratio]
+                # to 0 (conservatively OLD, pruned by the stamp filter)
+                rnd = int(rec.get("round", 0))
+                ratio = _run_canary_ratio(rec)
+                for name, sec in rec["queries"].items():
+                    add(name, sec, rnd, ratio)
             for name, entry in (rec.get("anchors") or {}).items():
-                sec, rnd = float(entry[0]), int(entry[1])
-                ratio = float(entry[2]) if len(entry) > 2 else 1.0
-                sources.append((rnd, {name: sec}, ratio))
+                if entry and isinstance(entry[0], (int, float)):
+                    entry = [entry]  # pre-r14 single-sample formats
+                for s in entry:
+                    add(name, s[0], s[1], s[2] if len(s) > 2 else 1.0)
     except (OSError, ValueError):
         pass
-
-    anchors: dict[str, tuple[float, int, float]] = {}
-    for rnd, qs, ratio in sources:
-        ratio = ratio if ratio > 0 else 1.0
-        for name, sec in qs.items():
-            if rnd < stamps.get(name, 0):
-                continue  # measured under an older definition
-            best = anchors.get(name)
-            if best is None or sec / ratio < best[0] / best[2]:
-                anchors[name] = (float(sec), rnd, ratio)
-    return anchors
+    return hist
 
 
-def _merge_anchors(
-    anchors: dict[str, tuple[float, int, float]],
+def _anchor_of(samples: list[list]) -> tuple[float, int, float]:
+    """Collapse a query's per-run-minima history to its anchor: the
+    MEDIAN of the minima -> (sec, newest_round, ratio_at_median).
+
+    Median, not min (the r13/r14 adjudications): the global min is
+    burst-poisonable — dedup_simhash's 0.318 s was a favorable-burst
+    sample on a host that floats 0.66-2.15x, a bar honest runs read
+    1.5x over — and normalizing by the run-level canary mislabels
+    queries when the box heats/cools WITHIN a run (a 1.91->0.69 run
+    credited mid-run queries 1.3, under-barred them ~2x, and the next
+    honest run fired a 39-flag storm). The median needs no host-speed
+    inference at all: one burst run is one outvoted sample."""
+    ordered = sorted(samples, key=lambda s: s[0])
+    mid = ordered[(len(ordered) - 1) // 2]
+    return (
+        float(mid[0]),
+        max(int(s[1]) for s in samples),
+        float(mid[2]) if len(mid) > 2 else 1.0,
+    )
+
+
+_HISTORY_CAP = 8  # per-run minima kept per query (newest rounds win)
+
+
+def _merge_history(
+    hist: dict[str, list[list]],
     timings: dict[str, float],
     this_round: int,
     run_ratio: float,
-) -> dict[str, list]:
-    out = {k: [v[0], v[1], v[2]] for k, v in anchors.items()}
+) -> dict[str, list[list]]:
+    out = {k: [list(s) for s in v] for k, v in hist.items()}
     run_ratio = run_ratio if run_ratio > 0 else 1.0
     for name, sec in timings.items():
-        cur = out.get(name)
-        if cur is None or sec / run_ratio < cur[0] / (cur[2] or 1.0):
-            out[name] = [sec, this_round, run_ratio]
+        samples = out.setdefault(name, [])
+        samples.append([float(sec), this_round, round(run_ratio, 2)])
+        samples.sort(key=lambda s: s[1])
+        del samples[:-_HISTORY_CAP]
     return out
 
 
@@ -366,12 +378,12 @@ def main() -> None:
         "end_ratio": round(canary_end / _CANARY_REF_SEC, 2),
     }
 
-    # Flag queries whose CANARY-NORMALIZED min-of-N exceeds 2x their
-    # normalized anchor (best admissible time under the SAME definition
-    # per QUERY_HASHES stamp, each side divided by its run's canary
-    # ratio so a burst-fast anchor can't indict an honest idle-box
-    # run). Adjudication ladder, cheapest rung first, verdicts the
-    # judge reads as fields:
+    # Flag queries whose min-of-N exceeds 2x their MEDIAN anchor (the
+    # median of per-run minima under the SAME definition per
+    # QUERY_HASHES stamp — robust to burst runs, needs no host-speed
+    # inference; see _anchor_of), with the bar INFLATED on a slow box
+    # and never narrowed on a fast one. Adjudication ladder, cheapest
+    # rung first, verdicts the judge reads as fields:
     #   1. same-JVM isolated min-of-3 (post-sweep, post-GC) back at
     #      anchor -> "host-tax" (transient load landed on the sweep)
     #   2. still slow -> FRESH SUBPROCESS JVM min-of-3 (r13 blind spot:
@@ -381,19 +393,23 @@ def main() -> None:
     #      plan is fine; fix the query's expression class, not the plan)
     #   3. fresh still slow on a provably hot host (fresh-JVM canary
     #      > 1.3x) -> "host-suspect"; else -> "regression" (real).
-    anchors = _anchor_timings(
+    history = _anchor_history(
         repo_dir, float(sf) if sf.replace(".", "").isdigit() else None
     )
     run_ratio = max(0.25, (canary["start_ratio"] + canary["end_ratio"]) / 2)
+    # host adjustment is INFLATE-ONLY: a slow box widens the bar (the
+    # one claim a loaded box can't support is "the plan got slower"),
+    # a fast box never narrows it (dividing by a sub-1 ratio is how
+    # the r14 false-regression storms happened)
+    bar_scale = max(1.0, run_ratio)
     fresh_budget = int(os.environ.get("SPARK_GRAFT_BENCH_FRESHCHECKS", "4"))
     flagged: dict[str, dict] = {}
     for name, sec in timings.items():
-        anchor = anchors.get(name)
-        if anchor is None:
+        samples_hist = history.get(name)
+        if not samples_hist:
             continue
-        a_sec, a_rnd, a_ratio = anchor
-        norm_anchor = a_sec / (a_ratio or 1.0)
-        if sec / run_ratio <= 2 * norm_anchor:
+        a_sec, a_rnd, a_ratio = _anchor_of(samples_hist)
+        if sec <= 2 * a_sec * bar_scale:
             continue
         spark.sparkContext._jvm.System.gc()
         samples = []
@@ -410,7 +426,7 @@ def main() -> None:
         fresh = None
         if isolated is None:
             verdict = "error"
-        elif isolated / run_ratio <= 2 * norm_anchor:
+        elif isolated <= 2 * a_sec * bar_scale:
             verdict = "host-tax"
         elif fresh_budget > 0:
             fresh_budget -= 1
@@ -418,8 +434,8 @@ def main() -> None:
             if fresh is None:
                 verdict = "fresh-check-failed"
             else:
-                f_ratio = max(0.25, float(fresh.get("canary_ratio") or 1.0))
-                if float(fresh["min"]) / f_ratio <= 2 * norm_anchor:
+                f_ratio = float(fresh.get("canary_ratio") or 1.0)
+                if float(fresh["min"]) <= 2 * a_sec * max(1.0, f_ratio):
                     verdict = "position-tax"
                 elif f_ratio > 1.3:
                     verdict = "host-suspect"
@@ -429,14 +445,15 @@ def main() -> None:
             verdict = "unadjudicated"  # fresh-JVM budget exhausted
         flagged[name] = {
             "min": sec, "anchor": a_sec, "anchor_round": a_rnd,
-            "anchor_canary": a_ratio, "run_canary": round(run_ratio, 2),
+            "anchor_canary": a_ratio, "anchor_runs": len(samples_hist),
+            "run_canary": round(run_ratio, 2),
             "isolated": isolated, "verdict": verdict,
             **({"fresh": fresh["min"],
                 "fresh_canary": fresh.get("canary_ratio")}
                if fresh else {}),
         }
-        print(f"  FLAG {name}: {sec:.3f}s vs anchor {a_sec:.3f}s "
-              f"(r{a_rnd}, canary {a_ratio}) isolated={isolated} "
+        print(f"  FLAG {name}: {sec:.3f}s vs median anchor {a_sec:.3f}s "
+              f"(r{a_rnd}, {len(samples_hist)} runs) isolated={isolated} "
               f"fresh={fresh and fresh.get('min')} -> {verdict}",
               file=sys.stderr)
 
@@ -470,14 +487,14 @@ def main() -> None:
         # current round does not exist yet at close time) — read back
         # by _anchor_timings' definition-stamp filter next round
         "round": _max_bench_round(repo_dir) + 1,
-        # ratchet the anchor map forward: the best CANARY-NORMALIZED
-        # admissible time seen so far or this run, each entry carrying
-        # [sec, round, canary_ratio] so the next run compares like with
-        # like — the durable per-query best that survives bench_full
-        # overwrites (stamp filter prunes entries whose definition
-        # changes later, at read time)
-        "anchors": _merge_anchors(
-            anchors, timings, _max_bench_round(repo_dir) + 1, run_ratio
+        # carry the per-run-minima HISTORY forward (capped at the
+        # newest 8 runs per query): the anchor is its MEDIAN, so one
+        # burst-fast or loaded run is one outvoted sample instead of a
+        # poisoned ratchet — the durable record that survives
+        # bench_full overwrites (stamp filter prunes entries whose
+        # definition changes later, at read time)
+        "anchors": _merge_history(
+            history, timings, _max_bench_round(repo_dir) + 1, run_ratio
         ),
     }
     # scale-tier sweeps (scripts/scale_sweep.py) run bench at sf0.3/1/3

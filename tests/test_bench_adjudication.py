@@ -1,5 +1,5 @@
 """bench.py's flag-adjudication plumbing (pure Python — no Spark):
-canary-normalized anchor selection, the QUERY_HASHES definition-stamp
+median-of-run-minima anchors, the QUERY_HASHES definition-stamp
 filter, the pre-r14 format migrations, and freshcheck JSON parsing.
 The full loop (sweep -> flag -> fresh-subprocess verdict) runs live in
 every bench invocation; these pin the arithmetic that decides which
@@ -10,7 +10,6 @@ from __future__ import annotations
 import importlib.util
 import json
 import os
-import sys
 
 import pytest
 
@@ -31,28 +30,25 @@ def _write(tmp_path, name, payload):
         json.dump(payload, f)
 
 
-def test_anchor_selects_canary_normalized_best(bench, tmp_path):
-    """The r13 burst-poisoning case: a 0.318s sample at canary 0.66
-    (box 1.5x reference speed) must NOT out-anchor an honest 0.40s
-    sample at canary 1.0 — normalized they are 0.482 vs 0.400."""
+def test_median_anchor_outvotes_burst_run(bench, tmp_path):
+    """The r13 burst-poisoning case, solved without host-speed
+    inference: a 0.318s favorable-burst sample must not set the bar
+    when honest runs read ~0.6s — the median of per-run minima makes
+    it one outvoted sample."""
     repo = str(tmp_path)
     _write(tmp_path, "QUERY_HASHES.json", {"q": {"round": 1}})
-    _write(tmp_path, "BENCH_r02.json", {
-        "sf": 0.1, "queries": {"q": 0.318},
-        "canary": {"start_ratio": 0.66, "end_ratio": 0.66},
-    })
-    _write(tmp_path, "BENCH_r03.json", {
-        "sf": 0.1, "queries": {"q": 0.40},
-        "canary": {"start_ratio": 1.0, "end_ratio": 1.0},
-    })
-    anchors = bench._anchor_timings(repo, 0.1)
-    sec, rnd, ratio = anchors["q"]
-    assert (sec, rnd, ratio) == (0.40, 3, 1.0)
+    for rnd, sec in [(2, 0.318), (3, 0.62), (4, 0.58)]:
+        _write(tmp_path, f"BENCH_r0{rnd}.json",
+               {"sf": 0.1, "queries": {"q": sec}})
+    hist = bench._anchor_history(repo, 0.1)
+    sec, rnd, _ratio = bench._anchor_of(hist["q"])
+    assert sec == 0.58  # median of {0.318, 0.58, 0.62}
+    assert rnd == 4  # newest round in the history, for display
 
 
-def test_anchor_respects_definition_stamp_and_sf(bench, tmp_path):
+def test_history_respects_definition_stamp_and_sf(bench, tmp_path):
     """Timings from rounds BEFORE the query's QUERY_HASHES stamp, or
-    at a different scale factor, never become anchors; a bench_full
+    at a different scale factor, never enter the history; a bench_full
     without a round key defaults to round 0 (pruned), not newest."""
     repo = str(tmp_path)
     _write(tmp_path, "QUERY_HASHES.json", {"q": {"round": 5}})
@@ -65,37 +61,44 @@ def test_anchor_respects_definition_stamp_and_sf(bench, tmp_path):
     _write(tmp_path, "bench_full.json", {  # no round key -> round 0
         "sf": 0.1, "queries": {"q": 0.01},
     })
-    assert bench._anchor_timings(repo, 0.1) == {}
-    _write(tmp_path, "BENCH_r60.json", {"sf": 0.1, "queries": {}})
+    assert bench._anchor_history(repo, 0.1) == {}
     _write(tmp_path, "BENCH_r07.json", {"sf": 0.1, "queries": {"q": 0.9}})
-    anchors = bench._anchor_timings(repo, 0.1)
-    assert anchors["q"][:2] == (0.9, 7)
-    assert anchors["q"][2] == 1.0  # no canary fields -> reference speed
+    hist = bench._anchor_history(repo, 0.1)
+    assert bench._anchor_of(hist["q"]) == (0.9, 7, 1.0)
 
 
-def test_anchor_reads_two_and_three_element_ratchet_entries(bench, tmp_path):
+def test_history_reads_all_ratchet_entry_formats(bench, tmp_path):
     """bench_full.json's anchors map migrates in place: pre-r14
-    entries are [sec, round], r14+ are [sec, round, canary_ratio]."""
+    entries are [sec, round] or [sec, round, ratio] (one sample);
+    r14+ entries are LISTS of per-run samples."""
     repo = str(tmp_path)
-    _write(tmp_path, "QUERY_HASHES.json", {"old": {"round": 1},
-                                           "new": {"round": 1}})
+    _write(tmp_path, "QUERY_HASHES.json", {
+        "old2": {"round": 1}, "old3": {"round": 1}, "new": {"round": 1}})
     _write(tmp_path, "bench_full.json", {
         "sf": 0.1, "round": 2, "queries": {},
-        "anchors": {"old": [1.5, 2], "new": [2.0, 3, 0.8]},
+        "anchors": {
+            "old2": [1.5, 2],
+            "old3": [2.0, 3, 0.8],
+            "new": [[1.0, 2, 1.0], [3.0, 3, 1.9], [1.2, 4, 0.9]],
+        },
     })
-    anchors = bench._anchor_timings(repo, 0.1)
-    assert anchors["old"] == (1.5, 2, 1.0)
-    assert anchors["new"] == (2.0, 3, 0.8)
+    hist = bench._anchor_history(repo, 0.1)
+    assert bench._anchor_of(hist["old2"]) == (1.5, 2, 1.0)
+    assert bench._anchor_of(hist["old3"]) == (2.0, 3, 0.8)
+    # median of {1.0, 1.2, 3.0} = 1.2; newest round 4
+    assert bench._anchor_of(hist["new"]) == (1.2, 4, 0.9)
 
 
-def test_merge_anchors_ratchets_normalized(bench):
-    anchors = {"q": (1.0, 2, 1.0)}
-    # 0.9s on a 2x-slow box normalizes to 0.45 -> new anchor
-    out = bench._merge_anchors(anchors, {"q": 0.9}, 5, 2.0)
-    assert out["q"] == [0.9, 5, 2.0]
-    # 0.8s at reference speed does NOT beat 0.9/2.0=0.45
-    out2 = bench._merge_anchors({"q": (0.9, 5, 2.0)}, {"q": 0.8}, 6, 1.0)
-    assert out2["q"] == [0.9, 5, 2.0]
+def test_merge_history_appends_and_caps(bench):
+    hist = {"q": [[1.0, 2, 1.0]]}
+    out = bench._merge_history(hist, {"q": 0.9}, 5, 0.7)
+    assert out["q"] == [[1.0, 2, 1.0], [0.9, 5, 0.7]]
+    # cap: only the newest _HISTORY_CAP rounds survive
+    long = {"q": [[float(i), i, 1.0] for i in range(1, 12)]}
+    capped = bench._merge_history(long, {"q": 0.5}, 12, 1.0)["q"]
+    assert len(capped) == bench._HISTORY_CAP
+    assert capped[-1] == [0.5, 12, 1.0]
+    assert capped[0][1] == 12 - bench._HISTORY_CAP + 1
 
 
 def test_run_canary_ratio_handles_missing_fields(bench):
