@@ -173,8 +173,12 @@ def minhash_sigs(
     Bit-identical to ``minhash_signature`` (pinned by
     tests/test_custom_ops.py::test_minhash_sigs_matches_reference):
     min is order-free, empty shingle arrays keep the 2^40 lane init
-    via explode_outer's NULL row + coalesce, products stay < 2^54.
-    ``key_cols`` must uniquely identify rows (doc ids do)."""
+    via explode_outer's NULL row + coalesce, products stay < 2^54, and
+    a NULL hash array yields a NULL sig (the interpreted fold's
+    ``aggregate(NULL, ...)`` semantics — NOT the all-init sig, which
+    would put every NULL-array doc in the same band bucket and hand
+    pair generation a quadratic clique; ADVICE r14). ``key_cols`` must
+    uniquely identify rows (doc ids do)."""
     # arrays_zip, not zip_with: same pair array, but arrays_zip is a
     # regular codegen'd expression while zip_with is a lambda HOF on
     # the interpreted path — the class this function exists to retire.
@@ -184,11 +188,16 @@ def minhash_sigs(
     # the aggregate stage at 50k docs x 115 shingles).
     pairs = df.select(
         *key_cols,
+        (F.col(hx_col).isNull() | F.col(hy_col).isNull())
+        .cast("int").alias("__nul"),
         F.explode_outer(
             F.arrays_zip(F.col(hx_col).alias("x"), F.col(hy_col).alias("y"))
         ).alias("__e"),
-    ).select(*key_cols, F.col("__e.x").alias("__x"), F.col("__e.y").alias("__y"))
-    aggs = [
+    ).select(
+        *key_cols, "__nul",
+        F.col("__e.x").alias("__x"), F.col("__e.y").alias("__y"),
+    )
+    aggs = [F.max("__nul").alias("__nul")] + [
         F.coalesce(
             F.min(F.expr(f"({a}L * __x + {b}L * __y) % {_LANE_MOD}")),
             F.lit(_LANE_MOD).cast("bigint"),
@@ -204,7 +213,10 @@ def minhash_sigs(
     # (band digests) — same rationale as rp_text_embedding's
     return spread(
         pairs.groupBy(*key_cols).agg(*aggs)
-        .select(*key_cols, sig.alias("sig"))
+        .select(
+            *key_cols,
+            F.when(F.col("__nul") == 0, sig).alias("sig"),
+        )
     )
 
 
@@ -258,6 +270,11 @@ def minhash_buckets(
         minhash_sigs(
             doc_hash_sets(docs, id_col, text_col, hash_fn=hash_fn), [id_col]
         )
+        # NULL sigs (NULL hash arrays — unreachable via shingles_expr,
+        # which maps NULL text to ['']) never enter banding: their band
+        # digests would all be md5('') and every such doc would share
+        # every bucket (quadratic candidate clique; ADVICE r14)
+        .filter(F.col("sig").isNotNull())
         .select(id_col, F.explode(lsh_bands("sig", hash_fn=hash_fn)).alias("band"))
         .select(id_col, "band.band_idx", "band.band_digest")
     )
@@ -470,13 +487,22 @@ def simhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
     62-column partial row per doc per partition (map-side combine), far
     lighter than the text scan feeding it. Bit-identical: counts are
     order-free, an empty token list keeps simhash=0 via explode_outer's
-    NULL row + coalesce(sum, 0) with n_tokens=count(hh)=0."""
+    NULL row + coalesce(sum, 0) with n_tokens=count(hh)=0, and a NULL
+    text (NULL token array) yields a NULL simhash — the interpreted
+    fold's ``aggregate(NULL, ...)`` semantics, NOT 0, which would merge
+    every NULL-text doc into the all-zero signature's buckets and hand
+    pair generation a quadratic clique (ADVICE r14)."""
     h = hex_window_sql("md5(x)", 1, "spark", width=15)
+    # text IS NULL <=> _toks(text) IS NULL (regexp_extract_all over
+    # lower(NULL) null-propagates) — checked on the raw column so the
+    # regex isn't evaluated a second time just for the flag
     tok = spread(docs).select(
-        id_col, F.explode_outer(F.expr(_toks(text_col))).alias("x")
-    ).select(id_col, F.expr(h).alias("hh"))
+        id_col,
+        F.expr(f"CAST({text_col} IS NULL AS INT)").alias("__nul"),
+        F.explode_outer(F.expr(_toks(text_col))).alias("x"),
+    ).select(id_col, "__nul", F.expr(h).alias("hh"))
     one = "CAST(1 AS BIGINT)"
-    aggs = [F.count("hh").alias("__n")] + [
+    aggs = [F.max("__nul").alias("__nul"), F.count("hh").alias("__n")] + [
         F.coalesce(
             F.sum(F.expr(f"CAST((hh DIV shiftleft({one}, {i})) % 2 AS INT)")),
             F.lit(0),
@@ -490,7 +516,12 @@ def simhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
     return spread(
         tok.groupBy(id_col)
         .agg(*aggs)
-        .select(id_col, F.expr(f"CAST({bits} AS BIGINT)").alias("simhash"))
+        .select(
+            id_col,
+            F.when(
+                F.col("__nul") == 0, F.expr(f"CAST({bits} AS BIGINT)")
+            ).alias("simhash"),
+        )
     )
 
 
@@ -525,7 +556,14 @@ def simhash_near_pairs(
     # md5 token hashing + 60-bit fold into every reference (measured
     # ~2x on the pairs query). At production scale this is the standard
     # persisted-signatures table of any LSH pipeline.
-    s = simhash_signatures(docs, id_col, text_col).localCheckpoint(eager=False)
+    # NULL simhash (NULL text) never enters bucketing: its window keys
+    # would all be NULL (no equi-join match, dead rows through every
+    # pass) — and the doc has no content to be near-duplicate of
+    s = (
+        simhash_signatures(docs, id_col, text_col)
+        .filter(F.col("simhash").isNotNull())
+        .localCheckpoint(eager=False)
+    )
     from itertools import combinations
 
     keep = chunks - max_distance
@@ -906,9 +944,29 @@ def with_dedup_index(
     corpus rows, history is fingerprinted ONCE at ingest; every later
     increment probes these columns instead of re-hashing 100 TB of
     text (the economics incremental_neardup_filter's docstring
-    promises — this is the materialization of that index)."""
+    promises — this is the materialization of that index).
+
+    Key contract (ADVICE r14): ``id_col`` must be NON-NULL and UNIQUE.
+    The band digests are computed on the narrow (id, hx, hy) side and
+    attached via an id equi-join, so a NULL id would silently drop the
+    row from the index and duplicate ids would merge their hash arrays
+    in the signature groupBy then fan back out. NULL ids raise at
+    execution (per-row guard, free); uniqueness is the caller's
+    contract — every production caller (corpus_ingest, the registry
+    queries) keys on content-hashed or source-PK doc ids, which exact
+    dedup has already collapsed. The join is LEFT so a row can never
+    vanish even if a future sig definition yields NULLs."""
     from dtle_spark.functions.textstats import doc_fingerprint
 
+    docs = docs.withColumn(
+        id_col,
+        F.when(
+            F.col(id_col).isNull(),
+            F.raise_error(
+                F.lit(f"with_dedup_index: NULL {id_col} — index rows "
+                      "must carry a non-null unique id")),
+        ).otherwise(F.col(id_col)),
+    )
     base = base_hash_columns(
         docs.withColumn("__sh", shingles_expr(text_col)), "__sh"
     ).drop("__sh")
@@ -920,13 +978,14 @@ def with_dedup_index(
     # HOF path on the 100 TB build, where the megamorphic 3-5x tax
     # would land on every row of history.
     bands = minhash_sigs(base.select(id_col, "hx", "hy"), [id_col]).select(
-        id_col, lsh_bands("sig").alias("__bands")
+        id_col,
+        F.when(F.col("sig").isNotNull(), lsh_bands("sig")).alias("__bands"),
     )
     return (
         base.withColumn("__fp", doc_fingerprint(F.col(text_col)))
         .withColumnRenamed("hx", "__hx")
         .drop("hy")
-        .join(bands, id_col)
+        .join(bands, id_col, "left")
     )
 
 

@@ -1173,12 +1173,26 @@ def test_codegen_signatures_match_interpreted_reference(spark):
     d = load_table(spark, "/root/testdata/sf0.001", "documents").select(
         "doc_id", "text"
     )
-    # an empty-token doc exercises the explode_outer/coalesce edge
+    # an empty-token doc exercises the explode_outer/coalesce edge; a
+    # NULL-text doc exercises the NULL-array edge (ADVICE r14: the
+    # interpreted folds return NULL — aggregate(NULL, ...) — and the
+    # codegen forms must too, NOT the lane-init/zero signature that
+    # would clump every NULL doc into one LSH bucket clique)
     d = d.unionByName(
-        spark.createDataFrame([(10 ** 9, "!!! ...")], "doc_id long, text string")
+        spark.createDataFrame(
+            [(10 ** 9, "!!! ..."), (10 ** 9 + 1, None)],
+            "doc_id long, text string",
+        )
     )
 
-    base = doc_hash_sets(d, "doc_id", "text")
+    # NULL text never reaches minhash as a NULL array (shingles_expr
+    # maps it to ['']), so the NULL-array edge needs a direct row
+    base = doc_hash_sets(d, "doc_id", "text").unionByName(
+        spark.createDataFrame(
+            [(10 ** 9 + 2, None, None)],
+            "doc_id long, hx array<long>, hy array<long>",
+        )
+    )
     ref_min = {
         r["doc_id"]: r["sig"]
         for r in base.withColumn("sig", minhash_signature()).select(
@@ -1188,7 +1202,8 @@ def test_codegen_signatures_match_interpreted_reference(spark):
     new_min = {
         r["doc_id"]: r["sig"] for r in minhash_sigs(base, ["doc_id"]).collect()
     }
-    assert new_min == ref_min and len(new_min) == d.count()
+    assert new_min == ref_min and len(new_min) == d.count() + 1
+    assert new_min[10 ** 9 + 2] is None
 
     h = hex_window_sql("m", 1, "spark", width=15)
     ref_sim = {
@@ -1207,6 +1222,7 @@ def test_codegen_signatures_match_interpreted_reference(spark):
         for r in simhash_signatures(d, "doc_id", "text").collect()
     }
     assert new_sim == ref_sim and new_sim[10 ** 9] == 0
+    assert new_sim[10 ** 9 + 1] is None
 
 
 class TestBpeTrain:
@@ -1382,6 +1398,31 @@ def test_probe_index_equals_rehash_operator(spark):
     all_inc = {r["doc_id"] for r in incoming.select("doc_id").collect()}
     assert all_inc - dropped == survivors_rehash
     assert dropped  # fixtures do contain cross-side duplicates
+
+
+def test_with_dedup_index_id_contract(spark):
+    """ADVICE r14 (dedup.py with_dedup_index): the band attach is an id
+    equi-join, so a NULL id must raise loudly at execution — the old
+    inner join silently dropped the row from the index (and thus from
+    corpus_ingest survivors). NULL-TEXT rows, by contrast, stay in the
+    index (left join; shingles_expr maps NULL text to [''] so they even
+    keep real band digests and die in the exact tier like empty docs)."""
+    import pytest
+    from dtle_spark.functions.dedup import with_dedup_index
+
+    ok = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in with_dedup_index(ok).collect()}
+    assert set(rows) == {1, 2}  # the NULL-text row survives the build
+    assert rows[1]["__bands"] is not None
+    # a NULL id raises at execution, never a silent drop
+    bad = spark.createDataFrame(
+        [(None, "some text here")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="with_dedup_index: NULL doc_id"):
+        with_dedup_index(bad).collect()
 
 
 def test_cc_auto_dispatch_by_edge_count(spark, monkeypatch):
