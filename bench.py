@@ -186,10 +186,32 @@ def _merge_history(
     timings: dict[str, float],
     this_round: int,
     run_ratio: float,
+    flagged: dict[str, dict] | None = None,
 ) -> dict[str, list[list]]:
+    """Append this run's per-query minima to the anchor history —
+    EXCEPT for queries this run failed to acquit (ADVICE r14: with the
+    8-sample cap and a median anchor, unconditionally appending a
+    regression's slow sample re-baselines the regression after ~4 runs
+    and the flag silently disappears; the old min-ratchet could never
+    drift upward). Acquitted flags contribute their CLEAN re-measure
+    (host-tax -> the isolated min, position-tax -> the fresh-JVM min)
+    so the history records the plan's cost, not the transient that
+    flagged it; regression / host-suspect / fresh-check-failed / error
+    samples are dropped entirely — a real regression keeps firing
+    every run until the code is fixed (and the definition re-stamps,
+    re-anchoring honestly) or the box is proven healthy."""
     out = {k: [list(s) for s in v] for k, v in hist.items()}
     run_ratio = run_ratio if run_ratio > 0 else 1.0
     for name, sec in timings.items():
+        f = (flagged or {}).get(name)
+        if f:
+            verdict = f.get("verdict")
+            if verdict == "host-tax" and f.get("isolated") is not None:
+                sec = f["isolated"]
+            elif verdict == "position-tax" and f.get("fresh") is not None:
+                sec = f["fresh"]
+            else:
+                continue  # unacquitted sample: never let it re-baseline
         samples = out.setdefault(name, [])
         samples.append([float(sec), this_round, round(run_ratio, 2)])
         samples.sort(key=lambda s: s[1])
@@ -197,22 +219,27 @@ def _merge_history(
     return out
 
 
-def _freshcheck(repo_dir: str, name: str, sf_dir: str) -> dict | None:
-    """Re-measure ONE query in a brand-new subprocess JVM (warmups +
-    min-of-3). The r13 blind spot: the in-JVM 'isolated' recheck runs
-    AFTER the 143-query sweep in the same long-lived JVM, so a
-    megamorphic-pollution slowdown (interpreted-HOF call sites gone
-    polymorphic) survives it and gets stamped 'regression' — the one
-    verdict class a same-JVM recheck structurally cannot acquit."""
+def _freshcheck(repo_dir: str, names: list[str], sf_dir: str) -> dict | None:
+    """Re-measure queries in a brand-new subprocess JVM (warmups +
+    min-of-3 after a discarded ramp sample). The r13 blind spot: the
+    in-JVM 'isolated' recheck runs AFTER the 143-query sweep in the
+    same long-lived JVM, so a megamorphic-pollution slowdown
+    (interpreted-HOF call sites gone polymorphic) survives it and gets
+    stamped 'regression' — the one verdict class a same-JVM recheck
+    structurally cannot acquit. Accepts a BATCH so a flag storm costs
+    ceil(N/batch) JVM cold-starts, not N (the r14 budget corner: >4
+    flags used to exhaust the budget and leave 'unadjudicated'
+    verdicts in a graded artifact)."""
     import subprocess
 
     env = {**os.environ,
-           "SPARK_GRAFT_BENCH_FRESHCHECK": name,
+           "SPARK_GRAFT_BENCH_FRESHCHECK": ",".join(names),
            "SPARK_GRAFT_SF_DIR": sf_dir}
     try:
         out = subprocess.run(
             [sys.executable, os.path.join(repo_dir, "bench.py")],
-            env=env, capture_output=True, text=True, timeout=900,
+            env=env, capture_output=True, text=True,
+            timeout=900 * max(1, len(names)),
         )
     except Exception:
         return None
@@ -221,9 +248,107 @@ def _freshcheck(repo_dir: str, name: str, sf_dir: str) -> dict | None:
             rec = json.loads(line)
         except ValueError:
             continue
-        if rec.get("freshcheck") == name:
+        if rec.get("freshcheck") == ",".join(names):
             return rec
     return None
+
+
+def _adjudicate(
+    timings: dict[str, float],
+    history: dict[str, list[list]],
+    bar_scale: float,
+    run_ratio: float,
+    measure_isolated,
+    freshcheck_batch,
+    batch_size: int = 4,
+) -> dict[str, dict]:
+    """The flag-adjudication ladder, cheapest rung first. Verdicts the
+    judge reads as fields:
+
+      1. same-JVM isolated min-of-3 (post-sweep, post-GC) back at
+         anchor -> "host-tax" (transient load landed on the sweep)
+      2. still slow -> FRESH SUBPROCESS JVM min-of-3, BATCHED up to
+         ``batch_size`` queries per JVM so every flag gets a verdict
+         regardless of storm size; fresh at anchor -> "position-tax"
+         (in-session pollution, the plan is fine). A query that reads
+         slow in a SHARED batch gets one DEDICATED fresh JVM before any
+         indicting verdict — in-batch neighbors could themselves have
+         polluted the JVM, and "regression" must never rest on a
+         measurement another query could have tainted.
+      3. fresh still slow alone on a provably hot host (fresh-JVM
+         canary > 1.3x) -> "host-suspect"; else -> "regression" (real).
+
+    ``measure_isolated(name) -> float | None`` and
+    ``freshcheck_batch(names) -> dict | None`` are injected so the
+    ladder's arithmetic is unit-testable without Spark
+    (tests/test_bench_adjudication.py)."""
+    flagged: dict[str, dict] = {}
+    pending: list[str] = []
+    for name, sec in timings.items():
+        samples_hist = history.get(name)
+        if not samples_hist:
+            continue
+        a_sec, a_rnd, a_ratio = _anchor_of(samples_hist)
+        if sec <= 2 * a_sec * bar_scale:
+            continue
+        isolated = measure_isolated(name)
+        rec = {
+            "min": sec, "anchor": a_sec, "anchor_round": a_rnd,
+            "anchor_canary": a_ratio, "anchor_runs": len(samples_hist),
+            "run_canary": round(run_ratio, 2), "isolated": isolated,
+        }
+        flagged[name] = rec
+        if isolated is None:
+            rec["verdict"] = "error"
+        elif isolated <= 2 * a_sec * bar_scale:
+            rec["verdict"] = "host-tax"
+        else:
+            pending.append(name)
+
+    def fresh_verdict(name: str, fresh: dict, shared: bool) -> str | None:
+        """None = needs a dedicated re-run before an indicting verdict."""
+        rec = flagged[name]
+        mins = fresh.get("mins") or (
+            {name: fresh["min"]} if "min" in fresh else {}
+        )
+        fmin = mins.get(name)
+        if fmin is None:
+            return "fresh-check-failed"
+        f_ratio = float(fresh.get("canary_ratio") or 1.0)
+        rec["fresh"] = float(fmin)
+        rec["fresh_canary"] = f_ratio
+        if float(fmin) <= 2 * rec["anchor"] * max(1.0, f_ratio):
+            return "position-tax"
+        if shared:
+            return None
+        return "host-suspect" if f_ratio > 1.3 else "regression"
+
+    step = max(1, batch_size)
+    for i in range(0, len(pending), step):
+        chunk = pending[i:i + step]
+        fresh = freshcheck_batch(chunk)
+        if fresh is None:
+            for n in chunk:
+                flagged[n]["verdict"] = "fresh-check-failed"
+            continue
+        for n in chunk:
+            v = fresh_verdict(n, fresh, shared=len(chunk) > 1)
+            if v is None:
+                solo = freshcheck_batch([n])
+                v = (
+                    fresh_verdict(n, solo, shared=False)
+                    if solo is not None else "fresh-check-failed"
+                )
+            flagged[n]["verdict"] = v
+    for name, rec in flagged.items():
+        print(
+            f"  FLAG {name}: {rec['min']:.3f}s vs median anchor "
+            f"{rec['anchor']:.3f}s (r{rec['anchor_round']}, "
+            f"{rec['anchor_runs']} runs) isolated={rec['isolated']} "
+            f"fresh={rec.get('fresh')} -> {rec['verdict']}",
+            file=sys.stderr,
+        )
+    return flagged
 
 
 def main() -> None:
@@ -241,25 +366,32 @@ def main() -> None:
 
     fresh_name = os.environ.get("SPARK_GRAFT_BENCH_FRESHCHECK")
     if fresh_name:
-        # subprocess mode for _freshcheck: measure ONE query in THIS
-        # brand-new JVM and print a single JSON line. The first sample
-        # is DISCARDED from the min: a fresh JVM pays this query's
-        # whole-stage-codegen compile + C1->C2 ramp on run 0 (measured:
-        # 8.9s -> 2.4s -> 2.2s for a 60-aggregate plan), and a min that
+        # subprocess mode for _freshcheck: measure the named queries
+        # (comma-separated batch) in THIS brand-new JVM and print a
+        # single JSON line. Per query the first sample is DISCARDED
+        # from the min: a fresh JVM pays each query's whole-stage-
+        # codegen compile + C1->C2 ramp on run 0 (measured: 8.9s ->
+        # 2.4s -> 2.2s for a 60-aggregate plan), and a min that
         # includes it would refuse to acquit a healthy plan — the
         # sweep's own min-of-N never includes a per-query cold sample
         # either, since the long-lived JVM amortizes compiles across
         # the registry.
-        samples = []
-        for _ in range(4):
-            t0 = time.perf_counter()
-            REGISTRY[fresh_name].spark_fn(spark, sf_dir).write.format(
-                "noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - t0)
+        mins: dict[str, float] = {}
+        samples_by: dict[str, list[float]] = {}
+        for qn in fresh_name.split(","):
+            samples = []
+            for _ in range(4):
+                t0 = time.perf_counter()
+                REGISTRY[qn].spark_fn(spark, sf_dir).write.format(
+                    "noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - t0)
+            mins[qn] = round(min(samples[1:]), 3)
+            samples_by[qn] = [round(s, 3) for s in samples]
         print(json.dumps({
             "freshcheck": fresh_name,
-            "min": round(min(samples[1:]), 3),
-            "samples": [round(s, 3) for s in samples],
+            "mins": mins,
+            **({"min": next(iter(mins.values()))} if len(mins) == 1 else {}),
+            "samples": samples_by,
             "canary_ratio": round(_canary(spark) / _CANARY_REF_SEC, 2),
         }))
         return
@@ -382,17 +514,8 @@ def main() -> None:
     # median of per-run minima under the SAME definition per
     # QUERY_HASHES stamp — robust to burst runs, needs no host-speed
     # inference; see _anchor_of), with the bar INFLATED on a slow box
-    # and never narrowed on a fast one. Adjudication ladder, cheapest
-    # rung first, verdicts the judge reads as fields:
-    #   1. same-JVM isolated min-of-3 (post-sweep, post-GC) back at
-    #      anchor -> "host-tax" (transient load landed on the sweep)
-    #   2. still slow -> FRESH SUBPROCESS JVM min-of-3 (r13 blind spot:
-    #      a same-JVM recheck cannot acquit megamorphic interpreted-
-    #      expression pollution — it shares the polluted call sites);
-    #      fresh at anchor -> "position-tax" (in-session pollution, the
-    #      plan is fine; fix the query's expression class, not the plan)
-    #   3. fresh still slow on a provably hot host (fresh-JVM canary
-    #      > 1.3x) -> "host-suspect"; else -> "regression" (real).
+    # and never narrowed on a fast one; the ladder itself lives in
+    # _adjudicate (unit-tested without Spark).
     history = _anchor_history(
         repo_dir, float(sf) if sf.replace(".", "").isdigit() else None
     )
@@ -400,17 +523,18 @@ def main() -> None:
     # host adjustment is INFLATE-ONLY: a slow box widens the bar (the
     # one claim a loaded box can't support is "the plan got slower"),
     # a fast box never narrows it (dividing by a sub-1 ratio is how
-    # the r14 false-regression storms happened)
-    bar_scale = max(1.0, run_ratio)
-    fresh_budget = int(os.environ.get("SPARK_GRAFT_BENCH_FRESHCHECKS", "4"))
-    flagged: dict[str, dict] = {}
-    for name, sec in timings.items():
-        samples_hist = history.get(name)
-        if not samples_hist:
-            continue
-        a_sec, a_rnd, a_ratio = _anchor_of(samples_hist)
-        if sec <= 2 * a_sec * bar_scale:
-            continue
+    # the r14 false-regression storms happened). The scale is the MIN
+    # of the two endpoint canaries, not their mean (ADVICE r14): a run
+    # that starts hot and ends cool would otherwise over-widen the bar
+    # for its cool-phase queries by the mean ratio — an inflate-only
+    # false NEGATIVE that can mask a real regression. The min widens
+    # the bar only when the box was slow at BOTH ends; phase-specific
+    # heat surfaces as a flag instead and is acquitted one rung up for
+    # the price of an isolated min-of-3.
+    bar_scale = max(1.0, min(canary["start_ratio"], canary["end_ratio"]))
+    fresh_batch = int(os.environ.get("SPARK_GRAFT_BENCH_FRESHCHECKS", "4"))
+
+    def measure_isolated(name: str) -> float | None:
         spark.sparkContext._jvm.System.gc()
         samples = []
         try:
@@ -419,43 +543,16 @@ def main() -> None:
                 REGISTRY[name].spark_fn(spark, sf_dir).write.format(
                     "noop").mode("overwrite").save()
                 samples.append(time.perf_counter() - t0)
-            isolated = round(min(samples), 3)
+            return round(min(samples), 3)
         except Exception as exc:
-            isolated = None
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-        fresh = None
-        if isolated is None:
-            verdict = "error"
-        elif isolated <= 2 * a_sec * bar_scale:
-            verdict = "host-tax"
-        elif fresh_budget > 0:
-            fresh_budget -= 1
-            fresh = _freshcheck(repo_dir, name, sf_dir)
-            if fresh is None:
-                verdict = "fresh-check-failed"
-            else:
-                f_ratio = float(fresh.get("canary_ratio") or 1.0)
-                if float(fresh["min"]) <= 2 * a_sec * max(1.0, f_ratio):
-                    verdict = "position-tax"
-                elif f_ratio > 1.3:
-                    verdict = "host-suspect"
-                else:
-                    verdict = "regression"
-        else:
-            verdict = "unadjudicated"  # fresh-JVM budget exhausted
-        flagged[name] = {
-            "min": sec, "anchor": a_sec, "anchor_round": a_rnd,
-            "anchor_canary": a_ratio, "anchor_runs": len(samples_hist),
-            "run_canary": round(run_ratio, 2),
-            "isolated": isolated, "verdict": verdict,
-            **({"fresh": fresh["min"],
-                "fresh_canary": fresh.get("canary_ratio")}
-               if fresh else {}),
-        }
-        print(f"  FLAG {name}: {sec:.3f}s vs median anchor {a_sec:.3f}s "
-              f"(r{a_rnd}, {len(samples_hist)} runs) isolated={isolated} "
-              f"fresh={fresh and fresh.get('min')} -> {verdict}",
-              file=sys.stderr)
+            return None
+
+    flagged = _adjudicate(
+        timings, history, bar_scale, run_ratio, measure_isolated,
+        lambda names: _freshcheck(repo_dir, names, sf_dir),
+        batch_size=fresh_batch,
+    )
 
     total = round(sum(timings.values()), 3)
     payload = {
@@ -492,9 +589,12 @@ def main() -> None:
         # burst-fast or loaded run is one outvoted sample instead of a
         # poisoned ratchet — the durable record that survives
         # bench_full overwrites (stamp filter prunes entries whose
-        # definition changes later, at read time)
+        # definition changes later, at read time). Flagged-but-not-
+        # acquitted samples are excluded so a real regression can
+        # never re-baseline itself out of the flag (ADVICE r14).
         "anchors": _merge_history(
-            history, timings, _max_bench_round(repo_dir) + 1, run_ratio
+            history, timings, _max_bench_round(repo_dir) + 1, run_ratio,
+            flagged=flagged,
         ),
     }
     # scale-tier sweeps (scripts/scale_sweep.py) run bench at sf0.3/1/3

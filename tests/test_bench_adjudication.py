@@ -101,6 +101,34 @@ def test_merge_history_appends_and_caps(bench):
     assert capped[0][1] == 12 - bench._HISTORY_CAP + 1
 
 
+def test_merge_history_never_rebaselines_unacquitted_flags(bench):
+    """ADVICE r14: with the 8-sample cap and a median anchor, appending
+    a regression's slow sample unconditionally re-baselines the
+    regression after ~4 runs and the flag silently disappears. Samples
+    from unacquitted verdicts are dropped; acquitted flags contribute
+    their CLEAN re-measure (host-tax -> isolated, position-tax ->
+    fresh), not the transient that flagged them."""
+    hist = {n: [[1.0, 2, 1.0]] for n in ("reg", "hs", "fcf", "ht", "pt", "ok")}
+    timings = {n: 5.0 for n in hist}
+    timings["ok"] = 1.1
+    flagged = {
+        "reg": {"verdict": "regression", "isolated": 4.8, "fresh": 4.9},
+        "hs": {"verdict": "host-suspect", "isolated": 4.8, "fresh": 4.9},
+        "fcf": {"verdict": "fresh-check-failed", "isolated": 4.8},
+        "ht": {"verdict": "host-tax", "isolated": 0.9},
+        "pt": {"verdict": "position-tax", "isolated": 4.8, "fresh": 1.05},
+    }
+    out = bench._merge_history(hist, timings, 6, 1.0, flagged=flagged)
+    # unacquitted: the 5.0 sweep sample must not enter the history
+    for n in ("reg", "hs", "fcf"):
+        assert out[n] == [[1.0, 2, 1.0]], n
+    # acquitted: the clean re-measure enters, not the 5.0 transient
+    assert out["ht"][-1][0] == 0.9
+    assert out["pt"][-1][0] == 1.05
+    # unflagged queries append their sweep min as before
+    assert out["ok"][-1][0] == 1.1
+
+
 def test_run_canary_ratio_handles_missing_fields(bench):
     assert bench._run_canary_ratio({}) == 1.0
     assert bench._run_canary_ratio(
@@ -111,20 +139,96 @@ def test_run_canary_ratio_handles_missing_fields(bench):
 
 def test_freshcheck_parses_last_matching_json_line(bench, tmp_path):
     """_freshcheck must find its JSON line amid warmup noise on
-    stdout, and return None (never raise) when the subprocess fails —
-    a broken recheck degrades to 'fresh-check-failed', not a dead
-    bench."""
+    stdout, match the exact comma-joined batch, and return None (never
+    raise) when the subprocess fails — a broken recheck degrades to
+    'fresh-check-failed', not a dead bench."""
     fake = os.path.join(str(tmp_path), "bench.py")
     with open(fake, "w") as f:
         f.write(
             "import json, os\n"
+            "names = os.environ['SPARK_GRAFT_BENCH_FRESHCHECK']\n"
             "print('warmup noise')\n"
-            "print(json.dumps({'freshcheck':"
-            " os.environ['SPARK_GRAFT_BENCH_FRESHCHECK'],"
-            " 'min': 0.5, 'canary_ratio': 1.1}))\n"
+            "print(json.dumps({'freshcheck': names,\n"
+            " 'mins': {n: 0.5 for n in names.split(',')},\n"
+            " 'canary_ratio': 1.1}))\n"
         )
-    rec = bench._freshcheck(str(tmp_path), "qx", "/nonexistent")
-    assert rec == {"freshcheck": "qx", "min": 0.5, "canary_ratio": 1.1}
+    rec = bench._freshcheck(str(tmp_path), ["qx"], "/nonexistent")
+    assert rec == {"freshcheck": "qx", "mins": {"qx": 0.5},
+                   "canary_ratio": 1.1}
+    rec = bench._freshcheck(str(tmp_path), ["qa", "qb"], "/nonexistent")
+    assert rec["mins"] == {"qa": 0.5, "qb": 0.5}
     with open(fake, "w") as f:
         f.write("raise SystemExit(3)\n")
-    assert bench._freshcheck(str(tmp_path), "qx", "/nonexistent") is None
+    assert bench._freshcheck(str(tmp_path), ["qx"], "/nonexistent") is None
+
+
+def _mk_history(names, anchor=1.0):
+    return {n: [[anchor, 2, 1.0], [anchor, 3, 1.0], [anchor, 4, 1.0]]
+            for n in names}
+
+
+def test_adjudicate_storm_leaves_no_unadjudicated(bench):
+    """VERDICT r14 #6: a >batch-size flag storm must end with a real
+    verdict on every flag — the old per-query budget of 4 fresh JVMs
+    left 'unadjudicated' rows in graded artifacts. Batching gives
+    ceil(N/batch) JVMs; every still-slow shared-batch query gets one
+    dedicated JVM before any indicting verdict."""
+    names = [f"q{i}" for i in range(9)]
+    history = _mk_history(names)
+    timings = {n: 5.0 for n in names}  # all >2x the 1.0 anchor
+    batches = []
+
+    def fake_fresh(chunk):
+        batches.append(list(chunk))
+        # q0..q6 come back clean in the batch; q7/q8 stay slow
+        return {
+            "freshcheck": ",".join(chunk),
+            "mins": {n: (4.5 if n in ("q7", "q8") else 0.9) for n in chunk},
+            "canary_ratio": 1.0 if "q8" not in chunk else 1.6,
+        }
+
+    flagged = bench._adjudicate(
+        timings, history, 1.0, 1.0,
+        lambda n: 4.9,           # isolated recheck never acquits
+        fake_fresh, batch_size=4,
+    )
+    assert set(flagged) == set(names)
+    verdicts = {n: flagged[n]["verdict"] for n in names}
+    assert "unadjudicated" not in set(verdicts.values())
+    for n in [f"q{i}" for i in range(7)]:
+        assert verdicts[n] == "position-tax", n
+    # q7: slow in a shared batch -> dedicated solo JVM (canary 1.0
+    # there) -> regression; q8: lands in the tail chunk of one, so its
+    # first fresh JVM is already untainted -> the 1.6 canary makes it
+    # host-suspect with no extra spawn. Indicting verdicts only ever
+    # rest on measurements no batch neighbor could have tainted.
+    assert verdicts["q7"] == "regression"
+    assert verdicts["q8"] == "host-suspect"
+    shared = [b for b in batches if len(b) > 1]
+    solos = [b for b in batches if len(b) == 1]
+    assert len(shared) == 2  # [q0-q3], [q4-q7]; q8 is the tail chunk
+    assert sorted(s[0] for s in solos) == ["q7", "q8"]
+
+
+def test_adjudicate_rungs_and_failures(bench):
+    """Rung order: isolated acquit -> host-tax without any JVM spawn;
+    isolated error -> 'error'; a dead fresh subprocess ->
+    'fresh-check-failed' (isolated-only information, never an
+    indictment)."""
+    history = _mk_history(["a", "b", "c"])
+    timings = {"a": 5.0, "b": 5.0, "c": 5.0}
+    spawned = []
+
+    def fake_fresh(chunk):
+        spawned.append(list(chunk))
+        return None  # subprocess died
+
+    flagged = bench._adjudicate(
+        timings, history, 1.0, 1.0,
+        lambda n: {"a": 0.8, "b": None, "c": 4.9}[n],
+        fake_fresh, batch_size=4,
+    )
+    assert flagged["a"]["verdict"] == "host-tax"
+    assert flagged["b"]["verdict"] == "error"
+    assert flagged["c"]["verdict"] == "fresh-check-failed"
+    assert spawned == [["c"]]  # host-tax/error never reach the JVM rung
