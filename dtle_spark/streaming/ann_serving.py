@@ -105,6 +105,7 @@ _MODEL_FP_FILE = "_MODEL_FP"
 _MODEL_DIR = "_model"
 _CKPT_ID_FILE = "_CHECKPOINT_ID"
 _SCHEMA_FILE = "_SCHEMA"
+_OCC_TARGET_FILE = "_OCCUPANCY_TARGET"
 
 CDC_VECTOR_SCHEMA = VECTOR_SCHEMA + ", op string"
 
@@ -199,6 +200,24 @@ def model_fingerprint(centroids: DataFrame, codebook: DataFrame) -> str:
         (r["sub"], r["code"], tuple(r["cvec"])) for r in codebook.collect()
     )
     return hashlib.md5(repr((cents, cbs)).encode()).hexdigest()
+
+
+def _read_occ_target(gen_dir: str) -> float | None:
+    """The generation's build-time rows/cell — the denominator of the
+    occupancy-drift rule SCALE_RECALL.json measured ("retrain when
+    occupancy drifts ~3x"). Written by reindex() (corpus rows / cells
+    at encode time) or persisted from the maintainer's
+    ``target_rows_per_cell`` at model-stamp time."""
+    try:
+        with open(os.path.join(gen_dir, _OCC_TARGET_FILE)) as f:
+            return float(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def _write_occ_target(gen_dir: str, rows_per_cell: float) -> None:
+    with open(os.path.join(gen_dir, _OCC_TARGET_FILE), "w") as f:
+        f.write(repr(float(rows_per_cell)))
 
 
 def save_model(gen_dir: str, centroids: DataFrame, codebook: DataFrame) -> None:
@@ -536,6 +555,15 @@ def _reindex_locked(
     with open(os.path.join(new_gen, _MODEL_FP_FILE), "w") as f:
         f.write(model_fingerprint(centroids, codebook))
     save_model(new_gen, centroids, codebook)
+    # the reindex corpus IS the build-time occupancy: record rows/cell
+    # so the successor maintainer's needs_reindex signal measures drift
+    # against THIS model's training-time density (the ~3x rule
+    # SCALE_RECALL.json measured). centroids is broadcast-sized; the
+    # vectors count is one metadata-cheap pass over a corpus the
+    # encode just read in full anyway.
+    _write_occ_target(
+        new_gen, vectors.count() / max(1, centroids.count())
+    )
     old_ck = os.path.join(gen, _CKPT_ID_FILE)
     if os.path.exists(old_ck):
         # the maintain STREAM identity survives reindex: the successor
@@ -725,12 +753,31 @@ class VectorIndexMaintainJob(_StreamedVectorJob):
         carry_cols: tuple[str, ...] = (),
         transform=None,
         auto_compact_batches: int | None = None,
+        target_rows_per_cell: float | None = None,
+        reindex_occupancy_factor: float = 3.0,
     ):
         self.spark = spark
         self.source_dir = source_dir
         self.index_root = index_root
         self.checkpoint_dir = checkpoint_dir
         self.carry_cols = tuple(carry_cols)
+        # occupancy-drift signal (VERDICT r14 #1): SCALE_RECALL.json
+        # measured that recall holds while cells ∝ corpus (occupancy
+        # ~constant) and the operational rule is "retrain when
+        # occupancy drifts ~3x" — this wires the rule into the job
+        # instead of leaving a human to notice drift by hand at 100 TB.
+        # target_rows_per_cell = the model's build-time density
+        # (training corpus rows / n_cells); persisted into the
+        # generation at model-stamp time so restarts keep it, and
+        # written by reindex() for retrained generations. When neither
+        # source provides a target, occupancy is still reported but
+        # needs_reindex is None (unknown), never a silent False.
+        self._target_rows_per_cell = (
+            float(target_rows_per_cell)
+            if target_rows_per_cell is not None else None
+        )
+        self.reindex_occupancy_factor = float(reindex_occupancy_factor)
+        self._n_cells = None  # filled after centroids checkpoint below
         # self-bounding merge-on-read: when set, apply_batch triggers
         # compact_index once ingest + tombstone subtrees exceed this.
         # gc_previous stays False — serving probes resolve the pointer
@@ -751,6 +798,7 @@ class VectorIndexMaintainJob(_StreamedVectorJob):
         sim._require_dense_codebook(codebook, m, ksub, dim // m)
         self.centroids = centroids.localCheckpoint()
         self.codebook = codebook.localCheckpoint()
+        self._n_cells = self.centroids.count()  # broadcast-sized
         self.model_fp = model_fingerprint(self.centroids, self.codebook)
         self.m, self.ksub, self.dim = m, ksub, dim
         self.id_col, self.vec_col = id_col, vec_col
@@ -776,6 +824,13 @@ class VectorIndexMaintainJob(_StreamedVectorJob):
         _check_model_stamp(gen, self.model_fp, stamp_if_missing=True)
         if not os.path.isdir(os.path.join(gen, _MODEL_DIR)):
             save_model(gen, self.centroids, self.codebook)
+        if (
+            self._target_rows_per_cell is not None
+            and _read_occ_target(gen) is None
+        ):
+            # persist the build-time density beside the model stamp so
+            # a restarted job (ctor without the arg) keeps the signal
+            _write_occ_target(gen, self._target_rows_per_cell)
         if self.transform is not None:
             batch = self.transform(batch)
         upserts, cdc = batch, "op" in batch.columns
@@ -852,7 +907,54 @@ class VectorIndexMaintainJob(_StreamedVectorJob):
             "model_fp": self.model_fp,
             "ingest_batches": len(_ingest_batches(gen)),
             **self.position(),
+            **self.occupancy(),
         }
+
+    def occupancy(self) -> dict:
+        """Rows/cell for the current generation plus the drift signal
+        (VERDICT r14 #1 — the measured rule from SCALE_RECALL.json:
+        recall holds while occupancy stays near the model's build-time
+        density; when it drifts ~``reindex_occupancy_factor``x, retrain
+        via reindex() instead of letting cells swell). Surfaces through
+        stats() and therefore the HTTP /v2/job/<name> detail.
+
+        Cost: two parquet row COUNTS (codes, tombstones) — footer
+        metadata scans, no column IO — control-plane cheap even when
+        the index is large. Live rows are approximated as codes minus
+        tombstone rows: exact for the append-only growth streams the
+        rule targets; under heavy per-id churn the approximation
+        UNDER-counts live rows (a tombstone can strike several
+        superseded versions), which only DELAYS the signal toward the
+        next compaction folding the dead rows away — never a false
+        fire."""
+        gen = resolve_index_path(self.index_root)
+        codes = read_index(self.spark, gen).count()
+        tomb = read_tombstones(self.spark, gen)
+        dead = tomb.count() if tomb is not None else 0
+        live = max(0, codes - dead)
+        rows_per_cell = live / max(1, self._n_cells)
+        target = (
+            self._target_rows_per_cell
+            if self._target_rows_per_cell is not None
+            else _read_occ_target(gen)
+        )
+        out = {
+            "live_rows": live,
+            "n_cells": self._n_cells,
+            "rows_per_cell": round(rows_per_cell, 2),
+            "occupancy_target": target,
+        }
+        if target:
+            ratio = rows_per_cell / target
+            out["occupancy_ratio"] = round(ratio, 2)
+            out["needs_reindex"] = bool(
+                ratio > self.reindex_occupancy_factor
+            )
+        else:
+            # no build-time density recorded: report the occupancy but
+            # never claim the model is healthy on no evidence
+            out["needs_reindex"] = None
+        return out
 
     def index(self) -> DataFrame:
         """The whole accumulated index (partition discovery adds the
