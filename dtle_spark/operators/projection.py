@@ -60,7 +60,11 @@ def charset_to_utf8(df: DataFrame, col_charsets: dict[str, str]) -> DataFrame:
     to UTF-8 strings (reference mysqlconfig/types.go:87-113 converts at
     row-decode time; here the binary column decodes via JVM charsets).
     Spark 4 whitelists a few charsets by default; MySQL sources need the
-    full Java set (gbk/latin1/...)."""
+    full Java set (gbk/latin1/...). The whitelist conf is captured when
+    each encode/decode EXPRESSION is constructed (not at execution), so
+    it is set here BEFORE the decode columns are built — callers that
+    construct their own legacy-charset expressions must set it first
+    too (gated by the charset_decode_utf8 registry query)."""
     df.sparkSession.conf.set("spark.sql.legacy.javaCharsets", "true")
     for c, cs in col_charsets.items():
         df = df.withColumn(c, F.decode(F.col(c), cs))

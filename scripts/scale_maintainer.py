@@ -33,6 +33,32 @@ TIERS = {
 }
 
 
+def _storage_bytes(spark) -> int:
+    """Memory held by cached/localCheckpointed RDD blocks (bench.py's
+    r10 instrument): the maintainers localCheckpoint per batch, and
+    compactions checkpoint O(live keys) frames — Spark's ContextCleaner
+    frees those blocks only after a DRIVER GC collects their handles,
+    so a tight measurement loop on a 16g heap piles them up for
+    dozens of batches and the pressure taxes later batches 2-5x
+    (observed in the first r15 skew run: a mid-run 4-8s episode with
+    recovery — block pressure, not plan cost)."""
+    try:
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        return int(sum(i.memSize() for i in infos))
+    except Exception:
+        return -1
+
+
+def _gc_nudge(spark, threshold: int = 1 << 30) -> int:
+    """One explicit driver GC when block storage crosses `threshold`
+    (same policy as bench.py's sweep loop). Returns the PRE-nudge
+    storage bytes so the per-batch series records the pressure."""
+    pre = _storage_bytes(spark)
+    if pre > threshold:
+        spark.sparkContext._jvm.System.gc()
+    return pre
+
+
 def run_tier(spark, name: str, sf_dir: str, work: str) -> dict:
     from pyspark.sql import functions as F
     from pyspark.sql import Window
@@ -61,6 +87,7 @@ def run_tier(spark, name: str, sf_dir: str, work: str) -> dict:
     for b in range(n_batches):
         batch = spark.read.parquet(
             os.path.join(staged, f"__b={b}")).localCheckpoint()
+        _gc_nudge(spark)
         t0 = time.perf_counter()
         job.apply_batch(batch, b)
         times.append(round(time.perf_counter() - t0, 3))
@@ -147,6 +174,7 @@ def run_join_tier(
             )
             .localCheckpoint()
         )
+        _gc_nudge(spark)
         t0 = time.perf_counter()
         job.apply_batch(batch, b)
         times.append(round(time.perf_counter() - t0, 3))
@@ -230,6 +258,7 @@ def run_vector_tier(spark, name: str, sf_dir: str, work: str) -> dict:
         batch = spark.read.parquet(
             os.path.join(staged, f"__b={b}")).localCheckpoint()
         before = mj.position()["compacted_through"]
+        _gc_nudge(spark)
         t0 = time.perf_counter()
         mj.apply_batch(batch, b)
         times.append(round(time.perf_counter() - t0, 3))
@@ -312,6 +341,7 @@ def run_history_tier(
             )
             .localCheckpoint()
         )
+        _gc_nudge(spark)
         t0 = time.perf_counter()
         job.apply_batch(batch, b)
         times.append(round(time.perf_counter() - t0, 3))
@@ -332,6 +362,130 @@ def run_history_tier(
           f"tail {out['tail_mean']}s total {out['total']}s "
           f"(tail/head {out['tail_mean']/out['head_mean']:.2f})")
     return out
+
+
+def run_history_skew_tier(
+    spark, name: str, sf_dir: str, work: str, n_batches: int,
+    hot_frac: float = 0.8,
+) -> dict:
+    """Adversarial hot-key stream (VERDICT r14 #2): the bounded-
+    compaction claim says per-batch and compaction cost track the
+    OPEN-event working set (one event per live key) and the events
+    since the last fold — never the closed history. The uniform 10x
+    stream could not falsify that: no key's version chain ever grew
+    past ~1. Here ``hot_frac`` of every batch's updates hit ONE key
+    (distinct ascending seqs, mutating image), growing that key's
+    closed-version chain to ~n_batches * 500 * hot_frac (~2.4e4 at 60
+    batches) while the remaining updates stay uniform. If the claim
+    holds, per-batch cost is flat over stream age and compaction
+    spikes do not trend with the hot chain's length; the recorded
+    hot_versions count proves the chain actually grew."""
+    from pyspark.sql import functions as F
+
+    from dtle_spark.streaming.history import Scd2HistoryJob
+    from dtle_spark.streaming.profile import _compacted_through, _resolve
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    job = Scd2HistoryJob(
+        spark, os.path.join(work, "unused-src", "*"),
+        os.path.join(work, "hist"), os.path.join(work, "ckpt"),
+        key_cols=["o_orderkey"],
+        auto_compact_batches=8,
+    )
+    job.seed(orders)
+
+    hot = int(orders.agg(F.min("o_orderkey")).first()[0])
+    hot_row = orders.filter(
+        F.col("o_orderkey") == hot).limit(1).localCheckpoint()
+    n_hot = int(500 * hot_frac)
+    row = F.struct(*[F.col(c) for c in orders.columns])
+    bumped_by = F.struct(*[
+        (F.col(c) + F.col("__i") + 1).alias(c)
+        if c == "o_totalprice" else F.col(c)
+        for c in orders.columns
+    ])
+    times, compactions, storage = [], [], []
+    for b in range(n_batches):
+        # hot rows: same key, ascending seqs, image changes per event
+        # (each update closes the previous version — a real chain)
+        hot_batch = (
+            spark.range(n_hot).withColumnRenamed("id", "__i")
+            .crossJoin(F.broadcast(hot_row))
+            .select(
+                F.lit("77777777-7777-7777-7777-777777777777").alias("sid"),
+                F.lit(hot).cast("long").alias("gno"),
+                (F.lit(b * 1000) + F.col("__i")).cast("long").alias("seq"),
+                F.lit(0).cast("long").alias("lc"),
+                F.lit("u").alias("op"),
+                F.lit(None).cast("timestamp").alias("ts"),
+                F.lit("db1").alias("schema_name"),
+                F.lit("orders").alias("table_name"),
+                row.alias("before"),
+                bumped_by.alias("after"),
+                F.lit(None).cast("string").alias("query"),
+            )
+        )
+        bumped = F.struct(*[
+            (F.col(c) + 1).alias(c) if c == "o_totalprice" else F.col(c)
+            for c in orders.columns
+        ])
+        cold = (
+            orders.filter(
+                (F.col("o_orderkey") % n_batches == b)
+                & (F.col("o_orderkey") != hot)
+            )
+            .limit(500 - n_hot)
+            .select(
+                F.lit("77777777-7777-7777-7777-777777777777").alias("sid"),
+                F.col("o_orderkey").alias("gno"),
+                (F.col("o_orderkey") + 1_000_000_000).alias("seq"),
+                F.lit(0).cast("long").alias("lc"),
+                F.lit("u").alias("op"),
+                F.lit(None).cast("timestamp").alias("ts"),
+                F.lit("db1").alias("schema_name"),
+                F.lit("orders").alias("table_name"),
+                row.alias("before"),
+                bumped.alias("after"),
+                F.lit(None).cast("string").alias("query"),
+            )
+        )
+        batch = hot_batch.unionByName(cold).localCheckpoint()
+        wm0 = _compacted_through(_resolve(job.history_root))
+        storage.append(_gc_nudge(spark))
+        t0 = time.perf_counter()
+        job.apply_batch(batch, b)
+        times.append(round(time.perf_counter() - t0, 3))
+        if _compacted_through(_resolve(job.history_root)) != wm0:
+            compactions.append(b)
+        print(f"  history-skew {name} batch {b}: {times[-1]:.3f}s",
+              file=sys.stderr)
+    hot_versions = (
+        job.history().filter(F.col("o_orderkey") == hot).count()
+    )
+    head = times[: max(3, len(times) // 10)]
+    tail = times[-max(3, len(times) // 10):]
+    out = {
+        "n_batches": n_batches,
+        "batch_rows": 500,
+        "hot_frac": hot_frac,
+        "hot_key": hot,
+        "hot_versions": hot_versions,
+        "seeded_rows": orders.count(),
+        "batch_times": times,
+        "compaction_batches": compactions,
+        "storage_bytes_pre": storage,
+        "head_mean": round(sum(head) / len(head), 3),
+        "tail_mean": round(sum(tail) / len(tail), 3),
+        "total": round(sum(times), 2),
+    }
+    print(f"history-skew {name}: {n_batches} batches, "
+          f"hot chain {hot_versions} versions, head {out['head_mean']}s "
+          f"tail {out['tail_mean']}s total {out['total']}s "
+          f"(tail/head {out['tail_mean']/out['head_mean']:.2f})")
+    return out
+
+
+TIER_30X = os.path.join(REPO, "scale_data", "sf3")
 
 
 def main() -> None:
@@ -378,6 +532,29 @@ def main() -> None:
             results[f"history_{name}"] = run_history_tier(
                 spark, name, sf_dir, work, n)
             shutil.rmtree(work, ignore_errors=True)
+    # symmetric 30x evidence for the two r14-added maintainers
+    # (VERDICT r14 #5) — the query sweep reaches 30x, so these must too
+    if which in ("vector-30x", "30x"):
+        work = os.path.join(REPO, "scale_data", "_vmaint_30x")
+        shutil.rmtree(work, ignore_errors=True)
+        os.makedirs(work)
+        results["vector_30x"] = run_vector_tier(spark, "30x", TIER_30X, work)
+        shutil.rmtree(work, ignore_errors=True)
+    if which in ("history-30x", "30x"):
+        work = os.path.join(REPO, "scale_data", "_hmaint_30x")
+        shutil.rmtree(work, ignore_errors=True)
+        os.makedirs(work)
+        results["history_30x"] = run_history_tier(
+            spark, "30x", TIER_30X, work, 60)
+        shutil.rmtree(work, ignore_errors=True)
+    # adversarial hot-key stream against the 10x seed (VERDICT r14 #2)
+    if which == "history-skew":
+        work = os.path.join(REPO, "scale_data", "_hskew_10x")
+        shutil.rmtree(work, ignore_errors=True)
+        os.makedirs(work)
+        results["history_skew_10x"] = run_history_skew_tier(
+            spark, "10x", TIERS["10x"], work, 60)
+        shutil.rmtree(work, ignore_errors=True)
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
 
