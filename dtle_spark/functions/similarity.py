@@ -30,7 +30,25 @@ def dot_expr(a: str, b: str) -> str:
     random access): measured 3.3x faster, and the product list is
     bit-identical — the DuckDB oracles keep their generate_series form
     because only the VALUES and fold ORDER must match, not the
-    construction."""
+    construction.
+
+    Why the fold stays, now MEASURED (r15 — this was the one
+    still-assumed entry on the r14 verdict's interpreted-HOF list):
+    flat unrolled element_at chains preserve the fold's exact
+    left-assoc IEEE order but lose on this engine at every width
+    tried. dim 64: 1.9s bare / 3.6s with a length-guard CASE vs 1.7s
+    for the fold (the chain blows the enclosing stage out of
+    whole-stage codegen); m=8 (the ADC LUT sum, same-session A/B on
+    the composed IVF-PQ query): chain 0.77-0.87s vs fold 0.70s.
+    A balanced-tree regroup would codegen compactly but changes
+    summation order and breaks the oracle bit-equality contract.
+    The r14 dedup rewrite won by changing the AGGREGATION SHAPE
+    (explode + map-side-combining hash aggregate), not by unrolling
+    per-row folds — no such reshape exists for an order-pinned
+    per-pair dot. The folds' megamorphic-pollution exposure remains
+    priced, not hidden: bench.py's fresh-JVM position-tax verdict
+    separates in-session interpreter pollution from plan
+    regressions."""
     prods = f"zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE))"
     return f"aggregate({prods}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
 
