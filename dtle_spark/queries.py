@@ -2575,9 +2575,14 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cost note: this row RE-TRAINS AND RE-ENCODES the corpus per run by
     contract — it oracle-gates the composed train/encode/ADC math and
     prices the one-time build (hence its deliberate O(N) bench cost
-    and ~1.0 scale exponent). The shippable serving cost is the
-    ann_topk_indexed row: probe of a persisted cell-partitioned index
-    built once per session."""
+    and ~1.0 scale exponent). The shippable serving cost is the probe
+    of a persisted cell-partitioned index (similarity.
+    ivf_pq_topk_indexed, pytest-pinned indexed == inline in
+    tests/test_custom_ops.py::TestIvfPqPersistedIndex and measured
+    flat in the streamed maintainer, SCALE_MAINTAINER.json); it has no
+    registry row because the bench contract forbids intermediates
+    cached across invocations, which is precisely what a persisted
+    index is."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 50 == 0)
     tr = sim.md5_train_sample(e)
@@ -2667,8 +2672,10 @@ def ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cost note: the INLINE tier re-encodes the corpus per run by
     contract (it oracle-gates the composed math; the 30x sweep's one
     ~linear step is exactly this inline encode). The shippable serving
-    cost is the ann_topk_indexed row — same oracle, same results,
-    probe of a persisted index built once per session."""
+    cost is the persisted-index probe (similarity.ivf_pq_topk_indexed
+    — same results, pytest-pinned indexed == inline); it has no
+    registry row because the bench contract forbids intermediates
+    cached across invocations — see ann_topk_pq's cost note."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 50 == 0)
     tr = sim.md5_train_sample(e)
@@ -2682,70 +2689,6 @@ def ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = sim.ivf_pq_topk(
         e, q, k=10, nprobe=4, n_cells=16, m=8, ksub=16,
         centroids=cent, codebook=cb, rerank=100,
-    )
-    return out.withColumnRenamed("rank", "rnk")
-
-
-_ANN_INDEX_CACHE: dict = {}
-
-
-def _persisted_ann_index(spark: SparkSession, sf_dir: str):
-    """Build ONCE per Spark application per sf_dir the persisted
-    cell-partitioned IVF-PQ index plus its frozen model; return
-    (index_path, centroids, codebook). The registry's indexed probe
-    rides this so repeated invocations (bench min-of-N, repeated gate
-    runs) price the PROBE, with the one-time build amortized exactly
-    as a production index is — train once, encode once, probe forever
-    (reference context: the reference replicates into a store and
-    serves reads from the STORE, never re-deriving it per query).
-
-    Cache key = (applicationId, sf_dir): localCheckpointed model
-    tables die with the session, so a fresh driver process rebuilds;
-    the index parquet lands in a tempdir (small — codes are 8 bytes a
-    row) and leaks nothing into the repo."""
-    import os as _os
-    import tempfile
-
-    key = (spark.sparkContext.applicationId, _os.path.realpath(sf_dir))
-    hit = _ANN_INDEX_CACHE.get(key)
-    if hit is not None:
-        return hit
-    e = load_table(spark, sf_dir, "embeddings")
-    tr = sim.md5_train_sample(e)
-    cent = sim.ivf_exact_mean_centroids(tr, k=16).localCheckpoint()
-    cb = sim.pq_refine(
-        tr, sim.pq_codebook(tr, m=8, ksub=16, means=cent),
-        steps=2, m=8, ksub=16,
-    ).localCheckpoint()
-    path = tempfile.mkdtemp(prefix="dtle_ann_index_")
-    sim.ivf_pq_build_index(
-        e, cent, cb, m=8, ksub=16, dim=64, path=path
-    )
-    _ANN_INDEX_CACHE[key] = (path, cent, cb)
-    return path, cent, cb
-
-
-@query("ann_topk_indexed", _duck_ivf_pq_oracle())
-def ann_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SHIPPABLE ANN plan (similarity.ivf_pq_topk_indexed): probe a
-    PERSISTED cell-partitioned IVF-PQ index — built once per session by
-    _persisted_ann_index, exactly how a production index is built once
-    per corpus — with a static partition filter so the scan reads only
-    the probed nprobe/n_cells cells' files, ADC over their 8-byte
-    codes, exact rerank of the top-100 pool. Same oracle as
-    ann_topk_ivf_pq because indexed == inline is structural (shared
-    _ivf_pq_adc stage; pytest-pinned in
-    tests/test_custom_ops.py::TestIvfPqPersistedIndex). This row is
-    what the graded bench should read as the ANN serving cost:
-    ann_topk_pq / ann_topk_ivf_pq deliberately re-encode the corpus
-    per run to oracle-gate the composed math and price the one-time
-    build — nobody ships that per query."""
-    path, cent, cb = _persisted_ann_index(spark, sf_dir)
-    e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") % 50 == 0)
-    out = sim.ivf_pq_topk_indexed(
-        spark, path, q, cent, cb, vectors=e,
-        k=10, nprobe=4, m=8, ksub=16, dim=64, rerank=100,
     )
     return out.withColumnRenamed("rank", "rnk")
 

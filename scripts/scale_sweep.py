@@ -33,10 +33,6 @@ QUERIES = [
     "q8_market_share", "dq_drift_by_priority", "dedup_clusters",
     "span_dedup_materialize", "q21_sole_blamed_supplier",
     "cluster_representatives", "dedup_minhash_lsh", "q1_pricing_summary",
-    # the persisted-index ANN probe (VERDICT r14 #4): its exponent is
-    # the PROBE tier's — the per-session build happens once in the
-    # bench warm-up run and min-of-N prices the repeat probes
-    "ann_topk_indexed",
 ]
 
 ALL_TIERS = {
