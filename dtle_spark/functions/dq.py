@@ -158,23 +158,37 @@ def _tv_distance(
     order-independent — summing exact integers) emitted per
     :func:`_gate_int`, stat the convenience double in [0, 1].
     ``denom_scale`` divides multi-histogram stacks (CMS: depth
-    independent rows share one total)."""
+    independent rows share one total).
+
+    Plan shape (r15): ONE pass — totals come from an unpartitioned
+    window over the joined cells (bounded by the sketch contract:
+    depth*width / 63*subdiv rows, so the single-partition window is
+    control-plane sized at any data volume), replacing the r14 shape's
+    eager localCheckpoint + crossJoin(broadcast(totals)). That shape
+    cost one extra materialization job at plan-construction time and
+    consumed the cell frame twice; this one evaluates each side's
+    upstream sketch aggregation exactly once inside the final action.
+    Values are bit-identical: the window SUM adds the same exact
+    decimal integers, and the num/denom expressions are unchanged."""
+    from pyspark.sql import Window
+
     d38 = "decimal(38,0)"
     b = baseline.groupBy(*cell_cols).agg(F.sum("cnt").alias("b_cnt"))
     c = current.groupBy(*cell_cols).agg(F.sum("cnt").alias("c_cnt"))
+    w = Window.partitionBy()
     j = (
         b.join(c, cell_cols, "full_outer")
         .select(
             F.coalesce("b_cnt", F.lit(0)).cast(d38).alias("b_cnt"),
             F.coalesce("c_cnt", F.lit(0)).cast(d38).alias("c_cnt"),
         )
-        .localCheckpoint()  # totals + the cross-multiplied fold
+        .select(
+            "b_cnt", "c_cnt",
+            (F.sum("b_cnt").over(w) / denom_scale).cast(d38).alias("n_b"),
+            (F.sum("c_cnt").over(w) / denom_scale).cast(d38).alias("n_c"),
+        )
     )
-    tot = j.agg(
-        (F.sum("b_cnt") / denom_scale).cast(d38).alias("n_b"),
-        (F.sum("c_cnt") / denom_scale).cast(d38).alias("n_c"),
-    )
-    num = j.crossJoin(F.broadcast(tot)).agg(
+    num = j.agg(
         F.sum(
             F.abs(F.col("b_cnt") * F.col("n_c") - F.col("c_cnt") * F.col("n_b"))
         ).cast(d38).alias("drift_num"),
@@ -318,8 +332,20 @@ def _tv_distance_grouped(
     groups present on BOTH sides (one-sided groups are the presence
     check's job; TV against an empty distribution is undefined).
     Group keys join null-safely (struct-wrapped), so a NULL group
-    value is one group like any other. Cost: joins over |groups| x
-    bounded cells; the per-group totals broadcast."""
+    value is one group like any other. Cost: one full-outer join over
+    |groups| x bounded cells.
+
+    Plan shape (r15): per-group totals come from a window over the
+    joined cells (partitioned by group — bounded cells per group by
+    the sketch contract), replacing the r14 shape's separate bt/ct
+    total aggregations + inner-join + broadcast, which re-evaluated
+    each side's upstream sketch aggregation TWICE (once for cells,
+    once for totals). Groups present on only one side have a zero
+    window total on the other (cell counts are >= 1 by construction)
+    and are dropped by the n_b/n_c > 0 filter — exactly the rows the
+    old inner tot-join dropped. Integer DIV preserved verbatim."""
+    from pyspark.sql import Window
+
     d38 = "decimal(38,0)"
     b = baseline.groupBy(F.struct("grp").alias("__g"), *cell_cols).agg(
         F.sum("cnt").alias("b_cnt")
@@ -327,28 +353,35 @@ def _tv_distance_grouped(
     c = current.groupBy(F.struct("grp").alias("__g"), *cell_cols).agg(
         F.sum("cnt").alias("c_cnt")
     )
+    wg = Window.partitionBy("__g")
     # integer DIV, never float `/`: sum(cnt) is exactly depth*N per
     # group (CMS) so DIV is lossless at ANY N — a float64 round-trip
     # would silently break the exact-integer contract past 2^53 rows
     # per group (the same reason dq_drift_keys folds totals with DIV)
-    bt = b.groupBy("__g").agg(
-        F.expr(f"CAST(sum(b_cnt) DIV {denom_scale} AS {d38})").alias("n_b")
-    )
-    ct = c.groupBy("__g").agg(
-        F.expr(f"CAST(sum(c_cnt) DIV {denom_scale} AS {d38})").alias("n_c")
-    )
-    tot = bt.join(ct, ["__g"], "inner")
     j = (
         b.join(c, ["__g", *cell_cols], "full_outer")
         .select(
             "__g",
-            F.coalesce("b_cnt", F.lit(0)).cast(d38).alias("b_cnt"),
-            F.coalesce("c_cnt", F.lit(0)).cast(d38).alias("c_cnt"),
+            F.coalesce("b_cnt", F.lit(0)).alias("__b_long"),
+            F.coalesce("c_cnt", F.lit(0)).alias("__c_long"),
         )
+        .select(
+            "__g",
+            F.col("__b_long").cast(d38).alias("b_cnt"),
+            F.col("__c_long").cast(d38).alias("c_cnt"),
+            F.expr(
+                f"CAST((SUM(__b_long) OVER (PARTITION BY __g))"
+                f" DIV {denom_scale} AS {d38})"
+            ).alias("n_b"),
+            F.expr(
+                f"CAST((SUM(__c_long) OVER (PARTITION BY __g))"
+                f" DIV {denom_scale} AS {d38})"
+            ).alias("n_c"),
+        )
+        .filter((F.col("n_b") > 0) & (F.col("n_c") > 0))
     )
     num = (
-        j.join(F.broadcast(tot), ["__g"], "inner")
-        .groupBy("__g")
+        j.groupBy("__g")
         .agg(
             F.sum(
                 F.abs(

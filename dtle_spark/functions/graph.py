@@ -29,22 +29,31 @@ def connected_components(
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        # size-aware parallelism WITHOUT a count job (r15): the
+        # near-dup edge set is orders smaller than the corpus (it
+        # exists only where LSH found candidates), so a corpus-sized
+        # partition count turns each round into pure task-scheduling
+        # overhead (~32 near-empty tasks x 2 jobs x rounds). A keyed
+        # repartition participates in AQE partition coalescing, which
+        # sizes the edge partitions from the OBSERVED shuffle bytes —
+        # 1 partition at test scale, fully parallel at 100 TB — where
+        # the r14 shape paid a second materialization plus a count()
+        # job to pick the number itself.
+        .repartition("b")
         # materialize once: every round joins edges twice, and without
         # this the whole upstream pair-finding pipeline re-executes per
         # round (observed 13s -> ~4s on the LSH-pairs input)
         .localCheckpoint()
     )
-    # size-aware parallelism: the near-dup edge set is orders smaller
-    # than the corpus (it exists only where LSH found candidates), so a
-    # corpus-sized partition count turns each round into pure
-    # task-scheduling overhead (~32 near-empty tasks x 2 jobs x rounds).
-    # One partition per ~100k edges keeps rounds 1-task at test scale
-    # and fully parallel at 100 TB. The count reads the checkpointed
-    # edges — bounded metadata, not a corpus scan.
-    parts = max(1, min(edges.rdd.getNumPartitions(), edges.count() // 100_000 + 1))
-    edges = edges.repartition(parts, "b").localCheckpoint()
-    labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
-        "component", F.col("node")
+    # seed labels with each node's min DIRECT neighbor (one aggregation
+    # over the checkpointed edges) — exactly what round 1 of the loop
+    # would compute from the identity labelling, so the loop starts one
+    # propagation step ahead and tiny-diameter graphs (near-dup cliques)
+    # converge a full join-round earlier.
+    labels = (
+        edges.groupBy("a")
+        .agg(F.least(F.min("b"), F.col("a")).alias("component"))
+        .select(F.col("a").alias("node"), "component")
     )
     for _ in range(max_iter):
         # neighbor labels

@@ -576,32 +576,50 @@ def loghist_quantiles(
     idiom), value = bucket midpoint. The window runs over the SKETCH
     (bounded cells), not the data — control-plane sized by
     construction, so the unpartitioned sort is fine at any data
-    scale."""
+    scale.
+
+    Plan shape (r15): ONE pass — every quantile's first-crossing
+    bucket is a conditional MIN(struct(e, sub)) in a single
+    aggregation over the cum-annotated cells (struct ordering ==
+    (e, sub) order, and the crossing predicate is monotone in that
+    order, so the min satisfying row IS the first), then one explode
+    to (q, est) rows. The r14 shape eagerly localCheckpointed the
+    cells and unioned one ORDER BY/LIMIT 1 branch per quantile — an
+    extra materialization job at plan-construction time plus a read
+    per branch. An empty sketch yields NULL mins, filtered out — the
+    same zero rows the old empty-input branches produced."""
     from pyspark.sql import Window
 
     w = Window.orderBy("e", "sub").rowsBetween(Window.unboundedPreceding, 0)
-    c = (
-        sketch.withColumn("cum", F.sum("cnt").over(w))
-        .withColumn("n", F.sum("cnt").over(Window.partitionBy()))
-        .localCheckpoint()  # consumed once per requested quantile
+    c = sketch.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy())
     )
     mid = _loghist_mid_sql(subdiv, "spark")
-    outs = []
-    for num, denom in qs:
-        sel = (
-            c.filter(F.expr(f"cum * {denom} >= {num} * n"))
-            .orderBy("e", "sub")
-            .limit(1)
-            .selectExpr(
-                f"'{num}/{denom}' AS q",
-                f"{mid} AS est",
+    picks = c.agg(*[
+        F.min(
+            F.when(
+                F.expr(f"cum * {denom} >= {num} * n"), F.struct("e", "sub")
             )
+        ).alias(f"__q{i}")
+        for i, (num, denom) in enumerate(qs)
+    ])
+    return (
+        picks.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(f"{num}/{denom}").alias("q"),
+                        F.col(f"__q{i}.e").alias("e"),
+                        F.col(f"__q{i}.sub").alias("sub"),
+                    )
+                    for i, (num, denom) in enumerate(qs)
+                ])
+            ).alias("r")
         )
-        outs.append(sel)
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+        .filter(F.col("r.e").isNotNull())
+        .selectExpr("r.q AS q", "r.e AS e", "r.sub AS sub")
+        .selectExpr("q", f"{mid} AS est")
+    )
 
 
 def loghist_quantiles_sql(
@@ -666,7 +684,13 @@ def loghist_quantiles_grouped(
     count crosses the integer rank threshold (cum*denom >= num*n),
     value = bucket midpoint. Windows run over the SKETCH cells
     partitioned by group — bounded per group by construction, so the
-    sort is control-plane sized at any data scale."""
+    sort is control-plane sized at any data scale.
+
+    Plan shape (r15): one groupBy(grp) aggregation computes every
+    quantile's first-crossing bucket as a conditional MIN(struct(e,
+    sub)) (same single-pass rationale as :func:`loghist_quantiles`),
+    then one explode to (grp, q, est) rows — replacing the eager
+    localCheckpoint + one row_number branch per quantile."""
     from pyspark.sql import Window
 
     wcum = (
@@ -674,23 +698,33 @@ def loghist_quantiles_grouped(
         .orderBy("e", "sub")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    c = (
-        sketch.withColumn("cum", F.sum("cnt").over(wcum))
-        .withColumn("n", F.sum("cnt").over(Window.partitionBy("grp")))
-        .localCheckpoint()  # consumed once per requested quantile
+    c = sketch.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("grp"))
     )
     mid = _loghist_mid_sql(subdiv, "spark")
-    wpick = Window.partitionBy("grp").orderBy("e", "sub")
-    outs = []
-    for num, denom in qs:
-        sel = (
-            c.filter(F.expr(f"cum * {denom} >= {num} * n"))
-            .withColumn("__rn", F.row_number().over(wpick))
-            .filter(F.col("__rn") == 1)
-            .selectExpr("grp", f"'{num}/{denom}' AS q", f"{mid} AS est")
+    picks = c.groupBy("grp").agg(*[
+        F.min(
+            F.when(
+                F.expr(f"cum * {denom} >= {num} * n"), F.struct("e", "sub")
+            )
+        ).alias(f"__q{i}")
+        for i, (num, denom) in enumerate(qs)
+    ])
+    return (
+        picks.select(
+            "grp",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(f"{num}/{denom}").alias("q"),
+                        F.col(f"__q{i}.e").alias("e"),
+                        F.col(f"__q{i}.sub").alias("sub"),
+                    )
+                    for i, (num, denom) in enumerate(qs)
+                ])
+            ).alias("r"),
         )
-        outs.append(sel)
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+        .filter(F.col("r.e").isNotNull())
+        .selectExpr("grp", "r.q AS q", "r.e AS e", "r.sub AS sub")
+        .selectExpr("grp", "q", f"{mid} AS est")
+    )
