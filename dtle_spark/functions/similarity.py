@@ -247,7 +247,7 @@ def train_centroids(
         cent = mean.select(
             F.col("cell").alias("cent_id"),
             F.expr(f"transform(m, x -> CAST(x / sqrt({dot_expr('m', 'm')}) AS FLOAT))").alias("c_vec"),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)  # materialized by the next step's first consumer
     w = Window.orderBy("cent_id")
     return cent.withColumn("cent_id", F.row_number().over(w) - 1)
 
@@ -740,8 +740,8 @@ def pq_refine(
     # pin the (m*ksub-row) input BEFORE validating: the validation
     # collect and the first loop's cb_row otherwise each force the full
     # codebook-training lineage — an extra training-set scan per call
-    cb = codebook.select("sub", "code", "cvec").localCheckpoint()
-    _require_dense_codebook(cb, m, ksub, d)
+    cb = codebook.select("sub", "code", "cvec").localCheckpoint(eager=False)
+    _require_dense_codebook(cb, m, ksub, d)  # its collect materializes cb
     subs = vectors.select(
         F.explode(
             F.expr(
@@ -752,7 +752,8 @@ def pq_refine(
     ).select(F.col("e.sub").alias("sub"), F.col("e.sv").alias("sv"))
     if steps > 1:
         # every step rescans the exploded subvectors; pin them once
-        subs = subs.localCheckpoint()
+        # (lazily: step 1's first consumer materializes the blocks)
+        subs = subs.localCheckpoint(eager=False)
     l2 = (
         "aggregate(zip_with(sv, c.cvec,"
         " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
@@ -795,7 +796,10 @@ def pq_refine(
             cb.select("sub", "code", F.col("cvec").alias("__old"))
             .join(F.broadcast(refined), ["sub", "code"], "left")
             .select("sub", "code", F.coalesce("cvec", "__old").alias("cvec"))
-            .localCheckpoint()
+            # lazy: the next step's (or the caller's) first consumer
+            # materializes this step's m*ksub rows once; eager ran one
+            # separate job per refine step at plan-construction time
+            .localCheckpoint(eager=False)
         )
     return cb.withColumn(
         "cnorm2",
@@ -959,7 +963,7 @@ def pq_topk(
         # tiny (m*ksub rows) and consumed twice (encode + LUTs): pin it
         cb = pq_codebook(
             vectors, m=m, ksub=ksub, dim=dim, id_col=id_col, vec_col=vec_col
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     enc = pq_encode(vectors, cb, m=m, ksub=ksub, dim=dim,
                     id_col=id_col, vec_col=vec_col)
     q0 = queries.select(
@@ -1034,7 +1038,7 @@ def ivf_pq_topk(
         if centroids is not None
         else ivf_exact_mean_centroids(
             tr, k=n_cells, id_col=id_col, vec_col=vec_col, dim=dim
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     )
     if codebook is not None:
         cb = codebook
@@ -1048,7 +1052,7 @@ def ivf_pq_topk(
         cb = pq_refine(
             tr, init, steps=2, m=m, ksub=ksub, dim=dim,
             id_col=id_col, vec_col=vec_col,
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     celled = ivf_pq_build_index(
         vectors, cent, cb, m=m, ksub=ksub, dim=dim,
         id_col=id_col, vec_col=vec_col,

@@ -49,9 +49,20 @@ def kmv_distinct(
     (NULLS LAST) would not, skewing the estimate and diverging the
     engines. KMV estimates DISTINCT NON-NULL, like COUNT(DISTINCT).
     """
-    h = F.expr(hash40_expr(col_sql, "spark"))
+    # Dedup the SOURCE VALUES before hashing (r15): md5 is a function,
+    # so DISTINCT(md5(v)) == md5(DISTINCT v) as a set — but the second
+    # form runs one md5 per distinct value instead of one per row
+    # (30x fewer on a fact-table key), and the pre-hash distinct
+    # shuffles the narrow source value instead of computing the
+    # hex-window conv chain row-wise first. The hv-level distinct
+    # stays: it is what formally pins set-equality with the oracle's
+    # DISTINCT-after-hash, and over already-unique values it is a
+    # cheap bounded pass.
+    h = F.expr(hash40_expr("__v", "spark"))
     kth = (
-        df.select(h.alias("hv"))
+        df.selectExpr(f"{col_sql} AS __v")
+        .distinct()
+        .select(h.alias("hv"))
         .filter(F.col("hv").isNotNull())
         .distinct()
         .orderBy("hv")
@@ -145,10 +156,14 @@ def kmv_distinct_grouped(
     data, and the output is bounded at k per group."""
     from pyspark.sql import Window
 
-    h = F.expr(hash40_expr(col_sql, "spark"))
+    # pre-hash distinct per (grp, value) — same set-identity rationale
+    # as the global lane (r15): one md5 per distinct (group, value)
+    h = F.expr(hash40_expr("__v", "spark"))
     w = Window.partitionBy("grp").orderBy("hv")
     kth = (
-        df.select(F.expr(group_sql).alias("grp"), h.alias("hv"))
+        df.selectExpr(f"{group_sql} AS grp", f"{col_sql} AS __v")
+        .distinct()
+        .select("grp", h.alias("hv"))
         .filter(F.col("hv").isNotNull())
         .distinct()
         .withColumn("__rn", F.row_number().over(w))

@@ -95,16 +95,24 @@ def latest_image_per_key(changes: DataFrame, key_cols: list[str]) -> DataFrame:
 
     # A7's ordering invariant, restated per key: the reference replays
     # transactions in (last_committed, seq) clock order; we only need the
-    # per-key winner, which one row_number window provides. The window
-    # shuffle partitions by key — same layout the subsequent merge join
-    # needs, so AQE reuses the exchange. Sources must make seq a total
-    # order per key (the bridges derive it from binlog position); the
-    # __action tie-break only pins determinism if a source violates that.
+    # per-key winner, which one row_number window provides. Sources must
+    # make seq a total order per key (the bridges derive it from binlog
+    # position); the __action tie-break only pins determinism if a
+    # source violates that.
     w = Window.partitionBy(*key_cols).orderBy(F.col("seq").desc(), F.col("__action"))
     return (
         effects.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+        # lazy checkpoint (r15): nearly every consumer reads the net
+        # batch TWICE (merge_into: anti-keys + upserts; star view:
+        # touched + fresh; rollup: old-image join + new images) and
+        # Spark plans each read as an independent subtree, re-running
+        # the 3-branch effect union and the window per read. The first
+        # action materializes the Δ-sized winners once; the second read
+        # costs a block scan. Lazy, so plan construction schedules no
+        # job, and nothing persists across query invocations.
+        .localCheckpoint(eager=False)
     )
 
 

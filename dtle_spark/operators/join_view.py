@@ -119,27 +119,46 @@ def _refresh_dim(
     kept: DataFrame, dim: DataFrame, spec: DimSpec, touched: DataFrame
 ) -> DataFrame:
     """Rewrite ONE dim's columns on the kept rows whose dim row moved.
-    The fk carve uses PLAIN equality ON PURPOSE: a NULL fk matches no
+    The fk probe uses PLAIN equality ON PURPOSE: a NULL fk matches no
     dim row in the view definition, so it must match no dirty key here
     either — null-safe equality would wrongly refresh NULL-fk rows
-    against a NULL dim key."""
+    against a NULL dim key.
+
+    ONE pass (r15): two stacked broadcast left joins over kept — the
+    dirty-key flag, then the dirty keys' SURVIVING dim rows — and a
+    conditional column rewrite. The r14 shape carved kept into a semi
+    branch and an anti branch and unioned them back — Spark plans
+    each branch as an independent subtree, so every refresh DOUBLED
+    the execution of everything beneath it (with two moving dims the
+    base view pipeline ran 4x; plan-confirmed via the duplicated
+    Scan/Window subtrees in explain). Same all-broadcast discipline
+    (both probe sides are the bounded dirty sets; kept is always the
+    streamed side), same rows: dirty keys are distinct and spec.pk is
+    unique, so each join fans 1:1 — flagged rows take the dim's fresh
+    values (NULL when its row was deleted: flag matches, values row
+    doesn't), unflagged rows keep their columns — exactly the old
+    union(untouched, refreshed) row set."""
     dirty = touched.select(F.col(spec.pk).alias(_RPK)).distinct()
-    carve = kept.join(
-        F.broadcast(dirty), F.col(spec.fk) == F.col(_RPK), "left_semi"
+    renamed = {c: f"__new_{c}" for c in spec.cols.values()}
+    flag = dirty.select(_RPK, F.lit(1).alias("__dirty"))
+    r_dirty = (
+        _renamed_right(dim, spec)
+        .join(F.broadcast(dirty), _RPK, "left_semi")
+        .select(
+            F.col(_RPK).alias("__rpk_v"),
+            *[F.col(c).alias(n) for c, n in renamed.items()],
+        )
     )
-    untouched = kept.join(
-        F.broadcast(dirty), F.col(spec.fk) == F.col(_RPK), "left_anti"
+    return (
+        kept.join(F.broadcast(flag), F.col(spec.fk) == F.col(_RPK), "left")
+        .join(F.broadcast(r_dirty), F.col(spec.fk) == F.col("__rpk_v"), "left")
+        .select(*[
+            F.when(F.col("__dirty") == 1, F.col(renamed[c]))
+            .otherwise(F.col(c)).alias(c)
+            if c in renamed else F.col(c)
+            for c in kept.columns
+        ])
     )
-    r_dirty = _renamed_right(dim, spec).join(
-        F.broadcast(dirty), _RPK, "left_semi"
-    )
-    refreshed = (
-        carve.drop(*spec.cols.values())
-        .join(F.broadcast(r_dirty), F.col(spec.fk) == F.col(_RPK), "left")
-        .drop(_RPK)
-        .select(*kept.columns)
-    )
-    return untouched.unionByName(refreshed)
 
 
 def maintain_star_view(

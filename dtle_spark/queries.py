@@ -1940,7 +1940,7 @@ def rp_embed_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread() repartition, serializing the whole O(dims x tokens)
     # fold onto the one-split fixture scan (measured 25 s -> 1 s); the
     # barrier also keeps the pair join from recomputing the embeddings
-    e = e.localCheckpoint()
+    e = e.localCheckpoint(eager=False)
     nz = e.filter(
         F.expr("aggregate(embedding, 0L, (acc, x) -> acc + x * x)") > 0
     )
@@ -2063,7 +2063,7 @@ def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = dd.rp_text_embedding(d, "doc_id", "text").select(
         "doc_id", F.col("emb").alias("embedding")
     )
-    e = e.localCheckpoint()  # same pushdown barrier as rp_embed_neighbors
+    e = e.localCheckpoint(eager=False)  # same pushdown barrier as rp_embed_neighbors
     nz = e.filter(
         F.expr("aggregate(embedding, 0L, (acc, x) -> acc + x * x)") > 0
     )
@@ -2272,7 +2272,7 @@ def ann_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 64-sum training aggregation over the sample
     cent = sim.ivf_exact_mean_centroids(
         sim.md5_train_sample(e), k=16
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     out = sim.ivf_topk(e, q, k=5, nprobe=4, centroids=cent)
     return out.withColumnRenamed("rank", "rnk")
 
@@ -2329,7 +2329,7 @@ def cluster_representatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     cent = sim.ivf_exact_mean_centroids(
         sim.md5_train_sample(e), k=16
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     return sim.cluster_representatives(e, cent, n=5).orderBy("cell", "rank")
 
 
@@ -2679,7 +2679,7 @@ def ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 50 == 0)
     tr = sim.md5_train_sample(e)
-    cent = sim.ivf_exact_mean_centroids(tr, k=16).localCheckpoint()
+    cent = sim.ivf_exact_mean_centroids(tr, k=16).localCheckpoint(eager=False)
     # n_cells == ksub: the pinned centroid table doubles as the
     # codebook init (means=), so the 64-sum training agg runs ONCE
     cb = sim.pq_refine(
@@ -3215,7 +3215,7 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     draw (functions/corpus.leakage_safe_split)."""
     d = load_table(spark, sf_dir, "documents")
     pairs = dd.minhash_dedup_pairs(d, "doc_id", "text", threshold=0.5)
-    clusters = connected_components(pairs).localCheckpoint()
+    clusters = connected_components(pairs).localCheckpoint(eager=False)
     return cp.leakage_safe_split(d, clusters)
 
 
@@ -3268,7 +3268,7 @@ def canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     pairs = dd.minhash_dedup_pairs(d, "doc_id", "text", threshold=0.5)
-    clusters = connected_components(pairs).localCheckpoint()
+    clusters = connected_components(pairs).localCheckpoint(eager=False)
     c = clusters.select(
         F.col("node").alias("doc_id"), F.col("component").alias("__unit")
     )
@@ -4242,8 +4242,12 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sketch itself engine-portable and therefore oracle-gatable,
     unlike approx_count_distinct's engine-internal HLL)."""
     li = load_table(spark, sf_dir, "lineitem")
-    est = sk.kmv_distinct(li, "l_partkey", k=256)
-    true = li.agg(F.count_distinct("l_partkey").cast("long").alias("true_distinct"))
+    # one scan: both the sketch and the exact count read the same
+    # distinct-key pass (lazily checkpointed), instead of each paying a
+    # full lineitem scan
+    d = li.select("l_partkey").distinct().localCheckpoint(eager=False)
+    est = sk.kmv_distinct(d, "l_partkey", k=256)
+    true = d.agg(F.count_distinct("l_partkey").cast("long").alias("true_distinct"))
     return est.crossJoin(F.broadcast(true))
 
 
@@ -6297,7 +6301,7 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("exact_cnt"))
         .orderBy(F.desc("exact_cnt"), "key")
         .limit(20)
-        .localCheckpoint()  # consumed twice: probe keys + output join
+        .localCheckpoint(eager=False)  # consumed twice: probe keys + output join
     )
     est = sk.cms_estimate(sketch, top, "key", depth=4, width=512)
     return top.join(est, "key")
@@ -6348,7 +6352,7 @@ def heavy_hitters_cms_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= 5)
         .drop("__rn")
-        .localCheckpoint()  # consumed twice: probe keys + output join
+        .localCheckpoint(eager=False)  # consumed twice: probe keys + output join
     )
     est = sk.cms_estimate_grouped(sketch, top, depth=4, width=512)
     return top.join(est, ["grp", "key"])
