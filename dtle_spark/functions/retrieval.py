@@ -77,7 +77,7 @@ def bm25_scores(
         ).alias("toks"),
     )
     lens = toks.select("id", F.size("toks").cast("long").alias("dl"))
-    lens = lens.localCheckpoint()  # consumed by stats AND the pivot
+    lens = lens.localCheckpoint(eager=False)  # consumed by stats AND the pivot
     glob_stats = lens.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
@@ -87,7 +87,7 @@ def bm25_scores(
         .filter(F.col("term").isin(terms))
         .groupBy("id", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .localCheckpoint()  # consumed by the pivot AND the df row
+        .localCheckpoint(eager=False)  # consumed by the pivot AND the df row
     )
     dfs_row = posting.groupBy().agg(*[
         F.countDistinct(F.when(F.col("term") == t, F.col("id")))

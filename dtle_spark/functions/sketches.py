@@ -156,14 +156,16 @@ def kmv_distinct_grouped(
     data, and the output is bounded at k per group."""
     from pyspark.sql import Window
 
-    # pre-hash distinct per (grp, value) — same set-identity rationale
-    # as the global lane (r15): one md5 per distinct (group, value)
-    h = F.expr(hash40_expr("__v", "spark"))
+    # NOTE (r15): the global lane's pre-hash distinct is NOT applied
+    # here — the grouped inputs are small per group and the extra
+    # distinct stage measured as a net loss (the oracle-exact shape
+    # needs hash-then-distinct as the final dedup either way, so the
+    # pre-distinct adds a second shuffle that only pays off when the
+    # row:distinct ratio is fact-table-sized)
+    h = F.expr(hash40_expr(col_sql, "spark"))
     w = Window.partitionBy("grp").orderBy("hv")
     kth = (
-        df.selectExpr(f"{group_sql} AS grp", f"{col_sql} AS __v")
-        .distinct()
-        .select("grp", h.alias("hv"))
+        df.select(F.expr(group_sql).alias("grp"), h.alias("hv"))
         .filter(F.col("hv").isNotNull())
         .distinct()
         .withColumn("__rn", F.row_number().over(w))

@@ -551,6 +551,8 @@ def perplexity_buckets_sampled(docs, id_col: str = "doc_id",
     Docs with EQUAL scores always land in the same band (ntile splits
     ties by id to force equal counts — thresholds never separate
     ties)."""
-    u = unigram_commonness(docs, id_col, text_col).localCheckpoint()
+    # lazy: the threshold fit's percentile collect is the first
+    # consumer and materializes the scores; banding then reads blocks
+    u = unigram_commonness(docs, id_col, text_col).localCheckpoint(eager=False)
     ts = fit_band_thresholds(u, buckets=buckets, hex_chars=hex_chars)
     return apply_band_thresholds(u, ts, buckets=buckets)

@@ -287,7 +287,9 @@ def apply_changes_no_pk(target: DataFrame, changes: DataFrame) -> DataFrame:
     )
 
     # counting semantics double-apply verbatim duplicates -> dedupe here
-    changes = dedupe_redelivered(changes)
+    # (lazily pinned: the insert and delete branches both read it, and
+    # without the pin each branch re-runs the dedupe shuffle)
+    changes = dedupe_redelivered(changes).localCheckpoint(eager=False)
     ins = (
         fp(changes.filter(
             F.col("op").isin(OP_INSERT, OP_UPDATE) & F.col("after").isNotNull()

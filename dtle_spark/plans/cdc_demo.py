@@ -19,31 +19,23 @@ from dtle_spark.model import OP_DELETE, OP_INSERT, OP_UPDATE
 
 SID_A = "11111111-1111-1111-1111-111111111111"
 
-# Session-scoped fixture cache: the CDC demo family (apply, rollup,
-# minmax, diff, triaged diff, scd2, as-of x2) each rebuild the same
-# scripted streams; materializing them ONCE per (SparkContext, sf_dir)
-# with localCheckpoint removes the rebuild from every query after the
-# first — bench and driver-gate sessions pay fixture cost once. The
-# applicationId key makes a restarted context (new tests session)
-# start fresh; entries from dead contexts are evicted on the next
-# _cached call (one active context per process).
-_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# Per-invocation fixture pin. Through r14 this was a session-scoped
+# cache ({(applicationId, sf_dir, name): DataFrame}) so the CDC demo
+# family (apply, rollup, minmax, diff, triaged diff, scd2, as-of x2)
+# built each scripted stream once per session — measured worth ~5 s
+# across the family at sf0.1. REMOVED in the r15 optimization round:
+# a module-level memo of derived frames keyed on the test-data dir is
+# exactly the cross-invocation caching the bench contract forbids
+# (min-of-N samples after the first were pricing a query that never
+# rebuilt its input). Every invocation now derives the stream from
+# the parquet tables; the lazy localCheckpoint still dedupes the
+# MANY reads each single query plan makes of the same stream (a
+# maintenance step reads base and changes several times), which is a
+# within-invocation plan property, not a cache.
 
 
 def _cached(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
-    app = spark.sparkContext.applicationId
-    # one active context per process: entries stamped with any OTHER
-    # applicationId belong to a stopped context — drop them so a
-    # long-lived multi-session process doesn't pin dead checkpointed
-    # frames for its lifetime
-    for k in [k for k in _CACHE if k[0] != app]:
-        del _CACHE[k]
-    key = (app, sf_dir, name)
-    df = _CACHE.get(key)
-    if df is None:
-        df = build().localCheckpoint()
-        _CACHE[key] = df
-    return df
+    return build().localCheckpoint(eager=False)
 
 
 def _as_change(
@@ -297,7 +289,10 @@ def _lineitem_changes_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     A key ≡0 (mod 35) is inserted then updated; ≡0 (mod 77) updated
     then deleted; the per-key seq winner decides (as for orders)."""
-    li = _rekeyed_lineitem(spark, sf_dir)
+    # pin the rekey once: the three change branches each read the
+    # rekeyed fact, and the row_number window behind it is a full
+    # sort of lineitem — without the pin every branch re-sorts
+    li = _rekeyed_lineitem(spark, sf_dir).localCheckpoint(eager=False)
     row_type = T.StructType(li.schema.fields)
     k = F.col("l_orderkey")
     row = F.struct(*[F.col(c) for c in li.columns])

@@ -721,7 +721,14 @@ def snapshot_diff_triaged_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = cdc_demo.orders_base(spark, sf_dir)
     changes = cdc_demo.orders_changes(spark, sf_dir)
-    final = apply_changes(base, changes, ["o_orderkey"])
+    # pin the applied state: the triage reads each side TWICE (range
+    # digests, then the exact re-diff of flagged ranges) — in
+    # production both sides are materialized replica tables, so the
+    # fixture should price two scans of a table, not two executions
+    # of the apply pipeline
+    final = apply_changes(base, changes, ["o_orderkey"]).localCheckpoint(
+        eager=False
+    )
     d = snapshot_diff_triaged(
         base, final, ["o_orderkey"], range_width=1024
     )
@@ -5073,6 +5080,10 @@ def q21_sole_blamed_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, li.l_orderkey == o.o_orderkey)
         .select("l_orderkey", "l_suppkey")
         .distinct()
+        # both correlation branches (EXISTS probe + NOT EXISTS anti)
+        # read this narrow pair set; pin it so the fact scan + join +
+        # distinct run once per invocation instead of twice
+        .localCheckpoint(eager=False)
     )
     others = li.select("l_orderkey", "l_suppkey").distinct()
     b = flagged.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
