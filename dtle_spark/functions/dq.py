@@ -457,50 +457,69 @@ def dq_drift_report_grouped(
         )
 
     if "kmv" in baseline and "kmv" in current:
+        # ONE full-outer join emits BOTH kmv rows per group (r15):
+        # presence always, ratio only where both sides exist — as an
+        # explode over a 2-struct array. The r14 shape built presence
+        # and ratio as separate union branches, each with its own join,
+        # so the per-side kmv_distinct_grouped aggregation (a distinct
+        # + k-minima window over the source) executed TWICE per side.
+        # Values are unchanged: presence flags come from each side's
+        # never-NULL exact marker, and the ratio expressions are
+        # verbatim (rows only where both markers exist == the old
+        # inner join).
         kb, kc = _side(baseline["kmv"], "b"), _side(current["kmv"], "c")
-        pres = (
-            kb.select("__g", F.lit(1).alias("b_flag"))
-            .join(kc.select("__g", F.lit(1).alias("c_flag")),
-                  ["__g"], "full_outer")
-            .select(
-                F.lit("drift:presence").alias("check_name"),
-                F.col("__g.grp").alias("grp"),
-                _gate_int(F.coalesce("b_flag", F.lit(0)).cast(d38),
-                          "drift_num", emit_decimal),
-                _gate_int(F.coalesce("c_flag", F.lit(0)).cast(d38),
-                          "drift_denom", emit_decimal),
-                (F.coalesce("b_flag", F.lit(0))
-                 - F.coalesce("c_flag", F.lit(0))).cast("double").alias("stat"),
-            )
-        )
+        b_here = F.col("b_exact").isNotNull()
+        c_here = F.col("c_exact").isNotNull()
         both_est = ~F.col("c_exact") & ~F.col("b_exact")
-        ratio = (
-            kc.join(kb, ["__g"], "inner")
-            .select(
-                F.lit("drift:kmv_ratio").alias("check_name"),
-                F.col("__g.grp").alias("grp"),
-                F.when(both_est, F.col("c_km1") * F.col("b_kth"))
-                .otherwise(
-                    (F.col("c_num").cast(d38)
-                     * F.col("b_den").cast(d38)).cast("long")
-                )
-                .cast(d38).alias("drift_num"),
-                F.when(both_est, F.col("b_km1") * F.col("c_kth"))
-                .otherwise(
-                    (F.col("c_den").cast(d38)
-                     * F.col("b_num").cast(d38)).cast("long")
-                )
-                .cast(d38).alias("drift_denom"),
+        pres_row = F.struct(
+            F.lit("drift:presence").alias("check_name"),
+            b_here.cast("int").cast(d38).alias("drift_num"),
+            c_here.cast("int").cast(d38).alias("drift_denom"),
+            (b_here.cast("int") - c_here.cast("int"))
+            .cast("double").alias("stat"),
+        )
+        ratio_num = (
+            F.when(both_est, F.col("c_km1") * F.col("b_kth"))
+            .otherwise(
+                (F.col("c_num").cast(d38)
+                 * F.col("b_den").cast(d38)).cast("long")
             )
+            .cast(d38)
+        )
+        ratio_den = (
+            F.when(both_est, F.col("b_km1") * F.col("c_kth"))
+            .otherwise(
+                (F.col("c_den").cast(d38)
+                 * F.col("b_num").cast(d38)).cast("long")
+            )
+            .cast(d38)
+        )
+        ratio_row = F.when(
+            b_here & c_here,
+            F.struct(
+                F.lit("drift:kmv_ratio").alias("check_name"),
+                ratio_num.alias("drift_num"),
+                ratio_den.alias("drift_denom"),
+                (ratio_num.cast("double") / ratio_den.cast("double"))
+                .alias("stat"),
+            ),
+        )
+        kmv_rows = (
+            kb.join(kc, ["__g"], "full_outer")
             .select(
-                "check_name", "grp",
-                _gate_int(F.col("drift_num"), "drift_num", emit_decimal),
-                _gate_int(F.col("drift_denom"), "drift_denom", emit_decimal),
-                (F.col("drift_num").cast("double")
-                 / F.col("drift_denom").cast("double")).alias("stat"),
+                "__g", F.explode(F.array(pres_row, ratio_row)).alias("r")
+            )
+            .filter(F.col("r").isNotNull())
+            .select(
+                F.col("r.check_name").alias("check_name"),
+                F.col("__g.grp").alias("grp"),
+                _gate_int(F.col("r.drift_num"), "drift_num", emit_decimal),
+                _gate_int(F.col("r.drift_denom"), "drift_denom",
+                          emit_decimal),
+                F.col("r.stat").alias("stat"),
             )
         )
-        outs.extend([pres, ratio])
+        outs.append(kmv_rows)
     if "loghist" in baseline and "loghist" in current:
         outs.append(_tv_distance_grouped(
             baseline["loghist"], current["loghist"], ["e", "sub"],

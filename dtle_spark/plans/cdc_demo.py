@@ -67,7 +67,7 @@ def _as_change(
 
 def orders_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot state: orders except keys ≡ 0 (mod 5) — those arrive later
-    as stream inserts. Materialized once per session (_cached)."""
+    as stream inserts. Lazily pinned per invocation (_cached)."""
     return _cached(
         spark, sf_dir, "orders_base",
         lambda: load_table(spark, sf_dir, "orders").filter(
@@ -77,7 +77,7 @@ def orders_base(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def orders_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-cached wrapper over :func:`_orders_changes_build`."""
+    """Per-invocation-pinned wrapper over :func:`_orders_changes_build`."""
     return _cached(
         spark, sf_dir, "orders_changes",
         lambda: _orders_changes_build(spark, sf_dir),
@@ -180,7 +180,7 @@ CUSTOMER_WHERE = "c_acctbal > 1000.0 AND lower(c_mktsegment) <> 'machinery'"
 
 
 def customer_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-cached wrapper over :func:`_customer_changes_build`."""
+    """Per-invocation-pinned wrapper over :func:`_customer_changes_build`."""
     return _cached(
         spark, sf_dir, "customer_changes",
         lambda: _customer_changes_build(spark, sf_dir),
@@ -259,10 +259,25 @@ def _rekeyed_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.withColumn("l_lineuid", F.row_number().over(w))
 
 
-def lineitem_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rekeyed_lineitem_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One lazily-pinned rekeyed fact for callers that need BOTH the
+    base and the change stream (the star-view query): the rekey's
+    row_number window is a full sort of lineitem, and building base
+    and changes from separate pins would pay that sort twice per
+    invocation."""
+    return _rekeyed_lineitem(spark, sf_dir).localCheckpoint(eager=False)
+
+
+def lineitem_base(
+    spark: SparkSession, sf_dir: str, rekeyed: DataFrame | None = None
+) -> DataFrame:
     """Star-view snapshot state: re-keyed lineitem except order keys
     ≡0 (mod 5) — those arrive later as stream inserts (composite PK =
-    (l_orderkey, l_lineuid))."""
+    (l_orderkey, l_lineuid)). Pass ``rekeyed`` (from
+    :func:`rekeyed_lineitem_pinned`) to share one rekey sort with the
+    change-stream build."""
+    if rekeyed is not None:
+        return rekeyed.filter(F.col("l_orderkey") % 5 != 0)
     return _cached(
         spark, sf_dir, "lineitem_base",
         lambda: _rekeyed_lineitem(spark, sf_dir).filter(
@@ -271,15 +286,21 @@ def lineitem_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def lineitem_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-cached wrapper over :func:`_lineitem_changes_build`."""
+def lineitem_changes(
+    spark: SparkSession, sf_dir: str, rekeyed: DataFrame | None = None
+) -> DataFrame:
+    """Per-invocation-pinned wrapper over
+    :func:`_lineitem_changes_build`; ``rekeyed`` shares one rekey sort
+    with the base build (see :func:`rekeyed_lineitem_pinned`)."""
     return _cached(
         spark, sf_dir, "lineitem_changes",
-        lambda: _lineitem_changes_build(spark, sf_dir),
+        lambda: _lineitem_changes_build(spark, sf_dir, rekeyed=rekeyed),
     )
 
 
-def _lineitem_changes_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lineitem_changes_build(
+    spark: SparkSession, sf_dir: str, rekeyed: DataFrame | None = None
+) -> DataFrame:
     """Scripted change stream over the re-keyed lineitem (composite PK
     = (l_orderkey, l_lineuid)):
 
@@ -292,7 +313,11 @@ def _lineitem_changes_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pin the rekey once: the three change branches each read the
     # rekeyed fact, and the row_number window behind it is a full
     # sort of lineitem — without the pin every branch re-sorts
-    li = _rekeyed_lineitem(spark, sf_dir).localCheckpoint(eager=False)
+    li = (
+        rekeyed
+        if rekeyed is not None
+        else _rekeyed_lineitem(spark, sf_dir).localCheckpoint(eager=False)
+    )
     row_type = T.StructType(li.schema.fields)
     k = F.col("l_orderkey")
     row = F.struct(*[F.col(c) for c in li.columns])

@@ -518,8 +518,12 @@ def cdc_star_view_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         DimSpec, maintain_star_view, star_view_of,
     )
 
-    base = cdc_demo.lineitem_base(spark, sf_dir)
-    changes = cdc_demo.lineitem_changes(spark, sf_dir)
+    # one rekey sort shared by the base and the change stream (the
+    # rekey is a full-order row_number over lineitem — the single most
+    # expensive piece of this query's fixture derivation)
+    rekeyed = cdc_demo.rekeyed_lineitem_pinned(spark, sf_dir)
+    base = cdc_demo.lineitem_base(spark, sf_dir, rekeyed=rekeyed)
+    changes = cdc_demo.lineitem_changes(spark, sf_dir, rekeyed=rekeyed)
     p = load_table(spark, sf_dir, "part")
     s = load_table(spark, sf_dir, "supplier")
     pk, sk_ = F.col("p_partkey"), F.col("s_suppkey")
