@@ -125,6 +125,10 @@ def _anchor_history(
 
     for path in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m is None:
+            # driver-side artifacts like BENCH_r15_c8.json (the low-core
+            # scaling run) match the glob but are not round records
+            continue
         try:
             with open(path) as f:
                 rec = json.load(f)
@@ -351,6 +355,28 @@ def _adjudicate(
     return flagged
 
 
+def _parallelism_facts(spark) -> dict:
+    """The effective-parallelism contract, made OBSERVABLE (r16, after
+    the r15 scaling run was uninterpretable): what master the JVM
+    actually runs, how many task slots it schedules, and how many CPUs
+    the OS actually grants this process (a cgroup/affinity cap would
+    show up as sched_affinity < cpu_count). Carried in the bench JSON
+    line so a low-core run proves — not asserts — that it ran on fewer
+    cores."""
+    sc = spark.sparkContext
+    try:
+        affinity = len(os.sched_getaffinity(0))
+    except (AttributeError, OSError):
+        affinity = None
+    return {
+        "master": sc.master,
+        "defaultParallelism": sc.defaultParallelism,
+        "cpu_count": os.cpu_count(),
+        "sched_affinity": affinity,
+        "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -393,6 +419,7 @@ def main() -> None:
             **({"min": next(iter(mins.values()))} if len(mins) == 1 else {}),
             "samples": samples_by,
             "canary_ratio": round(_canary(spark) / _CANARY_REF_SEC, 2),
+            "parallelism": _parallelism_facts(spark),
         }))
         return
 
@@ -562,6 +589,10 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "canary": canary,
+        # effective-parallelism facts (r16): the r15 low-core scaling
+        # run was uninterpretable because nothing in the output proved
+        # what core count the JVM actually ran with
+        "parallelism": _parallelism_facts(spark),
         **({"flagged": flagged} if flagged else {}),
         **({"errors": errors} if errors else {}),
     }
@@ -610,6 +641,20 @@ def main() -> None:
                 json.dump(full, f, indent=1)
         except OSError as exc:
             print(f"  bench_full.json not written: {exc}", file=sys.stderr)
+        # Persist the one-line summary to a stable file too (r16): the
+        # driver records stdout with a tail truncation, and BENCH_r14's
+        # line was cut mid-JSON — which cost round 15 its per-query
+        # prev/now table. The stdout line stays the contract; this file
+        # is the redundancy that makes a truncated capture recoverable.
+        # Under the same NO_FULL guard as bench_full.json so scale-tier
+        # smoke runs don't replace the last real record.
+        try:
+            with open(os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "bench_last.json"), "w") as f:
+                json.dump(payload, f, indent=1)
+        except OSError as exc:
+            print(f"  bench_last.json not written: {exc}", file=sys.stderr)
     print(json.dumps(payload))
 
 
