@@ -53,44 +53,68 @@ def latest_image_per_key(changes: DataFrame, key_cols: list[str]) -> DataFrame:
     Returns columns: key cols + ``__action`` ('upsert'|'delete') +
     ``row`` (struct, the after-image for upserts).
     """
-    key_expr = lambda img: [F.col(f"{img}.{k}").alias(k) for k in key_cols]  # noqa: E731
-
+    # ONE read of the change stream (r16, guide §2.4): each change row
+    # emits its 0-2 effects as an array of conditionally-present
+    # structs, exploded — the r15 shape unioned three filtered reads of
+    # the stream (upserts / deletes / update-deletes), so every
+    # consumer re-derived the batch three times (or paid a
+    # localCheckpoint of it to avoid that). Multiset of effects is
+    # identical: a leg's filter is its WHEN guard, and a PK-moving
+    # update matches two guards and emits both effects.
+    #
     # null-image guards: an upsert without an after-image (or delete
     # without before) is malformed input — drop rather than propagate
-    # null-keyed effects into the merge
-    upserts = (
-        changes.filter(F.col("op").isin(OP_INSERT, OP_UPDATE) & F.col("after").isNotNull())
-        .select(*key_expr("after"), F.lit("upsert").alias("__action"),
-                F.col("after").alias("row"), F.col("seq"))
-    )
-    deletes = (
-        changes.filter((F.col("op") == OP_DELETE) & F.col("before").isNotNull())
-        .select(*key_expr("before"), F.lit("delete").alias("__action"),
-                F.lit(None).alias("row"), F.col("seq"))
-    )
-    # update whose before-key != after-key also deletes the old key.
-    # after.isNotNull() keeps the malformed-row convention uniform
-    # across the family (rollup/scd2/apply all DROP an update missing
-    # either image whole): without it, a null-after update makes
-    # key_changed trivially true and this leg would delete the before
-    # key while no other operator sees the row at all.
+    # null-keyed effects into the merge.
+    # update-delete leg: an update whose before-key != after-key also
+    # deletes the old key; after.isNotNull() keeps the malformed-row
+    # convention uniform across the family (rollup/scd2/apply all DROP
+    # an update missing either image whole) — without it, a null-after
+    # update makes key_changed trivially true and this leg would delete
+    # the before key while no other operator sees the row at all.
     key_changed = F.lit(False)
     for k in key_cols:
         key_changed = key_changed | ~(
             F.col(f"before.{k}").eqNullSafe(F.col(f"after.{k}"))
         )
-    update_deletes = (
-        changes.filter(
+    row_type = changes.schema["after"].dataType
+    null_row = F.lit(None).cast(row_type)
+
+    def eff(cond, img: str, action: str, row_col) -> F.Column:
+        return F.when(cond, F.struct(
+            *[F.col(f"{img}.{k}").alias(k) for k in key_cols],
+            F.lit(action).alias("__action"),
+            row_col.alias("row"),
+            F.col("seq").alias("seq"),
+        ))
+
+    els = F.array(
+        eff(
+            F.col("op").isin(OP_INSERT, OP_UPDATE) & F.col("after").isNotNull(),
+            "after", "upsert", F.col("after"),
+        ),
+        eff(
+            (F.col("op") == OP_DELETE) & F.col("before").isNotNull(),
+            "before", "delete", null_row,
+        ),
+        eff(
             (F.col("op") == OP_UPDATE)
             & F.col("before").isNotNull()
             & F.col("after").isNotNull()
-            & key_changed
-        )
-        .select(*key_expr("before"), F.lit("delete").alias("__action"),
-                F.lit(None).alias("row"), F.col("seq"))
+            & key_changed,
+            "before", "delete", null_row,
+        ),
     )
-    effects = upserts.unionByName(deletes).unionByName(
-        update_deletes, allowMissingColumns=False
+    effects = (
+        changes.select(F.explode(els).alias("__e"))
+        .filter(F.col("__e").isNotNull())
+        .select(
+            *[F.col(f"__e.{k}").alias(k) for k in key_cols],
+            # coalesce only restores the union shape's non-null type;
+            # kept effects always carry an action
+            F.coalesce(F.col("__e.__action"), F.lit("upsert")).alias("__action"),
+            F.col("__e.row").alias("row"),
+            F.col("__e.seq").alias("seq"),
+        )
     )
 
     # A7's ordering invariant, restated per key: the reference replays
@@ -108,10 +132,14 @@ def latest_image_per_key(changes: DataFrame, key_cols: list[str]) -> DataFrame:
         # batch TWICE (merge_into: anti-keys + upserts; star view:
         # touched + fresh; rollup: old-image join + new images) and
         # Spark plans each read as an independent subtree, re-running
-        # the 3-branch effect union and the window per read. The first
+        # the effect derivation and the window per read. The first
         # action materializes the Δ-sized winners once; the second read
-        # costs a block scan. Lazy, so plan construction schedules no
-        # job, and nothing persists across query invocations.
+        # costs a block scan. Nothing persists across query
+        # invocations. NOTE (ADVICE r15): eager=False defers only the
+        # final materialization — under AQE, building the checkpoint
+        # RDD finalizes the adaptive plan, so the window's UPSTREAM
+        # exchange stage still runs at pin-construction time; that work
+        # is reused by the materialization, not duplicated.
         .localCheckpoint(eager=False)
     )
 
@@ -237,7 +265,12 @@ def with_version_columns(df: DataFrame, seq: int = -1) -> DataFrame:
     )
 
 
-def apply_changes(target: DataFrame, changes: DataFrame, key_cols: list[str]) -> DataFrame:
+def apply_changes(
+    target: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    net: DataFrame | None = None,
+) -> DataFrame:
     """Full batch apply: net effect per key -> merge.
 
     No separate dedupe shuffle: re-delivered rows are verbatim copies
@@ -245,8 +278,15 @@ def apply_changes(target: DataFrame, changes: DataFrame, key_cols: list[str]) ->
     exactly one of them — interchangeable winners, identical result —
     and A10 costs zero extra shuffles on the keyed path. (The counting
     no-PK path is NOT insensitive to duplicates; it dedupes explicitly.)
+
+    ``net`` (r16): pass a precomputed ``latest_image_per_key(changes,
+    key_cols)`` when the caller ALSO feeds it to another maintenance
+    operator (dirty_groups, rollup_delta_vs_target) — the net frame is
+    checkpoint-pinned, so sharing one instance runs the effect window
+    once per batch instead of once per operator.
     """
-    net = latest_image_per_key(changes, key_cols)
+    if net is None:
+        net = latest_image_per_key(changes, key_cols)
     return merge_into(target, net, key_cols)
 
 

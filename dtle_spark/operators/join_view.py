@@ -124,34 +124,38 @@ def _refresh_dim(
     either — null-safe equality would wrongly refresh NULL-fk rows
     against a NULL dim key.
 
-    ONE pass (r15): two stacked broadcast left joins over kept — the
-    dirty-key flag, then the dirty keys' SURVIVING dim rows — and a
-    conditional column rewrite. The r14 shape carved kept into a semi
-    branch and an anti branch and unioned them back — Spark plans
-    each branch as an independent subtree, so every refresh DOUBLED
-    the execution of everything beneath it (with two moving dims the
-    base view pipeline ran 4x; plan-confirmed via the duplicated
-    Scan/Window subtrees in explain). Same all-broadcast discipline
-    (both probe sides are the bounded dirty sets; kept is always the
-    streamed side), same rows: dirty keys are distinct and spec.pk is
-    unique, so each join fans 1:1 — flagged rows take the dim's fresh
-    values (NULL when its row was deleted: flag matches, values row
-    doesn't), unflagged rows keep their columns — exactly the old
-    union(untouched, refreshed) row set."""
-    dirty = touched.select(F.col(spec.pk).alias(_RPK)).distinct()
+    ONE broadcast join over kept (r16; the r15 shape stacked TWO — a
+    dirty-key flag join, then the surviving dim values join — each a
+    full pass over the kept mass, and each re-running the dirty-key
+    distinct subtree). The broadcast side is now a single PATCH table
+    built dim-side: every dirty key, flagged, left-joined to its
+    SURVIVING dim row's fresh values (NULL when the row was deleted).
+    Same all-broadcast discipline (every probe side is bounded by the
+    dirty set; kept is always the streamed side), same rows: dirty
+    keys are distinct and spec.pk is unique, so the join fans 1:1 —
+    flagged rows take the fresh values (NULL when deleted), unflagged
+    rows keep their columns — exactly the r14 union(untouched,
+    refreshed) row set. The dirty set is lazily pinned: its first
+    consumer is a broadcast build (strictly ordered), so the distinct
+    runs once and the patch's second read is a block scan."""
+    dirty = (
+        touched.select(F.col(spec.pk).alias(_RPK)).distinct()
+        .localCheckpoint(eager=False)
+    )
     renamed = {c: f"__new_{c}" for c in spec.cols.values()}
-    flag = dirty.select(_RPK, F.lit(1).alias("__dirty"))
-    r_dirty = (
+    vals = (
         _renamed_right(dim, spec)
         .join(F.broadcast(dirty), _RPK, "left_semi")
         .select(
-            F.col(_RPK).alias("__rpk_v"),
+            F.col(_RPK),
             *[F.col(c).alias(n) for c, n in renamed.items()],
         )
     )
+    patch = dirty.join(F.broadcast(vals), _RPK, "left").select(
+        _RPK, F.lit(1).alias("__dirty"), *[F.col(n) for n in renamed.values()]
+    )
     return (
-        kept.join(F.broadcast(flag), F.col(spec.fk) == F.col(_RPK), "left")
-        .join(F.broadcast(r_dirty), F.col(spec.fk) == F.col("__rpk_v"), "left")
+        kept.join(F.broadcast(patch), F.col(spec.fk) == F.col(_RPK), "left")
         .select(*[
             F.when(F.col("__dirty") == 1, F.col(renamed[c]))
             .otherwise(F.col(c)).alias(c)

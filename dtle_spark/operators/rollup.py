@@ -111,15 +111,19 @@ def rollup_delta_vs_target(
     key_cols: list[str],
     group_sqls: dict[str, str],
     measure_sqls: dict[str, str],
+    net: DataFrame | None = None,
 ) -> DataFrame:
     """Per-group deltas of a batch applied onto ``target`` — correct
     for self-conflicting batches (interior before-images may be stale;
     the per-key seq winner decides, exactly as the apply merge does).
 
     Old images come from ``target`` via one inner join on the unique
-    key; new images are the winners' upsert rows.
+    key; new images are the winners' upsert rows. ``net`` (r16): share
+    a precomputed latest_image_per_key across co-maintained operators
+    (see apply_changes).
     """
-    net = latest_image_per_key(changes, key_cols)
+    if net is None:
+        net = latest_image_per_key(changes, key_cols)
     old_rows = target.join(net.select(*key_cols), key_cols, "inner")
     minus = old_rows.select(
         *[F.expr(sql).alias(name) for name, sql in group_sqls.items()],
@@ -156,14 +160,18 @@ def dirty_groups(
     changes: DataFrame,
     key_cols: list[str],
     group_sqls: dict[str, str],
+    net: DataFrame | None = None,
 ) -> DataFrame:
     """The groups a change batch TOUCHES: the groups of the old images
     of every net-affected key (read from ``target`` with one keyed
     join — correct for self-conflicting batches, like
     rollup_delta_vs_target) plus the groups of the new upsert images.
     Bounded by the batch's key count; this is the recompute scope of
-    the non-additive maintenance lane."""
-    net = latest_image_per_key(changes, key_cols)
+    the non-additive maintenance lane. ``net`` (r16): share a
+    precomputed latest_image_per_key across co-maintained operators
+    (see apply_changes)."""
+    if net is None:
+        net = latest_image_per_key(changes, key_cols)
     old_groups = target.join(net.select(*key_cols), key_cols, "inner").select(
         *[F.expr(sql).alias(name) for name, sql in group_sqls.items()]
     )

@@ -39,38 +39,60 @@ def events_of_changes(changes: DataFrame, key_cols: list[str]) -> DataFrame:
     (streaming/history.py stores these per batch; closed versions are
     immutable once both events exist, which is what makes the
     fold-on-compaction protocol correct)."""
-    key_of = lambda img: [F.col(f"{img}.{k}").alias(k) for k in key_cols]  # noqa: E731
-
-    opens = (
-        changes.filter(
-            F.col("op").isin(OP_INSERT, OP_UPDATE) & F.col("after").isNotNull()
-        )
-        .select(*key_of("after"), F.col("seq"), F.col("ts"),
-                F.lit("o").alias("kind"), F.col("after").alias("row"))
-    )
-    closes = (
-        changes.filter((F.col("op") == OP_DELETE) & F.col("before").isNotNull())
-        .select(*key_of("before"), F.col("seq"), F.col("ts"),
-                F.lit("c").alias("kind"),
-                F.lit(None).cast(opens.schema["row"].dataType).alias("row"))
-    )
+    # ONE read of the change stream (r16, guide §2.4): each change row
+    # emits its 0-2 version events as an array of conditionally-present
+    # structs, exploded — the r15 shape unioned three filtered reads
+    # (opens / closes / move-aways), re-deriving the batch three times
+    # per consumer. Multiset of events is identical: a leg's filter is
+    # its WHEN guard, and a PK-moving update matches two guards
+    # (open at the after-key + close at the before-key).
     key_changed = F.lit(False)
     for k in key_cols:
         key_changed = key_changed | ~(
             F.col(f"before.{k}").eqNullSafe(F.col(f"after.{k}"))
         )
-    move_aways = (
-        changes.filter(
+    row_type = changes.schema["after"].dataType
+    null_row = F.lit(None).cast(row_type)
+
+    def ev(cond, img: str, kind: str, row_col) -> F.Column:
+        return F.when(cond, F.struct(
+            *[F.col(f"{img}.{k}").alias(k) for k in key_cols],
+            F.col("seq").alias("seq"),
+            F.col("ts").alias("ts"),
+            F.lit(kind).alias("kind"),
+            row_col.alias("row"),
+        ))
+
+    els = F.array(
+        ev(
+            F.col("op").isin(OP_INSERT, OP_UPDATE) & F.col("after").isNotNull(),
+            "after", "o", F.col("after"),
+        ),
+        ev(
+            (F.col("op") == OP_DELETE) & F.col("before").isNotNull(),
+            "before", "c", null_row,
+        ),
+        ev(
             (F.col("op") == OP_UPDATE)
             & F.col("before").isNotNull()
             & F.col("after").isNotNull()
-            & key_changed
-        )
-        .select(*key_of("before"), F.col("seq"), F.col("ts"),
-                F.lit("c").alias("kind"),
-                F.lit(None).cast(opens.schema["row"].dataType).alias("row"))
+            & key_changed,
+            "before", "c", null_row,
+        ),
     )
-    return opens.unionByName(closes).unionByName(move_aways)
+    return (
+        changes.select(F.explode(els).alias("__e"))
+        .filter(F.col("__e").isNotNull())
+        .select(
+            *[F.col(f"__e.{k}").alias(k) for k in key_cols],
+            F.col("__e.seq").alias("seq"),
+            F.col("__e.ts").alias("ts"),
+            # coalesce restores the union shape's non-null type only;
+            # kept events always carry a kind
+            F.coalesce(F.col("__e.kind"), F.lit("o")).alias("kind"),
+            F.col("__e.row").alias("row"),
+        )
+    )
 
 
 def seed_events(

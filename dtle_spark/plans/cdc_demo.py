@@ -19,23 +19,26 @@ from dtle_spark.model import OP_DELETE, OP_INSERT, OP_UPDATE
 
 SID_A = "11111111-1111-1111-1111-111111111111"
 
-# Per-invocation fixture pin. Through r14 this was a session-scoped
-# cache ({(applicationId, sf_dir, name): DataFrame}) so the CDC demo
-# family (apply, rollup, minmax, diff, triaged diff, scd2, as-of x2)
-# built each scripted stream once per session — measured worth ~5 s
-# across the family at sf0.1. REMOVED in the r15 optimization round:
-# a module-level memo of derived frames keyed on the test-data dir is
-# exactly the cross-invocation caching the bench contract forbids
-# (min-of-N samples after the first were pricing a query that never
-# rebuilt its input). Every invocation now derives the stream from
-# the parquet tables; the lazy localCheckpoint still dedupes the
-# MANY reads each single query plan makes of the same stream (a
-# maintenance step reads base and changes several times), which is a
-# within-invocation plan property, not a cache.
+# Fixture derivation history. Through r14 the streams were shared via
+# a session-scoped cache ({(applicationId, sf_dir, name): DataFrame})
+# — REMOVED in r15: a module-level memo of derived frames keyed on the
+# test-data dir is exactly the cross-invocation caching the bench
+# contract forbids. r15 replaced the cache with a per-invocation lazy
+# localCheckpoint pin per stream, which paid a block-store
+# materialization of the full stream (and of the full BASE table —
+# scale-wrong: at 100 TB you never checkpoint the base) to dedupe the
+# 3-5 reads each consumer plan made. r16 removes the need for the pin
+# instead: the builds below emit the whole scripted stream from ONE
+# scan (array-of-events explode, guide §2.4 — the union form ran one
+# scan per branch), and operators/apply.py + operators/scd2.py now
+# derive their effect/event rows with the same single-read explode —
+# so every consumer plan reads each stream exactly once and
+# re-derivation is a map-only scan. _cached survives as the naming
+# shim; it deliberately does NOT checkpoint.
 
 
 def _cached(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
-    return build().localCheckpoint(eager=False)
+    return build()
 
 
 def _as_change(
@@ -49,6 +52,9 @@ def _as_change(
     table: str,
     sid: str = SID_A,
 ) -> DataFrame:
+    """One change-stream leg as its own frame — the reference shape the
+    one-scan builds below are pinned against (kept for tests and for
+    any future leg that genuinely needs its own source)."""
     null_row = F.lit(None).cast(row_type)
     return df.select(
         F.lit(sid).alias("sid"),
@@ -65,9 +71,64 @@ def _as_change(
     )
 
 
+def _scripted_stream(
+    src: DataFrame,
+    events: list[tuple],
+    row_type: T.StructType,
+    table: str,
+    sid: str = SID_A,
+) -> DataFrame:
+    """The whole scripted change stream from ONE scan of ``src``.
+
+    ``events`` is [(cond, op, before|None, after|None, gno, seq), ...]
+    — each source row emits the conditionally-present event structs as
+    an array, exploded (guide §2.4: the r15 shape unioned one filtered
+    scan of the source PER leg, so a 5-leg orders stream scanned the
+    fact table five times; at 100 TB that is four extra full reads).
+    The multiset of change rows is identical to the union of
+    :func:`_as_change` legs — a leg's filter becomes its WHEN guard,
+    and a row matching several guards emits several events (including
+    the verbatim re-delivery duplicates).
+
+    Constants (sid, lc, ts, schema/table, query) are re-emitted as
+    literals OUTSIDE the per-event struct — one copy per row, and the
+    output keeps the union shape's non-null schema (``op`` is coalesced
+    only to restore non-nullability; kept events always carry it)."""
+    null_row = F.lit(None).cast(row_type)
+    els = [
+        F.when(cond, F.struct(
+            gno.cast("long").alias("gno"),
+            seq.cast("long").alias("seq"),
+            F.lit(op).alias("op"),
+            (before if before is not None else null_row).alias("before"),
+            (after if after is not None else null_row).alias("after"),
+        ))
+        for cond, op, before, after, gno, seq in events
+    ]
+    kept = src.select(F.explode(F.array(*els)).alias("__c")).filter(
+        F.col("__c").isNotNull()
+    )
+    return kept.select(
+        F.lit(sid).alias("sid"),
+        F.col("__c.gno").alias("gno"),
+        F.col("__c.seq").alias("seq"),
+        F.lit(0).cast("long").alias("lc"),
+        F.coalesce(F.col("__c.op"), F.lit(OP_INSERT)).alias("op"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit("db1").alias("schema_name"),
+        F.lit(table).alias("table_name"),
+        F.col("__c.before").alias("before"),
+        F.col("__c.after").alias("after"),
+        F.lit(None).cast("string").alias("query"),
+    )
+
+
 def orders_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot state: orders except keys ≡ 0 (mod 5) — those arrive later
-    as stream inserts. Lazily pinned per invocation (_cached)."""
+    as stream inserts. NOT pinned (r16): consumers re-derive it with a
+    map-only parquet scan, which keeps column pruning/pushdown and is
+    the scale-correct shape (at 100 TB you never checkpoint the base
+    table to serve a maintenance batch)."""
     return _cached(
         spark, sf_dir, "orders_base",
         lambda: load_table(spark, sf_dir, "orders").filter(
@@ -118,14 +179,14 @@ def _orders_changes_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority"),
     )
 
-    ins = _as_change(o.filter(k % 5 == 0), OP_INSERT, None, row, k, k * 10 + 1, row_type, "orders")
-    upd = _as_change(o.filter(k % 7 == 0), OP_UPDATE, row, updated_row, k, k * 10 + 2, row_type, "orders")
-    dels = _as_change(o.filter(k % 11 == 0), OP_DELETE, row, None, k, k * 10 + 3, row_type, "orders")
-    mov = _as_change(o.filter(k % 17 == 0), OP_UPDATE, row, moved_row, k, k * 10 + 4, row_type, "orders")
-    redelivered = _as_change(
-        o.filter(k % 10 == 0), OP_INSERT, None, row, k, k * 10 + 1, row_type, "orders"
-    )
-    return ins.unionByName(upd).unionByName(dels).unionByName(mov).unionByName(redelivered)
+    return _scripted_stream(o, [
+        (k % 5 == 0, OP_INSERT, None, row, k, k * 10 + 1),
+        (k % 7 == 0, OP_UPDATE, row, updated_row, k, k * 10 + 2),
+        (k % 11 == 0, OP_DELETE, row, None, k, k * 10 + 3),
+        (k % 17 == 0, OP_UPDATE, row, moved_row, k, k * 10 + 4),
+        # re-delivery: verbatim duplicate of the insert event
+        (k % 10 == 0, OP_INSERT, None, row, k, k * 10 + 1),
+    ], row_type, "orders")
 
 
 def orders_changes_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -206,12 +267,11 @@ def _customer_changes_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_mktsegment"),
         )
 
-    upd = _as_change(c, OP_UPDATE, row, shifted(4000.0), k, k * 10 + 1, row_type, "customer")
-    ins = _as_change(
-        c.filter(k % 3 == 0), OP_INSERT, None, shifted(-2000.0), k, k * 10 + 2, row_type, "customer"
-    )
-    dels = _as_change(c.filter(k % 4 == 0), OP_DELETE, row, None, k, k * 10 + 3, row_type, "customer")
-    return upd.unionByName(ins).unionByName(dels)
+    return _scripted_stream(c, [
+        (F.lit(True), OP_UPDATE, row, shifted(4000.0), k, k * 10 + 1),
+        (k % 3 == 0, OP_INSERT, None, shifted(-2000.0), k, k * 10 + 2),
+        (k % 4 == 0, OP_DELETE, row, None, k, k * 10 + 3),
+    ], row_type, "customer")
 
 
 CUSTOMER_FILTER_ORACLE = """
@@ -310,14 +370,11 @@ def _lineitem_changes_build(
 
     A key ≡0 (mod 35) is inserted then updated; ≡0 (mod 77) updated
     then deleted; the per-key seq winner decides (as for orders)."""
-    # pin the rekey once: the three change branches each read the
-    # rekeyed fact, and the row_number window behind it is a full
-    # sort of lineitem — without the pin every branch re-sorts
-    li = (
-        rekeyed
-        if rekeyed is not None
-        else _rekeyed_lineitem(spark, sf_dir).localCheckpoint(eager=False)
-    )
+    # the one-scan build reads the rekeyed fact exactly once, so no pin
+    # is needed here; pass ``rekeyed`` (rekeyed_lineitem_pinned) only
+    # when the caller ALSO builds the base from it — then the pin
+    # shares the one full-order row_number sort between the two
+    li = rekeyed if rekeyed is not None else _rekeyed_lineitem(spark, sf_dir)
     row_type = T.StructType(li.schema.fields)
     k = F.col("l_orderkey")
     row = F.struct(*[F.col(c) for c in li.columns])
@@ -333,13 +390,11 @@ def _lineitem_changes_build(
     # (sid, gno, seq) triples — an order-grain seq would swallow all
     # but one line of each leg (found the hard way in r11)
     u = F.col("l_lineuid")
-    ins = _as_change(li.filter(k % 5 == 0), OP_INSERT, None, row,
-                     k, (k * 100000 + u) * 10 + 1, row_type, "lineitem")
-    upd = _as_change(li.filter(k % 7 == 0), OP_UPDATE, row, updated_row,
-                     k, (k * 100000 + u) * 10 + 2, row_type, "lineitem")
-    dels = _as_change(li.filter(k % 11 == 0), OP_DELETE, row, None,
-                      k, (k * 100000 + u) * 10 + 3, row_type, "lineitem")
-    return ins.unionByName(upd).unionByName(dels)
+    return _scripted_stream(li, [
+        (k % 5 == 0, OP_INSERT, None, row, k, (k * 100000 + u) * 10 + 1),
+        (k % 7 == 0, OP_UPDATE, row, updated_row, k, (k * 100000 + u) * 10 + 2),
+        (k % 11 == 0, OP_DELETE, row, None, k, (k * 100000 + u) * 10 + 3),
+    ], row_type, "lineitem")
 
 
 _LI_COLS = (

@@ -613,7 +613,9 @@ def cdc_minmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the final table, so the gate is the IVM invariant for the
     non-additive half of the agg vocabulary: a missed dirty group
     would surface as a stale extremum."""
-    from dtle_spark.operators.apply import apply_changes, dedupe_redelivered
+    from dtle_spark.operators.apply import (
+        apply_changes, dedupe_redelivered, latest_image_per_key,
+    )
     from dtle_spark.operators.rollup import (
         dirty_groups, maintain_minmax_rollup, minmax_rollup_of,
     )
@@ -626,8 +628,12 @@ def cdc_minmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_cents": ("max", "CAST(round(o_totalprice * 100) AS BIGINT)"),
     }
     state = minmax_rollup_of(base, groups, aggs)
-    dirty = dirty_groups(base, changes, ["o_orderkey"], groups)
-    applied = apply_changes(base, changes, ["o_orderkey"])
+    # ONE net-effect window shared by the dirty-scope and the apply
+    # (r16; each previously derived its own — two effect windows per
+    # invocation for the same batch)
+    net = latest_image_per_key(changes, ["o_orderkey"])
+    dirty = dirty_groups(base, changes, ["o_orderkey"], groups, net=net)
+    applied = apply_changes(base, changes, ["o_orderkey"], net=net)
     return maintain_minmax_rollup(state, applied, dirty, groups, aggs)
 
 
