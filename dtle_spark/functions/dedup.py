@@ -870,7 +870,8 @@ def remove_duplicated_spans(
 
 
 def rp_text_embedding(
-    docs: DataFrame, id_col: str, text_col: str, dims: int = SIMHASH_BITS
+    docs: DataFrame, id_col: str, text_col: str, dims: int = SIMHASH_BITS,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic random-projection text embedding: dimension b is
     the sum of +-1 signs (bit b of each token's md5) over the doc's
@@ -899,9 +900,16 @@ def rp_text_embedding(
     100 TB its one extra shuffle carries a single 61-long partial row
     per doc per partition — far smaller than the text it replaces."""
     h = hex_window_sql("md5(x)", 1, "spark", width=15)
-    tok = spread(docs).select(
-        id_col, F.explode_outer(F.expr(_toks(text_col))).alias("x")
-    ).select(id_col, F.expr(h).alias("hh"))
+    if toks is None:
+        tok = spread(docs).select(
+            id_col, F.explode_outer(F.expr(_toks(text_col))).alias("x")
+        )
+    else:
+        # pre-tokenized (id_col, toks) frame from the caller (r16):
+        # hybrid retrieval tokenizes the corpus once and shares the
+        # pinned arrays between the lexical and vector stages
+        tok = toks.select(id_col, F.explode_outer("toks").alias("x"))
+    tok = tok.select(id_col, F.expr(h).alias("hh"))
     one = "CAST(1 AS BIGINT)"
     aggs = [F.count("hh").alias("n_tokens")] + [
         F.coalesce(

@@ -205,6 +205,70 @@ def _tv_distance(
     )
 
 
+_KIND_CMS, _KIND_LOGHIST = 0, 1
+
+
+def _tv_kind_label() -> F.Column:
+    return F.when(
+        F.col("kind") == _KIND_CMS, F.lit("drift:cms_tv")
+    ).otherwise(F.lit("drift:loghist_tv"))
+
+
+def _tv_distance_fused(
+    baseline: DataFrame, current: DataFrame, depth: int,
+    emit_decimal: bool = False,
+) -> DataFrame:
+    """BOTH TV rows (cms + loghist) from the fused (kind, a, b, cnt)
+    cell tables (sketches.drift_cells) in ONE join/window/agg chain —
+    r16: the separate-kind shape ran two full chains over two scans
+    per side. Bit-identical to running :func:`_tv_distance` per kind:
+    the full-outer join on (kind, a, b) is the disjoint union of the
+    per-kind cell joins (kind is never NULL), the window totals
+    partition by kind, and the denominator scale is the same per-kind
+    constant (depth for CMS — its cells hold depth rows per input row
+    — 1 for loghist). One contract difference, documented: an EMPTY
+    sketch kind yields no row here (no cells to group), where the
+    separate global lane raised through _gate_int's NULL guard; the
+    drift queries' fixtures never build empty sides."""
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    scale = F.when(F.col("kind") == _KIND_CMS, F.lit(depth)).otherwise(
+        F.lit(1)
+    )
+    b = baseline.groupBy("kind", "a", "b").agg(F.sum("cnt").alias("b_cnt"))
+    c = current.groupBy("kind", "a", "b").agg(F.sum("cnt").alias("c_cnt"))
+    w = Window.partitionBy("kind")
+    j = (
+        b.join(c, ["kind", "a", "b"], "full_outer")
+        .select(
+            "kind",
+            F.coalesce("b_cnt", F.lit(0)).cast(d38).alias("b_cnt"),
+            F.coalesce("c_cnt", F.lit(0)).cast(d38).alias("c_cnt"),
+        )
+        .select(
+            "kind", "b_cnt", "c_cnt",
+            (F.sum("b_cnt").over(w) / scale).cast(d38).alias("n_b"),
+            (F.sum("c_cnt").over(w) / scale).cast(d38).alias("n_c"),
+        )
+    )
+    num = j.groupBy("kind").agg(
+        F.sum(
+            F.abs(F.col("b_cnt") * F.col("n_c") - F.col("c_cnt") * F.col("n_b"))
+        ).cast(d38).alias("drift_num"),
+        F.first(
+            ((scale * 2).cast(d38) * F.col("n_b") * F.col("n_c"))
+        ).cast(d38).alias("drift_denom"),
+    )
+    return num.select(
+        _tv_kind_label().alias("check_name"),
+        _gate_int(F.col("drift_num"), "drift_num", emit_decimal),
+        _gate_int(F.col("drift_denom"), "drift_denom", emit_decimal),
+        (F.col("drift_num").cast("double") / F.col("drift_denom").cast("double")
+         ).alias("stat"),
+    )
+
+
 def dq_drift_report(
     baseline: dict[str, DataFrame], current: dict[str, DataFrame],
     depth: int = 4, emit_decimal: bool = False,
@@ -301,6 +365,14 @@ def dq_drift_report(
                  / F.col("drift_denom").cast("double")).alias("stat"),
             )
         )
+    if "cells" in baseline and "cells" in current:
+        # fused (kind, a, b, cnt) tables (sketches.drift_cells): both
+        # TV rows from one chain — r16; mutually exclusive with the
+        # separate loghist/cms keys by construction
+        outs.append(_tv_distance_fused(
+            baseline["cells"], current["cells"], depth,
+            emit_decimal=emit_decimal,
+        ))
     if "loghist" in baseline and "loghist" in current:
         outs.append(_tv_distance(
             baseline["loghist"], current["loghist"], ["e", "sub"],
@@ -314,7 +386,7 @@ def dq_drift_report(
     if not outs:
         raise ValueError(
             "dq_drift_report needs at least one sketch kind present in "
-            "BOTH profiles (kmv / loghist / cms)"
+            "BOTH profiles (kmv / loghist / cms / fused cells)"
         )
     out = outs[0]
     for o in outs[1:]:
@@ -343,7 +415,17 @@ def _tv_distance_grouped(
     once for totals). Groups present on only one side have a zero
     window total on the other (cell counts are >= 1 by construction)
     and are dropped by the n_b/n_c > 0 filter — exactly the rows the
-    old inner tot-join dropped. Integer DIV preserved verbatim."""
+    old inner tot-join dropped. Integer DIV preserved verbatim.
+
+    INVARIANT the filter leans on (ADVICE r15): every present group's
+    sum(cnt) DIV denom_scale >= 1 — true for every sketch kind here
+    because cells carry cnt >= 1 and a group's total is an exact
+    multiple of denom_scale (CMS emits exactly ``depth`` cells per
+    input row; loghist's scale is 1). A future sketch kind with
+    zero-count cells or per-group totals below denom_scale would make
+    this filter silently drop groups present on both sides instead of
+    emitting a zero-denominator row — state its own scale contract
+    before wiring it in (the fused lane inherits the same invariant)."""
     from pyspark.sql import Window
 
     d38 = "decimal(38,0)"
@@ -397,6 +479,77 @@ def _tv_distance_grouped(
     )
     return num.select(
         F.lit(label).alias("check_name"),
+        F.col("__g.grp").alias("grp"),
+        _gate_int(F.col("drift_num"), "drift_num", emit_decimal),
+        _gate_int(F.col("drift_denom"), "drift_denom", emit_decimal),
+        (F.col("drift_num").cast("double")
+         / F.col("drift_denom").cast("double")).alias("stat"),
+    )
+
+
+def _tv_distance_fused_grouped(
+    baseline: DataFrame, current: DataFrame, depth: int,
+    emit_decimal: bool = False,
+) -> DataFrame:
+    """Per-group TV rows for BOTH kinds from the fused grouped cell
+    tables (sketches.drift_cells_grouped) in one chain — the grouped
+    counterpart of :func:`_tv_distance_fused`, replicating
+    :func:`_tv_distance_grouped` per kind exactly: windows partition
+    by (group, kind), totals fold with integer DIV by the per-kind
+    scale, and the (n_b > 0) & (n_c > 0) filter keeps (group, kind)
+    pairs present on both sides — the old per-kind inner-join
+    semantics."""
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    b = baseline.groupBy(
+        F.struct("grp").alias("__g"), "kind", "a", "b"
+    ).agg(F.sum("cnt").alias("b_cnt"))
+    c = current.groupBy(
+        F.struct("grp").alias("__g"), "kind", "a", "b"
+    ).agg(F.sum("cnt").alias("c_cnt"))
+    scale_sql = f"(CASE WHEN kind = {_KIND_CMS} THEN {depth} ELSE 1 END)"
+    j = (
+        b.join(c, ["__g", "kind", "a", "b"], "full_outer")
+        .select(
+            "__g", "kind",
+            F.coalesce("b_cnt", F.lit(0)).alias("__b_long"),
+            F.coalesce("c_cnt", F.lit(0)).alias("__c_long"),
+        )
+        .select(
+            "__g", "kind",
+            F.col("__b_long").cast(d38).alias("b_cnt"),
+            F.col("__c_long").cast(d38).alias("c_cnt"),
+            F.expr(
+                f"CAST((SUM(__b_long) OVER (PARTITION BY __g, kind))"
+                f" DIV {scale_sql} AS {d38})"
+            ).alias("n_b"),
+            F.expr(
+                f"CAST((SUM(__c_long) OVER (PARTITION BY __g, kind))"
+                f" DIV {scale_sql} AS {d38})"
+            ).alias("n_c"),
+        )
+        .filter((F.col("n_b") > 0) & (F.col("n_c") > 0))
+    )
+    scale = F.when(F.col("kind") == _KIND_CMS, F.lit(depth)).otherwise(
+        F.lit(1)
+    )
+    num = (
+        j.groupBy("__g", "kind")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("b_cnt") * F.col("n_c")
+                    - F.col("c_cnt") * F.col("n_b")
+                )
+            ).cast(d38).alias("drift_num"),
+            F.first(
+                (scale * 2).cast(d38) * F.col("n_b") * F.col("n_c")
+            ).cast(d38).alias("drift_denom"),
+        )
+    )
+    return num.select(
+        _tv_kind_label().alias("check_name"),
         F.col("__g.grp").alias("grp"),
         _gate_int(F.col("drift_num"), "drift_num", emit_decimal),
         _gate_int(F.col("drift_denom"), "drift_denom", emit_decimal),
@@ -520,6 +673,13 @@ def dq_drift_report_grouped(
             )
         )
         outs.append(kmv_rows)
+    if "cells" in baseline and "cells" in current:
+        # fused grouped cell tables (sketches.drift_cells_grouped):
+        # both per-group TV rows from one chain — r16
+        outs.append(_tv_distance_fused_grouped(
+            baseline["cells"], current["cells"], depth,
+            emit_decimal=emit_decimal,
+        ))
     if "loghist" in baseline and "loghist" in current:
         outs.append(_tv_distance_grouped(
             baseline["loghist"], current["loghist"], ["e", "sub"],
@@ -533,7 +693,7 @@ def dq_drift_report_grouped(
     if not outs:
         raise ValueError(
             "dq_drift_report_grouped needs at least one sketch kind "
-            "present in BOTH profiles (kmv / loghist / cms)"
+            "present in BOTH profiles (kmv / loghist / cms / fused cells)"
         )
     out = outs[0]
     for o in outs[1:]:

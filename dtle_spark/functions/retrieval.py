@@ -61,23 +61,36 @@ def bm25_scores(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """(id, score) for every document matching >= 1 query term. The
     avgdl division is expressed as ``dl * n_docs / sum_dl`` (integer
     numerators, one double division) so the oracle can restate it
-    byte-for-byte."""
+    byte-for-byte.
+
+    ``toks`` (r16): a pre-tokenized (id, toks array<string>) frame —
+    pass it when the caller tokenizes the same corpus for another
+    stage (hybrid retrieval's vector half), so the scan + regexp runs
+    once per query, not once per stage. Built internally otherwise."""
     if not terms:
         # a punctuation-only query tokenizes to nothing; fail with a
         # clear contract error, not a zero-expr groupBy deep inside
         raise ValueError("bm25 needs at least one query term")
-    toks = spread(docs).select(
-        F.col(id_col).alias("id"),
-        F.expr(
-            f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)"
-        ).alias("toks"),
-    )
+    if toks is None:
+        # ONE tokenize pass per query (r16): lens and the posting
+        # explode both read the token arrays, and without a pin each
+        # re-runs the scan + regexp (the pin's first consumer is the
+        # broadcast glob_stats build, so materialization is strictly
+        # ordered — the lens/pivot reads are block scans). A
+        # caller-provided ``toks`` frame is used as-is: the caller
+        # owns its pinning (hybrid_rrf pins one shared frame).
+        toks = spread(docs).select(
+            F.col(id_col).alias("id"),
+            F.expr(
+                f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)"
+            ).alias("toks"),
+        ).localCheckpoint(eager=False)
     lens = toks.select("id", F.size("toks").cast("long").alias("dl"))
-    lens = lens.localCheckpoint(eager=False)  # consumed by stats AND the pivot
     glob_stats = lens.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
@@ -116,10 +129,12 @@ def bm25_topk(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k matching documents: (id, rank, score), score desc then id
     — the same deterministic tie-break as the ANN tiers."""
-    s = bm25_scores(docs, terms, k1=k1, b=b, id_col=id_col, text_col=text_col)
+    s = bm25_scores(docs, terms, k1=k1, b=b, id_col=id_col,
+                    text_col=text_col, toks=toks)
     w = Window.orderBy(F.col("score").desc(), F.col("id"))
     return (
         s.withColumn("rank", F.row_number().over(w))

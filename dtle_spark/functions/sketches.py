@@ -58,12 +58,30 @@ def kmv_distinct(
     # stays: it is what formally pins set-equality with the oracle's
     # DISTINCT-after-hash, and over already-unique values it is a
     # cheap bounded pass.
-    h = F.expr(hash40_expr("__v", "spark"))
+    # ADVICE r15 / r16: the "narrow source value" rationale inverts
+    # for WIDE keys (long strings / binary can out-weigh the 8-byte
+    # hash on the distinct shuffle), so the pre-hash distinct is gated
+    # on the key's resolved type: fixed-width scalars keep it,
+    # variable-width keys keep the hash-first shape. Set-equal either
+    # way (same hv set feeds the k-minima fold).
+    from pyspark.sql import types as T
+
+    dtype = df.selectExpr(f"{col_sql} AS __v").schema[0].dataType
+    fixed_width = isinstance(
+        dtype, (T.NumericType, T.DateType, T.TimestampType,
+                T.TimestampNTZType, T.BooleanType)
+    )
+    if fixed_width:
+        h = F.expr(hash40_expr("__v", "spark"))
+        hv = (
+            df.selectExpr(f"{col_sql} AS __v")
+            .distinct()
+            .select(h.alias("hv"))
+        )
+    else:
+        hv = df.select(F.expr(hash40_expr(col_sql, "spark")).alias("hv"))
     kth = (
-        df.selectExpr(f"{col_sql} AS __v")
-        .distinct()
-        .select(h.alias("hv"))
-        .filter(F.col("hv").isNotNull())
+        hv.filter(F.col("hv").isNotNull())
         .distinct()
         .orderBy("hv")
         .limit(k)
@@ -682,6 +700,70 @@ def loghist_sketch_grouped(
         df.filter(F.expr(f"{col_sql} > 0"))
         .selectExpr(f"{group_sql} AS grp", f"{e} AS e", f"{sub} AS sub")
         .groupBy("grp", "e", "sub")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def drift_cells(
+    df: DataFrame, cms_col_sql: str, x_sql: str,
+    depth: int = 4, width: int = 512, subdiv: int = 16,
+) -> DataFrame:
+    """Fused CMS + loghist sketch build for the drift gates (r16,
+    guide §2.4): ONE scan and ONE aggregation emit both sketch states
+    as a combined ``(kind, a, b, cnt)`` cell table — kind 0 = CMS
+    (a=row, b=bucket of ``cms_col_sql``), kind 1 = loghist (a=e, b=sub
+    of ``x_sql``). Cell assignments and counts are exactly
+    :func:`cms_sketch` + :func:`loghist_sketch` over the same input
+    (per row: the depth CMS cells always, the loghist cell only when
+    x > 0 — the same rows each separate build would emit), so a
+    per-kind slice of this table IS that sketch. Built for
+    dq._tv_distance_fused, which computes both TV rows from one chain;
+    the separate builders remain the persisted-state surface.
+
+    Generator shape: ``stack`` (the cms_sketch generator), with the
+    loghist row's kind NULLed when x <= 0 and filtered — cheaper than
+    building an array of structs per row and exploding it."""
+    rows = _drift_cell_rows(cms_col_sql, x_sql, depth, width, subdiv)
+    return (
+        df.selectExpr(f"stack({depth + 1}, {rows}) AS (kind, a, b)")
+        .filter("kind IS NOT NULL")
+        .groupBy("kind", "a", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _drift_cell_rows(
+    cms_col_sql: str, x_sql: str, depth: int, width: int, subdiv: int
+) -> str:
+    """The stack() argument list emitting a row's depth CMS cells plus
+    its (conditional) loghist cell as (kind, a, b) triples."""
+    e, sub = _loghist_bucket_sql(x_sql, subdiv, "spark")
+    pairs = ", ".join(
+        f"CAST(0 AS INT), CAST({r} AS BIGINT), "
+        f"CAST({cms_bucket_sql(cms_col_sql, r, width, 'spark')} AS BIGINT)"
+        for r in range(depth)
+    )
+    lh = (
+        f"IF({x_sql} > 0, 1, CAST(NULL AS INT)), "
+        f"CAST({e} AS BIGINT), CAST({sub} AS BIGINT)"
+    )
+    return f"{pairs}, {lh}"
+
+
+def drift_cells_grouped(
+    df: DataFrame, group_sql: str, cms_col_sql: str, x_sql: str,
+    depth: int = 4, width: int = 512, subdiv: int = 16,
+) -> DataFrame:
+    """Per-group fused CMS + loghist cells (grp, kind, a, b, cnt) —
+    the grouped counterpart of :func:`drift_cells`, slicing to exactly
+    :func:`cms_sketch_grouped` + :func:`loghist_sketch_grouped`."""
+    rows = _drift_cell_rows(cms_col_sql, x_sql, depth, width, subdiv)
+    return (
+        df.selectExpr(
+            f"{group_sql} AS grp", f"stack({depth + 1}, {rows}) AS (kind, a, b)"
+        )
+        .filter("kind IS NOT NULL")
+        .groupBy("grp", "kind", "a", "b")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 

@@ -2076,10 +2076,23 @@ def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Cormack et al. 2009), 1/(60+rank), absent entries 0. The whole
     lexical+vector+fusion pipeline is restated in one oracle."""
     d = load_table(spark, sf_dir, "documents")
-    bm = rt.bm25_topk(d, _BM25_TERMS, k=20).select("id", "rank")
-    e = dd.rp_text_embedding(d, "doc_id", "text").select(
-        "doc_id", F.col("emb").alias("embedding")
-    )
+    # ONE tokenize pass for both retrieval halves (r16, guide §2.4):
+    # the lexical stage (lens + postings) and the vector stage (rp
+    # embedding) all read this pinned token table — previously each
+    # stage re-ran the scan + regexp over the corpus (3x per query)
+    from dtle_spark.util import spread
+
+    toks = spread(d).select(
+        F.col("doc_id").alias("id"),
+        F.expr(
+            f"regexp_extract_all(lower(text), '{dd.TOKEN_PATTERN}', 0)"
+        ).alias("toks"),
+    ).localCheckpoint(eager=False)
+    bm = rt.bm25_topk(d, _BM25_TERMS, k=20, toks=toks).select("id", "rank")
+    e = dd.rp_text_embedding(
+        d, "doc_id", "text",
+        toks=toks.select(F.col("id").alias("doc_id"), "toks"),
+    ).select("doc_id", F.col("emb").alias("embedding"))
     e = e.localCheckpoint(eager=False)  # same pushdown barrier as rp_embed_neighbors
     nz = e.filter(
         F.expr("aggregate(embedding, 0L, (acc, x) -> acc + x * x)") > 0
@@ -6531,24 +6544,23 @@ def dq_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     even = o.filter("o_orderkey % 2 = 0")
     odd = o.filter("o_orderkey % 2 = 1")
     third = o.filter("o_orderkey % 3 = 0")
+    # fused cms+loghist cell build (r16): one scan + one aggregation
+    # per side instead of two of each (sketches.drift_cells — same
+    # cells, same counts; the TV rows come out bit-identical)
     baseline = {
         "kmv": sk.kmv_distinct(even, "o_custkey", k=256),
-        "cms": sk.cms_sketch(even, "o_orderpriority", depth=4, width=512),
-        "loghist": sk.loghist_sketch(
-            even.selectExpr(
-                "CAST(round(o_totalprice * 100) AS BIGINT) AS x"
-            ),
-            "x",
+        "cells": sk.drift_cells(
+            even, "o_orderpriority",
+            "CAST(round(o_totalprice * 100) AS BIGINT)",
+            depth=4, width=512,
         ),
     }
     current = {
         "kmv": sk.kmv_distinct(third, "o_custkey", k=256),
-        "cms": sk.cms_sketch(odd, "o_orderstatus", depth=4, width=512),
-        "loghist": sk.loghist_sketch(
-            odd.selectExpr(
-                "CAST(round(o_totalprice * 300) AS BIGINT) AS x"
-            ),
-            "x",
+        "cells": sk.drift_cells(
+            odd, "o_orderstatus",
+            "CAST(round(o_totalprice * 300) AS BIGINT)",
+            depth=4, width=512,
         ),
     }
     return dq_drift_report(baseline, current, depth=4)
@@ -6721,28 +6733,22 @@ def dq_drift_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = o.filter(
         "o_orderkey % 2 = 1 AND o_orderpriority <> '1-URGENT'"
     )
+    # fused per-group cms+loghist cell build (r16): one scan + one
+    # aggregation per side instead of two of each
     baseline = {
         "kmv": sk.kmv_distinct_grouped(bl, "o_orderpriority", "o_custkey", k=64),
-        "cms": sk.cms_sketch_grouped(bl, "o_orderpriority", "o_orderstatus",
-                                     depth=4, width=512),
-        "loghist": sk.loghist_sketch_grouped(
-            bl.selectExpr(
-                "o_orderpriority",
-                "CAST(round(o_totalprice * 100) AS BIGINT) AS x",
-            ),
-            "o_orderpriority", "x",
+        "cells": sk.drift_cells_grouped(
+            bl, "o_orderpriority", "o_orderstatus",
+            "CAST(round(o_totalprice * 100) AS BIGINT)",
+            depth=4, width=512,
         ),
     }
     current = {
         "kmv": sk.kmv_distinct_grouped(cu, "o_orderpriority", "o_custkey", k=64),
-        "cms": sk.cms_sketch_grouped(cu, "o_orderpriority", "o_orderstatus",
-                                     depth=4, width=512),
-        "loghist": sk.loghist_sketch_grouped(
-            cu.selectExpr(
-                "o_orderpriority",
-                "CAST(round(o_totalprice * 300) AS BIGINT) AS x",
-            ),
-            "o_orderpriority", "x",
+        "cells": sk.drift_cells_grouped(
+            cu, "o_orderpriority", "o_orderstatus",
+            "CAST(round(o_totalprice * 300) AS BIGINT)",
+            depth=4, width=512,
         ),
     }
     return dq_drift_report_grouped(baseline, current, depth=4)
@@ -6792,28 +6798,22 @@ def dq_drift_gate_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = o.filter(
         "o_orderkey % 2 = 1 AND o_orderpriority <> '1-URGENT'"
     )
+    # fused per-group cms+loghist cell build (r16) — see
+    # dq_drift_by_priority
     baseline = {
         "kmv": sk.kmv_distinct_grouped(bl, "o_orderpriority", "o_custkey", k=64),
-        "cms": sk.cms_sketch_grouped(bl, "o_orderpriority", "o_orderstatus",
-                                     depth=4, width=512),
-        "loghist": sk.loghist_sketch_grouped(
-            bl.selectExpr(
-                "o_orderpriority",
-                "CAST(round(o_totalprice * 100) AS BIGINT) AS x",
-            ),
-            "o_orderpriority", "x",
+        "cells": sk.drift_cells_grouped(
+            bl, "o_orderpriority", "o_orderstatus",
+            "CAST(round(o_totalprice * 100) AS BIGINT)",
+            depth=4, width=512,
         ),
     }
     current = {
         "kmv": sk.kmv_distinct_grouped(cu, "o_orderpriority", "o_custkey", k=64),
-        "cms": sk.cms_sketch_grouped(cu, "o_orderpriority", "o_orderstatus",
-                                     depth=4, width=512),
-        "loghist": sk.loghist_sketch_grouped(
-            cu.selectExpr(
-                "o_orderpriority",
-                "CAST(round(o_totalprice * 300) AS BIGINT) AS x",
-            ),
-            "o_orderpriority", "x",
+        "cells": sk.drift_cells_grouped(
+            cu, "o_orderpriority", "o_orderstatus",
+            "CAST(round(o_totalprice * 300) AS BIGINT)",
+            depth=4, width=512,
         ),
     }
     rep = dq_drift_report_grouped(baseline, current, depth=4)
@@ -6970,24 +6970,21 @@ def dq_drift_gate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     even = o.filter("o_orderkey % 2 = 0")
     odd = o.filter("o_orderkey % 2 = 1")
     third = o.filter("o_orderkey % 3 = 0")
+    # fused cms+loghist cell build (r16) — see dq_drift_orders
     baseline = {
         "kmv": sk.kmv_distinct(even, "o_custkey", k=256),
-        "cms": sk.cms_sketch(even, "o_orderpriority", depth=4, width=512),
-        "loghist": sk.loghist_sketch(
-            even.selectExpr(
-                "CAST(round(o_totalprice * 100) AS BIGINT) AS x"
-            ),
-            "x",
+        "cells": sk.drift_cells(
+            even, "o_orderpriority",
+            "CAST(round(o_totalprice * 100) AS BIGINT)",
+            depth=4, width=512,
         ),
     }
     current = {
         "kmv": sk.kmv_distinct(third, "o_custkey", k=256),
-        "cms": sk.cms_sketch(odd, "o_orderstatus", depth=4, width=512),
-        "loghist": sk.loghist_sketch(
-            odd.selectExpr(
-                "CAST(round(o_totalprice * 300) AS BIGINT) AS x"
-            ),
-            "x",
+        "cells": sk.drift_cells(
+            odd, "o_orderstatus",
+            "CAST(round(o_totalprice * 300) AS BIGINT)",
+            depth=4, width=512,
         ),
     }
     rep = dq_drift_report(baseline, current, depth=4)

@@ -40,11 +40,10 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     sess = df.sparkSession
     target = min_partitions or sess.sparkContext.defaultParallelism
     try:
-        size = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
+        jplan = df._jdf.queryExecution().optimizedPlan()
+        size = int(jplan.stats().sizeInBytes())
     except Exception:
-        size = None
+        jplan, size = None, None
     if size is None or size >= _UNKNOWN_SIZE:
         if df.rdd.getNumPartitions() >= target:
             return df
@@ -54,5 +53,32 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     # coalesce below `target` partitions?), not the live conf value
     advisory = 64 * 1024 * 1024
     if size < target * advisory:
+        # ADVICE r15: a small size ESTIMATE on a frame that already
+        # carries >= target partitions (a repartition below some
+        # narrow ops) would add a redundant Exchange — skip when the
+        # plan itself proves the parallelism, without finalizing AQE
+        if _plan_repartitioned(jplan, target):
+            return df
         return df.repartition(target)
     return df
+
+
+def _plan_repartitioned(jplan, target: int, max_depth: int = 8) -> bool:
+    """True when the optimized logical plan is an explicit repartition
+    to >= target partitions under only narrow per-row ops (Project /
+    Filter / Generate and friends preserve their child's partitioning).
+    A pure plan inspection — no jobs, no AQE finalization (the .rdd
+    trap spread() exists to avoid)."""
+    narrow = {"Project", "Filter", "Generate", "SubqueryAlias"}
+    try:
+        for _ in range(max_depth):
+            name = jplan.getClass().getSimpleName()
+            if name in ("Repartition", "RepartitionByExpression"):
+                return int(jplan.numPartitions()) >= target
+            if name in narrow:
+                jplan = jplan.children().head()
+                continue
+            return False
+    except Exception:
+        return False
+    return False

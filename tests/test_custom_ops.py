@@ -2209,3 +2209,45 @@ class TestIvfPqPersistedIndex:
         assert m and "cell" in m.group(1), plan[:2000]
         # results only ever come from the <= nprobe probed cells
         assert out.select("cell").distinct().count() <= 2
+
+
+def test_drift_cells_slices_equal_separate_sketches(spark):
+    """r16 fused drift-cell build: the kind-0 slice must equal
+    cms_sketch and the kind-1 slice loghist_sketch over the same
+    input (cells AND counts), global and grouped — the invariant that
+    makes dq's fused TV chain bit-identical to the per-kind chains."""
+    from pyspark.sql import functions as F
+
+    from dtle_spark.functions import sketches as sk
+    from dtle_spark.tableio import load_table
+    from tests.conftest import SF_DIR
+
+    o = load_table(spark, SF_DIR, "orders").limit(500)
+    x = "CAST(round(o_totalprice * 100) AS BIGINT)"
+    fused = sk.drift_cells(o, "o_orderpriority", x, depth=4, width=64).collect()
+    cms = {(r["row"], r["bucket"]): r["cnt"]
+           for r in sk.cms_sketch(o, "o_orderpriority", depth=4, width=64).collect()}
+    lh = {(r["e"], r["sub"]): r["cnt"]
+          for r in sk.loghist_sketch(o.selectExpr(f"{x} AS x"), "x").collect()}
+    got_cms = {(r["a"], r["b"]): r["cnt"] for r in fused if r["kind"] == 0}
+    got_lh = {(r["a"], r["b"]): r["cnt"] for r in fused if r["kind"] == 1}
+    assert got_cms == {(int(k[0]), int(k[1])): v for k, v in cms.items()}
+    assert got_lh == {(int(k[0]), int(k[1])): v for k, v in lh.items()}
+
+    fused_g = sk.drift_cells_grouped(
+        o, "o_orderpriority", "o_orderstatus", x, depth=4, width=64
+    ).collect()
+    cms_g = {(r["grp"], r["row"], r["bucket"]): r["cnt"]
+             for r in sk.cms_sketch_grouped(o, "o_orderpriority",
+                                            "o_orderstatus", depth=4,
+                                            width=64).collect()}
+    lh_g = {(r["grp"], r["e"], r["sub"]): r["cnt"]
+            for r in sk.loghist_sketch_grouped(
+                o.selectExpr("o_orderpriority", f"{x} AS x"),
+                "o_orderpriority", "x").collect()}
+    got_cms_g = {(r["grp"], r["a"], r["b"]): r["cnt"]
+                 for r in fused_g if r["kind"] == 0}
+    got_lh_g = {(r["grp"], r["a"], r["b"]): r["cnt"]
+                for r in fused_g if r["kind"] == 1}
+    assert got_cms_g == {(k[0], int(k[1]), int(k[2])): v for k, v in cms_g.items()}
+    assert got_lh_g == {(k[0], int(k[1]), int(k[2])): v for k, v in lh_g.items()}

@@ -431,3 +431,26 @@ def test_as_of_read_has_no_extra_key_shuffle(spark):
     assert plan.count("RunningWindowFunction") + plan.count("Window") == 1
     # the interval read must not introduce a join or second window
     assert "SortMergeJoin" not in plan.split("Window")[0]
+
+
+def test_spread_skips_already_repartitioned_frames(spark):
+    """ADVICE r15 / r16: when the optimizer's size estimate says
+    'small' but the frame is an explicit repartition to >= target
+    partitions under only narrow ops, spread() must NOT add a second
+    Exchange — and must still add one for a genuinely small frame."""
+    from pyspark.sql import functions as F
+
+    from dtle_spark.util import spread
+
+    small = spark.range(1000).select("id", (F.col("id") * 2).alias("v"))
+    rp = small.repartition(64).filter("v % 2 = 0").select("id")
+    assert spread(rp, min_partitions=32) is rp
+    gen = small.repartition(64).select(
+        F.explode(F.array("id", "v")).alias("x")
+    )
+    assert spread(gen, min_partitions=32) is gen
+    # below-target repartition still re-spreads
+    low = small.repartition(2)
+    assert spread(low, min_partitions=32) is not low
+    # and a plain small scan still re-spreads
+    assert spread(small, min_partitions=32) is not small
