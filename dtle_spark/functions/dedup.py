@@ -220,6 +220,121 @@ def minhash_sigs(
     )
 
 
+def shingle_hash_rows(
+    df: DataFrame,
+    key_cols: list[str],
+    text_col: str | None = None,
+    tok_col: str | None = None,
+    hash_fn: str = "md5",
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """(keys..., __x, __y): per-SHINGLE base hashes as exploded ROWS —
+    the CODEGEN lane for every consumer that does not need the per-doc
+    hash ARRAYS (r16, VERDICT task 3; the rp_text_embedding / r14
+    minhash_sigs precedent).
+
+    Why rows instead of the base_hash_columns arrays: the array form
+    rides three ``transform()`` lambdas (shingle build, md5, hex
+    window), and HOF lambdas evaluate on Spark's INTERPRETED
+    expression path — in a long-lived JVM (~100+ codegen'd queries)
+    the shared eval call sites go megamorphic and the same map stage
+    runs 3-5x slower (the r11/r13 diagnosis). Here the shingle index
+    is EXPLODED (Generate participates in whole-stage codegen) and the
+    shingle/md5/conv work runs per ROW as ordinary codegen'd
+    expressions. Still map-only: no shuffle is added — the signature
+    aggregation downstream was already the first exchange.
+
+    Duplicate shingles are NOT deduplicated (the array lane applies
+    ``array_distinct``): the only consumer of this form is the MinHash
+    lane-minimum fold, and min() is insensitive to duplicates —
+    consumers that need true set semantics (jaccard verify) must use
+    the array lane (hx_from_tokens). Degenerate docs match the array
+    lane exactly: the shingle count is ``greatest(size - n + 1, 1)``,
+    so an empty or NULL token array yields one '' shingle — the same
+    single element ``shingles_expr`` produces."""
+    if tok_col is None:
+        df = df.select(*key_cols, F.expr(_toks(text_col)).alias("__t"))
+    else:
+        df = df.select(*key_cols, F.col(tok_col).alias("__t"))
+    rows = df.select(
+        *key_cols,
+        "__t",
+        F.explode(
+            F.expr(f"sequence(1, greatest(size(__t) - {n} + 1, 1))")
+        ).alias("__i"),
+    ).select(
+        *key_cols,
+        F.expr(f"concat_ws(' ', slice(__t, __i, {n}))").alias("__s"),
+    )
+    if hash_fn == "md5":
+        return rows.select(*key_cols, F.md5("__s").alias("__m")).select(
+            *key_cols,
+            F.expr(hex_window_sql("__m", 1, "spark")).alias("__x"),
+            F.expr(hex_window_sql("__m", 11, "spark")).alias("__y"),
+        )
+    if hash_fn == "xxhash64":
+        mask = _LANE_MOD - 1
+        return rows.select(
+            *key_cols,
+            F.expr(f"xxhash64(__s) & {mask}").alias("__x"),
+            F.expr(f"xxhash64(__s, 1) & {mask}").alias("__y"),
+        )
+    raise ValueError(f"unknown hash_fn {hash_fn!r} (md5 | xxhash64)")
+
+
+def minhash_sigs_from_rows(rows: DataFrame, key_cols: list[str]) -> DataFrame:
+    """(key_cols..., sig) from exploded (keys..., __x, __y) shingle-hash
+    rows — the same 24-lane codegen min fold as ``minhash_sigs``, minus
+    the NULL-array machinery (a shingle_hash_rows feed always emits
+    >= 1 non-NULL row per doc, so no doc is lost and no sig is NULL).
+    Bit-identical to minhash_sigs(doc_hash_sets(...)) — pinned by
+    tests/test_custom_ops.py::test_minhash_sigs_from_rows_matches."""
+    aggs = [
+        F.coalesce(
+            F.min(F.expr(f"({a}L * __x + {b}L * __y) % {_LANE_MOD}")),
+            F.lit(_LANE_MOD).cast("bigint"),
+        ).alias(f"__l{i}")
+        for i, (a, b) in enumerate(LANE_CONSTANTS)
+    ]
+    sig = F.array(*[
+        F.col(f"__l{i}").cast("string")
+        for i in range(len(LANE_CONSTANTS))
+    ])
+    # re-spread for the same reason minhash_sigs does: every consumer
+    # (band digests) is CPU-heavy per-row work on an AQE-coalesced agg
+    return spread(
+        rows.groupBy(*key_cols).agg(*aggs).select(*key_cols, sig.alias("sig"))
+    )
+
+
+def _shingles_sql(tok_col: str, n: int = SHINGLE_N) -> str:
+    """``shingles_expr`` minus the tokenize, as a SQL fragment —
+    distinct word n-gram shingles from a pre-tokenized array column
+    (same expressions, so bit-identical downstream hashes)."""
+    return (
+        f"array_distinct(transform(sequence(1, greatest(size({tok_col}) - {n} + 1, 1)),"
+        f" i -> concat_ws(' ', slice({tok_col}, i, {n}))))"
+    )
+
+
+def hx_from_tokens(tok_col: str, hash_fn: str = "md5", n: int = SHINGLE_N) -> Column:
+    """Per-doc DISTINCT hashed-shingle set (the with_jaccard operand)
+    from a pre-tokenized array column — the array lane kept for the
+    verify tier, where set sizes matter. Interpreted-HOF cost is
+    bounded by the caller: apply this to CANDIDATE docs only (the
+    scale-correct shape — candidates << corpus at 100 TB)."""
+    sh = _shingles_sql(tok_col, n)
+    if hash_fn == "md5":
+        return F.expr(
+            f"transform(transform({sh}, s -> md5(s)),"
+            f" m -> {hex_window_sql('m', 1, 'spark')})"
+        )
+    if hash_fn == "xxhash64":
+        mask = _LANE_MOD - 1
+        return F.expr(f"transform({sh}, s -> xxhash64(s) & {mask})")
+    raise ValueError(f"unknown hash_fn {hash_fn!r} (md5 | xxhash64)")
+
+
 def lsh_bands(
     sig_col: str = "sig",
     bands: int = BANDS,
@@ -265,16 +380,18 @@ def minhash_buckets(
     docs: DataFrame, id_col: str, text_col: str, hash_fn: str = "md5"
 ) -> DataFrame:
     """(id, band_idx, band_digest) — the LSH bucket assignment. Carries
-    only the 16-byte digest + id through the explode/shuffle."""
+    only the 16-byte digest + id through the explode/shuffle.
+
+    r16: rides the exploded codegen shingle-hash lane end to end — no
+    interpreted array lambdas, no per-doc hash arrays built. Sigs from
+    this lane are never NULL (every doc, even NULL text, emits the ''
+    shingle row — same as shingles_expr's [''] — so the r14 NULL-sig
+    banding hazard is unreachable by construction, not by filter)."""
     return (
-        minhash_sigs(
-            doc_hash_sets(docs, id_col, text_col, hash_fn=hash_fn), [id_col]
+        minhash_sigs_from_rows(
+            shingle_hash_rows(spread(docs), [id_col], text_col=text_col, hash_fn=hash_fn),
+            [id_col],
         )
-        # NULL sigs (NULL hash arrays — unreachable via shingles_expr,
-        # which maps NULL text to ['']) never enter banding: their band
-        # digests would all be md5('') and every such doc would share
-        # every bucket (quadratic candidate clique; ADVICE r14)
-        .filter(F.col("sig").isNotNull())
         .select(id_col, F.explode(lsh_bands("sig", hash_fn=hash_fn)).alias("band"))
         .select(id_col, "band.band_idx", "band.band_digest")
     )
@@ -316,12 +433,30 @@ def minhash_dedup_pairs(
     exact dedup). The count runs as a window over the same key the join
     shuffles on, so AQE reuses one exchange.
     """
-    # one materialization of the tokenize/shingle/hash pipeline — the
-    # bucket branch and both verify joins all read it (it is small:
-    # id + two int arrays per doc)
-    base = doc_hash_sets(docs, id_col, text_col, hash_fn=hash_fn).localCheckpoint()
+    # ONE materialization of the token arrays — the bucket branch and
+    # the verify branch both read it. r16 (VERDICT task 3): the pin
+    # moved from the hashed ARRAYS (base_hash_columns — three
+    # interpreted transform() lambdas over the whole corpus) to the
+    # raw token arrays; the signature path re-derives per-shingle
+    # hashes through the exploded CODEGEN lane (min is duplicate-
+    # insensitive, so no per-doc arrays are needed there), and the
+    # hash-SET arrays for the jaccard verify are built once from the
+    # pinned tokens (one interpreted transform pass instead of three).
+    # A candidate-only rebuild (semi-join on the candidate ids before
+    # the transform — even better at 100 TB where candidates <<
+    # corpus) was measured and declined: its extra stages (cand pin,
+    # id-union distinct, semi join) cost ~0.6 s against a ~0.25 s
+    # transform at bench scale (OPTIMIZATION_r16.md).
+    toks = (
+        spread(docs)
+        .select(F.col(id_col), F.expr(_toks(text_col)).alias("__t"))
+        .localCheckpoint()
+    )
     b = (
-        minhash_sigs(base, [id_col])
+        minhash_sigs_from_rows(
+            shingle_hash_rows(toks, [id_col], tok_col="__t", hash_fn=hash_fn),
+            [id_col],
+        )
         .select(id_col, F.explode(lsh_bands("sig", hash_fn=hash_fn)).alias("band"))
         .select(id_col, "band.band_idx", "band.band_digest")
     )
@@ -341,7 +476,12 @@ def minhash_dedup_pairs(
         .select("id_1", "id_2")
         .dropDuplicates(["id_1", "id_2"])
     )
-    sets = base.select(id_col, F.col("hx").alias("hs"))
+    sets = (
+        toks.select(id_col, hx_from_tokens("__t", hash_fn=hash_fn).alias("hs"))
+        # both verify joins read this; without the pin the hash-set
+        # transform runs once per side
+        .localCheckpoint(eager=False)
+    )
     verified = (
         cand.join(sets.select(F.col(id_col).alias("id_1"), F.col("hs").alias("hs_1")), "id_1")
         .join(sets.select(F.col(id_col).alias("id_2"), F.col("hs").alias("hs_2")), "id_2")
@@ -385,14 +525,26 @@ def incremental_neardup_filter(
             )
         )
     )
-    base = base_hash_columns(
-        tagged.select("id", "side", "txt", shingles_expr("txt").alias("sh"))
-    ).drop("sh")
-    base = base.withColumn(
-        "fp", F.md5(F.trim(F.regexp_replace(F.lower(F.col("txt")), "\\s+", " ")))
-    ).drop("txt").localCheckpoint()
+    # r16 (VERDICT task 3): the pin holds (id, side, fp, tokens) — ONE
+    # scan, same bytes-per-doc class as the old hashed-array pin — the
+    # signature tier re-derives per-shingle hashes through the exploded
+    # CODEGEN lane (no interpreted lambdas), and the hash-SET arrays
+    # for the jaccard verify are built once from the pinned tokens
+    # (one interpreted transform pass instead of three; the
+    # candidate-only rebuild was measured and declined — see
+    # minhash_dedup_pairs).
+    base = tagged.select(
+        "id",
+        "side",
+        F.md5(
+            F.trim(F.regexp_replace(F.lower(F.col("txt")), "\\s+", " "))
+        ).alias("fp"),
+        F.expr(_toks("txt")).alias("__t"),
+    ).localCheckpoint()
     buckets = (
-        minhash_sigs(base, ["id", "side"])
+        minhash_sigs_from_rows(
+            shingle_hash_rows(base, ["id", "side"], tok_col="__t"), ["id", "side"]
+        )
         .select("id", "side", F.explode(lsh_bands("sig")).alias("band"))
         .select("id", "side", "band.band_idx", "band.band_digest")
         # both side-branches read this: without the barrier the
@@ -410,7 +562,9 @@ def incremental_neardup_filter(
         .select("inc_id", "hist_id")
         .dropDuplicates(["inc_id", "hist_id"])
     )
-    sets = base.select("id", F.col("hx").alias("hs"))
+    sets = base.select(
+        "id", hx_from_tokens("__t").alias("hs")
+    ).localCheckpoint(eager=False)  # read by both verify joins (see minhash_dedup_pairs)
     near_dup = (
         cand.join(sets.select(F.col("id").alias("inc_id"), F.col("hs").alias("hs_1")), "inc_id")
         .join(sets.select(F.col("id").alias("hist_id"), F.col("hs").alias("hs_2")), "hist_id")

@@ -1225,6 +1225,67 @@ def test_codegen_signatures_match_interpreted_reference(spark):
     assert new_sim[10 ** 9 + 1] is None
 
 
+def test_minhash_sigs_from_rows_matches(spark):
+    """r16 rewrite pin (VERDICT task 3): the exploded codegen
+    shingle-hash lane (shingle_hash_rows -> minhash_sigs_from_rows)
+    must produce BIT-IDENTICAL signatures to the array lane
+    (doc_hash_sets -> minhash_sigs) — including the punctuation-only
+    and NULL-text edges (both shingle to [''] in the array lane and to
+    one '' row in the exploded lane; duplicate shingles may differ
+    between lanes but min() is duplicate-insensitive) — and the
+    candidate hash-set rebuild (hx_from_tokens over pinned tokens)
+    must equal doc_hash_sets' hx arrays."""
+    from pyspark.sql import functions as F
+    from dtle_spark.functions.dedup import (
+        _toks,
+        doc_hash_sets,
+        hx_from_tokens,
+        minhash_sigs,
+        minhash_sigs_from_rows,
+        shingle_hash_rows,
+    )
+    from dtle_spark.tableio import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    d = d.unionByName(
+        spark.createDataFrame(
+            [(10 ** 9, "!!! ..."), (10 ** 9 + 1, None), (10 ** 9 + 2, "")],
+            "doc_id long, text string",
+        )
+    )
+    for hash_fn in ("md5", "xxhash64"):
+        ref = {
+            r["doc_id"]: r["sig"]
+            for r in minhash_sigs(
+                doc_hash_sets(d, "doc_id", "text", hash_fn=hash_fn), ["doc_id"]
+            ).collect()
+        }
+        got = {
+            r["doc_id"]: r["sig"]
+            for r in minhash_sigs_from_rows(
+                shingle_hash_rows(d, ["doc_id"], text_col="text", hash_fn=hash_fn),
+                ["doc_id"],
+            ).collect()
+        }
+        assert got == ref and len(got) == d.count(), hash_fn
+        assert all(s is not None for s in got.values()), hash_fn
+        # the verify-tier array rebuild from pre-tokenized columns
+        toks = d.select("doc_id", F.expr(_toks("text")).alias("__t"))
+        hx_ref = {
+            r["doc_id"]: r["hx"]
+            for r in doc_hash_sets(d, "doc_id", "text", hash_fn=hash_fn).collect()
+        }
+        hx_got = {
+            r["doc_id"]: r["hs"]
+            for r in toks.select(
+                "doc_id", hx_from_tokens("__t", hash_fn=hash_fn).alias("hs")
+            ).collect()
+        }
+        assert hx_got == hx_ref, hash_fn
+
+
 class TestBpeTrain:
     def _python_reference(self, texts, n_merges, min_count=2):
         """The classic reference algorithm, verbatim (Sennrich et al.):
