@@ -773,7 +773,9 @@ def ngram_jaccard_pairs(
         shingles_expr(text_col, n).alias("sh"),
     )
     # materialized once: both join sides read the hashed sets, and
-    # without a barrier the md5 shingling runs twice
+    # without a barrier the md5 shingling runs twice. (The unused hy
+    # lane is already pruned by projection collapse — verified r16 —
+    # so only the hx transforms evaluate here.)
     t = (
         base_hash_columns(t)
         .select(id_col, "block", F.col("hx").alias("hs"))

@@ -433,6 +433,18 @@ def test_as_of_read_has_no_extra_key_shuffle(spark):
     assert "SortMergeJoin" not in plan.split("Window")[0]
 
 
+def test_minhash_sig_lane_is_codegen(spark):
+    """r16 (VERDICT task 3): the minhash signature lane must carry NO
+    interpreted higher-order lambdas — the shingle build / md5 / hex
+    windows run per exploded row inside whole-stage codegen. Pinned on
+    dedup_index_stats, the one minhash consumer whose final plan is not
+    truncated by a localCheckpoint (the others pin their token tables,
+    which hides the stage; see plans/r16/minhash_sig_stage_*.txt)."""
+    plan = plan_of("dedup_index_stats", spark)
+    assert "lambdafunction" not in plan
+    assert "Generate explode" in plan  # the codegen shingle-index explode
+
+
 def test_spread_skips_already_repartitioned_frames(spark):
     """ADVICE r15 / r16: when the optimizer's size estimate says
     'small' but the frame is an explicit repartition to >= target
