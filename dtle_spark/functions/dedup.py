@@ -745,13 +745,19 @@ def simhash_near_pairs(
     return (
         a.join(b2, ["h", "v"])
         .filter(F.col("id_1") < F.col("id_2"))
-        .dropDuplicates(["id_1", "id_2"])
+        # distance filter + signature-column drop BEFORE the pair-dedup
+        # exchange (r16, guide §2.3): the dedup shuffle then carries
+        # only surviving (id_1, id_2, distance) rows instead of every
+        # bucket collision with both 8-byte signatures attached.
+        # Output-identical: distance is a function of the pair, so
+        # filter-then-dedup == dedup-then-filter.
         .withColumn(
             "distance",
             F.expr("bit_count(sh_1 ^ sh_2)"),
         )
         .filter(F.col("distance") <= max_distance)
         .select("id_1", "id_2", "distance")
+        .dropDuplicates(["id_1", "id_2"])
     )
 
 
